@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational query surface — the engine capability every ETL
+  * migration implicitly relies on (the reference runs arbitrary
+  * SELECT/JOIN/WHERE per table; cf /root/reference/libs/MysqlParser.py:121-150).
+  *
+  * Oracle-parity rules (SURVEY.md §4): no sum(double) ever — cast to
+  * exact decimal before aggregation and to double only on the final
+  * output; deterministic total ordering with unique tie-breaks.
+  */
+object Relational {
+
+  /** Exact money: 2-decimal doubles -> decimal(12,2) (values < 1e6). */
+  private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact percentage (discount/tax in [0,1], 2 decimals). */
+  private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val one = lit(1).cast(DecimalType(4, 2))
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val discPrice = d2(col("l_extendedprice")) * (one - pct(col("l_discount")))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice * (one + pct(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(d2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(d2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(pct(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top-10 unshipped orders by revenue for one
+    * segment. customer is small relative to lineitem -> broadcast.
+    */
+  def q3TopkJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopkJoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style star join: revenue by customer nation within one
+    * region and date range. region/nation/customer broadcast up the
+    * chain; lineitem is the only big side -> single shuffle for agg.
+    */
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(s, dir, "nation")
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables.load(s, dir, "lineitem")
+    val dims = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name")
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5StarJoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Running revenue per supplier over ship time (window op; the
+    * order-by key set is unique so the frame is deterministic).
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(d2(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_qty"))
+      .filter(col("rn") <= 100)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) t WHERE rn <= 100
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Distinct customers per order status (map-side partial distinct). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** EXISTS / NOT EXISTS as left_semi / left_anti joins. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders").select("o_custkey")
+    val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withOrders.unionAll(withoutOrders).orderBy(col("kind"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  /** Time-bucketed event aggregation (batch twin of the streaming op). */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(d2(col("value"))).cast(DoubleType).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val qEventsWindowSql: String =
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_topk_join" -> (q3TopkJoin _),
+    "q5_star_join" -> (q5StarJoin _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_distinct" -> (qDistinct _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_events_window" -> (qEventsWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_topk_join" -> q3TopkJoinSql,
+    "q5_star_join" -> q5StarJoinSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_distinct" -> qDistinctSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_events_window" -> qEventsWindowSql)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is marked oracle-free") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("all queries run non-empty at sf0.001 with stable schemas") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names")
+    }
+  }
+
+  test("q1_agg groups are the 6 returnflag/linestatus combos") {
+    val rows = operators.Relational.q1Agg(spark, sf).collect()
+    assert(rows.length >= 3 && rows.length <= 8)
+    val counts = rows.map(_.getAs[Long]("count_order")).sum
+    // sf0.001 has ~6k lineitems; the shipdate filter keeps ~half
+    assert(counts > 1000 && counts <= 6000)
+  }
+
+  test("q_semi_anti partitions the customer table") {
+    val m = operators.Relational.qSemiAnti(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.load(spark, sf, "customer").count()
+    assert(m.values.sum == total)
+  }
+}
