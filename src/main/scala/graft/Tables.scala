@@ -12,13 +12,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session settings every graft entrypoint (Verify/Bench/tests) applies
+    * at construction. events.ts is parquet TIMESTAMP(NANOS), which Spark
+    * rejects unless nanos are read as long (truncated to micros below —
+    * the same floor semantics DuckDB applies loading nanos into its
+    * microsecond timestamps, so oracle parity is preserved). Set once
+    * here instead of mutating conf inside the loader (order-dependence).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
-      // read nanos as long and truncate to micros (same floor
-      // semantics DuckDB applies when it loads nanos into its
-      // microsecond timestamps, so oracle parity is preserved).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

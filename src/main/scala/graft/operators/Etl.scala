@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.rules._
+import graft.schema._
+
+/** The reference's ETL surface re-expressed as Spark plans. Each query
+  * exercises one behavior of the migration pipeline
+  * (/root/reference/libs/MysqlParser.py, RuleHandler.py,
+  * dumperAuxFuncs.py) against the TPC-H-ish tables, with a DuckDB
+  * oracle proving value-level parity.
+  *
+  * Everything here is a declarative Column tree — rules compile to
+  * projections/filters Catalyst can push into the parquet scan, so at
+  * 100 TB each table extract stays a single pushed-down scan (no
+  * per-row driver logic, unlike the reference's cursor loop).
+  */
+object Etl {
+
+  /** Rule-driven rename/skip projection (RuleHandler: rename customer
+    * -> clients, c_name -> full_name, skip c_acctbal). */
+  def etlRenameProject(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val original = Introspect.fromSpark(cust, "customer", pk = Seq("c_custkey"))
+    val ch = TableChange(
+      rename = Some("clients"),
+      columns = Map(
+        "c_name" -> ColumnChange(rename = Some("full_name")),
+        "c_acctbal" -> ColumnChange(skip = true)))
+    Projector.project(cust, original, ch)
+  }
+
+  val etlRenameProjectSql: String =
+    """SELECT c_custkey, c_name AS full_name, c_nationkey, c_mktsegment
+      |FROM customer""".stripMargin
+
+  /** `_WHERE_` extraction filter — the raw SQL predicate string from
+    * the rule file goes straight to Catalyst, which pushes it into the
+    * scan (MysqlParser.py:133-134). */
+  def etlWhereExtract(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val original = Introspect.fromSpark(ord, "orders", pk = Seq("o_orderkey"))
+    val ch = TableChange(
+      where = Some("o_totalprice > 200000 AND o_orderstatus = 'F'"))
+    Projector.extract(ord, original, ch, t => Tables.load(s, dir, t))
+  }
+
+  val etlWhereExtractSql: String =
+    """SELECT * FROM orders
+      |WHERE o_totalprice > 200000 AND o_orderstatus = 'F'""".stripMargin
+
+  /** `_JOIN_` extraction — inner join used as a filter; only the base
+    * table's columns survive (MysqlParser.py:113-131). */
+  def etlJoinExtract(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val original = Introspect.fromSpark(li, "lineitem")
+    val ch = TableChange(
+      joins = Seq(JoinRule(table = "part", col = "l_partkey", colRef = "p_partkey")),
+      where = Some("l_quantity >= 45"))
+    Projector.extract(li, original, ch, t => Tables.load(s, dir, t))
+  }
+
+  val etlJoinExtractSql: String =
+    """SELECT l.* FROM lineitem l
+      |INNER JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l_quantity >= 45""".stripMargin
+
+  /** Pre-SQL UTC shift: every datetime column minus INTERVAL 2 HOUR
+    * (MysqlParser.py:88-92). */
+  def etlUtcShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val original = Introspect.fromSpark(ev, "events", pk = Seq("event_id"))
+    Projector.utcShift(ev, original, hours = 2)
+      .select("event_id", "ts", "event_type")
+  }
+
+  val etlUtcShiftSql: String =
+    """SELECT event_id, ts - INTERVAL 2 HOUR AS ts, event_type
+      |FROM events""".stripMargin
+
+  /** Pre-SQL FK-orphan delete: survivors of
+    * `DELETE FROM orders WHERE o_custkey NOT IN (SELECT ...)` plus the
+    * deleted side, as kept/orphan counts. The parent set is customers
+    * with c_custkey % 10 <> 0, so the delete has real work to do. */
+  def etlFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val parents = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 10 =!= 0)
+    val kept = Projector.dropFkOrphans(ord, "o_custkey", parents, "c_custkey")
+      .agg(count(lit(1)).as("n")).select(lit("kept").as("kind"), col("n"))
+    val orphans = Projector.fkOrphans(ord, "o_custkey", parents, "c_custkey")
+      .agg(count(lit(1)).as("n")).select(lit("orphan").as("kind"), col("n"))
+    kept.unionAll(orphans).orderBy("kind")
+  }
+
+  val etlFkOrphansSql: String =
+    """SELECT 'kept' AS kind, COUNT(*) AS n FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |UNION ALL
+      |SELECT 'orphan' AS kind, COUNT(*) AS n FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |ORDER BY kind""".stripMargin
+
+  /** refToNullable: FK value 0 -> NULL on nullable reference columns
+    * (dumperAuxFuncs.py:30-33). Synthetic fk = o_custkey % 7 so zeros
+    * actually occur. */
+  def etlRefNullable(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val fkRaw = (col("o_custkey") % 7).cast(IntegerType)
+    ord.select(col("o_orderkey"), fkRaw.as("fk_raw"),
+      ValueRules.refToNullable(fkRaw, nullable = true).as("fk"))
+  }
+
+  val etlRefNullableSql: String =
+    """SELECT o_orderkey, CAST(o_custkey % 7 AS INT) AS fk_raw,
+      |  NULLIF(CAST(o_custkey % 7 AS INT), 0) AS fk
+      |FROM orders""".stripMargin
+
+  /** convertStrBoolean over the priority digit (dumperAuxFuncs.py:8-11:
+    * 0/'0'/None -> false, other ints -> true). */
+  def etlBoolConvert(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val digit = substring(col("o_orderpriority"), 1, 1)
+    ord.select(col("o_orderkey"), digit.as("prio_digit"),
+      ValueRules.convertStrBoolean(digit - 1).as("is_not_urgent"))
+  }
+
+  val etlBoolConvertSql: String =
+    """SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio_digit,
+      |  (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1) <> 0 AS is_not_urgent
+      |FROM orders""".stripMargin
+
+  /** Zero-date repair (dumperAuxFuncs.defaultDate): '0000-*' or NULL
+    * -> NULL when nullable else '1900-01-01'. Zero-dates are injected
+    * on o_orderkey % 5 = 0 since parquet can't store them. */
+  def etlZeroDate(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val raw = when(col("o_orderkey") % 5 === 0, lit("0000-00-00"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    ord.select(col("o_orderkey"), raw.as("raw_date"),
+      ValueRules.notNullableDate(raw, nullable = false).as("fixed_not_null"),
+      ValueRules.notNullableDate(raw, nullable = true).as("fixed_nullable"))
+  }
+
+  val etlZeroDateSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN '0000-00-00'
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_date,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN '1900-01-01'
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS fixed_not_null,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS fixed_nullable
+      |FROM orders""".stripMargin
+
+  /** Node-level type map (rules/mysql_to_psql.json via NodeRules):
+    * double -> decimal(18,2), int -> smallint-compatible widths. */
+  def etlTypeCast(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val original = Introspect.fromSpark(part, "part", pk = Seq("p_partkey"))
+    val ch = TableChange(columns = Map(
+      "p_retailprice" -> ColumnChange(dataType = Some("decimal(18,2)")),
+      "p_size" -> ColumnChange(dataType = Some("smallint"))))
+    Projector.project(part, original, ch)
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
+
+  val etlTypeCastSql: String =
+    """SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice,
+      |  CAST(p_size AS SMALLINT) AS p_size
+      |FROM part""".stripMargin
+
+  /** setval watermarks: max(pk)+1 per table, the distributed twin of
+    * PsqlParser._get_sql_sequence's autoIncrement seed. One tiny agg
+    * per table — O(1) output rows regardless of SF. */
+  def etlSeqSetval(s: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(
+      ("orders", "o_orderkey"), ("customer", "c_custkey"),
+      ("part", "p_partkey"), ("supplier", "s_suppkey"),
+      ("nation", "n_nationkey"), ("region", "r_regionkey"))
+    specs.map { case (t, pk) =>
+      Tables.load(s, dir, t)
+        .agg((max(col(pk)) + 1).as("next_val"))
+        .select(lit(t).as("table_name"),
+          lit(s"${t}_${pk}_seq").as("seq_name"), col("next_val"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+  }
+
+  val etlSeqSetvalSql: String =
+    """SELECT 'customer' AS table_name, 'customer_c_custkey_seq' AS seq_name, max(c_custkey)+1 AS next_val FROM customer
+      |UNION ALL SELECT 'nation', 'nation_n_nationkey_seq', max(n_nationkey)+1 FROM nation
+      |UNION ALL SELECT 'orders', 'orders_o_orderkey_seq', max(o_orderkey)+1 FROM orders
+      |UNION ALL SELECT 'part', 'part_p_partkey_seq', max(p_partkey)+1 FROM part
+      |UNION ALL SELECT 'region', 'region_r_regionkey_seq', max(r_regionkey)+1 FROM region
+      |UNION ALL SELECT 'supplier', 'supplier_s_suppkey_seq', max(s_suppkey)+1 FROM supplier
+      |ORDER BY table_name""".stripMargin
+
+  /** CSV \copy cell escaping (PsqlParser._supaFilta): quotes doubled,
+    * NULL literal, true/false booleans — exercised over names with
+    * injected quotes. */
+  def etlPgEscape(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val name = when(col("c_custkey") % 3 === 0,
+      concat(col("c_name"), lit("'s shop"))).otherwise(col("c_name"))
+    val maybeNull = when(col("c_custkey") % 11 === 0,
+      lit(null).cast(StringType)).otherwise(col("c_mktsegment"))
+    cust.select(col("c_custkey"),
+      ValueRules.pgEscapeString(name).as("name_cell"),
+      ValueRules.pgEscapeString(maybeNull).as("segment_cell"),
+      ValueRules.pgEscapeBoolean(col("c_acctbal") >= 0).as("solvent_cell"))
+  }
+
+  val etlPgEscapeSql: String =
+    """SELECT c_custkey,
+      |  '''' || replace(CASE WHEN c_custkey % 3 = 0 THEN c_name || '''s shop' ELSE c_name END, '''', '''''') || '''' AS name_cell,
+      |  CASE WHEN c_custkey % 11 = 0 THEN 'NULL' ELSE '''' || replace(c_mktsegment, '''', '''''') || '''' END AS segment_cell,
+      |  CASE WHEN c_acctbal >= 0 THEN 'true' ELSE 'false' END AS solvent_cell
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_rename_project" -> (etlRenameProject _),
+    "etl_where_extract" -> (etlWhereExtract _),
+    "etl_join_extract" -> (etlJoinExtract _),
+    "etl_utc_shift" -> (etlUtcShift _),
+    "etl_fk_orphans" -> (etlFkOrphans _),
+    "etl_ref_nullable" -> (etlRefNullable _),
+    "etl_bool_convert" -> (etlBoolConvert _),
+    "etl_zero_date" -> (etlZeroDate _),
+    "etl_type_cast" -> (etlTypeCast _),
+    "etl_seq_setval" -> (etlSeqSetval _),
+    "etl_pg_escape" -> (etlPgEscape _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_rename_project" -> etlRenameProjectSql,
+    "etl_where_extract" -> etlWhereExtractSql,
+    "etl_join_extract" -> etlJoinExtractSql,
+    "etl_utc_shift" -> etlUtcShiftSql,
+    "etl_fk_orphans" -> etlFkOrphansSql,
+    "etl_ref_nullable" -> etlRefNullableSql,
+    "etl_bool_convert" -> etlBoolConvertSql,
+    "etl_zero_date" -> etlZeroDateSql,
+    "etl_type_cast" -> etlTypeCastSql,
+    "etl_seq_setval" -> etlSeqSetvalSql,
+    "etl_pg_escape" -> etlPgEscapeSql)
+}

@@ -68,7 +68,9 @@ object Relational {
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    // customer (filtered dim) broadcasts; lineitem⨝orders is fact-fact →
+    // shuffle on the join key and let AQE pick broadcast at small SF.
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
@@ -106,7 +108,9 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "n_name")
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    // dims (customer⨝nation⨝region) broadcast; lineitem⨝orders is the
+    // fact-fact edge → shuffle join (AQE may still broadcast at small SF).
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))

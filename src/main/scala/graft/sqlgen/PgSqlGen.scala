@@ -1,0 +1,136 @@
+package graft.sqlgen
+
+import graft.schema._
+
+/** PostgreSQL artifact generation — the reference's PsqlParser
+  * re-expressed as pure string functions over TableDef
+  * (/root/reference/libs/PsqlParser.py). Pure and driver-side by
+  * design: DDL is O(tables), never data-sized, so it stays out of the
+  * distributed plan entirely.
+  */
+object PgSqlGen {
+
+  /** Types that never take a (size) suffix (PsqlParser.py:489-490). */
+  private val unsized = Set("text", "bytea", "smallint", "decimal", "set")
+
+  /** PsqlParser._get_sql_drop_table */
+  def dropTable(t: TableDef): String =
+    s"""DROP TABLE IF EXISTS "${t.name}" CASCADE;"""
+
+  /** PsqlParser._get_sql_create_table / _get_sql_column: SERIAL for
+    * auto_increment, PK inline or composite tail, NOT NULL, defaults
+    * (numeric / boolean / current_timestamp / unicode literal). */
+  def createTable(t: TableDef): String = {
+    val live = t.liveColumns
+    val pks = live.filter(_.isPk)
+    val cols = live.map(columnSql(_, inlinePk = pks.length == 1))
+    val tail = if (pks.length > 1)
+      Seq(s"PRIMARY KEY (${pks.map(_.name).mkString(",")})") else Nil
+    s"""CREATE TABLE IF NOT EXISTS "${t.name}" (\n ${(cols ++ tail).mkString(", \n ")} );"""
+  }
+
+  def columnSql(c: ColumnDef, inlinePk: Boolean): String = {
+    val sb = new StringBuilder(s""" "${c.name}"""")
+    if (c.extra == "auto_increment") sb.append(" SERIAL")
+    else sb.append(s" ${c.dataType.toUpperCase}")
+    c.size.filter(_ => !unsized.contains(c.dataType))
+      .foreach(s => sb.append(s"($s)"))
+    if (!c.nullable) sb.append(" NOT NULL")
+    if (c.isPk && inlinePk) sb.append(" PRIMARY KEY")
+    c.default.foreach { d =>
+      val rendered =
+        if (d.replaceFirst("\\.", "").forall(_.isDigit) && d.nonEmpty)
+          if (c.dataType == "boolean") { if (d != "0") "true" else "false" }
+          else d
+        else if (d == "current_timestamp") d
+        else if (d.equalsIgnoreCase("true") || d.equalsIgnoreCase("false"))
+          d.toUpperCase
+        else s"U&'$d'"
+      sb.append(s" DEFAULT $rendered")
+    }
+    sb.toString
+  }
+
+  /** PsqlParser._get_sql_sequence: seed each SERIAL sequence at the
+    * source's auto_increment watermark. */
+  def setval(t: TableDef): String =
+    t.autoIncrement match {
+      case Some(ai) =>
+        t.liveColumns.filter(_.isPk).map(c =>
+          s"SELECT setval('${t.name}_${c.name}_seq', $ai, false);\n").mkString("\n")
+      case None => ""
+    }
+
+  /** PsqlParser._get_sql_fkeys: deferred RESTRICT FKs so the \copy
+    * load order doesn't matter within a transaction. */
+  def foreignKeys(t: TableDef,
+      onDelete: String = "RESTRICT DEFERRABLE INITIALLY IMMEDIATE"): String =
+    t.liveColumns.flatMap { c =>
+      c.reference.map(r =>
+        s"""ALTER TABLE "${t.name}" ADD CONSTRAINT ${t.name}_${c.name}_fkey""" +
+          s""" FOREIGN KEY (${c.name}) REFERENCES ${r.render} ON DELETE $onDelete;""")
+    }.mkString("\n")
+
+  /** PsqlParser._get_sql_indexes (secondary indexes only; PRIMARY is
+    * excluded at introspection, MysqlParser.py:243). */
+  def indexes(t: TableDef): String =
+    t.indexes.map { ix =>
+      val cols = ix.columns.map(t.column(_).name)
+      s"""CREATE INDEX ${t.name}_${ix.name}_x ON ${t.name} ("${cols.mkString("\" ,\"")}");\n"""
+    }.mkString("\n")
+
+  /** PsqlParser.generate_dump_from_raw:135-137 — the \copy line the
+    * psql loader executes against the per-table CSV. */
+  def copyStatement(t: TableDef, csvPath: String): String = {
+    val cols = t.liveColumns.map(_.name).mkString("\", \"")
+    s"""\\copy "${t.name}" ("$cols") FROM '$csvPath' WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"""
+  }
+
+  /** PsqlParser.generate_psql_views: v1-compat views exposing the old
+    * table/column names over the new schema; skipped columns become
+    * NULL so legacy readers keep their column count. `original` and
+    * `changed` align positionally (SchemaRules preserves column order
+    * and flags skips instead of deleting). */
+  def compatView(original: TableDef, changed: TableDef,
+      v1Schema: String, v2Schema: String): String = {
+    val pairs = original.columns.zip(changed.columns).map {
+      case (oc, nc) if nc.skip => (s""""${oc.name}"""", "NULL")
+      case (oc, nc) => (s""""${oc.name}"""", s""""${nc.name}"""")
+    }
+    // live columns first, skipped->NULL last (PsqlParser.py:183-192)
+    val (skipped, live) = pairs.partition(_._2 == "NULL")
+    val ordered = live ++ skipped
+    val v1Cols = ordered.map(_._1).mkString(", ")
+    val v2Cols = ordered.map(_._2).mkString(", ")
+    s"CREATE VIEW $v1Schema.${original.name} ($v1Cols) AS \n " +
+      s"SELECT $v2Cols FROM $v2Schema.${changed.name} WITH CASCADED CHECK OPTION;\n"
+  }
+
+  /** PsqlParser._supaFilta (driver-side twin of
+    * ValueRules.pgEscapeString, for schema-level literals). */
+  def escapeCell(v: Any): String = v match {
+    case null | None => "NULL"
+    case true => "true"
+    case false => "false"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
+  }
+
+  /** PsqlParser._convert_mysql_insert_to_psql's value fixes: protect
+    * escaped backslashes, \'-> '', zero-dates -> 2000-01-01. */
+  def fixInsertLine(line: String): String =
+    line.trim
+      .replace("\\\\", "WUBWUBREALSLASHWUB")
+      .replace("\\'", "''")
+      .replace("WUBWUBREALSLASHWUB", "\\\\")
+      .replace("0000-00-00 00:00:00", "2000-01-01 00:00:00")
+      .replace("0000-00-00", "2000-01-01")
+
+  /** Whole-schema preamble (PsqlParser.generate_sql_schema). */
+  def schemaPreamble(schemaName: String): String =
+    s"""SET client_min_messages TO WARNING;
+       |DROP SCHEMA IF EXISTS $schemaName CASCADE;
+       |CREATE SCHEMA IF NOT EXISTS $schemaName;
+       |SET SCHEMA '$schemaName';
+       |""".stripMargin
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Etl
+import graft.rules._
+import graft.schema._
+import graft.sqlgen.PgSqlGen
+
+class EtlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // --- schema introspection (MysqlParser.get_schema analogue) ---
+
+  test("Introspect round-trips a parquet schema through TableDef") {
+    val cust = Tables.load(spark, sf, "customer")
+    val td = Introspect.fromSpark(cust, "customer", pk = Seq("c_custkey"))
+    assert(td.name == "customer")
+    assert(td.column("c_custkey").isPk)
+    assert(td.column("c_name").dataType == "varchar")
+    assert(td.column("c_acctbal").dataType == "double")
+    val st = Introspect.toStructType(td)
+    assert(st.fieldNames.toSeq == cust.schema.fieldNames.toSeq)
+  }
+
+  test("Introspect maps neutral types to Spark types both ways") {
+    assert(Introspect.sparkType("decimal(10,3)") == DecimalType(10, 3))
+    assert(Introspect.sparkType("mediumint") == IntegerType)
+    assert(Introspect.neutralType(TimestampType) == "datetime")
+    assert(Introspect.neutralType(BinaryType) == "blob")
+  }
+
+  // --- rule engine (RuleHandler analogue) ---
+
+  test("SchemaRules applies rename/skip/override then node type maps") {
+    val td = TableDef("t", Seq(
+      ColumnDef("id", "int", nullable = false, isPk = true, extra = "auto_increment"),
+      ColumnDef("flag", "tinyint", fullType = "tinyint(1)"),
+      ColumnDef("body", "longtext"),
+      ColumnDef("created", "datetime", default = Some("CURRENT_TIMESTAMP")),
+      ColumnDef("legacy", "varchar")), engine = "MyISAM")
+    val changes = SchemaChanges(Map("t" -> TableChange(
+      rename = Some("t2"),
+      columns = Map(
+        "legacy" -> ColumnChange(skip = true),
+        "body" -> ColumnChange(rename = Some("content"))))))
+    val out = SchemaRules(Seq(td), changes)
+    assert(out.length == 1)
+    val t2 = out.head
+    assert(t2.name == "t2")
+    assert(t2.engine == "INNODB")
+    assert(t2.column("flag").dataType == "boolean") // tinyint(1) _IF_ rule
+    assert(t2.column("content").dataType == "text") // longtext -> text + rename
+    assert(t2.column("created").dataType == "timestamp")
+    assert(t2.column("created").default.contains("current_timestamp"))
+    assert(t2.column("legacy").skip)
+    assert(t2.liveColumns.map(_.name) == Seq("id", "flag", "content", "created"))
+  }
+
+  test("SchemaRules drops _SKIP_ tables entirely") {
+    val tds = Seq(TableDef("keep", Nil), TableDef("drop_me", Nil))
+    val out = SchemaRules(tds, SchemaChanges(Map("drop_me" -> TableChange(skip = true))))
+    assert(out.map(_.name) == Seq("keep"))
+  }
+
+  // --- DDL generation (PsqlParser analogue) ---
+
+  test("PgSqlGen.createTable: SERIAL pk, NOT NULL, sizes, defaults") {
+    val td = TableDef("users", Seq(
+      ColumnDef("id", "int", nullable = false, isPk = true, extra = "auto_increment"),
+      ColumnDef("name", "varchar", nullable = false, size = Some("64")),
+      ColumnDef("bio", "text", size = Some("1000")), // text never sized
+      ColumnDef("active", "boolean", default = Some("1")),
+      ColumnDef("note", "varchar", default = Some("hi"))))
+    val sql = PgSqlGen.createTable(td)
+    assert(sql.contains("\"id\" SERIAL NOT NULL PRIMARY KEY"))
+    assert(sql.contains("\"name\" VARCHAR(64) NOT NULL"))
+    assert(sql.contains("\"bio\" TEXT"))
+    assert(!sql.contains("TEXT(1000)"))
+    assert(sql.contains("\"active\" BOOLEAN DEFAULT true"))
+    assert(sql.contains("\"note\" VARCHAR DEFAULT U&'hi'"))
+  }
+
+  test("PgSqlGen.createTable: composite PK becomes a PRIMARY KEY tail") {
+    val td = TableDef("m2m", Seq(
+      ColumnDef("a_id", "int", nullable = false, isPk = true),
+      ColumnDef("b_id", "int", nullable = false, isPk = true)))
+    val sql = PgSqlGen.createTable(td)
+    assert(sql.contains("PRIMARY KEY (a_id,b_id)"))
+    assert(!sql.contains("\"a_id\" INT NOT NULL PRIMARY KEY"))
+  }
+
+  test("PgSqlGen FK / index / setval / copy statements") {
+    val td = TableDef("child", Seq(
+      ColumnDef("id", "int", nullable = false, isPk = true, extra = "auto_increment"),
+      ColumnDef("parent_id", "int", reference = Some(Reference("parent", "id")))),
+      indexes = Seq(IndexDef("by_parent", Seq("parent_id"))),
+      autoIncrement = Some(42))
+    assert(PgSqlGen.foreignKeys(td).contains(
+      "ALTER TABLE \"child\" ADD CONSTRAINT child_parent_id_fkey FOREIGN KEY " +
+        "(parent_id) REFERENCES parent (id) ON DELETE RESTRICT DEFERRABLE INITIALLY IMMEDIATE;"))
+    assert(PgSqlGen.indexes(td).contains(
+      "CREATE INDEX child_by_parent_x ON child (\"parent_id\");"))
+    assert(PgSqlGen.setval(td).contains("SELECT setval('child_id_seq', 42, false);"))
+    assert(PgSqlGen.copyStatement(td, "/tmp/child.sql").contains(
+      "\\copy \"child\" (\"id\", \"parent_id\") FROM '/tmp/child.sql' " +
+        "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"))
+  }
+
+  test("PgSqlGen.compatView: renamed cols mapped, skipped cols NULL") {
+    val orig = TableDef("res", Seq(
+      ColumnDef("id", "int", isPk = true),
+      ColumnDef("resa_id", "int"),
+      ColumnDef("tmp", "varchar")))
+    val changed = TableDef("reminder", Seq(
+      ColumnDef("id", "int", isPk = true),
+      ColumnDef("reservation_id", "int"),
+      ColumnDef("tmp", "varchar", skip = true)))
+    val v = PgSqlGen.compatView(orig, changed, "v1", "public")
+    assert(v.contains("CREATE VIEW v1.res (\"id\", \"resa_id\", \"tmp\")"))
+    assert(v.contains("SELECT \"id\", \"reservation_id\", NULL FROM public.reminder"))
+  }
+
+  test("PgSqlGen insert-line fixes: zero dates and escaped quotes") {
+    assert(PgSqlGen.fixInsertLine("""VALUES ('0000-00-00 00:00:00')""")
+      == """VALUES ('2000-01-01 00:00:00')""")
+    assert(PgSqlGen.fixInsertLine("""VALUES ('it\'s')""") == """VALUES ('it''s')""")
+    assert(PgSqlGen.fixInsertLine("""VALUES ('a\\')""") == """VALUES ('a\\')""")
+    assert(PgSqlGen.escapeCell(null) == "NULL")
+    assert(PgSqlGen.escapeCell("o'brien") == "'o''brien'")
+    assert(PgSqlGen.escapeCell(true) == "true")
+  }
+
+  // --- Projector / ValueRules on real data ---
+
+  test("Projector.extract pushes the _WHERE_ filter into the scan") {
+    val df = Etl.etlWhereExtract(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice"), s"no pushdown in:\n$plan")
+  }
+
+  test("etl_fk_orphans: kept + orphan = total orders") {
+    val m = Etl.etlFkOrphans(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(m("kept") + m("orphan") == total)
+    assert(m("orphan") > 0, "orphan synthesis produced no rows")
+  }
+
+  test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
+    import spark.implicits._
+    val df = Seq("12:34", "9:99x", null).toDF("t")
+    val out = df.select(
+      ValueRules.makeItTime(col("t"), nullable = false).as("nn"),
+      ValueRules.makeItTime(col("t"), nullable = true).as("n")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("12:34", "00:00", "00:00"))
+    assert(out.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("12:34"), None, None))
+  }
+}

@@ -19,8 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(rows):
+    # Sort by non-float cells first so nearly-equal floats can't misalign
+    # got/exp row pairing (floats only break remaining ties).
     def key(r):
-        return tuple((x is None, str(x)) for x in r)
+        hard = tuple((x is None, str(x)) for x in r
+                     if not isinstance(x, float))
+        soft = tuple((x is None, repr(x)) for x in r
+                     if isinstance(x, float))
+        return (hard, soft)
     return sorted(rows, key=key)
 
 
