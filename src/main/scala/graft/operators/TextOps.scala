@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * stats, quality scoring, language ID, rolling-hash fingerprints.
+  *
+  * Every op is a pure Column expression tree (codegen'd, no UDFs) so
+  * it fuses with the parquet scan in one WholeStageCodegen stage —
+  * at 100 TB these run scan-bound with zero shuffles.
+  *
+  * Oracle parity: counts are exact ints; every ratio is a single IEEE
+  * double op on exact ints, and the fingerprint folds left-to-right in
+  * both engines (SURVEY.md §4).
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens (consecutive spaces collapse; the
+    * filter also drops Spark's regex-split trailing ""). */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "en"),
+    "zh" -> Seq("的", "是", "了"))
+  private val langOrder = Seq("en", "de", "fr", "es", "zh")
+
+  private def stopHits(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => t.isInCollection(words)))
+
+  /** Token / char / line counts per document. */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = toks(col("text"))
+    docs.select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      (size(split(col("text"), "\n", -1))).as("n_lines"))
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+      |  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq_tokens,
+      |  len(string_split(text, chr(10))) AS n_lines
+      |FROM documents""".stripMargin
+
+  /** Heuristic quality score: length saturation, stopword density,
+    * vocabulary diversity, punctuation density — the standard cheap
+    * pre-filters before expensive dedup/training. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = toks(col("text"))
+    val nChars = length(col("text")).cast(DoubleType)
+    val nToks = size(t).cast(DoubleType)
+    val lenScore = least(nChars / lit(400.0), lit(1.0))
+    val stopRatio = stopHits(col("text"), stopwords("en")).cast(DoubleType) / nToks
+    val uniqRatio = size(array_distinct(t)).cast(DoubleType) / nToks
+    val punctRatio = regexp_count(col("text"), lit("[.,!?;:]")).cast(DoubleType) / nChars
+    docs.select(col("doc_id"),
+      lenScore.as("len_score"), stopRatio.as("stop_ratio"),
+      uniqRatio.as("uniq_ratio"), punctRatio.as("punct_ratio"),
+      (((lenScore * 0.4 + stopRatio * 0.2) + uniqRatio * 0.3) + punctRatio * 0.1)
+        .as("quality"))
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
+      |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n_uniq,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  least(n_chars / 400.0, 1.0) AS len_score,
+      |  n_stop / n_toks AS stop_ratio,
+      |  n_uniq / n_toks AS uniq_ratio,
+      |  n_punct / n_chars AS punct_ratio,
+      |  ((least(n_chars / 400.0, 1.0) * 0.4 + (n_stop / n_toks) * 0.2)
+      |    + (n_uniq / n_toks) * 0.3) + (n_punct / n_chars) * 0.1 AS quality
+      |FROM t""".stripMargin
+
+  /** Stopword-profile language ID: per-language hit counts, argmax
+    * with a fixed priority order, 'und' when nothing matches. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val hits = langOrder.map(l => l -> stopHits(col("text"), stopwords(l))).toMap
+    val maxHits = greatest(langOrder.map(hits): _*)
+    val pred = langOrder.foldRight(lit("und"): Column) { (l, acc) =>
+      when(hits(l) === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps langOrder priority: the first lang reaching the
+    // max wins, exactly like the oracle's CASE chain.
+    docs.select(col("doc_id") +: langOrder.map(l => hits(l).as(s"${l}_hits")) :+
+      pred.as("lang_pred"): _*)
+  }
+
+  val textLangidSql: String = {
+    def hitsSql(words: Seq[String]): String =
+      s"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val cols = langOrder.map(l => s"${hitsSql(stopwords(l))} AS ${l}_hits").mkString(",\n  ")
+    val maxE = s"greatest(${langOrder.map(l => s"${l}_hits").mkString(",")})"
+    val caseChain = langOrder.map(l =>
+      s"WHEN ${l}_hits = $maxE AND $maxE > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id,\n  $cols\nFROM documents)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |  CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM t""".stripMargin
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters,
+    * acc = (acc*31 + codepoint) mod 1e9+7 — deterministic 32-bit-ish
+    * doc identity both engines compute with exact BIGINT arithmetic. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val fp = aggregate(
+      transform(chars, c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+    docs.select(col("doc_id"), fp.as("fingerprint"),
+      substring(sha2(col("text"), 256), 1, 16).as("sha_prefix"))
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint,
+      |  substr(sha256(text), 1, 16) AS sha_prefix
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
