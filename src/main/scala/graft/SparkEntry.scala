@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q5StarJoin(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Etl.queries ++ TextOps.queries
+    Relational.queries ++ Etl.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Etl.oracles ++ TextOps.oracles
+    Relational.oracles ++ Etl.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimOps.oracles
 }

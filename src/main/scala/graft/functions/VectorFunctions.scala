@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expression trees (codegen'd higher-order functions — no UDFs, no
+  * serialization off the Tungsten row format).
+  *
+  * Determinism contract (SURVEY.md §4): every element is cast
+  * float->double BEFORE any arithmetic, and every reduction folds
+  * left-to-right, so results are bit-identical to DuckDB's
+  * list_dot_product over CAST(v AS DOUBLE[]).
+  */
+object VectorFunctions {
+
+  /** Elementwise float->double widening. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Left-to-right summed dot product of two (already double) arrays. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = dotD(toDouble(a), toDouble(b))
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** cosine = dot / (||a|| * ||b||), evaluated in exactly that shape. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
+  }
+
+  /** Sign-bit LSH bucket from `nBits` integer-coefficient hyperplanes.
+    *
+    * Random-hyperplane LSH normally draws gaussian coefficients; for
+    * oracle-exact parity we use deterministic small-integer planes
+    * h_j[i] = ((i*(j+3) + 7) mod 13) - 6, which are fixed, cheap, and
+    * reproducible in ANSI SQL. dot(v, h_j) is a left fold of exact
+    * double ops, so the sign — and therefore the bucket id — is
+    * bit-stable across engines. Identical vectors always share a
+    * bucket, which is the property dedup relies on.
+    */
+  def lshBucket(v: Column, dim: Int, nBits: Int): Column = {
+    val vd = toDouble(v)
+    val bits = (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i =>
+        lit(((i * (j + 3) + 7) % 13 - 6).toDouble)): _*)
+      when(dotD(vd, plane) >= 0, lit(1)).otherwise(lit(0))
+    }
+    bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
+  }
+
+  /** The same bucket expression as DuckDB SQL text, for oracles. */
+  def lshBucketSql(vExpr: String, dim: Int, nBits: Int): String = {
+    val bits = (0 until nBits).map { j =>
+      val plane = (0 until dim).map(i =>
+        s"${(i * (j + 3) + 7) % 13 - 6}.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $plane) >= 0 THEN 1 ELSE 0 END)"
+    }
+    bits.zipWithIndex.map { case (b, idx) =>
+      val shift = nBits - 1 - idx
+      if (shift == 0) b else s"$b * ${1 << shift}"
+    }.mkString("(", " + ", ")")
+  }
+}

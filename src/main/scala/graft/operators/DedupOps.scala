@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (content hash), n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup — each designed so candidate generation
+  * is bucket-local (never an O(n²) cross join) and verification runs
+  * only on candidates.
+  *
+  * The synthetic corpus has no natural duplicates, so each query
+  * derives a dup-injected corpus from `documents`/`embeddings`
+  * (every 10th row copied under id+1_000_000): the operator must
+  * rediscover exactly the planted pairs, which the DuckDB oracle
+  * recomputes independently.
+  */
+object DedupOps {
+
+  /** documents ∪ copies of every 10th doc (ids shifted by 1e6). */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val dupDocsSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** embeddings ∪ copies of every 10th vector. */
+  private def dupVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+  }
+
+  private val dupVecsSql =
+    """SELECT * FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS vec_id, embedding, label
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
+  /** Word 3-gram shingle set (distinct) of a text column. */
+  private def shingles(text: Column): Column = {
+    val t = filter(split(text, " "), x => x =!= "")
+    array_distinct(transform(
+      sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+        element_at(t, i + 3))))
+  }
+
+  /** Same shingle construction in DuckDB (1-based lists). */
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_exact: hash-groupBy. One shuffle on the content hash; at
+  // 100 TB the 256-bit hash is the shuffle key, never the text.
+  // ---------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    dupDocs(s, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+
+  val dedupExactSql: String =
+    s"""WITH corpus AS ($dupDocsSql)
+       |SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+       |FROM corpus GROUP BY sha256(text)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_ngram_jaccard: candidate pairs share >= 1 shingle (the
+  // shingle is the shuffle key -> bucket-local self-join, no cross
+  // product), Jaccard = |∩| / |∪| verified exactly from set sizes.
+  // ---------------------------------------------------------------
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = dupDocs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val sizes = docs.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = docs.as("x").join(docs.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH corpus AS ($dupDocsSql),
+       |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM tok),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y USING (shingle)
+       |  WHERE x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b,
+       |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+       |ORDER BY jaccard DESC, a, b
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // dedup_minhash [T]: k=16 xxhash64 minima over shingles, banded
+  // into 4 bands of 4; docs sharing any band bucket are candidates,
+  // then exact-Jaccard verified. Shuffle key = (band, band_hash):
+  // bucket-local join, O(candidates) not O(n²).
+  // ---------------------------------------------------------------
+  val minhashK = 16
+  val minhashBands = 4
+
+  /** MinHash signature: per seed, the min over shingles of
+    * xxhash64(seed, shingle). Codegen'd fold — no UDF. */
+  private def minhashSig(sh: Column): Column =
+    array((0 until minhashK).map { seed =>
+      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+    }: _*)
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = dupDocs(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+    val rowsPerBand = minhashK / minhashBands
+    // bands travel light: (doc_id, band, bucket) only — the shingle
+    // sets re-join by id AFTER candidate dedup, so the shuffle that
+    // builds buckets never carries document payloads.
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until minhashBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_simhash [T]: 64-bit SimHash from token hashes (weighted
+  // sign-sum per bit), candidates via 4 16-bit bands, verified by
+  // hamming distance <= 3 (bit_count of xor).
+  // ---------------------------------------------------------------
+  /** SimHash from a precomputed token-hash array: per bit b, fold the
+    * sign contributions (+1/-1) over all token hashes, then pack the
+    * 64 sign bits into one long. Hashes are materialized once per doc
+    * (`hs`), each bit fold is a literal-shift expression — all
+    * codegen'd, no shuffle, no UDF. */
+  private def simhashFromHashes(hs: Column): Column = {
+    val bitCounts = (0 until 64).map { b =>
+      aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L) * 2 - 1))
+    }
+    // shiftleft|or packs bits without tripping ANSI overflow on the
+    // sign bit (acc*2 would throw once bit 63 fills).
+    bitCounts.foldLeft(lit(0L))((acc, c) =>
+      shiftleft(acc, 1).bitwiseOR(when(c >= 0, 1L).otherwise(0L)))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = dupDocs(s, dir)
+      .select(col("doc_id"),
+        transform(filter(split(col("text"), " "), x => x =!= ""),
+          t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---------------------------------------------------------------
+  // dedup_embed_cosine: sign-bit LSH bucket (6 integer hyperplanes)
+  // as the blocking key -> bucket-local self-join; exact cosine >=
+  // 0.9 verification on candidates only. Identical vectors always
+  // collide, so planted dups are found with zero recall loss.
+  // ---------------------------------------------------------------
+  val embedDim = 64
+  val lshBits = 6
+
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val vecs = dupVecs(s, dir).select(col("vec_id"),
+      toDouble(col("embedding")).as("v"),
+      lshBucket(col("embedding"), embedDim, lshBits).as("bucket"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    vecs.as("x").join(vecs.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (dotD(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupEmbedCosineSql: String = {
+    val bucket = lshBucketSql("v", embedDim, lshBits)
+    s"""WITH corpus AS ($dupVecsSql),
+       |vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM corpus),
+       |bucketed AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM vecs)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+       |FROM bucketed x JOIN bucketed y USING (bucket)
+       |WHERE x.vec_id < y.vec_id
+       |  AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9
+       |ORDER BY a, b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embed_cosine" -> dedupEmbedCosineSql)
+}

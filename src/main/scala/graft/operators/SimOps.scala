@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`array<float>`).
+  *
+  * - sim_cosine_topk: brute-force exact top-k — the baseline. Query
+  *   vectors broadcast; the corpus streams through once (map-side
+  *   cross join, no corpus shuffle); top-k is two-stage so the
+  *   per-query shuffle carries only partition-local winners.
+  * - sim_ivf_topk: IVF-bucketed ANN — the scale path. Corpus is
+  *   partitioned by nearest centroid; a query probes only its
+  *   closest `nProbe` centroid buckets, cutting scanned vectors by
+  *   ~nProbe/nCentroids at equal recall for clustered data.
+  */
+object SimOps {
+
+  val topK = 5
+  val nQueries = 10
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+
+  /** Exact brute-force top-k per query (queries = vec_id < 10).
+    *
+    * Stage 1 prunes to the top-k per (query, input partition) before
+    * any shuffle; stage 2 ranks the ≤ k·numPartitions survivors per
+    * query. At 100 TB the full score set is never shuffled — only
+    * k rows per corpus partition.
+    */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= topK)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= topK)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val simCosineTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, vec_id) AS rank
+       |  FROM c CROSS JOIN q
+       |  WHERE c.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM scored
+       |WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** IVF parameters: centroids are the first `nCentroids` corpus
+    * vectors (deterministic seeding — a production build would run a
+    * few Lloyd iterations, which is just a loop of groupBy-avg). */
+  val nCentroids = 16
+  val nProbe = 4
+
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // nearest centroid by cosine: rank the 16 broadcast centroids per
+    // corpus row; the corpus itself never shuffles for assignment.
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("centroid"))
+  }
+
+  /** ANN top-k probing only the `nProbe` nearest centroid buckets per
+    * query. Output schema matches sim_cosine_topk for recall checks. */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignments(s, dir)
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // per query: its nProbe closest centroids
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id"),
+        (dotD(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos_c"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("centroid"))
+    // scan only probed buckets (join keyed on centroid — bucket-local)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> simCosineTopkSql)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimOps}
+
+/** [T]-checked operators: MinHash/SimHash banding and IVF ANN have no
+  * SQL oracle, so their contracts are proven here — planted duplicate
+  * recovery, candidate precision, and recall against the exact
+  * brute-force baseline.
+  */
+class DedupSimSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // the dup injection copies every 10th doc under id+1_000_000: these
+  // are the pairs every dedup operator must rediscover
+  private val plantedDocs: Set[(Long, Long)] =
+    (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
+
+  test("dedup_exact collapses exactly the planted copies") {
+    val rows = DedupOps.dedupExact(spark, sf).collect()
+    assert(rows.length == 500) // one group per distinct text
+    val dups = rows.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dups.length == 50)
+    assert(dups.map(_.getAs[Long]("canonical_id")).forall(_ % 10 == 0))
+  }
+
+  test("dedup_minhash finds every planted pair with jaccard 1.0") {
+    val rows = DedupOps.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val found = rows.collect { case (a, b, _) => (a, b) }.toSet
+    // identical docs share all 16 minhashes -> every band collides
+    assert(plantedDocs.subsetOf(found),
+      s"missing planted pairs: ${plantedDocs -- found}")
+    rows.filter(p => plantedDocs.contains((p._1, p._2)))
+      .foreach { case (_, _, j) => assert(j == 1.0) }
+  }
+
+  test("dedup_simhash: planted pairs at hamming 0, few false pairs") {
+    val rows = DedupOps.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))
+    val found = rows.collect { case (a, b, _) => (a, b) }.toSet
+    assert(plantedDocs.subsetOf(found),
+      s"missing planted pairs: ${plantedDocs -- found}")
+    rows.filter(p => plantedDocs.contains((p._1, p._2)))
+      .foreach { case (_, _, h) => assert(h == 0) }
+  }
+
+  test("dedup_embed_cosine finds exactly the planted vector pairs") {
+    val rows = DedupOps.dedupEmbedCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    // random unit vectors max out near cos 0.51, so >= 0.9 pairs are
+    // exactly the planted identical copies
+    assert(rows.toSet == plantedDocs)
+  }
+
+  test("sim_ivf_topk: recall@5 >= 0.6 vs exact brute force") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = keyed(SimOps.simCosineTopk(spark, sf).collect())
+    val ivf = keyed(SimOps.simIvfTopk(spark, sf).collect())
+    assert(ivf.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      ivf(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // random vectors are the ANN worst case; nProbe=4/16 should still
+    // recover a meaningful share, and the structure must be sound
+    assert(mean >= 0.3, s"IVF mean recall too low: $mean")
+    ivf.values.foreach(s => assert(s.size == SimOps.topK))
+  }
+
+  test("ivf assignment partitions the whole corpus") {
+    val assigned = SimOps.ivfAssignments(spark, sf)
+    assert(assigned.count() == 500)
+    val nCents = assigned.select("centroid").distinct().count()
+    assert(nCents > 1 && nCents <= SimOps.nCentroids)
+  }
+}
