@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.rules._
+import graft.schema._
+import graft.sources.PgCopyWriter
+import graft.sqlgen.PgSqlGen
+
+/** End-to-end migration orchestration — the reference's main.py flow
+  * (introspect → rules → pre-SQL → extract → convert → artifacts)
+  * over Spark. Where the reference forks a multiprocessing pool per
+  * database (/root/reference/main.py:124-189), here each table is an
+  * independent lazy plan and Spark schedules all partitions across
+  * the cluster; the driver-side loop only submits jobs.
+  */
+object Pipeline {
+
+  case class TableResult(originalName: String, outputName: String,
+      rows: Long, ddl: String, copySql: String)
+
+  case class MigrationResult(tables: Seq[TableResult],
+      schemaSql: String, constraintsSql: String, viewsSql: String)
+
+  /** Migrate a set of parquet-backed tables: apply schema rules,
+    * extract per rules (where/joins/renames/casts), write PG-dialect
+    * CSV dumps, and emit the full DDL bundle (create tables + FKs +
+    * indexes + setvals + v1-compat views). */
+  def migrate(spark: SparkSession, sfDir: String, outDir: String,
+      tables: Seq[String], changes: SchemaChanges,
+      node: NodeRules = NodeRules.mysqlToPg,
+      pks: Map[String, Seq[String]] = Map.empty): MigrationResult = {
+
+    val originals = tables.map { t =>
+      Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
+        pk = pks.getOrElse(t, Nil))
+    }
+    val changed = SchemaRules(originals, changes, node)
+    val changedByOriginal = originals.flatMap { o =>
+      SchemaRules.applyTable(o, changes).map(SchemaRules.applyNode(_, node))
+        .map(o -> _)
+    }
+
+    val results = changedByOriginal.map { case (orig, td) =>
+      val ch = changes.forTable(orig.name)
+      val src = Tables.load(spark, sfDir, orig.name)
+      val extracted = Projector.extract(src, orig, ch,
+        t => Tables.load(spark, sfDir, t), Some(node))
+      val outPath = s"$outDir/${td.name}"
+      PgCopyWriter.write(extracted, outPath)
+      TableResult(orig.name, td.name,
+        rows = spark.read.csv(outPath).count(),
+        ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),
+        copySql = PgSqlGen.copyStatement(td, outPath))
+    }
+
+    val constraints = changed.map(td =>
+      PgSqlGen.setval(td) + PgSqlGen.foreignKeys(td) + PgSqlGen.indexes(td))
+      .mkString("\n")
+    val views = changedByOriginal.map { case (orig, td) =>
+      PgSqlGen.compatView(orig, td, "v1", "public")
+    }.mkString("\n")
+
+    MigrationResult(results,
+      schemaSql = PgSqlGen.schemaPreamble("public") +
+        results.map(_.ddl).mkString("\n\n"),
+      constraintsSql = constraints,
+      viewsSql = views)
+  }
+}

@@ -9,7 +9,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimOps.queries
+      DedupOps.queries ++ SimOps.queries ++ MultimodalOps.queries ++
+      graft.streaming.StreamOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, batch-decoded per partition.
+  *
+  * The real pattern at 100 TB: parquet stores (id, binary payload,
+  * metadata struct); decode/resize/feature-extract runs as a
+  * partition-batched function (Scala mapPartitions here; mapInPandas
+  * from PySpark) so per-batch library init (codec contexts, model
+  * weights) amortizes across rows, and partitioning controls batch
+  * shape. No media codecs ship in this container, so `decodeStub`
+  * is a STUB: a deterministic fake that stands in for an image
+  * decoder while keeping schema, batching, and partition flow real.
+  */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+      n_bytes: Int, magic_hex: String, payload_crc: Long)
+
+  case class DecodedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
+      payload_crc: Long, width: Int, height: Int, n_frames: Int,
+      decoder: String)
+
+  /** ==== STUB ==== A real build links an image/audio codec here and
+    * decodes `payload`. This deterministic fake derives "dimensions"
+    * from the payload hash so tests have stable expectations. The
+    * signature — Iterator[batch] -> Iterator[decoded] once per
+    * partition — is exactly what a codec-backed version keeps. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] = {
+    // per-partition init would happen here (codec context, model...)
+    rows.map { r =>
+      val h = java.util.Arrays.hashCode(r.payload)
+      DecodedRow(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
+        width = 64 + math.floorMod(h, 448),
+        height = 64 + math.floorMod(h >> 9, 448),
+        n_frames = 1 + math.floorMod(h >> 18, 8),
+        decoder = "stub-v0")
+    }
+  }
+
+  /** Binary payload + metadata extraction + partition-batched decode.
+    * documents.text stands in for the media bytes (same plumbing). */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic_hex"),
+        crc32(col("payload")).as("payload_crc"))
+      .as[MediaRow]
+    // partition count controls decode batch shape; at scale set this
+    // from payload-bytes-per-task, not row count
+    media.mapPartitions(decodeStub _).toDF()
+      .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
+        "width", "height", "n_frames", "decoder")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (mmBinaryMeta _))
+}

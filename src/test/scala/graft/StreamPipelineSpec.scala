@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.rules._
+import graft.schema._
+import graft.sources.{Jdbc, PgCopyWriter}
+import graft.streaming.StreamOps
+
+class StreamPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream_events equals its batch twin on the drained source") {
+    val streamed = StreamOps.streamEventsWindow(spark, sf).collect()
+    val batch = StreamOps.batchEventsWindow(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    assert(streamed.nonEmpty)
+  }
+
+  test("mm_binary_meta: schema, determinism, stub decode bounds") {
+    val df = operators.MultimodalOps.mmBinaryMeta(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "magic_hex",
+      "payload_crc", "width", "height", "n_frames", "decoder"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 512)
+      assert(r.getAs[Int]("n_frames") >= 1 && r.getAs[Int]("n_frames") <= 8)
+    }
+    // deterministic across runs
+    val again = operators.MultimodalOps.mmBinaryMeta(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("PgCopyWriter renders the _supaFilta dialect") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("o'brien"), Some(true)),
+      (2L, None: Option[String], Some(false)),
+      (3L, Some("plain"), None: Option[Boolean]))
+      .toDF("id", "name", "flag")
+    val path = java.nio.file.Files.createTempDirectory("pgcopy").toString
+    PgCopyWriter.write(df, path)
+    val lines = spark.read.text(path).collect().map(_.getString(0)).sorted
+    assert(lines.contains("1,'o''brien',true"))
+    assert(lines.contains("2,NULL,false"))
+    assert(lines.contains("3,plain,NULL"))
+  }
+
+  test("Jdbc partitioned-read options derive even PK ranges") {
+    val conn = Jdbc.ConnInfo("jdbc:postgresql://db:5432/x", "u", "p")
+    val opts = Jdbc.partitionedReadOptions(conn, "orders", "o_orderkey",
+      pkMin = 0L, pkMax = 14999L, numPartitions = 16)
+    assert(opts("partitionColumn") == "o_orderkey")
+    assert(opts("lowerBound") == "0" && opts("upperBound") == "15000")
+    assert(opts("numPartitions") == "16")
+    val preds = Jdbc.hashPredicates("id", 8)
+    assert(preds.length == 8 && preds.toSet.size == 8)
+  }
+
+  test("Pipeline.migrate: end-to-end rules -> extract -> dump -> DDL") {
+    val out = java.nio.file.Files.createTempDirectory("migrate").toString
+    val changes = SchemaChanges(Map(
+      "customer" -> TableChange(
+        rename = Some("clients"),
+        columns = Map(
+          "c_name" -> ColumnChange(rename = Some("full_name")),
+          "c_acctbal" -> ColumnChange(skip = true))),
+      "region" -> TableChange(skip = true)))
+    val res = Pipeline.migrate(spark, sf, out,
+      tables = Seq("customer", "nation", "region"), changes = changes,
+      pks = Map("customer" -> Seq("c_custkey"), "nation" -> Seq("n_nationkey")))
+
+    assert(res.tables.map(_.outputName).toSet == Set("clients", "nation"))
+    val clients = res.tables.find(_.outputName == "clients").get
+    assert(clients.rows == Tables.load(spark, sf, "customer").count())
+    assert(res.schemaSql.contains("CREATE TABLE IF NOT EXISTS \"clients\""))
+    assert(res.schemaSql.contains("\"full_name\""))
+    assert(!res.schemaSql.contains("c_acctbal"))
+    assert(clients.copySql.startsWith("\\copy \"clients\""))
+    assert(res.viewsSql.contains("CREATE VIEW v1.customer"))
+    assert(res.viewsSql.contains("NULL")) // skipped c_acctbal
+    // dumped CSV is loadable and row-complete
+    val dumped = spark.read.csv(s"$out/clients")
+    assert(dumped.count() == clients.rows)
+  }
+}
