@@ -47,14 +47,20 @@ object DedupOps {
       |SELECT vec_id + 1000000 AS vec_id, embedding, label
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
-  /** Word 3-gram shingle set (distinct) of a text column. */
-  private def shingles(text: Column): Column = {
-    val t = filter(split(text, " "), x => x =!= "")
-    array_distinct(transform(
-      sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-        element_at(t, i + 3))))
-  }
+  /** Word 3-gram shingle set (distinct) of a text column. The token
+    * array is let-bound (ExprUtils.bind) so the split+filter runs once
+    * per row — inlined references would re-tokenize inside every
+    * element_at, turning this O(tokens) expression into O(tokens²). */
+  private def shingles(text: Column): Column =
+    graft.functions.ExprUtils.bind(
+      filter(split(text, " "), x => x =!= "")) { t =>
+      when(size(t) >= 3,
+        array_distinct(transform(
+          sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+            element_at(t, i + 3)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Same shingle construction in DuckDB (1-based lists). */
   private val shinglesSql =
@@ -84,16 +90,24 @@ object DedupOps {
   // product), Jaccard = |∩| / |∪| verified exactly from set sizes.
   // ---------------------------------------------------------------
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = dupDocs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-    val sizes = docs.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = docs.as("x").join(docs.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // shingle rows carry the doc's set size so the pair aggregation
+    // yields Jaccard directly — no post-hoc size joins. The length
+    // filter (max <= 2*min) is lossless for J >= 0.5 since
+    // J <= min/max, and prunes candidates before the shuffle-heavy
+    // pair aggregation.
+    val sh = dupDocs(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          greatest(col("x.n_sh"), col("y.n_sh")) <=
+            least(col("x.n_sh"), col("y.n_sh")) * 2)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
       .select(col("a"), col("b"),
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
@@ -128,18 +142,18 @@ object DedupOps {
   val minhashK = 16
   val minhashBands = 4
 
-  /** MinHash signature: per seed, the min over shingles of
-    * xxhash64(seed, shingle). Codegen'd fold — no UDF. */
-  private def minhashSig(sh: Column): Column =
-    array((0 until minhashK).map { seed =>
-      array_min(transform(sh, x => xxhash64(lit(seed), x)))
-    }: _*)
-
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = dupDocs(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), minhashSig(col("sh")).as("sig"))
+    // explode + groupBy instead of per-row array folds: Spark's
+    // higher-order functions are interpreted (CodegenFallback), but a
+    // HashAggregate of 16 min(xxhash64(seed, shingle)) columns is
+    // whole-stage codegen'd and combines map-side.
+    val shRows = dupDocs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val sigs = shRows.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sh"),
+        array((0 until minhashK).map { seed =>
+          min(xxhash64(lit(seed), col("shingle")))
+        }: _*).as("sig"))
     val rowsPerBand = minhashK / minhashBands
     // bands travel light: (doc_id, band, bucket) only — the shingle
     // sets re-join by id AFTER candidate dedup, so the shuffle that
@@ -171,28 +185,26 @@ object DedupOps {
   // sign-sum per bit), candidates via 4 16-bit bands, verified by
   // hamming distance <= 3 (bit_count of xor).
   // ---------------------------------------------------------------
-  /** SimHash from a precomputed token-hash array: per bit b, fold the
-    * sign contributions (+1/-1) over all token hashes, then pack the
-    * 64 sign bits into one long. Hashes are materialized once per doc
-    * (`hs`), each bit fold is a literal-shift expression — all
-    * codegen'd, no shuffle, no UDF. */
-  private def simhashFromHashes(hs: Column): Column = {
-    val bitCounts = (0 until 64).map { b =>
-      aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1L) * 2 - 1))
-    }
-    // shiftleft|or packs bits without tripping ANSI overflow on the
-    // sign bit (acc*2 would throw once bit 63 fills).
-    bitCounts.foldLeft(lit(0L))((acc, c) =>
-      shiftleft(acc, 1).bitwiseOR(when(c >= 0, 1L).otherwise(0L)))
-  }
-
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = dupDocs(s, dir)
+    // SimHash per doc: explode token hashes, then ONE codegen'd
+    // HashAggregate with 64 sign-sum columns (map-side combined);
+    // per-row higher-order folds would run interpreted and ~10x
+    // slower. The sign bits then pack into a long with shiftleft|or
+    // (no ANSI overflow on bit 63, unlike acc*2).
+    val tokRows = dupDocs(s, dir)
       .select(col("doc_id"),
-        transform(filter(split(col("text"), " "), x => x =!= ""),
-          t => xxhash64(t)).as("hs"))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sig"))
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitCols = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"c$b")
+    }
+    val sigs = tokRows.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => col(s"c$b"))
+          .foldLeft(lit(0L))((acc, c) =>
+            shiftleft(acc, 1).bitwiseOR(when(c >= 0, 1L).otherwise(0L)))
+          .as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
