@@ -18,20 +18,22 @@ object VectorFunctions {
   /** Elementwise float->double widening. */
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Left-to-right summed dot product of two (already double) arrays. */
+  /** Left-to-right summed dot product of two (already double) arrays —
+    * the native codegen'd DotProductD expression (same summation order
+    * as the declarative aggregate/zip_with fold, ~10x faster). */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProductD(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
-  def dot(a: Column, b: Column): Column = dotD(toDouble(a), toDouble(b))
+  def dot(a: Column, b: Column): Column = dotD(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** cosine = dot / (||a|| * ||b||), evaluated in exactly that shape. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Sign-bit LSH bucket from `nBits` integer-coefficient hyperplanes.
     *
@@ -44,11 +46,10 @@ object VectorFunctions {
     * bucket, which is the property dedup relies on.
     */
   def lshBucket(v: Column, dim: Int, nBits: Int): Column = {
-    val vd = toDouble(v)
     val bits = (0 until nBits).map { j =>
       val plane = array((0 until dim).map(i =>
         lit(((i * (j + 3) + 7) % 13 - 6).toDouble)): _*)
-      when(dotD(vd, plane) >= 0, lit(1)).otherwise(lit(0))
+      when(dotD(v, plane) >= 0, lit(1)).otherwise(lit(0))
     }
     bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
   }

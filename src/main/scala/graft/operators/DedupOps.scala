@@ -231,9 +231,9 @@ object DedupOps {
 
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val vecs = dupVecs(s, dir).select(col("vec_id"),
-      toDouble(col("embedding")).as("v"),
-      lshBucket(col("embedding"), embedDim, lshBits).as("bucket"))
-      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      col("embedding").as("v"),
+      lshBucket(col("embedding"), embedDim, lshBits).as("bucket"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
     vecs.as("x").join(vecs.as("y"), Seq("bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

@@ -26,8 +26,8 @@ object SimOps {
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
 
   /** Exact brute-force top-k per query (queries = vec_id < 10).
     *

@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductD
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions with the session's FunctionRegistry so SQL text can
+  * call them (`SELECT graft_dot(a, b)`), alongside the direct Column
+  * API in VectorFunctions. Enabled via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (Tables.configure sets it on every graft session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+  }
+}

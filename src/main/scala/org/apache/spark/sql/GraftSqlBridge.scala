@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the sql-private Expression <-> Column converters, the
+  * supported pattern for libraries shipping native Catalyst
+  * expressions alongside the public Column API (the SQL-text path is
+  * covered separately by GraftExtensions' FunctionRegistry injection).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
