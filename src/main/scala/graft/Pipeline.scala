@@ -46,8 +46,12 @@ object Pipeline {
       val src = Tables.load(spark, sfDir, orig.name)
       val extracted = Projector.extract(src, orig, ch,
         t => Tables.load(spark, sfDir, t), Some(node))
+      // per-column value conversions from the raw-dump rule dispatch
+      // (boolean/bytea/time/zero-date/FK-zero), as the reference does
+      // between extraction and CSV rendering
+      val converted = ValueRules.applyRawDump(extracted, td)
       val outPath = s"$outDir/${td.name}"
-      PgCopyWriter.write(extracted, outPath)
+      PgCopyWriter.write(converted, outPath)
       TableResult(orig.name, td.name,
         rows = spark.read.csv(outPath).count(),
         ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),

@@ -64,4 +64,38 @@ object ValueRules {
 
   def pgEscapeBoolean(c: Column): Column =
     when(c.isNull, lit("NULL")).otherwise(when(c, "true").otherwise("false"))
+
+  /** The rules/mysql_raw_dump.json dispatch
+    * (PsqlParser._get_table_raw_dump_rules): pick each column's value
+    * conversion from its post-rules schema attributes — mapped type
+    * (boolean/bytea/time), declared fullType (datetime/date on string
+    * payloads), FK reference presence — and apply them as one
+    * projection over the extracted frame. */
+  def applyRawDump(df: org.apache.spark.sql.DataFrame,
+      td: graft.schema.TableDef): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byName = td.liveColumns.map(c => c.name -> c).toMap
+    val cols = df.columns.toSeq.map { name =>
+      byName.get(name) match {
+        case None => col(name)
+        case Some(cd) =>
+          val base = col(name)
+          val converted = cd.dataType match {
+            case "boolean" => convertStrBoolean(base)
+            case "bytea" => makeItEmpty(base, cd.nullable)
+            case "time" | "TIME" => makeItTime(base, cd.nullable)
+            case _ if cd.fullType.startsWith("datetime") &&
+              df.schema(name).dataType == StringType =>
+              notNullableDatetime(base, cd.nullable)
+            case _ if cd.fullType.startsWith("date") &&
+              df.schema(name).dataType == StringType =>
+              notNullableDate(base, cd.nullable)
+            case _ if cd.reference.isDefined => refToNullable(base, cd.nullable)
+            case _ => base
+          }
+          converted.as(name)
+      }
+    }
+    df.select(cols: _*)
+  }
 }

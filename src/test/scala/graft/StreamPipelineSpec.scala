@@ -60,6 +60,27 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(preds.length == 8 && preds.toSet.size == 8)
   }
 
+  test("ValueRules.applyRawDump dispatches conversions by schema attrs") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "1", "x", "12:34", "0000-00-00", 0),
+      (0, "0", "y", "bad", "2020-05-06", 7))
+      .toDF("flag", "sflag", "blob_col", "t", "d", "fk")
+    val td = TableDef("t", Seq(
+      ColumnDef("flag", "boolean"),
+      ColumnDef("sflag", "boolean"),
+      ColumnDef("blob_col", "bytea", nullable = true),
+      ColumnDef("t", "time", nullable = false),
+      ColumnDef("d", "date", nullable = false, fullType = "date"),
+      ColumnDef("fk", "int", nullable = true,
+        reference = Some(Reference("parent", "id")))))
+    val out = ValueRules.applyRawDump(df, td).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), Option(r.getString(2)),
+        r.getString(3), r.getString(4), Option(r.get(5))))
+    assert(out(0) == ((true, true, None, "12:34", "1900-01-01", None)))
+    assert(out(1) == ((false, false, None, "00:00", "2020-05-06", Some(7))))
+  }
+
   test("Pipeline.migrate: end-to-end rules -> extract -> dump -> DDL") {
     val out = java.nio.file.Files.createTempDirectory("migrate").toString
     val changes = SchemaChanges(Map(
