@@ -71,18 +71,44 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
-  /** IVF parameters: centroids are the first `nCentroids` corpus
-    * vectors (deterministic seeding — a production build would run a
-    * few Lloyd iterations, which is just a loop of groupBy-avg). */
+  /** IVF parameters: seeds are the first `nCentroids` corpus vectors,
+    * refined by `lloydIters` k-means steps. */
   val nCentroids = 16
   val nProbe = 4
+  val lloydIters = 2
 
-  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val cents = c.filter(col("vec_id") < nCentroids)
+  /** Lloyd refinement: assign every vector to its max-cosine centroid
+    * (centroids broadcast — the corpus never shuffles for assignment),
+    * then recompute each centroid as the elementwise mean of its
+    * members (posexplode + groupBy, shuffle keyed on (centroid, pos):
+    * O(n·dim) thin rows, combiner-friendly). */
+  def lloydCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = c.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // nearest centroid by cosine: rank the 16 broadcast centroids per
-    // corpus row; the corpus itself never shuffles for assignment.
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("c_id"))
+      val assigned = c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val means = assigned
+        .select(col("c_id"), posexplode(col("v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+      cents = means.select(col("c_id"), col("cv"),
+        sqrt(dotD(col("cv"), col("cv"))).as("cnrm"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: rank the broadcast centroids per
+    * corpus row; the corpus itself never shuffles for assignment. */
+  def assignTo(c: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("c_id"))
     c.join(broadcast(cents), lit(true))
@@ -92,13 +118,20 @@ object SimOps {
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("centroid"))
   }
 
-  /** ANN top-k probing only the `nProbe` nearest centroid buckets per
-    * query. Output schema matches sim_cosine_topk for recall checks. */
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssignments(s, dir)
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val cents = c.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    assignTo(c, lloydCentroids(c, nCentroids, lloydIters))
+  }
+
+  /** ANN top-k probing only the `nProbe` nearest centroid buckets per
+    * query. Output schema matches sim_cosine_topk for recall checks.
+    * Centroids are computed once and persisted so assignment and
+    * probe ranking see identical values (Lloyd's mean aggregation is
+    * float-order nondeterministic across recomputation). */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = lloydCentroids(c, nCentroids, lloydIters).persist()
+    val assigned = assignTo(c, cents)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     // per query: its nProbe closest centroids

@@ -74,6 +74,64 @@ object StreamOps {
         col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Custom streaming state via KeyValueGroupedDataset
+    * .mapGroupsWithState: per-user running totals kept as typed state
+    * (count + value in exact cents). The state store holds one small
+    * record per user — O(users), never O(events) — which is the shape
+    * that scales to unbounded streams with checkpointed state.
+    */
+  case class UserEvent(user_id: Long, event_type: String, cents: Long)
+  case class UserStats(user_id: Long, n_events: Long, total_cents: Long)
+
+  def streamUserState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val name = s"stream_user_state_${runId.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // value is a 2-decimal double; exact integer cents keep the
+      // stateful sum order-independent and oracle-comparable
+      .select(col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[UserEvent]
+    val stats = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats] {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(user, acc.n_events + 1, acc.total_cents + e.cents)
+          }
+          state.update(next)
+          next
+      }
+    val q = stats.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    // bounded source drains in one batch -> latest update per user is
+    // the final answer
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("total_cents")).as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  /** Batch twin of streamUserState for parity checks. */
+  def batchUserState(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_events" -> (streamEventsWindow _))
+    "stream_events" -> (streamEventsWindow _),
+    "stream_user_state" -> (streamUserState _))
 }

@@ -7,6 +7,8 @@ object TestSpark {
   lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.ui.enabled", "false"))
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+import graft.streaming.StreamOps
+
+/** Scale-pattern operators: stateful streaming, bucketed co-located
+  * joins, and skew salting — each proven exact against its
+  * straightforward equivalent.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream_user_state (mapGroupsWithState) equals batch groupBy") {
+    val streamed = StreamOps.streamUserState(spark, sf).collect()
+    val batch = StreamOps.batchUserState(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))
+      assert(s.getLong(1) == b.getLong(1), s"count mismatch for user ${s.getLong(0)}")
+      assert(s.getLong(2) == b.getLong(2), s"sum mismatch for user ${s.getLong(0)}")
+    }
+  }
+
+  test("bucketed join runs exchange-free on the bucket key") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readTable(spark, "li_bucketed")
+        .join(Bucketing.readTable(spark, "ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation and join are exact") {
+    val ord = Tables.load(spark, sf, "orders")
+    val plainCount = ord.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(ord, "o_custkey", factor = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plainCount)
+
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plainJoin = ord.join(cust, "o_custkey").count()
+    val saltedJoin = Skew.saltedJoin(ord, cust, "o_custkey", factor = 8).count()
+    assert(saltedJoin == plainJoin)
+  }
+
+  test("lloyd centroids reduce quantization error vs raw seeds") {
+    import graft.operators.SimOps
+    import graft.functions.VectorFunctions._
+    val c = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    def meanBestCos(cents: org.apache.spark.sql.DataFrame): Double =
+      SimOps.assignTo(c, cents)
+        .join(cents, col("centroid") === col("c_id"))
+        .select(avg(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
+        .collect()(0).getDouble(0)
+    val seeds = c.filter(col("vec_id") < SimOps.nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val refined = SimOps.lloydCentroids(c, SimOps.nCentroids, SimOps.lloydIters)
+    assert(meanBestCos(refined) > meanBestCos(seeds),
+      "Lloyd iterations should tighten cluster cohesion")
+  }
+}
