@@ -211,6 +211,92 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ROLLUP hierarchy totals with grouping_id disambiguation (NULL
+    * group markers alone can't distinguish subtotal rows from NULL
+    * data). Partial aggregation handles each level map-side. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** LEFT OUTER join preserving customers without orders (count of
+    * matches, 0 for the unmatched side). */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** INTERSECT / EXCEPT set operations between two key sets. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val richCust = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val both = withOrders.intersect(richCust)
+      .agg(count(lit(1)).as("n")).select(lit("rich_with_orders").as("op"), col("n"))
+    val richOnly = richCust.except(withOrders)
+      .agg(count(lit(1)).as("n")).select(lit("rich_no_orders").as("op"), col("n"))
+    both.unionAll(richOnly).orderBy("op")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT 'rich_with_orders' AS op, COUNT(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  INTERSECT
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT 'rich_no_orders' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey AS k FROM orders)
+      |ORDER BY op""".stripMargin
+
+  /** Conditional (pivot-style) aggregation: per priority, order counts
+    * and decimal-exact revenue split by status via CASE. */
+  def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    def cnt(status: String): Column =
+      sum(when(col("o_orderstatus") === status, 1L).otherwise(0L))
+    def rev(status: String): Column =
+      sum(when(col("o_orderstatus") === status, d2(col("o_totalprice")))
+        .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(cnt("F").as("n_f"), cnt("O").as("n_o"), cnt("P").as("n_p"),
+        rev("F").as("rev_f"), rev("O").as("rev_o"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qCaseAggSql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_o
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
@@ -218,7 +304,11 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_distinct" -> (qDistinct _),
     "q_semi_anti" -> (qSemiAnti _),
-    "q_events_window" -> (qEventsWindow _))
+    "q_events_window" -> (qEventsWindow _),
+    "q_rollup" -> (qRollup _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_setops" -> (qSetOps _),
+    "q_case_agg" -> (qCaseAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -227,5 +317,9 @@ object Relational {
     "q_window_running" -> qWindowRunningSql,
     "q_distinct" -> qDistinctSql,
     "q_semi_anti" -> qSemiAntiSql,
-    "q_events_window" -> qEventsWindowSql)
+    "q_events_window" -> qEventsWindowSql,
+    "q_rollup" -> qRollupSql,
+    "q_outer_join" -> qOuterJoinSql,
+    "q_setops" -> qSetOpsSql,
+    "q_case_agg" -> qCaseAggSql)
 }
