@@ -297,6 +297,29 @@ object Relational {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_o
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Grouped top-k via the custom TopKPerKey operator (logical plan +
+    * strategy + bounded-heap physical exec, graft.plans.TopKPerKey):
+    * shuffles only surviving candidates instead of sorting every row
+    * per key as the window form would. Hash-verified against DuckDB's
+    * QUALIFY — a custom physical operator under the same correctness
+    * gate as everything else. */
+  def qTopkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    graft.plans.TopKPerKey.topK(ord,
+        keyCols = Seq("o_orderpriority"),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val qTopkPerKeySql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
@@ -308,7 +331,8 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_outer_join" -> (qOuterJoin _),
     "q_setops" -> (qSetOps _),
-    "q_case_agg" -> (qCaseAgg _))
+    "q_case_agg" -> (qCaseAgg _),
+    "q_topk_per_key" -> (qTopkPerKey _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -321,5 +345,6 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_setops" -> qSetOpsSql,
-    "q_case_agg" -> qCaseAggSql)
+    "q_case_agg" -> qCaseAggSql,
+    "q_topk_per_key" -> qTopkPerKeySql)
 }
