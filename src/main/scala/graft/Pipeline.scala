@@ -41,7 +41,17 @@ object Pipeline {
         .map(o -> _)
     }
 
-    val results = changedByOriginal.map { case (orig, td) =>
+    // the reference forks a multiprocessing pool per table
+    // (main.py:124-189); here each table's write is an independent
+    // Spark job submitted concurrently — partitions of all tables
+    // interleave across the cluster, so small tables don't serialize
+    // behind big ones
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, changedByOriginal.size))))
+    val futures = changedByOriginal.map { case (orig, td) => Future {
       val ch = changes.forTable(orig.name)
       val src = Tables.load(spark, sfDir, orig.name)
       val extracted = Projector.extract(src, orig, ch,
@@ -56,7 +66,8 @@ object Pipeline {
         rows = spark.read.csv(outPath).count(),
         ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),
         copySql = PgSqlGen.copyStatement(td, outPath))
-    }
+    } }
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
 
     val constraints = changed.map(td =>
       PgSqlGen.setval(td) + PgSqlGen.foreignKeys(td) + PgSqlGen.indexes(td))

@@ -320,6 +320,58 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** String-function surface parity (the reference rewrites string
+    * payloads constantly; these are the building blocks). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    cust.select(col("c_custkey"),
+      upper(col("c_name")).as("up"),
+      lower(col("c_mktsegment")).as("lo"),
+      substring(col("c_name"), 10, 5).as("sub"),
+      lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
+      regexp_replace(col("c_name"), "#", "-").as("repl"),
+      reverse(col("c_mktsegment")).as("rev"),
+      length(col("c_name")).as("len"),
+      instr(col("c_name"), "00").as("pos"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+  }
+
+  val qStringFuncsSql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      |  substr(c_name, 10, 5) AS sub,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  replace(c_name, '#', '-') AS repl,
+      |  reverse(c_mktsegment) AS rev,
+      |  length(c_name) AS len,
+      |  instr(c_name, '00') AS pos,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined
+      |FROM customer""".stripMargin
+
+  /** Date/time-function surface parity on explicit DATE casts (both
+    * engines agree on date arithmetic once off timestamps). */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    ord.select(col("o_orderkey"),
+      year(d).as("y"), month(d).as("m"), dayofmonth(d).as("d"),
+      date_add(d, 31).as("plus31"),
+      datediff(d, lit("1996-01-01").cast(DateType)).as("dd"),
+      date_format(d, "yyyy-MM").as("ym"),
+      last_day(d).as("eom"))
+  }
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  year(CAST(o_orderdate AS DATE)) AS y,
+      |  month(CAST(o_orderdate AS DATE)) AS m,
+      |  day(CAST(o_orderdate AS DATE)) AS d,
+      |  CAST(o_orderdate AS DATE) + 31 AS plus31,
+      |  date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS dd,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+      |  last_day(CAST(o_orderdate AS DATE)) AS eom
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
@@ -332,7 +384,9 @@ object Relational {
     "q_outer_join" -> (qOuterJoin _),
     "q_setops" -> (qSetOps _),
     "q_case_agg" -> (qCaseAgg _),
-    "q_topk_per_key" -> (qTopkPerKey _))
+    "q_topk_per_key" -> (qTopkPerKey _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -346,5 +400,7 @@ object Relational {
     "q_outer_join" -> qOuterJoinSql,
     "q_setops" -> qSetOpsSql,
     "q_case_agg" -> qCaseAggSql,
-    "q_topk_per_key" -> qTopkPerKeySql)
+    "q_topk_per_key" -> qTopkPerKeySql,
+    "q_string_funcs" -> qStringFuncsSql,
+    "q_date_funcs" -> qDateFuncsSql)
 }
