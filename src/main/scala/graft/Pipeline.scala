@@ -29,7 +29,8 @@ object Pipeline {
   def migrate(spark: SparkSession, sfDir: String, outDir: String,
       tables: Seq[String], changes: SchemaChanges,
       node: NodeRules = NodeRules.mysqlToPg,
-      pks: Map[String, Seq[String]] = Map.empty): MigrationResult = {
+      pks: Map[String, Seq[String]] = Map.empty,
+      skipPreSql: Boolean = false): MigrationResult = {
 
     val originals = tables.map { t =>
       Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
@@ -55,7 +56,7 @@ object Pipeline {
       val ch = changes.forTable(orig.name)
       val src = Tables.load(spark, sfDir, orig.name)
       val extracted = Projector.extract(src, orig, ch,
-        t => Tables.load(spark, sfDir, t), Some(node))
+        t => Tables.load(spark, sfDir, t), Some(node), skipPreSql)
       // per-column value conversions from the raw-dump rule dispatch
       // (boolean/bytea/time/zero-date/FK-zero), as the reference does
       // between extraction and CSV rendering
@@ -81,5 +82,40 @@ object Pipeline {
         results.map(_.ddl).mkString("\n\n"),
       constraintsSql = constraints,
       viewsSql = views)
+  }
+
+  /** Write the reference's per-database artifact bundle
+    * (main.py:52-112: mysql_schema.json, mysql_schema_v2.json,
+    * psql_tables.sql, psql_data.sql, psql_index_fk.sql,
+    * psql_views.sql) alongside the per-table CSV dumps migrate()
+    * already produced under `outDir`. */
+  def writeArtifacts(spark: SparkSession, sfDir: String, outDir: String,
+      tables: Seq[String], changes: SchemaChanges,
+      result: MigrationResult,
+      node: NodeRules = NodeRules.mysqlToPg,
+      pks: Map[String, Seq[String]] = Map.empty): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    def write(name: String, content: String): Unit =
+      Files.writeString(dir.resolve(name), content)
+    val originals = tables.map(t =>
+      Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
+        pk = pks.getOrElse(t, Nil)))
+    val changed = SchemaRules(originals, changes, node)
+    write("mysql_schema.json", PgSqlGen.schemaJson(originals))
+    write("mysql_schema_v2.json", PgSqlGen.schemaJson(changed))
+    write("psql_tables.sql", result.schemaSql)
+    write("psql_data.sql",
+      PgSqlGen.dumpInitial +
+        result.tables.map(_.copySql).mkString("\n") + "\n" +
+        PgSqlGen.dumpFinal)
+    write("psql_index_fk.sql",
+      "SET client_min_messages TO ERROR;\nSET SCHEMA 'public';\n\n" +
+        result.constraintsSql)
+    write("psql_views.sql",
+      "SET client_min_messages TO ERROR;\n" +
+        "DROP SCHEMA IF EXISTS v1 CASCADE;\nCREATE SCHEMA IF NOT EXISTS v1;\n\n" +
+        result.viewsSql)
   }
 }

@@ -37,12 +37,23 @@ object Projector {
     df.select(projected: _*)
   }
 
-  /** Full extract: joins (as filters) + where + projection. `loadTable`
-    * resolves a `_JOIN_` rule's target table to a DataFrame. */
+  /** Full extract: pre-SQL ops (orphan drops, UTC shift) + joins (as
+    * filters) + where + projection. `loadTable` resolves a `_JOIN_`/
+    * orphan rule's target table to a DataFrame. */
   def extract(df: DataFrame, original: TableDef, ch: TableChange,
       loadTable: String => DataFrame,
-      node: Option[NodeRules] = None): DataFrame = {
-    val joined = ch.joins.foldLeft(df) { (acc, j) =>
+      node: Option[NodeRules] = None,
+      skipPreSql: Boolean = false): DataFrame = {
+    val preApplied =
+      if (skipPreSql) df
+      else {
+        val orphansDropped = ch.dropOrphans.foldLeft(df) { (acc, o) =>
+          dropFkOrphans(acc, o.fkCol, loadTable(o.parentTable), o.parentKey)
+        }
+        ch.utcShiftHours.fold(orphansDropped)(h =>
+          utcShift(orphansDropped, original, h))
+      }
+    val joined = ch.joins.foldLeft(preApplied) { (acc, j) =>
       // INNER JOIN <table> ON (base.col = joined.col_ref); only base
       // columns survive (MysqlParser.py:113-124 selects t.* only).
       val right = loadTable(j.table).select(col(j.colRef).as(s"__ref_${j.colRef}"))

@@ -19,13 +19,22 @@ case class ColumnChange(
 
 case class JoinRule(table: String, col: String, colRef: String)
 
+/** Typed pre-SQL mutation: the reference's FK-orphan DELETE
+  * (`DELETE ... WHERE fk NOT IN (SELECT pk FROM parent)`). */
+case class OrphanRule(fkCol: String, parentTable: String, parentKey: String)
+
 case class TableChange(
     rename: Option[String] = None,
     skip: Boolean = false,
     columns: Map[String, ColumnChange] = Map.empty,
     preSql: Seq[String] = Nil,
     where: Option[String] = None,
-    joins: Seq[JoinRule] = Nil)
+    joins: Seq[JoinRule] = Nil,
+    // structured pre-SQL ops (MysqlParser.run_pre_sql): UTC shift over
+    // datetime columns and FK-orphan row drops, both gated by the
+    // pipeline's skipPreSql flag like the reference's --skip-pre-sql
+    utcShiftHours: Option[Int] = None,
+    dropOrphans: Seq[OrphanRule] = Nil)
 
 case class SchemaChanges(tables: Map[String, TableChange] = Map.empty) {
   def forTable(name: String): TableChange =

@@ -133,4 +133,82 @@ object PgSqlGen {
        |CREATE SCHEMA IF NOT EXISTS $schemaName;
        |SET SCHEMA '$schemaName';
        |""".stripMargin
+
+  /** Data-dump wrapper statements (PsqlParser
+    * ._get_dump_initial_statements/_get_dump_final_statements). */
+  val dumpInitial: String =
+    """SET standard_conforming_strings=on;
+      |SET escape_string_warning=on;
+      |SET client_min_messages TO ERROR;
+      |SET client_encoding = 'UTF8';
+      |SET CONSTRAINTS ALL DEFERRED;
+      |""".stripMargin
+  val dumpFinal: String = "SET CONSTRAINTS ALL IMMEDIATE;\n"
+
+  private val insertRe =
+    """^INSERT INTO "([\w\d]+)"([\w\W]+)VALUES([\w\W]+);$""".r
+  private val quotedIdentRe = "\"([^\"]*)\"".r
+
+  /** The full mysqldump INSERT rewrite
+    * (PsqlParser._convert_mysql_insert_to_psql): value fixes
+    * (fixInsertLine), skip-table filtering, table and column renames
+    * from the change-set. Returns None for skipped tables or
+    * non-INSERT lines. */
+  def convertInsert(changes: graft.rules.SchemaChanges,
+      line: String): Option[String] = {
+    val fixed = fixInsertLine(line)
+    fixed match {
+      case insertRe(table, colsPart, values) =>
+        val ch = changes.forTable(table)
+        if (ch.skip) None
+        else {
+          val outTable = ch.rename.getOrElse(table)
+          val cols = quotedIdentRe.findAllMatchIn(colsPart)
+            .map(_.group(1)).toSeq
+            .map(c => ch.columns.get(c).flatMap(_.rename).getOrElse(c))
+          val colStr = cols.mkString("(\"", "\", \"", "\")")
+          Some(s"""INSERT INTO "$outTable" $colStr VALUES$values;""")
+        }
+      case _ => None
+    }
+  }
+
+  // --- schema JSON (the reference's output/*.json artifacts) ---
+
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def columnJson(c: ColumnDef): String = {
+    val fields = Seq(
+      "name" -> js(c.name),
+      "type" -> js(c.dataType),
+      "nullable" -> c.nullable.toString,
+      "size" -> c.size.map(js).getOrElse("null"),
+      "default" -> c.default.map(js).getOrElse("null"),
+      "extra" -> js(c.extra),
+      "isPk" -> c.isPk.toString,
+      "fullType" -> js(c.fullType),
+      "reference" -> c.reference.map(r => js(r.render)).getOrElse("null"),
+      "_SKIP_" -> c.skip.toString)
+    fields.map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
+  }
+
+  /** Render a schema as the reference's introspection JSON shape
+    * (MysqlParser.get_schema / output/mysql_schema.json). */
+  def schemaJson(tables: Seq[TableDef]): String = {
+    val body = tables.map { t =>
+      val cols = t.columns.map(c => s"${js(c.name)}: ${columnJson(c)}")
+        .mkString("{", ", ", "}")
+      val idx = t.indexes.map(i =>
+        s"""${js(i.name)}: {"name": ${js(i.name)}, "columns": [${i.columns.map(js).mkString(", ")}]}""")
+        .mkString("{", ", ", "}")
+      s"""${js(t.name)}: {"name": ${js(t.name)}, "engine": ${js(t.engine)}, "collation": ${js(t.collation)}, "autoIncrement": ${t.autoIncrement.map(_.toString).getOrElse("null")}, "columns": $cols, "indexes": $idx}"""
+    }.mkString("{", ", ", "}")
+    s"""{"tables": $body}"""
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.rules._
 import graft.schema._
 import graft.sources.{Jdbc, PgCopyWriter}
+import graft.sqlgen.PgSqlGen
 import graft.streaming.StreamOps
 
 class StreamPipelineSpec extends AnyFunSuite {
@@ -79,6 +80,65 @@ class StreamPipelineSpec extends AnyFunSuite {
         r.getString(3), r.getString(4), Option(r.get(5))))
     assert(out(0) == ((true, true, None, "12:34", "1900-01-01", None)))
     assert(out(1) == ((false, false, None, "00:00", "2020-05-06", Some(7))))
+  }
+
+  test("PgSqlGen.convertInsert rewrites tables/columns and skips") {
+    val changes = SchemaChanges(Map(
+      "reservation_reminder" -> TableChange(
+        rename = Some("reminder"),
+        columns = Map("resa_id" -> ColumnChange(rename = Some("reservation_id")))),
+      "tmp_table" -> TableChange(skip = true)))
+    val in = """INSERT INTO "reservation_reminder" ("id", "resa_id") VALUES (1, '0000-00-00');"""
+    assert(PgSqlGen.convertInsert(changes, in).contains(
+      """INSERT INTO "reminder" ("id", "reservation_id") VALUES (1, '2000-01-01');"""))
+    assert(PgSqlGen.convertInsert(changes,
+      """INSERT INTO "tmp_table" ("a") VALUES (1);""").isEmpty)
+    assert(PgSqlGen.convertInsert(changes, "-- comment line").isEmpty)
+  }
+
+  test("Projector.extract applies structured pre-SQL ops, gated by skipPreSql") {
+    val ev = Tables.load(spark, sf, "events")
+    val original = Introspect.fromSpark(ev, "events", pk = Seq("event_id"))
+    val ch = TableChange(utcShiftHours = Some(2))
+    val shifted = Projector.extract(ev, original, ch,
+      t => Tables.load(spark, sf, t))
+    val unshifted = Projector.extract(ev, original, ch,
+      t => Tables.load(spark, sf, t), skipPreSql = true)
+    val a = shifted.orderBy("event_id").select("ts").first().getTimestamp(0)
+    val b = unshifted.orderBy("event_id").select("ts").first().getTimestamp(0)
+    assert(b.getTime - a.getTime == 2L * 3600 * 1000)
+
+    val ord = Tables.load(spark, sf, "orders")
+    val ordDef = Introspect.fromSpark(ord, "orders", pk = Seq("o_orderkey"))
+    val orphanCh = TableChange(dropOrphans = Seq(
+      OrphanRule("o_custkey", "customer_subset", "c_custkey")))
+    val parent = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 10 =!= 0)
+    val kept = Projector.extract(ord, ordDef, orphanCh,
+      _ => parent).count()
+    assert(kept < ord.count() && kept > 0)
+  }
+
+  test("Pipeline.writeArtifacts emits the reference's bundle") {
+    val out = java.nio.file.Files.createTempDirectory("artifacts").toString
+    val changes = SchemaChanges(Map(
+      "customer" -> TableChange(rename = Some("clients"),
+        columns = Map("c_acctbal" -> ColumnChange(skip = true)))))
+    val tables = Seq("customer", "nation")
+    val pks = Map("customer" -> Seq("c_custkey"), "nation" -> Seq("n_nationkey"))
+    val res = Pipeline.migrate(spark, sf, out, tables, changes, pks = pks)
+    Pipeline.writeArtifacts(spark, sf, out, tables, changes, res, pks = pks)
+    def read(f: String) =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, f)))
+    assert(read("psql_tables.sql").contains("CREATE TABLE IF NOT EXISTS \"clients\""))
+    assert(read("psql_data.sql").contains("SET CONSTRAINTS ALL DEFERRED"))
+    assert(read("psql_data.sql").contains("\\copy \"clients\""))
+    assert(read("psql_views.sql").contains("CREATE VIEW v1.customer"))
+    // schema JSONs parse and show the rename + skip flag
+    val v2 = read("mysql_schema_v2.json")
+    assert(v2.contains("\"clients\"") && v2.contains("\"_SKIP_\": true"))
+    assert(read("mysql_schema.json").contains("\"customer\""))
   }
 
   test("Pipeline.migrate: end-to-end rules -> extract -> dump -> DDL") {
