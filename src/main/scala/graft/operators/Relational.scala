@@ -372,6 +372,82 @@ object Relational {
       |  last_day(CAST(o_orderdate AS DATE)) AS eom
       |FROM orders""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` both use linear interpolation over the
+    * sorted set → bit-comparable). */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qPercentileSql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.75) AS p75
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity; session bounds/sizes via windowed cumsum — the
+    * batch form of streaming sessionization, all within two window
+    * passes over one shuffle by user. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // exact integer microseconds on both engines (cast-to-seconds
+    // truncation semantics differ between Spark and DuckDB)
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    val isNew = when(gap.isNull || gap > 1800L * 1000000, 1L).otherwise(0L)
+    val sessionId = sum(isNew)
+      .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        sessionId.as("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** HyperLogLog distinct-count sketches [T]: the constant-memory
+    * path for distincts at 100 TB, where exact countDistinct keeps
+    * per-key hash sets. rsd=0.02 → ~1.5 KB sketch per group
+    * regardless of cardinality. Sketch internals differ per engine,
+    * so the contract (relative error) is spec-checked, not
+    * hash-checked. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
@@ -386,7 +462,10 @@ object Relational {
     "q_case_agg" -> (qCaseAgg _),
     "q_topk_per_key" -> (qTopkPerKey _),
     "q_string_funcs" -> (qStringFuncs _),
-    "q_date_funcs" -> (qDateFuncs _))
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_percentile" -> (qPercentile _),
+    "q_sessionize" -> (qSessionize _),
+    "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -402,5 +481,7 @@ object Relational {
     "q_case_agg" -> qCaseAggSql,
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_string_funcs" -> qStringFuncsSql,
-    "q_date_funcs" -> qDateFuncsSql)
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_percentile" -> qPercentileSql,
+    "q_sessionize" -> qSessionizeSql)
 }

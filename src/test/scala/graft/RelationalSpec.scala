@@ -43,6 +43,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(counts > 1000 && counts <= 6000)
   }
 
+  test("q_approx_distinct stays within the HLL error bound") {
+    val approx = operators.Relational.qApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1,
+        s"HLL estimate $a too far from exact $e for $k")
+    }
+  }
+
   test("q_semi_anti partitions the customer table") {
     val m = operators.Relational.qSemiAnti(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
