@@ -84,6 +84,26 @@ object Pipeline {
       viewsSql = views)
   }
 
+  /** The `all-databases` analog (main.py:168-189): migrate several
+    * source directories ("databases") concurrently, optionally
+    * filtered by a name prefix, each into its own output dir. */
+  def migrateAll(spark: SparkSession, dbDirs: Map[String, String],
+      outRoot: String, tables: Seq[String], changes: SchemaChanges,
+      prefix: String = "",
+      pks: Map[String, Seq[String]] = Map.empty): Map[String, MigrationResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val selected = dbDirs.filter { case (db, _) => db.startsWith(prefix) }
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, math.max(1, selected.size))))
+    val futures = selected.toSeq.map { case (db, dir) =>
+      Future(db -> migrate(spark, dir, s"$outRoot/$db", tables, changes,
+        pks = pks))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
+
   /** Write the reference's per-database artifact bundle
     * (main.py:52-112: mysql_schema.json, mysql_schema_v2.json,
     * psql_tables.sql, psql_data.sql, psql_index_fk.sql,

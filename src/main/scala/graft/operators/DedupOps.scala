@@ -147,8 +147,14 @@ object DedupOps {
     // higher-order functions are interpreted (CodegenFallback), but a
     // HashAggregate of 16 min(xxhash64(seed, shingle)) columns is
     // whole-stage codegen'd and combines map-side.
+    // shingles travel as 64-bit hashes from here on: the signature
+    // mins hash the hash (cheap, same min distribution) and the
+    // verification sets intersect hashed shingles (collision odds
+    // ~n²/2⁶⁴ — negligible), cutting shuffle bytes ~3x vs strings.
     val shRows = dupDocs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sigs = shRows.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sh"),
         array((0 until minhashK).map { seed =>

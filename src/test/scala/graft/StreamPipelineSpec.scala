@@ -119,6 +119,20 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(kept < ord.count() && kept > 0)
   }
 
+  test("Pipeline.migrateAll migrates multiple databases with prefix filter") {
+    val out = java.nio.file.Files.createTempDirectory("multidb").toString
+    val dbs = Map(
+      "client_a" -> "/root/testdata/sf0.001",
+      "client_b" -> "/root/testdata/sf0.001",
+      "internal_x" -> "/root/testdata/sf0.001")
+    val res = Pipeline.migrateAll(spark, dbs, out,
+      tables = Seq("nation"), changes = SchemaChanges(),
+      prefix = "client_")
+    assert(res.keySet == Set("client_a", "client_b"))
+    assert(res.values.forall(_.tables.head.rows == 25))
+    assert(new java.io.File(s"$out/client_a/nation").exists())
+  }
+
   test("Pipeline.writeArtifacts emits the reference's bundle") {
     val out = java.nio.file.Files.createTempDirectory("artifacts").toString
     val changes = SchemaChanges(Map(
