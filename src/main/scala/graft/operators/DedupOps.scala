@@ -89,29 +89,44 @@ object DedupOps {
   // shingle is the shuffle key -> bucket-local self-join, no cross
   // product), Jaccard = |∩| / |∪| verified exactly from set sizes.
   // ---------------------------------------------------------------
+  /** Jaccard threshold for the near-dup pair query. */
+  val jaccardTau = 0.5
+
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // shingle rows carry the doc's set size so the pair aggregation
-    // yields Jaccard directly — no post-hoc size joins. The length
-    // filter (max <= 2*min) is lossless for J >= 0.5 since
-    // J <= min/max, and prunes candidates before the shuffle-heavy
-    // pair aggregation.
-    val sh = dupDocs(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    // Prefix filtering (AllPairs/PPJoin family, lossless): sort each
+    // doc's shingle set by a global total order (the shingle's
+    // 64-bit hash) and index only the first n - ceil(tau*n) + 1
+    // shingles. Any pair with J >= tau MUST collide inside both
+    // prefixes (pigeonhole on the required overlap >= ceil(tau*n)),
+    // so candidate generation is exact while a pathological hot
+    // shingle in the suffixes can no longer produce O(n^2) pairs.
+    // The length filter (max <= min/tau) is likewise lossless since
+    // J <= min/max. Exact Jaccard is then verified from the full
+    // (hashed) shingle sets of candidates only.
+    val docs = dupDocs(s, dir)
+      .select(col("doc_id"),
+        array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val prefixLen = size(col("sh")) - ceil(size(col("sh")) * jaccardTau)
+      .cast("int") + 1
+    val prefixed = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+    val candidates = prefixed.as("x").join(prefixed.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
-          greatest(col("x.n_sh"), col("y.n_sh")) <=
-            least(col("x.n_sh"), col("y.n_sh")) * 2)
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+          greatest(col("x.n_sh"), col("y.n_sh")).cast(DoubleType) <=
+            least(col("x.n_sh"), col("y.n_sh")) / jaccardTau)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val sets = docs.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .select(col("a"), col("b"),
-        (col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardTau)
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
   }
