@@ -23,6 +23,7 @@ object SimOps {
 
   val topK = 5
   val nQueries = 10
+  val embedDim = 64
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -92,14 +93,11 @@ object SimOps {
         .select(col("vec_id"), col("v"), col("c_id"),
           (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_c"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // one-pass elementwise mean (custom Aggregator): one buffer per
+      // (centroid, partition) shuffles, vs dim rows for posexplode
       val means = assigned
-        .select(col("c_id"), posexplode(col("v")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
         .groupBy(col("c_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cv"))
+        .agg(graft.functions.VectorMean.of(embedDim)(col("v")).as("cv"))
       cents = means.select(col("c_id"), col("cv"),
         sqrt(dotD(col("cv"), col("cv"))).as("cnrm"))
     }
