@@ -13,13 +13,19 @@ object Bench {
     // warm the page cache + codegen paths once so per-query numbers
     // measure the plan, not whichever query touches a table first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // best-of-2 per query: absorbs first-run JIT of fresh codegen
+    // paths and transient host contention; noop sink forces full
+    // materialization (a bare count() would let Catalyst prune the
+    // projections being benched)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every column; a bare
-      // count() would let Catalyst prune the projections being benched.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
