@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (point-in-time) join: for every left row, the right row with
+  * the greatest timestamp ≤ the left timestamp within the same key —
+  * the canonical enrichment join for event streams against
+  * slowly-changing facts.
+  *
+  * Spark has no native ASOF join; per the extension preference order
+  * this composes built-ins (option a): union both sides tagged,
+  * sort-once per key by (ts, right-first), and carry the latest right
+  * payload forward with last(_, ignoreNulls) over a running frame.
+  * One shuffle + one sort over |L|+|R| — the same cost profile as a
+  * sort-merge join, no per-row probing, no custom exec needed.
+  * Right rows at exactly the left ts order first, giving the ≤
+  * (inclusive) semantics DuckDB's ASOF JOIN uses.
+  */
+object AsOfJoin {
+
+  /** Generic as-of left join.
+    * @param left      left frame
+    * @param right     right frame; (key, ts) must be unique
+    * @param key       join key column name present in both
+    * @param leftTs    left timestamp column
+    * @param rightTs   right timestamp column
+    * @param payload   right columns to carry (become nullable)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val unioned = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_right", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__is_right")) ++
+        leftCols.filter(_ != key).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .unionByName(right
+        .withColumn("__ts", col(rightTs))
+        .withColumn("__is_right", lit(1))
+        .select(Seq(col(key), col("__ts"), col("__is_right")) ++
+          leftCols.filter(_ != key).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col): _*))
+    val scan = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(scan))
+    }
+    enriched.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** q_asof_join: each event enriched with the user's most recent
+    * order as of the event time. Orders are re-keyed to the event
+    * user domain (custkey mod 150) and shifted +29 years so cutoffs
+    * fall mid-stream; (key, ts) deduped by max orderkey. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "ts")
+    val ord = Tables.load(s, dir, "orders")
+      .select((col("o_custkey") % 150).as("user_id"),
+        (col("o_orderdate") + expr("INTERVAL 29 YEARS")).as("o_ts"),
+        col("o_orderkey"))
+      .groupBy("user_id", "o_ts")
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    asOf(ev, ord, key = "user_id", leftTs = "ts", rightTs = "o_ts",
+        payload = Seq("o_orderkey", "o_ts"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey % 150 AS user_id,
+      |    o_orderdate + INTERVAL 29 YEAR AS o_ts,
+      |    max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_ts
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts >= r.o_ts
+      |ORDER BY e.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asOf: inclusive match, latest-wins, pre-history NULL") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k", 100L), // before any right row -> NULL
+      (2L, "k", 200L), // exactly at right ts 200 -> inclusive match
+      (3L, "k", 250L), // between 200 and 300 -> 200 wins
+      (4L, "k", 301L), // after 300 -> 300 wins
+      (5L, "z", 500L)) // key with no right rows -> NULL
+      .toDF("id", "key", "ts")
+    val right = Seq(
+      ("k", 200L, "a"),
+      ("k", 300L, "b"))
+      .toDF("key", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, "key", "ts", "rts", Seq("v"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)))
+    assert(out.toSeq == Seq(
+      1L -> None, 2L -> Some("a"), 3L -> Some("a"),
+      4L -> Some("b"), 5L -> None))
+  }
+
+  test("q_asof_join keeps every event and matched orders precede their event") {
+    val df = AsOfJoin.qAsofJoin(spark, "/root/testdata/sf0.01")
+    assert(df.count() == 10000)
+    val matched = df.filter(col("o_orderkey").isNotNull)
+    assert(matched.count() > 0, "sf0.01 should produce as-of matches")
+    val violations = matched
+      .filter(col("o_ts").cast("timestamp") > col("ts")).count()
+    assert(violations == 0, s"$violations matched orders after their event")
+  }
+}
