@@ -35,7 +35,14 @@ object TextOps {
   private def stopHits(c: Column, words: Seq[String]): Column =
     size(filter(toks(c), t => t.isInCollection(words)))
 
-  /** Token / char / line counts per document. */
+  /** BPE-style pre-tokenizer pieces: letter runs, digit runs, and
+    * single punctuation marks — the GPT-2-family pre-split shape,
+    * which upper-bounds (and tracks) real BPE token counts far
+    * better than whitespace words. */
+  private val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token / char / line counts per document (whitespace words and
+    * BPE-ish pieces). */
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val t = toks(col("text"))
@@ -43,15 +50,17 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_uniq_tokens"),
-      (size(split(col("text"), "\n", -1))).as("n_lines"))
+      (size(split(col("text"), "\n", -1))).as("n_lines"),
+      regexp_count(col("text"), lit(bpeIshPattern)).as("n_bpe_pieces"))
   }
 
   val textTokensSql: String =
-    """SELECT doc_id, length(text) AS n_chars,
-      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-      |  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq_tokens,
-      |  len(string_split(text, chr(10))) AS n_lines
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, length(text) AS n_chars,
+       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       |  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq_tokens,
+       |  len(string_split(text, chr(10))) AS n_lines,
+       |  len(regexp_extract_all(text, '$bpeIshPattern')) AS n_bpe_pieces
+       |FROM documents""".stripMargin
 
   /** Heuristic quality score: length saturation, stopword density,
     * vocabulary diversity, punctuation density — the standard cheap

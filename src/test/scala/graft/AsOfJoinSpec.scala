@@ -29,6 +29,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> Some("b"), 5L -> None))
   }
 
+  test("RangeJoin binned execution equals naive inequality join, no BNLJ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val points = (1 to 2000).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("id", "pt")
+    val ranges = (1 to 300).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(5000).toLong)
+    }.toDF("rid", "lo", "hi")
+    val binned = operators.RangeJoin.pointInRange(
+        points, ranges, "pt", "lo", "hi", binWidth = 4096)
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ranges,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive && naive.nonEmpty)
+    val plan = operators.RangeJoin.pointInRange(
+      points, ranges, "pt", "lo", "hi", 4096).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"binned range join degenerated to BNLJ:\n$plan")
+  }
+
   test("q_asof_join keeps every event and matched orders precede their event") {
     val df = AsOfJoin.qAsofJoin(spark, "/root/testdata/sf0.01")
     assert(df.count() == 10000)
