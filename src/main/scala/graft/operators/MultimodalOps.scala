@@ -43,6 +43,30 @@ object MultimodalOps {
     }
   }
 
+  case class ProcessedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
+      payload_crc: Long, width: Int, height: Int, n_frames: Int,
+      out_width: Int, out_height: Int, sampled_frames: Seq[Int],
+      decoder: String)
+
+  /** ==== STUB ==== resize + uniform frame-sampling over decoded
+    * media: the real version transforms pixel buffers; this keeps the
+    * exact pipeline shape (decoded batch in, processed batch out,
+    * per-partition) with deterministic arithmetic. Target box
+    * 224×224, aspect-preserving; ≤ 4 frames sampled uniformly. */
+  def resizeAndSampleStub(rows: Iterator[DecodedRow]): Iterator[ProcessedRow] =
+    rows.map { r =>
+      val scale = 224.0 / math.max(r.width, r.height)
+      val sampled = 0 until math.min(r.n_frames, 4) map { i =>
+        i * r.n_frames / math.min(r.n_frames, 4)
+      }
+      ProcessedRow(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
+        r.width, r.height, r.n_frames,
+        out_width = math.max(1, math.round(r.width * scale).toInt),
+        out_height = math.max(1, math.round(r.height * scale).toInt),
+        sampled_frames = sampled,
+        decoder = r.decoder + "+resize224+sample4")
+    }
+
   /** Binary payload + metadata extraction + partition-batched decode.
     * documents.text stands in for the media bytes (same plumbing). */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
@@ -56,10 +80,13 @@ object MultimodalOps {
         crc32(col("payload")).as("payload_crc"))
       .as[MediaRow]
     // partition count controls decode batch shape; at scale set this
-    // from payload-bytes-per-task, not row count
-    media.mapPartitions(decodeStub _).toDF()
+    // from payload-bytes-per-task, not row count. Decode, resize and
+    // frame-sample chain within one partition pass — no re-shuffle
+    // between media stages.
+    media.mapPartitions(it => resizeAndSampleStub(decodeStub(it))).toDF()
       .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
-        "width", "height", "n_frames", "decoder")
+        "width", "height", "n_frames", "out_width", "out_height",
+        "sampled_frames", "decoder")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,10 +25,16 @@ class StreamPipelineSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.length == 500)
     assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "magic_hex",
-      "payload_crc", "width", "height", "n_frames", "decoder"))
+      "payload_crc", "width", "height", "n_frames", "out_width",
+      "out_height", "sampled_frames", "decoder"))
     rows.foreach { r =>
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 512)
       assert(r.getAs[Int]("n_frames") >= 1 && r.getAs[Int]("n_frames") <= 8)
+      // resize preserves the 224 bound on the long edge
+      assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == 224)
+      val frames = r.getAs[scala.collection.Seq[Int]]("sampled_frames")
+      assert(frames.nonEmpty && frames.size <= 4 &&
+        frames.forall(f => f >= 0 && f < r.getAs[Int]("n_frames")))
     }
     // deterministic across runs
     val again = operators.MultimodalOps.mmBinaryMeta(spark, sf).collect()
