@@ -71,8 +71,12 @@ object Introspect {
     case other => other.simpleString
   }
 
-  /** Neutral/PG type name -> Spark type, for rule-driven casts. */
+  /** Neutral/PG type name -> Spark type, for rule-driven casts.
+    * Sized declarations ("varchar(64)", "int(11)") resolve by base
+    * name; decimal keeps its (precision,scale). */
   def sparkType(t: String): DataType = t.toLowerCase match {
+    case s if s.contains("(") && !s.startsWith("decimal(") =>
+      sparkType(s.takeWhile(_ != '('))
     case "tinyint" => ByteType
     case "smallint" => ShortType
     case "int" | "mediumint" | "integer" => IntegerType
