@@ -433,6 +433,30 @@ object Relational {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Explicit GROUPING SETS: simultaneous aggregation grains in one
+    * pass (by-status, by-priority, grand total). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    ord.createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n,
+        |  GROUPING__ID AS gid
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   /** HyperLogLog distinct-count sketches [T]: the constant-memory
     * path for distincts at 100 TB, where exact countDistinct keeps
     * per-key hash sets. rsd=0.02 → ~1.5 KB sketch per group
@@ -465,6 +489,7 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_sessionize" -> (qSessionize _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -483,5 +508,6 @@ object Relational {
     "q_string_funcs" -> qStringFuncsSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_percentile" -> qPercentileSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_grouping_sets" -> qGroupingSetsSql)
 }

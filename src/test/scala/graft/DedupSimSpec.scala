@@ -72,6 +72,31 @@ class DedupSimSpec extends AnyFunSuite {
     ivf.values.foreach(s => assert(s.size == SimOps.topK))
   }
 
+  test("embed_quantize reconstructs within scale/2 and keeps cosine") {
+    import graft.functions.VectorFunctions._
+    val q = SimOps.embedQuantize(spark, sf)
+    val joined = Tables.load(spark, sf, "embeddings")
+      .join(q, "vec_id")
+      .select(col("vec_id"),
+        transform(col("q"), x =>
+          col("zero") + x.cast("double") * col("scale")).as("deq"),
+        col("embedding").as("v"), col("scale"))
+    val fidelity = joined.select(
+      (dotD(col("v"), col("deq")) /
+        (sqrt(dotD(col("v"), col("v"))) * sqrt(dotD(col("deq"), col("deq")))))
+        .as("cos"),
+      aggregate(zip_with(col("deq"), col("v"),
+        (a, b) => abs(a - b.cast("double"))), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("max_err"),
+      col("scale")).collect()
+    assert(fidelity.length == 500)
+    fidelity.foreach { r =>
+      assert(r.getDouble(0) > 0.999, s"cosine fidelity too low: $r")
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-9,
+        s"reconstruction error above scale/2: $r")
+    }
+  }
+
   test("ivf assignment partitions the whole corpus") {
     val assigned = SimOps.ivfAssignments(spark, sf)
     assert(assigned.count() == 500)
