@@ -24,6 +24,11 @@ object Tables {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
+  /** Register every table as a temp view so the full engine surface
+    * is reachable from spark.sql(...) too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -433,6 +433,29 @@ object Relational {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Correlated scalar subquery (orders above their own customer's
+    * average) — Catalyst de-correlates it into an aggregate + join;
+    * the inner average is decimal-exact so the comparison is
+    * bit-stable. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_sq o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_sq i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Explicit GROUPING SETS: simultaneous aggregation grains in one
     * pass (by-status, by-priority, grand total). */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -490,6 +513,7 @@ object Relational {
     "q_percentile" -> (qPercentile _),
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -509,5 +533,6 @@ object Relational {
     "q_date_funcs" -> qDateFuncsSql,
     "q_percentile" -> qPercentileSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_grouping_sets" -> qGroupingSetsSql)
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_scalar_subquery" -> qScalarSubquerySql)
 }
