@@ -16,6 +16,15 @@ import graft.sqlgen.PgSqlGen
   */
 object Pipeline {
 
+  /** Output sink for extracted tables: the reference's PG \copy CSV
+    * dialect, or a partitioned parquet lake (the modern migration
+    * target — partition columns become directory pruning keys for
+    * every downstream scan). */
+  sealed trait Sink
+  case object PgCsv extends Sink
+  case class ParquetLake(partitionBy: Map[String, Seq[String]] = Map.empty)
+      extends Sink
+
   case class TableResult(originalName: String, outputName: String,
       rows: Long, ddl: String, copySql: String)
 
@@ -30,7 +39,8 @@ object Pipeline {
       tables: Seq[String], changes: SchemaChanges,
       node: NodeRules = NodeRules.mysqlToPg,
       pks: Map[String, Seq[String]] = Map.empty,
-      skipPreSql: Boolean = false): MigrationResult = {
+      skipPreSql: Boolean = false,
+      sink: Sink = PgCsv): MigrationResult = {
 
     val originals = tables.map { t =>
       Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
@@ -62,9 +72,19 @@ object Pipeline {
       // between extraction and CSV rendering
       val converted = ValueRules.applyRawDump(extracted, td)
       val outPath = s"$outDir/${td.name}"
-      PgCopyWriter.write(converted, outPath)
+      val rows = sink match {
+        case PgCsv =>
+          PgCopyWriter.write(converted, outPath)
+          spark.read.csv(outPath).count()
+        case ParquetLake(partitionBy) =>
+          val w = converted.write.mode("overwrite")
+          partitionBy.get(orig.name).filter(_.nonEmpty)
+            .fold(w)(cols => w.partitionBy(cols: _*))
+            .parquet(outPath)
+          spark.read.parquet(outPath).count()
+      }
       TableResult(orig.name, td.name,
-        rows = spark.read.csv(outPath).count(),
+        rows = rows,
         ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),
         copySql = PgSqlGen.copyStatement(td, outPath))
     } }

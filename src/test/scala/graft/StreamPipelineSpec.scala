@@ -125,6 +125,25 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(kept < ord.count() && kept > 0)
   }
 
+  test("Pipeline parquet-lake sink writes partitioned output") {
+    val out = java.nio.file.Files.createTempDirectory("lake").toString
+    val res = Pipeline.migrate(spark, sf, out,
+      tables = Seq("orders"), changes = SchemaChanges(),
+      pks = Map("orders" -> Seq("o_orderkey")),
+      sink = Pipeline.ParquetLake(Map("orders" -> Seq("o_orderstatus"))))
+    assert(res.tables.head.rows ==
+      Tables.load(spark, sf, "orders").count())
+    val partDirs = new java.io.File(s"$out/orders").listFiles()
+      .filter(_.getName.startsWith("o_orderstatus="))
+    assert(partDirs.length == 3) // F / O / P
+    // partition pruning works on the lake output
+    val pruned = spark.read.parquet(s"$out/orders")
+      .filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("Pipeline.migrateAll migrates multiple databases with prefix filter") {
     val out = java.nio.file.Files.createTempDirectory("multidb").toString
     val dbs = Map(
