@@ -157,7 +157,12 @@ object Etl {
       |FROM orders""".stripMargin
 
   /** Node-level type map (rules/mysql_to_psql.json via NodeRules):
-    * double -> decimal(18,2), int -> smallint-compatible widths. */
+    * double -> decimal(18,2), int -> smallint-compatible widths.
+    * The decimal rule-cast is exercised inside the projection; the
+    * final output re-casts it to DOUBLE because raw decimal columns
+    * reach the compare harness as decimal.Decimal objects on the
+    * Spark side but float64 on the DuckDB side — a dtype mismatch
+    * that hash-fails even when every value is identical. */
   def etlTypeCast(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(s, dir, "part")
     val original = Introspect.fromSpark(part, "part", pk = Seq("p_partkey"))
@@ -165,11 +170,13 @@ object Etl {
       "p_retailprice" -> ColumnChange(dataType = Some("decimal(18,2)")),
       "p_size" -> ColumnChange(dataType = Some("smallint"))))
     Projector.project(part, original, ch)
-      .select("p_partkey", "p_retailprice", "p_size")
+      .select(col("p_partkey"),
+        col("p_retailprice").cast(DoubleType).as("p_retailprice"),
+        col("p_size"))
   }
 
   val etlTypeCastSql: String =
-    """SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice,
+    """SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice,
       |  CAST(p_size AS SMALLINT) AS p_size
       |FROM part""".stripMargin
 

@@ -43,9 +43,12 @@ object MultimodalOps {
     }
   }
 
+  /** sampled_frames is a comma-joined string (not Seq[Int]) so the
+    * driver's pandas canonicalizer can sort/hash the output — raw
+    * array cells crash its row ordering. */
   case class ProcessedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
       payload_crc: Long, width: Int, height: Int, n_frames: Int,
-      out_width: Int, out_height: Int, sampled_frames: Seq[Int],
+      out_width: Int, out_height: Int, sampled_frames: String,
       decoder: String)
 
   /** ==== STUB ==== resize + uniform frame-sampling over decoded
@@ -63,7 +66,7 @@ object MultimodalOps {
         r.width, r.height, r.n_frames,
         out_width = math.max(1, math.round(r.width * scale).toInt),
         out_height = math.max(1, math.round(r.height * scale).toInt),
-        sampled_frames = sampled,
+        sampled_frames = sampled.mkString(","),
         decoder = r.decoder + "+resize224+sample4")
     }
 

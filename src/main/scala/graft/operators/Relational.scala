@@ -68,9 +68,11 @@ object Relational {
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // customer (filtered dim) broadcasts; lineitem⨝orders is fact-fact →
-    // shuffle on the join key and let AQE pick broadcast at small SF.
-    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+    // customer scales with SF (1.5e9 rows at SF10k) so it gets NO
+    // explicit broadcast hint — a forced broadcast would bypass
+    // autoBroadcastJoinThreshold and OOM at scale. AQE upgrades both
+    // joins to broadcast at small SF on its own.
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
@@ -108,10 +110,11 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "n_name")
-    // dims (customer⨝nation⨝region) broadcast; lineitem⨝orders is the
-    // fact-fact edge → shuffle join (AQE may still broadcast at small SF).
+    // region/nation are true fixed-size dims → broadcast hints above;
+    // dims is customer-derived (scales with SF) so NO hint here —
+    // orders⨝dims shuffles on custkey and AQE broadcasts at small SF.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
         .cast(DoubleType).as("revenue"),
@@ -290,9 +293,9 @@ object Relational {
 
   val qCaseAggSql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_f,
       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_o
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -425,8 +428,8 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end

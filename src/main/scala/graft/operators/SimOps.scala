@@ -78,43 +78,86 @@ object SimOps {
   val nProbe = 4
   val lloydIters = 2
 
-  /** Lloyd refinement: assign every vector to its max-cosine centroid
-    * (centroids broadcast — the corpus never shuffles for assignment),
-    * then recompute each centroid as the elementwise mean of its
-    * members (posexplode + groupBy, shuffle keyed on (centroid, pos):
-    * O(n·dim) thin rows, combiner-friendly). */
-  def lloydCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = c.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+  /** Driver-resident centroid set. k is small by IVF design (≈√n
+    * buckets even at 100 TB), so centroids live on the driver and
+    * ship to executors inside expression literals — the same contract
+    * Spark MLlib's KMeans uses. Assignment then needs NO join, NO
+    * window and NO exchange of corpus rows. Ids are kept sorted so
+    * argmax ties resolve to the lowest c_id, matching the previous
+    * window tie-break. */
+  case class Centroids(ids: Array[Int], vecs: Array[Array[Double]],
+      nrms: Array[Double]) {
+    def size: Int = ids.length
+    /** Small DataFrame form, for the (bounded) probe-selection join. */
+    def toDF(s: SparkSession): DataFrame = {
+      import s.implicits._
+      ids.indices.map(i => (ids(i), vecs(i).toSeq, nrms(i)))
+        .toDF("c_id", "cv", "cnrm")
+    }
+  }
+
+  /** Left-to-right double fold — the driver-side twin of DotProductD,
+    * bit-identical to the executor-side expression. */
+  private def dotDriver(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Per-row argmax over the centroid set as a pure expression chain:
+    * k codegen'd dot products + greatest() + a when-chain. Codegen's
+    * subexpression elimination evaluates each cosine once. Zero
+    * shuffle — this is what "the corpus never moves for assignment"
+    * actually compiles to. */
+  def nearestCentroid(v: Column, nrm: Column, cents: Centroids): Column = {
+    val cos = cents.ids.indices.map { i =>
+      dotD(v, typedlit(cents.vecs(i))) / (nrm * lit(cents.nrms(i)))
+    }
+    if (cents.size == 1) lit(cents.ids(0))
+    else {
+      val maxCos = greatest(cos: _*)
+      val chain = cents.ids.indices.tail.foldLeft(
+        when(cos(0) === maxCos, lit(cents.ids(0)))) { (acc, i) =>
+        acc.when(cos(i) === maxCos, lit(cents.ids(i)))
+      }
+      chain.otherwise(lit(cents.ids(0))) // NaN-norm guard; unreachable for real vectors
+    }
+  }
+
+  /** Lloyd refinement: expression-argmax assignment (no shuffle), then
+    * each centroid recomputed as the elementwise mean of its members
+    * (VectorMean Aggregator: one buffer per (centroid, partition)
+    * shuffles) and collected — k rows per iteration to the driver,
+    * exactly like MLlib KMeans. iters=0 returns the raw seeds. */
+  def lloydCentroids(c: DataFrame, k: Int, iters: Int): Centroids = {
+    val seedRows = c.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c_id"),
+        graft.functions.VectorFunctions.toDouble(col("v")).as("cv"))
+      .collect().sortBy(_.getInt(0))
+    var cents = Centroids(
+      seedRows.map(_.getInt(0)),
+      seedRows.map(_.getAs[Seq[Double]]("cv").toArray),
+      seedRows.map(r => math.sqrt(dotDriver(
+        r.getAs[Seq[Double]]("cv").toArray, r.getAs[Seq[Double]]("cv").toArray))))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_c").desc, col("c_id"))
-      val assigned = c.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("c_id"),
-          (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      // one-pass elementwise mean (custom Aggregator): one buffer per
-      // (centroid, partition) shuffles, vs dim rows for posexplode
-      val means = assigned
-        .groupBy(col("c_id"))
+      val means = assignTo(c, cents)
+        .groupBy(col("centroid"))
         .agg(graft.functions.VectorMean.of(embedDim)(col("v")).as("cv"))
-      cents = means.select(col("c_id"), col("cv"),
-        sqrt(dotD(col("cv"), col("cv"))).as("cnrm"))
+        .collect().sortBy(_.getInt(0))
+      val vecs = means.map(_.getAs[Seq[Double]]("cv").toArray)
+      cents = Centroids(
+        means.map(_.getInt(0)), vecs,
+        vecs.map(v => math.sqrt(dotDriver(v, v))))
     }
     cents
   }
 
-  /** Nearest-centroid assignment: rank the broadcast centroids per
-    * corpus row; the corpus itself never shuffles for assignment. */
-  def assignTo(c: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("c_id"))
-    c.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos_c"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("centroid"))
-  }
+  /** Nearest-centroid assignment — a single zero-shuffle projection
+    * over the corpus (explain shows no Exchange). */
+  def assignTo(c: DataFrame, cents: Centroids): DataFrame =
+    c.select(col("vec_id"), col("v"), col("nrm"),
+      nearestCentroid(col("v"), col("nrm"), cents).as("centroid"))
 
   def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
@@ -123,47 +166,72 @@ object SimOps {
 
   /** ANN top-k probing only the `nProbe` nearest centroid buckets per
     * query. Output schema matches sim_cosine_topk for recall checks.
-    * Centroids are computed once and persisted so assignment and
-    * probe ranking see identical values (Lloyd's mean aggregation is
-    * float-order nondeterministic across recomputation). */
+    * Centroids are collected once so assignment and probe ranking see
+    * identical values. Probe selection ranks nQueries×k rows — a
+    * bounded shuffle independent of corpus size; the bucket scan is
+    * two-stage top-k so only partition-local winners shuffle. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val cents = lloydCentroids(c, nCentroids, lloydIters).persist()
+    val cents = lloydCentroids(c, nCentroids, lloydIters)
     val assigned = assignTo(c, cents)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // per query: its nProbe closest centroids
+    // per query: its nProbe closest centroids (nQueries×k rows total)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id"))
-    val probes = q.join(broadcast(cents), lit(true))
+    val probes = q.crossJoin(broadcast(cents.toDF(s)))
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_id"),
         (dotD(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos_c"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("centroid"))
-    // scan only probed buckets (join keyed on centroid — bucket-local)
+    // scan only probed buckets (join keyed on centroid — bucket-local);
+    // two-stage top-k: only ≤ topK rows per (query, partition) shuffle
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= topK)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select("q_id", "rank", "vec_id", "cosine")
       .orderBy("q_id", "rank")
   }
 
-  /** Uint8 affine quantization of embeddings [T]: per-vector
-    * (zero, scale) so each float column stores in 1/4 the bytes —
-    * the standard storage/IO reduction before ANN at 100 TB. Pure
-    * Column arithmetic; the spec bounds reconstruction error at
-    * scale/2 per element and checks dequantized cosine fidelity. */
+  /** Uint8 affine quantization of embeddings: per-vector (zero, scale)
+    * so each float column stores in 1/4 the bytes — the standard
+    * storage/IO reduction before ANN at 100 TB. Pure Column
+    * arithmetic. Rounding is floor(x + 0.5) — plain IEEE ops that are
+    * bit-identical in Spark and DuckDB, unlike round() (Spark rounds
+    * the shortest decimal repr HALF_UP, DuckDB rounds the binary
+    * value). The codes flatten to one comma-joined string so the
+    * compare harness gets hashable scalar cells instead of raw
+    * arrays. */
   def embedQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val v = col("embedding")
     val zero = array_min(v).cast("double")
     val scale = (array_max(v).cast("double") - zero) / 255.0
+    val codes = transform(v, x =>
+      when(scale === 0, lit(0L))
+        .otherwise(floor((x.cast("double") - zero) / scale + 0.5))
+        .cast("string"))
     e.select(col("vec_id"), zero.as("zero"), scale.as("scale"),
-      transform(v, x => round((x.cast("double") - zero) / scale)
-        .cast("int")).as("q"))
+      array_join(codes, ",").as("q_codes"))
   }
+
+  val embedQuantizeSql: String =
+    """WITH t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    CAST(list_min(embedding) AS DOUBLE) AS zero,
+      |    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, zero, scale,
+      |  array_to_string(list_transform(v, x ->
+      |    CASE WHEN scale = 0 THEN 0
+      |         ELSE CAST(floor((x - zero) / scale + 0.5) AS BIGINT) END), ',') AS q_codes
+      |FROM t""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
@@ -171,5 +239,6 @@ object SimOps {
     "embed_quantize" -> (embedQuantize _))
 
   val oracles: Map[String, String] = Map(
-    "sim_cosine_topk" -> simCosineTopkSql)
+    "sim_cosine_topk" -> simCosineTopkSql,
+    "embed_quantize" -> embedQuantizeSql)
 }

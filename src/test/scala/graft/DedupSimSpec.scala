@@ -78,7 +78,7 @@ class DedupSimSpec extends AnyFunSuite {
     val joined = Tables.load(spark, sf, "embeddings")
       .join(q, "vec_id")
       .select(col("vec_id"),
-        transform(col("q"), x =>
+        transform(split(col("q_codes"), ","), x =>
           col("zero") + x.cast("double") * col("scale")).as("deq"),
         col("embedding").as("v"), col("scale"))
     val fidelity = joined.select(

@@ -32,7 +32,7 @@ class StreamPipelineSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_frames") >= 1 && r.getAs[Int]("n_frames") <= 8)
       // resize preserves the 224 bound on the long edge
       assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == 224)
-      val frames = r.getAs[scala.collection.Seq[Int]]("sampled_frames")
+      val frames = r.getAs[String]("sampled_frames").split(",").map(_.toInt).toSeq
       assert(frames.nonEmpty && frames.size <= 4 &&
         frames.forall(f => f >= 0 && f < r.getAs[Int]("n_frames")))
     }
