@@ -111,10 +111,15 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey", "n_name")
     // region/nation are true fixed-size dims → broadcast hints above;
-    // dims is customer-derived (scales with SF) so NO hint here —
-    // orders⨝dims shuffles on custkey and AQE broadcasts at small SF.
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(dims, col("o_custkey") === col("c_custkey"))
+    // dims is customer-derived (scales with SF) so NO hint on it.
+    // Join order matters more than hints: orders⨝dims first (the two
+    // smaller inputs — date filter × region filter shrink it to ~6% of
+    // orders), lineitem last. The biggest table then never shuffles at
+    // small SF (AQE broadcasts the reduced ord⨝dims into the lineitem
+    // scan), and at 100 TB the orderkey shuffle moves 0.06×|orders|
+    // instead of the full li⨝ord product being re-shuffled on custkey.
+    li.join(ord.join(dims, ord("o_custkey") === dims("c_custkey")),
+        li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(sum(d2(col("l_extendedprice")) * (one - pct(col("l_discount"))))
         .cast(DoubleType).as("revenue"),
