@@ -83,11 +83,18 @@ object Etl {
       |FROM events""".stripMargin
 
   /** Pre-SQL FK-orphan delete: survivors of
-    * `DELETE FROM orders WHERE o_custkey NOT IN (SELECT ...)` plus the
+    * `DELETE FROM orders WHERE fk NOT IN (SELECT ...)` plus the
     * deleted side, as kept/orphan counts. The parent set is customers
-    * with c_custkey % 10 <> 0, so the delete has real work to do. */
+    * with c_custkey % 10 <> 0, so the delete has real work to do, and
+    * every 13th fk is NULLed to prove the NOT-IN edge: NOT IN over a
+    * NULL fk is not-true, so the reference KEEPS those rows — the
+    * oracle's NOT IN drops them from the orphan side for the same
+    * reason. */
   def etlFkOrphans(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(s, dir, "orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast(LongType))
+          .otherwise(col("o_custkey")))
     val parents = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") % 10 =!= 0)
     val kept = Projector.dropFkOrphans(ord, "o_custkey", parents, "c_custkey")
@@ -98,12 +105,53 @@ object Etl {
   }
 
   val etlFkOrphansSql: String =
-    """SELECT 'kept' AS kind, COUNT(*) AS n FROM orders
-      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+    """WITH o AS (
+      |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS fk
+      |  FROM orders),
+      |p AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |SELECT 'kept' AS kind, COUNT(*) AS n FROM o
+      |WHERE fk IS NULL OR fk IN (SELECT c_custkey FROM p)
       |UNION ALL
-      |SELECT 'orphan' AS kind, COUNT(*) AS n FROM orders
-      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |SELECT 'orphan' AS kind, COUNT(*) AS n FROM o
+      |WHERE fk NOT IN (SELECT c_custkey FROM p)
       |ORDER BY kind""".stripMargin
+
+  /** Arbitrary `_PRE_SQL_` execution (Projector.runPreSql): the
+    * reference's reminder-style orphan DELETE with a NOT IN subquery
+    * (rules/schema_changes.json:4-6) followed by an UPDATE shift —
+    * both re-expressed as exact Spark transformations and verified
+    * value-level against DuckDB running the real DELETE semantics.
+    * fks are NULLed on every 13th row so the DELETE's NOT-IN NULL
+    * edge (row kept) is exercised, and the UPDATE's WHERE guards half
+    * the rows so the CASE projection edge is too. */
+  def etlPreSql(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast(LongType))
+          .otherwise(col("o_custkey")))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val stmts = Seq(
+      "DELETE IGNORE FROM orders WHERE o_custkey NOT IN " +
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)",
+      "UPDATE IGNORE `orders` SET `o_orderdate` = `o_orderdate` - INTERVAL 2 HOUR " +
+        "WHERE `o_totalprice` > 150000")
+    Projector.runPreSql(ord, "orders", stmts, t => Tables.load(s, dir, t))
+      .orderBy("o_orderkey")
+  }
+
+  val etlPreSqlSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |    o_totalprice, o_orderdate
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_totalprice > 150000 THEN o_orderdate - INTERVAL 2 HOUR
+      |       ELSE o_orderdate END AS o_orderdate
+      |FROM o
+      |WHERE o_custkey IS NULL
+      |   OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** refToNullable: FK value 0 -> NULL on nullable reference columns
     * (dumperAuxFuncs.py:30-33). Synthetic fk = o_custkey % 7 so zeros
@@ -233,6 +281,7 @@ object Etl {
     "etl_join_extract" -> (etlJoinExtract _),
     "etl_utc_shift" -> (etlUtcShift _),
     "etl_fk_orphans" -> (etlFkOrphans _),
+    "etl_pre_sql" -> (etlPreSql _),
     "etl_ref_nullable" -> (etlRefNullable _),
     "etl_bool_convert" -> (etlBoolConvert _),
     "etl_zero_date" -> (etlZeroDate _),
@@ -246,6 +295,7 @@ object Etl {
     "etl_join_extract" -> etlJoinExtractSql,
     "etl_utc_shift" -> etlUtcShiftSql,
     "etl_fk_orphans" -> etlFkOrphansSql,
+    "etl_pre_sql" -> etlPreSqlSql,
     "etl_ref_nullable" -> etlRefNullableSql,
     "etl_bool_convert" -> etlBoolConvertSql,
     "etl_zero_date" -> etlZeroDateSql,

@@ -47,7 +47,11 @@ object Projector {
     val preApplied =
       if (skipPreSql) df
       else {
-        val orphansDropped = ch.dropOrphans.foldLeft(df) { (acc, o) =>
+        // user `_PRE_SQL_` first, then the structured ops — the
+        // reference appends its generated UTC statements after the
+        // user's list and runs them in order (MysqlParser.py:95-102)
+        val userPre = runPreSql(df, original.name, ch.preSql, loadTable)
+        val orphansDropped = ch.dropOrphans.foldLeft(userPre) { (acc, o) =>
           dropFkOrphans(acc, o.fkCol, loadTable(o.parentTable), o.parentKey)
         }
         ch.utcShiftHours.fold(orphansDropped)(h =>
@@ -66,15 +70,121 @@ object Projector {
 
   /** Pre-SQL orphan delete re-expressed: the reference issues
     * `DELETE FROM child WHERE fk NOT IN (SELECT pk FROM parent)`
-    * (rules/schema_changes.json `_PRE_SQL_`); in Spark the surviving
-    * frame is a left_semi join and the deleted rows a left_anti. */
+    * (rules/schema_changes.json `_PRE_SQL_`). SQL NOT IN over a NULL
+    * fk evaluates to NULL, not true, so the reference KEEPS NULL-fk
+    * rows — the survivors are therefore the left_semi matches UNION
+    * the NULL-fk rows, not the bare left_semi (which would silently
+    * drop every row of a nullable FK column). */
   def dropFkOrphans(child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk)), child(fk) === col(pk), "left_semi")
+    child.filter(child(fk).isNotNull)
+      .join(parent.select(col(pk)), child(fk) === col(pk), "left_semi")
+      .unionAll(child.filter(child(fk).isNull))
 
+  /** The deleted side: non-NULL fks with no parent. NULL-fk rows are
+    * never orphans (the reference's DELETE does not touch them). */
   def fkOrphans(child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk)), child(fk) === col(pk), "left_anti")
+    child.filter(child(fk).isNotNull)
+      .join(parent.select(col(pk)), child(fk) === col(pk), "left_anti")
+
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+(?:IGNORE\s+)?FROM\s+[`"]?(\w+)[`"]?\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+(?:IGNORE\s+)?[`"]?(\w+)[`"]?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val AssignRe = """(?s)^\s*[`"]?(\w+)[`"]?\s*=\s*(.+)$""".r
+
+  /** SET-clause assignments split on top-level commas only (an
+    * expression like `coalesce(a, b)` keeps its internal comma). */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => parts += sb.toString; sb.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        sb.append(c)
+    }
+    parts += sb.toString
+    parts.toSeq.map {
+      case AssignRe(c, e) => c -> e.trim
+      case other => throw new IllegalArgumentException(
+        s"unparseable SET assignment: '$other'")
+    }
+  }
+
+  /** Executes a table's arbitrary `_PRE_SQL_` statements against the
+    * frame (the reference runs them on the live MySQL connection
+    * before dumping — MysqlParser.run_pre_sql:70-102). The two
+    * mutation shapes MySQL pre-SQL takes are re-expressed as
+    * transformations with exact SQL semantics:
+    *
+    *  - `DELETE [IGNORE] FROM t WHERE cond` → `t EXCEPT ALL (SELECT *
+    *    FROM t WHERE cond)`. The WHERE selects exactly the rows whose
+    *    cond is TRUE, so rows where cond is NULL (e.g. a NULL fk under
+    *    NOT IN) survive — identical to DELETE.
+    *  - `UPDATE [IGNORE] t SET c = e, ... [WHERE cond]` → a projection
+    *    with `CASE WHEN cond THEN e ELSE c END` per assigned column
+    *    (cond NULL/false leaves the row untouched, like UPDATE).
+    *
+    * Statements run via spark.sql over temp views: the current frame
+    * is registered under the table's own name, and any other table a
+    * subquery references (`... NOT IN (SELECT id FROM reservation)`)
+    * is resolved through `loadTable` and registered on demand. A
+    * statement targeting a different table, or any other statement
+    * shape, throws — a pre-SQL the engine can't honor must never
+    * silently no-op. */
+  def runPreSql(df: DataFrame, table: String, stmts: Seq[String],
+      loadTable: String => DataFrame): DataFrame = {
+    if (stmts.isEmpty) df
+    else {
+      val s = df.sparkSession
+      stmts.foldLeft(df) { (acc, stmt) =>
+        def requireTarget(t: String): Unit =
+          if (t.toLowerCase != table.toLowerCase)
+            throw new IllegalArgumentException(
+              s"pre-SQL for table '$table' targets '$t': $stmt")
+        // register views a subquery may name: the mutating frame under
+        // its own table name, other referenced tables lazily
+        def registerRefs(sqlText: String): Unit = {
+          acc.createOrReplaceTempView(table)
+          """(?is)FROM\s+[`"]?(\w+)[`"]?""".r.findAllMatchIn(sqlText)
+            .map(_.group(1)).filterNot(_.toLowerCase == table.toLowerCase)
+            .distinct.foreach { t =>
+              if (!s.catalog.tableExists(t))
+                loadTable(t).createOrReplaceTempView(t)
+            }
+        }
+        stmt match {
+          case DeleteRe(target, cond) =>
+            requireTarget(target)
+            registerRefs(cond)
+            s.sql(s"SELECT * FROM `$table` EXCEPT ALL SELECT * FROM `$table` WHERE $cond")
+          case UpdateRe(target, setClause, cond) =>
+            requireTarget(target)
+            registerRefs(setClause + " " + Option(cond).getOrElse(""))
+            val sets = splitAssignments(setClause).toMap
+            val unknown = sets.keySet.diff(acc.columns.toSet)
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"pre-SQL UPDATE sets unknown column(s) ${unknown.mkString(", ")}: $stmt")
+            val proj = acc.columns.map { c =>
+              sets.get(c) match {
+                case Some(e) => Option(cond) match {
+                  case Some(w) => s"CASE WHEN ($w) THEN ($e) ELSE `$c` END AS `$c`"
+                  case None => s"($e) AS `$c`"
+                }
+                case None => s"`$c`"
+              }
+            }
+            s.sql(s"SELECT ${proj.mkString(", ")} FROM `$table`")
+          case other =>
+            throw new UnsupportedOperationException(
+              s"unsupported pre-SQL shape (DELETE/UPDATE only): $other")
+        }
+      }
+    }
+  }
 
   /** UTC shift pre-SQL: `SET ts = ts - INTERVAL 2 HOUR WHERE ts IS NOT
     * NULL` over every datetime/timestamp column

@@ -150,6 +150,57 @@ class EtlSpec extends AnyFunSuite {
     assert(m("orphan") > 0, "orphan synthesis produced no rows")
   }
 
+  test("dropFkOrphans keeps NULL-fk rows like the reference's NOT IN") {
+    import spark.implicits._
+    val child = Seq((1, Some(10)), (2, Some(99)), (3, None), (4, Some(10)))
+      .toDF("id", "fk")
+    val parent = Seq(10, 20).toDF("pk")
+    val kept = Projector.dropFkOrphans(child, "fk", parent, "pk")
+      .select("id").collect().map(_.getInt(0)).sorted
+    // NOT IN over a NULL fk is not-true → row 3 survives; 99 is the orphan
+    assert(kept.toSeq == Seq(1, 3, 4))
+    val orphans = Projector.fkOrphans(child, "fk", parent, "pk")
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(orphans == Seq(2))
+  }
+
+  test("runPreSql executes DELETE with NOT IN subquery, keeping NULL fks") {
+    import spark.implicits._
+    val reminders = Seq((1, Some(10)), (2, Some(99)), (3, None))
+      .toDF("id", "resa_id")
+    val reservations = Seq(10, 20).toDF("rid")
+    // the reference's reminder example (rules/schema_changes.json:4-6)
+    val out = Projector.runPreSql(reminders, "reservation_reminder",
+      Seq("DELETE IGNORE FROM reservation_reminder WHERE resa_id NOT IN " +
+        "(SELECT rid FROM reservations)"),
+      Map("reservations" -> reservations))
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(out.toSeq == Seq(1, 3))
+  }
+
+  test("runPreSql executes UPDATE with multi-assign SET and WHERE guard") {
+    import spark.implicits._
+    val t = Seq((1, 5, 100), (2, 50, 200)).toDF("id", "a", "b")
+    val out = Projector.runPreSql(t, "t",
+      Seq("UPDATE IGNORE `t` SET `a` = coalesce(a, 0) + 1, b = b * 2 WHERE a < 10"),
+      _ => sys.error("no refs expected"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 6, 200), (2, 50, 200)))
+  }
+
+  test("runPreSql throws on wrong-target and unsupported statements") {
+    import spark.implicits._
+    val t = Seq(1).toDF("id")
+    intercept[IllegalArgumentException] {
+      Projector.runPreSql(t, "t", Seq("DELETE FROM other WHERE id = 1"),
+        _ => t)
+    }
+    intercept[UnsupportedOperationException] {
+      Projector.runPreSql(t, "t", Seq("TRUNCATE TABLE t"), _ => t)
+    }
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")
