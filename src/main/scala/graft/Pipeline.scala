@@ -40,11 +40,12 @@ object Pipeline {
       node: NodeRules = NodeRules.mysqlToPg,
       pks: Map[String, Seq[String]] = Map.empty,
       skipPreSql: Boolean = false,
-      sink: Sink = PgCsv): MigrationResult = {
+      sink: Sink = PgCsv,
+      indexes: Map[String, Seq[IndexDef]] = Map.empty): MigrationResult = {
 
     val originals = tables.map { t =>
       Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
-        pk = pks.getOrElse(t, Nil))
+        pk = pks.getOrElse(t, Nil), indexes = indexes.getOrElse(t, Nil))
     }
     val changed = SchemaRules(originals, changes, node)
     val changedByOriginal = originals.flatMap { o =>
@@ -126,14 +127,18 @@ object Pipeline {
 
   /** Write the reference's per-database artifact bundle
     * (main.py:52-112: mysql_schema.json, mysql_schema_v2.json,
-    * psql_tables.sql, psql_data.sql, psql_index_fk.sql,
-    * psql_views.sql) alongside the per-table CSV dumps migrate()
-    * already produced under `outDir`. */
+    * psql_schema.json, psql_tables.sql, psql_data.sql,
+    * psql_index_fk.sql, psql_views.sql) alongside the per-table CSV
+    * dumps migrate() already produced under `outDir`. The three
+    * schema JSONs are distinct stages, as in main.py:54-69:
+    * raw introspection → user changes applied (still mysql types) →
+    * node type-map applied (PG types). */
   def writeArtifacts(spark: SparkSession, sfDir: String, outDir: String,
       tables: Seq[String], changes: SchemaChanges,
       result: MigrationResult,
       node: NodeRules = NodeRules.mysqlToPg,
-      pks: Map[String, Seq[String]] = Map.empty): Unit = {
+      pks: Map[String, Seq[String]] = Map.empty,
+      indexes: Map[String, Seq[IndexDef]] = Map.empty): Unit = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
@@ -141,10 +146,15 @@ object Pipeline {
       Files.writeString(dir.resolve(name), content)
     val originals = tables.map(t =>
       Introspect.fromSpark(Tables.load(spark, sfDir, t), t,
-        pk = pks.getOrElse(t, Nil)))
-    val changed = SchemaRules(originals, changes, node)
+        pk = pks.getOrElse(t, Nil), indexes = indexes.getOrElse(t, Nil)))
+    // v2 = user changes only (mysql-flavoured types, RuleHandler
+    // .obtain_modified_schema); psql = v2 + the mysql_to_psql node map
+    // (PsqlParser.get_schema_from_mysql:38-41)
+    val v2 = originals.flatMap(SchemaRules.applyTable(_, changes))
+    val psql = v2.map(SchemaRules.applyNode(_, node))
     write("mysql_schema.json", PgSqlGen.schemaJson(originals))
-    write("mysql_schema_v2.json", PgSqlGen.schemaJson(changed))
+    write("mysql_schema_v2.json", PgSqlGen.schemaJson(v2))
+    write("psql_schema.json", PgSqlGen.schemaJson(psql))
     write("psql_tables.sql", result.schemaSql)
     write("psql_data.sql",
       PgSqlGen.dumpInitial +
@@ -157,5 +167,20 @@ object Pipeline {
       "SET client_min_messages TO ERROR;\n" +
         "DROP SCHEMA IF EXISTS v1 CASCADE;\nCREATE SCHEMA IF NOT EXISTS v1;\n\n" +
         result.viewsSql)
+  }
+
+  /** Distributed twin of the reference's file-level mysqldump INSERT
+    * conversion (PsqlParser.generate_dump_from_mysql_dump:73-100):
+    * read a dump, rewrite each INSERT line per the change-set (value
+    * fixes, table/column renames, skip-table filtering), write the PG
+    * dump. One narrow map over a text scan — at 100 TB of dump files
+    * every partition converts independently. */
+  def convertMysqlDump(spark: SparkSession, changes: SchemaChanges,
+      dumpPath: String, outPath: String): Long = {
+    import spark.implicits._
+    val converted = spark.read.textFile(dumpPath)
+      .flatMap(line => PgSqlGen.convertInsert(changes, line))
+    converted.write.mode("overwrite").text(outPath)
+    spark.read.textFile(outPath).count()
   }
 }

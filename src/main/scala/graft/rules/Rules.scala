@@ -15,7 +15,10 @@ case class ColumnChange(
     nullable: Option[Boolean] = None,
     dataType: Option[String] = None,
     default: Option[String] = None,
-    reference: Option[Reference] = None)
+    reference: Option[Reference] = None,
+    // per-column FK ON DELETE override (reference: col_attrs
+    // ['on_delete'], PsqlParser.py:400 — e.g. "CASCADE", "SET NULL")
+    onDelete: Option[String] = None)
 
 case class JoinRule(table: String, col: String, colRef: String)
 
@@ -123,7 +126,8 @@ object SchemaRules {
               nullable = cc.nullable.getOrElse(c.nullable),
               dataType = cc.dataType.getOrElse(c.dataType),
               default = cc.default.orElse(c.default),
-              reference = cc.reference.orElse(c.reference))
+              reference = cc.reference.orElse(c.reference),
+              onDelete = cc.onDelete.orElse(c.onDelete))
         }
       }))
   }

@@ -22,7 +22,11 @@ case class ColumnDef(
     isPk: Boolean = false,
     fullType: String = "",
     reference: Option[Reference] = None,
-    skip: Boolean = false)
+    skip: Boolean = false,
+    // per-column FK ON DELETE override (the reference honors
+    // col_attrs['on_delete'] over the RESTRICT default,
+    // PsqlParser.py:391-400)
+    onDelete: Option[String] = None)
 
 /** FK target, the reference's `reference_table_name(referenced_column)`
   * string (MysqlParser.py:186-188) parsed into parts. */
@@ -95,8 +99,14 @@ object Introspect {
     case other => throw new IllegalArgumentException(s"unmapped type: $other")
   }
 
+  /** `indexes` carries the secondary-index metadata the reference
+    * reads from information_schema.statistics (incl. composite
+    * indexes, MysqlParser.py:225-258) — parquet has no native index
+    * catalog, so the caller supplies them the same way it supplies
+    * `pk`. */
   def fromStruct(name: String, st: StructType,
-      pk: Seq[String] = Nil, autoIncrement: Option[Long] = None): TableDef =
+      pk: Seq[String] = Nil, autoIncrement: Option[Long] = None,
+      indexes: Seq[IndexDef] = Nil): TableDef =
     TableDef(
       name = name,
       columns = st.fields.toSeq.map { f =>
@@ -110,10 +120,12 @@ object Introspect {
           isPk = pk.contains(f.name),
           fullType = t)
       },
+      indexes = indexes,
       autoIncrement = autoIncrement)
 
-  def fromSpark(df: DataFrame, name: String, pk: Seq[String] = Nil): TableDef =
-    fromStruct(name, df.schema, pk)
+  def fromSpark(df: DataFrame, name: String, pk: Seq[String] = Nil,
+      indexes: Seq[IndexDef] = Nil): TableDef =
+    fromStruct(name, df.schema, pk, indexes = indexes)
 
   def toStructType(td: TableDef): StructType =
     StructType(td.liveColumns.map(c =>

@@ -4,45 +4,55 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.schema.TableDef
+import graft.rules.ValueRules
 
 /** PG `\copy`-compatible CSV dump of a DataFrame — the distributed
   * twin of the reference's per-row CSV writer
-  * (/root/reference/libs/PsqlParser.py:135-146 plus _supaFilta):
-  * FORMAT CSV, QUOTE '', DELIMITER ',', NULL 'NULL', booleans as
-  * true/false.
+  * (/root/reference/libs/PsqlParser.py:135-146 plus _supaFilta:375-384):
+  * NULL literal for nulls, true/false booleans, strings ALWAYS
+  * single-quoted with '' doubling, numbers raw.
   *
-  * Spark's csv sink renders each partition in parallel — the
+  * Every cell is rendered by a Column expression and the line joined
+  * with commas, then written via the text sink — the engine renders
+  * exactly the reference's bytes with no CSV-writer quoting policy in
+  * between. That unconditional string quoting matters: a writer that
+  * only quotes "when needed" (Spark's csv default) emits a cell whose
+  * value is the literal string "NULL" unquoted, and `\copy ... NULL
+  * 'NULL'` then corrupts it into SQL NULL on load; _supaFilta always
+  * quotes, so the literal text survives. Embedded delimiters and
+  * newlines are likewise safe inside the quotes.
+  *
+  * Spark's text sink renders each partition in parallel — the
   * reference's single cursor loop becomes N writers; the \copy
   * statement (PgSqlGen.copyStatement) can then point at the whole
   * output directory since psql \copy accepts a program/cat glob.
   */
 object PgCopyWriter {
 
-  /** Pre-render columns the way _supaFilta does where the CSV layer
-    * can't (booleans -> true/false literals; everything else is
-    * handled by csv options). */
-  def normalized(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case BooleanType =>
-          when(col(f.name).isNull, lit(null).cast(StringType))
-            .otherwise(when(col(f.name), "true").otherwise("false")).as(f.name)
-        case TimestampType =>
-          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    df.select(cols.toSeq: _*)
+  /** One cell rendered to its final dump text, per _supaFilta:
+    * null -> NULL, boolean -> true/false, string -> 'quoted''',
+    * timestamp -> the reference's str(datetime) shape, numeric raw. */
+  def renderCell(name: String, dt: DataType): Column = dt match {
+    case BooleanType => ValueRules.pgEscapeBoolean(col(name))
+    case StringType => ValueRules.pgEscapeString(col(name))
+    case TimestampType =>
+      when(col(name).isNull, lit("NULL"))
+        .otherwise(date_format(col(name), "yyyy-MM-dd HH:mm:ss"))
+    case _ =>
+      when(col(name).isNull, lit("NULL"))
+        .otherwise(col(name).cast(StringType))
   }
 
+  /** All columns rendered to dump cells (kept for callers that want
+    * the per-column form rather than joined lines). */
+  def normalized(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map(f =>
+      renderCell(f.name, f.dataType).as(f.name)).toSeq: _*)
+
   def write(df: DataFrame, path: String): Unit =
-    normalized(df).write
+    df.select(concat_ws(",", df.schema.fields.map(f =>
+        renderCell(f.name, f.dataType)).toSeq: _*).as("line"))
+      .write
       .mode("overwrite")
-      .option("quote", "'")
-      .option("escape", "'") // '' doubling, the QUOTE '''' dialect
-      .option("nullValue", "NULL")
-      .option("delimiter", ",")
-      .option("emptyValue", "''")
-      .csv(path)
+      .text(path)
 }

@@ -62,13 +62,16 @@ object PgSqlGen {
     }
 
   /** PsqlParser._get_sql_fkeys: deferred RESTRICT FKs so the \copy
-    * load order doesn't matter within a transaction. */
+    * load order doesn't matter within a transaction. A column's own
+    * `on_delete` wins over the table-level default
+    * (PsqlParser.py:391-400). */
   def foreignKeys(t: TableDef,
       onDelete: String = "RESTRICT DEFERRABLE INITIALLY IMMEDIATE"): String =
     t.liveColumns.flatMap { c =>
       c.reference.map(r =>
         s"""ALTER TABLE "${t.name}" ADD CONSTRAINT ${t.name}_${c.name}_fkey""" +
-          s""" FOREIGN KEY (${c.name}) REFERENCES ${r.render} ON DELETE $onDelete;""")
+          s""" FOREIGN KEY (${c.name}) REFERENCES ${r.render}""" +
+          s""" ON DELETE ${c.onDelete.getOrElse(onDelete)};""")
     }.mkString("\n")
 
   /** PsqlParser._get_sql_indexes (secondary indexes only; PRIMARY is
@@ -194,6 +197,7 @@ object PgSqlGen {
       "isPk" -> c.isPk.toString,
       "fullType" -> js(c.fullType),
       "reference" -> c.reference.map(r => js(r.render)).getOrElse("null"),
+      "on_delete" -> c.onDelete.map(js).getOrElse("null"),
       "_SKIP_" -> c.skip.toString)
     fields.map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
   }

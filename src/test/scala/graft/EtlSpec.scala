@@ -101,6 +101,19 @@ class EtlSpec extends AnyFunSuite {
     assert(PgSqlGen.foreignKeys(td).contains(
       "ALTER TABLE \"child\" ADD CONSTRAINT child_parent_id_fkey FOREIGN KEY " +
         "(parent_id) REFERENCES parent (id) ON DELETE RESTRICT DEFERRABLE INITIALLY IMMEDIATE;"))
+    // per-column on_delete override beats the table-level default
+    // (reference: col_attrs['on_delete'], PsqlParser.py:400)
+    val cascade = td.copy(columns = td.columns.map {
+      case c if c.name == "parent_id" => c.copy(onDelete = Some("CASCADE"))
+      case c => c
+    })
+    assert(PgSqlGen.foreignKeys(cascade).contains(
+      "REFERENCES parent (id) ON DELETE CASCADE;"))
+    val viaRules = SchemaRules.applyTable(
+      TableDef("child", td.columns),
+      SchemaChanges(Map("child" -> TableChange(columns = Map(
+        "parent_id" -> ColumnChange(onDelete = Some("SET NULL"))))))).get
+    assert(viaRules.column("parent_id").onDelete.contains("SET NULL"))
     assert(PgSqlGen.indexes(td).contains(
       "CREATE INDEX child_by_parent_x ON child (\"parent_id\");"))
     assert(PgSqlGen.setval(td).contains("SELECT setval('child_id_seq', 42, false);"))

@@ -46,14 +46,20 @@ class StreamPipelineSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Some("o'brien"), Some(true)),
       (2L, None: Option[String], Some(false)),
-      (3L, Some("plain"), None: Option[Boolean]))
+      (3L, Some("plain"), None: Option[Boolean]),
+      (4L, Some("NULL"), Some(true)), // literal text, NOT a null
+      (5L, Some("a,b"), Some(false))) // embedded delimiter
       .toDF("id", "name", "flag")
     val path = java.nio.file.Files.createTempDirectory("pgcopy").toString
     PgCopyWriter.write(df, path)
     val lines = spark.read.text(path).collect().map(_.getString(0)).sorted
     assert(lines.contains("1,'o''brien',true"))
     assert(lines.contains("2,NULL,false"))
-    assert(lines.contains("3,plain,NULL"))
+    assert(lines.contains("3,'plain',NULL"))
+    // strings quote unconditionally, so \copy ... NULL 'NULL' loads the
+    // literal 'NULL' text as text (the reference quotes the same way)
+    assert(lines.contains("4,'NULL',true"))
+    assert(lines.contains("5,'a,b',false"))
   }
 
   test("Jdbc partitioned-read options derive even PK ranges") {
@@ -165,8 +171,14 @@ class StreamPipelineSpec extends AnyFunSuite {
         columns = Map("c_acctbal" -> ColumnChange(skip = true)))))
     val tables = Seq("customer", "nation")
     val pks = Map("customer" -> Seq("c_custkey"), "nation" -> Seq("n_nationkey"))
-    val res = Pipeline.migrate(spark, sf, out, tables, changes, pks = pks)
-    Pipeline.writeArtifacts(spark, sf, out, tables, changes, res, pks = pks)
+    // composite secondary index, introspected like the reference reads
+    // information_schema.statistics (MysqlParser.py:225-258)
+    val idx = Map("customer" -> Seq(
+      IndexDef("by_nation_seg", Seq("c_nationkey", "c_mktsegment"))))
+    val res = Pipeline.migrate(spark, sf, out, tables, changes, pks = pks,
+      indexes = idx)
+    Pipeline.writeArtifacts(spark, sf, out, tables, changes, res, pks = pks,
+      indexes = idx)
     def read(f: String) =
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(out, f)))
@@ -174,10 +186,39 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(read("psql_data.sql").contains("SET CONSTRAINTS ALL DEFERRED"))
     assert(read("psql_data.sql").contains("\\copy \"clients\""))
     assert(read("psql_views.sql").contains("CREATE VIEW v1.customer"))
-    // schema JSONs parse and show the rename + skip flag
+    // the composite index survives introspection -> migrate -> DDL
+    assert(read("psql_index_fk.sql").contains(
+      "CREATE INDEX clients_by_nation_seg_x ON clients (\"c_nationkey\" ,\"c_mktsegment\");"))
+    // three schema JSON stages: raw, +changes (mysql types), +node map
+    // (PG types) — customer.c_acctbal is double in v2, decimal in psql
     val v2 = read("mysql_schema_v2.json")
     assert(v2.contains("\"clients\"") && v2.contains("\"_SKIP_\": true"))
+    assert(v2.contains("\"type\": \"double\""))
+    val psql = read("psql_schema.json")
+    assert(psql.contains("\"clients\"") && psql.contains("\"type\": \"decimal\""))
+    assert(!psql.contains("\"type\": \"double\""))
     assert(read("mysql_schema.json").contains("\"customer\""))
+  }
+
+  test("Pipeline.convertMysqlDump rewrites a dump file distributively") {
+    val in = java.nio.file.Files.createTempDirectory("dump_in")
+    java.nio.file.Files.writeString(in.resolve("dump.sql"),
+      """-- MySQL dump
+        |INSERT INTO "reservation_reminder" ("id", "resa_id") VALUES (1, '0000-00-00');
+        |INSERT INTO "tmp_table" ("a") VALUES (1);
+        |INSERT INTO "keep" ("x") VALUES ('it\'s');
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("dump_out").toString + "/pg"
+    val changes = SchemaChanges(Map(
+      "reservation_reminder" -> TableChange(rename = Some("reminder"),
+        columns = Map("resa_id" -> ColumnChange(rename = Some("reservation_id")))),
+      "tmp_table" -> TableChange(skip = true)))
+    val n = Pipeline.convertMysqlDump(spark, changes, in.toString, out)
+    assert(n == 2) // comment + skipped table dropped
+    val lines = spark.read.textFile(out).collect().toSeq
+    assert(lines.contains(
+      """INSERT INTO "reminder" ("id", "reservation_id") VALUES (1, '2000-01-01');"""))
+    assert(lines.contains("""INSERT INTO "keep" ("x") VALUES ('it''s');"""))
   }
 
   test("Pipeline.migrate: end-to-end rules -> extract -> dump -> DDL") {
