@@ -45,18 +45,26 @@ object VectorFunctions {
     * bit-stable across engines. Identical vectors always share a
     * bucket, which is the property dedup relies on.
     */
-  def lshBucket(v: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val plane = array((0 until dim).map(i =>
-        lit(((i * (j + 3) + 7) % 13 - 6).toDouble)): _*)
+  /** `planeOffset` selects a disjoint run of hyperplanes, so banded
+    * multi-probe LSH (OR of several independent bucket tables) can
+    * derive band k's bucket from planes [k*nBits, (k+1)*nBits). */
+  def lshBucket(v: Column, dim: Int, nBits: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until nBits).map { jj =>
+      val j = jj + planeOffset
+      // typedlit ships the plane as ONE constant ArrayData literal —
+      // array(lit, ...) would rebuild a 64-element array per row
+      val plane = typedlit((0 until dim).map(i =>
+        ((i * (j + 3) + 7) % 13 - 6).toDouble).toArray)
       when(dotD(v, plane) >= 0, lit(1)).otherwise(lit(0))
     }
     bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
   }
 
   /** The same bucket expression as DuckDB SQL text, for oracles. */
-  def lshBucketSql(vExpr: String, dim: Int, nBits: Int): String = {
-    val bits = (0 until nBits).map { j =>
+  def lshBucketSql(vExpr: String, dim: Int, nBits: Int,
+      planeOffset: Int = 0): String = {
+    val bits = (0 until nBits).map { jj =>
+      val j = jj + planeOffset
       val plane = (0 until dim).map(i =>
         s"${(i * (j + 3) + 7) % 13 - 6}.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vExpr, $plane) >= 0 THEN 1 ELSE 0 END)"

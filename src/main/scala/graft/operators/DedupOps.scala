@@ -34,18 +34,32 @@ object DedupOps {
       |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** embeddings ∪ copies of every 10th vector. */
+  /** embeddings ∪ exact copies of every 10th vector ∪ PERTURBED
+    * copies of every 7th (first element +0.25f, a float-exact nudge
+    * both engines compute bit-identically): the planted near-dups
+    * exercise banded LSH recall on non-identical high-cosine pairs,
+    * not just the trivial same-bucket-always case. */
   private def dupVecs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     e.unionAll(e.filter(col("vec_id") % 10 === 0)
-      .withColumn("vec_id", col("vec_id") + 1000000L))
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      .unionAll(e.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.25f)).otherwise(x))))
   }
 
   private val dupVecsSql =
     """SELECT * FROM embeddings
       |UNION ALL
       |SELECT vec_id + 1000000 AS vec_id, embedding, label
-      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |UNION ALL
+      |SELECT vec_id + 2000000 AS vec_id,
+      |  list_concat([embedding[1] + CAST(0.25 AS FLOAT)], embedding[2:]) AS embedding,
+      |  label
+      |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
 
   /** Word 3-gram shingle set (distinct) of a text column. The token
     * array is let-bound (ExprUtils.bind) so the split+filter runs once
@@ -242,41 +256,72 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------
-  // dedup_embed_cosine: sign-bit LSH bucket (6 integer hyperplanes)
-  // as the blocking key -> bucket-local self-join; exact cosine >=
-  // 0.9 verification on candidates only. Identical vectors always
-  // collide, so planted dups are found with zero recall loss.
+  // dedup_embed_cosine: BANDED sign-bit LSH (lshBands independent
+  // bucket tables of lshBitsPerBand hyperplanes each) as the blocking
+  // key; candidates = pairs sharing ANY band's bucket; exact cosine
+  // >= 0.9 verification on candidates only. 16-bit buckets keep the
+  // per-bucket population ~n/65536 so the bucket-local self-join is
+  // never the r3 n²/64 blowup, while OR-ing 4 bands recovers the
+  // recall a single narrow table would lose (identical vectors still
+  // collide in EVERY band — planted exact dups are found with zero
+  // recall loss; a cos≈0.999 perturbed pair collides in ≥1 of 4
+  // bands w.p. ~0.998). Bands travel as (vec_id, band, bucket) only;
+  // payloads re-join by id after candidate dedup, like the minhash
+  // path.
   // ---------------------------------------------------------------
   val embedDim = 64
-  val lshBits = 6
+  val lshBitsPerBand = 16
+  val lshBands = 4
 
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val vecs = dupVecs(s, dir).select(col("vec_id"),
       col("embedding").as("v"),
-      lshBucket(col("embedding"), embedDim, lshBits).as("bucket"),
       sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
-    vecs.as("x").join(vecs.as("y"), Seq("bucket"))
+    val banded = vecs.select(col("vec_id"),
+      explode(array((0 until lshBands).map { b =>
+        struct(lit(b).as("band"),
+          lshBucket(col("v"), embedDim, lshBitsPerBand,
+            planeOffset = b * lshBitsPerBand).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        (dotD(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
-          .as("cosine"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.9)
       .orderBy(col("a"), col("b"))
   }
 
   val dedupEmbedCosineSql: String = {
-    val bucket = lshBucketSql("v", embedDim, lshBits)
+    val bandSelects = (0 until lshBands).map { b =>
+      val bucket = lshBucketSql("v", embedDim, lshBitsPerBand,
+        planeOffset = b * lshBitsPerBand)
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM vecs"
+    }.mkString("\n  UNION ALL ")
     s"""WITH corpus AS ($dupVecsSql),
        |vecs AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM corpus),
-       |bucketed AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM vecs)
-       |SELECT x.vec_id AS a, y.vec_id AS b,
-       |  list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
-       |FROM bucketed x JOIN bucketed y USING (bucket)
-       |WHERE x.vec_id < y.vec_id
-       |  AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM banded x JOIN banded y USING (band, bucket)
+       |  WHERE x.vec_id < y.vec_id)
+       |SELECT a, b,
+       |  list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm) AS cosine
+       |FROM cand
+       |JOIN vecs xa ON xa.vec_id = a
+       |JOIN vecs xb ON xb.vec_id = b
+       |WHERE list_dot_product(xa.v, xb.v) / (xa.nrm * xb.nrm) >= 0.9
        |ORDER BY a, b""".stripMargin
   }
 

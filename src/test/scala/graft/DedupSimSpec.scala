@@ -47,12 +47,29 @@ class DedupSimSpec extends AnyFunSuite {
       .foreach { case (_, _, h) => assert(h == 0) }
   }
 
-  test("dedup_embed_cosine finds exactly the planted vector pairs") {
+  test("dedup_embed_cosine: exact dups at 100% recall, near-dups banded") {
     val rows = DedupOps.dedupEmbedCosine(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
-    // random unit vectors max out near cos 0.51, so >= 0.9 pairs are
-    // exactly the planted identical copies
-    assert(rows.toSet == plantedDocs)
+    val found = rows.toSet
+    // identical copies collide in EVERY band: recall must be 1.0
+    assert(plantedDocs.subsetOf(found),
+      s"missing exact pairs: ${plantedDocs -- found}")
+    // perturbed copies (+0.25f on element 0, ids +2e6) have cos < 1:
+    // banded LSH trades per-band precision (16-bit buckets, no n²/64
+    // blowup) for probabilistic recall across 4 bands — a fixed,
+    // deterministic subset here; require a meaningful share
+    val nearPairs = (0L until 500L by 7L).map(i => (i, i + 2000000L)).toSet
+    val nearFound = nearPairs.intersect(found)
+    assert(nearFound.size >= nearPairs.size * 3 / 10,
+      s"banded near-dup recall too low: ${nearFound.size}/${nearPairs.size}")
+    // random vectors max out near cos 0.51, so every emitted pair must
+    // belong to a planted family (no false positives past verify)
+    rows.foreach { case (a, b) =>
+      assert((b - a == 1000000L && a % 10 == 0) ||
+        (b - a == 2000000L && a % 7 == 0) ||
+        (b - a == 1000000L && a >= 1000000L && a % 10 == 0),
+        s"unplanted pair ($a, $b)")
+    }
   }
 
   test("sim_ivf_topk: recall@5 >= 0.6 vs exact brute force") {
