@@ -47,15 +47,31 @@ case class DotProductD(left: Expression, right: Expression)
     case _ => false
   }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  /** The documented zip_with/aggregate equivalence: a NULL element
+    * anywhere makes the whole fold NULL, so the result is nullable
+    * whenever an input array may contain nulls. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch (${x.numElements()} vs " +
+          s"${y.numElements()}) — embedding dimensions must agree")
+    val n = x.numElements()
     val lf = isFloat(left)
     val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -71,10 +87,22 @@ case class DotProductD(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       def get(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      // the element null check compiles in only when the type says it
+      // can fire, keeping the statically non-null loop tight
+      val nullGuard =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $a.numElements() +
+         |      " vs " + $b.numElements() + ") — embedding dimensions must agree");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += ${get(a, isFloat(left))} * ${get(b, isFloat(right))};
          |}
          |${ev.value} = $acc;

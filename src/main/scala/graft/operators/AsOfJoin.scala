@@ -33,27 +33,34 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct carried by ONE last(ignoreNulls)
+    // window: enrichment is all-or-nothing per right row. Independent
+    // per-column windows would back-fill a NULL payload column from an
+    // OLDER right row, silently mixing columns of different right rows
+    // (and cost |payload| window passes instead of one).
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val unioned = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_right", lit(0))
       .select(Seq(col(key), col("__ts"), col("__is_right")) ++
-        leftCols.filter(_ != key).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filter(_ != key).map(col) :+
+        lit(null).cast(pType).as("__p"): _*)
       .unionByName(right
         .withColumn("__ts", col(rightTs))
         .withColumn("__is_right", lit(1))
         .select(Seq(col(key), col("__ts"), col("__is_right")) ++
           leftCols.filter(_ != key).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(col): _*))
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("__p"): _*))
     val scan = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val enriched = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(scan))
-    }
-    enriched.filter(col("__is_right") === 0)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(scan))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__p").getField(c).as(c)): _*)
   }
 
   /** q_asof_join: each event enriched with the user's most recent

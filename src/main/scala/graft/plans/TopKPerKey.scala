@@ -59,8 +59,18 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the projection's reused buffer (UnsafeRow equality
+        // is value-based); copy the key only when it is actually
+        // inserted — getOrElseUpdate(copy(), ...) would allocate a key
+        // copy per INPUT ROW, not per distinct key
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap += row.copy()
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()

@@ -29,6 +29,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> Some("b"), 5L -> None))
   }
 
+  test("asOf: enrichment is all-or-nothing per right row (no column mixing)") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 400L)).toDF("id", "key", "ts")
+    // latest right row has v2 = NULL; its v2 must NOT back-fill from
+    // the older row — that would mix columns of different right rows
+    val right = Seq(
+      ("k", 100L, Some("old_v1"), Some("old_v2")),
+      ("k", 300L, Some("new_v1"), None: Option[String]))
+      .toDF("key", "rts", "v1", "v2")
+    val r = AsOfJoin.asOf(left, right, "key", "ts", "rts", Seq("v1", "v2"))
+      .collect().head
+    assert(r.getString(3) == "new_v1")
+    assert(r.isNullAt(4), s"v2 back-filled from an older right row: $r")
+  }
+
   test("RangeJoin binned execution equals naive inequality join, no BNLJ") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

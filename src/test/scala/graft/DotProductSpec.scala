@@ -32,6 +32,30 @@ class DotProductSpec extends AnyFunSuite {
     assert(out.length == 5 && out.forall(r => math.abs(r.getDouble(0) - 1.0) < 0.1))
   }
 
+  test("graft_dot: NULL element yields NULL; length mismatch throws") {
+    import spark.implicits._
+    // NULL element -> NULL result, matching the documented
+    // zip_with/aggregate fold equivalence (codegen + interpreted)
+    val withNull = Seq(
+      (1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+    val out = withNull.select(col("id"), dotD(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1), "null element must null the fold")
+    assert(out(1).getDouble(1) == 11.0)
+    // dimension mismatch is data corruption: fail loud, not truncate
+    val mismatched = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    // surfaces raw from local-relation eval, SparkException-wrapped
+    // from an executor — accept either carrier
+    val e = intercept[Exception] {
+      mismatched.select(dotD(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")), s"got: $e")
+  }
+
   test("graft_dot participates in whole-stage codegen on float arrays") {
     val e = Tables.load(spark, sf, "embeddings")
       .select(dotD(col("embedding"), col("embedding")).as("d"))
