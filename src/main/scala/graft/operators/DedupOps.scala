@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,13 +108,20 @@ object DedupOps {
   val jaccardTau = 0.5
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Prefix filtering (AllPairs/PPJoin family, lossless): sort each
-    // doc's shingle set by a global total order (the shingle's
-    // 64-bit hash) and index only the first n - ceil(tau*n) + 1
-    // shingles. Any pair with J >= tau MUST collide inside both
-    // prefixes (pigeonhole on the required overlap >= ceil(tau*n)),
-    // so candidate generation is exact while a pathological hot
-    // shingle in the suffixes can no longer produce O(n^2) pairs.
+    // Prefix filtering (AllPairs/PPJoin family, lossless): order each
+    // doc's shingle set by a global total order and index only the
+    // first n - ceil(tau*n) + 1 shingles. Any pair with J >= tau MUST
+    // collide inside both prefixes (pigeonhole on the required
+    // overlap >= ceil(tau*n)), so candidate generation is exact.
+    //
+    // The order matters enormously: under a random (hash) order the
+    // prefixes are full of common trigrams and the candidate join
+    // explodes (522k pairs at sf0.1 for ~60 true ones). The canonical
+    // AllPairs order is ascending DOCUMENT FREQUENCY — prefixes then
+    // hold each doc's RAREST shingles (df 1-2), common shingles sink
+    // into suffixes, and candidates collapse to near the true-pair
+    // count. df is one groupBy over exploded shingles; ties break by
+    // hash so the order is total and deterministic.
     // The length filter (max <= min/tau) is likewise lossless since
     // J <= min/max. Exact Jaccard is then verified from the full
     // (hashed) shingle sets of candidates only.
@@ -122,10 +130,17 @@ object DedupOps {
         array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
           .as("sh"))
       .filter(size(col("sh")) > 0)
-    val prefixLen = size(col("sh")) - ceil(size(col("sh")) * jaccardTau)
-      .cast("int") + 1
-    val prefixed = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+    val exploded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefixed = exploded.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * jaccardTau).cast("int") + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
     val candidates = prefixed.as("x").join(prefixed.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
