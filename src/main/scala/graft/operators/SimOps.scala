@@ -30,12 +30,26 @@ object SimOps {
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
 
+  /** Rank the ≤ k·queries winners of the TopKPerKey operator. The
+    * window runs over a bounded frame (k rows per query), never the
+    * full score set. */
+  private def ranked(top: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact brute-force top-k per query (queries = vec_id < 10).
     *
-    * Stage 1 prunes to the top-k per (query, input partition) before
-    * any shuffle; stage 2 ranks the ≤ k·numPartitions survivors per
-    * query. At 100 TB the full score set is never shuffled — only
-    * k rows per corpus partition.
+    * Scores flow into the custom TopKPerKey physical operator
+    * (plans/TopKPerKey.scala): a bounded heap per (query, partition)
+    * — O(n log k), no partition sort — shuffles only the ≤
+    * k·partitions surviving candidates per query, then merges heaps.
+    * At 100 TB the full score set is never sorted OR shuffled. The
+    * previous two-stage row_number form got the shuffle right but
+    * still fully sorted every partition's score set.
     */
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
@@ -44,16 +58,8 @@ object SimOps {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
-      .withColumn("pid", spark_partition_id())
-    val local = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val global = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= topK)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= topK)
-      .select("q_id", "rank", "vec_id", "cosine")
-      .orderBy("q_id", "rank")
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
   }
 
   val simCosineTopkSql: String =
@@ -192,19 +198,14 @@ object SimOps {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("centroid"))
     // scan only probed buckets (join keyed on centroid — bucket-local);
-    // two-stage top-k: only ≤ topK rows per (query, partition) shuffle
-    val local = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("centroid"))
+    // TopKPerKey keeps a bounded heap per (query, partition), so only
+    // ≤ topK candidate rows per partition ever shuffle
+    val scored = assigned.join(broadcast(probes), Seq("centroid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= topK)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select("q_id", "rank", "vec_id", "cosine")
-      .orderBy("q_id", "rank")
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
   }
 
   /** Uint8 affine quantization of embeddings: per-vector (zero, scale)
