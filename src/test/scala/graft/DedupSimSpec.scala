@@ -89,6 +89,15 @@ class DedupSimSpec extends AnyFunSuite {
     ivf.values.foreach(s => assert(s.size == SimOps.topK))
   }
 
+  test("ANN top-k plans through the TopKPerKey partial/final operator") {
+    Seq(SimOps.simCosineTopk(spark, sf), SimOps.simIvfTopk(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerKey"),
+          s"ANN query lost the custom top-k operator:\n$plan")
+      }
+  }
+
   test("embed_quantize reconstructs within scale/2 and keeps cosine") {
     import graft.functions.VectorFunctions._
     val q = SimOps.embedQuantize(spark, sf)
