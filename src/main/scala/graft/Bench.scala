@@ -17,7 +17,11 @@ object Bench {
     // paths and transient host contention; noop sink forces full
     // materialization (a bare count() would let Catalyst prune the
     // projections being benched)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // best-of-3 by default: the host shows transient multi-minute
+    // contention windows (observed 0.8s -> 29s on an unchanged query,
+    // both runs of a best-of-2 inside one window); a third sample
+    // spreads the measurements past most windows
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // optional comma-separated subset, for iterating on one query warm
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -60,6 +60,21 @@ object VectorFunctions {
     bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
   }
 
+  /** All `nBits` LSH sign bits (planes [planeOffset, planeOffset +
+    * nBits)) packed MSB-first into one long via the native
+    * SignBitsPacked expression — same bits as lshBucket, constant-size
+    * expression tree. */
+  def lshSignature(v: Column, dim: Int, nBits: Int,
+      planeOffset: Int = 0): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SignBitsPacked(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        (0 until nBits).map { jj =>
+          val j = jj + planeOffset
+          (0 until dim).map(i =>
+            ((i * (j + 3) + 7) % 13 - 6).toDouble).toIndexedSeq
+        }.toIndexedSeq))
+
   /** The same bucket expression as DuckDB SQL text, for oracles. */
   def lshBucketSql(vExpr: String, dim: Int, nBits: Int,
       planeOffset: Int = 0): String = {

@@ -292,13 +292,19 @@ object DedupOps {
     val vecs = dupVecs(s, dir).select(col("vec_id"),
       col("embedding").as("v"),
       sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
-    val banded = vecs.select(col("vec_id"),
-      explode(array((0 until lshBands).map { b =>
-        struct(lit(b).as("band"),
-          lshBucket(col("v"), embedDim, lshBitsPerBand,
-            planeOffset = b * lshBitsPerBand).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    // all 64 sign bits in ONE native expression (constant-size tree —
+    // 64 separate dotD-vs-typedlit nodes re-paid seconds of Catalyst
+    // analysis per invocation); band k is a 16-bit slice of the sig
+    val banded = vecs
+      .select(col("vec_id"),
+        lshSignature(col("v"), embedDim, lshBands * lshBitsPerBand).as("sig"))
+      .select(col("vec_id"),
+        explode(array((0 until lshBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), (lshBands - 1 - b) * lshBitsPerBand)
+              .bitwiseAND((1L << lshBitsPerBand) - 1).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket").cast("int").as("bucket"))
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
