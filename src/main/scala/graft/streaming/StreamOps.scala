@@ -131,7 +131,84 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
       .orderBy("user_id")
 
+  /** Session gap for the session_window operators. */
+  val sessionGap = "30 minutes"
+
+  /** Gap-based sessionization through Spark's NATIVE session_window
+    * operator (dynamic merging session state — the engine-level
+    * counterpart of the lag+cumsum form in Relational.qSessionize).
+    * Session semantics: an event extends its session to [ts, ts+gap);
+    * an event at exactly prev+gap starts a NEW session (half-open
+    * interval, no overlap). Timestamps compare as integer epoch
+    * micros (SURVEY §4). */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), sessionGap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  /** DuckDB has no session_window: the oracle rebuilds the same
+    * sessions via lag + running sum, with the >= gap boundary matching
+    * Spark's half-open merge rule, and end = last event + gap. */
+  val qSessionWindowSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** The same session_window as an actual streaming query (watermark
+    * bounds session state; sessions merge dynamically as events
+    * arrive). Complete mode on the drained bounded source returns the
+    * final sessions for the batch-parity spec. */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_sessions_${runId.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = events
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), sessionGap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    spark.table(name).orderBy("user_id", "session_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEventsWindow _),
-    "stream_user_state" -> (streamUserState _))
+    "stream_user_state" -> (streamUserState _),
+    "q_session_window" -> (qSessionWindow _),
+    "stream_sessions" -> (streamSessions _))
+
+  val oracles: Map[String, String] = Map(
+    "q_session_window" -> qSessionWindowSql)
 }

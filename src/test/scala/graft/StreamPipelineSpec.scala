@@ -20,6 +20,15 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_sessions (session_window) equals its batch twin") {
+    val streamed = StreamOps.streamSessions(spark, sf).collect()
+    val batch = StreamOps.qSessionWindow(spark, sf)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("mm_binary_meta: schema, determinism, stub decode bounds") {
     val df = operators.MultimodalOps.mmBinaryMeta(spark, sf)
     val rows = df.collect()
