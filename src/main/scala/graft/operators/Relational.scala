@@ -170,6 +170,62 @@ object Relational {
       |) t WHERE rn <= 100
       |ORDER BY l_suppkey, rn""".stripMargin
 
+  /** Full analytic window-function surface: lag/lead, rank/dense_rank
+    * over a TIE-able ordering (orderdate ties make rank vs dense_rank
+    * actually diverge), ntile quartiles, and an explicit-frame
+    * first_value — all in one pass per window (Catalyst groups same-
+    * window functions into a single Window exec). */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate")) // date ties -> rank gaps
+    ord.select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byCust).as("next_price"),
+        ntile(4).over(byCust).as("quartile"),
+        first(col("o_totalprice")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        rank().over(byPrio).as("rnk"),
+        dense_rank().over(byPrio).as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  LAG(o_totalprice, 1) OVER wc AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER wc AS next_price,
+      |  NTILE(4) OVER wc AS quartile,
+      |  FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  RANK() OVER wp AS rnk,
+      |  DENSE_RANK() OVER wp AS drnk
+      |FROM orders
+      |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wp AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Native pivot operator (columns per status value; explicit value
+    * list keeps the schema static so no extra distinct-values job
+    * runs). The conditional-agg q_case_agg covers the same semantics
+    * hand-built; this exercises the dedicated API. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(d2(col("o_totalprice"))).cast(DoubleType))
+      .orderBy("o_orderpriority")
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Distinct customers per order status (map-side partial distinct). */
   def qDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(s, dir, "orders")
@@ -508,6 +564,8 @@ object Relational {
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_star_join" -> (q5StarJoin _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_pivot" -> (qPivot _),
     "q_distinct" -> (qDistinct _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
@@ -529,6 +587,8 @@ object Relational {
     "q3_topk_join" -> q3TopkJoinSql,
     "q5_star_join" -> q5StarJoinSql,
     "q_window_running" -> qWindowRunningSql,
+    "q_window_funcs" -> qWindowFuncsSql,
+    "q_pivot" -> qPivotSql,
     "q_distinct" -> qDistinctSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
