@@ -149,15 +149,47 @@ object TextOps {
       |  substr(sha256(text), 1, 16) AS sha_prefix
       |FROM documents""".stripMargin
 
+  /** Text normalization for training-data cleaning: lowercase,
+    * control chars → space, whitespace collapsed + trimmed, plus an
+    * alphanumeric-only projection (the usual shingling/dedup input).
+    * Pure codegen'd regex chain — fuses with the scan. Both engines
+    * run the same RE2-compatible patterns so outputs hash-match. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val collapsed = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[\\x00-\\x1f]", " "),
+      " +", " "))
+    docs.select(col("doc_id"),
+      collapsed.as("norm_text"),
+      trim(regexp_replace(regexp_replace(collapsed, "[^a-z0-9 ]", ""),
+        " +", " ")).as("alnum_text"),
+      length(collapsed).as("n_chars_norm"))
+  }
+
+  val textNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, norm_text,
+      |  trim(regexp_replace(regexp_replace(norm_text, '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g')) AS alnum_text,
+      |  length(norm_text) AS n_chars_norm
+      |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_normalize" -> (textNormalize _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_normalize" -> textNormalizeSql)
 }

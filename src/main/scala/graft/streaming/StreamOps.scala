@@ -203,11 +203,49 @@ object StreamOps {
     spark.table(name).orderBy("user_id", "session_start_us")
   }
 
+  /** Streaming exact deduplication — the streaming twin of the dedup
+    * family: watermarked dropDuplicates holds one state record per
+    * distinct key and evicts keys older than the watermark, so state
+    * is bounded by the dedup window, not the stream. The kept-row
+    * CONTENT under duplicates is arrival-order-dependent across
+    * partitions, so the query reports the deterministic part: distinct
+    * user counts per event type after dedup. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_dedup_${runId.incrementAndGet()}"
+    val events = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = events
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Batch twin of streamDedup. */
+  def batchDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEventsWindow _),
     "stream_user_state" -> (streamUserState _),
     "q_session_window" -> (qSessionWindow _),
-    "stream_sessions" -> (streamSessions _))
+    "stream_sessions" -> (streamSessions _),
+    "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_session_window" -> qSessionWindowSql)

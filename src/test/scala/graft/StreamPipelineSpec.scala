@@ -29,6 +29,17 @@ class StreamPipelineSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream_dedup (watermarked dropDuplicates) equals batch distinct") {
+    val streamed = StreamOps.streamDedup(spark, sf).collect()
+    val batch = StreamOps.batchDedup(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      assert(s.getLong(1) == b.getLong(1),
+        s"dedup count mismatch for ${s.getString(0)}")
+    }
+  }
+
   test("mm_binary_meta: schema, determinism, stub decode bounds") {
     val df = operators.MultimodalOps.mmBinaryMeta(spark, sf)
     val rows = df.collect()
