@@ -184,9 +184,24 @@ object SimOps {
     * identical values. Probe selection ranks nQueries×k rows — a
     * bounded shuffle independent of corpus size; the bucket scan is
     * two-stage top-k so only partition-local winners shuffle. */
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkWith(s, dir, cachedCentroids(s, dir))
+
+  /** IVF from raw seeds (lloydIters = 0): the centroid set is exactly
+    * corpus vectors 0..k-1, so the ENTIRE pipeline — assignment
+    * argmax, probe ranking, bucket-local scan, final top-k — is
+    * deterministic and DuckDB-expressible. This is the oracle-checked
+    * twin of sim_ivf_topk (whose Lloyd refinement is [T]-proven by
+    * the cohesion spec instead: VectorMean's merge order isn't
+    * bit-reproducible across engines). */
+  def simIvf0Topk(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val cents = cachedCentroids(s, dir)
+    ivfTopkWith(s, dir, lloydCentroids(c, nCentroids, iters = 0))
+  }
+
+  private def ivfTopkWith(s: SparkSession, dir: String,
+      cents: Centroids): DataFrame = {
+    val c = corpus(s, dir)
     val assigned = assignTo(c, cents)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -242,12 +257,47 @@ object SimOps {
       |         ELSE CAST(floor((x - zero) / scale + 0.5) AS BIGINT) END), ',') AS q_codes
       |FROM t""".stripMargin
 
+  /** DuckDB twin of simIvf0Topk: same centroids (vec_id < k), same
+    * argmax tie-break (cosine DESC, c_id — NearestCentroid's strict >
+    * keeps the lowest id on ties), same probe and rank rules. */
+  val simIvf0TopkSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM c WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS centroid FROM (
+       |    SELECT c.vec_id, c.v, c.nrm, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qnrm, centroid FROM (
+       |    SELECT q.q_id, q.qv, q.qnrm, ct.c_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qv, ct.cv) / (q.qnrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM q CROSS JOIN cents ct) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p USING (centroid)
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM scored
+       |WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf0_topk" -> (simIvf0Topk _),
     "embed_quantize" -> (embedQuantize _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+    "sim_ivf0_topk" -> simIvf0TopkSql,
     "embed_quantize" -> embedQuantizeSql)
 }
