@@ -25,6 +25,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming state runs on the RocksDB state store (long-stream backend)") {
+    // HDFS-backed state is heap-resident per executor; RocksDB spills
+    // to local disk, which is the provider a long-running production
+    // stream needs. Same queries, same answers, different backend.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamOps.streamUserState(spark, sf).collect()
+      val batch = StreamOps.batchUserState(spark, sf).collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+      val sessions = StreamOps.streamSessions(spark, sf).collect()
+      val sessionsBatch = StreamOps.qSessionWindow(spark, sf)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+      assert(sessions.length == sessionsBatch.length && sessions.nonEmpty)
+      sessions.zip(sessionsBatch).foreach { case (s, b) => assert(s == b) }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("bucketed join runs exchange-free on the bucket key") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_quantity")
