@@ -63,6 +63,32 @@ object AsOfJoin {
         payload.map(c => col("__p").getField(c).as(c)): _*)
   }
 
+  /** Sort-free broadcast as-of variant — the skewed-left-key shape.
+    * The right side packs into ONE sorted struct array per key
+    * (sort_array orders by the leading ts field), broadcasts, and
+    * each left row binary-searches its match in generated code
+    * (functions.AsOfPick). The left fact is never shuffled or sorted
+    * — with a hot key, the union+window form must sort that key's
+    * entire |L|+|R| partition, while this stays O(|L| log |R_key|)
+    * map-side. Use when the packed right fits a broadcast (the
+    * dims-like enrichment case); asOf() remains the both-sides-large
+    * path. */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val packed = right
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(col(rightTs).as("__ts") +: payload.map(col): _*))).as("__arr"))
+    val pick = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.AsOfPick(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__arr")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col(leftTs))))
+    left.join(broadcast(packed), Seq(key), "left")
+      .withColumn("__p", pick)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
   /** q_asof_join: each event enriched with the user's most recent
     * order as of the event time. Orders are re-keyed to the event
     * user domain (custkey mod 150) and shifted +29 years so cutoffs
@@ -92,9 +118,27 @@ object AsOfJoin {
       |  ON e.user_id = r.user_id AND e.ts >= r.o_ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** The same enrichment through the broadcast binary-search variant;
+    * shares the DuckDB ASOF oracle since the semantics are identical. */
+  def qAsofBcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "ts")
+    val ord = Tables.load(s, dir, "orders")
+      .select((col("o_custkey") % 150).as("user_id"),
+        (col("o_orderdate") + expr("INTERVAL 29 YEARS")).as("o_ts"),
+        col("o_orderkey"))
+      .groupBy("user_id", "o_ts")
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    asOfBroadcast(ev, ord, key = "user_id", leftTs = "ts", rightTs = "o_ts",
+        payload = Seq("o_orderkey", "o_ts"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_bcast" -> (qAsofBcast _))
 
   val oracles: Map[String, String] = Map(
-    "q_asof_join" -> qAsofJoinSql)
+    "q_asof_join" -> qAsofJoinSql,
+    "q_asof_bcast" -> qAsofJoinSql)
 }

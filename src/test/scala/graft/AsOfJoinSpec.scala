@@ -44,6 +44,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(4), s"v2 back-filled from an older right row: $r")
   }
 
+  test("asOfBroadcast (binary-search variant) equals the windowed asOf") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k", 100L), (2L, "k", 200L), (3L, "k", 250L),
+      (4L, "k", 301L), (5L, "z", 500L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 200L, "a"), ("k", 300L, "b")).toDF("key", "rts", "v")
+    val windowed = AsOfJoin.asOf(left, right, "key", "ts", "rts", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> Option(r.getString(3)))
+    val bcast = AsOfJoin.asOfBroadcast(left, right, "key", "ts", "rts", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> Option(r.getString(3)))
+    assert(bcast.toSeq == windowed.toSeq)
+    // and against the real fixture at sf0.001
+    val a = AsOfJoin.qAsofJoin(spark, sf).collect()
+    val b = AsOfJoin.qAsofBcast(spark, sf).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("RangeJoin binned execution equals naive inequality join, no BNLJ") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
