@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductD
+import graft.functions.{AsOfPick, DotProductD}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the session's FunctionRegistry so SQL text can
@@ -12,6 +12,10 @@ import graft.functions.DotProductD
   * API in VectorFunctions. Enabled via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
   * (Tables.configure sets it on every graft session).
+  *
+  * NearestCentroid / SignBitsPacked are Column-API-only: they carry
+  * driver-computed matrices as constructor data, which SQL text
+  * cannot express.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof_pick"),
+      new ExpressionInfo(classOf[AsOfPick].getName, "graft_asof_pick"),
+      (children: Seq[Expression]) => AsOfPick(children(0), children(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

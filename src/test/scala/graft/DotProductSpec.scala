@@ -56,6 +56,17 @@ class DotProductSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("length mismatch")), s"got: $e")
   }
 
+  test("graft_asof_pick is registered for SQL via GraftExtensions") {
+    val out = spark.sql(
+      """SELECT graft_asof_pick(
+        |  array(named_struct('ts', 100L, 'v', 'a'),
+        |        named_struct('ts', 300L, 'v', 'b')), probe).v AS v
+        |FROM VALUES (50L), (100L), (250L), (400L) AS t(probe)
+        |ORDER BY probe""".stripMargin).collect()
+    assert(out.map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, Some("a"), Some("a"), Some("b")))
+  }
+
   test("graft_dot participates in whole-stage codegen on float arrays") {
     val e = Tables.load(spark, sf, "embeddings")
       .select(dotD(col("embedding"), col("embedding")).as("d"))
