@@ -125,11 +125,19 @@ object DedupOps {
     // The length filter (max <= min/tau) is likewise lossless since
     // J <= min/max. Exact Jaccard is then verified from the full
     // (hashed) shingle sets of candidates only.
+    // The plan below references the shingle sets from FOUR subtrees
+    // (document frequency, the prefix join, and both verify fetches);
+    // without materialization Spark recomputes the tokenize+hash chain
+    // for each. localCheckpoint pins the tokenized corpus (thin: id +
+    // hashed shingle array) to executor storage once — the standard
+    // move for diamond-shaped similarity-join plans, and at 100 TB
+    // you'd persist this projection anyway for repeated dedup runs.
     val docs = dupDocs(s, dir)
       .select(col("doc_id"),
         array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
           .as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val exploded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val dfreq = exploded.groupBy("shingle")
