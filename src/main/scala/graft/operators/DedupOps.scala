@@ -107,7 +107,15 @@ object DedupOps {
   /** Jaccard threshold for the near-dup pair query. */
   val jaccardTau = 0.5
 
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(dupDocs(s, dir), jaccardTau)
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+
+  /** All near-dup pairs (a < b, word-3gram Jaccard >= tau) of a
+    * (doc_id, text) frame — the reusable core of dedup_ngram_jaccard,
+    * also exercised by the randomized brute-force equivalence spec. */
+  def jaccardPairs(input: DataFrame, tau: Double): DataFrame = {
     // Prefix filtering (AllPairs/PPJoin family, lossless): order each
     // doc's shingle set by a global total order and index only the
     // first n - ceil(tau*n) + 1 shingles. Any pair with J >= tau MUST
@@ -132,7 +140,7 @@ object DedupOps {
     // hashed shingle array) to executor storage once — the standard
     // move for diamond-shaped similarity-join plans, and at 100 TB
     // you'd persist this projection anyway for repeated dedup runs.
-    val docs = dupDocs(s, dir)
+    val docs = input
       .select(col("doc_id"),
         array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
           .as("sh"))
@@ -147,13 +155,13 @@ object DedupOps {
     val prefixed = exploded.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <=
-        col("n_sh") - ceil(col("n_sh") * jaccardTau).cast("int") + 1)
+        col("n_sh") - ceil(col("n_sh") * tau).cast("int") + 1)
       .select(col("doc_id"), col("n_sh"), col("shingle"))
     val candidates = prefixed.as("x").join(prefixed.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
           greatest(col("x.n_sh"), col("y.n_sh")).cast(DoubleType) <=
-            least(col("x.n_sh"), col("y.n_sh")) / jaccardTau)
+            least(col("x.n_sh"), col("y.n_sh")) / tau)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .dropDuplicates("a", "b")
     val sets = docs.select(col("doc_id"), col("sh"))
@@ -163,9 +171,7 @@ object DedupOps {
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardTau)
-      .orderBy(col("jaccard").desc, col("a"), col("b"))
-      .limit(20)
+      .filter(col("jaccard") >= tau)
   }
 
   val dedupNgramJaccardSql: String =
