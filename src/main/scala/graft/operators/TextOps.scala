@@ -179,17 +179,93 @@ object TextOps {
       |  length(norm_text) AS n_chars_norm
       |FROM n""".stripMargin
 
+  /** PII scrubbing: mask emails and URLs before training (every
+    * 5th doc gets a synthetic contact line injected so the masks have
+    * real work; the fixture corpus itself is clean). Counts are
+    * reported per doc for audit — a scrub you can't measure is a
+    * scrub you can't trust at 100 TB. RE2-compatible patterns only
+    * (no backrefs/lookarounds) so both engines mask identically. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^ ]+"
+
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" contact bob@example.com or https://example.com/a?b=1")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"),
+      regexp_count(injected, lit(emailRe)).as("n_emails"),
+      regexp_count(injected, lit(urlRe)).as("n_urls"),
+      regexp_replace(regexp_replace(injected, urlRe, "<URL>"),
+        emailRe, "<EMAIL>").as("scrubbed"))
+  }
+
+  val textPiiScrubSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN text || ' contact bob@example.com or https://example.com/a?b=1'
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$urlRe')) AS n_urls,
+       |  regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
+       |    '$emailRe', '<EMAIL>', 'g') AS scrubbed
+       |FROM t""".stripMargin
+
+  /** Repetition score (Gopher-style quality signal): the share of a
+    * doc's word 2-grams occupied by its single most frequent 2-gram.
+    * High values flag boilerplate/template spam. explode → one
+    * codegen'd HashAggregate per (doc, gram) then a per-doc max —
+    * two thin shuffles, no per-row interpreted folds. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = toks(col("text"))
+    val grams = docs.select(col("doc_id"),
+        graft.functions.ExprUtils.bind(t) { tt =>
+          when(size(tt) >= 2,
+            transform(sequence(lit(0), size(tt) - 2),
+              i => concat_ws(" ", element_at(tt, i + 1), element_at(tt, i + 2))))
+            .otherwise(array().cast("array<string>"))
+        }.as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+      .select(col("doc_id"), col("top_gram_n"), col("n_grams"),
+        (col("top_gram_n").cast(DoubleType) / col("n_grams")).as("rep_ratio"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |  FROM tok WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, max(c) AS top_gram_n, SUM(c) AS n_grams,
+      |  CAST(max(c) AS DOUBLE) / SUM(c) AS rep_ratio
+      |FROM c GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_normalize" -> (textNormalize _))
+    "text_normalize" -> (textNormalize _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_normalize" -> textNormalizeSql)
+    "text_normalize" -> textNormalizeSql,
+    "text_pii_scrub" -> textPiiScrubSql,
+    "text_repetition" -> textRepetitionSql)
 }
