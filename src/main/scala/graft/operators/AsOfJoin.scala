@@ -47,6 +47,10 @@ object AsOfJoin {
         leftCols.filter(_ != key).map(col) :+
         lit(null).cast(pType).as("__p"): _*)
       .unionByName(right
+        // a NULL-ts right row can never be the as-of match (ts >= NULL
+        // is not true in SQL ASOF); unfiltered it would sort first and
+        // back-fill pre-history left rows
+        .filter(col(rightTs).isNotNull)
         .withColumn("__ts", col(rightTs))
         .withColumn("__is_right", lit(1))
         .select(Seq(col(key), col("__ts"), col("__is_right")) ++
@@ -76,6 +80,7 @@ object AsOfJoin {
   def asOfBroadcast(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val packed = right
+      .filter(col(rightTs).isNotNull) // NULL ts never matches (as above)
       .groupBy(col(key))
       .agg(sort_array(collect_list(
         struct(col(rightTs).as("__ts") +: payload.map(col): _*))).as("__arr"))

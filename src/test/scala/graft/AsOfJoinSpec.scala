@@ -44,6 +44,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(4), s"v2 back-filled from an older right row: $r")
   }
 
+  test("asOf variants ignore NULL-ts right rows (ts >= NULL never matches)") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 250L)).toDF("id", "key", "ts")
+    val right = Seq(
+      ("k", None: Option[Long], "poison"), // must never match anything
+      ("k", Some(200L), "a"))
+      .toDF("key", "rts", "v")
+    for (out <- Seq(
+        AsOfJoin.asOf(left, right, "key", "ts", "rts", Seq("v")),
+        AsOfJoin.asOfBroadcast(left, right, "key", "ts", "rts", Seq("v")))) {
+      val rows = out.orderBy("id").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(3)))
+      assert(rows.toSeq == Seq(1L -> None, 2L -> Some("a")), rows.toSeq)
+    }
+  }
+
   test("asOfBroadcast (binary-search variant) equals the windowed asOf") {
     import spark.implicits._
     val left = Seq(
