@@ -17,5 +17,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Etl.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimOps.oracles ++ AsOfJoin.oracles ++
-      RangeJoin.oracles ++ graft.streaming.StreamOps.oracles
+      RangeJoin.oracles ++ graft.streaming.StreamOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -92,6 +92,45 @@ object MultimodalOps {
         "sampled_frames", "decoder")
   }
 
+  /** Media ↔ embedding fusion manifest: each document's binary
+    * metadata joined to its vector row — the per-sample record a
+    * multimodal training pipeline materializes (payload locator +
+    * integrity fields + embedding stats). doc_id and vec_id share a
+    * domain in the fixture, standing in for the media↔embedding key.
+    * Every field here is SQL-expressible (unlike the stub-decoded
+    * dims), so this join is oracle-checked end-to-end. */
+  def mmEmbedFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic_hex"))
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    media.join(vecs, media("doc_id") === vecs("vec_id"))
+      .select(col("doc_id"), col("n_bytes"), col("magic_hex"),
+        col("dim"), col("nrm"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB slices the first 4 CHARS where Spark slices 4 BYTES —
+    * equal because the fixture corpus is pure ASCII (asserted: zero
+    * rows with octet_length(encode(text)) <> length(text)). */
+  val mmEmbedFusionSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  hex(encode(substr(text, 1, 4))) AS magic_hex,
+      |  len(embedding) AS dim,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |FROM documents JOIN embeddings ON vec_id = doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (mmBinaryMeta _))
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_embed_fusion" -> (mmEmbedFusion _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_embed_fusion" -> mmEmbedFusionSql)
 }
