@@ -226,6 +226,61 @@ object Relational {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Array function surface over synthetic per-order arrays (array
+    * outputs flatten through array_join — the compare harness hashes
+    * scalar cells). Mirrors DuckDB's list_* family 1:1. */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val arr = array((col("o_orderkey") % 7).cast(IntegerType),
+      (col("o_orderkey") % 5).cast(IntegerType),
+      (col("o_orderkey") % 3).cast(IntegerType))
+    ord.select(col("o_orderkey"),
+      array_join(array_sort(arr), ",").as("sorted"),
+      size(array_distinct(arr)).as("n_uniq"),
+      array_contains(arr, 2).as("has2"),
+      array_max(arr).as("mx"),
+      array_position(arr, array_max(arr)).as("mx_pos"),
+      array_join(slice(arr, 1, 2), ",").as("first2"))
+      .orderBy("o_orderkey")
+  }
+
+  val qArrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    [CAST(o_orderkey % 7 AS INT), CAST(o_orderkey % 5 AS INT),
+      |     CAST(o_orderkey % 3 AS INT)] AS arr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  array_to_string(list_sort(arr), ',') AS sorted,
+      |  len(list_distinct(arr)) AS n_uniq,
+      |  list_contains(arr, 2) AS has2,
+      |  list_max(arr) AS mx,
+      |  list_position(arr, list_max(arr)) AS mx_pos,
+      |  array_to_string(arr[1:2], ',') AS first2
+      |FROM t ORDER BY o_orderkey""".stripMargin
+
+  /** JSON extraction surface: events.props carries real JSON; the
+    * payload field is pulled with get_json_object and aggregated —
+    * the reference migrates TEXT columns holding JSON the same way
+    * (opaque in, queryable out). */
+  def qJsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        max(k).as("max_k"),
+        min(k).as("min_k"))
+      .orderBy("event_type")
+  }
+
+  val qJsonFuncsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Distinct customers per order status (map-side partial distinct). */
   def qDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(s, dir, "orders")
@@ -566,6 +621,8 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_pivot" -> (qPivot _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_json_funcs" -> (qJsonFuncs _),
     "q_distinct" -> (qDistinct _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
@@ -589,6 +646,8 @@ object Relational {
     "q_window_running" -> qWindowRunningSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_pivot" -> qPivotSql,
+    "q_array_funcs" -> qArrayFuncsSql,
+    "q_json_funcs" -> qJsonFuncsSql,
     "q_distinct" -> qDistinctSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,
