@@ -76,7 +76,9 @@ object Pipeline {
       val rows = sink match {
         case PgCsv =>
           PgCopyWriter.write(converted, outPath)
-          spark.read.csv(outPath).count()
+          // count the frame, not the dump's lines: a string cell with
+          // an embedded newline is one row but two file lines
+          converted.count()
         case ParquetLake(partitionBy) =>
           val w = converted.write.mode("overwrite")
           partitionBy.get(orig.name).filter(_.nonEmpty)
