@@ -276,7 +276,7 @@ object Relational {
 
   val qJsonFuncsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
       |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

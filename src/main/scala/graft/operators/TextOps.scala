@@ -247,7 +247,7 @@ object TextOps {
       |    i -> toks[i] || ' ' || toks[i+1])) AS gram
       |  FROM tok WHERE len(toks) >= 2),
       |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
-      |SELECT doc_id, max(c) AS top_gram_n, SUM(c) AS n_grams,
+      |SELECT doc_id, max(c) AS top_gram_n, CAST(SUM(c) AS BIGINT) AS n_grams,
       |  CAST(max(c) AS DOUBLE) / SUM(c) AS rep_ratio
       |FROM c GROUP BY doc_id""".stripMargin
 
