@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: the `events` table replayed as a
@@ -31,10 +32,44 @@ object StreamOps {
 
   private val runId = new AtomicInteger(0)
 
+  /** Shared streaming child session (one per parent): same
+    * SparkContext, streaming-shaped conf. Each state partition costs
+    * a store-provider init plus a synchronous commit file per
+    * micro-batch, so the parent's 32 shuffle partitions mean 32
+    * commits per batch for KB of state — fixed cost, not throughput.
+    * A handful of state partitions fits the fixture; at scale the
+    * same code takes the partition count from conf (state size and
+    * input rate set it, exactly as batch shuffle.partitions does).
+    * No-data micro-batches are off: every query here emits in the
+    * data batch (complete-mode aggs re-emit per batch; streaming
+    * dedup emits first-sights immediately), so the trailing empty
+    * batch only re-commits unchanged state. */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def streamingSession(parent: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(parent, { p =>
+      val s = p.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      s
+    })
+
+  /** Run a bounded streaming query as ONE pass: Trigger.AvailableNow
+    * plans all currently-available input, processes it, and stops
+    * itself — no processAllAvailable polling handshake, no extra
+    * trailing micro-batch. Returns once the sink table is final. */
+  private def runAvailableNow(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val q = start
+    try q.awaitTermination() finally q.stop()
+  }
+
   /** Hourly event counts/sums per type, computed by an actual
     * streaming query into a memory sink, returned as the final
     * result table once the bounded stream drains. */
-  def streamEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamEventsWindow(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
     val name = s"stream_events_${runId.incrementAndGet()}"
     val events = spark.readStream
       .schema(eventsRawSchema)
@@ -48,17 +83,12 @@ object StreamOps {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val q = agg.writeStream
+    runAvailableNow(agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      q.awaitTermination()
-    }
+      .trigger(Trigger.AvailableNow())
+      .start())
     spark.table(name).orderBy("window_start", "event_type")
   }
 
@@ -83,7 +113,8 @@ object StreamOps {
   case class UserEvent(user_id: Long, event_type: String, cents: Long)
   case class UserStats(user_id: Long, n_events: Long, total_cents: Long)
 
-  def streamUserState(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamUserState(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     val name = s"stream_user_state_${runId.incrementAndGet()}"
@@ -108,12 +139,12 @@ object StreamOps {
           state.update(next)
           next
       }
-    val q = stats.toDF().writeStream
+    runAvailableNow(stats.toDF().writeStream
       .format("memory")
       .queryName(name)
       .outputMode("update")
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      .trigger(Trigger.AvailableNow())
+      .start())
     // bounded source drains in one batch -> latest update per user is
     // the final answer
     spark.table(name)
@@ -179,7 +210,8 @@ object StreamOps {
     * bounds session state; sessions merge dynamically as events
     * arrive). Complete mode on the drained bounded source returns the
     * final sessions for the batch-parity spec. */
-  def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSessions(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
     val name = s"stream_sessions_${runId.incrementAndGet()}"
     val events = spark.readStream
       .schema(eventsRawSchema)
@@ -194,12 +226,12 @@ object StreamOps {
         unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"),
         col("n_events"))
-    val q = agg.writeStream
+    runAvailableNow(agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      .trigger(Trigger.AvailableNow())
+      .start())
     spark.table(name).orderBy("user_id", "session_start_us")
   }
 
@@ -210,7 +242,8 @@ object StreamOps {
     * CONTENT under duplicates is arrival-order-dependent across
     * partitions, so the query reports the deterministic part: distinct
     * user counts per event type after dedup. */
-  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDedup(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
     val name = s"stream_dedup_${runId.incrementAndGet()}"
     val events = spark.readStream
       .schema(eventsRawSchema)
@@ -221,12 +254,12 @@ object StreamOps {
       .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type")
-    val q = deduped.writeStream
+    runAvailableNow(deduped.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      .trigger(Trigger.AvailableNow())
+      .start())
     spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
