@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,38 +14,112 @@ import graft.Tables
 /** Multimodal column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, batch-decoded per partition.
   *
-  * The real pattern at 100 TB: parquet stores (id, binary payload,
+  * The pattern at 100 TB: parquet stores (id, binary payload,
   * metadata struct); decode/resize/feature-extract runs as a
   * partition-batched function (Scala mapPartitions here; mapInPandas
-  * from PySpark) so per-batch library init (codec contexts, model
-  * weights) amortizes across rows, and partitioning controls batch
-  * shape. No media codecs ship in this container, so `decodeStub`
-  * is a STUB: a deterministic fake that stands in for an image
-  * decoder while keeping schema, batching, and partition flow real.
+  * from PySpark) so per-batch init (codec contexts, model weights)
+  * amortizes across rows, and partitioning controls batch shape.
+  *
+  * The decode path is REAL: payloads are genuine PNG/BMP files
+  * (written by `javax.imageio`, which ships in the JDK) and the
+  * decoder parses them back with `ImageIO` — format sniffing, frame
+  * count, dimensions, raster reads and a true nearest-neighbor
+  * resize (`AffineTransformOp`). Payload parameters (dims, fill
+  * color) derive from doc_id by fixed formulas, so a DuckDB oracle
+  * recomputes every decoded value without an image library — any
+  * decode/resize mistake breaks oracle parity. Non-image payloads
+  * take the documented opaque fallback branch (the reference's
+  * opaque-bytea handling: PsqlParser.py dump path treats unknown
+  * binary as pass-through).
   */
 object MultimodalOps {
+
+  /** Payload formulas — shared verbatim by the generator, the spec
+    * and the DuckDB oracle. One in ten payloads is non-image bytes
+    * (exercises the fallback); one in three images is BMP. */
+  def widthFor(id: Long): Int = (8 + (id * 7) % 56).toInt
+  def heightFor(id: Long): Int = (8 + (id * 11) % 40).toInt
+  def redFor(id: Long): Int = ((id * 37) % 256).toInt
+  def greenFor(id: Long): Int = ((id * 59) % 256).toInt
+  def blueFor(id: Long): Int = ((id * 83) % 256).toInt
+  def isOpaque(id: Long): Boolean = id % 10 == 7
+  def fmtFor(id: Long): String =
+    if (isOpaque(id)) "opaque" else if (id % 3 == 0) "bmp" else "png"
+
+  /** Deterministic real media bytes: a solid-color WxH image encoded
+    * as an actual PNG or BMP file, or raw text bytes for the opaque
+    * branch. Solid fill keeps every decoded statistic formula-
+    * computable while the byte stream stays a real codec product. */
+  def payloadFor(id: Long): Array[Byte] =
+    if (isOpaque(id)) s"opaque payload $id not an image".getBytes("UTF-8")
+    else {
+      val img = new BufferedImage(widthFor(id), heightFor(id),
+        BufferedImage.TYPE_INT_RGB)
+      val rgb = (redFor(id) << 16) | (greenFor(id) << 8) | blueFor(id)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmtFor(id), out)
+      out.toByteArray
+    }
 
   case class MediaRow(doc_id: Long, payload: Array[Byte],
       n_bytes: Int, magic_hex: String, payload_crc: Long)
 
-  case class DecodedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
-      payload_crc: Long, width: Int, height: Int, n_frames: Int,
-      decoder: String)
+  /** Pixel checksum = Σ(R+G+B) over the raster, read in bulk (one
+    * getRGB scan, not a call per pixel — the per-pixel form costs
+    * ~100M boundary crossings per 5k images at the 224 box). */
+  private def sumRGB(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    sum
+  }
 
-  /** ==== STUB ==== A real build links an image/audio codec here and
-    * decodes `payload`. This deterministic fake derives "dimensions"
-    * from the payload hash so tests have stable expectations. The
-    * signature — Iterator[batch] -> Iterator[decoded] once per
-    * partition — is exactly what a codec-backed version keeps. */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] = {
-    // per-partition init would happen here (codec context, model...)
+  /** Decoded media riding BETWEEN pipeline stages inside one
+    * partition pass — carries the live raster, so it never crosses an
+    * encoder boundary (decode → resize chain in a single
+    * mapPartitions, no re-shuffle between media stages). */
+  private case class Decoded(doc_id: Long, n_bytes: Int, magic_hex: String,
+      payload_crc: Long, width: Int, height: Int, n_frames: Int,
+      fmt: String, px_sum: Long, img: Option[BufferedImage])
+
+  /** Real partition-batched decode: ImageIO format sniffing + frame
+    * count + first-frame raster read, pixel checksum = sum of R+G+B
+    * over the raster. Payloads no reader claims fall to the opaque
+    * branch (-1 dims, 0 frames) instead of failing the batch. */
+  private def decode(rows: Iterator[MediaRow]): Iterator[Decoded] = {
+    // per-partition init lives here (ImageIO scans its reader
+    // registry once per JVM; codec contexts/model weights in general)
     rows.map { r =>
-      val h = java.util.Arrays.hashCode(r.payload)
-      DecodedRow(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
-        width = 64 + math.floorMod(h, 448),
-        height = 64 + math.floorMod(h >> 9, 448),
-        n_frames = 1 + math.floorMod(h >> 18, 8),
-        decoder = "stub-v0")
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          Decoded(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
+            -1, -1, 0, "opaque", -1L, None)
+        else {
+          val rd = readers.next()
+          rd.setInput(iis)
+          val fmt = rd.getFormatName.toLowerCase
+          val nFrames = rd.getNumImages(true)
+          val img = rd.read(0)
+          rd.dispose()
+          Decoded(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
+            img.getWidth, img.getHeight, nFrames, fmt, sumRGB(img), Some(img))
+        }
+      } finally iis.close()
     }
   }
 
@@ -48,57 +128,123 @@ object MultimodalOps {
     * array cells crash its row ordering. */
   case class ProcessedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
       payload_crc: Long, width: Int, height: Int, n_frames: Int,
-      out_width: Int, out_height: Int, sampled_frames: String,
-      decoder: String)
+      fmt: String, px_sum: Long, out_width: Int, out_height: Int,
+      out_px_sum: Long, sampled_frames: String, decoder: String)
 
-  /** ==== STUB ==== resize + uniform frame-sampling over decoded
-    * media: the real version transforms pixel buffers; this keeps the
-    * exact pipeline shape (decoded batch in, processed batch out,
-    * per-partition) with deterministic arithmetic. Target box
-    * 224×224, aspect-preserving; ≤ 4 frames sampled uniformly. */
-  def resizeAndSampleStub(rows: Iterator[DecodedRow]): Iterator[ProcessedRow] =
-    rows.map { r =>
-      val scale = 224.0 / math.max(r.width, r.height)
-      val sampled = 0 until math.min(r.n_frames, 4) map { i =>
-        i * r.n_frames / math.min(r.n_frames, 4)
-      }
-      ProcessedRow(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
-        r.width, r.height, r.n_frames,
-        out_width = math.max(1, math.round(r.width * scale).toInt),
-        out_height = math.max(1, math.round(r.height * scale).toInt),
-        sampled_frames = sampled.mkString(","),
-        decoder = r.decoder + "+resize224+sample4")
+  /** Real resize + uniform frame sampling: nearest-neighbor raster
+    * scale into an aspect-preserving 224 box (long edge = 224),
+    * out_px_sum re-read from the SCALED raster — proof the transform
+    * materialized, not just arithmetic on dims. ≤ 4 frames sampled
+    * uniformly (single-frame stills sample frame 0). */
+  private def resizeAndSample(rows: Iterator[Decoded]): Iterator[ProcessedRow] =
+    rows.map {
+      case d if d.img.isEmpty =>
+        ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
+          d.width, d.height, d.n_frames, d.fmt, d.px_sum,
+          out_width = -1, out_height = -1, out_px_sum = -1L,
+          sampled_frames = "", decoder = "opaque")
+      case d =>
+        val src = d.img.get
+        // floor(x+0.5) rounding: bit-identical in Spark and DuckDB,
+        // unlike round() (SURVEY §4)
+        val scale = 224.0 / math.max(d.width, d.height)
+        val ow = math.max(1, math.floor(d.width * scale + 0.5).toInt)
+        val oh = math.max(1, math.floor(d.height * scale + 0.5).toInt)
+        val dst = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(src, 0, 0, ow, oh, null)
+        g.dispose()
+        val sum = sumRGB(dst)
+        val nSample = math.min(d.n_frames, 4)
+        val sampled = 0 until nSample map { i => i * d.n_frames / nSample }
+        ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
+          d.width, d.height, d.n_frames, d.fmt, d.px_sum,
+          ow, oh, sum, sampled.mkString(","),
+          decoder = s"imageio:${d.fmt}+resize224+sample4")
     }
 
-  /** Binary payload + metadata extraction + partition-batched decode.
-    * documents.text stands in for the media bytes (same plumbing). */
-  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+  /** The full media pipeline over the documents id domain: generate
+    * real payloads, extract binary metadata columnar-side, then
+    * decode + resize + frame-sample in ONE partition pass. */
+  private def processed(s: SparkSession, dir: String): Dataset[ProcessedRow] = {
     import s.implicits._
+    // the documents scan is one thin parquet split, but codec work is
+    // CPU-bound per row — spread ids across the session's parallelism
+    // BEFORE generate/decode (at scale: repartition by payload bytes
+    // per task, same principle)
     val media: Dataset[MediaRow] = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(id => (id, payloadFor(id)))
+      .toDF("doc_id", "payload")
       .select(col("doc_id"), col("payload"),
         length(col("payload")).cast("int").as("n_bytes"),
         hex(substring(col("payload"), 1, 4)).as("magic_hex"),
         crc32(col("payload")).as("payload_crc"))
       .as[MediaRow]
     // partition count controls decode batch shape; at scale set this
-    // from payload-bytes-per-task, not row count. Decode, resize and
-    // frame-sample chain within one partition pass — no re-shuffle
-    // between media stages.
-    media.mapPartitions(it => resizeAndSampleStub(decodeStub(it))).toDF()
+    // from payload-bytes-per-task, not row count
+    media.mapPartitions(it => resizeAndSample(decode(it)))
+  }
+
+  /** Binary payload + metadata extraction + partition-batched decode
+    * — the [T] key (payload byte counts/CRCs are codec products, not
+    * SQL-derivable; the suite asserts the decode round-trip). */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    processed(s, dir).toDF()
       .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
         "width", "height", "n_frames", "out_width", "out_height",
         "sampled_frames", "decoder")
-  }
+
+  /** Oracle-checked decode: every emitted value is recomputed by
+    * DuckDB from the payload formulas — real ImageIO decode + real
+    * raster resize on the Spark side, pure arithmetic on the oracle
+    * side. Solid fill makes both pixel checksums exact products:
+    * px_sum = w·h·(r+g+b), out_px_sum = ow·oh·(r+g+b). */
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    // no orderBy: the compare harness sorts rows canonically, and a
+    // range sort here would re-execute the codec pipeline for
+    // partition-boundary sampling
+    processed(s, dir).toDF()
+      .select("doc_id", "width", "height", "n_frames", "fmt",
+        "px_sum", "out_width", "out_height", "out_px_sum")
+
+  val mmDecodeSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    doc_id % 10 = 7 AS opaque,
+      |    CAST(8 + (doc_id * 7) % 56 AS INT) AS w,
+      |    CAST(8 + (doc_id * 11) % 40 AS INT) AS h,
+      |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS rgb
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    224.0 / greatest(w, h) AS scale,
+      |    greatest(1, CAST(floor(w * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS ow,
+      |    greatest(1, CAST(floor(h * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS oh
+      |  FROM f)
+      |SELECT doc_id,
+      |  CASE WHEN opaque THEN -1 ELSE w END AS width,
+      |  CASE WHEN opaque THEN -1 ELSE h END AS height,
+      |  CASE WHEN opaque THEN 0 ELSE 1 END AS n_frames,
+      |  CASE WHEN opaque THEN 'opaque'
+      |       WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |  CASE WHEN opaque THEN -1 ELSE w * h * rgb END AS px_sum,
+      |  CASE WHEN opaque THEN -1 ELSE ow END AS out_width,
+      |  CASE WHEN opaque THEN -1 ELSE oh END AS out_height,
+      |  CASE WHEN opaque THEN -1 ELSE ow * oh * rgb END AS out_px_sum
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Media ↔ embedding fusion manifest: each document's binary
     * metadata joined to its vector row — the per-sample record a
     * multimodal training pipeline materializes (payload locator +
     * integrity fields + embedding stats). doc_id and vec_id share a
     * domain in the fixture, standing in for the media↔embedding key.
-    * Every field here is SQL-expressible (unlike the stub-decoded
-    * dims), so this join is oracle-checked end-to-end. */
+    * Every field here is SQL-expressible (unlike the codec-byte
+    * fields), so this join is oracle-checked end-to-end. */
   def mmEmbedFusion(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val media = Tables.load(s, dir, "documents")
@@ -129,8 +275,10 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode" -> (mmDecode _),
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_decode" -> mmDecodeSql,
     "mm_embed_fusion" -> mmEmbedFusionSql)
 }

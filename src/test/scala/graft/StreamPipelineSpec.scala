@@ -40,24 +40,45 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_binary_meta: schema, determinism, stub decode bounds") {
-    val df = operators.MultimodalOps.mmBinaryMeta(spark, sf)
+  test("mm_binary_meta: real ImageIO decode of real PNG/BMP payloads") {
+    import graft.operators.MultimodalOps
+    val df = MultimodalOps.mmBinaryMeta(spark, sf)
     val rows = df.collect()
     assert(rows.length == 500)
     assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "magic_hex",
       "payload_crc", "width", "height", "n_frames", "out_width",
       "out_height", "sampled_frames", "decoder"))
     rows.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 512)
-      assert(r.getAs[Int]("n_frames") >= 1 && r.getAs[Int]("n_frames") <= 8)
-      // resize preserves the 224 bound on the long edge
-      assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == 224)
-      val frames = r.getAs[String]("sampled_frames").split(",").map(_.toInt).toSeq
-      assert(frames.nonEmpty && frames.size <= 4 &&
-        frames.forall(f => f >= 0 && f < r.getAs[Int]("n_frames")))
+      val id = r.getAs[Long]("doc_id")
+      if (MultimodalOps.isOpaque(id)) {
+        // non-image payloads take the documented fallback branch
+        assert(r.getAs[String]("decoder") == "opaque")
+        assert(r.getAs[Int]("width") == -1 && r.getAs[Int]("n_frames") == 0)
+        assert(r.getAs[String]("sampled_frames") == "")
+      } else {
+        // TRUE decoded dimensions of real image bytes — ImageIO read
+        // the payload the generator encoded
+        assert(r.getAs[Int]("width") == MultimodalOps.widthFor(id))
+        assert(r.getAs[Int]("height") == MultimodalOps.heightFor(id))
+        assert(r.getAs[Int]("n_frames") == 1)
+        assert(r.getAs[String]("decoder") ==
+          s"imageio:${MultimodalOps.fmtFor(id)}+resize224+sample4")
+        // real resize preserves the 224 bound on the long edge
+        assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == 224)
+        val frames = r.getAs[String]("sampled_frames").split(",").map(_.toInt).toSeq
+        assert(frames.nonEmpty && frames.size <= 4 &&
+          frames.forall(f => f >= 0 && f < r.getAs[Int]("n_frames")))
+      }
+      // payload magic bytes match the claimed codec
+      val magic = r.getAs[String]("magic_hex")
+      MultimodalOps.fmtFor(id) match {
+        case "png" => assert(magic == "89504E47")
+        case "bmp" => assert(magic.startsWith("424D"))
+        case _ => assert(magic == "6F706171") // "opaq"
+      }
     }
     // deterministic across runs
-    val again = operators.MultimodalOps.mmBinaryMeta(spark, sf).collect()
+    val again = MultimodalOps.mmBinaryMeta(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
