@@ -10,13 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ MultimodalOps.queries ++
-      AsOfJoin.queries ++ RangeJoin.queries ++
+      AsOfJoin.queries ++ RangeJoin.queries ++ ScaleJoins.queries ++
       graft.streaming.StreamOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Etl.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimOps.oracles ++ AsOfJoin.oracles ++
-      RangeJoin.oracles ++ graft.streaming.StreamOps.oracles ++
-      MultimodalOps.oracles
+      RangeJoin.oracles ++ ScaleJoins.oracles ++
+      graft.streaming.StreamOps.oracles ++ MultimodalOps.oracles
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.Bucketing
+
+/** Driver-checked query keys for the two scale-layout strategies —
+  * salting (skew) and bucketing (co-location). Both produce results
+  * identical to their straightforward equivalents, so each carries a
+  * plain-SQL DuckDB oracle: the layout machinery must be invisible in
+  * the answer. (Reference analog: every per-table extract join in
+  * the migration pipeline repeats the same join keys —
+  * /root/reference/libs/MysqlParser.py:121-150 `get_table_raw_data`
+  * with `_JOIN_` — which is exactly when a one-time co-located
+  * layout, or a salt for a pathological key, pays off.)
+  */
+object ScaleJoins {
+
+  /** Exact decimal sum rendered as double — deterministic in both
+    * engines (SURVEY §4). */
+  private def sumQty(c: String) =
+    sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Salted join over a deliberately skewed key: lineitem's
+    * l_returnflag has 3 values covering ~600k rows at sf0.1 — the
+    * power-law shape where one reducer would take a whole key. The
+    * flag-level dim (total quantity per flag) joins back to the fact
+    * through Skew.saltedJoin: the fact side salts into
+    * (flag, salt∈[0,16)) shuffle keys, the 3-row dim replicates 16×,
+    * so each hot key spreads over 16 reducers. The aggregate proves
+    * exactness — salting must be invisible in the result. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    val dim = li.groupBy("l_returnflag")
+      .agg(sumQty("l_quantity").as("flag_total_qty"))
+    Skew.saltedJoin(li, dim, "l_returnflag", factor = 16)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sumQty("l_quantity").as("sum_qty"),
+        max(col("flag_total_qty")).as("flag_total_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qSkewJoinSql: String =
+    """WITH dim AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS flag_total_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  MAX(d.flag_total_qty) AS flag_total_qty
+      |FROM lineitem l JOIN dim d USING (l_returnflag)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Bucketed co-located join: lineitem and orders are written ONCE
+    * as 8-bucket tables on the order key, then joined exchange-free —
+    * the recurring O(data) shuffle of a fact-fact join becomes a
+    * one-time layout cost (at 100 TB, THE strategy when the same join
+    * key repeats across a workload). The merge hint forces the
+    * sort-merge path so the bucket layout, not a broadcast, carries
+    * the join at every scale; the only Exchange in the plan is the
+    * 3-group final aggregate. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    // layout is ONE-TIME per corpus: table names carry the source-dir
+    // identity, and an already-laid-out table is reused — repeated
+    // queries measure the recurring exchange-free join, not the write
+    val tag = Integer.toHexString(dir.hashCode)
+    val liTab = s"graft_li_bucketed_$tag"
+    val ordTab = s"graft_ord_bucketed_$tag"
+    if (!s.catalog.tableExists(liTab))
+      Bucketing.writeBucketed(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity"), liTab, "l_orderkey", 8)
+    if (!s.catalog.tableExists(ordTab))
+      Bucketing.writeBucketed(Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus"), ordTab, "o_orderkey", 8)
+    Bucketing.readTable(s, liTab).hint("merge")
+      .join(Bucketing.readTable(s, ordTab),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumQty("l_quantity").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> (qSkewJoin _),
+    "q_bucket_join" -> (qBucketJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_join" -> qSkewJoinSql,
+    "q_bucket_join" -> qBucketJoinSql)
+}

@@ -12,13 +12,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String,
-      bucketCol: String, numBuckets: Int): Unit =
+      bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // managed-table files survive a previous JVM while the in-memory
+    // catalog does not — a stale location blocks CREATE, so clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

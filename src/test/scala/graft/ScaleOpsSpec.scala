@@ -88,6 +88,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(saltedJoin == plainJoin)
   }
 
+  test("q_skew_join: salted plan, identical result to the plain join") {
+    import graft.operators.ScaleJoins
+    val got = ScaleJoins.qSkewJoin(spark, sf).collect()
+    val li = Tables.load(spark, sf, "lineitem")
+    val dim = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("flag_total_qty"))
+    val plain = li.join(dim, "l_returnflag")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        max(col("flag_total_qty")).as("flag_total_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    assert(got.nonEmpty && got.length == plain.length)
+    got.zip(plain).foreach { case (g, p) => assert(g == p) }
+  }
+
+  test("q_bucket_join: join subtree is exchange-free on the bucket key") {
+    import graft.operators.ScaleJoins
+    val df = ScaleJoins.qBucketJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucket layout carries the join: no shuffle on either join
+    // key anywhere in the plan (the only Exchanges are the 3-group
+    // aggregate and the final orderBy)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("hashpartitioning(l_orderkey") &&
+      !plan.contains("hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles its key:\n$plan")
+    // and the result equals the plain join
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus")
+      .collect()
+    val got = df.collect()
+    assert(got.nonEmpty && got.length == plain.length)
+    got.zip(plain).foreach { case (g, p) => assert(g == p) }
+  }
+
   test("lloyd centroids reduce quantization error vs raw seeds") {
     import graft.operators.SimOps
     import graft.functions.VectorFunctions._
