@@ -178,22 +178,40 @@ object SimOps {
     assignTo(c, cachedCentroids(s, dir))
   }
 
+  /** Published location of the refined centroid matrix — the IVF
+    * "model" written as parquet on every sim_ivf_topk run, exactly
+    * like MLlib persists a KMeansModel. The DuckDB oracle reads it
+    * back (read_parquet) and rebuilds assignment/probe/rank from the
+    * SAME doubles, closing the loop sim_ivf0 closes with raw seeds:
+    * Lloyd's refinement itself isn't bit-reproducible across engines
+    * (VectorMean merge order), but ranking against published
+    * centroids is. Fixed path because oracle SQL is a static string;
+    * each run overwrites it with the centroids of ITS corpus. */
+  val centroidDumpPath = "/tmp/graft_ivf_centroids.parquet"
+
   /** ANN top-k probing only the `nProbe` nearest centroid buckets per
     * query. Output schema matches sim_cosine_topk for recall checks.
     * Centroids are collected once so assignment and probe ranking see
     * identical values. Probe selection ranks nQueries×k rows — a
     * bounded shuffle independent of corpus size; the bucket scan is
     * two-stage top-k so only partition-local winners shuffle. */
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame =
-    ivfTopkWith(s, dir, cachedCentroids(s, dir))
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cents = cachedCentroids(s, dir)
+    cents.toDF(s).coalesce(1).write.mode("overwrite")
+      .parquet(centroidDumpPath)
+    ivfTopkWith(s, dir, cents)
+  }
 
   /** IVF from raw seeds (lloydIters = 0): the centroid set is exactly
     * corpus vectors 0..k-1, so the ENTIRE pipeline — assignment
     * argmax, probe ranking, bucket-local scan, final top-k — is
-    * deterministic and DuckDB-expressible. This is the oracle-checked
-    * twin of sim_ivf_topk (whose Lloyd refinement is [T]-proven by
-    * the cohesion spec instead: VectorMean's merge order isn't
-    * bit-reproducible across engines). */
+    * deterministic and DuckDB-expressible with no model file. The
+    * refined variant sim_ivf_topk is oracle-checked too, against its
+    * published centroid parquet; this zero-iteration twin pins the
+    * pipeline even if that file is absent. Lloyd's refinement itself
+    * stays spec-proven (cohesion must improve) — VectorMean's merge
+    * order isn't bit-reproducible across engines, so the oracle takes
+    * the centroids as given rather than recomputing them. */
   def simIvf0Topk(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     ivfTopkWith(s, dir, lloydCentroids(c, nCentroids, iters = 0))
@@ -257,15 +275,16 @@ object SimOps {
       |         ELSE CAST(floor((x - zero) / scale + 0.5) AS BIGINT) END), ',') AS q_codes
       |FROM t""".stripMargin
 
-  /** DuckDB twin of simIvf0Topk: same centroids (vec_id < k), same
-    * argmax tie-break (cosine DESC, c_id — NearestCentroid's strict >
-    * keeps the lowest id on ties), same probe and rank rules. */
-  val simIvf0TopkSql: String =
+  /** DuckDB twin of the IVF pipeline, parameterized by where the
+    * centroids come from: same argmax tie-break (cosine DESC, c_id —
+    * NearestCentroid's strict > keeps the lowest id on ties), same
+    * probe and rank rules as the Spark side. */
+  private def ivfOracleSql(centsCte: String): String =
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
-       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM c WHERE vec_id < $nCentroids),
+       |cents AS ($centsCte),
        |assigned AS (
        |  SELECT vec_id, v, nrm, c_id AS centroid FROM (
        |    SELECT c.vec_id, c.v, c.nrm, ct.c_id,
@@ -290,6 +309,15 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Seed centroids = corpus vectors 0..k-1, rebuilt inline. */
+  val simIvf0TopkSql: String = ivfOracleSql(
+    s"SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM c WHERE vec_id < $nCentroids")
+
+  /** Lloyd-refined centroids come from the published model parquet —
+    * the exact doubles the Spark query ranked against. */
+  val simIvfTopkSql: String = ivfOracleSql(
+    s"SELECT c_id, cv, cnrm FROM read_parquet('$centroidDumpPath/*.parquet')")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -298,6 +326,7 @@ object SimOps {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+    "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,
     "embed_quantize" -> embedQuantizeSql)
 }
