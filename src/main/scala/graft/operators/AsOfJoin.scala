@@ -24,7 +24,9 @@ object AsOfJoin {
 
   /** Generic as-of left join.
     * @param left      left frame
-    * @param right     right frame; (key, ts) must be unique
+    * @param right     right frame; duplicate (key, ts) rows resolve
+    *                  deterministically to the greatest payload
+    *                  struct — the tie-break both variants share
     * @param key       join key column name present in both
     * @param leftTs    left timestamp column
     * @param rightTs   right timestamp column
@@ -57,8 +59,14 @@ object AsOfJoin {
           leftCols.filter(_ != key).map(c =>
             lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(payload.map(col): _*).as("__p"): _*))
+    // trailing __p sort key: right rows sharing a timestamp order by
+    // payload struct, so last() deterministically keeps the GREATEST
+    // payload among ts-ties — the same rule the broadcast variant gets
+    // from sort_array + greatest-index binary search (AsOfPick). Left
+    // rows have NULL __p and are unaffected. Without this, ties
+    // resolved by arrival order and the two variants could disagree.
     val scan = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__is_right").desc)
+      .orderBy(col("__ts"), col("__is_right").desc, col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(scan))
@@ -76,7 +84,10 @@ object AsOfJoin {
     * entire |L|+|R| partition, while this stays O(|L| log |R_key|)
     * map-side. Use when the packed right fits a broadcast (the
     * dims-like enrichment case); asOf() remains the both-sides-large
-    * path. */
+    * path. Duplicate (key, ts) right rows resolve to the greatest
+    * payload struct (sort_array orders ties by payload; the binary
+    * search returns the greatest index) — the same tie-break asOf()
+    * defines via its trailing __p sort key. */
   def asOfBroadcast(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val packed = right

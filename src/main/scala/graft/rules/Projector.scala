@@ -145,25 +145,41 @@ object Projector {
           if (t.toLowerCase != table.toLowerCase)
             throw new IllegalArgumentException(
               s"pre-SQL for table '$table' targets '$t': $stmt")
-        // register views a subquery may name: the mutating frame under
-        // its own table name, other referenced tables lazily
-        def registerRefs(sqlText: String): Unit = {
+        // Execute one rewritten statement over temp views. Referenced
+        // tables come from the PARSED plan's UnresolvedRelation nodes,
+        // not a regex — JOIN / comma-list references resolve, and a
+        // string literal containing "FROM x" can't register a bogus
+        // view. Every view this call registers is dropped in finally:
+        // view resolution happens at analysis time (s.sql analyzes
+        // eagerly), so the returned frame keeps its plan after the
+        // views are gone and pre-SQL leaves no session-global residue
+        // for a later statement to silently read stale.
+        def run(sqlText: String): DataFrame = {
+          // collectWithSubqueries: relations inside IN/EXISTS subquery
+          // expressions live in nested plans the plain collect skips
+          val refs = s.sessionState.sqlParser.parsePlan(sqlText)
+            .collectWithSubqueries {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.last.toLowerCase
+            }.distinct
+          val created = scala.collection.mutable.Buffer[String]()
           acc.createOrReplaceTempView(table)
-          """(?is)FROM\s+[`"]?(\w+)[`"]?""".r.findAllMatchIn(sqlText)
-            .map(_.group(1)).filterNot(_.toLowerCase == table.toLowerCase)
-            .distinct.foreach { t =>
-              if (!s.catalog.tableExists(t))
-                loadTable(t).createOrReplaceTempView(t)
+          created += table
+          refs.filterNot(_ == table.toLowerCase).foreach { t =>
+            if (!s.catalog.tableExists(t)) {
+              loadTable(t).createOrReplaceTempView(t)
+              created += t
             }
+          }
+          try s.sql(sqlText)
+          finally created.foreach(s.catalog.dropTempView(_))
         }
         stmt match {
           case DeleteRe(target, cond) =>
             requireTarget(target)
-            registerRefs(cond)
-            s.sql(s"SELECT * FROM `$table` EXCEPT ALL SELECT * FROM `$table` WHERE $cond")
+            run(s"SELECT * FROM `$table` EXCEPT ALL SELECT * FROM `$table` WHERE $cond")
           case UpdateRe(target, setClause, cond) =>
             requireTarget(target)
-            registerRefs(setClause + " " + Option(cond).getOrElse(""))
             val sets = splitAssignments(setClause).toMap
             val unknown = sets.keySet.diff(acc.columns.toSet)
             if (unknown.nonEmpty) throw new IllegalArgumentException(
@@ -177,7 +193,7 @@ object Projector {
                 case None => s"`$c`"
               }
             }
-            s.sql(s"SELECT ${proj.mkString(", ")} FROM `$table`")
+            run(s"SELECT ${proj.mkString(", ")} FROM `$table`")
           case other =>
             throw new UnsupportedOperationException(
               s"unsupported pre-SQL shape (DELETE/UPDATE only): $other")

@@ -31,13 +31,33 @@ object PgCopyWriter {
 
   /** One cell rendered to its final dump text, per _supaFilta:
     * null -> NULL, boolean -> true/false, string -> 'quoted''',
-    * timestamp -> the reference's str(datetime) shape, numeric raw. */
+    * timestamp -> the reference's str(datetime) shape, floats ->
+    * Python str(float) notation (PyFloat: 1e-07, not Spark's 1.0E-7),
+    * remaining scalars raw. Non-scalar columns throw loudly: the
+    * reference dumps only scalar MySQL types (blob/bytea is emptied
+    * by ValueRules.applyRawDump BEFORE rendering), and Spark's
+    * toString for array/map/struct/binary is engine-specific text
+    * that would silently corrupt a dump. */
   def renderCell(name: String, dt: DataType): Column = dt match {
     case BooleanType => ValueRules.pgEscapeBoolean(col(name))
     case StringType => ValueRules.pgEscapeString(col(name))
     case TimestampType =>
       when(col(name).isNull, lit("NULL"))
         .otherwise(date_format(col(name), "yyyy-MM-dd HH:mm:ss"))
+    case FloatType | DoubleType =>
+      // MySQLdb hands the reference a Python float (a double) — so
+      // floats widen first, then render with Python's notation
+      when(col(name).isNull, lit("NULL"))
+        .otherwise(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.PyFloatRepr(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              col(name).cast(DoubleType)))))
+    case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+      throw new UnsupportedOperationException(
+        s"PgCopyWriter: no dump rendering for non-scalar column " +
+          s"'$name' (${dt.simpleString}) — convert upstream " +
+          "(ValueRules.applyRawDump empties bytea; others have no " +
+          "reference dump shape)")
     case _ =>
       when(col(name).isNull, lit("NULL"))
         .otherwise(col(name).cast(StringType))

@@ -78,6 +78,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("as-of variants agree on duplicate right timestamps (greatest payload wins)") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 250L), (2L, "k", 200L)).toDF("id", "key", "ts")
+    // three right rows share ts=200: both variants must pick the
+    // greatest payload struct, not an arrival-order row
+    val right = Seq(
+      ("k", 200L, "b"), ("k", 200L, "c"), ("k", 200L, "a"),
+      ("k", 100L, "z"))
+      .toDF("key", "rts", "v")
+    val windowed = AsOfJoin.asOf(left, right, "key", "ts", "rts", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(3))
+    val bcast = AsOfJoin.asOfBroadcast(left, right, "key", "ts", "rts", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(windowed.toSeq == Seq(1L -> "c", 2L -> "c"))
+    assert(bcast.toSeq == windowed.toSeq)
+  }
+
   test("RangeJoin binned execution equals naive inequality join, no BNLJ") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

@@ -103,6 +103,41 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(lines.contains("5,'a,b',false"))
   }
 
+  test("PgCopyWriter renders floats as Python str() and rejects non-scalars") {
+    import spark.implicits._
+    import graft.functions.PyFloat
+    // notation parity cases: sci threshold at 1e-4 / 1e16, exponent
+    // sign + 2-digit padding, trailing .0 on fixed, inf/nan names
+    assert(PyFloat.repr(1e-7) == "1e-07")
+    assert(PyFloat.repr(0.0001) == "0.0001")
+    assert(PyFloat.repr(0.001) == "0.001")
+    assert(PyFloat.repr(123.456) == "123.456")
+    assert(PyFloat.repr(1e16) == "1e+16")
+    assert(PyFloat.repr(1.5e16) == "1.5e+16")
+    assert(PyFloat.repr(1e15) == "1000000000000000.0")
+    assert(PyFloat.repr(-2.5) == "-2.5")
+    assert(PyFloat.repr(100.0) == "100.0")
+    assert(PyFloat.repr(0.0) == "0.0")
+    assert(PyFloat.repr(-0.0) == "-0.0")
+    assert(PyFloat.repr(1e100) == "1e+100")
+    assert(PyFloat.repr(2.5e-10) == "2.5e-10")
+    assert(PyFloat.repr(Double.NaN) == "nan")
+    assert(PyFloat.repr(Double.PositiveInfinity) == "inf")
+    // and through the writer (codegen'd column path), floats widening
+    val df = Seq((1L, Some(1e-7), Some(0.25f)), (2L, None: Option[Double], None: Option[Float]))
+      .toDF("id", "d", "f")
+    val path = java.nio.file.Files.createTempDirectory("pgfloat").toString
+    PgCopyWriter.write(df, path)
+    val lines = spark.read.text(path).collect().map(_.getString(0)).sorted
+    assert(lines.contains("1,1e-07,0.25"))
+    assert(lines.contains("2,NULL,NULL"))
+    // non-scalar columns fail loudly instead of dumping engine text
+    val bad = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    assertThrows[UnsupportedOperationException] {
+      PgCopyWriter.write(bad, path)
+    }
+  }
+
   test("Jdbc partitioned-read options derive even PK ranges") {
     val conn = Jdbc.ConnInfo("jdbc:postgresql://db:5432/x", "u", "p")
     val opts = Jdbc.partitionedReadOptions(conn, "orders", "o_orderkey",
