@@ -200,7 +200,16 @@ object DedupOps {
   val minhashK = 16
   val minhashBands = 4
 
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(dupDocs(s, dir), tau = 0.5)
+      .orderBy(col("a"), col("b"))
+
+  /** All near-dup pairs (a < b, exact hashed-shingle Jaccard >= tau
+    * among LSH-banded candidates) of a (doc_id, text) frame — the
+    * reusable core of dedup_minhash, also exercised by the randomized
+    * property specs (exact-dup recall = 1: identical text gives an
+    * identical signature, which collides in EVERY band). */
+  def minhashPairs(input: DataFrame, tau: Double): DataFrame = {
     // explode + groupBy instead of per-row array folds: Spark's
     // higher-order functions are interpreted (CodegenFallback), but a
     // HashAggregate of 16 min(xxhash64(seed, shingle)) columns is
@@ -209,7 +218,7 @@ object DedupOps {
     // mins hash the hash (cheap, same min distribution) and the
     // verification sets intersect hashed shingles (collision odds
     // ~n²/2⁶⁴ — negligible), cutting shuffle bytes ~3x vs strings.
-    val shRows = dupDocs(s, dir)
+    val shRows = input
       .select(col("doc_id"),
         explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -240,8 +249,7 @@ object DedupOps {
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("a"), col("b"))
+      .filter(col("jaccard") >= tau)
   }
 
   // ---------------------------------------------------------------
@@ -249,26 +257,40 @@ object DedupOps {
   // sign-sum per bit), candidates via 4 16-bit bands, verified by
   // hamming distance <= 3 (bit_count of xor).
   // ---------------------------------------------------------------
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // SimHash per doc: explode token hashes, then ONE codegen'd
-    // HashAggregate with 64 sign-sum columns (map-side combined);
-    // per-row higher-order folds would run interpreted and ~10x
-    // slower. The sign bits then pack into a long with shiftleft|or
-    // (no ANSI overflow on bit 63, unlike acc*2).
-    val tokRows = dupDocs(s, dir)
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(dupDocs(s, dir), maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
+  /** 64-bit SimHash signature per doc of a (doc_id, text) frame:
+    * explode token hashes, then ONE codegen'd HashAggregate with 64
+    * sign-sum columns (map-side combined); per-row higher-order folds
+    * would run interpreted and ~10x slower. The sign bits then pack
+    * into a long with shiftleft|or (no ANSI overflow on bit 63,
+    * unlike acc*2). */
+  def simhashSigs(input: DataFrame): DataFrame = {
+    val tokRows = input
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitCols = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"c$b")
     }
-    val sigs = tokRows.groupBy("doc_id")
+    tokRows.groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => col(s"c$b"))
           .foldLeft(lit(0L))((acc, c) =>
             shiftleft(acc, 1).bitwiseOR(when(c >= 0, 1L).otherwise(0L)))
           .as("sig"))
+  }
+
+  /** All pairs (a < b) within `maxHamming` SimHash bits — candidates
+    * from 4 16-bit bands, verified by bit_count(xor). For maxHamming
+    * <= 3 the banding is LOSSLESS by pigeonhole: fewer than 4 bits
+    * differ, so at least one of the 4 bands is bit-identical and the
+    * pair collides — the property spec asserts this exactly. */
+  def simhashPairs(input: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSigs(input)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -280,8 +302,7 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .dropDuplicates("a", "b")
-      .filter(col("hamming") <= 3)
-      .orderBy(col("a"), col("b"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---------------------------------------------------------------

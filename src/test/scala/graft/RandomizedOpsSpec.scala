@@ -64,6 +64,87 @@ class RandomizedOpsSpec extends AnyFunSuite {
       s"missed: ${expected -- ours}; extra: ${ours -- expected}")
   }
 
+  /** Shared randomized corpus for the signature-dedup properties:
+    * random base docs over a small vocab, EXACT copies of every 4th
+    * (planted sure-dups), single-token mutations of every 3rd
+    * (planted high-similarity near-dups). */
+  private def sigCorpus(): Seq[(Long, Seq[String])] = {
+    val vocab = ('a' to 'z').map(_.toString) ++ Seq("foo", "bar", "baz", "qux")
+    def doc(): Seq[String] =
+      Seq.fill(15 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+    val bases = (0 until 100).map(i => i.toLong -> doc())
+    val exact = bases.collect { case (i, toks) if i % 4 == 0 =>
+      (i + 10000L) -> toks
+    }
+    val mutated = bases.collect { case (i, toks) if i % 3 == 0 =>
+      val t = toks.toArray
+      t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.size))
+      (i + 20000L) -> t.toSeq
+    }
+    bases ++ exact ++ mutated
+  }
+
+  test("minhashPairs: every pair verified true, exact dups never missed") {
+    import spark.implicits._
+    val all = sigCorpus()
+    val df = all.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val ours = operators.DedupOps.minhashPairs(df, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over string shingle sets
+    def sh(toks: Seq[String]): Set[String] =
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val sets = all.map { case (id, toks) => id -> sh(toks) }
+      .filter(_._2.nonEmpty)
+    def jac(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val truePairs = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib && jac(sa, sb) >= 0.5
+    } yield (ia, ib)).toSet
+    // precision 1: the exact-Jaccard verify admits only true pairs
+    assert(ours.subsetOf(truePairs), s"false positives: ${ours -- truePairs}")
+    // recall 1 on exact dups: identical text -> identical signature ->
+    // collides in EVERY band, deterministically
+    val planted = all.collect {
+      case (id, _) if id >= 10000L && id < 20000L => (id - 10000L, id)
+    }.toSet
+    assert(planted.subsetOf(ours), s"missed exact dups: ${planted -- ours}")
+    // bounded loss at tau on the rest: banding with 4 bands of 4 rows
+    // keeps most high-Jaccard pairs (deterministic under the fixed
+    // seed; P(candidate) ≈ 0.88 at J=0.8, 0.99 at J=0.9)
+    val highJ = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib && jac(sa, sb) >= 0.8
+    } yield (ia, ib)).toSet
+    val recall = (ours & highJ).size.toDouble / math.max(1, highJ.size)
+    assert(recall >= 0.6, s"high-J recall $recall (found ${(ours & highJ).size} of ${highJ.size})")
+  }
+
+  test("simhashPairs equals signature brute force (banding lossless <= 3 bits)") {
+    import spark.implicits._
+    val all = sigCorpus()
+    val df = all.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // pigeonhole: <= 3 differing bits cannot touch all 4 16-bit bands,
+    // so banded candidates ⊇ every within-3 pair — output must EQUAL
+    // the all-pairs scan over the signatures, not approximate it
+    val sigs = operators.DedupOps.simhashSigs(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val ours = operators.DedupOps.simhashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ours == expected,
+      s"missed: ${expected -- ours}; extra: ${ours -- expected}")
+    // exact dups are hamming 0 and must all appear
+    val planted = all.collect {
+      case (id, _) if id >= 10000L && id < 20000L => (id - 10000L, id)
+    }.toSet
+    assert(planted.subsetOf(ours), s"missed exact dups: ${planted -- ours}")
+  }
+
   test("saltedCount equals groupBy count on skewed random keys") {
     import spark.implicits._
     val rows = (1 to 30000).map { _ =>
