@@ -37,7 +37,12 @@ object ScaleJoins {
       .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
     val dim = li.groupBy("l_returnflag")
       .agg(sumQty("l_quantity").as("flag_total_qty"))
-    Skew.saltedJoin(li, dim, "l_returnflag", factor = 16)
+    // shuffle_hash hint: salting exists for the case where the small
+    // side CANNOT broadcast — without the hint the fixture-sized dim
+    // broadcasts and the (key, salt) shuffle the key demonstrates
+    // never materializes. With it, the plan shuffles both sides on
+    // (l_returnflag, __salt): each hot key spreads over 16 reducers.
+    Skew.saltedJoin(li, dim.hint("shuffle_hash"), "l_returnflag", factor = 16)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         sumQty("l_quantity").as("sum_qty"),

@@ -90,7 +90,14 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("q_skew_join: salted plan, identical result to the plain join") {
     import graft.operators.ScaleJoins
-    val got = ScaleJoins.qSkewJoin(spark, sf).collect()
+    val df = ScaleJoins.qSkewJoin(spark, sf)
+    // the join really shuffles on (key, salt) — the hot key spreads
+    // across `factor` reducers instead of landing on one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join must take the shuffle path:\n$plan")
+    val got = df.collect()
     val li = Tables.load(spark, sf, "lineitem")
     val dim = li.groupBy("l_returnflag")
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
