@@ -599,6 +599,89 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four aggregation grains
+    * in ONE pass — both keys, each alone, grand total — completing
+    * the multi-grain family (rollup = hierarchy, grouping sets =
+    * explicit list, cube = powerset). Same partial-agg map-side
+    * expansion as rollup. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** RANGE-frame window: per-user trailing-one-hour event-value sum.
+    * Frame bounds live in VALUE space (event-time micros), not row
+    * space — the complementary frame type to q_window_running's rows
+    * frame, and the exact-sliding-window shape q_events_window's
+    * fixed buckets approximate. Peers (equal timestamps) aggregate
+    * together in both engines, so ties stay deterministic. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("us"),
+        sum(d2(col("value"))).over(w).cast(DoubleType).as("hour_sum"),
+        count(lit(1)).over(w).as("n_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS hour_sum,
+      |  COUNT(*) OVER w AS n_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Lateral explode (LATERAL VIEW / unnest WITH ORDINALITY): each
+    * document fans out to (doc, position, token) rows via posexplode
+    * — the row-generating operator the ETL surface lacks elsewhere —
+    * then re-aggregates to corpus top-20 tokens with first-occurrence
+    * position, proving the ordinal survives the pipeline. */
+  def qExplodeLateral(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), x => x =!= ""))
+          .as(Seq("pos", "tok")))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 100000L + col("pos")).as("first_seen"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  val qExplodeLateralSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+      |  FROM tok)
+      |SELECT u.tok AS tok, COUNT(*) AS n,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(doc_id * 100000 + u.pos) AS first_seen
+      |FROM t GROUP BY u.tok
+      |ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   /** HyperLogLog distinct-count sketches [T]: the constant-memory
     * path for distincts at 100 TB, where exact countDistinct keeps
     * per-key hash sets. rsd=0.02 → ~1.5 KB sketch per group
@@ -637,6 +720,9 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_cube" -> (qCube _),
+    "q_window_range" -> (qWindowRange _),
+    "q_explode_lateral" -> (qExplodeLateral _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -661,5 +747,8 @@ object Relational {
     "q_percentile" -> qPercentileSql,
     "q_sessionize" -> qSessionizeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
-    "q_scalar_subquery" -> qScalarSubquerySql)
+    "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_cube" -> qCubeSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_explode_lateral" -> qExplodeLateralSql)
 }
