@@ -273,6 +273,55 @@ object StreamOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  // ---- DuckDB oracles for the streaming keys -------------------
+  // A drained bounded stream's final state equals the batch
+  // aggregation by Structured Streaming's semantics (the parity
+  // specs assert it against the batch twins), so each streaming
+  // key's OUTPUT is plain-SQL-expressible and the driver can
+  // hash-verify it — the streaming machinery must be invisible in
+  // the answer, exactly like salting in q_skew_join.
+
+  val streamEventsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Same session rebuild as qSessionWindowSql, minus the value sum
+    * (the streaming key emits counts only). */
+  val streamSessionsSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** value carries exactly 2 decimals, so value*100 is within 1e-10
+    * of an integer and both engines' round() agree (the HALF_UP vs
+    * half-away divergence needs an exact .5, which cannot occur). */
+  val streamUserStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEventsWindow _),
     "stream_user_state" -> (streamUserState _),
@@ -281,5 +330,9 @@ object StreamOps {
     "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
-    "q_session_window" -> qSessionWindowSql)
+    "q_session_window" -> qSessionWindowSql,
+    "stream_events" -> streamEventsSql,
+    "stream_sessions" -> streamSessionsSql,
+    "stream_user_state" -> streamUserStateSql,
+    "stream_dedup" -> streamDedupSql)
 }
