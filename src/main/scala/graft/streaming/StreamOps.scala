@@ -47,13 +47,29 @@ object StreamOps {
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  private def streamingSession(parent: SparkSession): SparkSession =
-    streamSessions.computeIfAbsent(parent, { p =>
-      val s = p.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      s
+  private def streamingSession(parent: SparkSession): SparkSession = {
+    val s = streamSessions.computeIfAbsent(parent, { p =>
+      val child = p.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "4")
+      child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      child
     })
+    // newSession() copies conf at creation: forward the state-backend
+    // choice on every call so a provider set on the parent AFTER the
+    // child was cached (e.g. RocksDB in the state-backend spec) still
+    // governs the streaming queries
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    parent.conf.getOption(providerKey) match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s
+  }
+
+  /** Test hook: the child session the streaming keys actually run on
+    * (specs assert conf forwarding, e.g. the RocksDB provider). */
+  private[graft] def streamingSessionForTest(parent: SparkSession): SparkSession =
+    streamingSession(parent)
 
   /** Run a bounded streaming query as ONE pass: Trigger.AvailableNow
     * plans all currently-available input, processes it, and stops

@@ -35,6 +35,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val streamed = StreamOps.streamUserState(spark, sf).collect()
+      // the provider really reaches the child session the streaming
+      // queries run on (conf is forwarded per call, not creation-time)
+      assert(StreamOps.streamingSessionForTest(spark).conf.get(key)
+        .contains("RocksDB"), "RocksDB provider not forwarded to streaming session")
       val batch = StreamOps.batchUserState(spark, sf).collect()
       assert(streamed.length == batch.length && streamed.nonEmpty)
       streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
