@@ -272,16 +272,28 @@ object DedupOps {
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitCols = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"c$b")
+    // 64 per-bit ONES counts packed four to a long (16-bit lanes): a
+    // 17-column agg buffer instead of 65. Safe while tokens/doc <
+    // 32768 — the tightest bound is the TOP lane's shifted sum
+    // reaching the sign bit, before any cross-lane carry. Sign
+    // recovers exactly — the ±1 sum is 2·ones − n, so bit b = 1 ⟺
+    // 2·ones_b >= n, boundary included.
+    val laneCols = (0 until 16).map { c =>
+      sum((0 until 4).map { k =>
+        shiftleft(shiftright(col("h"), 4 * c + k).bitwiseAND(1L), 16 * k)
+      }.reduce(_ bitwiseOR _)).as(s"p$c")
     }
     tokRows.groupBy("doc_id")
-      .agg(bitCols.head, bitCols.tail: _*)
+      .agg(laneCols.head, laneCols.tail :+ count(lit(1)).as("n"): _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => col(s"c$b"))
-          .foldLeft(lit(0L))((acc, c) =>
-            shiftleft(acc, 1).bitwiseOR(when(c >= 0, 1L).otherwise(0L)))
-          .as("sig"))
+        (0 until 64).map { b =>
+          val lane = shiftright(col(s"p${b / 4}"), 16 * (b % 4))
+            .bitwiseAND(0xFFFFL)
+          (b, lane)
+        }.foldLeft(lit(0L)) { case (acc, (_, ones)) =>
+          shiftleft(acc, 1).bitwiseOR(
+            when(ones * 2 >= col("n"), 1L).otherwise(0L))
+        }.as("sig"))
   }
 
   /** All pairs (a < b) within `maxHamming` SimHash bits — candidates
