@@ -33,8 +33,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFTAG__ lets a static oracle string reference per-corpus
+    // side-channel files (e.g. the published IVF centroid model)
+    // without cross-run clobbering — substituted with this run's tag
+    val sfTag = Integer.toHexString(sfDir.hashCode)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFTAG__", sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

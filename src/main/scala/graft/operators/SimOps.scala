@@ -185,9 +185,12 @@ object SimOps {
     * SAME doubles, closing the loop sim_ivf0 closes with raw seeds:
     * Lloyd's refinement itself isn't bit-reproducible across engines
     * (VectorMean merge order), but ranking against published
-    * centroids is. Fixed path because oracle SQL is a static string;
-    * each run overwrites it with the centroids of ITS corpus. */
-  val centroidDumpPath = "/tmp/graft_ivf_centroids.parquet"
+    * centroids is. The path is PER-CORPUS (a run against another sf
+    * dir — a bench, a spec — must not clobber the model the dumped
+    * oracle SQL references); the static SQL carries Verify's
+    * `__SFTAG__` placeholder, substituted at dump time. */
+  def centroidDumpPath(dir: String): String =
+    s"/tmp/graft_ivf_centroids_${Integer.toHexString(dir.hashCode)}.parquet"
 
   /** ANN top-k probing only the `nProbe` nearest centroid buckets per
     * query. Output schema matches sim_cosine_topk for recall checks.
@@ -198,7 +201,7 @@ object SimOps {
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val cents = cachedCentroids(s, dir)
     cents.toDF(s).coalesce(1).write.mode("overwrite")
-      .parquet(centroidDumpPath)
+      .parquet(centroidDumpPath(dir))
     ivfTopkWith(s, dir, cents)
   }
 
@@ -314,9 +317,12 @@ object SimOps {
     s"SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM c WHERE vec_id < $nCentroids")
 
   /** Lloyd-refined centroids come from the published model parquet —
-    * the exact doubles the Spark query ranked against. */
+    * the exact doubles the Spark query ranked against. `__SFTAG__`
+    * resolves to the verified corpus's tag when Verify dumps the
+    * oracle json. */
   val simIvfTopkSql: String = ivfOracleSql(
-    s"SELECT c_id, cv, cnrm FROM read_parquet('$centroidDumpPath/*.parquet')")
+    "SELECT c_id, cv, cnrm FROM " +
+      "read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
