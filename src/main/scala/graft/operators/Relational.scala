@@ -599,6 +599,60 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** UNPIVOT — the inverse of q_pivot: a wide per-status aggregate
+    * melts back to (priority, status_col, n) long form via the native
+    * unpivot operator (columns become rows; no shuffle beyond the
+    * feeding aggregate). */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("f_n"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o_n"),
+        count(when(col("o_orderstatus") === "P", 1)).as("p_n"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("f_n"), col("o_n"), col("p_n")), "status_col", "n")
+      .orderBy("o_orderpriority", "status_col")
+  }
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+      |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+      |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, status_col, n
+      |FROM wide UNPIVOT (n FOR status_col IN (f_n, o_n, p_n))
+      |ORDER BY o_orderpriority, status_col""".stripMargin
+
+  /** FULL OUTER join with unmatched rows on BOTH sides (filters carve
+    * disjoint nation ranges so each side has keys the other lacks) —
+    * completing the join-type family alongside left-outer, semi/anti
+    * and the inner variants. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey") >= 5)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val p = Tables.load(s, dir, "supplier")
+      .filter(col("s_nationkey") < 15)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val qFullOuterSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      |  WHERE c_nationkey >= 5 GROUP BY 1),
+      |p AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |  WHERE s_nationkey < 15 GROUP BY 1)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+      |FROM c FULL OUTER JOIN p ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** CUBE over (returnflag, linestatus): all four aggregation grains
     * in ONE pass — both keys, each alone, grand total — completing
     * the multi-grain family (rollup = hierarchy, grouping sets =
@@ -723,6 +777,8 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_window_range" -> (qWindowRange _),
     "q_explode_lateral" -> (qExplodeLateral _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_full_outer" -> (qFullOuter _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
@@ -750,5 +806,7 @@ object Relational {
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_cube" -> qCubeSql,
     "q_window_range" -> qWindowRangeSql,
-    "q_explode_lateral" -> qExplodeLateralSql)
+    "q_explode_lateral" -> qExplodeLateralSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_full_outer" -> qFullOuterSql)
 }
