@@ -36,7 +36,10 @@ object MultimodalOps {
 
   /** Payload formulas — shared verbatim by the generator, the spec
     * and the DuckDB oracle. One in ten payloads is non-image bytes
-    * (exercises the fallback); one in three images is BMP. */
+    * (exercises the fallback); one in five is a MULTI-FRAME TIFF
+    * (the JDK TIFF plugin writes real multi-image files, so frame
+    * enumeration and sampling run against genuine frames); one in
+    * three of the rest is BMP. */
   def widthFor(id: Long): Int = (8 + (id * 7) % 56).toInt
   def heightFor(id: Long): Int = (8 + (id * 11) % 40).toInt
   def redFor(id: Long): Int = ((id * 37) % 256).toInt
@@ -44,26 +47,46 @@ object MultimodalOps {
   def blueFor(id: Long): Int = ((id * 83) % 256).toInt
   def isOpaque(id: Long): Boolean = id % 10 == 7
   def fmtFor(id: Long): String =
-    if (isOpaque(id)) "opaque" else if (id % 3 == 0) "bmp" else "png"
+    if (isOpaque(id)) "opaque"
+    else if (id % 5 == 4) "tiff"
+    else if (id % 3 == 0) "bmp" else "png"
+  def framesFor(id: Long): Int =
+    if (isOpaque(id)) 0 else if (fmtFor(id) == "tiff") (2 + id % 3).toInt else 1
+
+  private def solidImage(id: Long): BufferedImage = {
+    val img = new BufferedImage(widthFor(id), heightFor(id),
+      BufferedImage.TYPE_INT_RGB)
+    val rgb = (redFor(id) << 16) | (greenFor(id) << 8) | blueFor(id)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
 
   /** Deterministic real media bytes: a solid-color WxH image encoded
-    * as an actual PNG or BMP file, or raw text bytes for the opaque
-    * branch. Solid fill keeps every decoded statistic formula-
-    * computable while the byte stream stays a real codec product. */
+    * as an actual PNG/BMP file — or a real multi-frame TIFF via the
+    * writer's sequence API — or raw text bytes for the opaque branch.
+    * Solid fill keeps every decoded statistic formula-computable
+    * while the byte stream stays a real codec product. */
   def payloadFor(id: Long): Array[Byte] =
     if (isOpaque(id)) s"opaque payload $id not an image".getBytes("UTF-8")
     else {
-      val img = new BufferedImage(widthFor(id), heightFor(id),
-        BufferedImage.TYPE_INT_RGB)
-      val rgb = (redFor(id) << 16) | (greenFor(id) << 8) | blueFor(id)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, fmtFor(id), out)
+      if (fmtFor(id) == "tiff") {
+        val w = ImageIO.getImageWritersByFormatName("tiff").next()
+        val ios = ImageIO.createImageOutputStream(out)
+        try {
+          w.setOutput(ios)
+          w.prepareWriteSequence(null)
+          (0 until framesFor(id)).foreach { _ =>
+            w.writeToSequence(new javax.imageio.IIOImage(solidImage(id), null, null), null)
+          }
+          w.endWriteSequence()
+        } finally { w.dispose(); ios.close() }
+      } else ImageIO.write(solidImage(id), fmtFor(id), out)
       out.toByteArray
     }
 
@@ -112,7 +135,12 @@ object MultimodalOps {
         else {
           val rd = readers.next()
           rd.setInput(iis)
-          val fmt = rd.getFormatName.toLowerCase
+          // the JDK TIFF reader reports "tif"; normalize to the
+          // generator/oracle spelling
+          val fmt = rd.getFormatName.toLowerCase match {
+            case "tif" => "tiff"
+            case f => f
+          }
           val nFrames = rd.getNumImages(true)
           val img = rd.read(0)
           rd.dispose()
@@ -229,8 +257,11 @@ object MultimodalOps {
       |SELECT doc_id,
       |  CASE WHEN opaque THEN -1 ELSE w END AS width,
       |  CASE WHEN opaque THEN -1 ELSE h END AS height,
-      |  CASE WHEN opaque THEN 0 ELSE 1 END AS n_frames,
+      |  CASE WHEN opaque THEN 0
+      |       WHEN doc_id % 5 = 4 THEN CAST(2 + doc_id % 3 AS INT)
+      |       ELSE 1 END AS n_frames,
       |  CASE WHEN opaque THEN 'opaque'
+      |       WHEN doc_id % 5 = 4 THEN 'tiff'
       |       WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
       |  CASE WHEN opaque THEN -1 ELSE w * h * rgb END AS px_sum,
       |  CASE WHEN opaque THEN -1 ELSE ow END AS out_width,

@@ -57,23 +57,29 @@ class StreamPipelineSpec extends AnyFunSuite {
         assert(r.getAs[String]("sampled_frames") == "")
       } else {
         // TRUE decoded dimensions of real image bytes — ImageIO read
-        // the payload the generator encoded
+        // the payload the generator encoded (incl. real multi-frame
+        // TIFF enumeration via getNumImages)
         assert(r.getAs[Int]("width") == MultimodalOps.widthFor(id))
         assert(r.getAs[Int]("height") == MultimodalOps.heightFor(id))
-        assert(r.getAs[Int]("n_frames") == 1)
+        assert(r.getAs[Int]("n_frames") == MultimodalOps.framesFor(id))
         assert(r.getAs[String]("decoder") ==
           s"imageio:${MultimodalOps.fmtFor(id)}+resize224+sample4")
         // real resize preserves the 224 bound on the long edge
         assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == 224)
+        val n = r.getAs[Int]("n_frames")
         val frames = r.getAs[String]("sampled_frames").split(",").map(_.toInt).toSeq
-        assert(frames.nonEmpty && frames.size <= 4 &&
-          frames.forall(f => f >= 0 && f < r.getAs[Int]("n_frames")))
+        assert(frames.size == math.min(n, 4) &&
+          frames.forall(f => f >= 0 && f < n) &&
+          frames == frames.sorted)
+        if (n > 1) assert(frames.distinct.size == frames.size)
       }
       // payload magic bytes match the claimed codec
       val magic = r.getAs[String]("magic_hex")
       MultimodalOps.fmtFor(id) match {
         case "png" => assert(magic == "89504E47")
         case "bmp" => assert(magic.startsWith("424D"))
+        case "tiff" => // II*\0 little- or MM\0* big-endian
+          assert(magic == "49492A00" || magic == "4D4D002A", magic)
         case _ => assert(magic == "6F706171") // "opaq"
       }
     }
