@@ -116,7 +116,8 @@ object MultimodalOps {
     * mapPartitions, no re-shuffle between media stages). */
   private case class Decoded(doc_id: Long, n_bytes: Int, magic_hex: String,
       payload_crc: Long, width: Int, height: Int, n_frames: Int,
-      fmt: String, px_sum: Long, img: Option[BufferedImage])
+      fmt: String, px_sum: Long, sampled: Seq[Int], sampled_px_sum: Long,
+      img: Option[BufferedImage])
 
   /** Real partition-batched decode: ImageIO format sniffing + frame
     * count + first-frame raster read, pixel checksum = sum of R+G+B
@@ -131,7 +132,7 @@ object MultimodalOps {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext)
           Decoded(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
-            -1, -1, 0, "opaque", -1L, None)
+            -1, -1, 0, "opaque", -1L, Nil, -1L, None)
         else {
           val rd = readers.next()
           rd.setInput(iis)
@@ -143,9 +144,17 @@ object MultimodalOps {
           }
           val nFrames = rd.getNumImages(true)
           val img = rd.read(0)
+          // uniform frame sampling reads each sampled frame's RASTER
+          // (not just its index) while the reader session is open —
+          // the cross-frame checksum proves every sampled frame
+          // decoded, and is still a formula product for the oracle
+          val nSample = math.min(nFrames, 4)
+          val sampled = 0 until nSample map { i => i * nFrames / nSample }
+          val sampledSum = sampled.map(i => sumRGB(rd.read(i))).sum
           rd.dispose()
           Decoded(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
-            img.getWidth, img.getHeight, nFrames, fmt, sumRGB(img), Some(img))
+            img.getWidth, img.getHeight, nFrames, fmt, sumRGB(img),
+            sampled, sampledSum, Some(img))
         }
       } finally iis.close()
     }
@@ -156,8 +165,9 @@ object MultimodalOps {
     * array cells crash its row ordering. */
   case class ProcessedRow(doc_id: Long, n_bytes: Int, magic_hex: String,
       payload_crc: Long, width: Int, height: Int, n_frames: Int,
-      fmt: String, px_sum: Long, out_width: Int, out_height: Int,
-      out_px_sum: Long, sampled_frames: String, decoder: String)
+      fmt: String, px_sum: Long, sampled_px_sum: Long, out_width: Int,
+      out_height: Int, out_px_sum: Long, sampled_frames: String,
+      decoder: String)
 
   /** Real resize + uniform frame sampling: nearest-neighbor raster
     * scale into an aspect-preserving 224 box (long edge = 224),
@@ -169,8 +179,8 @@ object MultimodalOps {
       case d if d.img.isEmpty =>
         ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
           d.width, d.height, d.n_frames, d.fmt, d.px_sum,
-          out_width = -1, out_height = -1, out_px_sum = -1L,
-          sampled_frames = "", decoder = "opaque")
+          sampled_px_sum = -1L, out_width = -1, out_height = -1,
+          out_px_sum = -1L, sampled_frames = "", decoder = "opaque")
       case d =>
         val src = d.img.get
         // floor(x+0.5) rounding: bit-identical in Spark and DuckDB,
@@ -185,11 +195,9 @@ object MultimodalOps {
         g.drawImage(src, 0, 0, ow, oh, null)
         g.dispose()
         val sum = sumRGB(dst)
-        val nSample = math.min(d.n_frames, 4)
-        val sampled = 0 until nSample map { i => i * d.n_frames / nSample }
         ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
           d.width, d.height, d.n_frames, d.fmt, d.px_sum,
-          ow, oh, sum, sampled.mkString(","),
+          d.sampled_px_sum, ow, oh, sum, d.sampled.mkString(","),
           decoder = s"imageio:${d.fmt}+resize224+sample4")
     }
 
@@ -238,7 +246,7 @@ object MultimodalOps {
     // partition-boundary sampling
     processed(s, dir).toDF()
       .select("doc_id", "width", "height", "n_frames", "fmt",
-        "px_sum", "out_width", "out_height", "out_px_sum")
+        "px_sum", "sampled_px_sum", "out_width", "out_height", "out_px_sum")
 
   val mmDecodeSql: String =
     """WITH f AS (
@@ -264,6 +272,9 @@ object MultimodalOps {
       |       WHEN doc_id % 5 = 4 THEN 'tiff'
       |       WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
       |  CASE WHEN opaque THEN -1 ELSE w * h * rgb END AS px_sum,
+      |  CASE WHEN opaque THEN -1
+      |       WHEN doc_id % 5 = 4 THEN least(2 + doc_id % 3, 4) * w * h * rgb
+      |       ELSE w * h * rgb END AS sampled_px_sum,
       |  CASE WHEN opaque THEN -1 ELSE ow END AS out_width,
       |  CASE WHEN opaque THEN -1 ELSE oh END AS out_height,
       |  CASE WHEN opaque THEN -1 ELSE ow * oh * rgb END AS out_px_sum
