@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *  - facts (orders, lineitem, events) shift their keys in lockstep
   *    so joins stay consistent; dims (region, nation, customer,
   *    supplier, part) stay fixed, exactly as TPC-H scaling does.
-  * events keeps its raw int64-nanos ts column (the Tables.load
-  * contract), so copies densify each user's timeline 10× — sessions
-  * gain events, as-of right arrays gain versions: the stress shape a
-  * 10× data growth actually has.
+  * events is written as a SINGLE parquet file with ts as a real
+  * TIMESTAMP(MICROS) column — the same shape the driver fixtures have
+  * (one file per table, timestamp-typed ts) — so the streaming keys'
+  * file source and DuckDB timestamp oracles both work on a scaled
+  * corpus. Copies densify each user's timeline 10× — sessions gain
+  * events, as-of right arrays gain versions: the stress shape a 10×
+  * data growth actually has.
   */
 object GenScale {
 
@@ -34,6 +37,9 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
+    // the per-copy text rotations (below) are distinct only while
+    // 13*i stays unique mod 35 — enough for any realistic sweep
+    require(factor <= 35, s"factor $factor > 35 would repeat a text rotation")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,9 +70,16 @@ object GenScale {
     out("lineitem", copies(raw("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + i * shift)
     })
-    out("events", copies(raw("events")) { (d, i) =>
+    // events: single file + a real timestamp column (driver-fixture
+    // shape): the streaming file source globs `events.parquet` as a
+    // FILE, and DuckDB oracles need ts as a timestamp, not raw int64
+    // nanos — so convert nanos→micros on write (the same truncation
+    // Tables.load applies on read) and collapse to one part file
+    val eventsScaled = copies(raw("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + i * shift)
-    })
+    }.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    writeSingleFile(eventsScaled, s"$outDir/events.parquet")
+    println(s"[gen] events: ${spark.read.parquet(s"$outDir/events.parquet").count()} rows")
 
     // full alphabet+digit rotation per copy: EVERY token mutates, so
     // no shingle survives across copies (a vowel-only rotation left
@@ -74,13 +87,17 @@ object GenScale {
     // collisions that exploded the near-dup candidate space ~6x —
     // a generator artifact, not an operator cost)
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
-    def rot(i: Int): String =
-      alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+    def rot(off: Int): String =
+      alpha.drop(off % alpha.length) + alpha.take(off % alpha.length)
+    // offset 1 + (13*i mod 35) lands in [1,35]: never 0 mod 36 (an
+    // offset ≡ 0 is the IDENTITY rotation — the old 7*i+1 scheme hit
+    // it at copy 5, planting verbatim cross-copy duplicates), and
+    // gcd(13,35)=1 keeps offsets distinct across copies ≤ 35
     out("documents", copies(raw("documents")) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + i * shift)
         .withColumn("text",
           if (i == 0) col("text")
-          else translate(col("text"), alpha, rot(7 * i + 1)))
+          else translate(col("text"), alpha, rot(1 + (13 * i) % 35)))
     })
     out("embeddings", copies(raw("embeddings")) { (d, i) =>
       val noised =
@@ -93,5 +110,27 @@ object GenScale {
     })
 
     spark.stop()
+  }
+
+  /** Spark writes directories; the driver fixtures are single FILES
+    * named `<table>.parquet` (which the streaming source's
+    * pathGlobFilter relies on). Collapse a one-partition write to
+    * that shape: write to a temp dir, move the part file, clean up. */
+  private def writeSingleFile(df: org.apache.spark.sql.Dataset[_],
+      target: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = target + "._tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(target)) // prior run may have left a dir here
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.move(part.toPath, Paths.get(target),
+      StandardCopyOption.REPLACE_EXISTING)
+    rm(new java.io.File(tmp))
   }
 }

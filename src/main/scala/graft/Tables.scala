@@ -30,11 +30,13 @@ object Tables {
     all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // driver fixtures store ts as TIMESTAMP(NANOS) (read as int64 under
+    // nanosAsLong → truncate to micros here); GenScale'd corpora write
+    // ts as a real TIMESTAMP(MICROS) already — branch on the type
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
   }
 }

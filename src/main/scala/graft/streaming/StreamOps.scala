@@ -30,6 +30,31 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The same schema for corpora whose ts is a real TIMESTAMP column
+    * (GenScale-written scaled corpora). */
+  val eventsTsSchema: StructType = StructType(
+    eventsRawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** Streaming read of a corpus's events table, normalized to a
+    * timestamp `ts` whichever physical shape the corpus has: the
+    * driver fixtures store a single FILE `events.parquet` with int64
+    * nanos (matched via pathGlobFilter, truncated to micros exactly as
+    * Tables.load does), while GenScale'd corpora carry a real
+    * TIMESTAMP(MICROS) column. The batch footer read picks the schema
+    * — file sources can't infer streaming schemas. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val tsIsLong =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    val raw = spark.readStream
+      .schema(if (tsIsLong) eventsRawSchema else eventsTsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Shared streaming child session (one per parent): same
@@ -47,23 +72,41 @@ object StreamOps {
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
+  /** State-partition count knob: at scale state size and input rate
+    * set it (exactly as batch shuffle.partitions); the fixture default
+    * is a handful. */
+  val statePartitionsKey = "spark.graft.stream.statePartitions"
+
   private def streamingSession(parent: SparkSession): SparkSession = {
     val s = streamSessions.computeIfAbsent(parent, { p =>
       val child = p.newSession()
-      child.conf.set("spark.sql.shuffle.partitions", "4")
       child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       child
     })
-    // newSession() copies conf at creation: forward the state-backend
-    // choice on every call so a provider set on the parent AFTER the
-    // child was cached (e.g. RocksDB in the state-backend spec) still
-    // governs the streaming queries
+    // newSession() copies conf at creation: forward the runtime knobs
+    // on every call so values set on the parent AFTER the child was
+    // cached (e.g. RocksDB in the state-backend spec, a cluster-sized
+    // state partition count) still govern the streaming queries
+    s.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.getOption(statePartitionsKey).getOrElse("4"))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     parent.conf.getOption(providerKey) match {
       case Some(v) => s.conf.set(providerKey, v)
       case None => s.conf.unset(providerKey)
     }
     s
+  }
+
+  /** Materialize a drained memory-sink result and DROP the sink's temp
+    * view so long-lived sessions don't accumulate stream_*_N tables.
+    * The inputs here are final aggregates (KBs), so a local relation is
+    * the right vehicle; an unbounded production stream writes to a real
+    * sink instead and never passes through this. */
+  private def collectAndDrop(spark: SparkSession, name: String,
+      df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Test hook: the child session the streaming keys actually run on
@@ -87,12 +130,7 @@ object StreamOps {
   def streamEventsWindow(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     val name = s"stream_events_${runId.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = events
+    val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -105,7 +143,8 @@ object StreamOps {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start())
-    spark.table(name).orderBy("window_start", "event_type")
+    collectAndDrop(spark, name,
+      spark.table(name).orderBy("window_start", "event_type"))
   }
 
   /** Batch twin for stream/batch parity checks (same agg over a
@@ -134,10 +173,7 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     val name = s"stream_user_state_${runId.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val events = eventsStream(spark, sfDir)
       // value is a 2-decimal double; exact integer cents keep the
       // stateful sum order-independent and oracle-comparable
       .select(col("user_id"),
@@ -163,11 +199,11 @@ object StreamOps {
       .start())
     // bounded source drains in one batch -> latest update per user is
     // the final answer
-    spark.table(name)
+    collectAndDrop(spark, name, spark.table(name)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max(col("total_cents")).as("total_cents"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   /** Batch twin of streamUserState for parity checks. */
@@ -229,12 +265,7 @@ object StreamOps {
   def streamSessions(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     val name = s"stream_sessions_${runId.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = events
+    val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), sessionGap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -248,7 +279,8 @@ object StreamOps {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start())
-    spark.table(name).orderBy("user_id", "session_start_us")
+    collectAndDrop(spark, name,
+      spark.table(name).orderBy("user_id", "session_start_us"))
   }
 
   /** Streaming exact deduplication — the streaming twin of the dedup
@@ -261,12 +293,7 @@ object StreamOps {
   def streamDedup(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     val name = s"stream_dedup_${runId.incrementAndGet()}"
-    val events = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val deduped = events
+    val deduped = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 day")
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type")
@@ -276,10 +303,10 @@ object StreamOps {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start())
-    spark.table(name)
+    collectAndDrop(spark, name, spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("event_type")
+      .orderBy("event_type"))
   }
 
   /** Batch twin of streamDedup. */
