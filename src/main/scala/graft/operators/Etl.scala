@@ -275,6 +275,28 @@ object Etl {
       |  CASE WHEN c_acctbal >= 0 THEN 'true' ELSE 'false' END AS solvent_cell
       |FROM customer""".stripMargin
 
+  /** Live JDBC round-trip through embedded Derby — the reference's
+    * essence is database I/O (MysqlParser.py:104-137 cursor extract,
+    * PsqlParser.py:101 load), so this key actually runs it: batched
+    * parallel JDBC WRITE of the customer table into a fresh Derby db,
+    * then a ranged parallel READ back (bounds from live PK stats, 4
+    * range partitions). The oracle reads the parquet twin — any
+    * type-mapping or batching defect breaks hash parity. */
+  def etlJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val conn = graft.sources.Jdbc.tempDerby("graft-derby-key")
+    val cust = Tables.load(s, dir, "customer")
+    graft.sources.Jdbc.write(cust, conn, "CUSTOMER_RT")
+    // Derby uppercases identifiers and maps VARCHAR->CLOB; restore the
+    // fixture's column names/order for the oracle compare
+    graft.sources.Jdbc
+      .partitionedRead(s, conn, "CUSTOMER_RT", "c_custkey", 4)
+      .toDF(cust.columns: _*)
+      .select(cust.columns.map(col): _*)
+  }
+
+  val etlJdbcRoundtripSql: String =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -287,7 +309,8 @@ object Etl {
     "etl_zero_date" -> (etlZeroDate _),
     "etl_type_cast" -> (etlTypeCast _),
     "etl_seq_setval" -> (etlSeqSetval _),
-    "etl_pg_escape" -> (etlPgEscape _))
+    "etl_pg_escape" -> (etlPgEscape _),
+    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "etl_rename_project" -> etlRenameProjectSql,
@@ -301,5 +324,6 @@ object Etl {
     "etl_zero_date" -> etlZeroDateSql,
     "etl_type_cast" -> etlTypeCastSql,
     "etl_seq_setval" -> etlSeqSetvalSql,
-    "etl_pg_escape" -> etlPgEscapeSql)
+    "etl_pg_escape" -> etlPgEscapeSql,
+    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql)
 }

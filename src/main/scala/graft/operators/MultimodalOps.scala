@@ -53,10 +53,22 @@ object MultimodalOps {
   def framesFor(id: Long): Int =
     if (isOpaque(id)) 0 else if (fmtFor(id) == "tiff") (2 + id % 3).toInt else 1
 
-  private def solidImage(id: Long): BufferedImage = {
+  /** Per-frame channel offset: frame i of a multi-frame payload is
+    * filled with (chan + 29·i) % 256 — frame 0 keeps the base color
+    * (so px_sum and the resize statistics are frame-0 formulas), and
+    * every later frame differs, which makes the cross-frame sampled
+    * checksum pin the EXACT sampled index set: a decoder that re-read
+    * frame 0 n times would no longer match the oracle. */
+  def frameChan(base: Int, frame: Int): Int = (base + 29 * frame) % 256
+  def frameRgbSum(id: Long, frame: Int): Long =
+    frameChan(redFor(id), frame) + frameChan(greenFor(id), frame) +
+      frameChan(blueFor(id), frame)
+
+  private def solidImage(id: Long, frame: Int = 0): BufferedImage = {
     val img = new BufferedImage(widthFor(id), heightFor(id),
       BufferedImage.TYPE_INT_RGB)
-    val rgb = (redFor(id) << 16) | (greenFor(id) << 8) | blueFor(id)
+    val rgb = (frameChan(redFor(id), frame) << 16) |
+      (frameChan(greenFor(id), frame) << 8) | frameChan(blueFor(id), frame)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -81,8 +93,8 @@ object MultimodalOps {
         try {
           w.setOutput(ios)
           w.prepareWriteSequence(null)
-          (0 until framesFor(id)).foreach { _ =>
-            w.writeToSequence(new javax.imageio.IIOImage(solidImage(id), null, null), null)
+          (0 until framesFor(id)).foreach { i =>
+            w.writeToSequence(new javax.imageio.IIOImage(solidImage(id, i), null, null), null)
           }
           w.endWriteSequence()
         } finally { w.dispose(); ios.close() }
@@ -239,7 +251,9 @@ object MultimodalOps {
     * DuckDB from the payload formulas — real ImageIO decode + real
     * raster resize on the Spark side, pure arithmetic on the oracle
     * side. Solid fill makes both pixel checksums exact products:
-    * px_sum = w·h·(r+g+b), out_px_sum = ow·oh·(r+g+b). */
+    * px_sum = w·h·(r+g+b), out_px_sum = ow·oh·(r+g+b), and the
+    * per-frame fill offsets make sampled_px_sum the sum over the
+    * exact sampled frame indices. */
   def mmDecode(s: SparkSession, dir: String): DataFrame =
     // no orderBy: the compare harness sorts rows canonically, and a
     // range sort here would re-execute the codec pipeline for
@@ -254,6 +268,9 @@ object MultimodalOps {
       |    doc_id % 10 = 7 AS opaque,
       |    CAST(8 + (doc_id * 7) % 56 AS INT) AS w,
       |    CAST(8 + (doc_id * 11) % 40 AS INT) AS h,
+      |    (doc_id * 37) % 256 AS fr,
+      |    (doc_id * 59) % 256 AS fg,
+      |    (doc_id * 83) % 256 AS fb,
       |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS rgb
       |  FROM documents),
       |r AS (
@@ -273,7 +290,15 @@ object MultimodalOps {
       |       WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
       |  CASE WHEN opaque THEN -1 ELSE w * h * rgb END AS px_sum,
       |  CASE WHEN opaque THEN -1
-      |       WHEN doc_id % 5 = 4 THEN least(2 + doc_id % 3, 4) * w * h * rgb
+      |       WHEN doc_id % 5 = 4 THEN w * h * (
+      |         rgb
+      |         + (fr + 29) % 256 + (fg + 29) % 256 + (fb + 29) % 256
+      |         + CASE WHEN 2 + doc_id % 3 >= 3
+      |             THEN (fr + 58) % 256 + (fg + 58) % 256 + (fb + 58) % 256
+      |             ELSE 0 END
+      |         + CASE WHEN 2 + doc_id % 3 >= 4
+      |             THEN (fr + 87) % 256 + (fg + 87) % 256 + (fb + 87) % 256
+      |             ELSE 0 END)
       |       ELSE w * h * rgb END AS sampled_px_sum,
       |  CASE WHEN opaque THEN -1 ELSE ow END AS out_width,
       |  CASE WHEN opaque THEN -1 ELSE oh END AS out_height,
