@@ -751,6 +751,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** approx_percentile beside the exact percentile: the
+    * constant-memory quantile at 100 TB. The exact form keeps the
+    * whole sorted group; the approximate one keeps a fixed-size
+    * KLL/GK-style summary per group (accuracy parameter = 10000 →
+    * rank error ≤ 1/10000) and merges map-side. Sketch internals
+    * differ per engine by design, so like q_approx_distinct the
+    * contract is spec-checked (bounded error vs the exact key), not
+    * hash-checked. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("ap25"),
+        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("ap75"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
@@ -779,7 +797,8 @@ object Relational {
     "q_explode_lateral" -> (qExplodeLateral _),
     "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,

@@ -70,11 +70,26 @@ object ScaleJoins {
     * sort-merge path so the bucket layout, not a broadcast, carries
     * the join at every scale; the only Exchange in the plan is the
     * 3-group final aggregate. */
+  /** Corpus identity for the one-time layout: path PLUS the source
+    * files' byte sizes and mtimes — a regenerated fixture at the same
+    * path must rebuild the bucketed tables, not silently reuse a
+    * stale layout persisted in the warehouse by an earlier session. */
+  private[graft] def corpusTag(dir: String, tables: Seq[String]): String = {
+    def stat(f: java.io.File): String =
+      if (f.isDirectory) {
+        val fs = f.listFiles()
+        s"${fs.map(_.length).sum}:${if (fs.isEmpty) 0L else fs.map(_.lastModified).max}"
+      } else s"${f.length}:${f.lastModified}"
+    val sig = tables.map(t => s"$t=${stat(new java.io.File(s"$dir/$t.parquet"))}")
+      .mkString("|")
+    java.lang.Long.toHexString((dir + "|" + sig).hashCode.toLong & 0xffffffffL)
+  }
+
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
-    // layout is ONE-TIME per corpus: table names carry the source-dir
-    // identity, and an already-laid-out table is reused — repeated
+    // layout is ONE-TIME per corpus: table names carry the corpus
+    // fingerprint, and an already-laid-out table is reused — repeated
     // queries measure the recurring exchange-free join, not the write
-    val tag = Integer.toHexString(dir.hashCode)
+    val tag = corpusTag(dir, Seq("lineitem", "orders"))
     val liTab = s"graft_li_bucketed_$tag"
     val ordTab = s"graft_ord_bucketed_$tag"
     if (!s.catalog.tableExists(liTab))

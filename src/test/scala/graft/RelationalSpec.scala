@@ -58,6 +58,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_percentile stays within rank-error of the exact quantiles") {
+    val approx = operators.Relational.qApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = operators.Relational.qPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    // accuracy 10000 bounds rank error at 1/10000; at fixture size
+    // that means the sketch answer must land within a whisker of the
+    // exact interpolated quantile — assert a conservative 2% value
+    // tolerance (the sketch returns an actual sample, the exact form
+    // interpolates between two)
+    approx.foreach { case (k, as) =>
+      as.zip(exact(k)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.abs(e) < 0.02,
+          s"approx quantile $a too far from exact $e for group $k")
+      }
+    }
+  }
+
   test("q_semi_anti partitions the customer table") {
     val m = operators.Relational.qSemiAnti(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

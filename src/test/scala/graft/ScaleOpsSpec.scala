@@ -142,6 +142,81 @@ class ScaleOpsSpec extends AnyFunSuite {
     got.zip(plain).foreach { case (g, p) => assert(g == p) }
   }
 
+  test("AQE splits the skewed partitions of the UNSALTED join") {
+    // the measured comparison behind the salting choice: the same
+    // skewed join q_skew_join salts by hand, handled here by AQE's
+    // runtime skew-split instead (thresholds forced fixture-low).
+    // DEPLOY.md records when manual salting still wins.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the fixture parquet is ONE split = one map task, and AQE can
+      // only split a skewed reduce partition at mapper granularity —
+      // spread the scan over several mappers first, as a real corpus's
+      // many input splits would be
+      val li = Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+        .repartition(8)
+      // MEASURED CONSTRAINT (recorded in DEPLOY.md): with the dim
+      // aggregated INLINE — q_skew_join's exact shape — the rule never
+      // fires: OptimizeSkewedJoin matches a shuffle stage directly
+      // under the join's Sort, and the interposed HashAggregate breaks
+      // the pattern. Materialize the dim first (as a real workload's
+      // dim table already is) and AQE handles the skew.
+      val dimPath = java.nio.file.Files
+        .createTempDirectory("graft-aqe-dim").resolve("dim").toString
+      li.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("flag_total_qty"))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val joined = li.hint("merge").join(dim, "l_returnflag")
+      // collect() (not count(), which plans its own query) so THIS
+      // QueryExecution runs and AQE finalizes its re-planned tree
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partitions:\n$plan")
+      // runtime splitting must be invisible in the result
+      assert(rows.length == li.count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("regenerated corpus rebuilds the bucket layout (tag tracks content)") {
+    import graft.operators.ScaleJoins
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-bucket-tag").toString
+    for (t <- Seq("lineitem", "orders"))
+      Files.copy(Paths.get(s"$sf/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    val tag1 = ScaleJoins.corpusTag(tmp, Seq("lineitem", "orders"))
+    val r1 = ScaleJoins.qBucketJoin(spark, tmp).collect()
+    assert(spark.catalog.tableExists(s"graft_li_bucketed_$tag1"),
+      "first run must lay out the bucketed tables under the corpus tag")
+    // regenerate the fixture at the SAME path: same rows, new mtime —
+    // the fingerprint must change so the layout is rebuilt, never
+    // silently reused from a previous corpus generation
+    val li = Paths.get(s"$tmp/lineitem.parquet").toFile
+    assert(li.setLastModified(li.lastModified + 2000))
+    val tag2 = ScaleJoins.corpusTag(tmp, Seq("lineitem", "orders"))
+    assert(tag2 != tag1, "corpus tag must track file mtime/size")
+    val r2 = ScaleJoins.qBucketJoin(spark, tmp).collect()
+    assert(spark.catalog.tableExists(s"graft_li_bucketed_$tag2"),
+      "regenerated corpus must get a fresh bucket layout")
+    assert(r1.sameElements(r2))
+  }
+
   test("lloyd centroids reduce quantization error vs raw seeds") {
     import graft.operators.SimOps
     import graft.functions.VectorFunctions._
