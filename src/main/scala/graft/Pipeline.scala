@@ -31,6 +31,27 @@ object Pipeline {
   case class MigrationResult(tables: Seq[TableResult],
       schemaSql: String, constraintsSql: String, viewsSql: String)
 
+  /** The per-table extract+convert plan migrate dumps: rules-driven
+    * extraction (where/joins/renames/casts) followed by the raw-dump
+    * value conversions. Factored out so the etl_pipeline_dump oracle
+    * key can compare the dump bytes against EXACTLY the frame that
+    * rendered them — any drift between this plan and what migrate
+    * writes would be a correctness bug, so they share the code. */
+  def convertedFrame(spark: SparkSession, sfDir: String, table: String,
+      changes: SchemaChanges,
+      node: NodeRules = NodeRules.mysqlToPg,
+      skipPreSql: Boolean = false): DataFrame = {
+    val src = Tables.load(spark, sfDir, table)
+    val orig = Introspect.fromSpark(src, table)
+    val td = SchemaRules.applyTable(orig, changes)
+      .map(SchemaRules.applyNode(_, node))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is skipped by the change-set"))
+    val extracted = Projector.extract(src, orig, changes.forTable(table),
+      t => Tables.load(spark, sfDir, t), Some(node), skipPreSql)
+    ValueRules.applyRawDump(extracted, td)
+  }
+
   /** Migrate a set of parquet-backed tables: apply schema rules,
     * extract per rules (where/joins/renames/casts), write PG-dialect
     * CSV dumps, and emit the full DDL bundle (create tables + FKs +
@@ -60,38 +81,40 @@ object Pipeline {
     // behind big ones
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, math.max(1, changedByOriginal.size))))
-    val futures = changedByOriginal.map { case (orig, td) => Future {
-      val ch = changes.forTable(orig.name)
-      val src = Tables.load(spark, sfDir, orig.name)
-      val extracted = Projector.extract(src, orig, ch,
-        t => Tables.load(spark, sfDir, t), Some(node), skipPreSql)
-      // per-column value conversions from the raw-dump rule dispatch
-      // (boolean/bytea/time/zero-date/FK-zero), as the reference does
-      // between extraction and CSV rendering
-      val converted = ValueRules.applyRawDump(extracted, td)
-      val outPath = s"$outDir/${td.name}"
-      val rows = sink match {
-        case PgCsv =>
-          PgCopyWriter.write(converted, outPath)
-          // count the frame, not the dump's lines: a string cell with
-          // an embedded newline is one row but two file lines
-          converted.count()
-        case ParquetLake(partitionBy) =>
-          val w = converted.write.mode("overwrite")
-          partitionBy.get(orig.name).filter(_.nonEmpty)
-            .fold(w)(cols => w.partitionBy(cols: _*))
-            .parquet(outPath)
-          spark.read.parquet(outPath).count()
-      }
-      TableResult(orig.name, td.name,
-        rows = rows,
-        ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),
-        copySql = PgSqlGen.copyStatement(td, outPath))
-    } }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    // the pool MUST be shut down before returning: its threads are
+    // non-daemon, and a leaked pool keeps the whole JVM alive after
+    // main() returns (a hung Verify/Bench process, found the hard way)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, changedByOriginal.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = try {
+      val futures = changedByOriginal.map { case (orig, td) => Future {
+        // extraction + per-column raw-dump value conversions
+        // (boolean/bytea/time/zero-date/FK-zero), as the reference does
+        // between extraction and CSV rendering
+        val converted = convertedFrame(spark, sfDir, orig.name, changes,
+          node, skipPreSql)
+        val outPath = s"$outDir/${td.name}"
+        val rows = sink match {
+          case PgCsv =>
+            PgCopyWriter.write(converted, outPath)
+            // count the frame, not the dump's lines: a string cell with
+            // an embedded newline is one row but two file lines
+            converted.count()
+          case ParquetLake(partitionBy) =>
+            val w = converted.write.mode("overwrite")
+            partitionBy.get(orig.name).filter(_.nonEmpty)
+              .fold(w)(cols => w.partitionBy(cols: _*))
+              .parquet(outPath)
+            spark.read.parquet(outPath).count()
+        }
+        TableResult(orig.name, td.name,
+          rows = rows,
+          ddl = PgSqlGen.dropTable(td) + "\n" + PgSqlGen.createTable(td),
+          copySql = PgSqlGen.copyStatement(td, outPath))
+      } }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
 
     val constraints = changed.map(td =>
       PgSqlGen.setval(td) + PgSqlGen.foreignKeys(td) + PgSqlGen.indexes(td))
@@ -117,14 +140,17 @@ object Pipeline {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val selected = dbDirs.filter { case (db, _) => db.startsWith(prefix) }
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(4, math.max(1, selected.size))))
-    val futures = selected.toSeq.map { case (db, dir) =>
-      Future(db -> migrate(spark, dir, s"$outRoot/$db", tables, changes,
-        pks = pks))
-    }
-    Await.result(Future.sequence(futures), Duration.Inf).toMap
+    // non-daemon pool: shut down before returning (see migrate)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, selected.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = selected.toSeq.map { case (db, dir) =>
+        Future(db -> migrate(spark, dir, s"$outRoot/$db", tables, changes,
+          pks = pks))
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 
   /** Write the reference's per-database artifact bundle

@@ -308,6 +308,71 @@ object Etl {
   val etlJdbcRoundtripSql: String =
     "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
 
+  /** Rule-set for the end-to-end pipeline-dump key: table rename,
+    * column rename, column skip, `_WHERE_` extraction filter, and a
+    * nullable FK reference so the raw-dump conversion (0 -> NULL)
+    * plants real NULL cells in the dump. nation rides along unchanged
+    * to exercise the multi-table orchestration. */
+  private[graft] val pipelineDumpChanges = SchemaChanges(Map(
+    "customer" -> TableChange(
+      rename = Some("clients"),
+      where = Some("c_custkey % 7 <> 3"),
+      columns = Map(
+        "c_name" -> ColumnChange(rename = Some("full_name")),
+        "c_mktsegment" -> ColumnChange(skip = true),
+        "c_nationkey" -> ColumnChange(nullable = Some(true),
+          reference = Some(Reference("nation", "n_nationkey")))))))
+
+  /** The dump location the static oracle SQL reads: keyed by the same
+    * dir-hash tag Verify substitutes for __SFTAG__. A `_GRAFT_TAG`
+    * marker carrying the corpus CONTENT fingerprint guards staleness —
+    * a regenerated fixture at the same path re-runs the migration
+    * instead of letting the oracle read a stale dump. */
+  private[graft] def pipelineDumpDir(dir: String): String =
+    s"/tmp/graft_pipeline_dump_${Integer.toHexString(dir.hashCode)}"
+
+  /** End-to-end migration dump parity — the whole orchestrated path
+    * (Pipeline.migrate: rules -> extract -> value convert ->
+    * PgCopyWriter CSV render) byte-round-trips, not just per-cell
+    * specs. The migration runs ONCE per corpus fingerprint and writes
+    * the PG \copy dump under /tmp; the DuckDB oracle parses those
+    * bytes back (read_csv with the PG single-quote dialect) while the
+    * Spark side recomputes the exact converted frame the dump rendered
+    * via the SAME code path (Pipeline.convertedFrame). Any defect in
+    * orchestration, quote doubling, NULL cells or numeric text breaks
+    * hash parity. (Float text round-trips exactly here because the
+    * node rules cast double -> decimal(18,2) before rendering — raw
+    * doubles would be bounded by PyFloatRepr's Python-2 12-significant-
+    * digit str(), which is the reference's own lossy contract.) */
+  def etlPipelineDump(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val outDir = pipelineDumpDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("customer", "nation"))
+    val tagPath = Paths.get(outDir, "_GRAFT_TAG")
+    if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+      val res = graft.Pipeline.migrate(s, dir, outDir,
+        Seq("customer", "nation"), pipelineDumpChanges,
+        pks = Map("customer" -> Seq("c_custkey"),
+          "nation" -> Seq("n_nationkey")))
+      require(res.tables.map(_.outputName).toSet == Set("clients", "nation"),
+        s"unexpected migration outputs: ${res.tables}")
+      Files.writeString(tagPath, tag)
+    }
+    // the exact frame migrate rendered; decimal -> double only for the
+    // compare harness (decimal cells hash as Decimal objects on the
+    // Spark side but float64 on the DuckDB side)
+    graft.Pipeline.convertedFrame(s, dir, "customer", pipelineDumpChanges)
+      .withColumn("c_acctbal", col("c_acctbal").cast(DoubleType))
+  }
+
+  val etlPipelineDumpSql: String =
+    """SELECT c_custkey, full_name, c_nationkey, c_acctbal
+      |FROM read_csv('/tmp/graft_pipeline_dump___SFTAG__/clients/*.txt',
+      |  columns={'c_custkey': 'BIGINT', 'full_name': 'VARCHAR',
+      |           'c_nationkey': 'INTEGER', 'c_acctbal': 'DOUBLE'},
+      |  header=false, delim=',', quote='''', escape='''',
+      |  nullstr='NULL', allow_quoted_nulls=false)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -321,7 +386,8 @@ object Etl {
     "etl_type_cast" -> (etlTypeCast _),
     "etl_seq_setval" -> (etlSeqSetval _),
     "etl_pg_escape" -> (etlPgEscape _),
-    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _))
+    "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
+    "etl_pipeline_dump" -> (etlPipelineDump _))
 
   val oracles: Map[String, String] = Map(
     "etl_rename_project" -> etlRenameProjectSql,
@@ -336,5 +402,6 @@ object Etl {
     "etl_type_cast" -> etlTypeCastSql,
     "etl_seq_setval" -> etlSeqSetvalSql,
     "etl_pg_escape" -> etlPgEscapeSql,
-    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql)
+    "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
+    "etl_pipeline_dump" -> etlPipelineDumpSql)
 }

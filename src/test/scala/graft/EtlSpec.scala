@@ -214,6 +214,52 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  // --- end-to-end pipeline dump (etl_pipeline_dump key) ---
+
+  test("etl_pipeline_dump byte-round-trips through an independent CSV parser") {
+    val outDir = Etl.pipelineDumpDir(sf)
+    val expected = Etl.etlPipelineDump(spark, sf)
+    // parse the dump bytes back with Spark's univocity CSV reader set
+    // to the PG single-quote dialect — a parser sharing no code with
+    // PgCopyWriter's hand-rendered cells
+    val parsed = spark.read
+      .schema("c_custkey BIGINT, full_name STRING, c_nationkey INT, c_acctbal DOUBLE")
+      .option("header", "false").option("quote", "'").option("escape", "'")
+      .option("nullValue", "NULL")
+      .csv(s"$outDir/clients")
+    assert(parsed.count() == expected.count())
+    assert(parsed.exceptAll(expected).isEmpty && expected.exceptAll(parsed).isEmpty,
+      "dump bytes parse back to a different table than the converted frame")
+    // the 0->NULL FK raw-dump rule planted real NULL cells in the bytes
+    assert(parsed.filter(col("c_nationkey").isNull).count() > 0)
+    // the _WHERE_ rule filtered extraction
+    assert(expected.count() <
+      Tables.load(spark, sf, "customer").count())
+    // nation rode along: its dump exists too
+    assert(new java.io.File(s"$outDir/nation").listFiles()
+      .exists(_.getName.endsWith(".txt")))
+  }
+
+  test("etl_pipeline_dump migration is write-once until the corpus changes") {
+    import java.nio.file.{Files, Paths}
+    val outDir = Etl.pipelineDumpDir(sf)
+    Etl.etlPipelineDump(spark, sf).count()
+    def dumpMtimes: Map[String, Long] =
+      new java.io.File(s"$outDir/clients").listFiles()
+        .filter(_.getName.endsWith(".txt"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val before = dumpMtimes
+    Etl.etlPipelineDump(spark, sf).count()
+    assert(dumpMtimes == before, "repeat invocation rewrote the dump")
+    // a corpus-fingerprint mismatch (regenerated fixture) forces a rebuild
+    val tagPath = Paths.get(outDir, "_GRAFT_TAG")
+    val goodTag = Files.readString(tagPath)
+    Files.writeString(tagPath, "stale")
+    Etl.etlPipelineDump(spark, sf).count()
+    assert(Files.readString(tagPath) == goodTag,
+      "stale layout was not rebuilt")
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")
