@@ -6,6 +6,46 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
+/** Centroid matrix payload for NearestCentroid with O(1)
+  * equals/hashCode/toString. The payload is a constructor arg of a
+  * Catalyst expression, and Catalyst hashes, compares and renders
+  * constructor args CONSTANTLY during analysis (canonicalization,
+  * semanticEquals, constraint propagation, argString) — naked
+  * IndexedSeq args made every one of those walks O(k·dim), which the
+  * IvfSweep measured as 14 s of planning at IVF-correct k=141 (vs
+  * 0.5 s at k=64). The content hash is folded ONCE at construction;
+  * equality fast-paths on it; toString prints the shape, not the
+  * matrix. */
+final class CentroidData(
+    val ids: Array[Int],
+    val vecs: Array[Array[Double]],
+    val nrms: Array[Double]) extends Serializable {
+
+  override val hashCode: Int = {
+    var h = java.util.Arrays.hashCode(ids)
+    h = h * 31 + java.util.Arrays.hashCode(nrms)
+    var i = 0
+    while (i < vecs.length) {
+      h = h * 31 + java.util.Arrays.hashCode(vecs(i)); i += 1
+    }
+    h
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case that: CentroidData =>
+      (this eq that) || (hashCode == that.hashCode &&
+        java.util.Arrays.equals(ids, that.ids) &&
+        java.util.Arrays.equals(nrms, that.nrms) &&
+        vecs.length == that.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), that.vecs(i))))
+    case _ => false
+  }
+
+  override def toString: String =
+    s"centroids(k=${ids.length}, dim=${if (vecs.isEmpty) 0 else vecs(0).length}, " +
+      s"#${Integer.toHexString(hashCode)})"
+}
+
 /** Nearest-centroid argmax as ONE constant-size native expression.
   *
   * The centroid matrix rides along as plain Scala data (shipped to
@@ -15,7 +55,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * columns — produces an O(k²·dim) expression tree whose analysis +
   * Janino compilation dwarfs execution once k grows (at IVF-correct
   * k≈√n the tree is unbuildable). Here the tree is 2 children
-  * regardless of k; the k-loop lives in the generated code.
+  * regardless of k; the k-loop lives in the generated code; and the
+  * matrix hides behind CentroidData so tree bookkeeping is O(1) in k
+  * too.
   *
   * Semantics (bit-compatible with the expression-chain form it
   * replaces, and with the probe-side `dotD / (nrm * cnrm)` scoring):
@@ -27,15 +69,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class NearestCentroid(
     left: Expression,
     right: Expression,
-    ids: IndexedSeq[Int],
-    cvecs: IndexedSeq[IndexedSeq[Double]],
-    cnrms: IndexedSeq[Double])
+    data: CentroidData)
   extends BinaryExpression {
 
-  @transient private lazy val idsArr: Array[Int] = ids.toArray
-  @transient private lazy val matrix: Array[Array[Double]] =
-    cvecs.map(_.toArray).toArray
-  @transient private lazy val nrmsArr: Array[Double] = cnrms.toArray
+  @transient private def idsArr: Array[Int] = data.ids
+  @transient private def matrix: Array[Array[Double]] = data.vecs
+  @transient private def nrmsArr: Array[Double] = data.nrms
 
   private def isFloatVec: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -45,11 +84,12 @@ case class NearestCentroid(
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
         if right.dataType == DoubleType =>
-      if (ids.nonEmpty && ids.length == cvecs.length && ids.length == cnrms.length)
+      if (data.ids.nonEmpty && data.ids.length == data.vecs.length &&
+          data.ids.length == data.nrms.length)
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"graft_nearest_centroid: ids/vecs/nrms sizes differ or empty " +
-          s"(${ids.length}/${cvecs.length}/${cnrms.length})")
+          s"(${data.ids.length}/${data.vecs.length}/${data.nrms.length})")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_nearest_centroid expects (array<float|double>, double), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")

@@ -19,15 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * so the sign — and the bucket — matches the declarative form and
   * the DuckDB oracle exactly.
   */
-case class SignBitsPacked(child: Expression,
-    planes: IndexedSeq[IndexedSeq[Double]])
+case class SignBitsPacked(child: Expression, planes: DoubleMatrix)
   extends UnaryExpression {
 
-  require(planes.nonEmpty && planes.length <= 64,
-    s"SignBitsPacked supports 1..64 planes, got ${planes.length}")
+  require(planes.rows.nonEmpty && planes.rows.length <= 64,
+    s"SignBitsPacked supports 1..64 planes, got ${planes.rows.length}")
 
-  @transient private lazy val matrix: Array[Array[Double]] =
-    planes.map(_.toArray).toArray
+  @transient private def matrix: Array[Array[Double]] = planes.rows
 
   private def isFloatVec: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -69,11 +69,11 @@ object VectorFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       SignBitsPacked(
         org.apache.spark.sql.GraftSqlBridge.expression(v),
-        (0 until nBits).map { jj =>
+        new DoubleMatrix((0 until nBits).map { jj =>
           val j = jj + planeOffset
           (0 until dim).map(i =>
-            ((i * (j + 3) + 7) % 13 - 6).toDouble).toIndexedSeq
-        }.toIndexedSeq))
+            ((i * (j + 3) + 7) % 13 - 6).toDouble).toArray
+        }.toArray)))
 
   /** The same bucket expression as DuckDB SQL text, for oracles. */
   def lshBucketSql(vExpr: String, dim: Int, nBits: Int,

@@ -25,7 +25,7 @@ object SimOps {
   val nQueries = 10
   val embedDim = 64
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"),
         sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
@@ -124,9 +124,7 @@ object SimOps {
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftSqlBridge.expression(v),
         org.apache.spark.sql.GraftSqlBridge.expression(nrm),
-        cents.ids.toIndexedSeq,
-        cents.vecs.map(_.toIndexedSeq).toIndexedSeq,
-        cents.nrms.toIndexedSeq))
+        new graft.functions.CentroidData(cents.ids, cents.vecs, cents.nrms)))
 
   /** Lloyd refinement: expression-argmax assignment (no shuffle), then
     * each centroid recomputed as the elementwise mean of its members
@@ -239,8 +237,18 @@ object SimOps {
     ivfTopkWith(s, dir, lloydCentroids(c, nCentroids, iters = 0))
   }
 
-  private def ivfTopkWith(s: SparkSession, dir: String,
-      cents: Centroids): DataFrame = {
+  /** The IVF pipeline at arbitrary (k, nProbe) — the shape the sweep
+    * runs at IVF-correct k≈√n. The k=16/nProbe=4 oracle keys are this
+    * with the fixture-sized defaults; NearestCentroid carries the
+    * centroid matrix as a reference object, so the expression TREE is
+    * the same size at k=141 as at k=16 and planning cost stays O(1)
+    * in k (measured by graft.IvfSweep). */
+  def ivfTopkParams(s: SparkSession, dir: String, k: Int, probes: Int,
+      iters: Int = lloydIters): DataFrame =
+    ivfTopkWith(s, dir, lloydCentroids(corpus(s, dir), k, iters), probes)
+
+  private[graft] def ivfTopkWith(s: SparkSession, dir: String,
+      cents: Centroids, probeN: Int = nProbe): DataFrame = {
     val c = corpus(s, dir)
     val assigned = assignTo(c, cents)
     val q = c.filter(col("vec_id") < nQueries)
@@ -250,7 +258,7 @@ object SimOps {
     val probes = q.crossJoin(broadcast(cents.toDF(s)))
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_id"),
         (dotD(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos_c"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= probeN)
       .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("centroid"))
     // scan only probed buckets (join keyed on centroid — bucket-local);
     // TopKPerKey keeps a bounded heap per (query, partition), so only

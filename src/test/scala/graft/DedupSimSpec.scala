@@ -89,6 +89,24 @@ class DedupSimSpec extends AnyFunSuite {
     ivf.values.foreach(s => assert(s.size == SimOps.topK))
   }
 
+  test("IVF at √n parameters (k=22, nProbe=6) keeps recall and row shape") {
+    // the fixture-scale point of the IvfSweep curve: IVF-correct
+    // k≈√n (n=500) at the oracle keys' probe fraction (25%)
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = keyed(SimOps.simCosineTopk(spark, sf).collect())
+    val ivf = keyed(SimOps.ivfTopkParams(spark, sf, k = 22, probes = 6).collect())
+    assert(ivf.keySet == exact.keySet)
+    val mean = exact.map { case (q, ex) =>
+      ivf(q).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    // more, smaller buckets at the same probe FRACTION: recall floor
+    // holds (random vectors are the worst case for any ANN)
+    assert(mean >= 0.3, s"√n-IVF mean recall too low: $mean")
+    ivf.values.foreach(s => assert(s.size == SimOps.topK))
+  }
+
   test("ANN top-k plans through the TopKPerKey partial/final operator") {
     Seq(SimOps.simCosineTopk(spark, sf), SimOps.simIvfTopk(spark, sf))
       .foreach { df =>
