@@ -49,5 +49,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // exit unconditionally: a leaked non-daemon thread must not hang
+    // the benchmarking harness after the JSON line is out (see Verify)
+    sys.exit(0)
   }
 }

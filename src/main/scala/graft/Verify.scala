@@ -42,5 +42,10 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the driver gate needs this JVM to EXIT: a leaked non-daemon
+    // thread anywhere (a library pool, an embedded DB engine) would
+    // otherwise keep the process alive after main() returns and hang
+    // the harness (seen once with migrate's executor pool)
+    sys.exit(0)
   }
 }

@@ -283,6 +283,52 @@ object StreamOps {
       spark.table(name).orderBy("user_id", "session_start_us"))
   }
 
+  /** Stream-static enrichment join — the canonical streaming lookup
+    * shape: a watermarked event stream joined to a STATIC dimension
+    * (customer segment), then windowed. The static side is planned
+    * like any batch relation (broadcast under the threshold), and the
+    * stream side never buffers join state — unlike stream-stream
+    * joins there is nothing to watermark on the right. At 100 TB/day
+    * this is THE enrichment pattern: dims refresh by restarting the
+    * query (or mapping over a Delta snapshot), state stays
+    * O(open windows). LEFT join keeps unmatched users with a NULL
+    * segment, matching the oracle's LEFT JOIN. */
+  def streamEnrich(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    val name = s"stream_enrich_${runId.incrementAndGet()}"
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+    runAvailableNow(agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    collectAndDrop(spark, name,
+      spark.table(name).orderBy("window_start", "segment"))
+  }
+
+  /** Batch twin of streamEnrich for parity checks. */
+  def batchEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "events")
+      .join(graft.Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "segment")
+
   /** Streaming exact deduplication — the streaming twin of the dedup
     * family: watermarked dropDuplicates holds one state record per
     * distinct key and evicts keys older than the watermark, so state
@@ -365,17 +411,32 @@ object StreamOps {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Spark's window('6 hours') aligns to the epoch; the oracle floors
+    * epoch micros to the same 6-hour grid. */
+  val streamEnrichSql: String =
+    """WITH e AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+      |           AS window_start,
+      |         c_mktsegment AS segment, value
+      |  FROM events LEFT JOIN customer ON user_id = c_custkey)
+      |SELECT window_start, segment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEventsWindow _),
     "stream_user_state" -> (streamUserState _),
     "q_session_window" -> (qSessionWindow _),
     "stream_sessions" -> (streamSessions _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_enrich" -> (streamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q_session_window" -> qSessionWindowSql,
     "stream_events" -> streamEventsSql,
     "stream_sessions" -> streamSessionsSql,
     "stream_user_state" -> streamUserStateSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_enrich" -> streamEnrichSql)
 }

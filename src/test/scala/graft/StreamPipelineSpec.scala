@@ -40,6 +40,15 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_enrich (stream-static dim join) equals its batch twin") {
+    val streamed = StreamOps.streamEnrich(spark, sf).collect()
+    val batch = StreamOps.batchEnrich(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    // the join enriched: at least one real segment present
+    assert(streamed.exists(r => !r.isNullAt(1)))
+  }
+
   test("mm_binary_meta: real ImageIO decode of real PNG/BMP payloads") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.mmBinaryMeta(spark, sf)
