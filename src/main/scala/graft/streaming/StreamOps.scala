@@ -329,6 +329,64 @@ object StreamOps {
         col("n_events"), col("sum_value"))
       .orderBy("window_start", "segment")
 
+  /** Stream-STREAM interval join — the funnel pattern: each click
+    * joined to the same user's purchases within the following 2 hours.
+    * Both sides are watermarked, so the state store buffers only rows
+    * inside the watermark horizon and the time-range condition lets
+    * the engine evict a side as event time advances — state is
+    * O(events in window), never O(stream). The drained bounded source
+    * makes the final pair set equal to the batch interval join, so
+    * the per-user aggregate is plain-SQL-expressible for the oracle.
+    * (The sink holds raw pairs in append mode — a streaming agg after
+    * a stream-stream join adds a second stateful operator; the
+    * bounded drain aggregates the pairs in batch instead.) */
+  def streamJoin(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    val name = s"stream_join_${runId.incrementAndGet()}"
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val pairs = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("c_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    runAvailableNow(pairs.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    collectAndDrop(spark, name, spark.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("user_id"))
+  }
+
+  /** Batch twin of streamJoin for parity checks. */
+  def batchJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("c_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** Streaming exact deduplication — the streaming twin of the dedup
     * family: watermarked dropDuplicates holds one state record per
     * distinct key and evicts keys older than the watermark, so state
@@ -411,6 +469,15 @@ object StreamOps {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  val streamJoinSql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Spark's window('6 hours') aligns to the epoch; the oracle floors
     * epoch micros to the same 6-hour grid. */
   val streamEnrichSql: String =
@@ -430,7 +497,8 @@ object StreamOps {
     "q_session_window" -> (qSessionWindow _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
-    "stream_enrich" -> (streamEnrich _))
+    "stream_enrich" -> (streamEnrich _),
+    "stream_join" -> (streamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_session_window" -> qSessionWindowSql,
@@ -438,5 +506,6 @@ object StreamOps {
     "stream_sessions" -> streamSessionsSql,
     "stream_user_state" -> streamUserStateSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_enrich" -> streamEnrichSql)
+    "stream_enrich" -> streamEnrichSql,
+    "stream_join" -> streamJoinSql)
 }

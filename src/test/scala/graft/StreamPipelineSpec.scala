@@ -49,6 +49,13 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(r => !r.isNullAt(1)))
   }
 
+  test("stream_join (stream-stream interval join) equals its batch twin") {
+    val streamed = StreamOps.streamJoin(spark, sf).collect()
+    val batch = StreamOps.batchJoin(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("mm_binary_meta: real ImageIO decode of real PNG/BMP payloads") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.mmBinaryMeta(spark, sf)
