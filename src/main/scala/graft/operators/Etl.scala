@@ -373,6 +373,46 @@ object Etl {
       |  header=false, delim=',', quote='''', escape='''',
       |  nullstr='NULL', allow_quoted_nulls=false)""".stripMargin
 
+  /** CDC upsert — the incremental counterpart of the reference's
+    * full-table reload (PsqlParser drops and re-\copies every table;
+    * at 100 TB the nightly reload becomes a change-batch MERGE). A
+    * deterministic change set derived from the base table (updates on
+    * c_custkey%10=1: +100 balance; deletes on %10=3; inserts cloning
+    * %10=7 under shifted keys) applies as the classic relational
+    * upsert: ONE left_anti shuffle removes touched base rows, unions
+    * append the new images — exactly the plan a Delta/Iceberg MERGE
+    * lowers to, expressed on plain relations so the oracle can replay
+    * it. Delete wins over update by construction (disjoint sets). */
+  def etlCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+    val updates = base.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val deletes = base.filter(col("c_custkey") % 10 === 3)
+      .select("c_custkey")
+    val inserts = base.filter(col("c_custkey") % 10 === 7)
+      .withColumn("c_custkey", col("c_custkey") + 100000L)
+    val touched = updates.select("c_custkey").unionAll(deletes)
+    base.join(touched, Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+      .orderBy("c_custkey")
+  }
+
+  val etlCdcUpsertSql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 1),
+      |ins AS (
+      |  SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
+      |         c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 7)
+      |SELECT * FROM customer
+      |WHERE c_custkey % 10 <> 1 AND c_custkey % 10 <> 3
+      |UNION ALL SELECT * FROM upd
+      |UNION ALL SELECT * FROM ins
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -387,7 +427,8 @@ object Etl {
     "etl_seq_setval" -> (etlSeqSetval _),
     "etl_pg_escape" -> (etlPgEscape _),
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
-    "etl_pipeline_dump" -> (etlPipelineDump _))
+    "etl_pipeline_dump" -> (etlPipelineDump _),
+    "etl_cdc_upsert" -> (etlCdcUpsert _))
 
   val oracles: Map[String, String] = Map(
     "etl_rename_project" -> etlRenameProjectSql,
@@ -403,5 +444,6 @@ object Etl {
     "etl_seq_setval" -> etlSeqSetvalSql,
     "etl_pg_escape" -> etlPgEscapeSql,
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
-    "etl_pipeline_dump" -> etlPipelineDumpSql)
+    "etl_pipeline_dump" -> etlPipelineDumpSql,
+    "etl_cdc_upsert" -> etlCdcUpsertSql)
 }

@@ -260,6 +260,26 @@ class EtlSpec extends AnyFunSuite {
       "stale layout was not rebuilt")
   }
 
+  test("etl_cdc_upsert applies update/delete/insert images exactly once") {
+    val base = Tables.load(spark, sf, "customer")
+    val out = Etl.etlCdcUpsert(spark, sf)
+    val nBase = base.count()
+    val nDel = base.filter(col("c_custkey") % 10 === 3).count()
+    val nIns = base.filter(col("c_custkey") % 10 === 7).count()
+    assert(out.count() == nBase - nDel + nIns)
+    // deletes gone, inserts present under shifted keys, keys unique
+    assert(out.filter(col("c_custkey") % 10 === 3 &&
+      col("c_custkey") < 100000).count() == 0)
+    assert(out.filter(col("c_custkey") >= 100000).count() == nIns)
+    assert(out.select("c_custkey").distinct().count() == out.count())
+    // an updated row carries the new balance image
+    val k = base.filter(col("c_custkey") % 10 === 1)
+      .select("c_custkey", "c_acctbal").head()
+    val updated = out.filter(col("c_custkey") === k.getLong(0))
+      .select("c_acctbal").head().getDouble(0)
+    assert(updated == k.getDouble(1) + 100.0)
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")
