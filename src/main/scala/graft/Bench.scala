@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def loadavg: String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim
+    catch { case _: Exception => "unavailable" }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,17 +22,17 @@ object Bench {
     // warm the page cache + codegen paths once so per-query numbers
     // measure the plan, not whichever query touches a table first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    // best-of-2 per query: absorbs first-run JIT of fresh codegen
-    // paths and transient host contention; noop sink forces full
-    // materialization (a bare count() would let Catalyst prune the
-    // projections being benched)
     // best-of-3 by default: the host shows transient multi-minute
     // contention windows (observed 0.8s -> 29s on an unchanged query,
     // both runs of a best-of-2 inside one window); a third sample
-    // spreads the measurements past most windows
+    // spreads the measurements past most windows. The noop sink forces
+    // full materialization (a bare count() would let Catalyst prune
+    // the projections being benched).
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // optional comma-separated subset, for iterating on one query warm
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val loadBefore = loadavg
+    val startedMs = System.currentTimeMillis()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -40,14 +49,38 @@ object Bench {
               -1.0
           }
         }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        (name, times, if (times.contains(-1.0)) -1.0 else times.min)
+      }
+    val loadAfter = loadavg
+    val best = results.map { case (n, _, b) => n -> b }.toMap
+    val qs = results.map { case (n, _, b) => jstr(n) + ":" + b }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total rather
     // than subtracting from it
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.values.filter(_ >= 0).sum
+    val oneLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The COMPLETE record goes to a file the driver can archive
+    // verbatim: every key with EVERY sample (not just the min) plus
+    // load-average stamps, so a contention spike is visible in the
+    // artifact itself instead of masquerading as the round's number —
+    // and a truncated log tail can never silently drop keys again
+    // (r6's official artifact lost 8 keys to a tail scrape).
+    val fullQs = results.map { case (n, samples, b) =>
+      jstr(n) + ":{\"samples\":[" + samples.mkString(",") +
+        s"],\"best\":$b}"
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},
+         |"runs":$runs,"cpus":${jstr(cpus)},"started_unix_ms":$startedMs,
+         |"wall_sec":${(System.currentTimeMillis() - startedMs) / 1e3},
+         |"loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadAfter)},
+         |"queries":$qs,
+         |"detail":$fullQs}""".stripMargin.replace("\n", "")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    // stdout keeps the driver's one-line contract
+    println(oneLine)
     spark.stop()
     // exit unconditionally: a leaked non-daemon thread must not hang
     // the benchmarking harness after the JSON line is out (see Verify)

@@ -12,6 +12,14 @@ package graft.functions
   * into every plan string is megabytes of noise). Same lesson as
   * CentroidData, which the IvfSweep measured at 14 s of planning per
   * query before the fix.
+  *
+  * OWNERSHIP CONTRACT: construction transfers ownership of `rows` to
+  * this object — callers must NOT mutate the arrays afterwards. The
+  * content hash is folded once into a val, so a post-construction
+  * mutation silently desynchronizes hashCode from equals and corrupts
+  * Catalyst canonicalization/semanticEquals. (A defensive copy would
+  * cost O(rows·dim) per plan-side construction; all call sites build
+  * fresh arrays, so the contract is cheaper and sufficient.)
   */
 final class DoubleMatrix(val rows: Array[Array[Double]])
     extends Serializable {

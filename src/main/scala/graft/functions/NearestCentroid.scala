@@ -15,7 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * IvfSweep measured as 14 s of planning at IVF-correct k=141 (vs
   * 0.5 s at k=64). The content hash is folded ONCE at construction;
   * equality fast-paths on it; toString prints the shape, not the
-  * matrix. */
+  * matrix.
+  *
+  * OWNERSHIP CONTRACT: construction transfers ownership of the
+  * arrays — callers must NOT mutate them afterwards, or the cached
+  * hashCode desynchronizes from equals and corrupts Catalyst
+  * canonicalization. All call sites build fresh arrays. */
 final class CentroidData(
     val ids: Array[Int],
     val vecs: Array[Array[Double]],
@@ -72,9 +77,9 @@ case class NearestCentroid(
     data: CentroidData)
   extends BinaryExpression {
 
-  @transient private def idsArr: Array[Int] = data.ids
-  @transient private def matrix: Array[Array[Double]] = data.vecs
-  @transient private def nrmsArr: Array[Double] = data.nrms
+  private def idsArr: Array[Int] = data.ids
+  private def matrix: Array[Array[Double]] = data.vecs
+  private def nrmsArr: Array[Double] = data.nrms
 
   private def isFloatVec: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true

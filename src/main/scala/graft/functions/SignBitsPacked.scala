@@ -25,7 +25,7 @@ case class SignBitsPacked(child: Expression, planes: DoubleMatrix)
   require(planes.rows.nonEmpty && planes.rows.length <= 64,
     s"SignBitsPacked supports 1..64 planes, got ${planes.rows.length}")
 
-  @transient private def matrix: Array[Array[Double]] = planes.rows
+  private def matrix: Array[Array[Double]] = planes.rows
 
   private def isFloatVec: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

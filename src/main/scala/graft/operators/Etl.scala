@@ -344,19 +344,34 @@ object Etl {
     * node rules cast double -> decimal(18,2) before rendering — raw
     * doubles would be bounded by PyFloatRepr's Python-2 12-significant-
     * digit str(), which is the reference's own lossy contract.) */
+  /** Cross-process exclusive section for one-time layout builds: two
+    * JVMs running the same key on the same corpus (an overlapping
+    * Bench and Verify) must not both observe a stale tag and race
+    * overwrite-mode writes into one directory — one of them could
+    * stamp a valid tag over a dump the other is mid-rewrite on. An OS
+    * FileLock on a sibling lock file serializes check-then-build. */
+  private def withPathLock[A](lockFile: java.nio.file.Path)(body: => A): A = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val ch = java.nio.channels.FileChannel.open(lockFile, CREATE, WRITE)
+    val lk = ch.lock()
+    try body finally { lk.release(); ch.close() }
+  }
+
   def etlPipelineDump(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val outDir = pipelineDumpDir(dir)
     val tag = ScaleJoins.corpusTag(dir, Seq("customer", "nation"))
     val tagPath = Paths.get(outDir, "_GRAFT_TAG")
-    if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
-      val res = graft.Pipeline.migrate(s, dir, outDir,
-        Seq("customer", "nation"), pipelineDumpChanges,
-        pks = Map("customer" -> Seq("c_custkey"),
-          "nation" -> Seq("n_nationkey")))
-      require(res.tables.map(_.outputName).toSet == Set("clients", "nation"),
-        s"unexpected migration outputs: ${res.tables}")
-      Files.writeString(tagPath, tag)
+    withPathLock(Paths.get(outDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val res = graft.Pipeline.migrate(s, dir, outDir,
+          Seq("customer", "nation"), pipelineDumpChanges,
+          pks = Map("customer" -> Seq("c_custkey"),
+            "nation" -> Seq("n_nationkey")))
+        require(res.tables.map(_.outputName).toSet == Set("clients", "nation"),
+          s"unexpected migration outputs: ${res.tables}")
+        Files.writeString(tagPath, tag)
+      }
     }
     // the exact frame migrate rendered; decimal -> double only for the
     // compare harness (decimal cells hash as Decimal objects on the
@@ -382,15 +397,24 @@ object Etl {
     * upsert: ONE left_anti shuffle removes touched base rows, unions
     * append the new images — exactly the plan a Delta/Iceberg MERGE
     * lowers to, expressed on plain relations so the oracle can replay
-    * it. Delete wins over update by construction (disjoint sets). */
+    * it. Delete wins over update by construction (disjoint sets).
+    *
+    * The insert-key shift is derived FROM THE DATA (max(c_custkey),
+    * joined in as a broadcast 1-row aggregate, no driver collect):
+    * cloned keys land in (max, 2·max], provably disjoint from every
+    * surviving base key at any corpus scale — a fixed constant shift
+    * would silently collide once keys reach it. */
   def etlCdcUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "customer")
     val updates = base.filter(col("c_custkey") % 10 === 1)
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
     val deletes = base.filter(col("c_custkey") % 10 === 3)
       .select("c_custkey")
+    val shift = base.agg(max(col("c_custkey")).as("key_shift"))
     val inserts = base.filter(col("c_custkey") % 10 === 7)
-      .withColumn("c_custkey", col("c_custkey") + 100000L)
+      .crossJoin(broadcast(shift))
+      .withColumn("c_custkey", col("c_custkey") + col("key_shift"))
+      .drop("key_shift")
     val touched = updates.select("c_custkey").unionAll(deletes)
     base.join(touched, Seq("c_custkey"), "left_anti")
       .unionByName(updates)
@@ -404,8 +428,8 @@ object Etl {
       |         c_mktsegment
       |  FROM customer WHERE c_custkey % 10 = 1),
       |ins AS (
-      |  SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
-      |         c_acctbal, c_mktsegment
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) AS c_custkey,
+      |         c_name, c_nationkey, c_acctbal, c_mktsegment
       |  FROM customer WHERE c_custkey % 10 = 7)
       |SELECT * FROM customer
       |WHERE c_custkey % 10 <> 1 AND c_custkey % 10 <> 3

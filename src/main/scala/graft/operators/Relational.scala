@@ -179,7 +179,13 @@ object Relational {
     val ord = Tables.load(s, dir, "orders")
     val byCust = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    // (priority, year) not bare priority: a 5-value partition key
+    // would funnel the whole table through 5 window reducers at scale;
+    // the year component keeps the key's cardinality growing with the
+    // data while o_orderdate ties within a year still make rank vs
+    // dense_rank diverge
+    val byPrio = Window.partitionBy(col("o_orderpriority"),
+        year(col("o_orderdate")))
       .orderBy(col("o_orderdate")) // date ties -> rank gaps
     ord.select(col("o_orderkey"), col("o_custkey"),
         lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
@@ -205,7 +211,8 @@ object Relational {
       |  DENSE_RANK() OVER wp AS drnk
       |FROM orders
       |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-      |       wp AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+      |       wp AS (PARTITION BY o_orderpriority, YEAR(o_orderdate)
+      |              ORDER BY o_orderdate)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Native pivot operator (columns per status value; explicit value

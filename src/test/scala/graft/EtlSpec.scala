@@ -267,10 +267,13 @@ class EtlSpec extends AnyFunSuite {
     val nDel = base.filter(col("c_custkey") % 10 === 3).count()
     val nIns = base.filter(col("c_custkey") % 10 === 7).count()
     assert(out.count() == nBase - nDel + nIns)
-    // deletes gone, inserts present under shifted keys, keys unique
+    // deletes gone, inserts present above the data-derived shift
+    // (= max base key, so cloned keys are provably > every base key),
+    // keys unique
+    val maxKey = base.agg(max(col("c_custkey"))).head().getLong(0)
     assert(out.filter(col("c_custkey") % 10 === 3 &&
-      col("c_custkey") < 100000).count() == 0)
-    assert(out.filter(col("c_custkey") >= 100000).count() == nIns)
+      col("c_custkey") <= maxKey).count() == 0)
+    assert(out.filter(col("c_custkey") > maxKey).count() == nIns)
     assert(out.select("c_custkey").distinct().count() == out.count())
     // an updated row carries the new balance image
     val k = base.filter(col("c_custkey") % 10 === 1)
