@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical 100×-scale plan invariants over EVERY SparkEntry query.
+  *
+  * The scattered per-operator plan assertions (ScaleOpsSpec, EtlSpec,
+  * TopKSpec…) prove individual shapes; this sweep makes it impossible
+  * to LAND a plan regression silently anywhere in the surface: a new
+  * cartesian product, an accidental nested-loop join, an unpushed
+  * scan filter, or an extra shuffle on any key fails here by name.
+  * Plans are audited at sf0.001 — plan SHAPE is scale-invariant
+  * (same operators, same exchanges at every sf; only AQE's runtime
+  * coalescing differs), which is what makes a cheap local audit
+  * meaningful for the 100 TB deployment.
+  *
+  * Streaming keys execute their stateful plan INSIDE the operator
+  * (watermarks + state, audited by StreamPipelineSpec) and return a
+  * drained in-memory result, so for them the sweep audits the final
+  * drain plan — still useful: a drain that suddenly shuffled or
+  * cross-joined would fail.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  /** Shuffle exchanges only — BroadcastExchange is the cheap kind the
+    * engine WANTS on small sides, so it never counts against a key. */
+  private def shuffles(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+
+  /** Every key's shuffle-exchange budget, set to the plan's CURRENT
+    * count — the point is regression-freezing, not headroom: an
+    * operator edit that adds an exchange anywhere must fail this spec
+    * and force the author to either remove the shuffle or consciously
+    * raise the budget in review. A new key without an entry fails the
+    * completeness check below, so no key ships unaudited.
+    *
+    * Why the numbers are what they are (spot rationale): pure
+    * column-map keys (text_*, etl casts) are 0; single-agg keys are
+    * 1-2 (partial map-side combine + final, plus an ordered output
+    * range exchange where the key sorts); asof/ivf carry a planned
+    * range or bucket exchange; q_setops/q_skew_join/etl_seq_setval
+    * union several grouped legs (5-6); dedup_minhash's 5 spans the
+    * signature agg + band explode + bucket self-join.
+    */
+  private val shuffleBudget: Map[String, Int] = Map(
+    "dedup_embed_cosine" -> 2, "dedup_exact" -> 1, "dedup_minhash" -> 5,
+    "dedup_ngram_jaccard" -> 4, "dedup_simhash" -> 3, "embed_quantize" -> 0,
+    "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
+    "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
+    "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
+    "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
+    "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
+    "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
+    "q1_agg" -> 2, "q3_topk_join" -> 1, "q5_star_join" -> 2,
+    "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,
+    "q_array_funcs" -> 1, "q_asof_bcast" -> 3, "q_asof_join" -> 3,
+    "q_bucket_join" -> 2, "q_case_agg" -> 2, "q_cube" -> 2,
+    "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
+    "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
+    "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
+    "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
+    "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
+    "q_sessionize" -> 2, "q_setops" -> 5, "q_skew_join" -> 5,
+    "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,
+    "q_window_funcs" -> 3, "q_window_range" -> 2, "q_window_running" -> 2,
+    "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
+    "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
+    "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
+    "text_fingerprint" -> 0, "text_langid" -> 0, "text_normalize" -> 0,
+    "text_pii_scrub" -> 0, "text_quality" -> 0, "text_repetition" -> 2,
+    "text_tokens" -> 0)
+
+  /** The only nested-loop broadcasts the engine intends: the
+    * brute-force ANN baseline's bounded queries×corpus scan
+    * (sim_cosine_topk IS the exhaustive contract), the bounded
+    * queries×centroids IVF probe (SimOps.scala:258 — k rows broadcast
+    * against a 3-row query side) and the 1-row max-key shift joined
+    * into the CDC insert images (Etl.scala:415). Everything else in a
+    * BroadcastNestedLoopJoin is an un-equi-joined mistake that blows
+    * up quadratically at scale. */
+  private val bnlAllowed =
+    Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk",
+      "etl_cdc_upsert")
+
+  test("every query key declares a shuffle budget") {
+    val keys = SparkEntry.queries.keySet
+    assert((keys -- shuffleBudget.keySet).isEmpty,
+      s"keys missing a shuffle budget: ${(keys -- shuffleBudget.keySet).toSeq.sorted}")
+    assert((shuffleBudget.keySet -- keys).isEmpty,
+      s"budgets for removed keys: ${(shuffleBudget.keySet -- keys).toSeq.sorted}")
+  }
+
+  test("no plan contains a cartesian product") {
+    val bad = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
+    assert(bad.isEmpty, s"cartesian products in: $bad")
+  }
+
+  test("nested-loop broadcast joins appear only where intended") {
+    val bad = plans.filter { case (n, p) =>
+      p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(n)
+    }.keys.toSeq.sorted
+    assert(bad.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $bad")
+  }
+
+  test("no key exceeds its shuffle-exchange budget") {
+    val over = plans.flatMap { case (n, p) =>
+      val got = shuffles(p)
+      if (got > shuffleBudget(n)) Some(s"$n: $got > budget ${shuffleBudget(n)}")
+      else None
+    }.toSeq.sorted
+    assert(over.isEmpty, s"shuffle budget exceeded:\n  ${over.mkString("\n  ")}")
+  }
+
+  test("filtered scans push their predicates into the parquet reader") {
+    // the keys whose semantics include a selective scan filter — a
+    // plan that reads everything and filters afterwards is wrong at
+    // any scale (PushedFilters: [] means the reader got nothing)
+    val filtered = Seq("etl_where_extract", "q3_topk_join", "q5_star_join")
+    filtered.foreach { n =>
+      val p = plans(n)
+      assert(p.contains("PushedFilters: ["),
+        s"$n plan shows no parquet scan with pushdown info")
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+        s"$n scan has an EMPTY PushedFilters list — predicate not pushed")
+    }
+  }
+}
