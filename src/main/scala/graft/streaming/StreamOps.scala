@@ -330,44 +330,87 @@ object StreamOps {
       .orderBy("window_start", "segment")
 
   /** Stream-STREAM interval join — the funnel pattern: each click
-    * joined to the same user's purchases within the following 2 hours.
-    * Both sides are watermarked, so the state store buffers only rows
-    * inside the watermark horizon and the time-range condition lets
-    * the engine evict a side as event time advances — state is
-    * O(events in window), never O(stream). The drained bounded source
-    * makes the final pair set equal to the batch interval join, so
-    * the per-user aggregate is plain-SQL-expressible for the oracle.
-    * (The sink holds raw pairs in append mode — a streaming agg after
-    * a stream-stream join adds a second stateful operator; the
-    * bounded drain aggregates the pairs in batch instead.) */
+    * joined to the same user's purchases within the following 2 hours
+    * — CHAINED with an in-stream windowed aggregation (Spark's
+    * multiple-stateful-operator support): join state is evicted by the
+    * range condition as event time advances, and the join's output
+    * flows straight into a (user, 6 h window) aggregate whose state
+    * the watermark also evicts. The sink therefore holds O(user·window)
+    * AGGREGATE rows, never the O(matches) raw pair set — at scale the
+    * raw pairs exist only transiently between two stateful operators
+    * on the executors. The drain is a thin rollup of those aggregates
+    * to the per-user totals the oracle states.
+    *
+    * Stream-stream joins run in append mode only, and append-mode
+    * windows emit ONLY when a later batch's watermark passes them — a
+    * drained bounded source never produces that later batch on its
+    * own. The production analog is a watermark heartbeat (idle-source
+    * advance); here a sentinel side-channel file source unioned into
+    * the stream plays that role: sentinel rows carry far-future
+    * timestamps (year 2099 — no corpus reaches it) under reserved
+    * user ids (click -1, purchase -2, which can never satisfy the
+    * equi-key) so they advance BOTH side watermarks while provably
+    * never joining, aggregating, or reaching the sink. One heartbeat
+    * rides with the initial batch (watermark jumps past every real
+    * window at first commit); the second lands in batch 2, whose
+    * emission pass flushes every closed window to the sink. */
   def streamJoin(parent: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
     val spark = streamingSession(parent)
     val name = s"stream_join_${runId.incrementAndGet()}"
-    val clicks = eventsStream(spark, sfDir)
-      .filter(col("event_type") === "click")
+    val hbDir = Files.createTempDirectory("graft_stream_hb").toString
+    def heartbeat(n: Int, ts: String): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-n.toLong, java.sql.Timestamp.valueOf(ts),
+            -1L, "click", 0.0, null),
+          org.apache.spark.sql.Row(-n.toLong - 1L,
+            java.sql.Timestamp.valueOf(ts), -2L, "purchase", 0.0, null)),
+        eventsTsSchema)
+        .write.mode("append").parquet(hbDir)
+    heartbeat(1, "2099-01-01 00:00:00")
+    val ev = eventsStream(spark, sfDir).unionByName(
+      spark.readStream.schema(eventsTsSchema).parquet(hbDir))
+    val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 day")
-    val purchases = eventsStream(spark, sfDir)
-      .filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 day")
-    val pairs = clicks.join(purchases,
+    val agg = clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
-      .select(col("c_user").as("user_id"),
+      .select(col("c_user").as("user_id"), col("c_ts"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-    runAvailableNow(pairs.writeStream
+      .groupBy(col("user_id"), window(col("c_ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+    val q = agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start())
+      .start()
+    try {
+      q.processAllAvailable()           // batch 1: corpus + heartbeat 1
+      heartbeat(3, "2099-06-01 00:00:00")
+      q.processAllAvailable()           // batch 2: emits all closed windows
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hbDir))
+    }
+    lastStreamJoinSinkRows = spark.table(name).count()
     collectAndDrop(spark, name, spark.table(name)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("sum_gap_us")).as("sum_gap_us"))
       .orderBy("user_id"))
   }
+
+  /** Test hook: the per-(user, window) aggregate row count the memory
+    * sink held for the last streamJoin drain — the scale invariant the
+    * chained-agg shape exists for (sink rows = aggregate groups, not
+    * raw pairs). Captured here because the sink view is dropped on
+    * return. */
+  @volatile private[graft] var lastStreamJoinSinkRows: Long = -1L
 
   /** Batch twin of streamJoin for parity checks. */
   def batchJoin(spark: SparkSession, sfDir: String): DataFrame = {

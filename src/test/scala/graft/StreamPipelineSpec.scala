@@ -54,6 +54,28 @@ class StreamPipelineSpec extends AnyFunSuite {
     val batch = StreamOps.batchJoin(spark, sf).collect()
     assert(streamed.nonEmpty && streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    // the scale invariant of the chained join->agg shape: the memory
+    // sink held per-(user, 6h window) AGGREGATE rows — exactly the
+    // group count of the batch pair set — never the raw pairs
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val pairs = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    val nPairs = pairs.count()
+    val nGroups = pairs
+      .groupBy(col("c_user"), window(col("c_ts"), "6 hours")).count().count()
+    assert(StreamOps.lastStreamJoinSinkRows == nGroups,
+      s"sink held ${StreamOps.lastStreamJoinSinkRows} rows, want $nGroups groups")
+    // at sf0.001 groups may hold a single pair each, so == is legal;
+    // the structural claim is sink rows track GROUPS, bounded by pairs
+    assert(StreamOps.lastStreamJoinSinkRows <= nPairs,
+      s"sink rows should be aggregates (<= $nPairs raw pairs)")
   }
 
   test("mm_binary_meta: real ImageIO decode of real PNG/BMP payloads") {
