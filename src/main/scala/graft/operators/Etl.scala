@@ -437,6 +437,46 @@ object Etl {
       |UNION ALL SELECT * FROM ins
       |ORDER BY c_custkey""".stripMargin
 
+  /** Training-shard export — the terminal operator of every 100 TB
+    * pipeline: a GLOBALLY-ordered sharded write. The scale-correct
+    * plan and nothing else: repartitionByRange on the sort key
+    * samples range bounds and gives disjoint ordered partitions,
+    * sortWithinPartitions orders each shard, maxRecordsPerFile caps
+    * shard size — no driver collect, no coalesce(1), no single-
+    * partition global sort anywhere. Shard i's every key precedes
+    * shard i+1's (EtlSpec re-reads each file and proves the total
+    * order); the oracle proves content parity of the re-read shards
+    * against the source table. Export is one-time per corpus
+    * fingerprint, like the bucket layout and the Derby db. */
+  private[graft] def shardExportDir(dir: String): String =
+    s"/tmp/graft_shard_export_${Integer.toHexString(dir.hashCode)}"
+
+  private[graft] def shardExportFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+
+  def etlShardExport(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val outDir = shardExportDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("orders"))
+    val tagPath = Paths.get(outDir, "_GRAFT_TAG")
+    withPathLock(Paths.get(outDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        shardExportFrame(s, dir)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 2000)
+          .parquet(outDir)
+        Files.writeString(tagPath, tag)
+      }
+    }
+    // the oracle-checked result is the re-read shards: any loss,
+    // duplication or value corruption in the export breaks parity
+    s.read.parquet(outDir)
+  }
+
+  val etlShardExportSql: String = "SELECT * FROM orders"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -452,7 +492,8 @@ object Etl {
     "etl_pg_escape" -> (etlPgEscape _),
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
-    "etl_cdc_upsert" -> (etlCdcUpsert _))
+    "etl_cdc_upsert" -> (etlCdcUpsert _),
+    "etl_shard_export" -> (etlShardExport _))
 
   val oracles: Map[String, String] = Map(
     "etl_rename_project" -> etlRenameProjectSql,
@@ -469,5 +510,6 @@ object Etl {
     "etl_pg_escape" -> etlPgEscapeSql,
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
-    "etl_cdc_upsert" -> etlCdcUpsertSql)
+    "etl_cdc_upsert" -> etlCdcUpsertSql,
+    "etl_shard_export" -> etlShardExportSql)
 }

@@ -283,6 +283,44 @@ class EtlSpec extends AnyFunSuite {
     assert(updated == k.getDouble(1) + 100.0)
   }
 
+  test("etl_shard_export writes a globally-ordered sharded layout") {
+    val out = Etl.etlShardExport(spark, sf)
+    val src = Tables.load(spark, sf, "orders")
+    assert(out.count() == src.count())
+    // the write plan is the scale shape: a range-partitioning
+    // exchange and NO single-partition funnel
+    val plan = Etl.shardExportFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "export plan lacks a RangePartitioning exchange")
+    assert(!plan.contains("Coalesce"), "export plan funnels through coalesce")
+    // per-file: internally sorted; across files: disjoint ascending
+    // key ranges = a global total order over (o_orderdate, o_orderkey)
+    val files = new java.io.File(Etl.shardExportDir(sf))
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length > 1, "expected multiple shard files")
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f)
+        .select(col("o_orderdate").cast("string"), col("o_orderkey"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"shard $f is not internally sorted")
+      (rows.head, rows.last)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(implicitly[Ordering[(String, Long)]].lt(prevMax, nextMin),
+          s"shard ranges overlap: $prevMax >= $nextMin")
+      case _ =>
+    }
+    // one-time layout: a second invocation must reuse, not rewrite
+    val stamps = files.map(f => new java.io.File(f).lastModified()).toSeq
+    Etl.etlShardExport(spark, sf).count()
+    val after = files.map(f => new java.io.File(f).lastModified()).toSeq
+    assert(stamps == after, "second run rewrote the export")
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")

@@ -55,6 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
+    "etl_shard_export" -> 0,
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
