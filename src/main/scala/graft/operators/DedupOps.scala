@@ -209,47 +209,65 @@ object DedupOps {
     * reusable core of dedup_minhash, also exercised by the randomized
     * property specs (exact-dup recall = 1: identical text gives an
     * identical signature, which collides in EVERY band). */
-  def minhashPairs(input: DataFrame, tau: Double): DataFrame = {
-    // explode + groupBy instead of per-row array folds: Spark's
-    // higher-order functions are interpreted (CodegenFallback), but a
-    // HashAggregate of 16 min(xxhash64(seed, shingle)) columns is
-    // whole-stage codegen'd and combines map-side.
-    // shingles travel as 64-bit hashes from here on: the signature
-    // mins hash the hash (cheap, same min distribution) and the
-    // verification sets intersect hashed shingles (collision odds
-    // ~n²/2⁶⁴ — negligible), cutting shuffle bytes ~3x vs strings.
+  /** (doc_id, sh, sig) for a (doc_id, text) frame: the doc's distinct
+    * hashed shingle set and its k-element MinHash signature.
+    *
+    * explode + groupBy instead of per-row array folds: Spark's
+    * higher-order functions are interpreted (CodegenFallback), but a
+    * HashAggregate of 16 min(xxhash64(seed, shingle)) columns is
+    * whole-stage codegen'd and combines map-side.
+    * shingles travel as 64-bit hashes from here on: the signature
+    * mins hash the hash (cheap, same min distribution) and the
+    * verification sets intersect hashed shingles (collision odds
+    * ~n²/2⁶⁴ — negligible), cutting shuffle bytes ~3x vs strings. */
+  private[graft] def minhashSignatures(input: DataFrame): DataFrame = {
     val shRows = input
       .select(col("doc_id"),
         explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sigs = shRows.groupBy("doc_id")
+    shRows.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sh"),
         array((0 until minhashK).map { seed =>
           min(xxhash64(lit(seed), col("shingle")))
         }: _*).as("sig"))
+  }
+
+  /** (doc_id, band, bucket) LSH rows of a signature frame. Bands
+    * travel light — the shuffle that builds buckets never carries
+    * document payloads; shingle sets re-join by id AFTER candidate
+    * dedup. */
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
     val rowsPerBand = minhashK / minhashBands
-    // bands travel light: (doc_id, band, bucket) only — the shingle
-    // sets re-join by id AFTER candidate dedup, so the shuffle that
-    // builds buckets never carries document payloads.
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array((0 until minhashBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Exact hashed-shingle Jaccard of candidate (a, b) pairs, kept at
+    * >= tau. Set payloads join in by id only for candidates. */
+  private def verifyJaccard(candidates: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, tau: Double): DataFrame =
+    candidates
+      .join(setsA.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(setsB.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
+  def minhashPairs(input: DataFrame, tau: Double): DataFrame = {
+    val sigs = minhashSignatures(input)
+    val banded = bandBuckets(sigs)
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .dropDuplicates("a", "b")
     val sh = sigs.select(col("doc_id"), col("sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    verifyJaccard(candidates, sh, sh, tau)
   }
 
   // ---------------------------------------------------------------
@@ -393,8 +411,92 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // dedup_incremental [O]: nightly-ingest dedup — a NEW batch checked
+  // against a PERSISTED signature index instead of re-hashing the
+  // whole corpus. The single most common production dedup shape (the
+  // batch twin of etl_cdc_upsert): the corpus index (minhash band
+  // buckets + hashed shingle sets) is built ONCE per corpus
+  // fingerprint and published as parquet; each run hashes only the
+  // batch, joins its buckets against the stored ones, and verifies
+  // exact Jaccard with the stored sets. At 100 TB: per-night work is
+  // O(batch) + one bucket-join against an index that never re-reads
+  // corpus text. The DuckDB oracle rebuilds batch-vs-corpus
+  // candidates FROM THE PUBLISHED INDEX FILES and recomputes the
+  // Jaccard from the stored sets — any defect in the persisted
+  // layout, the bucket join, or the verify math breaks parity.
+  // ---------------------------------------------------------------
+  private[graft] def dedupIndexDir(dir: String): String =
+    s"/tmp/graft_dedup_idx_${Integer.toHexString(dir.hashCode)}"
+
+  /** The "corpus" is documents; the "batch" replays every 10th doc
+    * under a shifted id (dupDocs' planted clones) — a nightly crawl
+    * whose re-fetched pages must match their corpus originals. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val idxDir = dedupIndexDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("documents"))
+    val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
+    Etl.withPathLock(Paths.get(idxDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val corpusSigs =
+          minhashSignatures(Tables.load(s, dir, "documents"))
+            .localCheckpoint()
+        corpusSigs.select("doc_id", "sh").write.mode("overwrite")
+          .parquet(s"$idxDir/corpus_sets")
+        bandBuckets(corpusSigs).write.mode("overwrite")
+          .parquet(s"$idxDir/corpus_buckets")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    // per-run work: hash ONLY the batch; publish its segment (the
+    // oracle reads it, and in production tonight's segment compacts
+    // into tomorrow's corpus index)
+    val batch = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val batchSigs = minhashSignatures(batch).localCheckpoint()
+    batchSigs.select("doc_id", "sh").write.mode("overwrite")
+      .parquet(s"$idxDir/batch_sets")
+    bandBuckets(batchSigs).write.mode("overwrite")
+      .parquet(s"$idxDir/batch_buckets")
+    val candidates = s.read.parquet(s"$idxDir/corpus_buckets")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+      .join(bandBuckets(batchSigs)
+          .select(col("doc_id").as("batch_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("corpus_id").as("a"), col("batch_id").as("b"))
+      .dropDuplicates("a", "b")
+    verifyJaccard(candidates,
+      s.read.parquet(s"$idxDir/corpus_sets"),
+      batchSigs.select("doc_id", "sh"), tau = 0.5)
+      .orderBy("a", "b")
+  }
+
+  /** Candidates and Jaccard rebuilt entirely from the published index
+    * segments (no xxhash64 needed DuckDB-side — the stored buckets
+    * and hashed sets ARE the contract). */
+  val dedupIncrementalSql: String =
+    """WITH cand AS (
+      |  SELECT DISTINCT c.doc_id AS a, b.doc_id AS b
+      |  FROM read_parquet('/tmp/graft_dedup_idx___SFTAG__/corpus_buckets/*.parquet') c
+      |  JOIN read_parquet('/tmp/graft_dedup_idx___SFTAG__/batch_buckets/*.parquet') b
+      |    USING (band, bucket))
+      |SELECT a, b,
+      |  CAST(len(list_intersect(cs.sh, bs.sh)) AS DOUBLE)
+      |    / len(list_distinct(cs.sh || bs.sh)) AS jaccard
+      |FROM cand
+      |JOIN read_parquet('/tmp/graft_dedup_idx___SFTAG__/corpus_sets/*.parquet') cs
+      |  ON cs.doc_id = a
+      |JOIN read_parquet('/tmp/graft_dedup_idx___SFTAG__/batch_sets/*.parquet') bs
+      |  ON bs.doc_id = b
+      |WHERE CAST(len(list_intersect(cs.sh, bs.sh)) AS DOUBLE)
+      |    / len(list_distinct(cs.sh || bs.sh)) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -402,6 +504,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql)
 }

@@ -350,7 +350,7 @@ object Etl {
     * overwrite-mode writes into one directory — one of them could
     * stamp a valid tag over a dump the other is mid-rewrite on. An OS
     * FileLock on a sibling lock file serializes check-then-build. */
-  private def withPathLock[A](lockFile: java.nio.file.Path)(body: => A): A = {
+  private[graft] def withPathLock[A](lockFile: java.nio.file.Path)(body: => A): A = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
     val ch = java.nio.channels.FileChannel.open(lockFile, CREATE, WRITE)
     val lk = ch.lock()

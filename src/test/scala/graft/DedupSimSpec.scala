@@ -37,6 +37,28 @@ class DedupSimSpec extends AnyFunSuite {
       .foreach { case (_, _, j) => assert(j == 1.0) }
   }
 
+  test("dedup_incremental: batch vs persisted index, no corpus re-hash") {
+    val rows = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val found = rows.collect { case (a, b, _) => (a, b) }.toSet
+    // every planted batch doc (the re-crawled clone) matches its
+    // corpus original through the stored index, at jaccard 1.0
+    assert(plantedDocs.subsetOf(found),
+      s"missing planted pairs: ${plantedDocs -- found}")
+    rows.filter(p => plantedDocs.contains((p._1, p._2)))
+      .foreach { case (_, _, j) => assert(j == 1.0) }
+    // batch side only ever pairs right (b is a batch id, a a corpus id)
+    rows.foreach { case (a, b, _) =>
+      assert(a < 1000000L && b >= 1000000L, s"pair ($a,$b) crosses wrong") }
+    // the corpus index is NOT rebuilt on a second run — per-night
+    // work is O(batch): corpus segment mtimes must not move
+    val idx = new java.io.File(DedupOps.dedupIndexDir(sf), "corpus_sets")
+    val stamps = idx.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    DedupOps.dedupIncremental(spark, sf).count()
+    val after = idx.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(stamps == after, "second run rebuilt the corpus index")
+  }
+
   test("dedup_simhash: planted pairs at hamming 0, few false pairs") {
     val rows = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))
