@@ -70,11 +70,18 @@ final class CentroidData(
   * each float widened to double before multiply; result is the id of
   * the max cosine, ties and all-NaN resolving to the lowest id (ids
   * are sorted ascending by construction).
+  *
+  * With `l2 = true` the score is the EUCLIDEAN argmin in dot form —
+  * argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2) — the metric product
+  * quantization codebooks are trained and encoded under. In that mode
+  * `data.nrms` carries the SQUARED centroid norms and the `right`
+  * (norm) child is ignored.
   */
 case class NearestCentroid(
     left: Expression,
     right: Expression,
-    data: CentroidData)
+    data: CentroidData,
+    l2: Boolean = false)
   extends BinaryExpression {
 
   private def idsArr: Array[Int] = data.ids
@@ -121,7 +128,7 @@ case class NearestCentroid(
         acc += x * cv(i)
         i += 1
       }
-      val cos = acc / (nrm * nrmsArr(c))
+      val cos = if (l2) acc - nrmsArr(c) / 2 else acc / (nrm * nrmsArr(c))
       if (cos > bestCos) { bestCos = cos; best = idsArr(c) }
       c += 1
     }
@@ -143,6 +150,8 @@ case class NearestCentroid(
       val bestCos = ctx.freshName("bestCos")
       val get =
         if (isFloatVec) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      val score =
+        if (l2) s"$acc - $nr[$c] / 2" else s"$acc / ($nrm * $nr[$c])"
       s"""
          |int $best = $idRef[0];
          |double $bestCos = Double.NEGATIVE_INFINITY;
@@ -153,7 +162,7 @@ case class NearestCentroid(
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $get * $cv[$i];
          |  }
-         |  double $cos = $acc / ($nrm * $nr[$c]);
+         |  double $cos = $score;
          |  if ($cos > $bestCos) { $bestCos = $cos; $best = $idRef[$c]; }
          |}
          |${ev.value} = $best;

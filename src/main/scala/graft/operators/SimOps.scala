@@ -119,19 +119,24 @@ object SimOps {
     * invocation at k=16 and is unbuildable at IVF-correct k≈√n. Now
     * planning cost is independent of k and zero corpus rows move for
     * assignment. */
-  def nearestCentroid(v: Column, nrm: Column, cents: Centroids): Column =
+  def nearestCentroid(v: Column, nrm: Column, cents: Centroids,
+      l2: Boolean = false): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NearestCentroid(
         org.apache.spark.sql.GraftSqlBridge.expression(v),
         org.apache.spark.sql.GraftSqlBridge.expression(nrm),
-        new graft.functions.CentroidData(cents.ids, cents.vecs, cents.nrms)))
+        new graft.functions.CentroidData(cents.ids, cents.vecs, cents.nrms),
+        l2))
 
   /** Lloyd refinement: expression-argmax assignment (no shuffle), then
     * each centroid recomputed as the elementwise mean of its members
     * (VectorMean Aggregator: one buffer per (centroid, partition)
     * shuffles) and collected — k rows per iteration to the driver,
     * exactly like MLlib KMeans. iters=0 returns the raw seeds. */
-  def lloydCentroids(c: DataFrame, k: Int, iters: Int): Centroids = {
+  def lloydCentroids(c: DataFrame, k: Int, iters: Int,
+      dim: Int = embedDim, l2: Boolean = false): Centroids = {
+    def nrmOf(v: Array[Double]): Double =
+      if (l2) dotDriver(v, v) else math.sqrt(dotDriver(v, v))
     val seedRows = c.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"),
         graft.functions.VectorFunctions.toDouble(col("v")).as("cv"))
@@ -139,26 +144,26 @@ object SimOps {
     var cents = Centroids(
       seedRows.map(_.getInt(0)),
       seedRows.map(_.getAs[Seq[Double]]("cv").toArray),
-      seedRows.map(r => math.sqrt(dotDriver(
-        r.getAs[Seq[Double]]("cv").toArray, r.getAs[Seq[Double]]("cv").toArray))))
+      seedRows.map(r => nrmOf(r.getAs[Seq[Double]]("cv").toArray)))
     for (_ <- 0 until iters) {
-      val means = assignTo(c, cents)
+      val means = assignTo(c, cents, l2)
         .groupBy(col("centroid"))
-        .agg(graft.functions.VectorMean.of(embedDim)(col("v")).as("cv"))
+        .agg(graft.functions.VectorMean.of(dim)(col("v")).as("cv"))
         .collect().sortBy(_.getInt(0))
       val vecs = means.map(_.getAs[Seq[Double]]("cv").toArray)
       cents = Centroids(
-        means.map(_.getInt(0)), vecs,
-        vecs.map(v => math.sqrt(dotDriver(v, v))))
+        means.map(_.getInt(0)), vecs, vecs.map(nrmOf))
     }
     cents
   }
 
   /** Nearest-centroid assignment — a single zero-shuffle projection
-    * over the corpus (explain shows no Exchange). */
-  def assignTo(c: DataFrame, cents: Centroids): DataFrame =
+    * over the corpus (explain shows no Exchange). With l2 = true the
+    * metric is Euclidean (Centroids.nrms then holds SQUARED norms —
+    * see NearestCentroid). */
+  def assignTo(c: DataFrame, cents: Centroids, l2: Boolean = false): DataFrame =
     c.select(col("vec_id"), col("v"), col("nrm"),
-      nearestCentroid(col("v"), col("nrm"), cents).as("centroid"))
+      nearestCentroid(col("v"), col("nrm"), cents, l2).as("centroid"))
 
   /** IVF index construction = the centroid set. Built once per corpus
     * and cached on the driver (any ANN index amortizes build over
@@ -305,6 +310,157 @@ object SimOps {
       |         ELSE CAST(floor((x - zero) / scale + 0.5) AS BIGINT) END), ',') AS q_codes
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // embed_pq: product quantization + asymmetric distance — the
+  // compression step that pairs with IVF at 100 TB (IVF-PQ). The
+  // 64-dim float vector (256 B) compresses to pqM=4 codebook codes
+  // (4 B, 64× smaller); queries stay full-precision and score docs
+  // by LOOKUP: per (query, subspace) a 16-entry table of
+  // dot(q_m, codebook entry) built driver-side, so scoring a doc is
+  // 4 array lookups + 3 adds instead of 64 multiplies — and the scan
+  // reads codes, not vectors. Codebooks are subspace k-means via the
+  // same Lloyd machinery as IVF, under the L2 metric PQ quantizes
+  // with, published as parquet like the IVF model so the DuckDB
+  // oracle re-encodes every vector and re-scores from the SAME
+  // doubles (all sums explicitly left-associated on both engines).
+  // ---------------------------------------------------------------
+  val pqM = 4
+  val pqSub: Int = embedDim / pqM
+  val pqK = 16
+
+  def pqCodebookPath(dir: String): String =
+    s"/tmp/graft_pq_codebooks_${Integer.toHexString(dir.hashCode)}.parquet"
+
+  /** Published per-subspace codebooks (m, c_id, cv, cnrm2),
+    * build-once-then-load exactly like publishedCentroids: Lloyd
+    * means aren't bit-reproducible across runs, so later runs must
+    * encode/score against the SAME doubles the dumped oracle reads.
+    * nrms holds SQUARED norms (the L2-mode contract). */
+  def publishedCodebooks(s: SparkSession, dir: String): Array[Centroids] = {
+    val path = pqCodebookPath(dir)
+    if (new java.io.File(path).exists()) {
+      val rows = s.read.parquet(path).collect()
+      (0 until pqM).toArray.map { m =>
+        val r = rows.filter(_.getAs[Int]("m") == m).sortBy(_.getAs[Int]("c_id"))
+        Centroids(r.map(_.getAs[Int]("c_id")),
+          r.map(_.getAs[Seq[Double]]("cv").toArray),
+          r.map(_.getAs[Double]("cnrm2")))
+      }
+    } else {
+      val c = corpus(s, dir)
+      val books = (0 until pqM).toArray.map { m =>
+        val sub = c.select(col("vec_id"),
+          slice(col("v"), m * pqSub + 1, pqSub).as("v"), lit(1.0).as("nrm"))
+        lloydCentroids(sub, pqK, lloydIters, dim = pqSub, l2 = true)
+      }
+      import s.implicits._
+      books.zipWithIndex.toSeq.flatMap { case (b, m) =>
+        b.ids.indices.map(i => (m, b.ids(i), b.vecs(i).toSeq, b.nrms(i)))
+      }.toDF("m", "c_id", "cv", "cnrm2")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      books
+    }
+  }
+
+  /** PQ encoding — pqM L2-argmin native expressions over subvector
+    * slices: a zero-shuffle projection, exactly like IVF assignment. */
+  private[graft] def pqCodes(c: DataFrame, books: Array[Centroids]): DataFrame = {
+    val codeCols = (0 until pqM).map { m =>
+      nearestCentroid(slice(col("v"), m * pqSub + 1, pqSub), lit(1.0),
+        books(m), l2 = true).as(s"code$m")
+    }
+    c.select(col("vec_id") +: codeCols: _*)
+  }
+
+  def embedPq(s: SparkSession, dir: String): DataFrame = {
+    val books = publishedCodebooks(s, dir)
+    val c = corpus(s, dir)
+    val codes = pqCodes(c, books)
+    // codebook ids may be sparse after refinement (an empty cluster
+    // drops out), so lookup tables are indexed BY id with unreachable
+    // slots zero-filled — codes only ever take surviving ids
+    def byId(b: Centroids, value: Int => Double): Seq[Double] = {
+      val arr = Array.fill(b.ids.max + 1)(0.0)
+      b.ids.indices.foreach(i => arr(b.ids(i)) = value(i))
+      arr.toSeq
+    }
+    val qRows = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("v")).as("qv"))
+      .collect().sortBy(_.getLong(0))
+    val perQuery = qRows.map { r =>
+      val qv = r.getAs[Seq[Double]]("qv").toArray
+      val qnrm = math.sqrt(dotDriver(qv, qv))
+      val parts = (0 until pqM).map { m =>
+        val qm = qv.slice(m * pqSub, (m + 1) * pqSub)
+        element_at(typedlit(byId(books(m), i => dotDriver(qm, books(m).vecs(i)))),
+          col(s"code$m") + 1)
+      }
+      val n2 = (0 until pqM).map { m =>
+        element_at(typedlit(byId(books(m), i => books(m).nrms(i))),
+          col(s"code$m") + 1)
+      }
+      // left-associated sums: bit-identical to the oracle's explicit
+      // ((l0 + l1) + l2) + l3 (float addition is order-sensitive)
+      struct(lit(r.getLong(0)).as("q_id"),
+        (parts.reduceLeft(_ + _) /
+          (lit(qnrm) * sqrt(n2.reduceLeft(_ + _)))).as("cosine"))
+    }
+    val scored = codes
+      .select(col("vec_id"), explode(array(perQuery.toIndexedSeq: _*)).as("s"))
+      .select(col("s.q_id").as("q_id"), col("vec_id"), col("s.cosine").as("cosine"))
+      .filter(col("vec_id") =!= col("q_id"))
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
+  }
+
+  /** The oracle re-encodes every vector (L2 argmin per subspace, same
+    * dot-form score and tie-break as the native expression) and
+    * re-scores by lookup from the published codebooks. */
+  val embedPqSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT m, c_id, cv, cnrm2
+       |  FROM read_parquet('/tmp/graft_pq_codebooks___SFTAG__.parquet/*.parquet')),
+       |ms AS (SELECT unnest(range(0, $pqM)) AS m),
+       |sub AS (SELECT c.vec_id, ms.m,
+       |  c.v[ms.m*$pqSub+1 : ms.m*$pqSub+$pqSub] AS sv FROM c CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, b.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sv, b.cv) - b.cnrm2 / 2 DESC, b.c_id) AS rn
+       |    FROM sub s JOIN cb b USING (m)) WHERE rn = 1),
+       |w AS (SELECT vec_id,
+       |    MAX(CASE WHEN m = 0 THEN c_id END) AS k0,
+       |    MAX(CASE WHEN m = 1 THEN c_id END) AS k1,
+       |    MAX(CASE WHEN m = 2 THEN c_id END) AS k2,
+       |    MAX(CASE WHEN m = 3 THEN c_id END) AS k3
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv,
+       |  sqrt(list_dot_product(v, v)) AS qnrm FROM c WHERE vec_id < $nQueries),
+       |lut AS (
+       |  SELECT q.q_id, b.m, b.c_id,
+       |    list_dot_product(q.qv[b.m*$pqSub+1 : b.m*$pqSub+$pqSub], b.cv) AS d,
+       |    b.cnrm2
+       |  FROM q CROSS JOIN cb b),
+       |scored AS (
+       |  SELECT q.q_id, w.vec_id,
+       |    (((l0.d + l1.d) + l2.d) + l3.d)
+       |      / (q.qnrm * sqrt((((l0.cnrm2 + l1.cnrm2) + l2.cnrm2) + l3.cnrm2))) AS cosine
+       |  FROM w CROSS JOIN q
+       |  JOIN lut l0 ON l0.q_id = q.q_id AND l0.m = 0 AND l0.c_id = w.k0
+       |  JOIN lut l1 ON l1.q_id = q.q_id AND l1.m = 1 AND l1.c_id = w.k1
+       |  JOIN lut l2 ON l2.q_id = q.q_id AND l2.m = 2 AND l2.c_id = w.k2
+       |  JOIN lut l3 ON l3.q_id = q.q_id AND l3.m = 3 AND l3.c_id = w.k3
+       |  WHERE w.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** DuckDB twin of the IVF pipeline, parameterized by where the
     * centroids come from: same argmax tie-break (cosine DESC, c_id —
     * NearestCentroid's strict > keeps the lowest id on ties), same
@@ -355,11 +511,13 @@ object SimOps {
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf0_topk" -> (simIvf0Topk _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "embed_pq" -> (embedPq _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_pq" -> embedPqSql)
 }

@@ -59,6 +59,46 @@ class DedupSimSpec extends AnyFunSuite {
     assert(stamps == after, "second run rebuilt the corpus index")
   }
 
+  test("embed_pq: codes match a driver-side L2 argmin; ADC recalls signal") {
+    val books = SimOps.publishedCodebooks(spark, sf)
+    val corpus = SimOps.corpus(spark, sf)
+    val codes = SimOps.pqCodes(corpus, books).collect()
+    val vecs = corpus.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("v").toArray).toMap
+    // the native L2-mode expression must agree with a bit-faithful
+    // driver-side re-derivation (same widening, same fold order, same
+    // strict-> tie-break keeping the lowest id) on sampled vectors
+    codes.take(50).foreach { r =>
+      val v = vecs(r.getLong(0))
+      (0 until SimOps.pqM).foreach { m =>
+        val sub = v.slice(m * SimOps.pqSub, (m + 1) * SimOps.pqSub)
+        val b = books(m)
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        b.ids.indices.foreach { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < sub.length) { acc += sub(j).toDouble * b.vecs(i)(j); j += 1 }
+          val score = acc - b.nrms(i) / 2
+          if (score > bestScore) { bestScore = score; best = i }
+        }
+        assert(r.getInt(1 + m) == b.ids(best),
+          s"vec ${r.getLong(0)} subspace $m: got ${r.getInt(1 + m)}, want ${b.ids(best)}")
+      }
+    }
+    // 64x-compressed codes must still recall real neighbors: a loose
+    // floor (exact parity is the oracle's job; quality depends on the
+    // synthetic corpus's clusterability)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val bf = topSets(SimOps.simCosineTopk(spark, sf))
+    val pq = topSets(SimOps.embedPq(spark, sf))
+    val recall = bf.map { case (q, s) =>
+      pq(q).intersect(s).size.toDouble / s.size }.sum / bf.size
+    assert(recall >= 0.05, f"mean recall@5 $recall%.2f below floor")
+  }
+
   test("dedup_simhash: planted pairs at hamming 0, few false pairs") {
     val rows = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))
