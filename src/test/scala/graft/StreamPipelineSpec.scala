@@ -49,6 +49,78 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.exists(r => !r.isNullAt(1)))
   }
 
+  test("checkpointed restart recovers state exactly (HDFS + RocksDB providers)") {
+    // The production streaming property nothing else observes:
+    // exactly-once recovery. A windowed aggregation runs over HALF the
+    // input files with a checkpointLocation, is STOPPED, the other
+    // half lands, and a restarted query on the SAME checkpoint must
+    // (a) resume from restored state reading only the new files and
+    // (b) end in exactly the state an uninterrupted run reaches —
+    // which equals the batch aggregate of the whole input.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val providers = Seq(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // stage the events table as 4 parquet files
+    val work = Files.createTempDirectory("graft_ckpt")
+    val stage = work.resolve("stage")
+    Tables.load(spark, sf, "events").repartition(4)
+      .write.parquet(stage.toString)
+    val parts = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString)
+    assert(parts.length == 4)
+    val expected = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type").collect()
+    providers.foreach { provider =>
+      val child = spark.newSession()
+      child.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      child.conf.set("spark.sql.shuffle.partitions", "4")
+      val inDir = work.resolve(s"in_${provider.hashCode.toHexString}")
+      val ckpt = work.resolve(s"ckpt_${provider.hashCode.toHexString}")
+      Files.createDirectories(inDir)
+      def sink(tag: String) = s"ckpt_restart_${provider.hashCode.toHexString}_$tag"
+      def start(tag: String) = child.readStream
+        .schema(StreamOps.eventsTsSchema).parquet(inDir.toString)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"))
+        .writeStream.format("memory").queryName(sink(tag))
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      parts.take(2).foreach(p =>
+        Files.copy(p, inDir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
+      val q1 = start("a")
+      try { q1.processAllAvailable() } finally q1.stop()
+      parts.drop(2).foreach(p =>
+        Files.copy(p, inDir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING))
+      val q2 = start("b")
+      val got = try {
+        q2.processAllAvailable()
+        // (a) resumed, not re-read: the restarted query ingested only
+        // the two NEW files' rows
+        val newRows = parts.drop(2)
+          .map(p => spark.read.parquet(p.toString).count()).sum
+        val ingested = q2.recentProgress.map(_.numInputRows).sum
+        assert(ingested == newRows,
+          s"restart re-ingested $ingested rows, expected only $newRows new")
+        child.table(sink("b"))
+          .orderBy("window_start", "event_type").collect()
+      } finally q2.stop()
+      // (b) final state identical to the uninterrupted batch aggregate
+      assert(got.length == expected.length && got.nonEmpty,
+        s"$provider: ${got.length} windows vs ${expected.length}")
+      got.zip(expected).foreach { case (g, e) => assert(g == e, s"$provider: $g != $e") }
+      child.catalog.dropTempView(sink("a"))
+      child.catalog.dropTempView(sink("b"))
+    }
+  }
+
   test("stream_join (stream-stream interval join) equals its batch twin") {
     val streamed = StreamOps.streamJoin(spark, sf).collect()
     val batch = StreamOps.batchJoin(spark, sf).collect()
