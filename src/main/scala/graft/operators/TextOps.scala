@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -251,7 +252,96 @@ object TextOps {
       |  CAST(max(c) AS DOUBLE) / SUM(c) AS rep_ratio
       |FROM c GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // text_train_split: deterministic stratified train/val/test
+  // assignment — the reproducibility primitive of every training
+  // pipeline. Membership derives from a Knuth multiplicative hash of
+  // the stable doc id (h = id·2654435761 mod 2³², bucket = h mod
+  // 1000), NOT from sample()/rand(): the split is identical across
+  // runs, engines, partitionings and cluster sizes, any row's
+  // membership is decidable in isolation (a streaming ingest can
+  // assign it), and the oracle recomputes it exactly in integer SQL.
+  // 85/7.5/7.5; the multiplier decorrelates adjacent ids so every
+  // source stratum lands near the target fractions.
+  // ---------------------------------------------------------------
+  def textTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .%(lit(1000L)).as("bucket")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 850, "train")
+          .when(col("bucket") < 925, "val")
+          .otherwise("test"))
+  }
+
+  val textTrainSplitSql: String =
+    """SELECT doc_id, source,
+      |  (doc_id * 2654435761) % 4294967296 % 1000 AS bucket,
+      |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 850 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 925 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------
+  // text_pack_sequences: GPT-style document packing — concatenate
+  // docs in stable id order and cut fixed token-budget training
+  // sequences; each doc learns which sequence it starts in and at
+  // what offset. The global running token count is a DISTRIBUTED
+  // prefix scan: repartitionByRange gives contiguous id ranges,
+  // each partition cumsums locally under a per-partition window,
+  // and the per-partition totals (one row each) prefix-sum on the
+  // driver into offsets added back — no single-partition global
+  // window anywhere, the classic exclusive-scan decomposition that
+  // holds at any corpus size.
+  // ---------------------------------------------------------------
+  val packBudget = 256
+
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+    // contiguous id ranges; pid pinned by checkpoint so the offsets
+    // branch and the scan branch see the SAME partitioning
+    val parts = counts.repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy("pid")
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val offsets = Array.iterate(0L, nParts + 1)(identity).clone()
+    (1 to nParts).foreach(i =>
+      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = (sum(col("n_tokens")).over(w) +
+      element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
+    parts
+      .withColumn("start", cum - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start") / packBudget).cast(LongType).as("seq_id"),
+        (col("start") % packBudget).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  val textPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS start
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  start // $packBudget AS seq_id,
+       |  start % $packBudget AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_train_split" -> (textTrainSplit _),
+    "text_pack_sequences" -> (textPackSequences _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -261,6 +351,8 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_train_split" -> textTrainSplitSql,
+    "text_pack_sequences" -> textPackSequencesSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

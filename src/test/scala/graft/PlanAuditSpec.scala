@@ -77,8 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
     "text_fingerprint" -> 0, "text_langid" -> 0, "text_normalize" -> 0,
-    "text_pii_scrub" -> 0, "text_quality" -> 0, "text_repetition" -> 2,
-    "text_tokens" -> 0)
+    "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
+    "text_repetition" -> 2, "text_tokens" -> 0, "text_train_split" -> 0)
 
   /** The only nested-loop broadcasts the engine intends: the
     * brute-force ANN baseline's bounded queries×corpus scan

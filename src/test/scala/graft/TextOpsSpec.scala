@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Contracts of the training-set assembly ops beyond oracle parity:
+  * split balance/stability and the packing scan's exactness against
+  * a driver-side sequential reference.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_train_split is stable, complete, and near target fractions") {
+    val rows = TextOps.textTrainSplit(spark, sf).collect()
+    val n = rows.length
+    assert(n == 500)
+    // membership is a pure function of doc_id: identical across runs
+    val again = TextOps.textTrainSplit(spark, sf).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getString(3)).toMap ==
+      again.map(r => r.getLong(0) -> r.getString(3)).toMap)
+    // every doc in exactly one split; fractions near 85/7.5/7.5 (the
+    // multiplicative hash decorrelates ids; tolerance covers a 500-doc
+    // sample's variance)
+    val frac = rows.groupBy(_.getString(3)).view.mapValues(_.length.toDouble / n)
+    assert(math.abs(frac("train") - 0.85) < 0.05, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.075) < 0.04)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.075) < 0.04)
+    // stratification: the dominant source stays near the global rate
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (src, rs) =>
+      if (rs.length >= 100) {
+        val t = rs.count(_.getString(3) == "train").toDouble / rs.length
+        assert(math.abs(t - 0.85) < 0.08, s"source $src train rate $t")
+      }
+    }
+  }
+
+  test("text_pack_sequences matches a sequential driver-side scan exactly") {
+    val got = TextOps.textPackSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // the reference: one sequential pass in doc_id order — the
+    // distributed range-partitioned scan must be indistinguishable
+    val counts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    var cum = 0L
+    val want = counts.map { case (id, n) =>
+      val start = cum
+      cum += n
+      (id, n, start / TextOps.packBudget, start % TextOps.packBudget)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // sequences fill contiguously: seq ids are nondecreasing and every
+    // budget boundary is crossed at most one doc after it's reached
+    got.sliding(2).foreach {
+      case Array((_, _, s1, _), (_, _, s2, _)) => assert(s2 >= s1)
+      case _ =>
+    }
+  }
+}
