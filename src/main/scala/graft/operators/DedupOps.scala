@@ -412,6 +412,84 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------
+  // dedup_clusters [O]: connected components over the near-dup pair
+  // graph — the ACTIONABLE output of dedup (pairs say "these two are
+  // close"; training-set pruning needs "keep exactly one doc per
+  // transitive cluster"). Min-label propagation: every vertex starts
+  // as its own label and repeatedly takes the min over its neighbors
+  // until fixpoint — one bucket-local join + one min-aggregate per
+  // round, O(graph diameter) rounds. Near-dup graphs are
+  // short-diameter by construction (clusters are cliques-ish of
+  // mutually-similar docs), so the loop converges in a handful of
+  // rounds; each round localCheckpoints the (id, label) frame — KBs
+  // per vertex — to cut lineage, the standard Pregel-lite shape. The
+  // DuckDB oracle rebuilds components independently via a recursive
+  // CTE over the same lossless pair set.
+  // ---------------------------------------------------------------
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = dupDocs(s, dir)
+    clusterLabels(docs, jaccardPairs(docs, jaccardTau))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over an undirected (a, b) pair graph —
+    * the reusable core of dedup_clusters (the spec drives it with
+    * synthetic chain graphs to pin transitivity). */
+  private[graft] def clusterLabels(docs: DataFrame, pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select("a", "b").localCheckpoint()
+    // undirected: propagate labels both ways
+    val edges = pairs.unionAll(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val fromNbrs = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(fromNbrs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Components rebuilt independently: a recursive CTE floods every
+    * reachable label through the undirected pair graph; the min per
+    * vertex is its component's canonical id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS ($dupDocsSql),
+       |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM tok),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y USING (shingle)
+       |  WHERE x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b FROM cand
+       |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $jaccardTau),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION ALL SELECT b, a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+       |SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // dedup_incremental [O]: nightly-ingest dedup — a NEW batch checked
   // against a PERSISTED signature index instead of re-hashing the
   // whole corpus. The single most common production dedup shape (the
@@ -496,6 +574,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -504,6 +583,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql)

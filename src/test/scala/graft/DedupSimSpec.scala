@@ -37,6 +37,27 @@ class DedupSimSpec extends AnyFunSuite {
       .foreach { case (_, _, j) => assert(j == 1.0) }
   }
 
+  test("dedup_clusters: planted pairs share a canonical id; chains are transitive") {
+    val rows = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled, labels are component minima (<= the doc id)
+    assert(rows.size == 550)
+    rows.foreach { case (d, c) => assert(c <= d) }
+    // each planted clone resolves to its original's canonical id
+    plantedDocs.foreach { case (orig, clone) =>
+      assert(rows(clone) == rows(orig),
+        s"clone $clone labeled ${rows(clone)}, original $orig ${rows(orig)}") }
+    // transitivity on a synthetic chain graph 1-2-3-4 plus isolate 9:
+    // one component {1,2,3,4} with min label 1 — pairs (1,2)(2,3)(3,4)
+    // never connect 1-4 directly, only label propagation does
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = DedupOps.clusterLabels(docs, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("dedup_incremental: batch vs persisted index, no corpus re-hash") {
     val rows = DedupOps.dedupIncremental(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))

@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * signature agg + band explode + bucket self-join.
     */
   private val shuffleBudget: Map[String, Int] = Map(
-    "dedup_embed_cosine" -> 2, "dedup_exact" -> 1,
+    "dedup_clusters" -> 1, "dedup_embed_cosine" -> 2, "dedup_exact" -> 1,
     "dedup_incremental" -> 2, "dedup_minhash" -> 5,
     "dedup_ngram_jaccard" -> 4, "dedup_simhash" -> 3, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
