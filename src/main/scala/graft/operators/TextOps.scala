@@ -339,7 +339,54 @@ object TextOps {
        |  start % $packBudget AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // text_domain_mix: deterministic weighted domain mixing — the
+  // data-mixture step of training-set assembly (upsample prized
+  // domains, downsample bulk ones, drop blocked ones). Weight w
+  // realizes as floor(w) full copies per doc plus one fractional
+  // copy kept when the doc's hash bucket falls under frac(w)·1000 —
+  // the same Knuth-hash membership as text_train_split, so the mix
+  // is reproducible row-by-row across runs/engines/partitionings
+  // (rand()-based sampling is none of those). Weights here derive
+  // from the source index (idx%4 → 2.25 / 1.0 / 0.5 / 0.0) purely so
+  // the oracle can recompute them; production passes a weight map.
+  // ---------------------------------------------------------------
+  def textDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val g = substring(col("source"), 4, 10).cast("int") % 4
+    val bucket =
+      (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(1000L)
+    val wt = when(g === 0, 2.25).when(g === 1, 1.0)
+      .when(g === 2, 0.5).otherwise(0.0)
+    val nCopies = floor(wt).cast(LongType) +
+      when(bucket < (wt - floor(wt)) * 1000, 1L).otherwise(0L)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), nCopies.as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n") - 1)).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  val textDomainMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(SUBSTR(source, 4) AS INT) % 4 AS g,
+      |    (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+      |  FROM documents),
+      |w AS (SELECT *,
+      |    CASE g WHEN 0 THEN 2.25 WHEN 1 THEN 1.0
+      |           WHEN 2 THEN 0.5 ELSE 0.0 END AS wt
+      |  FROM d),
+      |n AS (SELECT doc_id, source,
+      |    CAST(FLOOR(wt) AS BIGINT)
+      |      + CASE WHEN bucket < (wt - FLOOR(wt)) * 1000 THEN 1 ELSE 0 END
+      |      AS n_copies
+      |  FROM w)
+      |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
+      |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_mix" -> (textDomainMix _),
     "text_train_split" -> (textTrainSplit _),
     "text_pack_sequences" -> (textPackSequences _),
     "text_tokens" -> (textTokens _),
@@ -351,6 +398,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_domain_mix" -> textDomainMixSql,
     "text_train_split" -> textTrainSplitSql,
     "text_pack_sequences" -> textPackSequencesSql,
     "text_tokens" -> textTokensSql,

@@ -76,7 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
-    "text_fingerprint" -> 0, "text_langid" -> 0, "text_normalize" -> 0,
+    "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
+    "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
     "text_repetition" -> 2, "text_tokens" -> 0, "text_train_split" -> 0)
 

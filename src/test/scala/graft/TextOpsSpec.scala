@@ -37,6 +37,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_domain_mix realizes each source's target weight") {
+    val rows = TextOps.textDomainMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcCounts = Tables.load(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def grp(src: String) = src.drop(3).toInt % 4
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toDouble)
+    // dropped group emits nothing; whole-number part is exact; the
+    // fractional part tracks frac(w) within hash-sampling tolerance
+    srcCounts.foreach { case (src, n) =>
+      val out = bySrc.getOrElse(src, 0.0)
+      grp(src) match {
+        case 0 => assert(out >= 2 * n && out <= 2.6 * n, s"$src: $out/$n")
+        case 1 => assert(out == n.toDouble, s"$src: $out/$n")
+        case 2 => assert(out >= 0.2 * n && out <= 0.8 * n, s"$src: $out/$n")
+        case _ => assert(out == 0.0, s"dropped $src emitted $out rows")
+      }
+    }
+    // sample instances are unique and reproducible
+    assert(rows.distinct.length == rows.length)
+    assert(TextOps.textDomainMix(spark, sf).collect().length == rows.length)
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
