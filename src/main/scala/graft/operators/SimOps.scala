@@ -414,6 +414,143 @@ object SimOps {
       Seq(col("cosine").desc, col("vec_id")), topK))
   }
 
+  // ---------------------------------------------------------------
+  // sim_ivfpq_topk: THE production ANN composition — IVF probing ×
+  // PQ compressed scoring. The scan touches only the nProbe probed
+  // buckets (IVF's pruning) and reads 4-byte codes instead of 256-
+  // byte vectors (PQ's compression); scoring is 4 LUT lookups per
+  // (query, doc). At 100 TB this is the memory-resident index shape:
+  // codes live in RAM where raw vectors cannot. Both models come
+  // from their published parquet (the IVF centroids and the PQ
+  // codebooks), so the full composed pipeline — assignment, probe
+  // selection, encoding, ADC ranking — is oracle-checked end to end
+  // from the same doubles.
+  // ---------------------------------------------------------------
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val cents = publishedCentroids(s, dir)
+    val books = publishedCodebooks(s, dir)
+    val c = corpus(s, dir)
+    // ONE zero-shuffle projection: IVF bucket + the 4 PQ codes
+    val codeCols = (0 until pqM).map { m =>
+      nearestCentroid(slice(col("v"), m * pqSub + 1, pqSub), lit(1.0),
+        books(m), l2 = true).as(s"code$m")
+    }
+    val encoded = c.select(
+      col("vec_id") +:
+        nearestCentroid(col("v"), col("nrm"), cents).as("centroid") +:
+        codeCols: _*)
+    // per query: its nProbe closest centroids (driver math — centroids
+    // and queries are both tiny)
+    val qRows = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("v")).as("qv"))
+      .collect().sortBy(_.getLong(0))
+    val qvs = qRows.map(_.getAs[Seq[Double]]("qv").toArray)
+    val qnrms = qvs.map(v => math.sqrt(dotDriver(v, v)))
+    import s.implicits._
+    val probes = qRows.indices.flatMap { qi =>
+      cents.ids.indices
+        .map(ci => (cents.ids(ci),
+          dotDriver(qvs(qi), cents.vecs(ci)) / (qnrms(qi) * cents.nrms(ci))))
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(nProbe)
+        .map { case (cid, _) => (qRows(qi).getLong(0), cid) }
+    }.toDF("q_id", "centroid")
+    // q_ids are 0..nQueries-1, so 2-D literal LUTs index by q_id
+    // directly: part_m[q][code] = dot(q_m, codebook_m[code])
+    def byId(b: Centroids, value: Int => Double): Seq[Double] = {
+      val arr = Array.fill(b.ids.max + 1)(0.0)
+      b.ids.indices.foreach(i => arr(b.ids(i)) = value(i))
+      arr.toSeq
+    }
+    val parts = (0 until pqM).map { m =>
+      val lut2d = qvs.map { qv =>
+        val qm = qv.slice(m * pqSub, (m + 1) * pqSub)
+        byId(books(m), i => dotDriver(qm, books(m).vecs(i)))
+      }.toSeq
+      element_at(element_at(typedlit(lut2d), col("q_id").cast("int") + 1),
+        col(s"code$m") + 1)
+    }
+    val n2 = (0 until pqM).map { m =>
+      element_at(typedlit(byId(books(m), i => books(m).nrms(i))),
+        col(s"code$m") + 1)
+    }
+    val qnrmCol = element_at(typedlit(qnrms.toSeq), col("q_id").cast("int") + 1)
+    val scored = encoded.join(broadcast(probes), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (parts.reduceLeft(_ + _) /
+          (qnrmCol * sqrt(n2.reduceLeft(_ + _)))).as("cosine"))
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
+  }
+
+  /** Oracle: IVF assignment + probe selection from the published
+    * centroids, PQ codes + LUT scoring from the published codebooks —
+    * the composed pipeline rebuilt end to end. */
+  val simIvfPqTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT c_id, cv, cnrm FROM
+       |  read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')),
+       |cb AS (SELECT m, c_id, cv, cnrm2 FROM
+       |  read_parquet('/tmp/graft_pq_codebooks___SFTAG__.parquet/*.parquet')),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS centroid FROM (
+       |    SELECT c.vec_id, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+       |ms AS (SELECT unnest(range(0, $pqM)) AS m),
+       |sub AS (SELECT c.vec_id, ms.m,
+       |  c.v[ms.m*$pqSub+1 : ms.m*$pqSub+$pqSub] AS sv FROM c CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, b.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sv, b.cv) - b.cnrm2 / 2 DESC, b.c_id) AS rn
+       |    FROM sub s JOIN cb b USING (m)) WHERE rn = 1),
+       |w AS (SELECT vec_id,
+       |    MAX(CASE WHEN m = 0 THEN c_id END) AS k0,
+       |    MAX(CASE WHEN m = 1 THEN c_id END) AS k1,
+       |    MAX(CASE WHEN m = 2 THEN c_id END) AS k2,
+       |    MAX(CASE WHEN m = 3 THEN c_id END) AS k3
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv,
+       |  sqrt(list_dot_product(v, v)) AS qnrm FROM c WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, centroid FROM (
+       |    SELECT q.q_id, ct.c_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qv, ct.cv) / (q.qnrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM q CROSS JOIN cents ct) WHERE rn <= $nProbe),
+       |lut AS (
+       |  SELECT q.q_id, b.m, b.c_id,
+       |    list_dot_product(q.qv[b.m*$pqSub+1 : b.m*$pqSub+$pqSub], b.cv) AS d,
+       |    b.cnrm2
+       |  FROM q CROSS JOIN cb b),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    (((l0.d + l1.d) + l2.d) + l3.d)
+       |      / (q.qnrm * sqrt((((l0.cnrm2 + l1.cnrm2) + l2.cnrm2) + l3.cnrm2))) AS cosine
+       |  FROM assigned a
+       |  JOIN probes p USING (centroid)
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN w ON w.vec_id = a.vec_id
+       |  JOIN lut l0 ON l0.q_id = p.q_id AND l0.m = 0 AND l0.c_id = w.k0
+       |  JOIN lut l1 ON l1.q_id = p.q_id AND l1.m = 1 AND l1.c_id = w.k1
+       |  JOIN lut l2 ON l2.q_id = p.q_id AND l2.m = 2 AND l2.c_id = w.k2
+       |  JOIN lut l3 ON l3.q_id = p.q_id AND l3.m = 3 AND l3.c_id = w.k3
+       |  WHERE a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** The oracle re-encodes every vector (L2 argmin per subspace, same
     * dot-form score and tie-break as the native expression) and
     * re-scores by lookup from the published codebooks. */
@@ -512,12 +649,14 @@ object SimOps {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf0_topk" -> (simIvf0Topk _),
     "embed_quantize" -> (embedQuantize _),
-    "embed_pq" -> (embedPq _))
+    "embed_pq" -> (embedPq _),
+    "sim_ivfpq_topk" -> (simIvfPqTopk _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,
     "embed_quantize" -> embedQuantizeSql,
-    "embed_pq" -> embedPqSql)
+    "embed_pq" -> embedPqSql,
+    "sim_ivfpq_topk" -> simIvfPqTopkSql)
 }

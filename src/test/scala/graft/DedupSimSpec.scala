@@ -124,6 +124,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.05, f"mean recall@5 $recall%.2f below floor")
   }
 
+  test("sim_ivfpq_topk composes IVF pruning with PQ scoring coherently") {
+    val rows = SimOps.simIvfPqTopk(spark, sf).collect()
+    assert(rows.length == SimOps.nQueries * SimOps.topK)
+    // deterministic repeat (both models are published artifacts)
+    val again = SimOps.simIvfPqTopk(spark, sf).collect()
+    rows.zip(again).foreach { case (a, b) => assert(a == b) }
+    // the composition can't beat its own PQ scorer: every (q, doc) it
+    // returns must carry exactly the ADC cosine embed_pq assigns,
+    // and candidates it returns are a subset of the unpruned PQ scan
+    val pqAll = SimOps.embedPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    // (embed_pq keeps only top-5, so compare where both rank)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      pqAll.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"),
+        s"ADC cosine mismatch for $key"))
+    }
+    // pruning recalls most of what full-scan PQ ranks (same scorer,
+    // nProbe/nCentroids of the corpus scanned)
+    val hit = rows.count(r =>
+      pqAll.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))))
+    assert(hit >= rows.length / 2,
+      s"IVF-PQ recalled only $hit/${rows.length} of full-scan PQ's top-k")
+  }
+
   test("dedup_simhash: planted pairs at hamming 0, few false pairs") {
     val rows = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))

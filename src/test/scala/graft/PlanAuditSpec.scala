@@ -74,6 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,
     "q_window_funcs" -> 3, "q_window_range" -> 2, "q_window_running" -> 2,
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
+    "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
