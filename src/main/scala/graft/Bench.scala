@@ -77,10 +77,15 @@ object Bench {
          |"loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadAfter)},
          |"queries":$qs,
          |"detail":$fullQs}""".stripMargin.replace("\n", "")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
-    // stdout keeps the driver's one-line contract
+    // stdout FIRST: the driver scrapes this line, and hours of
+    // measurements must never be lost to an unwritable artifact path
     println(oneLine)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] full-record write failed ($outPath): $e")
+    }
     spark.stop()
     // exit unconditionally: a leaked non-daemon thread must not hang
     // the benchmarking harness after the JSON line is out (see Verify)

@@ -542,6 +542,19 @@ object DedupOps {
     val idxDir = dedupIndexDir(dir)
     val tag = ScaleJoins.corpusTag(dir, Seq("documents"))
     val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
+    // per-run work: hash ONLY the batch; publish its segment (the
+    // oracle reads it, and in production tonight's segment compacts
+    // into tomorrow's corpus index)
+    val batch = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val batchSigs = minhashSignatures(batch).localCheckpoint()
+    val batchBanded = bandBuckets(batchSigs).localCheckpoint()
+    // ALL segment writes run under the lock: the batch segment is
+    // overwrite-mode on every run, and a concurrent JVM (or the
+    // oracle) reading those globs mid-overwrite would hit deleted
+    // files — the same overlapping-Bench-and-Verify race the corpus
+    // build guards against
     Etl.withPathLock(Paths.get(idxDir + ".lock")) {
       if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
         val corpusSigs =
@@ -553,21 +566,14 @@ object DedupOps {
           .parquet(s"$idxDir/corpus_buckets")
         Files.writeString(tagPath, tag)
       }
+      batchSigs.select("doc_id", "sh").write.mode("overwrite")
+        .parquet(s"$idxDir/batch_sets")
+      batchBanded.write.mode("overwrite")
+        .parquet(s"$idxDir/batch_buckets")
     }
-    // per-run work: hash ONLY the batch; publish its segment (the
-    // oracle reads it, and in production tonight's segment compacts
-    // into tomorrow's corpus index)
-    val batch = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-    val batchSigs = minhashSignatures(batch).localCheckpoint()
-    batchSigs.select("doc_id", "sh").write.mode("overwrite")
-      .parquet(s"$idxDir/batch_sets")
-    bandBuckets(batchSigs).write.mode("overwrite")
-      .parquet(s"$idxDir/batch_buckets")
     val candidates = s.read.parquet(s"$idxDir/corpus_buckets")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
-      .join(bandBuckets(batchSigs)
+      .join(batchBanded
           .select(col("doc_id").as("batch_id"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("corpus_id").as("a"), col("batch_id").as("b"))

@@ -203,18 +203,37 @@ object SimOps {
     * the already-dumped oracle SQL reads, not a fresh refinement that
     * would clobber them. Repeat runs are also write-free, keeping
     * model I/O out of benchmarked queries. */
+  /** Build-or-load under a cross-process FileLock, publishing via
+    * write-to-temp + atomic rename: two JVMs (an overlapping Bench
+    * and Verify) must not both build a non-bit-reproducible model —
+    * one would rank against doubles the other's overwrite replaced
+    * on disk, spuriously failing the oracle — and a JVM killed
+    * mid-write must not leave a partial directory that exists()
+    * trusts forever. */
+  private def publishLocked[A](path: String)(load: => A)(build: => (A, DataFrame)): A =
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (new java.io.File(path).exists()) load
+      else {
+        val (model, df) = build
+        val tmp = path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+          s"atomic publish rename failed: $tmp -> $path")
+        model
+      }
+    }
+
   def publishedCentroids(s: SparkSession, dir: String): Centroids = {
     val path = centroidDumpPath(dir)
-    if (new java.io.File(path).exists()) {
+    publishLocked(path) {
       val rows = s.read.parquet(path).collect().sortBy(_.getInt(0))
       Centroids(
         rows.map(_.getInt(0)),
         rows.map(_.getAs[Seq[Double]]("cv").toArray),
         rows.map(_.getDouble(2)))
-    } else {
+    } {
       val cents = cachedCentroids(s, dir)
-      cents.toDF(s).coalesce(1).write.mode("overwrite").parquet(path)
-      cents
+      (cents, cents.toDF(s))
     }
   }
 
@@ -338,7 +357,7 @@ object SimOps {
     * nrms holds SQUARED norms (the L2-mode contract). */
   def publishedCodebooks(s: SparkSession, dir: String): Array[Centroids] = {
     val path = pqCodebookPath(dir)
-    if (new java.io.File(path).exists()) {
+    publishLocked(path) {
       val rows = s.read.parquet(path).collect()
       (0 until pqM).toArray.map { m =>
         val r = rows.filter(_.getAs[Int]("m") == m).sortBy(_.getAs[Int]("c_id"))
@@ -346,7 +365,7 @@ object SimOps {
           r.map(_.getAs[Seq[Double]]("cv").toArray),
           r.map(_.getAs[Double]("cnrm2")))
       }
-    } else {
+    } {
       val c = corpus(s, dir)
       val books = (0 until pqM).toArray.map { m =>
         val sub = c.select(col("vec_id"),
@@ -354,36 +373,39 @@ object SimOps {
         lloydCentroids(sub, pqK, lloydIters, dim = pqSub, l2 = true)
       }
       import s.implicits._
-      books.zipWithIndex.toSeq.flatMap { case (b, m) =>
+      (books, books.zipWithIndex.toSeq.flatMap { case (b, m) =>
         b.ids.indices.map(i => (m, b.ids(i), b.vecs(i).toSeq, b.nrms(i)))
-      }.toDF("m", "c_id", "cv", "cnrm2")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      books
+      }.toDF("m", "c_id", "cv", "cnrm2"))
     }
   }
 
-  /** PQ encoding — pqM L2-argmin native expressions over subvector
-    * slices: a zero-shuffle projection, exactly like IVF assignment. */
-  private[graft] def pqCodes(c: DataFrame, books: Array[Centroids]): DataFrame = {
-    val codeCols = (0 until pqM).map { m =>
+  /** The pqM L2-argmin encoding expressions (code0..code{M-1}) —
+    * shared by every PQ consumer so the encoding can never diverge
+    * between keys. */
+  private def pqCodeCols(books: Array[Centroids]): Seq[Column] =
+    (0 until pqM).map { m =>
       nearestCentroid(slice(col("v"), m * pqSub + 1, pqSub), lit(1.0),
         books(m), l2 = true).as(s"code$m")
     }
-    c.select(col("vec_id") +: codeCols: _*)
+
+  /** PQ encoding — pqM L2-argmin native expressions over subvector
+    * slices: a zero-shuffle projection, exactly like IVF assignment. */
+  private[graft] def pqCodes(c: DataFrame, books: Array[Centroids]): DataFrame =
+    c.select(col("vec_id") +: pqCodeCols(books): _*)
+
+  /** Lookup-table values indexed BY codebook id: ids may be sparse
+    * after refinement (an empty cluster drops out), so unreachable
+    * slots zero-fill — codes only ever take surviving ids. */
+  private def byId(b: Centroids, value: Int => Double): Seq[Double] = {
+    val arr = Array.fill(b.ids.max + 1)(0.0)
+    b.ids.indices.foreach(i => arr(b.ids(i)) = value(i))
+    arr.toSeq
   }
 
   def embedPq(s: SparkSession, dir: String): DataFrame = {
     val books = publishedCodebooks(s, dir)
     val c = corpus(s, dir)
     val codes = pqCodes(c, books)
-    // codebook ids may be sparse after refinement (an empty cluster
-    // drops out), so lookup tables are indexed BY id with unreachable
-    // slots zero-filled — codes only ever take surviving ids
-    def byId(b: Centroids, value: Int => Double): Seq[Double] = {
-      val arr = Array.fill(b.ids.max + 1)(0.0)
-      b.ids.indices.foreach(i => arr(b.ids(i)) = value(i))
-      arr.toSeq
-    }
     val qRows = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id"),
         graft.functions.VectorFunctions.toDouble(col("v")).as("qv"))
@@ -431,14 +453,10 @@ object SimOps {
     val books = publishedCodebooks(s, dir)
     val c = corpus(s, dir)
     // ONE zero-shuffle projection: IVF bucket + the 4 PQ codes
-    val codeCols = (0 until pqM).map { m =>
-      nearestCentroid(slice(col("v"), m * pqSub + 1, pqSub), lit(1.0),
-        books(m), l2 = true).as(s"code$m")
-    }
     val encoded = c.select(
       col("vec_id") +:
         nearestCentroid(col("v"), col("nrm"), cents).as("centroid") +:
-        codeCols: _*)
+        pqCodeCols(books): _*)
     // per query: its nProbe closest centroids (driver math — centroids
     // and queries are both tiny)
     val qRows = c.filter(col("vec_id") < nQueries)
@@ -458,11 +476,6 @@ object SimOps {
     }.toDF("q_id", "centroid")
     // q_ids are 0..nQueries-1, so 2-D literal LUTs index by q_id
     // directly: part_m[q][code] = dot(q_m, codebook_m[code])
-    def byId(b: Centroids, value: Int => Double): Seq[Double] = {
-      val arr = Array.fill(b.ids.max + 1)(0.0)
-      b.ids.indices.foreach(i => arr(b.ids(i)) = value(i))
-      arr.toSeq
-    }
     val parts = (0 until pqM).map { m =>
       val lut2d = qvs.map { qv =>
         val qm = qv.slice(m * pqSub, (m + 1) * pqSub)

@@ -255,18 +255,28 @@ object TextOps {
   // ---------------------------------------------------------------
   // text_train_split: deterministic stratified train/val/test
   // assignment — the reproducibility primitive of every training
-  // pipeline. Membership derives from a Knuth multiplicative hash of
-  // the stable doc id (h = id·2654435761 mod 2³², bucket = h mod
-  // 1000), NOT from sample()/rand(): the split is identical across
-  // runs, engines, partitionings and cluster sizes, any row's
-  // membership is decidable in isolation (a streaming ingest can
-  // assign it), and the oracle recomputes it exactly in integer SQL.
-  // 85/7.5/7.5; the multiplier decorrelates adjacent ids so every
-  // source stratum lands near the target fractions.
+  // pipeline. Membership derives from a Lehmer/MINSTD multiplicative
+  // hash of the stable doc id (h = (id mod 2³¹−1)·48271 mod 2³¹−1,
+  // bucket = h mod 1000), NOT from sample()/rand(): the split is
+  // identical across runs, engines, partitionings and cluster sizes,
+  // any row's membership is decidable in isolation (a streaming
+  // ingest can assign it), and the oracle recomputes it exactly in
+  // integer SQL. MINSTD over a 2³²-multiplier Knuth hash because the
+  // intermediate ((2³¹−2)·48271 ≈ 1e14) fits a 64-bit integer for
+  // EVERY doc id — the Knuth form overflows Long past id ≈ 3.5e9,
+  // which a 100 TB corpus reaches. 85/7.5/7.5; the multiplier
+  // decorrelates adjacent ids so every source stratum lands near the
+  // target fractions.
   // ---------------------------------------------------------------
+  private[graft] def hashBucket(id: Column): Column =
+    ((id % lit(2147483647L)) * lit(48271L)) % lit(2147483647L) % lit(1000L)
+
+  /** The same hash in DuckDB integer SQL. */
+  private val hashBucketSql =
+    "(doc_id % 2147483647) * 48271 % 2147483647 % 1000"
+
   def textTrainSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
-      .%(lit(1000L)).as("bucket")
+    val bucket = hashBucket(col("doc_id")).as("bucket")
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), bucket)
       .withColumn("split",
@@ -276,12 +286,12 @@ object TextOps {
   }
 
   val textTrainSplitSql: String =
-    """SELECT doc_id, source,
-      |  (doc_id * 2654435761) % 4294967296 % 1000 AS bucket,
-      |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 850 THEN 'train'
-      |       WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 925 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, source,
+       |  $hashBucketSql AS bucket,
+       |  CASE WHEN $hashBucketSql < 850 THEN 'train'
+       |       WHEN $hashBucketSql < 925 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------
   // text_pack_sequences: GPT-style document packing — concatenate
@@ -309,7 +319,7 @@ object TextOps {
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = Array.iterate(0L, nParts + 1)(identity).clone()
+    val offsets = new Array[Long](nParts + 1)
     (1 to nParts).foreach(i =>
       offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
     val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
@@ -345,7 +355,7 @@ object TextOps {
   // domains, downsample bulk ones, drop blocked ones). Weight w
   // realizes as floor(w) full copies per doc plus one fractional
   // copy kept when the doc's hash bucket falls under frac(w)·1000 —
-  // the same Knuth-hash membership as text_train_split, so the mix
+  // the same MINSTD-hash membership as text_train_split, so the mix
   // is reproducible row-by-row across runs/engines/partitionings
   // (rand()-based sampling is none of those). Weights here derive
   // from the source index (idx%4 → 2.25 / 1.0 / 0.5 / 0.0) purely so
@@ -353,8 +363,7 @@ object TextOps {
   // ---------------------------------------------------------------
   def textDomainMix(s: SparkSession, dir: String): DataFrame = {
     val g = substring(col("source"), 4, 10).cast("int") % 4
-    val bucket =
-      (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(1000L)
+    val bucket = hashBucket(col("doc_id"))
     val wt = when(g === 0, 2.25).when(g === 1, 1.0)
       .when(g === 2, 0.5).otherwise(0.0)
     val nCopies = floor(wt).cast(LongType) +
@@ -368,11 +377,11 @@ object TextOps {
   }
 
   val textDomainMixSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, source,
-      |    CAST(SUBSTR(source, 4) AS INT) % 4 AS g,
-      |    (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
-      |  FROM documents),
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUBSTR(source, 4) AS INT) % 4 AS g,
+       |    $hashBucketSql AS bucket
+       |  FROM documents),
       |w AS (SELECT *,
       |    CASE g WHEN 0 THEN 2.25 WHEN 1 THEN 1.0
       |           WHEN 2 THEN 0.5 ELSE 0.0 END AS wt

@@ -52,6 +52,11 @@ def main(sf_dir, out_dir, only=None):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
+        unknown = only - set(oracle)
+        if unknown:
+            # a typo'd key must fail fast, not report "0 pass / 0 fail"
+            print(f"ERROR: unknown keys {sorted(unknown)}")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
