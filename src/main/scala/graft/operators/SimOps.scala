@@ -366,12 +366,7 @@ object SimOps {
           r.map(_.getAs[Double]("cnrm2")))
       }
     } {
-      val c = corpus(s, dir)
-      val books = (0 until pqM).toArray.map { m =>
-        val sub = c.select(col("vec_id"),
-          slice(col("v"), m * pqSub + 1, pqSub).as("v"), lit(1.0).as("nrm"))
-        lloydCentroids(sub, pqK, lloydIters, dim = pqSub, l2 = true)
-      }
+      val books = buildCodebooks(corpus(s, dir), pqM, pqK)
       import s.implicits._
       (books, books.zipWithIndex.toSeq.flatMap { case (b, m) =>
         b.ids.indices.map(i => (m, b.ids(i), b.vecs(i).toSeq, b.nrms(i)))
@@ -379,14 +374,28 @@ object SimOps {
     }
   }
 
-  /** The pqM L2-argmin encoding expressions (code0..code{M-1}) —
-    * shared by every PQ consumer so the encoding can never diverge
-    * between keys. */
-  private def pqCodeCols(books: Array[Centroids]): Seq[Column] =
-    (0 until pqM).map { m =>
-      nearestCentroid(slice(col("v"), m * pqSub + 1, pqSub), lit(1.0),
+  /** Per-subspace L2 k-means codebooks for any (m, k) — the pqM/pqK
+    * defaults feed the published model; PqSweep drives other points
+    * of the recall/compression trade-off through the same build. */
+  private[graft] def buildCodebooks(c: DataFrame, m: Int, k: Int): Array[Centroids] = {
+    val subDim = embedDim / m
+    (0 until m).toArray.map { i =>
+      val sub = c.select(col("vec_id"),
+        slice(col("v"), i * subDim + 1, subDim).as("v"), lit(1.0).as("nrm"))
+      lloydCentroids(sub, k, lloydIters, dim = subDim, l2 = true)
+    }
+  }
+
+  /** The L2-argmin encoding expressions (code0..code{M-1}) — shared
+    * by every PQ consumer so the encoding can never diverge between
+    * keys. M and the subspace width derive from the codebooks. */
+  private def pqCodeCols(books: Array[Centroids]): Seq[Column] = {
+    val subDim = embedDim / books.length
+    books.indices.map { m =>
+      nearestCentroid(slice(col("v"), m * subDim + 1, subDim), lit(1.0),
         books(m), l2 = true).as(s"code$m")
     }
+  }
 
   /** PQ encoding — pqM L2-argmin native expressions over subvector
     * slices: a zero-shuffle projection, exactly like IVF assignment. */
@@ -402,8 +411,14 @@ object SimOps {
     arr.toSeq
   }
 
-  def embedPq(s: SparkSession, dir: String): DataFrame = {
-    val books = publishedCodebooks(s, dir)
+  def embedPq(s: SparkSession, dir: String): DataFrame =
+    adcTopk(s, dir, publishedCodebooks(s, dir))
+
+  /** Full-scan ADC top-k against an arbitrary codebook set — the
+    * embed_pq pipeline at any (m, k), also driven by PqSweep. */
+  private[graft] def adcTopk(s: SparkSession, dir: String,
+      books: Array[Centroids]): DataFrame = {
+    val subDim = embedDim / books.length
     val c = corpus(s, dir)
     val codes = pqCodes(c, books)
     val qRows = c.filter(col("vec_id") < nQueries)
@@ -413,12 +428,12 @@ object SimOps {
     val perQuery = qRows.map { r =>
       val qv = r.getAs[Seq[Double]]("qv").toArray
       val qnrm = math.sqrt(dotDriver(qv, qv))
-      val parts = (0 until pqM).map { m =>
-        val qm = qv.slice(m * pqSub, (m + 1) * pqSub)
+      val parts = books.indices.map { m =>
+        val qm = qv.slice(m * subDim, (m + 1) * subDim)
         element_at(typedlit(byId(books(m), i => dotDriver(qm, books(m).vecs(i)))),
           col(s"code$m") + 1)
       }
-      val n2 = (0 until pqM).map { m =>
+      val n2 = books.indices.map { m =>
         element_at(typedlit(byId(books(m), i => books(m).nrms(i))),
           col(s"code$m") + 1)
       }
