@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full training-corpus assembly as ONE composed declarative
+  * plan — the flagship shape every other key is a piece of:
+  *
+  *   crawl (dup-injected documents)
+  *     → quality gate        (TextOps.qualityExpr ≥ threshold)
+  *     → near-dup prune      (DedupOps.clusterLabels: keep each
+  *                            transitive cluster's canonical doc)
+  *     → train split         (TextOps.hashBucket < 850)
+  *     → sequence packing    (TextOps.packFrame distributed scan)
+  *
+  * Every stage reuses the exact operator the standalone key
+  * exercises, and the DuckDB oracle recomposes the same chain from
+  * the shared SQL fragments (quality formula, component CTEs, hash
+  * bucket, pack scan) — so the END-TO-END manifest, not just each
+  * stage, is hash-verified. The quality gate applies to cluster
+  * representatives: a cluster whose canonical fails the gate drops
+  * entirely (its members were near-copies of a rejected doc).
+  */
+object CorpusPipeline {
+
+  /** Keeps the upper ~two-thirds of the synthetic corpus (median
+    * quality ≈ 0.45) — a real gate that drops rows without starving
+    * the downstream stages. */
+  val qualityThreshold = 0.40
+
+  def pipelineTrainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = DedupOps.dupDocs(s, dir)
+    val labels = DedupOps.clusterLabels(docs,
+      DedupOps.jaccardPairs(docs, DedupOps.jaccardTau))
+    val kept = docs
+      .join(labels, "doc_id")
+      .filter(TextOps.qualityExpr(col("text")) >= qualityThreshold)
+      .filter(col("canonical_id") === col("doc_id"))
+      .filter(TextOps.hashBucket(col("doc_id")) < 850)
+    TextOps.packFrame(kept.select(col("doc_id"),
+      size(TextOps.toks(col("text"))).as("n_tokens")))
+  }
+
+  val pipelineTrainCorpusSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (${DedupOps.dupDocsSql}),
+       |${DedupOps.componentsCtesSql},
+       |comp AS (SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |         FROM reach GROUP BY u),
+       |stats AS (
+       |  SELECT doc_id, ${TextOps.qualityFormulaSql} AS quality
+       |  FROM (${TextOps.qualityStatsSql("corpus")}) s),
+       |kept AS (
+       |  SELECT c.doc_id,
+       |    len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM corpus c
+       |  JOIN comp USING (doc_id)
+       |  JOIN stats USING (doc_id)
+       |  WHERE stats.quality >= $qualityThreshold
+       |    AND comp.canonical_id = c.doc_id
+       |    AND ${TextOps.hashBucketSql} < 850),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS start
+       |  FROM kept)
+       |SELECT doc_id, n_tokens,
+       |  start // ${TextOps.packBudget} AS seq_id,
+       |  start % ${TextOps.packBudget} AS seq_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_train_corpus" -> (pipelineTrainCorpus _))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_train_corpus" -> pipelineTrainCorpusSql)
+}

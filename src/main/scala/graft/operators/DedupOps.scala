@@ -23,13 +23,13 @@ import graft.functions.VectorFunctions._
 object DedupOps {
 
   /** documents ∪ copies of every 10th doc (ids shifted by 1e6). */
-  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
-  private val dupDocsSql =
+  private[graft] val dupDocsSql =
     """SELECT * FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
@@ -489,13 +489,12 @@ object DedupOps {
     * O(log diameter) claim is asserted, not assumed). */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
-  /** Components rebuilt independently: a recursive CTE floods every
-    * reachable label through the undirected pair graph; the min per
-    * vertex is its component's canonical id. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE
-       |corpus AS ($dupDocsSql),
-       |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus),
+  /** The shared near-dup-component CTE chain (expects a CTE named
+    * `corpus` with doc_id/text; leaves `reach(u, lbl)` for the
+    * consumer to aggregate) — used by the dedup_clusters oracle and
+    * the corpus-pipeline oracle so components can never diverge. */
+  private[graft] val componentsCtesSql: String =
+    s"""tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus),
        |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM tok),
        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |cand AS (
@@ -512,7 +511,15 @@ object DedupOps {
        |reach(u, lbl) AS (
        |  SELECT doc_id, doc_id FROM corpus
        |  UNION
-       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)""".stripMargin
+
+  /** Components rebuilt independently: a recursive CTE floods every
+    * reachable label through the undirected pair graph; the min per
+    * vertex is its component's canonical id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS ($dupDocsSql),
+       |$componentsCtesSql
        |SELECT u AS doc_id, MIN(lbl) AS canonical_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 

@@ -22,7 +22,7 @@ object TextOps {
 
   /** Non-empty whitespace tokens (consecutive spaces collapse; the
     * filter also drops Spark's regex-split trailing ""). */
-  private def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
   private val stopwords: Map[String, Seq[String]] = Map(
@@ -65,7 +65,21 @@ object TextOps {
 
   /** Heuristic quality score: length saturation, stopword density,
     * vocabulary diversity, punctuation density — the standard cheap
-    * pre-filters before expensive dedup/training. */
+    * pre-filters before expensive dedup/training. The combined score
+    * expression is shared with the corpus pipeline so the gate can
+    * never diverge from the surfaced metric. */
+  private[graft] def qualityExpr(text: Column): Column = {
+    val t = toks(text)
+    val nChars = length(text).cast(DoubleType)
+    val nToks = size(t).cast(DoubleType)
+    val lenScore = least(nChars / lit(400.0), lit(1.0))
+    val stopRatio = stopHits(text, stopwords("en")).cast(DoubleType) / nToks
+    val uniqRatio = size(array_distinct(t)).cast(DoubleType) / nToks
+    val punctRatio =
+      regexp_count(text, lit("[.,!?;:]")).cast(DoubleType) / nChars
+    ((lenScore * 0.4 + stopRatio * 0.2) + uniqRatio * 0.3) + punctRatio * 0.1
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val t = toks(col("text"))
@@ -78,27 +92,34 @@ object TextOps {
     docs.select(col("doc_id"),
       lenScore.as("len_score"), stopRatio.as("stop_ratio"),
       uniqRatio.as("uniq_ratio"), punctRatio.as("punct_ratio"),
-      (((lenScore * 0.4 + stopRatio * 0.2) + uniqRatio * 0.3) + punctRatio * 0.1)
-        .as("quality"))
+      qualityExpr(col("text")).as("quality"))
   }
 
+  /** The per-doc text-stats CTE body and quality formula, shared by
+    * the text_quality oracle and the corpus-pipeline oracle. */
+  private[graft] def qualityStatsSql(from: String): String =
+    s"""SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
+       |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE) AS n_stop,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n_uniq,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
+       |  FROM $from""".stripMargin
+
+  private[graft] val qualityFormulaSql: String =
+    """((least(n_chars / 400.0, 1.0) * 0.4 + (n_stop / n_toks) * 0.2)
+      |    + (n_uniq / n_toks) * 0.3) + (n_punct / n_chars) * 0.1""".stripMargin
+
   val textQualitySql: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST(length(text) AS DOUBLE) AS n_chars,
-      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_toks,
-      |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE) AS n_stop,
-      |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n_uniq,
-      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
-      |  FROM documents)
-      |SELECT doc_id,
-      |  least(n_chars / 400.0, 1.0) AS len_score,
-      |  n_stop / n_toks AS stop_ratio,
-      |  n_uniq / n_toks AS uniq_ratio,
-      |  n_punct / n_chars AS punct_ratio,
-      |  ((least(n_chars / 400.0, 1.0) * 0.4 + (n_stop / n_toks) * 0.2)
-      |    + (n_uniq / n_toks) * 0.3) + (n_punct / n_chars) * 0.1 AS quality
-      |FROM t""".stripMargin
+    s"""WITH t AS (
+       |  ${qualityStatsSql("documents")})
+       |SELECT doc_id,
+       |  least(n_chars / 400.0, 1.0) AS len_score,
+       |  n_stop / n_toks AS stop_ratio,
+       |  n_uniq / n_toks AS uniq_ratio,
+       |  n_punct / n_chars AS punct_ratio,
+       |  $qualityFormulaSql AS quality
+       |FROM t""".stripMargin
 
   /** Stopword-profile language ID: per-language hit counts, argmax
     * with a fixed priority order, 'und' when nothing matches. */
@@ -272,7 +293,7 @@ object TextOps {
     ((id % lit(2147483647L)) * lit(48271L)) % lit(2147483647L) % lit(1000L)
 
   /** The same hash in DuckDB integer SQL. */
-  private val hashBucketSql =
+  private[graft] val hashBucketSql =
     "(doc_id % 2147483647) * 48271 % 2147483647 % 1000"
 
   def textTrainSplit(s: SparkSession, dir: String): DataFrame = {
@@ -307,9 +328,13 @@ object TextOps {
   // ---------------------------------------------------------------
   val packBudget = 256
 
-  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+  def textPackSequences(s: SparkSession, dir: String): DataFrame =
+    packFrame(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens")))
+
+  /** The distributed packing scan over any (doc_id, n_tokens) frame —
+    * shared with the corpus pipeline. */
+  private[graft] def packFrame(counts: DataFrame): DataFrame = {
     // contiguous id ranges; pid pinned by checkpoint so the offsets
     // branch and the scan branch see the SAME partitioning
     val parts = counts.repartitionByRange(8, col("doc_id"))

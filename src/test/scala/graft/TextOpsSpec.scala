@@ -61,6 +61,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.textDomainMix(spark, sf).collect().length == rows.length)
   }
 
+  test("pipeline_train_corpus composes gate, prune, split, and pack") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineTrainCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    // pruning kept only canonical docs: no injected clone (+1e6)
+    assert(ids.forall(_ < 1000000L), "a near-dup clone survived pruning")
+    // split kept only train-bucket docs
+    ids.foreach(id =>
+      assert((id % 2147483647L) * 48271 % 2147483647L % 1000 < 850))
+    // the quality gate genuinely dropped rows
+    assert(rows.length < Tables.load(spark, sf, "documents").count())
+    // packing invariants survive composition: nondecreasing seq ids,
+    // offsets inside the budget
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) >= a.getLong(2))
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(3) >= 0 &&
+      r.getLong(3) < TextOps.packBudget))
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
