@@ -69,9 +69,50 @@ object CorpusPipeline {
        |  start % ${TextOps.packBudget} AS seq_offset
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split is decided by the
+    * near-dup CLUSTER's canonical id, not the doc's own id, so two
+    * near-duplicate documents can never land on opposite sides of
+    * the train/test boundary — the contamination a per-doc hash
+    * split (text_train_split) permits by construction whenever a
+    * planted pair's ids bucket differently. The eval-set integrity
+    * step of every production corpus: dedup tells you two docs are
+    * the same; the SPLIT must honor that or the test set leaks into
+    * training. Same distributed shape as dedup_clusters (the label
+    * frame is thin) plus one codegen'd bucket projection; the oracle
+    * recomposes components + bucket arithmetic from the shared SQL
+    * fragments. */
+  def pipelineSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = DedupOps.dupDocs(s, dir)
+    val labels = DedupOps.clusterLabels(docs,
+      DedupOps.jaccardPairs(docs, DedupOps.jaccardTau))
+    labels
+      .select(col("doc_id"), col("canonical_id"),
+        TextOps.hashBucket(col("canonical_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 850, "train")
+          .when(col("bucket") < 925, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineSplitSafeSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (${DedupOps.dupDocsSql}),
+       |${DedupOps.componentsCtesSql},
+       |comp AS (SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |         FROM reach GROUP BY u)
+       |SELECT doc_id, canonical_id,
+       |  ${TextOps.hashBucketSqlOn("canonical_id")} AS bucket,
+       |  CASE WHEN ${TextOps.hashBucketSqlOn("canonical_id")} < 850 THEN 'train'
+       |       WHEN ${TextOps.hashBucketSqlOn("canonical_id")} < 925 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_train_corpus" -> (pipelineTrainCorpus _))
+    "pipeline_train_corpus" -> (pipelineTrainCorpus _),
+    "pipeline_split_safe" -> (pipelineSplitSafe _))
 
   val oracles: Map[String, String] = Map(
-    "pipeline_train_corpus" -> pipelineTrainCorpusSql)
+    "pipeline_train_corpus" -> pipelineTrainCorpusSql,
+    "pipeline_split_safe" -> pipelineSplitSafeSql)
 }

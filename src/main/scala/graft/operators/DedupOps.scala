@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -116,61 +115,55 @@ object DedupOps {
     * (doc_id, text) frame — the reusable core of dedup_ngram_jaccard,
     * also exercised by the randomized brute-force equivalence spec. */
   def jaccardPairs(input: DataFrame, tau: Double): DataFrame = {
-    // Prefix filtering (AllPairs/PPJoin family, lossless): order each
-    // doc's shingle set by a global total order and index only the
-    // first n - ceil(tau*n) + 1 shingles. Any pair with J >= tau MUST
-    // collide inside both prefixes (pigeonhole on the required
-    // overlap >= ceil(tau*n)), so candidate generation is exact.
+    // |∩| by COUNTING: explode each doc's distinct hashed shingles
+    // and count shared shingles per (a, b) in the co-occurrence
+    // self-join — |∪| then follows from the set sizes, so the exact
+    // Jaccard comes out of ONE thin shuffle (shingle, id, n_sh rows)
+    // and one codegen'd map-side-combining HashAggregate. Set ARRAYS
+    // never join and never shuffle.
     //
-    // The order matters enormously: under a random (hash) order the
-    // prefixes are full of common trigrams and the candidate join
-    // explodes (522k pairs at sf0.1 for ~60 true ones). The canonical
-    // AllPairs order is ascending DOCUMENT FREQUENCY — prefixes then
-    // hold each doc's RAREST shingles (df 1-2), common shingles sink
-    // into suffixes, and candidates collapse to near the true-pair
-    // count. df is one groupBy over exploded shingles; ties break by
-    // hash so the order is total and deterministic.
-    // The length filter (max <= min/tau) is likewise lossless since
-    // J <= min/max. Exact Jaccard is then verified from the full
-    // (hashed) shingle sets of candidates only.
-    // The plan below references the shingle sets from FOUR subtrees
-    // (document frequency, the prefix join, and both verify fetches);
-    // without materialization Spark recomputes the tokenize+hash chain
-    // for each. localCheckpoint pins the tokenized corpus (thin: id +
-    // hashed shingle array) to executor storage once — the standard
-    // move for diamond-shaped similarity-join plans, and at 100 TB
-    // you'd persist this projection anyway for repeated dedup runs.
-    val docs = input
+    // This replaced a prefix-filter + array-verify design (AllPairs
+    // candidates, then array_intersect/array_union on candidate
+    // pairs) that the sf1 sweep caught at 317 s: the corpus's
+    // boilerplate shingles (max df 29 even at sf0.1) put ~66
+    // candidates on every doc, and verifying 3.6M candidates meant
+    // sort-merge-joining them against ~450-byte set payloads twice
+    // plus per-row hash-set intersections — 87 µs per candidate, all
+    // payload motion and allocation. Counting does the same exact
+    // math in the aggregate at ~8 s for the same corpus.
+    //
+    // The lossless length filter (J <= min/max, so max <= min/tau)
+    // prunes join output BEFORE the aggregate. Scale bound: shuffle
+    // rows are Σ df² over the vocabulary; that is the documented
+    // trade — at web scale a df cap / PPJoin positional prefix
+    // bounds the skew tail (DEPLOY.md), at corpus df ≈ 10 counting
+    // wins outright.
+    val exploded = input
       .select(col("doc_id"),
         array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
           .as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
-    val exploded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val dfreq = exploded.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("shingle"))
-    val prefixed = exploded.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <=
-        col("n_sh") - ceil(col("n_sh") * tau).cast("int") + 1)
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
-    val candidates = prefixed.as("x").join(prefixed.as("y"),
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      // NEVER broadcast an exploded corpus: Catalyst's size estimate
+      // survives the explode (it can't see the fan-out), so past
+      // fixture scale the optimizer happily builds a multi-million-row
+      // broadcast hash relation on the driver — measured at sf1 as
+      // 11 s-to-299 s sample swings on this self-join. The hint pins
+      // the scale-correct plan: shuffle on the shingle, per-partition
+      // hash build of rows/partitions entries, skew bounded by max df.
+      .hint("shuffle_hash")
+    exploded.as("x").join(exploded.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
           greatest(col("x.n_sh"), col("y.n_sh")).cast(DoubleType) <=
             least(col("x.n_sh"), col("y.n_sh")) / tau)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .dropDuplicates("a", "b")
-    val sets = docs.select(col("doc_id"), col("sh"))
-    candidates
-      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.n_sh")).as("na"), max(col("y.n_sh")).as("nb"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 

@@ -292,9 +292,11 @@ object TextOps {
   private[graft] def hashBucket(id: Column): Column =
     ((id % lit(2147483647L)) * lit(48271L)) % lit(2147483647L) % lit(1000L)
 
-  /** The same hash in DuckDB integer SQL. */
-  private[graft] val hashBucketSql =
-    "(doc_id % 2147483647) * 48271 % 2147483647 % 1000"
+  /** The same hash in DuckDB integer SQL, over any id column. */
+  private[graft] def hashBucketSqlOn(idCol: String): String =
+    s"($idCol % 2147483647) * 48271 % 2147483647 % 1000"
+
+  private[graft] val hashBucketSql = hashBucketSqlOn("doc_id")
 
   def textTrainSplit(s: SparkSession, dir: String): DataFrame = {
     val bucket = hashBucket(col("doc_id")).as("bucket")
@@ -419,7 +421,55 @@ object TextOps {
       |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
       |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
 
+  // ---------------------------------------------------------------
+  // text_tfidf [O]: corpus-weighted term relevance — the distributed
+  // TF-IDF shape every retrieval/quality pipeline needs: explode
+  // tokens → (doc, term) tf aggregate → term df aggregate →
+  // broadcast the 1-row corpus count → top-3 terms per doc through
+  // the bounded-heap TopKPerKey operator (candidate-only shuffle,
+  // never a full per-doc sort). idf is the RAW rarity ratio
+  // N/df rather than log(N/df): a libm log differs in the last ulp
+  // across engines and would flake the hash gate, while tf·N/df is
+  // one IEEE division of exact integers — bit-identical everywhere —
+  // and the distributed shape (two thin aggregates + a broadcast
+  // scalar + top-k) is the same either way. At 100 TB both
+  // aggregates combine map-side and nothing wider than
+  // (doc_id, term-hash-sized strings, two longs) ever shuffles.
+  // ---------------------------------------------------------------
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+          .as("score"))
+    graft.plans.TopKPerKey.topK(scored, Seq("doc_id"),
+        Seq(col("score").desc, col("term")), k = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  val textTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf,
+      |  CAST(tf * n_docs AS DOUBLE) / df AS score
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+      |  ORDER BY score DESC, term) <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "text_domain_mix" -> (textDomainMix _),
     "text_train_split" -> (textTrainSplit _),
     "text_pack_sequences" -> (textPackSequences _),
@@ -432,6 +482,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_domain_mix" -> textDomainMixSql,
     "text_train_split" -> textTrainSplitSql,
     "text_pack_sequences" -> textPackSequencesSql,

@@ -52,7 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val shuffleBudget: Map[String, Int] = Map(
     "dedup_clusters" -> 1, "dedup_embed_cosine" -> 2, "dedup_exact" -> 1,
     "dedup_incremental" -> 2, "dedup_minhash" -> 5,
-    "dedup_ngram_jaccard" -> 4, "dedup_simhash" -> 3, "embed_quantize" -> 0,
+    "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 3, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
-    "pipeline_train_corpus" -> 2,
+    "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "embed_pq" -> 3,
     "q1_agg" -> 2, "q3_topk_join" -> 1, "q5_star_join" -> 2,
     "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,
@@ -81,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
-    "text_repetition" -> 2, "text_tokens" -> 0, "text_train_split" -> 0)
+    "text_repetition" -> 2, "text_tfidf" -> 6, "text_tokens" -> 0,
+    "text_train_split" -> 0)
 
   /** The only nested-loop broadcasts the engine intends: the
     * brute-force ANN baseline's bounded queries×corpus scan
@@ -90,10 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * against a 3-row query side) and the 1-row max-key shift joined
     * into the CDC insert images (Etl.scala:415). Everything else in a
     * BroadcastNestedLoopJoin is an un-equi-joined mistake that blows
-    * up quadratically at scale. */
+    * up quadratically at scale. text_tfidf joins the 1-row corpus
+    * count the same way as the CDC shift. */
   private val bnlAllowed =
     Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk",
-      "etl_cdc_upsert")
+      "etl_cdc_upsert", "text_tfidf")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet

@@ -83,6 +83,54 @@ class TextOpsSpec extends AnyFunSuite {
       r.getLong(3) < TextOps.packBudget))
   }
 
+  test("text_tfidf equals the window-function reference exactly") {
+    val got = TextOps.textTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // reference: identical scoring, top-3 via a row_number window —
+    // the bounded-heap TopKPerKey operator must be output-
+    // indistinguishable from the full per-doc sort it replaces
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(filter(split(col("text"), " "),
+        t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    val want = tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+      .select("doc_id", "term", "tf", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("pipeline_split_safe never splits a near-dup cluster; the naive split would") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineSplitSafe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // one row per doc of the dup-injected corpus (500 + 50 clones)
+    assert(rows.length == 550)
+    // leakage-safety: every cluster's members carry ONE split
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $canon straddles splits")
+    }
+    // and the property is not vacuous: under the per-doc hash split
+    // (text_train_split's), at least one near-dup pair straddles the
+    // train boundary — the eval contamination this key prevents
+    def naiveTrain(id: Long) =
+      (id % 2147483647L) * 48271 % 2147483647L % 1000 < 850
+    val clustered = rows.groupBy(_._2).values.filter(_.length > 1)
+    assert(clustered.exists(ms => ms.map(m => naiveTrain(m._1)).toSet.size == 2),
+      "fixture has no straddling pair; the property is unobservable")
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
