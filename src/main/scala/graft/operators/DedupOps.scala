@@ -241,12 +241,21 @@ object DedupOps {
   }
 
   /** Exact hashed-shingle Jaccard of candidate (a, b) pairs, kept at
-    * >= tau. Set payloads join in by id only for candidates. */
+    * >= tau. Set payloads join in by id only for candidates. The set
+    * sides carry shuffle_hash hints for the same reason jaccardPairs
+    * does (see the NEVER-broadcast comment there): both frames are
+    * CORPUS-sized, and Catalyst's post-explode/post-aggregate size
+    * estimates otherwise pick a driver-built broadcast past fixture
+    * scale — observed on every set-verify join at sf1. Per-partition
+    * hash build is rows/partitions set entries, bounded by partition
+    * sizing at any corpus size. */
   private def verifyJaccard(candidates: DataFrame, setsA: DataFrame,
       setsB: DataFrame, tau: Double): DataFrame =
     candidates
-      .join(setsA.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(setsB.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .join(setsA.select(col("doc_id").as("a"), col("sh").as("sha"))
+        .hint("shuffle_hash"), "a")
+      .join(setsB.select(col("doc_id").as("b"), col("sh").as("shb"))
+        .hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
@@ -254,7 +263,8 @@ object DedupOps {
 
   def minhashPairs(input: DataFrame, tau: Double): DataFrame = {
     val sigs = minhashSignatures(input)
-    val banded = bandBuckets(sigs)
+    // corpus-sized band frame: never broadcast (see jaccardPairs)
+    val banded = bandBuckets(sigs).hint("shuffle_hash")
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -320,6 +330,8 @@ object DedupOps {
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      // corpus-sized band frame: never broadcast (see jaccardPairs)
+      .hint("shuffle_hash")
     banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -363,15 +375,17 @@ object DedupOps {
               .bitwiseAND((1L << lshBitsPerBand) - 1).as("bucket"))
         }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket").cast("int").as("bucket"))
+      // corpus-sized band frame: never broadcast (see jaccardPairs)
+      .hint("shuffle_hash")
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates("a", "b")
     candidates
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na")), "a")
+        col("nrm").as("na")).hint("shuffle_hash"), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb")), "b")
+        col("nrm").as("nb")).hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.9)
@@ -571,10 +585,14 @@ object DedupOps {
       batchBanded.write.mode("overwrite")
         .parquet(s"$idxDir/batch_buckets")
     }
+    // the batch side is the smaller hash-build side, but it is
+    // O(batch) — a nightly crawl, not a dim table — so it must
+    // shuffle, never broadcast (see jaccardPairs)
     val candidates = s.read.parquet(s"$idxDir/corpus_buckets")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
       .join(batchBanded
-          .select(col("doc_id").as("batch_id"), col("band"), col("bucket")),
+          .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+          .hint("shuffle_hash"),
         Seq("band", "bucket"))
       .select(col("corpus_id").as("a"), col("batch_id").as("b"))
       .dropDuplicates("a", "b")

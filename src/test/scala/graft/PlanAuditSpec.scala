@@ -46,13 +46,17 @@ class PlanAuditSpec extends AnyFunSuite {
     * 1-2 (partial map-side combine + final, plus an ordered output
     * range exchange where the key sorts); asof/ivf carry a planned
     * range or bucket exchange; q_setops/q_skew_join/etl_seq_setval
-    * union several grouped legs (5-6); dedup_minhash's 5 spans the
-    * signature agg + band explode + bucket self-join.
+    * union several grouped legs (5-6); the dedup family's 6-10 are
+    * the HONEST scale counts — every corpus-sized side (band frames,
+    * signature sets, candidate pairs) is pinned to shuffle by hint
+    * (see the broadcast ban below), so the joins that would
+    * broadcast-and-die at 100 TB show their true exchanges at
+    * fixture scale too.
     */
   private val shuffleBudget: Map[String, Int] = Map(
-    "dedup_clusters" -> 1, "dedup_embed_cosine" -> 2, "dedup_exact" -> 1,
-    "dedup_incremental" -> 2, "dedup_minhash" -> 5,
-    "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 3, "embed_quantize" -> 0,
+    "dedup_clusters" -> 1, "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
+    "dedup_incremental" -> 8, "dedup_minhash" -> 10,
+    "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
@@ -115,6 +119,22 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(n)
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $bad")
+  }
+
+  test("corpus-sized dedup relations never broadcast") {
+    // every join side in the dedup/pipeline family is corpus- or
+    // batch-sized (band frames, signature sets, candidate pairs,
+    // label frames) — a BroadcastHashJoin anywhere in these plans
+    // means Catalyst's post-explode size estimate picked a
+    // driver-built broadcast that is fatal at 100 TB. Measured at
+    // sf1 before the shuffle_hash hints pinned the shape: the
+    // optimizer broadcast the 2.9M-row exploded shingle table
+    // (11 s -> 299 s sample swings) and the set-verify frames.
+    val bad = plans.filter { case (n, p) =>
+      (n.startsWith("dedup_") || n.startsWith("pipeline_")) &&
+        p.contains("BroadcastHashJoin")
+    }.keys.toSeq.sorted
+    assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")
   }
 
   test("no key exceeds its shuffle-exchange budget") {
