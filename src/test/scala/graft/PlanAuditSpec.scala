@@ -85,7 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
-    "text_repetition" -> 2, "text_tfidf" -> 6, "text_tokens" -> 0,
+    "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0)
 
   /** The only nested-loop broadcasts the engine intends: the
@@ -130,8 +130,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // sf1 before the shuffle_hash hints pinned the shape: the
     // optimizer broadcast the 2.9M-row exploded shingle table
     // (11 s -> 299 s sample swings) and the set-verify frames.
+    // text_tfidf joins a VOCABULARY-sized df frame the same way (its
+    // only intended broadcast is the 1-row corpus count, a BNLJ).
     val bad = plans.filter { case (n, p) =>
-      (n.startsWith("dedup_") || n.startsWith("pipeline_")) &&
+      (n.startsWith("dedup_") || n.startsWith("pipeline_") ||
+        n == "text_tfidf") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")
