@@ -112,11 +112,59 @@ object ScaleJoins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Root of the one-time hive-partitioned orders layout. */
+  private[graft] def partLayoutDir(dir: String): String =
+    s"/tmp/graft_part_orders_${corpusTag(dir, Seq("orders"))}"
+
+  /** Partition-pruned scan — the THIRD scale-layout strategy beside
+    * salting and bucketing, and the dominant one at 100 TB: facts land
+    * hive-partitioned by a time key, and a query over one period
+    * LISTS only that partition's files — pruning happens before any
+    * byte is read, where row-group pushdown still reads footers. The
+    * orders table is written ONCE per corpus fingerprint partitioned
+    * by order year (7 partitions at every sf; partition COUNT scales
+    * with time, not data); the query aggregates one year and must
+    * show `PartitionFilters` carrying the predicate (asserted by
+    * ScaleOpsSpec along with the pruned file listing). The layout is
+    * invisible in the answer — the oracle is plain SQL over the raw
+    * table. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val layout = partLayoutDir(dir)
+    val tagPath = Paths.get(layout, "_GRAFT_TAG")
+    val tag = corpusTag(dir, Seq("orders"))
+    Etl.withPathLock(Paths.get(layout + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+            year(col("o_orderdate")).as("o_year"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(layout)
+        Files.writeString(tagPath, tag)
+      }
+    }
+    s.read.parquet(layout)
+      .filter(col("o_year") === 1996)
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_month")
+  }
+
+  val qPartitionPruneSql: String =
+    """SELECT MONTH(o_orderdate) AS o_month, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE YEAR(o_orderdate) = 1996
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join" -> (qSkewJoin _),
-    "q_bucket_join" -> (qBucketJoin _))
+    "q_bucket_join" -> (qBucketJoin _),
+    "q_partition_prune" -> (qPartitionPrune _))
 
   val oracles: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
-    "q_bucket_join" -> qBucketJoinSql)
+    "q_bucket_join" -> qBucketJoinSql,
+    "q_partition_prune" -> qPartitionPruneSql)
 }

@@ -513,6 +513,77 @@ object SimOps {
       Seq(col("cosine").desc, col("vec_id")), topK))
   }
 
+  // ---------------------------------------------------------------
+  // sim_ivf_ingest: the index ADD operation — the nightly-ingest twin
+  // of dedup_incremental for the ANN side. A NEW batch of embeddings
+  // is folded into the existing IVF-PQ index by computing each
+  // vector's IVF bucket and PQ codes against the PUBLISHED models —
+  // no Lloyd re-run, no corpus re-scan, no index rebuild. At 100 TB
+  // this is how the index stays current: per-night work is one
+  // zero-shuffle projection over O(batch) rows (the same encode
+  // expressions sim_ivfpq_topk scans with), and tonight's segment
+  // appends to the bucket-partitioned code store. The batch here is
+  // every 10th corpus vector re-embedded (deterministically
+  // different: the embedding REVERSED — a changed upstream encoder)
+  // under a shifted id; the DuckDB oracle recomputes every bucket
+  // and code from the same published parquets, so a drifted
+  // assignment tie-break or codebook layout breaks parity.
+  // ---------------------------------------------------------------
+  def simIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    val cents = publishedCentroids(s, dir)
+    val books = publishedCodebooks(s, dir)
+    val batch = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    batch.select(
+      col("vec_id") +:
+        nearestCentroid(col("v"), col("nrm"), cents).as("centroid") +:
+        pqCodeCols(books): _*)
+      .orderBy("vec_id")
+  }
+
+  /** Both models from their published parquet; the batch rebuilt by
+    * the same id/reverse formulas; assignment argmax and per-subspace
+    * L2 argmin recomputed with identical tie-breaks. (Both engines
+    * fold the REVERSED array left-to-right, so the order-sensitive
+    * float sums agree.) */
+  val simIvfIngestSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_reverse(CAST(embedding AS DOUBLE[])) AS v
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+       |cents AS (SELECT c_id, cv, cnrm FROM
+       |  read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')),
+       |cb AS (SELECT m, c_id, cv, cnrm2 FROM
+       |  read_parquet('/tmp/graft_pq_codebooks___SFTAG__.parquet/*.parquet')),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS centroid FROM (
+       |    SELECT bn.vec_id, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY bn.vec_id
+       |        ORDER BY list_dot_product(bn.v, ct.cv) / (bn.nrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM bn CROSS JOIN cents ct) WHERE rn = 1),
+       |ms AS (SELECT unnest(range(0, $pqM)) AS m),
+       |sub AS (SELECT bn.vec_id, ms.m,
+       |  bn.v[ms.m*$pqSub+1 : ms.m*$pqSub+$pqSub] AS sv FROM bn CROSS JOIN ms),
+       |codes AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT s.vec_id, s.m, b.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sv, b.cv) - b.cnrm2 / 2 DESC, b.c_id) AS rn
+       |    FROM sub s JOIN cb b USING (m)) WHERE rn = 1),
+       |w AS (SELECT vec_id,
+       |    MAX(CASE WHEN m = 0 THEN c_id END) AS code0,
+       |    MAX(CASE WHEN m = 1 THEN c_id END) AS code1,
+       |    MAX(CASE WHEN m = 2 THEN c_id END) AS code2,
+       |    MAX(CASE WHEN m = 3 THEN c_id END) AS code3
+       |  FROM codes GROUP BY vec_id)
+       |SELECT a.vec_id, a.centroid, w.code0, w.code1, w.code2, w.code3
+       |FROM assigned a JOIN w USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** Oracle: IVF assignment + probe selection from the published
     * centroids, PQ codes + LUT scoring from the published codebooks —
     * the composed pipeline rebuilt end to end. */
@@ -678,7 +749,8 @@ object SimOps {
     "sim_ivf0_topk" -> (simIvf0Topk _),
     "embed_quantize" -> (embedQuantize _),
     "embed_pq" -> (embedPq _),
-    "sim_ivfpq_topk" -> (simIvfPqTopk _))
+    "sim_ivfpq_topk" -> (simIvfPqTopk _),
+    "sim_ivf_ingest" -> (simIvfIngest _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
@@ -686,5 +758,6 @@ object SimOps {
     "sim_ivf0_topk" -> simIvf0TopkSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_pq" -> embedPqSql,
-    "sim_ivfpq_topk" -> simIvfPqTopkSql)
+    "sim_ivfpq_topk" -> simIvfPqTopkSql,
+    "sim_ivf_ingest" -> simIvfIngestSql)
 }

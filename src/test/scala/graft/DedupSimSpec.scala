@@ -150,6 +150,66 @@ class DedupSimSpec extends AnyFunSuite {
       s"IVF-PQ recalled only $hit/${rows.length} of full-scan PQ's top-k")
   }
 
+  test("sim_ivf_ingest: index ADD from published models, no rebuild") {
+    val cents = SimOps.publishedCentroids(spark, sf)
+    val books = SimOps.publishedCodebooks(spark, sf)
+    val rows = SimOps.simIvfIngest(spark, sf).collect()
+    // the batch is every 10th corpus vector, re-embedded (reversed)
+    // under a shifted id — one output row per batch vector
+    val srcs = SimOps.corpus(spark, sf).select("vec_id", "v").collect()
+      .filter(_.getLong(0) % 10 == 0)
+      .map(r => r.getLong(0) ->
+        r.getAs[Seq[Float]]("v").toArray.reverse).toMap
+    assert(rows.length == srcs.size)
+    // bit-faithful driver re-derivation of bucket + codes (same
+    // widening, fold order over the REVERSED array, strict-> ties)
+    def dot(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    rows.take(50).foreach { r =>
+      val v = srcs(r.getLong(0) - 1000000L)
+      var nrm2 = 0.0; var i = 0
+      while (i < v.length) { nrm2 += v(i).toDouble * v(i).toDouble; i += 1 }
+      val nrm = math.sqrt(nrm2)
+      var best = 0; var bestCos = Double.NegativeInfinity
+      cents.ids.indices.foreach { c =>
+        val cos = dot(v, cents.vecs(c)) / (nrm * cents.nrms(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+      }
+      assert(r.getInt(1) == cents.ids(best),
+        s"batch ${r.getLong(0)}: bucket ${r.getInt(1)} != ${cents.ids(best)}")
+      (0 until SimOps.pqM).foreach { m =>
+        val sub = v.slice(m * SimOps.pqSub, (m + 1) * SimOps.pqSub)
+        val b = books(m)
+        var bi = 0; var bs = Double.NegativeInfinity
+        b.ids.indices.foreach { j =>
+          val score = dot(sub, b.vecs(j)) - b.nrms(j) / 2
+          if (score > bs) { bs = score; bi = j }
+        }
+        assert(r.getInt(2 + m) == b.ids(bi),
+          s"batch ${r.getLong(0)} subspace $m code mismatch")
+      }
+    }
+    // per-night work must be O(batch): a second ingest run rebuilds
+    // NEITHER published model (their parquet mtimes cannot move) ...
+    def stamp(p: String) = {
+      val d = new java.io.File(p)
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val (c0, b0) =
+      (stamp(SimOps.centroidDumpPath(sf)), stamp(SimOps.pqCodebookPath(sf)))
+    SimOps.simIvfIngest(spark, sf).count()
+    assert(stamp(SimOps.centroidDumpPath(sf)) == c0, "ingest rebuilt the IVF model")
+    assert(stamp(SimOps.pqCodebookPath(sf)) == b0, "ingest rebuilt the PQ codebooks")
+    // ... and the plan is ONE projection over the batch scan: models
+    // ride inside expressions, so no join, no aggregate, no corpus pass
+    val plan = SimOps.simIvfIngest(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "ingest plan joins")
+    assert(!plan.contains("HashAggregate"), "ingest plan aggregates")
+  }
+
   test("dedup_simhash: planted pairs at hamming 0, few false pairs") {
     val rows = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))

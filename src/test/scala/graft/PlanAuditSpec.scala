@@ -74,12 +74,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
+    "q_partition_prune" -> 2,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     "q_sessionize" -> 2, "q_setops" -> 5, "q_skew_join" -> 5,
     "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,
     "q_window_funcs" -> 3, "q_window_range" -> 2, "q_window_running" -> 2,
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
-    "sim_ivfpq_topk" -> 3,
+    "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,

@@ -142,6 +142,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     got.zip(plain).foreach { case (g, p) => assert(g == p) }
   }
 
+  test("q_partition_prune: the scan lists ONLY the filtered year's files") {
+    import graft.operators.ScaleJoins
+    val df = ScaleJoins.qPartitionPrune(spark, sf)
+    // pruning happens at file-LISTING time: the predicate must ride in
+    // the scan's PartitionFilters (not a post-scan Filter), and the
+    // pruned scan must touch strictly fewer files than the layout holds
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
+      s"o_year predicate not in PartitionFilters:\n$plan")
+    // DataFrame.inputFiles reads the UNPRUNED FileIndex, so the proof
+    // has to come from the scan node itself: selectedPartitions is the
+    // post-pruning listing the executors will actually read
+    val layout = spark.read.parquet(ScaleJoins.partLayoutDir(sf))
+    val all = layout.inputFiles.length
+    val root = df.queryExecution.executedPlan match {
+      // AdaptiveSparkPlanExec is a LEAF node — collect won't descend
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail(s"no file scan in plan:\n$plan"))
+    val pruned = scan.selectedPartitions.totalNumberOfFiles
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 year partition, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(pruned < all, s"pruned listing ($pruned) not smaller than layout ($all)")
+    // orders spans 1992-1998 → exactly one of 7 year partitions scanned
+    assert(layout.select("o_year").distinct().count() == 7)
+    // and the layout is invisible in the answer
+    val plain = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_month")
+      .collect()
+    val got = df.collect()
+    assert(got.length == 12 && got.length == plain.length)
+    got.zip(plain).foreach { case (g, p) => assert(g == p) }
+  }
+
   test("AQE splits the skewed partitions of the UNSALTED join") {
     // the measured comparison behind the salting choice: the same
     // skewed join q_skew_join salts by hand, handled here by AQE's
