@@ -477,6 +477,65 @@ object Etl {
 
   val etlShardExportSql: String = "SELECT * FROM orders"
 
+  /** Corpus snapshot diff — dataset versioning's core primitive:
+    * given two corpus snapshots, emit (id, change ∈ added / removed /
+    * changed), the audit record behind every nightly refresh and the
+    * input to incremental downstream work (what must re-embed, what
+    * must re-dedupe). v2 is derived deterministically from the
+    * documents table (every 29th doc dropped, every surviving 17th
+    * edited, every 41st re-added under a shifted id) so the oracle
+    * can rebuild it. Scale shape: each side reduces to (id, 64-bit
+    * content hash) BEFORE the full-outer join, so document text never
+    * shuffles — the join moves 12 bytes a row no matter how wide the
+    * documents are. Each engine compares ITS OWN hashes, so the hash
+    * function never crosses engines (DuckDB's md5 vs Spark's
+    * xxhash64 — equality outcomes are what parity checks). */
+  def etlSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(col("doc_id"), xxhash64(col("text")).as(h))
+    val docs = Tables.load(s, dir, "documents")
+    val v1 = hashed(docs, "h1")
+    val survivors = docs.filter(col("doc_id") % 29 =!= 0)
+    val v2 = hashed(
+      survivors.withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+        .select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 41 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .select("doc_id", "text")),
+      "h2")
+    // corpus-sized on both sides: pin the shuffle join (a broadcast
+    // cannot exist at 100 TB; full-outer never broadcasts today, but
+    // the hint makes the scale plan explicit rather than incidental)
+    v1.alias("a").hint("shuffle_hash")
+      .join(v2.alias("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy("doc_id", "change")
+  }
+
+  val etlSnapshotDiffSql: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 29 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 41 = 0),
+      |d AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN md5(a.text) <> md5(b.text) THEN 'changed' END AS change
+      |  FROM documents a FULL OUTER JOIN v2 b USING (doc_id))
+      |SELECT doc_id, change FROM d WHERE change IS NOT NULL
+      |ORDER BY doc_id, change""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -493,7 +552,8 @@ object Etl {
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
-    "etl_shard_export" -> (etlShardExport _))
+    "etl_shard_export" -> (etlShardExport _),
+    "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "etl_rename_project" -> etlRenameProjectSql,
@@ -511,5 +571,6 @@ object Etl {
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
-    "etl_shard_export" -> etlShardExportSql)
+    "etl_shard_export" -> etlShardExportSql,
+    "etl_snapshot_diff" -> etlSnapshotDiffSql)
 }

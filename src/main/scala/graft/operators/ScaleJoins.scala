@@ -158,13 +158,56 @@ object ScaleJoins {
       |WHERE YEAR(o_orderdate) = 1996
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Runtime bloom-filter join pruning — the FOURTH scale lever
+    * beside salting, bucketing, and partition pruning, and the one
+    * that needs no layout at all: when a selective dim-side filter
+    * feeds a shuffle join, Catalyst builds a bloom filter from the
+    * filtered keys at runtime and applies it to the fact side BEFORE
+    * its shuffle, so non-joining fact rows (here ~80%: one of five
+    * priorities survives) never cross the wire. At 100 TB neither
+    * join side broadcasts, which is exactly when the optimizer
+    * injects the filter — the fixture reproduces that regime in a
+    * CLONED session (thresholds lowered there only, so no other
+    * key's optimizer is touched): broadcast off, scan-size floor
+    * zero. ScaleOpsSpec asserts the injected
+    * bloom_filter_might_contain actually prunes the fact scan; the
+    * oracle is the plain join — runtime filtering must be invisible
+    * in the answer. */
+  def qBloomJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    // the 100 TB regime, in-fixture: no broadcast path (both sides
+    // "too big"), no scan-size floor; bloom injection itself stays at
+    // its public defaults
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumQty("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join" -> (qSkewJoin _),
     "q_bucket_join" -> (qBucketJoin _),
-    "q_partition_prune" -> (qPartitionPrune _))
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
     "q_bucket_join" -> qBucketJoinSql,
-    "q_partition_prune" -> qPartitionPruneSql)
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_bloom_join" -> qBloomJoinSql)
 }

@@ -321,6 +321,42 @@ class EtlSpec extends AnyFunSuite {
     assert(stamps == after, "second run rewrote the export")
   }
 
+  test("etl_snapshot_diff: change census matches the derivation; text never shuffles") {
+    val rows = Etl.etlSnapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // census straight from the derivation formulas
+    val removed = ids.count(_ % 29 == 0)
+    val changed = ids.count(i => i % 29 != 0 && i % 17 == 0)
+    val added = ids.count(_ % 41 == 0)
+    val census = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(census.getOrElse("removed", 0) == removed, s"census $census")
+    assert(census.getOrElse("changed", 0) == changed, s"census $census")
+    assert(census.getOrElse("added", 0) == added, s"census $census")
+    assert(rows.length == removed + changed + added, "unchanged rows leaked")
+    rows.foreach {
+      case (id, "removed") => assert(id % 29 == 0)
+      case (id, "changed") => assert(id % 29 != 0 && id % 17 == 0)
+      case (id, "added") => assert(id >= 1000000L && (id - 1000000L) % 41 == 0)
+      case (id, c) => fail(s"unexpected change '$c' for $id")
+    }
+    // scale shape: both snapshot sides reduce to (doc_id, hash)
+    // BEFORE the pinned shuffle join — no Exchange anywhere carries
+    // the text column, however wide the documents are
+    val df = Etl.etlSnapshotDiff(spark, sf)
+    df.collect()
+    val nodes = TestSpark.allNodes(df.queryExecution.executedPlan)
+    val shuffledText = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => e
+    }
+    assert(shuffledText.isEmpty, "document text crossed a shuffle")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("FullOuter"),
+      s"expected a pinned shuffled full-outer join:\n$plan")
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")

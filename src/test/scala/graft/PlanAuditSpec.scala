@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
-    "etl_shard_export" -> 0,
+    "etl_shard_export" -> 0, "etl_snapshot_diff" -> 3,
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
@@ -69,6 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q1_agg" -> 2, "q3_topk_join" -> 1, "q5_star_join" -> 2,
     "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,
     "q_array_funcs" -> 1, "q_asof_bcast" -> 3, "q_asof_join" -> 3,
+    // q_bloom_join's 5: SMJ both sides + group + order, plus the
+    // bloom-build subquery's own single-partition aggregate exchange
+    // — the price of pruning the fact side before its shuffle
+    "q_bloom_join" -> 5,
     "q_bucket_join" -> 2, "q_case_agg" -> 2, "q_cube" -> 2,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
@@ -133,9 +137,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // (11 s -> 299 s sample swings) and the set-verify frames.
     // text_tfidf joins a VOCABULARY-sized df frame the same way (its
     // only intended broadcast is the 1-row corpus count, a BNLJ).
+    // etl_snapshot_diff's two full-outer sides are both whole corpus
+    // snapshots — same regime, same ban
     val bad = plans.filter { case (n, p) =>
       (n.startsWith("dedup_") || n.startsWith("pipeline_") ||
-        n == "text_tfidf") &&
+        n == "text_tfidf" || n == "etl_snapshot_diff") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

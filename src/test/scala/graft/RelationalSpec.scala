@@ -12,6 +12,25 @@ object TestSpark {
     .config("spark.ui.enabled", "false"))
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Every node of an executed plan, descending through the leaf-like
+    * wrappers `collect` stops at: AdaptiveSparkPlanExec holds the
+    * current adaptive plan, QueryStageExec holds a materialized
+    * stage's subtree, ReusedExchangeExec points at the reused child. */
+  def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case r: ReusedExchangeExec => allNodes(r.child)
+      case r: ReusedSubqueryExec => allNodes(r.child)
+      case _ => p.children.flatMap(allNodes)
+    }
+    p +: below
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {

@@ -185,6 +185,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     got.zip(plain).foreach { case (g, p) => assert(g == p) }
   }
 
+  test("q_bloom_join: runtime bloom filter prunes the fact side pre-shuffle") {
+    import graft.operators.ScaleJoins
+    import org.apache.spark.sql.execution.FilterExec
+    val baseThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = ScaleJoins.qBloomJoin(spark, sf)
+    // the key's lowered thresholds live in ITS cloned session only
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == baseThreshold,
+      "qBloomJoin leaked session conf into the shared session")
+    val got = df.collect()
+    // the injected filter sits on the fact side, keyed by the join key
+    val nodes = TestSpark.allNodes(df.queryExecution.executedPlan)
+    val bloomFilters = nodes.collect {
+      case f: FilterExec if f.condition.toString.toLowerCase.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no bloom_filter_might_contain in the executed plan")
+    assert(bloomFilters.exists(_.condition.toString.contains("l_orderkey")),
+      "bloom filter not applied to the fact-side join key")
+    // and it actually PRUNES: the filter's output is well under the
+    // fact table (one of five priorities joins; bloom false positives
+    // are a few percent on top)
+    val liRows = Tables.load(spark, sf, "lineitem").count()
+    val outRows = bloomFilters.map(_.metrics("numOutputRows").value).min
+    assert(outRows > 0 && outRows < liRows / 2,
+      s"bloom filter passed $outRows of $liRows fact rows — no pruning")
+    // runtime filtering is invisible in the answer
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(got.nonEmpty && got.length == plain.length)
+    got.zip(plain).foreach { case (g, p) => assert(g == p) }
+  }
+
   test("AQE splits the skewed partitions of the UNSALTED join") {
     // the measured comparison behind the salting choice: the same
     // skewed join q_skew_join salts by hand, handled here by AQE's
