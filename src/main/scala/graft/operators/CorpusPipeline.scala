@@ -108,11 +108,53 @@ object CorpusPipeline {
        |       ELSE 'test' END AS split
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Per-(lang, source) sample size: small enough that fixture strata
+    * exercise BOTH regimes — capped (stratum > k, exactly k drawn) and
+    * under-full (stratum ≤ k, all rows kept). */
+  val sampleK = 5
+
+  /** Deterministic stratified sample — the eval-holdout / data-mix
+    * audit primitive: exactly min(k, |stratum|) documents per
+    * (lang, source) stratum, drawn by a seeded hash order so the
+    * sample is a pure function of the corpus (reruns, retries, and
+    * the oracle all see the same draw — no RNG state anywhere).
+    * Scale shape: the draw key is a codegen'd projection and the
+    * per-stratum top-k runs on TopKPerKey's bounded heaps
+    * (partial heap per partition → one shuffle of ≤ k·partitions
+    * rows per stratum → final heap) — NOT a window rank, which
+    * would funnel each stratum through one reducer and sort it
+    * whole. md5 is the draw hash because both engines render it
+    * identically (lowercase hex over the utf8 bytes), making the
+    * ORDER — not just the membership — oracle-checkable. */
+  def pipelineStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":holdout-v1")))
+          .as("draw"))
+    graft.plans.TopKPerKey.topK(docs,
+        keyCols = Seq("lang", "source"),
+        orderBy = Seq(col("draw"), col("doc_id")), k = sampleK)
+      .orderBy("lang", "source", "draw", "doc_id")
+  }
+
+  val pipelineStratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, source, draw FROM (
+       |  SELECT doc_id, lang, source,
+       |    md5(CAST(doc_id AS VARCHAR) || ':holdout-v1') AS draw,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':holdout-v1'), doc_id)
+       |      AS rn
+       |  FROM documents) t
+       |WHERE rn <= $sampleK
+       |ORDER BY lang, source, draw, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
-    "pipeline_split_safe" -> (pipelineSplitSafe _))
+    "pipeline_split_safe" -> (pipelineSplitSafe _),
+    "pipeline_stratified_sample" -> (pipelineStratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
-    "pipeline_split_safe" -> pipelineSplitSafeSql)
+    "pipeline_split_safe" -> pipelineSplitSafeSql,
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)
 }

@@ -131,6 +131,36 @@ class TextOpsSpec extends AnyFunSuite {
       "fixture has no straddling pair; the property is unobservable")
   }
 
+  test("pipeline_stratified_sample: exact per-stratum census on bounded heaps") {
+    import graft.operators.CorpusPipeline
+    val df = CorpusPipeline.pipelineStratifiedSample(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(r.fieldIndex("lang")),
+        r.getString(r.fieldIndex("source")), r.getLong(r.fieldIndex("doc_id"))))
+    // census: exactly min(k, |stratum|) per (lang, source)
+    val strata = Tables.load(spark, sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = rows.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    assert(got.keySet == strata.keySet, "a stratum is missing from the sample")
+    strata.foreach { case (st, n) =>
+      assert(got(st) == math.min(CorpusPipeline.sampleK.toLong, n),
+        s"stratum $st drew ${got(st)} of $n")
+    }
+    // both regimes observable at this sf: capped and under-full strata
+    assert(strata.values.exists(_ > CorpusPipeline.sampleK) &&
+      strata.values.exists(_ <= CorpusPipeline.sampleK),
+      "fixture exercises only one sampling regime")
+    // deterministic: the draw is a pure function of the corpus
+    val again = CorpusPipeline.pipelineStratifiedSample(spark, sf).collect()
+    assert(df.collect().sameElements(again), "sample is not deterministic")
+    // the per-stratum top-k runs on the bounded-heap operator, never
+    // a window rank (one reducer per stratum sorting it whole)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("Window"), s"window rank leaked into the plan:\n$plan")
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
