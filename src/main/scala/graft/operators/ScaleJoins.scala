@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +158,103 @@ object ScaleJoins {
       |WHERE YEAR(o_orderdate) = 1996
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Root of the one-time z-ordered orders layout. */
+  private[graft] def zLayoutDir(dir: String): String =
+    s"/tmp/graft_zorder_orders_${corpusTag(dir, Seq("orders"))}"
+
+  /** Morton/z-value of two 16-bit lanes: bit i of `a` lands at 2i,
+    * bit i of `b` at 2i+1 — points close in BOTH dimensions get
+    * close z-values. A pure codegen'd bit-arithmetic chain (32
+    * shift/mask/or terms), no UDF. */
+  private[graft] def zInterleave16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale a value into [0, 65535] over its corpus range — the
+    * normalization only shapes the LAYOUT; queries filter raw
+    * columns, so the constants never touch results. */
+  private def lane16(c: Column, lo: Long, hi: Long): Column =
+    ((c.cast(LongType) - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+      .cast(LongType)
+
+  /** The z-ordered frame: orders clustered so that each written file
+    * covers a compact rectangle in (custkey × orderdate) space.
+    * repartitionByRange on z gives contiguous z-ranges per partition
+    * (range bounds from sampling, the same machinery as any global
+    * sort), sortWithinPartitions packs them, and the file cap bounds
+    * row-group width. Range stats for the lanes come from one tiny
+    * 4-value aggregate at build time (one-time, like the IVF model's
+    * k-row collect). */
+  private[graft] def zorderFrame(o: DataFrame, parts: Int = 64): DataFrame = {
+    // o_orderdate lands as a timestamp; the z lane wants day numbers
+    val day = unix_date(to_date(col("o_orderdate")))
+    val r = o.agg(
+      min(col("o_custkey")), max(col("o_custkey")), min(day), max(day))
+      .head()
+    val (loK, hiK) = (r.getLong(0), r.getLong(1))
+    val (loD, hiD) = (r.getInt(2).toLong, r.getInt(3).toLong)
+    o.withColumn("z", zInterleave16(
+        lane16(col("o_custkey"), loK, hiK),
+        lane16(day.cast(LongType), loD, hiD)))
+      .repartitionByRange(parts, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+  }
+
+  /** Z-ordered multi-column pruning — what partition pruning cannot
+    * give: a layout that prunes on TWO filter columns at once.
+    * Hive-partitioning handles one key; a z-order clustering
+    * interleaves two, so every written file carries NARROW parquet
+    * min/max stats on both, and the reader's row-group pruning skips
+    * most files for a 2-D range predicate (each file is one row
+    * group under the cap). The layout is one-time per corpus
+    * fingerprint; the 2-D filtered aggregate must show both range
+    * predicates in PushedFilters, and ScaleOpsSpec proves (a)
+    * per-file spans are narrow in BOTH dimensions — the linear
+    * date-sorted layout is narrow in one only — and (b) the same
+    * query physically reads fewer bytes from the z layout. The
+    * layout is invisible in the answer: the oracle is plain SQL over
+    * the raw table. */
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val layout = zLayoutDir(dir)
+    val tagPath = Paths.get(layout, "_GRAFT_TAG")
+    val tag = corpusTag(dir, Seq("orders"))
+    Etl.withPathLock(Paths.get(layout + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        zorderFrame(Tables.load(s, dir, "orders"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 2000)
+          .parquet(layout)
+        Files.writeString(tagPath, tag)
+      }
+    }
+    s.read.parquet(layout)
+      .filter(zQueryFilter)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The 2-D range predicate: ~10% of the key space at sf0.001 (keys
+    * are dense from 0, so absolute bounds stay non-empty at every sf)
+    * crossed with one of ~7 years. */
+  private[graft] def zQueryFilter: Column =
+    col("o_custkey").between(30, 44) &&
+      col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31"))
+
+  val qZorderPruneSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_custkey BETWEEN 30 AND 44
+      |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Runtime bloom-filter join pruning — the FOURTH scale lever
     * beside salting, bucketing, and partition pruning, and the one
     * that needs no layout at all: when a selective dim-side filter
@@ -203,11 +300,13 @@ object ScaleJoins {
     "q_skew_join" -> (qSkewJoin _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
+    "q_zorder_prune" -> (qZorderPrune _),
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_zorder_prune" -> qZorderPruneSql,
     "q_bloom_join" -> qBloomJoinSql)
 }

@@ -79,7 +79,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
-    "q_partition_prune" -> 2,
+    "q_partition_prune" -> 2, "q_zorder_prune" -> 2,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     "q_sessionize" -> 2, "q_setops" -> 5, "q_skew_join" -> 5,
     "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,

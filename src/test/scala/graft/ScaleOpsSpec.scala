@@ -298,6 +298,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r1.sameElements(r2))
   }
 
+  test("q_zorder_prune: layout prunes the scan on BOTH filter dimensions") {
+    import graft.operators.ScaleJoins
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.DataFrame
+    val df = ScaleJoins.qZorderPrune(spark, sf)
+    val got = df.collect()
+    // both range predicates reach the parquet reader
+    val plan = df.queryExecution.executedPlan.toString
+    for (c <- Seq("o_custkey", "o_orderdate"))
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(plan).isDefined,
+        s"$c predicate not pushed to the z-layout scan:\n$plan")
+    // each z file covers a compact rectangle: its span is narrow in
+    // BOTH dimensions, where a date-sorted linear layout is narrow in
+    // date only (per-file custkey span ~ the whole key range)
+    def fileSpans(path: String): DataFrame =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("o_custkey")) - min(col("o_custkey"))).as("kspan"),
+          (unix_date(to_date(max(col("o_orderdate")))) -
+            unix_date(to_date(min(col("o_orderdate"))))).as("dspan"))
+    val linDir = java.nio.file.Files
+      .createTempDirectory("graft-linear-layout").resolve("orders").toString
+    Tables.load(spark, sf, "orders")
+      .repartitionByRange(64, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.option("maxRecordsPerFile", 2000).parquet(linDir)
+    val Array(kRange, dRange) = Tables.load(spark, sf, "orders")
+      .select(max("o_custkey") - min("o_custkey"),
+        unix_date(to_date(max(col("o_orderdate")))) -
+          unix_date(to_date(min(col("o_orderdate")))))
+      .collect()(0).toSeq.map(_.toString.toDouble).toArray
+    def avgSpans(path: String): (Double, Double) = {
+      val r = fileSpans(path).agg(avg("kspan"), avg("dspan")).collect()(0)
+      (r.getDouble(0) / kRange, r.getDouble(1) / dRange)
+    }
+    val (zK, zD) = avgSpans(ScaleJoins.zLayoutDir(sf))
+    val (linK, linD) = avgSpans(linDir)
+    assert(zK < 0.5 && zD < 0.5,
+      s"z files not compact in both dims: key span $zK, date span $zD")
+    assert(linK > 0.8 && linD < 0.5,
+      s"comparison layout should be wide in key, narrow in date: $linK / $linD")
+    // and the narrow stats actually PRUNE: the z scan emits fewer
+    // rows (row groups skipped on custkey AND date) than the same
+    // query over the linear layout (which can skip on date only)
+    def scanRows(d: DataFrame): Long = {
+      d.collect()
+      TestSpark.allNodes(d.queryExecution.executedPlan).collectFirst {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.getOrElse(fail(s"no file scan:\n${d.queryExecution.executedPlan}"))
+    }
+    val zRows = scanRows(
+      spark.read.parquet(ScaleJoins.zLayoutDir(sf)).filter(ScaleJoins.zQueryFilter))
+    val linRows = scanRows(spark.read.parquet(linDir).filter(ScaleJoins.zQueryFilter))
+    assert(zRows < linRows,
+      s"z layout scan emitted $zRows rows, linear layout $linRows — no 2-D pruning")
+    // the layout is invisible in the answer
+    val plain = Tables.load(spark, sf, "orders")
+      .filter(ScaleJoins.zQueryFilter)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(got.nonEmpty && got.length == plain.length)
+    got.zip(plain).foreach { case (g, p) => assert(g == p) }
+  }
+
   test("lloyd centroids reduce quantization error vs raw seeds") {
     import graft.operators.SimOps
     import graft.functions.VectorFunctions._
