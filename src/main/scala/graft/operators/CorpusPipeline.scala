@@ -148,13 +148,85 @@ object CorpusPipeline {
        |WHERE rn <= $sampleK
        |ORDER BY lang, source, draw, doc_id""".stripMargin
 
+  /** Eval-set decontamination — the published training-pipeline step
+    * (GPT-3 appendix C / Llama style): flag every TEST-split document
+    * that shares an n-gram window with ANY train-split document.
+    * Distinct from pipeline_split_safe, which keeps near-DUPLICATES
+    * on one side: a test doc quoting one train paragraph is not a
+    * near-dup (Jaccard far below tau) yet still contaminates the
+    * benchmark — containment, not similarity.
+    *
+    * Scale shape: shingles shuffle as 64-bit xxhash64 keys, never
+    * text (the oracle joins the raw shingle STRINGS — identical
+    * answers unless 64-bit hashes collide inside one corpus, the
+    * same disclosed odds as dedup_minhash); the train side reduces
+    * to DISTINCT hashes before the join; every corpus-sized join is
+    * pinned to shuffle (broadcast ban: a driver-built train-shingle
+    * broadcast is fatal at 100 TB). One thin (hash, doc_id) shuffle
+    * per side — contamination of the whole eval set costs ~one
+    * dedup pass, not eval × train. */
+  def pipelineDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateFrame(s, dir, hashed = true)
+
+  /** String-shingle twin (hashed=false) exists for the spec only: it
+    * proves the 64-bit hash path is invisible in the answer. */
+  private[graft] def decontaminateFrame(
+      s: SparkSession, dir: String, hashed: Boolean): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.hashBucket(col("doc_id")).as("bucket"),
+        DedupOps.shingles(col("text")).as("sh"))
+    val shRaw = docs
+      .select(col("doc_id"), col("bucket"), explode(col("sh")).as("shingle"))
+    val sh =
+      if (hashed) shRaw.select(col("doc_id"), col("bucket"),
+        xxhash64(col("shingle")).as("shingle"))
+      else shRaw
+    val trainSh = sh.filter(col("bucket") < 850).select("shingle").distinct()
+    val shared = sh.filter(col("bucket") >= 925).select("doc_id", "shingle")
+      .join(trainSh.hint("shuffle_hash"), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("bucket") >= 925)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_shared").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  val pipelineDecontaminateSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |shl AS (SELECT doc_id, ${DedupOps.shinglesSql} AS shs FROM tok),
+       |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+       |train_sh AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE ${TextOps.hashBucketSql} < 850),
+       |shared AS (
+       |  SELECT doc_id, COUNT(*) AS n_shared
+       |  FROM sh JOIN train_sh USING (shingle)
+       |  WHERE ${TextOps.hashBucketSql} >= 925
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.shs) AS n_shingles,
+       |  COALESCE(s.n_shared, 0) AS n_shared,
+       |  CASE WHEN len(d.shs) > 0
+       |       THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(d.shs)
+       |       ELSE 0.0 END AS contamination
+       |FROM shl d LEFT JOIN shared s USING (doc_id)
+       |WHERE ${TextOps.hashBucketSqlOn("d.doc_id")} >= 925
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
     "pipeline_split_safe" -> (pipelineSplitSafe _),
-    "pipeline_stratified_sample" -> (pipelineStratifiedSample _))
+    "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
     "pipeline_split_safe" -> pipelineSplitSafeSql,
-    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql)
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql)
 }

@@ -65,7 +65,7 @@ object DedupOps {
     * array is let-bound (ExprUtils.bind) so the split+filter runs once
     * per row — inlined references would re-tokenize inside every
     * element_at, turning this O(tokens) expression into O(tokens²). */
-  private def shingles(text: Column): Column =
+  private[operators] def shingles(text: Column): Column =
     graft.functions.ExprUtils.bind(
       filter(split(text, " "), x => x =!= "")) { t =>
       when(size(t) >= 3,
@@ -77,7 +77,7 @@ object DedupOps {
     }
 
   /** Same shingle construction in DuckDB (1-based lists). */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """list_distinct(list_transform(
       |    range(1, len(toks) - 1),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin

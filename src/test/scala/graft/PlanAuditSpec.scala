@@ -65,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
-    "pipeline_stratified_sample" -> 2,
+    "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
     "q1_agg" -> 2, "q3_topk_join" -> 1, "q5_star_join" -> 2,
     "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,

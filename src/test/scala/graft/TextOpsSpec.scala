@@ -161,6 +161,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window rank leaked into the plan:\n$plan")
   }
 
+  test("pipeline_decontaminate: containment the split-safe key cannot see") {
+    import graft.operators.{CorpusPipeline, TextOps}
+    val df = CorpusPipeline.pipelineDecontaminate(spark, sf)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // the output rows are exactly the test split, each scored
+    val testIds = TextOps.textTrainSplit(spark, sf)
+      .filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == testIds)
+    got.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getInt(1).toLong,
+        s"doc ${r.getLong(0)}: n_shared outside [0, n_shingles]")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the fixture really is contaminated somewhere, or the key is
+    // unobservable
+    assert(got.exists(_.getLong(2) > 0), "no contaminated test doc in fixture")
+    // the 64-bit hashed-shingle path answers exactly like raw strings
+    val brute = CorpusPipeline.decontaminateFrame(spark, sf, hashed = false)
+      .collect()
+    assert(got.length == brute.length)
+    got.zip(brute).foreach { case (g, b) => assert(g == b,
+      s"hashed path diverges from string shingles at doc ${g.getLong(0)}") }
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
