@@ -437,6 +437,80 @@ object Etl {
       |UNION ALL SELECT * FROM ins
       |ORDER BY c_custkey""".stripMargin
 
+  /** Root of the stored per-segment aggregate etl_incremental_agg
+    * maintains (one-time per corpus fingerprint, like the bucket
+    * layout and the Derby db). */
+  private[graft] def baseAggDir(dir: String): String =
+    s"/tmp/graft_baseagg_${ScaleJoins.corpusTag(dir, Seq("customer"))}"
+
+  /** Incremental aggregate maintenance — the materialized-view twin
+    * of etl_cdc_upsert: keep a stored per-group aggregate current
+    * under the SAME deterministic change batch by merging retractable
+    * adjustments, never rescanning the corpus. Each CDC image becomes
+    * a signed delta (insert: +1/+bal; delete: -1/-bal; update:
+    * 0/after-before), the deltas aggregate to group granularity
+    * (delta-sized shuffle), and one agg-sized full-outer merge
+    * updates the stored view — at 100 TB the nightly refresh costs
+    * O(changes), not O(corpus), which is the entire point of
+    * maintaining the view. Decimal discipline (SURVEY §4) makes the
+    * incremental sum EXACTLY equal the recompute: dec(x+100)-dec(x)
+    * added to a base that contains dec(x) reconstructs dec(x+100)
+    * bit-for-bit, so the oracle (a plain aggregate over the upserted
+    * corpus) hash-matches. A group whose count reaches 0 drops from
+    * the view, exactly as GROUP BY would. */
+  def etlIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val layout = baseAggDir(dir)
+    val tagPath = Paths.get(layout, "_GRAFT_TAG")
+    val tag = ScaleJoins.corpusTag(dir, Seq("customer"))
+    withPathLock(Paths.get(layout + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        Tables.load(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"))
+          .write.mode("overwrite").parquet(layout)
+        Files.writeString(tagPath, tag)
+      }
+    }
+    val base = Tables.load(s, dir, "customer")
+    def dec(c: Column) = c.cast(DecimalType(18, 2))
+    def dsum(c: Column) = c.cast(DecimalType(19, 2))
+    val adj = base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_mktsegment"), lit(0L).as("dn"),
+          dsum(dec(col("c_acctbal") + 100.0) - dec(col("c_acctbal"))).as("dsum"))
+      .unionAll(base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_mktsegment"), lit(-1L).as("dn"),
+          dsum(lit(0) - dec(col("c_acctbal"))).as("dsum")))
+      .unionAll(base.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_mktsegment"), lit(1L).as("dn"),
+          dsum(dec(col("c_acctbal"))).as("dsum")))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
+    s.read.parquet(layout)
+      .join(adj, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("n_customers"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_customers"),
+        (coalesce(col("sum_bal"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("dsum"), lit(0).cast(DecimalType(19, 2))))
+          .cast(DoubleType).as("sum_bal"))
+      .filter(col("n_customers") > 0)
+      .orderBy("c_mktsegment")
+  }
+
+  val etlIncrementalAggSql: String =
+    """WITH merged AS (
+      |  SELECT c_mktsegment,
+      |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 3
+      |  UNION ALL
+      |  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 7)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Training-shard export — the terminal operator of every 100 TB
     * pipeline: a GLOBALLY-ordered sharded write. The scale-correct
     * plan and nothing else: repartitionByRange on the sort key
@@ -552,6 +626,7 @@ object Etl {
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
+    "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
@@ -571,6 +646,7 @@ object Etl {
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
+    "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql)
 }

@@ -283,6 +283,36 @@ class EtlSpec extends AnyFunSuite {
     assert(updated == k.getDouble(1) + 100.0)
   }
 
+  test("etl_incremental_agg equals a full recompute and never rescans") {
+    import java.nio.file.{Files, Paths}
+    val got = Etl.etlIncrementalAgg(spark, sf).collect()
+    // the maintained view is indistinguishable from aggregating the
+    // upserted corpus from scratch — the defining property of
+    // incremental view maintenance
+    val want = Etl.etlCdcUpsert(spark, sf)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+      .collect()
+    assert(got.nonEmpty && got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w,
+      s"incremental view diverges from recompute at ${g.getString(0)}") }
+    // the stored base aggregate is REUSED, not rebuilt: same files,
+    // same mtimes on a second maintenance run
+    val layout = Paths.get(Etl.baseAggDir(sf))
+    def stamp() = Files.list(layout).toArray.map(_.toString).sorted
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis).toSeq
+    val before = stamp()
+    Etl.etlIncrementalAgg(spark, sf).collect()
+    assert(stamp() == before, "second run rebuilt the stored aggregate")
+    // and the maintenance plan actually READS the stored view
+    val plan = Etl.etlIncrementalAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_baseagg"),
+      s"maintenance plan does not scan the stored aggregate:\n$plan")
+  }
+
   test("etl_shard_export writes a globally-ordered sharded layout") {
     val out = Etl.etlShardExport(spark, sf)
     val src = Tables.load(spark, sf, "orders")

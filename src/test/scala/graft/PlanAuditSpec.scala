@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
+    "etl_incremental_agg" -> 3,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
     "etl_shard_export" -> 0, "etl_snapshot_diff" -> 3,
