@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -610,7 +611,61 @@ object Etl {
       |SELECT doc_id, change FROM d WHERE change IS NOT NULL
       |ORDER BY doc_id, change""".stripMargin
 
+  /** SCD type-2 dimension history — the third member of the CDC
+    * family (etl_cdc_upsert keeps latest images, etl_incremental_agg
+    * keeps aggregates; SCD2 keeps EVERY image with validity
+    * intervals, the shape every warehouse dimension load produces).
+    * Two deterministic update waves on top of the base rows (wave 1:
+    * +100 balance on c_custkey%10=1; wave 2: +250 and a segment
+    * change on c_custkey%5=1 — cumulative, so %10=1 keys carry three
+    * versions) union into the change-image log; validity is one
+    * lead() over (key, version) — a single shuffle to the key grain,
+    * the same plan shape at any corpus scale because history depth is
+    * bounded by change waves, not corpus size. The interval columns
+    * are version numbers (exact ints cross-engine); a timestamped
+    * source would cast its change timestamps in their place. */
+  def etlScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val v0 = base.withColumn("ver", lit(0))
+    val v1 = base.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("ver", lit(1))
+    val v2 = base.filter(col("c_custkey") % 5 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") +
+        when(col("c_custkey") % 10 === 1, 350.0).otherwise(250.0))
+      .withColumn("c_mktsegment", lit("MACHINERY"))
+      .withColumn("ver", lit(2))
+    val byKey = Window.partitionBy(col("c_custkey")).orderBy(col("ver"))
+    v0.unionByName(v1).unionByName(v2)
+      .select(col("c_custkey"), col("ver").as("eff_from_ver"),
+        lead(col("ver"), 1).over(byKey).as("eff_to_ver"),
+        when(lead(col("ver"), 1).over(byKey).isNull, 1).otherwise(0)
+          .as("is_current"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"), col("eff_from_ver"))
+  }
+
+  val etlScd2Sql: String =
+    """WITH img AS (
+      |  SELECT c_custkey, 0 AS ver, c_acctbal, c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1, c_acctbal + 100, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey, 2,
+      |    c_acctbal + CASE WHEN c_custkey % 10 = 1 THEN 350 ELSE 250 END,
+      |    'MACHINERY' FROM customer WHERE c_custkey % 5 = 1)
+      |SELECT c_custkey, ver AS eff_from_ver,
+      |  LEAD(ver) OVER w AS eff_to_ver,
+      |  CAST(CASE WHEN LEAD(ver) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+      |    AS is_current,
+      |  c_acctbal, c_mktsegment
+      |FROM img WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)
+      |ORDER BY c_custkey, eff_from_ver""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> (etlScd2 _),
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
     "etl_join_extract" -> (etlJoinExtract _),
@@ -631,6 +686,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" -> etlScd2Sql,
     "etl_rename_project" -> etlRenameProjectSql,
     "etl_where_extract" -> etlWhereExtractSql,
     "etl_join_extract" -> etlJoinExtractSql,

@@ -776,7 +776,98 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Time-series gap filling + LOCF — the resample step every
+    * metrics/feature pipeline runs before a model sees the series
+    * (missing days must be explicit zeros, and slowly-changing values
+    * carry forward). Per-user daily spine between the user's first
+    * and last active day via sequence()+explode — the spine is
+    * generated WHERE THE USER'S ROWS ALREADY ARE (one shuffle to the
+    * per-user grain, then generation is a projection), never a
+    * driver-side calendar loop or a global cross join. LOCF is
+    * last(ignoreNulls) over the per-user ordered window: the same
+    * single user-partitioned sort the daily aggregate already
+    * produced. Scale: output is O(users × active-span-days); no
+    * operator holds more than one user's span. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("s"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily.hint("shuffle_hash"), Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast(DateType).as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("s"), ignoreNulls = true).over(byUser)
+          .cast(DoubleType).as("filled_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS s
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      |        FROM daily GROUP BY 1))
+      |SELECT sp.user_id, CAST(sp.day AS DATE) AS day,
+      |  COALESCE(d.n, 0) AS n_events,
+      |  CAST(LAST_VALUE(d.s IGNORE NULLS) OVER (
+      |    PARTITION BY sp.user_id ORDER BY sp.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS filled_value
+      |FROM spine sp LEFT JOIN daily d
+      |  ON sp.user_id = d.user_id AND sp.day = d.day
+      |ORDER BY sp.user_id, day""".stripMargin
+
+  /** Cohort retention — the canonical product-analytics rollup: users
+    * bucketed by first-active week, distinct-user counts per (cohort,
+    * week offset). Both the cohort assignment and the activity grid
+    * reduce to per-user/per-week grains BEFORE the join, so the join
+    * input is O(users·weeks), never O(events); the offset arithmetic
+    * is exact integer day-diff / 7 (both sides week-truncated, so the
+    * division is always exact). countDistinct(user) is the one
+    * genuinely expensive agg — at 100 TB swap approx_count_distinct
+    * (q_approx_distinct's sketch) without changing the plan shape. */
+  def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val act = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    act.join(first.hint("shuffle_hash"), Seq("user_id"))
+      .groupBy(col("cohort").cast(DateType).as("cohort_week"),
+        (datediff(col("wk").cast(DateType), col("cohort").cast(DateType)) / 7)
+          .cast(IntegerType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qRetentionCohortSql: String =
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |        FROM events)
+      |SELECT CAST(cohort AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) / 7
+      |       AS INT) AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
+    "q_retention_cohort" -> (qRetentionCohort _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_star_join" -> (q5StarJoin _),
@@ -808,6 +899,8 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" -> qGapFillSql,
+    "q_retention_cohort" -> qRetentionCohortSql,
     "q1_agg" -> q1AggSql,
     "q3_topk_join" -> q3TopkJoinSql,
     "q5_star_join" -> q5StarJoinSql,

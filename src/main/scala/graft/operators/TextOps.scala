@@ -475,7 +475,92 @@ object TextOps {
       |  ORDER BY score DESC, term) <= 3
       |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  /** Per-source boilerplate removal — the CCNet/RefinedWeb cleanup
+    * step: token windows that recur across many documents of the SAME
+    * source (nav bars, footers, licence blurbs) are stripped before
+    * training. Documents chunk into consecutive 2-token windows; a
+    * chunk is boilerplate when it appears in ≥10% of its source's
+    * docs. The frequency aggregate and the anti-join shuffle
+    * xxhash64(chunk) — the same hashed-shingle discipline as
+    * dedup_minhash/pipeline_decontaminate (collision odds disclosed
+    * there; the oracle joins RAW chunk strings, so a 64-bit collision
+    * would fail the hash check, not hide). Reassembly is one groupBy
+    * doc_id over (idx, chunk) rows — the only shuffle that carries
+    * text, and it carries each doc's own ~2-word chunks, the payload
+    * being rewritten. Scale: both aggregates are map-side-combinable;
+    * nothing holds more than one doc's chunks. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val chunks = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(l)/2.0) as int) - 1),
+            |          i -> array_join(slice(l, i*2+1, 2), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chash", xxhash64(col("chunk")))
+    val srcN = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // every join side here is corpus-derived (the chunk vocabulary,
+    // the per-source doc counts — at web scale `source` is a DOMAIN,
+    // so even srcN is corpus-sized), hence all pinned to shuffle;
+    // PlanAuditSpec bans BroadcastHashJoin in this plan
+    val boiler = chunks.groupBy(col("source"), col("chash"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(srcN.hint("shuffle_hash"), Seq("source"))
+      .filter(col("df") * 10 >= col("n_docs"))
+      .select(col("source"), col("chash"))
+    val kept = chunks.join(boiler.hint("shuffle_hash"),
+      Seq("source", "chash"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col("doc_id"))
+      .join(totals.hint("shuffle_hash"), Seq("doc_id"))
+      .join(cleaned.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBoilerplateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, source, i AS idx,
+      |    array_to_string(l[i*2+1 : i*2+2], ' ') AS chunk
+      |  FROM toks,
+      |    UNNEST(generate_series(0, CAST(ceil(len(l)/2.0) AS INT) - 1))
+      |      AS t(i)),
+      |srcn AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+      |         FROM documents GROUP BY 1),
+      |boiler AS (
+      |  SELECT f.source, f.chunk FROM
+      |    (SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+      |     FROM chunks GROUP BY 1, 2) f
+      |  JOIN srcn USING (source) WHERE df * 10 >= n_docs),
+      |kept AS (
+      |  SELECT c.* FROM chunks c ANTI JOIN boiler b
+      |    ON c.source = b.source AND c.chunk = b.chunk),
+      |agg AS (
+      |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+      |  t.n_chunks - COALESCE(a.n_kept, 0) AS n_removed
+      |FROM documents d JOIN tot t USING (doc_id)
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (textBoilerplate _),
     "text_tfidf" -> (textTfidf _),
     "text_domain_mix" -> (textDomainMix _),
     "text_train_split" -> (textTrainSplit _),
@@ -489,6 +574,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> textBoilerplateSql,
     "text_tfidf" -> textTfidfSql,
     "text_domain_mix" -> textDomainMixSql,
     "text_train_split" -> textTrainSplitSql,

@@ -387,6 +387,34 @@ class EtlSpec extends AnyFunSuite {
       s"expected a pinned shuffled full-outer join:\n$plan")
   }
 
+  test("etl_scd2 builds a gapless single-current version history") {
+    val rows = Etl.etlScd2(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getInt(3)))
+    val byKey = rows.groupBy(_._1)
+    val base = Tables.load(TestSpark.spark, TestSpark.sf, "customer")
+    byKey.foreach { case (k, vs) =>
+      // exactly one open (current) interval per key, and it is the
+      // highest version
+      val current = vs.filter(_._4 == 1)
+      assert(current.length == 1, s"key $k has ${current.length} current rows")
+      assert(current.head._2 == vs.map(_._2).max)
+      assert(current.head._3.isEmpty, s"key $k current row has an end version")
+      // intervals chain with no gaps: each closed row's end version is
+      // the next row's start version
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2),
+          s"key $k interval chain broken at version ${a._2}")
+        case _ =>
+      }
+      // history depth follows the change waves
+      val expect = if (k % 10 == 1) 3 else if (k % 5 == 1) 2 else 1
+      assert(vs.length == expect, s"key $k has ${vs.length} versions")
+    }
+    assert(byKey.size.toLong == base.count(), "a key lost its history")
+  }
+
   test("ValueRules.makeItTime keeps valid dd:dd and defaults the rest") {
     import spark.implicits._
     val df = Seq("12:34", "9:99x", null).toDF("t")

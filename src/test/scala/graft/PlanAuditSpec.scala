@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
+    "etl_scd2" -> 2,
     "etl_incremental_agg" -> 3,
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
@@ -77,6 +78,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bloom_join" -> 5,
     "q_bucket_join" -> 2, "q_case_agg" -> 2, "q_cube" -> 2,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
+    // gap_fill/retention: daily/weekly grain aggs + the pinned
+    // corpus-side join + ordered output — every side shuffles, none
+    // broadcasts (the joined aggregates are corpus-derived)
+    "q_gap_fill" -> 5, "q_retention_cohort" -> 5,
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
@@ -89,6 +94,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
+    // boilerplate's 11 is the dedup-family regime: the chunk frame is
+    // rebuilt per branch (frequency, anti-join, totals, reassembly)
+    // and every corpus-derived side is pinned to shuffle
+    "text_boilerplate" -> 11,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
@@ -143,7 +152,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // snapshots — same regime, same ban
     val bad = plans.filter { case (n, p) =>
       (n.startsWith("dedup_") || n.startsWith("pipeline_") ||
-        n == "text_tfidf" || n == "etl_snapshot_diff") &&
+        n == "text_tfidf" || n == "etl_snapshot_diff" ||
+        // boilerplate joins the chunk vocabulary and per-source doc
+        // counts — at web scale `source` is a domain, so both are
+        // corpus-sized
+        n == "text_boilerplate") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

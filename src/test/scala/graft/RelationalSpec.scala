@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
@@ -103,5 +104,49 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = Tables.load(spark, sf, "customer").count()
     assert(m.values.sum == total)
+  }
+
+  test("q_gap_fill emits a contiguous daily spine with LOCF values") {
+    val rows = operators.Relational.qGapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val byUser = rows.groupBy(_._1)
+    // spine completeness: per user exactly (last-first+1) contiguous days
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS
+        .between(days.head, days.last) + 1
+      assert(days.length.toLong == span, s"user $u spine has holes")
+      assert(days.distinct.length == days.length, s"user $u duplicate days")
+    }
+    // gaps were actually filled and carry the last observed value
+    assert(rows.exists(_._3 == 0L), "no zero-filled gap days at fixture sf")
+    byUser.values.foreach { rs =>
+      var lastV: Option[Double] = None
+      rs.sortBy(_._2.toEpochDay).foreach { case (_, _, n, v) =>
+        if (n == 0L) assert(v == lastV, "gap day does not carry prior value")
+        else { assert(v.isDefined); lastV = v }
+      }
+    }
+    // active-day totals reconcile with the raw event count
+    val active = rows.filter(_._3 > 0L).map(_._3).sum
+    assert(active == Tables.load(spark, sf, "events").count())
+  }
+
+  test("q_retention_cohort counts every cohort user at offset zero") {
+    val rows = operators.Relational.qRetentionCohort(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    // offset 0 per cohort = cohort size; every later offset can only
+    // retain a subset; cohort sizes sum to the distinct-user total
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val zero = rs.find(_._2 == 0)
+      assert(zero.isDefined, s"cohort $c missing offset 0")
+      rs.foreach { case (_, _, n) => assert(n <= zero.get._3) }
+    }
+    val users = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
   }
 }

@@ -187,6 +187,31 @@ class TextOpsSpec extends AnyFunSuite {
       s"hashed path diverges from string shingles at doc ${g.getLong(0)}") }
   }
 
+  test("text_boilerplate strips exactly the frequent per-source chunks") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(1)))
+    // driver-side reference: chunk, count per-source doc frequency,
+    // strip chunks at >=10% of the source's docs, reassemble in order
+    def chunksOf(text: String): Seq[String] =
+      text.split(" ").grouped(2).map(_.mkString(" ")).toSeq
+    val srcDocs = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val df = docs.flatMap { case (id, src, t) =>
+      chunksOf(t).distinct.map(c => (src, c, id))
+    }.groupBy(x => (x._1, x._2)).view.mapValues(_.length).toMap
+    val want = docs.map { case (id, src, t) =>
+      val kept = chunksOf(t).filterNot(c => df((src, c)) * 10 >= srcDocs(src))
+      (id, kept.mkString(" "), (chunksOf(t).length - kept.length).toLong)
+    }.sortBy(_._1)
+    val got = TextOps.textBoilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // the op actually removed something at fixture scale, and never
+    // everything
+    assert(got.map(_._3).sum > 0, "no boilerplate stripped at fixture sf")
+    assert(got.forall(_._2.nonEmpty), "a document was fully stripped")
+  }
+
   test("text_pack_sequences matches a sequential driver-side scan exactly") {
     val got = TextOps.textPackSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
