@@ -552,6 +552,146 @@ object Etl {
 
   val etlShardExportSql: String = "SELECT * FROM orders"
 
+  /** Root for the schema-evolution fixture batches (one-time per
+    * corpus fingerprint; path keyed by the same dir hash the oracle's
+    * __SFTAG__ substitutes). */
+  private[graft] def schemaEvoDir(dir: String): String =
+    s"/tmp/graft_schema_evo_${Integer.toHexString(dir.hashCode)}"
+
+  /** Schema evolution — the lake-ingest reality the reference's
+    * drop-and-recreate never faces: batches written MONTHS apart carry
+    * different schemas (a column added upstream), and the table must
+    * read as ONE relation with the old batches null-filled. Batch 1
+    * (orders before 1995) has the base columns; batch 2 (1995+) adds
+    * o_prio_class. The unified read is Spark's mergeSchema parquet
+    * scan — schema reconciliation happens at FOOTER level (one footer
+    * read per file, no data pass, no rewrite of old batches), which is
+    * what makes evolution free at 100 TB where a backfill rewrite is
+    * a corpus-sized job. The oracle rebuilds the same unified relation
+    * from the SOURCE table (CASE on the batch predicate), so a write
+    * bug (lost rows, wrong filter) and a merge bug (misaligned
+    * columns, wrong null fill) both break parity. */
+  def etlSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = schemaEvoDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("orders"))
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val ord = Tables.load(s, dir, "orders")
+        ord.filter(year(col("o_orderdate")) < 1995)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").parquet(s"$root/b1")
+        ord.filter(year(col("o_orderdate")) >= 1995)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"),
+            substring(col("o_orderpriority"), 1, 1).as("o_prio_class"))
+          .write.mode("overwrite").parquet(s"$root/b2")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$root/b1", s"$root/b2")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_prio_class")
+      .orderBy("o_orderkey")
+  }
+
+  val etlSchemaEvolutionSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      |  CASE WHEN year(o_orderdate) >= 1995
+      |       THEN substr(o_orderpriority, 1, 1) END AS o_prio_class
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Root for the compaction fixture layouts (one-time per corpus
+    * fingerprint). */
+  private[graft] def compactDir(dir: String): String =
+    s"/tmp/graft_compact_${Integer.toHexString(dir.hashCode)}"
+
+  /** Small-file compaction — the maintenance job every streaming or
+    * incremental ingest forces on a lake: thousands of tiny
+    * commit-sized files make every scan pay per-file open/footer cost
+    * (and at 100 TB, per-file driver listing cost), so a periodic
+    * OPTIMIZE rewrites them into target-size files. The fixture
+    * fragments orders into 64 tiny files once per corpus fingerprint;
+    * compaction is a READ of the fragmented layout coalesced into
+    * large output files — coalesce, not repartition, because
+    * bin-packing input splits onto fewer tasks needs NO shuffle (the
+    * scan already groups small files by maxPartitionBytes); a
+    * shuffle would move the corpus once for nothing. The key returns
+    * the re-read compacted table; the oracle reads the SOURCE table,
+    * so any row lost or duplicated by either rewrite breaks parity.
+    * EtlSpec proves the file count actually collapsed. */
+  def etlCompact(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = compactDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("orders"))
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        Tables.load(s, dir, "orders")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$root/frag")
+        s.read.parquet(s"$root/frag")
+          .coalesce(2)
+          .write.mode("overwrite").parquet(s"$root/compact")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    s.read.parquet(s"$root/compact").orderBy("o_orderkey")
+  }
+
+  val etlCompactSql: String = "SELECT * FROM orders ORDER BY o_orderkey"
+
+  /** One-pass column profiling — the ANALYZE/stats-collection step
+    * every migration and every 100 TB ingest runs before planning
+    * anything else (the reference pulls per-table stats from MySQL's
+    * information_schema the same way; cf
+    * /root/reference/libs/MysqlParser.py:139-258 which reads table
+    * cardinality and column metadata before generating DDL). ONE scan
+    * of the fact table computes row count, per-column min/max,
+    * null counts and exact distinct cardinalities; Spark plans the
+    * multi-distinct via a single Expand + two-round aggregate — still
+    * one pass over the data, which is the property that matters when
+    * the table is 100 TB (a per-column loop of O(columns) scans is the
+    * anti-pattern this key exists to replace). Money sums follow the
+    * decimal discipline (SURVEY §4). */
+  def etlProfile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    ord.agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("key_min"),
+      max(col("o_orderkey")).as("key_max"),
+      countDistinct(col("o_orderkey")).as("key_ndv"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+      min(col("o_totalprice")).as("price_min"),
+      max(col("o_totalprice")).as("price_max"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("price_sum"),
+      min(col("o_orderdate")).as("date_min"),
+      max(col("o_orderdate")).as("date_max"),
+      countDistinct(col("o_orderstatus")).as("status_ndv"),
+      countDistinct(col("o_orderpriority")).as("prio_ndv"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("prio_nulls"))
+  }
+
+  val etlProfileSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(o_orderkey) AS key_min,
+      |  MAX(o_orderkey) AS key_max,
+      |  COUNT(DISTINCT o_orderkey) AS key_ndv,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS custkey_nulls,
+      |  MIN(o_totalprice) AS price_min,
+      |  MAX(o_totalprice) AS price_max,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  MIN(o_orderdate) AS date_min,
+      |  MAX(o_orderdate) AS date_max,
+      |  COUNT(DISTINCT o_orderstatus) AS status_ndv,
+      |  COUNT(DISTINCT o_orderpriority) AS prio_ndv,
+      |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS prio_nulls
+      |FROM orders""".stripMargin
+
   /** Corpus snapshot diff — dataset versioning's core primitive:
     * given two corpus snapshots, emit (id, change ∈ added / removed /
     * changed), the audit record behind every nightly refresh and the
@@ -683,6 +823,9 @@ object Etl {
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
+    "etl_profile" -> (etlProfile _),
+    "etl_schema_evolution" -> (etlSchemaEvolution _),
+    "etl_compact" -> (etlCompact _),
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
@@ -704,5 +847,8 @@ object Etl {
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
+    "etl_profile" -> etlProfileSql,
+    "etl_schema_evolution" -> etlSchemaEvolutionSql,
+    "etl_compact" -> etlCompactSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql)
 }

@@ -288,6 +288,54 @@ object Relational {
       |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map + struct nested-type function surface — completes the
+    * nested-type family beside q_array_funcs (array) and q_json_funcs
+    * (json): map_from_arrays / element_at / map_keys / map_values /
+    * map_contains_key / map_concat, and named_struct construction with
+    * field access. The reference migrates MySQL SET/ENUM and packed
+    * key-value text columns into queryable shapes the same way —
+    * opaque in, structured out. Outputs are SCALARS extracted from the
+    * nested values (the compare harness hashes scalar cells), so the
+    * DuckDB oracle states the same values directly off the base
+    * columns — parity is on the extracted results, which is exactly
+    * what makes a wrong element_at/map_concat visible. All of these
+    * are codegen'd expressions (no lambda higher-order functions), so
+    * the projection fuses with the scan. */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val m = map_from_arrays(
+      array(lit("mod7"), lit("mod5")),
+      array(col("o_orderkey") % 7, col("o_orderkey") % 5))
+    val extra = map_from_arrays(array(lit("mod3")), array(col("o_orderkey") % 3))
+    val merged = map_concat(m, extra)
+    val st = struct(col("o_orderstatus").as("status"),
+      (col("o_totalprice") > 150000.0).as("big"))
+    ord.select(col("o_orderkey"),
+      element_at(m, "mod7").as("v7"),
+      element_at(merged, "mod3").as("v3"),
+      size(merged).as("n_entries"),
+      array_join(map_keys(merged), ",").as("keys"),
+      element_at(map_values(merged), 2).as("second_val"),
+      map_contains_key(m, "mod5").as("has5"),
+      map_contains_key(m, "mod9").as("has9"),
+      st.getField("status").as("st_status"),
+      st.getField("big").as("st_big"))
+      .orderBy("o_orderkey")
+  }
+
+  val qMapFuncsSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey % 7 AS v7,
+      |  o_orderkey % 3 AS v3,
+      |  3 AS n_entries,
+      |  'mod7,mod5,mod3' AS keys,
+      |  o_orderkey % 5 AS second_val,
+      |  TRUE AS has5,
+      |  FALSE AS has9,
+      |  o_orderstatus AS st_status,
+      |  o_totalprice > 150000.0 AS st_big
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Distinct customers per order status (map-side partial distinct). */
   def qDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(s, dir, "orders")
@@ -875,6 +923,7 @@ object Relational {
     "q_window_funcs" -> (qWindowFuncs _),
     "q_pivot" -> (qPivot _),
     "q_array_funcs" -> (qArrayFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_distinct" -> (qDistinct _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -908,6 +957,7 @@ object Relational {
     "q_window_funcs" -> qWindowFuncsSql,
     "q_pivot" -> qPivotSql,
     "q_array_funcs" -> qArrayFuncsSql,
+    "q_map_funcs" -> qMapFuncsSql,
     "q_json_funcs" -> qJsonFuncsSql,
     "q_distinct" -> qDistinctSql,
     "q_semi_anti" -> qSemiAntiSql,

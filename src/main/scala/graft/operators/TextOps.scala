@@ -42,6 +42,56 @@ object TextOps {
     * better than whitespace words. */
   private val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** RAG chunking window/stride in tokens. */
+  private val chunkW = 30
+  private val chunkS = 20
+
+  /** Retrieval chunking — the RAG-prep operator: each document is cut
+    * into fixed-size OVERLAPPING token windows (30-token chunks on a
+    * 20-token stride, so consecutive chunks share 10 tokens and no
+    * sentence straddles a hard boundary unseen). A pure zero-shuffle
+    * projection: tokenize → explode one small index array per doc →
+    * slice — the chunk text is assembled from the doc's own token
+    * array in the same task that read the doc, so nothing but the
+    * final chunks ever moves. At 100 TB this is the shape that
+    * matters: chunking is embarrassingly parallel and must stay
+    * entirely scan-side (an operator that shuffled tokens or joined
+    * chunk ids back to text would move the corpus twice). The last
+    * chunk of a doc may run short (whatever tokens remain past the
+    * final full stride), exactly like every production chunker. */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          floor((size(col("tk")) - 1) / lit(chunkS)).cast(IntegerType)))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), col("chunk_id") * chunkS + 1, lit(chunkW)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val textChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk,
+       |    UNNEST(range(0, CAST(floor((len(tk) - 1) / $chunkS) AS INT) + 1))
+       |      AS chunk_id
+       |  FROM t WHERE len(tk) > 0)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(len(tk[chunk_id*$chunkS+1 : chunk_id*$chunkS+$chunkW]) AS INT)
+       |    AS n_tokens,
+       |  array_to_string(tk[chunk_id*$chunkS+1 : chunk_id*$chunkS+$chunkW], ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Token / char / line counts per document (whitespace words and
     * BPE-ish pieces). */
   def textTokens(s: SparkSession, dir: String): DataFrame = {
@@ -565,6 +615,7 @@ object TextOps {
     "text_domain_mix" -> (textDomainMix _),
     "text_train_split" -> (textTrainSplit _),
     "text_pack_sequences" -> (textPackSequences _),
+    "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -579,6 +630,7 @@ object TextOps {
     "text_domain_mix" -> textDomainMixSql,
     "text_train_split" -> textTrainSplitSql,
     "text_pack_sequences" -> textPackSequencesSql,
+    "text_chunk" -> textChunkSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

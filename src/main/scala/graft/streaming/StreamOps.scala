@@ -430,6 +430,151 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Event for the funnel-timeout key: ts carries the watermark,
+    * us the exact integer-micros twin for boundary comparisons. */
+  case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, us: Long)
+  /** Per-user funnel state: undecided clicks, retained purchases
+    * (only those still able to match a pending or future click),
+    * and the resolved running totals. */
+  case class FunnelState(pending: List[Long], purchases: List[Long],
+      matched: Long, orphans: Long)
+  case class FunnelResult(user_id: Long, n_matched: Long, n_orphans: Long)
+
+  private val twoHoursUs = 7200000000L
+
+  /** Funnel with TIMEOUT — the abandoned-cart query: for every click,
+    * was there a purchase by the same user within the next 2 hours?
+    * This is the LEFT OUTER face of stream_join, and the production
+    * implementation is NOT an outer join: it is custom state with an
+    * EVENT-TIME TIMER (flatMapGroupsWithState + EventTimeTimeout),
+    * because the negative verdict ("no purchase came") can only be
+    * decided by the passage of event time, and a timer is how a
+    * stream decides it without holding the corpus. State per user is
+    * O(pending clicks + recent purchases) — both bounded by the 2 h
+    * horizon, evicted as the watermark advances — and the sink holds
+    * ONE row per user (the resolved totals), never per-click rows.
+    *
+    * Decision rule (identical to the batch LEFT JOIN the oracle
+    * runs): click c is matched iff some purchase p of the same user
+    * has c < p ≤ c+2h, decidable once the watermark passes c+2h; a
+    * purchase stays in state only while p > watermark − 2h (it can
+    * still decide some undecided click exactly while that holds).
+    * Comparisons are integer micros (SURVEY §4).
+    *
+    * Drain choreography: the same two-heartbeat sentinel pattern as
+    * stream_join (reserved negative user ids — their groups update no
+    * state and emit nothing). Heartbeat 1 rides with the corpus batch
+    * and jumps the watermark past every real click's horizon at first
+    * commit; heartbeat 2's batch fires the per-user timers (set to
+    * max-seen-ts + 3 h, beyond every real event but far below the
+    * sentinel watermark), each of which resolves its user's remaining
+    * clicks and emits the single per-user result row. */
+  def streamFunnelTimeout(parent: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = streamingSession(parent)
+    import spark.implicits._
+    val name = s"stream_funnel_${runId.incrementAndGet()}"
+    val hbDir = Files.createTempDirectory("graft_stream_fhb").toString
+    def heartbeat(n: Int, ts: String): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-n.toLong, java.sql.Timestamp.valueOf(ts),
+            -1L, "click", 0.0, null)),
+        eventsTsSchema)
+        .write.mode("append").parquet(hbDir)
+    heartbeat(1, "2099-01-01 00:00:00")
+    val ev = eventsStream(spark, sfDir).unionByName(
+        spark.readStream.schema(eventsTsSchema).parquet(hbDir))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .as[FunnelEvent]
+    def resolve(st: FunnelState, wmUs: Long, all: Boolean): FunnelState = {
+      val (decided, pending) =
+        if (all) (st.pending, Nil)
+        else st.pending.partition(c => c + twoHoursUs < wmUs)
+      val m = decided.count(c =>
+        st.purchases.exists(p => p > c && p <= c + twoHoursUs))
+      FunnelState(pending,
+        st.purchases.filter(_ > wmUs - twoHoursUs),
+        st.matched + m, st.orphans + (decided.size - m))
+    }
+    val results = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (user < 0) Iterator.empty   // sentinel heartbeat groups
+          else if (state.hasTimedOut) {
+            // event time has passed every click's horizon: final verdicts
+            val st = resolve(state.getOption
+                .getOrElse(FunnelState(Nil, Nil, 0L, 0L)),
+              state.getCurrentWatermarkMs() * 1000L, all = true)
+            state.remove()
+            if (st.matched + st.orphans > 0)
+              Iterator.single(FunnelResult(user, st.matched, st.orphans))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Nil, Nil, 0L, 0L))
+            var maxUs = 0L
+            batch.foreach { e =>
+              maxUs = math.max(maxUs, e.us)
+              st = if (e.event_type == "click") st.copy(pending = e.us :: st.pending)
+                else st.copy(purchases = e.us :: st.purchases)
+            }
+            // resolve what the current watermark already decides and
+            // evict purchases that can no longer match anything
+            st = resolve(st, state.getCurrentWatermarkMs() * 1000L, all = false)
+            state.update(st)
+            // the timer that will deliver the remaining verdicts: just
+            // past this user's own horizon (a timer must exceed the
+            // current watermark — for a straggler batch arriving after
+            // the watermark passed this user's horizon, fire ASAP)
+            state.setTimeoutTimestamp(
+              math.max(maxUs / 1000L + 3L * 3600 * 1000,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+    val q = results.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()           // batch 1: corpus + heartbeat 1
+      heartbeat(2, "2099-06-01 00:00:00")
+      q.processAllAvailable()           // batch 2: timers fire, rows emit
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hbDir))
+    }
+    collectAndDrop(spark, name, spark.table(name).orderBy("user_id"))
+  }
+
+  /** Batch twin of streamFunnelTimeout for parity checks. */
+  def batchFunnelTimeout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"), "left_outer")
+      // verdict per click EVENT (event_id), not per distinct timestamp —
+      // duplicate (user, ts) clicks each count, as they do in the stream
+      .groupBy(col("c_user"), col("c_eid"))
+      .agg(max(col("p_ts").isNotNull).as("m"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(sum(when(col("m"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("m"), 0L).otherwise(1L)).as("n_orphans"))
+      .orderBy("user_id")
+  }
+
   /** Streaming exact deduplication — the streaming twin of the dedup
     * family: watermarked dropDuplicates holds one state record per
     * distinct key and evicts keys older than the watermark, so state
@@ -521,6 +666,24 @@ object StreamOps {
       |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-click verdict (matched within 2 h?) rolled up per user —
+    * exactly the decision rule the event-time timers deliver. */
+  val streamFunnelSql: String =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |     v AS (SELECT c.user_id, c.event_id,
+      |             EXISTS (SELECT 1 FROM p
+      |                     WHERE p.user_id = c.user_id
+      |                       AND p.ts > c.ts
+      |                       AND p.ts <= c.ts + INTERVAL 2 HOUR) AS m
+      |           FROM c)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN m THEN 0 ELSE 1 END) AS BIGINT) AS n_orphans
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Spark's window('6 hours') aligns to the epoch; the oracle floors
     * epoch micros to the same 6-hour grid. */
   val streamEnrichSql: String =
@@ -541,7 +704,8 @@ object StreamOps {
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_enrich" -> (streamEnrich _),
-    "stream_join" -> (streamJoin _))
+    "stream_join" -> (streamJoin _),
+    "stream_funnel_timeout" -> (streamFunnelTimeout _))
 
   val oracles: Map[String, String] = Map(
     "q_session_window" -> qSessionWindowSql,
@@ -550,5 +714,6 @@ object StreamOps {
     "stream_user_state" -> streamUserStateSql,
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
-    "stream_join" -> streamJoinSql)
+    "stream_join" -> streamJoinSql,
+    "stream_funnel_timeout" -> streamFunnelSql)
 }

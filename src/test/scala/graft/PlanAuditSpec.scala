@@ -63,6 +63,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
     "etl_shard_export" -> 0, "etl_snapshot_diff" -> 3,
+    // schema evolution: footer-level merge + ordered output range
+    // exchange; compact: read of the compacted layout + ordered output
+    "etl_schema_evolution" -> 1, "etl_compact" -> 1,
+    // etl_profile's 4: the single-scan multi-distinct lowers to
+    // Expand + two aggregate rounds (per-distinct-group shuffle,
+    // final single-partition merge) — still ONE pass over the table
+    "etl_profile" -> 4,
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
@@ -71,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_pq" -> 3,
     "q1_agg" -> 2, "q3_topk_join" -> 1, "q5_star_join" -> 2,
     "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,
-    "q_array_funcs" -> 1, "q_asof_bcast" -> 3, "q_asof_join" -> 3,
+    "q_array_funcs" -> 1, "q_map_funcs" -> 1,
+    "q_asof_bcast" -> 3, "q_asof_join" -> 3,
     // q_bloom_join's 5: SMJ both sides + group + order, plus the
     // bloom-build subquery's own single-partition aggregate exchange
     // — the price of pruning the fact side before its shuffle
@@ -93,11 +101,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
-    "stream_join" -> 0, "stream_sessions" -> 0, "stream_user_state" -> 0,
+    "stream_join" -> 0, "stream_funnel_timeout" -> 0,
+    "stream_sessions" -> 0, "stream_user_state" -> 0,
     // boilerplate's 11 is the dedup-family regime: the chunk frame is
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle
     "text_boilerplate" -> 11,
+    "text_chunk" -> 1,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
