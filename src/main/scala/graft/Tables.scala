@@ -22,6 +22,11 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // Driver fixtures write ts as TIMESTAMP(MICROS) isAdjustedToUTC=false,
+    // which Spark >=3.4 would otherwise infer as TIMESTAMP_NTZ. Under the
+    // UTC session timezone above, reading it as TIMESTAMP_LTZ is
+    // semantics-preserving and keeps unix_micros()/window() usable.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Register every table as a temp view so the full engine surface

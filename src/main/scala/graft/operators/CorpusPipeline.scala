@@ -52,7 +52,8 @@ object CorpusPipeline {
        |  FROM (${TextOps.qualityStatsSql("corpus")}) s),
        |kept AS (
        |  SELECT c.doc_id,
-       |    len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS n_tokens
+       |    CAST(len(list_filter(string_split(c.text, ' '), x -> x <> ''))
+       |      AS INT) AS n_tokens
        |  FROM corpus c
        |  JOIN comp USING (doc_id)
        |  JOIN stats USING (doc_id)
@@ -65,8 +66,8 @@ object CorpusPipeline {
        |      - n_tokens AS start
        |  FROM kept)
        |SELECT doc_id, n_tokens,
-       |  start // ${TextOps.packBudget} AS seq_id,
-       |  start % ${TextOps.packBudget} AS seq_offset
+       |  CAST(start // ${TextOps.packBudget} AS BIGINT) AS seq_id,
+       |  CAST(start % ${TextOps.packBudget} AS BIGINT) AS seq_offset
        |FROM cum ORDER BY doc_id""".stripMargin
 
   /** Leakage-safe train/val/test split: the split is decided by the

@@ -423,6 +423,65 @@ object Etl {
       .orderBy("c_custkey")
   }
 
+  /** CDC with deletion vectors — the merge-on-READ sibling of
+    * etl_cdc_upsert (which rewrites: one corpus-sized left_anti per
+    * batch). Here nothing is rewritten: row images are APPEND-only
+    * (base at version 0, re-inserts at their batch version) and
+    * deletes land as a tombstone side table (key, version) — the
+    * relational rendering of Delta deletion vectors / Iceberg
+    * positional deletes with sequence-number supersedence. Visibility
+    * rule: an image is dead iff some tombstone for its key carries a
+    * HIGHER version — so a v1 delete kills the v0 image but not the
+    * v2 re-insert of the same key, and a v3 delete kills that
+    * re-insert in turn. Three deterministic batches exercise all
+    * three transitions (delete, re-add-after-delete, delete-re-add).
+    *
+    * Scale shape: the corpus is scanned, never shuffled and never
+    * rewritten — images are a union of scans, tombstones aggregate to
+    * max(version) per key at O(deletes) size and broadcast into the
+    * visibility filter. When the delete set outgrows broadcast, the
+    * same plan degrades gracefully to a shuffle-pinned anti-join, and
+    * a periodic etl_compact-style rewrite folds vectors into the base
+    * — exactly the DV compaction story at 100 TB. */
+  def etlCdcDeletes(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+    val images = base.withColumn("v", lit(0))
+      .unionByName(base.filter(col("c_custkey") % 30 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("v", lit(2)))
+    val tomb = base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit(1).as("tv"))
+      .unionByName(base
+        .filter(col("c_custkey") % 20 === 9 || col("c_custkey") % 60 === 33)
+        .select(col("c_custkey"), lit(3).as("tv")))
+    val tmax = tomb.groupBy("c_custkey").agg(max(col("tv")).as("tv"))
+    images.join(broadcast(tmax), Seq("c_custkey"), "left_outer")
+      .filter(col("tv").isNull || col("tv") < col("v"))
+      .drop("tv")
+      .orderBy("c_custkey", "v")
+  }
+
+  val etlCdcDeletesSql: String =
+    """WITH images AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |         0 AS v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500, c_mktsegment,
+      |         2 AS v
+      |  FROM customer WHERE c_custkey % 30 = 3),
+      |tomb AS (
+      |  SELECT c_custkey, 1 AS tv FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, 3 AS tv FROM customer
+      |  WHERE c_custkey % 20 = 9 OR c_custkey % 60 = 33),
+      |tmax AS (SELECT c_custkey, MAX(tv) AS tv FROM tomb GROUP BY 1)
+      |SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal,
+      |       i.c_mktsegment, i.v
+      |FROM images i LEFT JOIN tmax USING (c_custkey)
+      |WHERE tmax.tv IS NULL OR tmax.tv < i.v
+      |ORDER BY i.c_custkey, i.v""".stripMargin
+
   val etlCdcUpsertSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
@@ -821,6 +880,7 @@ object Etl {
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
+    "etl_cdc_deletes" -> (etlCdcDeletes _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -845,6 +905,7 @@ object Etl {
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
+    "etl_cdc_deletes" -> etlCdcDeletesSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

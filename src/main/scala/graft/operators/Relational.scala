@@ -336,6 +336,83 @@ object Relational {
       |  o_totalprice > 150000.0 AS st_big
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** JSON_TABLE-style shredding: parse a semi-structured TEXT column
+    * ONCE per row into a full typed shape — nested object, string
+    * array, int array — then project typed columns out of it. This is
+    * the schema-on-read step q_json_funcs (per-path get_json_object)
+    * doesn't cover: one from_json parse feeds every projected field,
+    * where N path extractions would re-parse the payload N times —
+    * the difference between one and N parses IS the operator at
+    * 100 TB, where event-prop shredding dominates ingest CPU. Missing
+    * keys surface as typed NULLs (every 7th payload omits the nested
+    * geo object), which is the contract that lets downstream columns
+    * stay nullable instead of failing ingest.
+    *
+    * The enriched payload is CONSTRUCTED deterministically from base
+    * columns (the fixture's props carries only {"k":int}) with plain
+    * string concat — identically expressible in DuckDB, so the oracle
+    * builds the same bytes and shreds them with its own JSON engine:
+    * parity covers construction AND extraction. Plan shape: a single
+    * scan-side projection — no shuffle, no join; chunking parallelism
+    * is the scan's. */
+  def qJsonTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val str = (c: Column) => c.cast(StringType)
+    val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+    val payload = concat(
+      lit("{\"k\":"), str(k),
+      lit(",\"user\":"), str(col("user_id")),
+      lit(",\"tags\":[\"t"), str(col("event_id") % 3),
+      lit("\",\"t"), str(col("event_id") % 5), lit("\"]"),
+      when(col("event_id") % 7 === 0, lit(""))
+        .otherwise(concat(
+          lit(",\"geo\":{\"zone\":"), str(col("event_id") % 10),
+          lit(",\"grid\":["), str(col("event_id") % 4),
+          lit(","), str(col("event_id") % 6), lit("]}"))),
+      lit(",\"type\":\""), col("event_type"), lit("\"}"))
+    val shape = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("user", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("geo", StructType(Seq(
+        StructField("zone", IntegerType),
+        StructField("grid", ArrayType(IntegerType))))),
+      StructField("type", StringType)))
+    val j = from_json(payload, shape)
+    ev.select(col("event_id"),
+        j.getField("k").as("k"),
+        j.getField("user").as("juser"),
+        size(j.getField("tags")).as("n_tags"),
+        element_at(j.getField("tags"), 1).as("tag0"),
+        j.getField("geo").getField("zone").as("zone"),
+        element_at(j.getField("geo").getField("grid"), 2).as("grid1"),
+        j.getField("type").as("jtype"),
+        j.getField("geo").isNull.as("geo_missing"))
+      .orderBy("event_id")
+  }
+
+  val qJsonTableSql: String =
+    """WITH p AS (
+      |  SELECT event_id,
+      |    '{"k":' || CAST(json_extract(props,'$.k') AS INT) ||
+      |    ',"user":' || user_id ||
+      |    ',"tags":["t' || (event_id%3) || '","t' || (event_id%5) || '"]' ||
+      |    CASE WHEN event_id%7=0 THEN '' ELSE
+      |      ',"geo":{"zone":' || (event_id%10) ||
+      |      ',"grid":[' || (event_id%4) || ',' || (event_id%6) || ']}' END ||
+      |    ',"type":"' || event_type || '"}' AS payload
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(json_extract(payload,'$.k') AS INT) AS k,
+      |  CAST(json_extract(payload,'$.user') AS BIGINT) AS juser,
+      |  CAST(json_array_length(payload,'$.tags') AS INT) AS n_tags,
+      |  json_extract_string(payload,'$.tags[0]') AS tag0,
+      |  CAST(json_extract(payload,'$.geo.zone') AS INT) AS zone,
+      |  CAST(json_extract(payload,'$.geo.grid[1]') AS INT) AS grid1,
+      |  json_extract_string(payload,'$.type') AS jtype,
+      |  json_extract(payload,'$.geo') IS NULL AS geo_missing
+      |FROM p ORDER BY event_id""".stripMargin
+
   /** Distinct customers per order status (map-side partial distinct). */
   def qDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(s, dir, "orders")
@@ -925,6 +1002,7 @@ object Relational {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_funcs" -> (qJsonFuncs _),
+    "q_json_table" -> (qJsonTable _),
     "q_distinct" -> (qDistinct _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_events_window" -> (qEventsWindow _),
@@ -959,6 +1037,7 @@ object Relational {
     "q_array_funcs" -> qArrayFuncsSql,
     "q_map_funcs" -> qMapFuncsSql,
     "q_json_funcs" -> qJsonFuncsSql,
+    "q_json_table" -> qJsonTableSql,
     "q_distinct" -> qDistinctSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_events_window" -> qEventsWindowSql,

@@ -389,7 +389,9 @@ object TextOps {
   private[graft] def packFrame(counts: DataFrame): DataFrame = {
     // contiguous id ranges; pid pinned by checkpoint so the offsets
     // branch and the scan branch see the SAME partitioning
-    val parts = counts.repartitionByRange(8, col("doc_id"))
+    val nRange = counts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parts = counts.repartitionByRange(nRange, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val totals = parts.groupBy("pid")
@@ -406,7 +408,10 @@ object TextOps {
     parts
       .withColumn("start", cum - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("start") / packBudget).cast(LongType).as("seq_id"),
+        // integer `div`, not `/`: IEEE double division is only exact
+        // below 2^53 total tokens; a 100 TB corpus (~25T tokens) is
+        // close enough that the global scan must stay in long space
+        expr(s"start div $packBudget").as("seq_id"),
         (col("start") % packBudget).as("seq_offset"))
       .orderBy("doc_id")
   }
@@ -414,7 +419,8 @@ object TextOps {
   val textPackSequencesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS INT) AS n_tokens
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
@@ -422,8 +428,8 @@ object TextOps {
        |      - n_tokens AS start
        |  FROM t)
        |SELECT doc_id, n_tokens,
-       |  start // $packBudget AS seq_id,
-       |  start % $packBudget AS seq_offset
+       |  CAST(start // $packBudget AS BIGINT) AS seq_id,
+       |  CAST(start % $packBudget AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

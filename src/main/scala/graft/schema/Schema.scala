@@ -71,6 +71,7 @@ object Introspect {
     case BooleanType => "boolean"
     case DateType => "date"
     case TimestampType => "datetime"
+    case TimestampNTZType => "datetime"
     case ArrayType(e, _) => s"array<${neutralType(e)}>"
     case other => other.simpleString
   }
