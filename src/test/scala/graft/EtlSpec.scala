@@ -425,4 +425,37 @@ class EtlSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(1))).toSeq ==
       Seq(Some("12:34"), None, None))
   }
+
+  test("etl_cdc_deletes: tombstone visibility across all three transitions") {
+    val alive = Etl.etlCdcDeletes(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("v")).toMap
+    val baseKeys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    assert(baseKeys.nonEmpty)
+    baseKeys.foreach { k =>
+      val expected: Option[Int] =
+        if (k % 30 == 3) { // deleted at v1, re-inserted at v2...
+          if (k % 60 == 33) None // ...then killed by the v3 tombstone
+          else Some(2)           // ...and still alive at v2
+        } else if (k % 10 == 3) None   // plain v1 delete
+        else if (k % 20 == 9) None     // plain v3 delete
+        else Some(0)                   // untouched base image
+      assert(alive.get(k) == expected,
+        s"key $k: expected $expected, got ${alive.get(k)}")
+    }
+    // exactly one image version survives per key — never both v0 and v2
+    assert(alive.size == alive.keySet.size)
+  }
+
+  test("etl_cdc_deletes never rewrites or shuffles the corpus side") {
+    val plan = Etl.etlCdcDeletes(spark, sf).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = TestSpark.allNodes(plan).collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // tombstone max-version agg + ordered output only; the corpus-side
+    // visibility join must stay broadcast (merge-on-read contract)
+    assert(shuffles.length <= 2,
+      s"deletion-vector read should shuffle only tombstones, saw ${shuffles.length}")
+  }
 }

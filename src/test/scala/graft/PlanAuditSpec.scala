@@ -91,6 +91,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcasts (the joined aggregates are corpus-derived)
     "q_gap_fill" -> 5, "q_retention_cohort" -> 5,
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
+    // json_table: one scan-side shred projection + the ordered output
+    // range exchange — shredding itself must never shuffle
+    "q_json_table" -> 1,
+    // cdc_deletes: tombstone max-version agg (O(deletes)) + ordered
+    // output; the corpus-side visibility join is broadcast, no rewrite
+    "etl_cdc_deletes" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
     "q_partition_prune" -> 2, "q_zorder_prune" -> 2,

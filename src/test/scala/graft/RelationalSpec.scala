@@ -149,4 +149,33 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("user_id")).distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
   }
+
+  test("q_json_table shreds typed fields and NULLs missing keys") {
+    val rows = operators.Relational.qJsonTable(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "events").count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[Int]("n_tags") == 2)
+      assert(r.getAs[String]("tag0") == s"t${id % 3}")
+      if (id % 7 == 0) {
+        // the omitted nested object surfaces as typed NULLs, not a crash
+        assert(r.getAs[Boolean]("geo_missing"))
+        assert(r.isNullAt(r.fieldIndex("zone")))
+        assert(r.isNullAt(r.fieldIndex("grid1")))
+      } else {
+        assert(!r.getAs[Boolean]("geo_missing"))
+        assert(r.getAs[Int]("zone") == (id % 10).toInt)
+        assert(r.getAs[Int]("grid1") == (id % 6).toInt)
+      }
+    }
+  }
+
+  test("q_json_table never shuffles the shred itself") {
+    val plan = operators.Relational.qJsonTable(spark, sf).queryExecution
+      .executedPlan
+    val shuffles = TestSpark.allNodes(plan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // only the ordered-output range exchange; the parse+project is scan-side
+    assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
+  }
 }
