@@ -75,9 +75,17 @@ object GenScale {
     // FILE, and DuckDB oracles need ts as a timestamp, not raw int64
     // nanos — so convert nanos→micros on write (the same truncation
     // Tables.load applies on read) and collapse to one part file
-    val eventsScaled = copies(raw("events")) { (d, i) =>
+    val eventsRaw = raw("events")
+    val eventsScaled0 = copies(eventsRaw) { (d, i) =>
       d.withColumn("event_id", col("event_id") + i * shift)
-    }.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+    // old fixtures: int64 nanos (under nanosAsLong) → truncate to a
+    // real timestamp; new fixtures: already TIMESTAMP(MICROS) — keep
+    val eventsScaled =
+      if (eventsRaw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        eventsScaled0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else eventsScaled0
     writeSingleFile(eventsScaled, s"$outDir/events.parquet")
     println(s"[gen] events: ${spark.read.parquet(s"$outDir/events.parquet").count()} rows")
 

@@ -456,35 +456,43 @@ object DedupOps {
     * exactly one eager checkpoint + one cheap count on it. */
   private[graft] def clusterLabels(docs: DataFrame, pairFrame: DataFrame): DataFrame = {
     val pairs = pairFrame.select("a", "b").localCheckpoint()
-    // undirected: propagate labels both ways
+    // undirected: propagate labels both ways; static across rounds,
+    // so materialize the doubled edge list once
     val edges = pairs.unionAll(
       pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
+    // One FUSED propagation step: the pointer edge (v, label(v)) rides
+    // in the SAME lookup join as the graph edges, so neighbor-min and
+    // pointer-jump (label ← label(label)) cost one join round instead
+    // of two — labels are doc ids, so looking up label(b) for the
+    // pointer edge IS the jump. Monotone non-increasing by least().
+    def step(l: DataFrame): DataFrame = {
+      val lookups = edges.unionAll(
+        l.select(col("doc_id").as("a"), col("label").as("b")))
+      val mins = lookups
+        .join(l.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      l.join(mins, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+    }
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val fromNbrs = edges
-        .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(fromNbrs, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-      // pointer jump: follow the label's own label (labels are doc
-      // ids, so the lookup is a self-join); monotone ≤, so least() is
-      // belt-and-braces
-      val parent = stepped
-        .select(col("doc_id").as("p_id"), col("label").as("p_label"))
-      val next = stepped.join(parent, col("label") === col("p_id"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("p_label"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      // two fused steps share ONE eager materialization + convergence
+      // count — the per-round driver round-trip is the dominant cost
+      // of the whole operator (the label frame itself is thin), so
+      // halving materializations halves the latency bill; jumping
+      // still bounds inner steps by O(log diameter)
+      val seeded = labels.withColumn("old", col("label"))
+      val next = step(step(seeded)).localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("doc_id", "label")
-      rounds += 1
+      rounds += 2
     }
     require(changed == 0,
       s"label propagation did not converge in $rounds rounds")

@@ -585,9 +585,17 @@ object Etl {
   private[graft] def shardExportDir(dir: String): String =
     s"/tmp/graft_shard_export_${Integer.toHexString(dir.hashCode)}"
 
+  /** Shard count is a deployment parameter (graft.shard.export.count;
+    * fixture default 8): at 100 TB it is sized to downstream reader
+    * parallelism × target shard bytes, not to the writer's partition
+    * conf — see DEPLOY.md's submit recipe. */
+  private[graft] def shardExportCount(s: SparkSession): Int =
+    s.conf.getOption("graft.shard.export.count").map(_.toInt).getOrElse(8)
+
   private[graft] def shardExportFrame(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
-      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .repartitionByRange(shardExportCount(s),
+        col("o_orderdate"), col("o_orderkey"))
       .sortWithinPartitions("o_orderdate", "o_orderkey")
 
   def etlShardExport(s: SparkSession, dir: String): DataFrame = {
