@@ -193,9 +193,63 @@ object DedupOps {
   val minhashK = 16
   val minhashBands = 4
 
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(dupDocs(s, dir), tau = 0.5)
+  private[graft] def minhashIdxDir(dir: String): String =
+    s"/tmp/graft_minhash_${Integer.toHexString(dir.hashCode)}"
+
+  /** Signature index published once per corpus fingerprint (the same
+    * discipline as dedup_incremental's corpus index); the pair search
+    * reads the PUBLISHED buckets/sets back, so the DuckDB oracle
+    * consumes the identical bytes — banding, candidate generation and
+    * the exact-Jaccard verify are all oracle-checked ([T]→[O] in r8).
+    * The stored band buckets ARE the contract: DuckDB never needs
+    * xxhash64. In production this index is the durable artifact a
+    * nightly ingest (dedup_incremental) joins new batches against. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val idxDir = minhashIdxDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("documents"))
+    val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
+    Etl.withPathLock(Paths.get(idxDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val sigs = minhashSignatures(dupDocs(s, dir)).localCheckpoint()
+        sigs.select("doc_id", "sh").write.mode("overwrite")
+          .parquet(s"$idxDir/sets")
+        bandBuckets(sigs).write.mode("overwrite")
+          .parquet(s"$idxDir/buckets")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    // corpus-sized band frame: never broadcast (see jaccardPairs)
+    val banded = s.read.parquet(s"$idxDir/buckets").hint("shuffle_hash")
+    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val sh = s.read.parquet(s"$idxDir/sets")
+    verifyJaccard(candidates, sh, sh, tau = 0.5)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Candidates and Jaccard rebuilt entirely from the published
+    * signature index — same contract as dedupIncrementalSql. */
+  val dedupMinhashSql: String =
+    """WITH cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM read_parquet('/tmp/graft_minhash___SFTAG__/buckets/*.parquet') x
+      |  JOIN read_parquet('/tmp/graft_minhash___SFTAG__/buckets/*.parquet') y
+      |    USING (band, bucket)
+      |  WHERE x.doc_id < y.doc_id)
+      |SELECT a, b,
+      |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      |FROM cand
+      |JOIN read_parquet('/tmp/graft_minhash___SFTAG__/sets/*.parquet') sa
+      |  ON sa.doc_id = a
+      |JOIN read_parquet('/tmp/graft_minhash___SFTAG__/sets/*.parquet') sb
+      |  ON sb.doc_id = b
+      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+      |ORDER BY a, b""".stripMargin
 
   /** All near-dup pairs (a < b, exact hashed-shingle Jaccard >= tau
     * among LSH-banded candidates) of a (doc_id, text) frame — the
@@ -278,9 +332,57 @@ object DedupOps {
   // sign-sum per bit), candidates via 4 16-bit bands, verified by
   // hamming distance <= 3 (bit_count of xor).
   // ---------------------------------------------------------------
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(dupDocs(s, dir), maxHamming = 3)
+  private[graft] def simhashIdxDir(dir: String): String =
+    s"/tmp/graft_simhash_${Integer.toHexString(dir.hashCode)}"
+
+  /** Published-signature variant (the dedup_minhash discipline): the
+    * 64-bit signatures and their 16-bit band buckets publish once per
+    * corpus fingerprint; banding, candidate generation and the
+    * hamming verify all read the published bytes, so the DuckDB
+    * oracle recomputes them with its own bit_count(xor) ([T]→[O] r8). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val idxDir = simhashIdxDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("documents"))
+    val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
+    Etl.withPathLock(Paths.get(idxDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val sigs = simhashSigs(dupDocs(s, dir)).localCheckpoint()
+        // sig rides each band row (8 bytes × 4 bands): the candidate
+        // self-join then verifies hamming IN PLACE — no per-side sig
+        // re-join, the same one-join shape the in-flight path uses
+        sigs.select(col("doc_id"), col("sig"),
+            explode(array((0 until 4).map { b =>
+              struct(lit(b).as("band"),
+                shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)
+                  .as("bucket"))
+            }: _*)).as("bb"))
+          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+          .write.mode("overwrite").parquet(s"$idxDir/buckets")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    // corpus-sized band frame: never broadcast (see jaccardPairs)
+    val banded = s.read.parquet(s"$idxDir/buckets").hint("shuffle_hash")
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
+  }
+
+  val dedupSimhashSql: String =
+    """WITH cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+      |  FROM read_parquet('/tmp/graft_simhash___SFTAG__/buckets/*.parquet') x
+      |  JOIN read_parquet('/tmp/graft_simhash___SFTAG__/buckets/*.parquet') y
+      |    USING (band, bucket)
+      |  WHERE x.doc_id < y.doc_id)
+      |SELECT a, b, hamming FROM cand WHERE hamming <= 3
+      |ORDER BY a, b""".stripMargin
 
   /** 64-bit SimHash signature per doc of a (doc_id, text) frame:
     * explode token hashes, then ONE codegen'd HashAggregate with 64
@@ -645,5 +747,7 @@ object DedupOps {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql)
 }
