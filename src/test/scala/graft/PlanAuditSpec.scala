@@ -98,6 +98,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // output; the corpus-side visibility join is broadcast, no rewrite
     "etl_cdc_deletes" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
+    // latest_per_key/histogram: one agg-grain shuffle + ordered output
+    "q_latest_per_key" -> 2, "q_histogram" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
     "q_partition_prune" -> 2, "q_zorder_prune" -> 2,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,

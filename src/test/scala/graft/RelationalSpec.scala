@@ -170,6 +170,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_latest_per_key aggregates, never sorts-and-ranks") {
+    val df = operators.Relational.qLatestPerKey(spark, sf)
+    // the whole point of the operator: no Window (O(corpus sort));
+    // the plan must be a HashAggregate over the struct max
+    val nodes = TestSpark.allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "latest-per-key must not lower to a window sort")
+    // correctness: per customer, the returned order IS their max
+    val got = df.collect().map(r => r.getAs[Long]("o_custkey") ->
+      (String.valueOf(r.getAs[Any]("last_orderdate")),
+        r.getAs[Long]("last_orderkey"))).toMap
+    val expect = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (String.valueOf(r.get(1)), r.getLong(2))).max }
+    assert(got == expect)
+  }
+
+  test("q_histogram buckets cover every order exactly once") {
+    val rows = operators.Relational.qHistogram(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.load(spark, sf, "orders").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("min_price") >= b * 25000.0)
+      assert(r.getAs[Double]("max_price") < (b + 1) * 25000.0)
+    }
+  }
+
   test("q_json_table never shuffles the shred itself") {
     val plan = operators.Relational.qJsonTable(spark, sf).queryExecution
       .executedPlan
