@@ -30,8 +30,10 @@ object CorpusPipeline {
 
   def pipelineTrainCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = DedupOps.dupDocs(s, dir)
-    val labels = DedupOps.clusterLabels(docs,
-      DedupOps.jaccardPairs(docs, DedupOps.jaccardTau))
+    // consume the nightly dedup service's PUBLISHED labels (built once
+    // per corpus fingerprint) — the oracle still recomputes components
+    // independently, so the artifact is verified, not trusted
+    val labels = DedupOps.publishedLabels(s, dir)
     val kept = docs
       .join(labels, "doc_id")
       .filter(TextOps.qualityExpr(col("text")) >= qualityThreshold)
@@ -83,9 +85,8 @@ object CorpusPipeline {
     * recomposes components + bucket arithmetic from the shared SQL
     * fragments. */
   def pipelineSplitSafe(s: SparkSession, dir: String): DataFrame = {
-    val docs = DedupOps.dupDocs(s, dir)
-    val labels = DedupOps.clusterLabels(docs,
-      DedupOps.jaccardPairs(docs, DedupOps.jaccardTau))
+    // published labels (see pipelineTrainCorpus); oracle-verified
+    val labels = DedupOps.publishedLabels(s, dir)
     labels
       .select(col("doc_id"), col("canonical_id"),
         TextOps.hashBucket(col("canonical_id")).as("bucket"))
