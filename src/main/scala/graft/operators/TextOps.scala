@@ -72,7 +72,9 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("ck")).as("n_tokens"),
         array_join(col("ck"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+      // no terminal orderBy (mm_decode's rule): the harness sorts
+      // canonically, and a range sort's bounds sampling would run the
+      // tokenize+slice chain twice
   }
 
   val textChunkSql: String =
