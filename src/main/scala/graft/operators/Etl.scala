@@ -484,6 +484,65 @@ object Etl {
       |WHERE tmax.tv IS NULL OR tmax.tv < i.v
       |ORDER BY i.c_custkey, i.v""".stripMargin
 
+  /** Time-travel reads over the same append-only DV log as
+    * etl_cdc_deletes: emit EVERY snapshot 0..3 in ONE corpus pass.
+    * Each image's alive interval is [v, death) where death is the
+    * earliest tombstone version strictly after v for its key; a
+    * sequence-explode of that range yields (as_of, row) for every
+    * version the image is visible in. Auditing N snapshots therefore
+    * costs one scan + one explode — never N replay scans, which is
+    * the difference between an afternoon and a week when the log is
+    * 100 TB. Tombstones aggregate per key into a broadcast array
+    * (O(deletes)); the corpus side never shuffles. The oracle replays
+    * each version independently (images × versions, NOT EXISTS over
+    * tombstones), so the interval arithmetic is verified against the
+    * direct definition of snapshot visibility. */
+  def etlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val maxVersion = 3
+    val base = Tables.load(s, dir, "customer")
+    val images = base.withColumn("v", lit(0))
+      .unionByName(base.filter(col("c_custkey") % 30 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("v", lit(2)))
+    val tomb = base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit(1).as("tv"))
+      .unionByName(base
+        .filter(col("c_custkey") % 20 === 9 || col("c_custkey") % 60 === 33)
+        .select(col("c_custkey"), lit(3).as("tv")))
+    val tombArr = tomb.groupBy("c_custkey")
+      .agg(collect_list(col("tv")).as("tvs"))
+    val death = array_min(filter(col("tvs"), t => t > col("v")))
+    images.join(broadcast(tombArr), Seq("c_custkey"), "left_outer")
+      .withColumn("hi",
+        least(coalesce(death - 1, lit(maxVersion)), lit(maxVersion)))
+      .select(explode(sequence(col("v"), col("hi"))).as("as_of"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), col("v"))
+  }
+
+  val etlTimeTravelSql: String =
+    """WITH images AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |         0 AS v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500, c_mktsegment,
+      |         2 AS v
+      |  FROM customer WHERE c_custkey % 30 = 3),
+      |tomb AS (
+      |  SELECT c_custkey, 1 AS tv FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, 3 AS tv FROM customer
+      |  WHERE c_custkey % 20 = 9 OR c_custkey % 60 = 33),
+      |vs AS (SELECT UNNEST(range(0, 4)) AS as_of)
+      |SELECT CAST(vs.as_of AS INT) AS as_of, i.c_custkey, i.c_name,
+      |       i.c_nationkey, i.c_acctbal, i.c_mktsegment, i.v
+      |FROM images i CROSS JOIN vs
+      |WHERE i.v <= vs.as_of
+      |  AND NOT EXISTS (SELECT 1 FROM tomb t
+      |                  WHERE t.c_custkey = i.c_custkey
+      |                    AND t.tv > i.v AND t.tv <= vs.as_of)""".stripMargin
+
   val etlCdcUpsertSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
@@ -891,6 +950,7 @@ object Etl {
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_cdc_deletes" -> (etlCdcDeletes _),
+    "etl_time_travel" -> (etlTimeTravel _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -916,6 +976,7 @@ object Etl {
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_cdc_deletes" -> etlCdcDeletesSql,
+    "etl_time_travel" -> etlTimeTravelSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

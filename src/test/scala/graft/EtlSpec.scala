@@ -447,6 +447,31 @@ class EtlSpec extends AnyFunSuite {
     assert(alive.size == alive.keySet.size)
   }
 
+  test("etl_time_travel snapshots equal direct per-version replays") {
+    val got = Etl.etlTimeTravel(spark, sf).collect()
+      .groupBy(_.getAs[Int]("as_of"))
+      .map { case (v, rs) =>
+        v -> rs.map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("v"))).toSet }
+    val baseKeys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // replay each snapshot from first principles
+    def alive(asOf: Int): Set[(Long, Int)] = baseKeys.flatMap { k =>
+      val images = Seq(0 -> k).filter(_ => true) ++
+        (if (k % 30 == 3) Seq(2 -> k) else Nil)
+      val tombs = (if (k % 10 == 3) Seq(1) else Nil) ++
+        (if (k % 20 == 9 || k % 60 == 33) Seq(3) else Nil)
+      images.collect { case (v, key)
+        if v <= asOf && !tombs.exists(t => t > v && t <= asOf) => (key, v) }
+    }
+    (0 to 3).foreach { v =>
+      assert(got.getOrElse(v, Set.empty) == alive(v), s"snapshot $v differs")
+    }
+    // snapshot 3 must equal the merge-on-read current state
+    val current = Etl.etlCdcDeletes(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("v"))).toSet
+    assert(got(3) == current)
+  }
+
   test("etl_cdc_deletes never rewrites or shuffles the corpus side") {
     val plan = Etl.etlCdcDeletes(spark, sf).queryExecution.executedPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

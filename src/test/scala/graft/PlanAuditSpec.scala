@@ -94,9 +94,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // json_table: one scan-side shred projection + the ordered output
     // range exchange — shredding itself must never shuffle
     "q_json_table" -> 1,
-    // cdc_deletes: tombstone max-version agg (O(deletes)) + ordered
-    // output; the corpus-side visibility join is broadcast, no rewrite
+    // cdc_deletes: tombstone max-version agg (O(deletes)); the
+    // corpus-side visibility join is broadcast, no rewrite, no sort
     "etl_cdc_deletes" -> 2,
+    // time_travel: tombstone array agg only; corpus side never shuffles
+    "etl_time_travel" -> 2,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     // latest_per_key/histogram: one agg-grain shuffle + ordered output
     "q_latest_per_key" -> 2, "q_histogram" -> 2,
