@@ -16,7 +16,18 @@ object Bench {
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // long-JVM hygiene: a 109-key × 3-sample run accumulates
+      // shuffle/broadcast state that ContextCleaner only drains after
+      // a GC, and the default periodic GC is 30 MIN — longer than the
+      // whole bench. Keys measured 5-10× slower at the END of the run
+      // than solo (etl_join_extract 0.5 s solo vs 6.5 s as key ~30 of
+      // 109) until the cleaner interval was dropped and the status
+      // stores bounded.
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the page cache + codegen paths once so per-query numbers
