@@ -756,6 +756,66 @@ object Relational {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Gaps-and-islands interval union — merge overlapping (or
+    * touching) per-key intervals into maximal islands, the other
+    * classic event-log reduction beside gap sessionization
+    * (q_sessionize cuts on inactivity GAPS; this merges on interval
+    * OVERLAP — a row's reach can swallow later rows entirely, which
+    * lag-based gap logic cannot see; hence the running max-end).
+    * Each event carries a deterministic duration derived from its id
+    * so the oracle rebuilds identical intervals. A new island starts
+    * exactly when a start lies strictly past the max end of ALL
+    * earlier intervals of that key (running max over the preceding
+    * frame); islands then aggregate per (key, island). One shuffle to
+    * the user grain carries both window passes AND the aggregate
+    * (HashPartitioning(user_id) already clusters (user_id, island));
+    * exact integer microseconds end to end (SURVEY §4). */
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val iv = ev.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (unix_micros(col("ts")) +
+        (col("event_id") % 7 + 1) * 60000000L).as("ev_end"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val prevMaxEnd = max(col("ev_end"))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull || col("us") > prevMaxEnd, 1L)
+      .otherwise(0L)
+    val islandId = sum(isNew)
+      .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv.select(col("user_id"), col("us"), col("ev_end"),
+        islandId.as("island_id"))
+      .groupBy(col("user_id"), col("island_id"))
+      .agg(min(col("us")).as("start_us"),
+        max(col("ev_end")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("island_id"))
+  }
+
+  val qIntervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS ev_end
+      |  FROM events),
+      |mk AS (
+      |  SELECT user_id, us, ev_end,
+      |    CASE WHEN MAX(ev_end) OVER wprev IS NULL
+      |           OR us > MAX(ev_end) OVER wprev
+      |         THEN 1 ELSE 0 END AS is_new, event_id
+      |  FROM iv
+      |  WINDOW wprev AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |isl AS (
+      |  SELECT user_id, us, ev_end,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS island_id
+      |  FROM mk)
+      |SELECT user_id, island_id, MIN(us) AS start_us, MAX(ev_end) AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Correlated scalar subquery (orders above their own customer's
     * average) — Catalyst de-correlates it into an aggregate + join;
     * the inner average is decimal-exact so the comparison is
@@ -1089,6 +1149,7 @@ object Relational {
     "q_date_funcs" -> (qDateFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_sessionize" -> (qSessionize _),
+    "q_interval_merge" -> (qIntervalMerge _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_cube" -> (qCube _),
@@ -1126,6 +1187,7 @@ object Relational {
     "q_date_funcs" -> qDateFuncsSql,
     "q_percentile" -> qPercentileSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_interval_merge" -> qIntervalMergeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_cube" -> qCubeSql,

@@ -743,7 +743,66 @@ object SimOps {
     "SELECT c_id, cv, cnrm FROM " +
       "read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')")
 
+  /** Neighbors per vector in the kNN-graph build. */
+  val knnK = 3
+
+  /** Corpus-to-corpus kNN join — every vector's top-k neighbors among
+    * ALL vectors: the kNN-GRAPH build behind graph-based dedup,
+    * diversity sampling, and HNSW-style index seeding. The existing
+    * ANN keys answer "top-k for THESE 10 queries" (a broadcast query
+    * side); this one answers it for every corpus row at once, where
+    * broadcasting is impossible by definition. Shape: both sides are
+    * the same IVF-assigned corpus, self-joined ON THE BUCKET ID —
+    * shuffle is Σ bucket² pairs, bucket-local, never the all-pairs
+    * n² (the dedup-family discipline applied to the ANN side); both
+    * sides pinned to shuffle (at 100 TB neither fits a broadcast;
+    * PlanAuditSpec bans the hash-broadcast here). Candidates flow
+    * into TopKPerKey bounded heaps, so only ≤ k winners per (vector,
+    * partition) shuffle to the final rank. Same-bucket-only probing
+    * is the standard kNN-graph approximation (NN-Descent seeds the
+    * same way); recall beyond the bucket comes from raising nProbe or
+    * graph refinement rounds, both additive scans, not new shapes.
+    * Assignment ranks against the PUBLISHED centroid model, so the
+    * DuckDB oracle rebuilds assignment + bucket-local ranking from
+    * the same doubles end to end. */
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignTo(corpus(s, dir), publishedCentroids(s, dir))
+    val left = assigned.select(col("centroid"), col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = assigned.join(left.hint("shuffle_hash"), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), knnK))
+  }
+
+  val simKnnJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT c_id, cv, cnrm FROM
+       |  read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS centroid FROM (
+       |    SELECT c.vec_id, c.v, c.nrm, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, a.vec_id,
+       |    list_dot_product(a.v, q.v) / (a.nrm * q.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(a.v, q.v) / (a.nrm * q.nrm) DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN assigned q USING (centroid)
+       |  WHERE a.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, cosine FROM scored
+       |WHERE rank <= $knnK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_join" -> (simKnnJoin _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf0_topk" -> (simIvf0Topk _),
@@ -759,5 +818,6 @@ object SimOps {
     "embed_quantize" -> embedQuantizeSql,
     "embed_pq" -> embedPqSql,
     "sim_ivfpq_topk" -> simIvfPqTopkSql,
-    "sim_ivf_ingest" -> simIvfIngestSql)
+    "sim_ivf_ingest" -> simIvfIngestSql,
+    "sim_knn_join" -> simKnnJoinSql)
 }

@@ -617,7 +617,88 @@ object TextOps {
       |LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Paragraph-window width for corpus-wide paragraph dedup. */
+  private val paraW = 3
+
+  /** Corpus-wide paragraph-level exact dedup — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * granularity between doc-level dedup (dedup_exact: only fully
+    * identical docs die) and boilerplate removal (text_boilerplate:
+    * only ≥10%-frequent per-SOURCE chunks die): EVERY repeated
+    * paragraph dies everywhere except its first occurrence
+    * (min (doc_id, idx) corpus-wide, across sources), so a quote
+    * repeated twice anywhere is trained on once. Docs cut into
+    * 3-token windows scan-side; the keeper per window is ONE
+    * lexicographic min-struct aggregate at the window grain
+    * (O(distinct windows) state, the q_latest_per_key shape — never
+    * a window rank); survivors reassemble per doc. The window text
+    * shuffles once on its hash grain (it must reach its keeper
+    * decision) and survivors once more on the doc grain for
+    * reassembly — both corpus-sized sides pinned to shuffle
+    * (PlanAuditSpec's dedup-family broadcast ban applies). Keeper
+    * identity joins on xxhash64(window) while the oracle joins RAW
+    * window strings — the disclosed hashed-shingle discipline: a
+    * 64-bit collision fails parity loud. */
+  def textParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(l)/$paraW.0) as int) - 1),
+             |          i -> array_join(slice(l, i*$paraW+1, $paraW), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chash", xxhash64(col("chunk")))
+    val keepers = chunks.groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+      .select(col("chash"), col("keep.doc_id").as("k_doc"),
+        col("keep.idx").as("k_idx"))
+    val kept = chunks.join(keepers.hint("shuffle_hash"), Seq("chash"))
+      .filter(col("doc_id") === col("k_doc") && col("idx") === col("k_idx"))
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col("doc_id"))
+      .join(totals.hint("shuffle_hash"), Seq("doc_id"))
+      .join(cleaned.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      // no terminal orderBy (mm_decode's rule): the harness sorts
+      // canonically; a range sort would re-execute the chunk chain
+  }
+
+  val textParagraphDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(l[i*$paraW+1 : i*$paraW+$paraW], ' ') AS chunk
+       |  FROM toks,
+       |    UNNEST(generate_series(0, CAST(ceil(len(l)/$paraW.0) AS INT) - 1))
+       |      AS t(i)),
+       |kept AS (
+       |  SELECT doc_id, idx, chunk FROM (
+       |    SELECT doc_id, idx, chunk,
+       |      ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |    FROM chunks) WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  CAST(t.n_chunks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM documents d JOIN tot t USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_paragraph_dedup" -> (textParagraphDedup _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_tfidf" -> (textTfidf _),
     "text_domain_mix" -> (textDomainMix _),
@@ -633,6 +714,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tfidf" -> textTfidfSql,
     "text_domain_mix" -> textDomainMixSql,

@@ -320,4 +320,33 @@ class DedupSimSpec extends AnyFunSuite {
     val nCents = assigned.select("centroid").distinct().count()
     assert(nCents > 1 && nCents <= SimOps.nCentroids)
   }
+
+  test("sim_knn_join ranks every vector's bucket-mates exactly") {
+    val got = SimOps.simKnnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // driver-side reference over the SAME published model's
+    // assignments: per bucket, all-pairs cosine with the widening
+    // left-to-right fold DotProductD uses, top-knnK per vector with
+    // the (cosine desc, id asc) tie-break
+    val assigned = SimOps.assignTo(SimOps.corpus(spark, sf),
+        SimOps.publishedCentroids(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]]("v").toArray,
+        r.getDouble(2), r.getInt(3)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val want = assigned.groupBy(_._4).values.toSeq.flatMap { bucket =>
+      bucket.toSeq.flatMap { case (q, qv, qnrm, _) =>
+        bucket.toSeq.filter(_._1 != q)
+          .map { case (id, v, nrm, _) => (id, dot(v, qv) / (nrm * qnrm)) }
+          .sortBy { case (id, cos) => (-cos, id) }
+          .take(SimOps.knnK).zipWithIndex
+          .map { case ((id, cos), i) => (q, i + 1, id, cos) }
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
 }

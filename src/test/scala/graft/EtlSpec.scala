@@ -483,4 +483,19 @@ class EtlSpec extends AnyFunSuite {
     assert(shuffles.length <= 2,
       s"deletion-vector read should shuffle only tombstones, saw ${shuffles.length}")
   }
+
+  test("etl_manifest_prune consults file stats and actually prunes") {
+    Etl.etlManifestPrune(spark, sf).collect() // build layout + manifest
+    val root = Etl.manifestRoot(sf)
+    val allFiles = spark.read.parquet(s"$root/manifest").count()
+    val sel = Etl.manifestSelectedFiles(spark, root)
+    assert(sel.nonEmpty && sel.size < allFiles,
+      s"manifest did not prune: ${sel.size} of $allFiles files selected")
+    // file-level triage loses no rows: the selected files hold every
+    // predicate row the full table holds
+    val pred = col("o_orderkey").between(Etl.manifestLo, Etl.manifestHi)
+    val full = Tables.load(spark, sf, "orders").filter(pred).count()
+    val pruned = spark.read.parquet(sel: _*).filter(pred).count()
+    assert(pruned == full, s"pruned scan lost rows: $pruned != $full")
+  }
 }

@@ -105,9 +105,25 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
     "q_partition_prune" -> 2, "q_zorder_prune" -> 2,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
-    "q_sessionize" -> 2, "q_setops" -> 5, "q_skew_join" -> 5,
+    // interval_merge: ONE user-grain shuffle carries both window
+    // passes and the aggregate (HashPartitioning(user_id) clusters
+    // the (user_id, island) groups) + ordered output
+    "q_sessionize" -> 2, "q_interval_merge" -> 2,
+    // manifest_prune: selected-file scan agg + ordered output — the
+    // manifest consultation itself is a separate tiny job
+    "etl_manifest_prune" -> 2,
+    // paragraph_dedup's 6 is the dedup-family regime: window text
+    // shuffles once to its hash grain for the keeper decision,
+    // survivors once to the doc grain for reassembly; every
+    // corpus-sized join side pinned to shuffle
+    "text_paragraph_dedup" -> 6,
+    "q_setops" -> 5, "q_skew_join" -> 5,
     "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,
     "q_window_funcs" -> 3, "q_window_range" -> 2, "q_window_running" -> 2,
+    // knn_join: bucket-grain shuffle of both self-join sides + the
+    // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
+    // shape, never all-pairs
+    "sim_knn_join" -> 4,
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
@@ -175,8 +191,12 @@ class PlanAuditSpec extends AnyFunSuite {
         n == "text_tfidf" || n == "etl_snapshot_diff" ||
         // boilerplate joins the chunk vocabulary and per-source doc
         // counts — at web scale `source` is a domain, so both are
-        // corpus-sized
-        n == "text_boilerplate") &&
+        // corpus-sized; paragraph_dedup's keeper frame is the distinct
+        // window vocabulary — same regime
+        n == "text_boilerplate" || n == "text_paragraph_dedup" ||
+        // knn_join self-joins the assigned corpus on bucket id — both
+        // sides are the whole corpus
+        n == "sim_knn_join") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

@@ -209,4 +209,27 @@ class RelationalSpec extends AnyFunSuite {
     // only the ordered-output range exchange; the parse+project is scan-side
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
+
+  test("q_interval_merge islands are disjoint, exhaustive, and merged") {
+    val got = operators.Relational.qIntervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.foreach { case (_, _, s, e, n) =>
+        assert(s <= e && n >= 1, s"user $u has a degenerate island") }
+      // successive islands are STRICTLY separated — a touching or
+      // overlapping pair should have merged
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._4, s"user $u islands overlap/touch: $a then $b")
+        case _ =>
+      }
+    }
+    // every event lands in exactly one island, and merging actually
+    // happened at fixture scale
+    val evCount = Tables.load(spark, sf, "events").count()
+    assert(got.map(_._5).sum == evCount)
+    assert(got.length < evCount, "no intervals merged at fixture sf")
+  }
 }

@@ -236,4 +236,26 @@ class TextOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("text_paragraph_dedup keeps exactly each window's first occurrence") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // driver-side reference: walk docs in (doc_id, idx) order, keep a
+    // window only the first time it is ever seen — anywhere, across
+    // sources (the corpus-wide contract that distinguishes this from
+    // text_boilerplate's per-source frequency threshold)
+    def chunksOf(text: String): Seq[String] =
+      text.split(" ").grouped(3).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.HashSet[String]()
+    val want = docs.map { case (id, t) =>
+      val cs = chunksOf(t)
+      val kept = cs.filter(seen.add)
+      (id, kept.mkString(" "), (cs.length - kept.length).toLong)
+    }
+    val got = TextOps.textParagraphDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    assert(got.map(_._3).sum > 0, "no duplicate paragraph at fixture sf")
+  }
 }
