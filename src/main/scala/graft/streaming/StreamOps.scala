@@ -608,6 +608,115 @@ object StreamOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** One-time versioned CDC change log for stream_cdc_apply (per
+    * corpus fingerprint, like every published layout): three batch
+    * directories written in sequence — v1 updates, v2 deletes, v3
+    * inserts, the SAME deterministic derivation etl_cdc_upsert
+    * applies in one batch — each row carrying (op, version). */
+  private[graft] def cdcLogDir(sfDir: String): String =
+    s"/tmp/graft_cdc_log_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer"))}"
+
+  private val cdcLogSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType),
+    StructField("op", StringType),
+    StructField("version", IntegerType)))
+
+  private def writeCdcLog(s: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = cdcLogDir(sfDir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer"))
+    graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val base = graft.Tables.load(s, sfDir, "customer")
+        def stamp(df: DataFrame, op: String, v: Int): DataFrame =
+          df.withColumn("op", lit(op)).withColumn("version", lit(v))
+        val b1 = stamp(base.filter(col("c_custkey") % 10 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0), "U", 1)
+        // deletes ride with their last payload (Debezium 'before'
+        // image); the apply only reads their key + version
+        val b2 = stamp(base.filter(col("c_custkey") % 10 === 3), "D", 2)
+        val shift = base.agg(max(col("c_custkey")).as("key_shift"))
+        val b3 = stamp(base.filter(col("c_custkey") % 10 === 7)
+          .crossJoin(broadcast(shift))
+          .withColumn("c_custkey", col("c_custkey") + col("key_shift"))
+          .drop("key_shift"), "I", 3)
+        // sequential writes give the file source its mtime order —
+        // but the merge is version-aware, so ordering is a
+        // convenience, not a correctness dependency
+        b1.coalesce(1).write.mode("overwrite").parquet(s"$root/b1")
+        b2.coalesce(1).write.mode("overwrite").parquet(s"$root/b2")
+        b3.coalesce(1).write.mode("overwrite").parquet(s"$root/b3")
+        Files.writeString(tagPath, tag)
+      }
+    }
+  }
+
+  /** Streaming CDC apply — the consumer side of change-data-capture:
+    * a stream of versioned change images (the Debezium/binlog shape;
+    * the reference's WHOLE program is the batch ancestor of this
+    * loop) merged incrementally into a stored table by foreachBatch,
+    * one MERGE per micro-batch. maxFilesPerTrigger=1 makes each log
+    * batch its own micro-batch, so the store really is rewritten
+    * incrementally, three times — not collapsed into one big apply.
+    *
+    * The merge is LATEST-WINS BY VERSION, not arrival order: store ∪
+    * batch reduces per key to the max-(version) image via ONE
+    * struct-max aggregate (the q_latest_per_key shape — map-side
+    * combining, O(keys) state, no window rank), with delete images
+    * retained as tombstones and filtered at read. Out-of-order
+    * delivery therefore converges to the same store — the property
+    * that lets a 100 TB consumer run many partitions of the change
+    * topic in parallel without cross-partition ordering. Each
+    * micro-batch costs O(store + batch) here (merge-on-write);
+    * etl_cdc_deletes is the merge-on-read sibling that makes the
+    * per-batch cost O(batch). The final store must equal
+    * etl_cdc_upsert's one-shot batch MERGE of the same changes —
+    * that equality IS the oracle. */
+  def streamCdcApply(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeCdcLog(spark, sfDir)
+    val run = s"/tmp/graft_cdc_apply_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0))
+      .write.parquet(s"$run/store_0")
+    val cur = new AtomicInteger(0)
+    val payload = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val changes = spark.readStream.schema(cdcLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcLogDir(sfDir)}/b*")
+    runAvailableNow(changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val i = cur.get()
+        val prev = spark.read.parquet(s"$run/store_$i")
+        val cols = prev.columns.map(col).toSeq
+        prev.unionByName(batch.select(cols: _*))
+          .groupBy(col("c_custkey"))
+          .agg(max(struct((Seq("version", "op") ++ payload).map(col): _*))
+            .as("m"))
+          .select(col("c_custkey") +: (payload :+ "op" :+ "version")
+            .map(f => col(s"m.$f").as(f)): _*)
+          .write.parquet(s"$run/store_${i + 1}")
+        cur.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    val fin = spark.read.parquet(s"$run/store_${cur.get()}")
+      .filter(col("op") =!= "D").drop("op", "version")
+      .orderBy("c_custkey")
+    // materialize before the run dir is deleted, then return a local
+    // relation (final store is O(keys) — the drained-sink contract)
+    val rows = fin.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+  }
+
   // ---- DuckDB oracles for the streaming keys -------------------
   // A drained bounded stream's final state equals the batch
   // aggregation by Structured Streaming's semantics (the parity
@@ -705,7 +814,8 @@ object StreamOps {
     "stream_dedup" -> (streamDedup _),
     "stream_enrich" -> (streamEnrich _),
     "stream_join" -> (streamJoin _),
-    "stream_funnel_timeout" -> (streamFunnelTimeout _))
+    "stream_funnel_timeout" -> (streamFunnelTimeout _),
+    "stream_cdc_apply" -> (streamCdcApply _))
 
   val oracles: Map[String, String] = Map(
     "q_session_window" -> qSessionWindowSql,
@@ -715,5 +825,8 @@ object StreamOps {
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_join" -> streamJoinSql,
-    "stream_funnel_timeout" -> streamFunnelSql)
+    "stream_funnel_timeout" -> streamFunnelSql,
+    // the streamed, incrementally-merged store must equal the
+    // one-shot batch MERGE of the same change set
+    "stream_cdc_apply" -> graft.operators.Etl.etlCdcUpsertSql)
 }

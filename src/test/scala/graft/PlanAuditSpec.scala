@@ -129,6 +129,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_funnel_timeout" -> 0,
     "stream_sessions" -> 0, "stream_user_state" -> 0,
+    // cdc_apply merges inside foreachBatch micro-batch jobs; the
+    // returned frame is the drained O(keys) local relation
+    "stream_cdc_apply" -> 0,
     // boilerplate's 11 is the dedup-family regime: the chunk frame is
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle

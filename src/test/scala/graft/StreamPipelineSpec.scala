@@ -121,6 +121,14 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_cdc_apply's merged store equals the one-shot batch MERGE") {
+    val streamed = StreamOps.streamCdcApply(spark, sf).collect()
+    val batch = graft.operators.Etl.etlCdcUpsert(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_join (stream-stream interval join) equals its batch twin") {
     val streamed = StreamOps.streamJoin(spark, sf).collect()
     val batch = StreamOps.batchJoin(spark, sf).collect()
