@@ -543,6 +543,84 @@ object Etl {
       |                  WHERE t.c_custkey = i.c_custkey
       |                    AND t.tv > i.v AND t.tv <= vs.as_of)""".stripMargin
 
+  /** Retention vacuum over the etl_cdc_deletes DV log — the third
+    * member of the deletion-vector lifecycle (cdc_deletes reads it,
+    * time_travel audits it, vacuum RECLAIMS it): with snapshots
+    * older than `retain`=2 expired, physically drop every log row no
+    * retained snapshot can see. An image is reclaimable iff some
+    * tombstone in (v, retain] kills it — killed by the retention
+    * horizon, and death is permanent for every later snapshot (a
+    * re-insert is a DIFFERENT image with higher v). A tombstone
+    * folds away iff tv ≤ retain: every image it kills is reclaimed
+    * with it, so only tombstones above the horizon survive. This is
+    * Delta VACUUM / Iceberg expire_snapshots expressed relationally:
+    * the GDPR/retention job that turns logical deletes into physical
+    * ones. Scale shape: pure filters over the log plus one
+    * O(deletes) tombstone aggregate broadcast into the image filter
+    * — the corpus is scanned once, never shuffled, never rewritten
+    * beyond the reclaimed rows. EtlSpec proves every RETAINED
+    * snapshot reads identically from the vacuumed log and that rows
+    * were actually reclaimed. */
+  def etlVacuum(s: SparkSession, dir: String): DataFrame = {
+    val retain = 2
+    val base = Tables.load(s, dir, "customer")
+    val images = base.withColumn("v", lit(0))
+      .unionByName(base.filter(col("c_custkey") % 30 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("v", lit(2)))
+    val tomb = base.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit(1).as("tv"))
+      .unionByName(base
+        .filter(col("c_custkey") % 20 === 9 || col("c_custkey") % 60 === 33)
+        .select(col("c_custkey"), lit(3).as("tv")))
+    // horizon kills: max tombstone at or below the retention horizon
+    val horizon = tomb.filter(col("tv") <= retain)
+      .groupBy("c_custkey").agg(max(col("tv")).as("htv"))
+    val keptImages = images
+      .join(broadcast(horizon), Seq("c_custkey"), "left_outer")
+      .filter(col("htv").isNull || col("htv") <= col("v"))
+      .select(lit("image").as("row_kind"), col("c_custkey"), col("v"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val keptTombs = tomb.filter(col("tv") > retain)
+      .select(lit("tombstone").as("row_kind"), col("c_custkey"),
+        col("tv").as("v"), lit(null).cast(StringType).as("c_name"),
+        lit(null).cast(IntegerType).as("c_nationkey"),
+        lit(null).cast(DoubleType).as("c_acctbal"),
+        lit(null).cast(StringType).as("c_mktsegment"))
+    keptImages.unionByName(keptTombs)
+      // no terminal orderBy (mm_decode's rule): the harness sorts
+      // canonically; a range sort would re-run scan + broadcast join
+  }
+
+  val etlVacuumSql: String =
+    """WITH images AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |         0 AS v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500, c_mktsegment,
+      |         2 AS v
+      |  FROM customer WHERE c_custkey % 30 = 3),
+      |tomb AS (
+      |  SELECT c_custkey, 1 AS tv FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, 3 AS tv FROM customer
+      |  WHERE c_custkey % 20 = 9 OR c_custkey % 60 = 33)
+      |SELECT 'image' AS row_kind, c_custkey, v, c_name, c_nationkey,
+      |       c_acctbal, c_mktsegment
+      |FROM images i
+      |WHERE NOT EXISTS (SELECT 1 FROM tomb t
+      |                  WHERE t.c_custkey = i.c_custkey
+      |                    AND t.tv > i.v AND t.tv <= 2)
+      |UNION ALL
+      |SELECT 'tombstone' AS row_kind, c_custkey, tv AS v,
+      |       CAST(NULL AS VARCHAR) AS c_name,
+      |       CAST(NULL AS INTEGER) AS c_nationkey,
+      |       CAST(NULL AS DOUBLE) AS c_acctbal,
+      |       CAST(NULL AS VARCHAR) AS c_mktsegment
+      |FROM tomb WHERE tv > 2""".stripMargin
+
   val etlCdcUpsertSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
@@ -1024,6 +1102,7 @@ object Etl {
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_cdc_deletes" -> (etlCdcDeletes _),
     "etl_time_travel" -> (etlTimeTravel _),
+    "etl_vacuum" -> (etlVacuum _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -1051,6 +1130,7 @@ object Etl {
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_cdc_deletes" -> etlCdcDeletesSql,
     "etl_time_travel" -> etlTimeTravelSql,
+    "etl_vacuum" -> etlVacuumSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

@@ -617,6 +617,70 @@ object TextOps {
       |LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Vocabulary size for the OOV quality filter (fixture corpus has
+    * ~31 distinct tokens; 16 leaves a real OOV tail at every sf). */
+  private val vocabSize = 16
+
+  /** Corpus-vocabulary OOV scoring — the CCNet/Gopher-style quality
+    * signal computed against the corpus's OWN token distribution
+    * rather than a fixed stopword list (text_quality's shape): build
+    * the top-N vocabulary by corpus frequency, then score every doc
+    * by its share of out-of-vocabulary tokens (high OOV ≈ junk,
+    * boilerplate code, or another language). The vocabulary build is
+    * a global top-k through TopKPerKey bounded heaps — only ≤ N
+    * candidates per partition shuffle, never a full sort of the term
+    * frequency table. The finished vocabulary is BOUNDED BY
+    * CONSTRUCTION (N rows), so broadcasting it into the per-token
+    * anti-join is the intended scale plan — the same contract as the
+    * IVF centroids, NOT the banned corpus-sized broadcast (a
+    * frequency table would be corpus-derived and unbounded; the
+    * top-N is not). Per-doc scoring is one (doc, token) aggregate;
+    * the ratio is one IEEE division of exact counts. */
+  def textVocabOov(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = graft.plans.TopKPerKey.topK(
+        counts.withColumn("g", lit(1)), Seq("g"),
+        Seq(col("cnt").desc, col("tok")), vocabSize)
+      .select("tok")
+    val oov = tokens.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      .join(oov.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_oov"), lit(0L)).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType))
+          .as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textVocabOovSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1)
+       |  ORDER BY cnt DESC, tok LIMIT $vocabSize),
+       |oov AS (
+       |  SELECT doc_id, COUNT(*) AS n_oov FROM t
+       |  WHERE tok NOT IN (SELECT tok FROM vocab)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+       |    AS INT) AS n_tokens,
+       |  COALESCE(o.n_oov, 0) AS n_oov,
+       |  CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x <> '')) > 0
+       |       THEN CAST(COALESCE(o.n_oov, 0) AS DOUBLE) /
+       |            CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+       |              AS DOUBLE)
+       |  END AS oov_ratio
+       |FROM documents d LEFT JOIN oov o USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Paragraph-window width for corpus-wide paragraph dedup. */
   private val paraW = 3
 
@@ -698,6 +762,7 @@ object TextOps {
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_oov" -> (textVocabOov _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_tfidf" -> (textTfidf _),
@@ -714,6 +779,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_oov" -> textVocabOovSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tfidf" -> textTfidfSql,

@@ -484,6 +484,33 @@ class EtlSpec extends AnyFunSuite {
       s"deletion-vector read should shuffle only tombstones, saw ${shuffles.length}")
   }
 
+  test("etl_vacuum preserves every retained snapshot and reclaims rows") {
+    val vac = Etl.etlVacuum(spark, sf).collect()
+    val imgs = vac.filter(_.getString(0) == "image")
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(5))).toSeq
+    val tombs = vac.filter(_.getString(0) == "tombstone")
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    // full-log reference, straight from the derivation
+    val base = Tables.load(spark, sf, "customer").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val fullImages = base.map { case (k, b) => (k, 0, b) } ++
+      base.filter(_._1 % 30 == 3).map { case (k, b) => (k, 2, b + 500.0) }
+    val fullTombs = base.filter(_._1 % 10 == 3).map(x => (x._1, 1)) ++
+      base.filter(x => x._1 % 20 == 9 || x._1 % 60 == 33).map(x => (x._1, 3))
+    def visible(im: Seq[(Long, Int, Double)], tb: Seq[(Long, Int)],
+        asOf: Int): Set[(Long, Int, Double)] =
+      im.filter { case (k, v, _) => v <= asOf &&
+        !tb.exists(t => t._1 == k && t._2 > v && t._2 <= asOf) }.toSet
+    // every snapshot at or after the retention horizon reads the same
+    (2 to 3).foreach { s =>
+      assert(visible(imgs, tombs, s) == visible(fullImages, fullTombs, s),
+        s"snapshot $s diverged after vacuum")
+    }
+    // and the vacuum actually reclaimed images AND folded tombstones
+    assert(imgs.length < fullImages.length, "no image reclaimed")
+    assert(tombs.length < fullTombs.length, "no tombstone folded")
+  }
+
   test("etl_manifest_prune consults file stats and actually prunes") {
     Etl.etlManifestPrune(spark, sf).collect() // build layout + manifest
     val root = Etl.manifestRoot(sf)

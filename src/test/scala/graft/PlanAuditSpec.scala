@@ -99,6 +99,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_cdc_deletes" -> 2,
     // time_travel: tombstone array agg only; corpus side never shuffles
     "etl_time_travel" -> 2,
+    // vacuum: horizon tombstone agg only; images filter on a broadcast
+    "etl_vacuum" -> 1,
+    // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg
+    // + the pinned doc-grain join + ordered output; the vocabulary
+    // itself broadcasts by contract (bounded N rows)
+    "text_vocab_oov" -> 5,
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     // latest_per_key/histogram: one agg-grain shuffle + ordered output
     "q_latest_per_key" -> 2, "q_histogram" -> 2,

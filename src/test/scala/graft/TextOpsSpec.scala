@@ -237,6 +237,31 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab_oov scores docs against the corpus top-N vocabulary") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toksOf(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).toSeq
+    val counts = docs.flatMap(d => toksOf(d._2)).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    val vocab = counts.sortBy { case (t, c) => (-c, t) }.take(16)
+      .map(_._1).toSet
+    val want = docs.map { case (id, t) =>
+      val tk = toksOf(t)
+      assert(tk.nonEmpty)
+      val oov = tk.count(x => !vocab(x))
+      (id, tk.length, oov.toLong, oov.toDouble / tk.length)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.textVocabOov(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    // the vocabulary split is real at fixture scale: some tokens OOV,
+    // not all
+    assert(got.exists(_._3 > 0) && got.forall(r => r._3 < r._2))
+  }
+
   test("text_paragraph_dedup keeps exactly each window's first occurrence") {
     val docs = Tables.load(spark, sf, "documents").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
