@@ -848,6 +848,75 @@ object Etl {
 
   val etlCompactSql: String = "SELECT * FROM orders ORDER BY o_orderkey"
 
+  private[graft] def badRecordsDir(dir: String): String =
+    s"/tmp/graft_badrec_${ScaleJoins.corpusTag(dir, Seq("orders"))}"
+
+  /** Quarantine ingest — the malformed-input reality every production
+    * loader faces and the reference handles row-by-row in Python
+    * (dumperAuxFuncs.py coerces zero-dates, broken TIMEs and bad FK
+    * values cell-wise; at 100 TB the same job is: parse PERMISSIVE,
+    * route failures to a quarantine, never abort the load and never
+    * silently drop). The fixture writes the orders table as JSONL
+    * once per corpus fingerprint with every 13th record CORRUPTED
+    * (closing brace truncated); the key reads it back with an
+    * explicit schema + columnNameOfCorruptRecord: well-formed rows
+    * aggregate per status, corrupt lines land in one quarantine
+    * bucket with their count — the classic dead-letter split, all in
+    * the single parse pass (no second read, no abort). The oracle
+    * recomputes both sides from the SOURCE table by the corruption
+    * formula, so a parser that dropped, double-counted, or
+    * mis-routed any line breaks parity — including the double
+    * round-trip (to_json → corrupt-aware from_json) on the price
+    * sums of surviving rows. */
+  def etlBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = badRecordsDir(dir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = ScaleJoins.corpusTag(dir, Seq("orders"))
+    withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))).as("line"))
+          .select(when(col("o_orderkey") % 13 === 0,
+              expr("substring(line, 1, length(line) - 1)"))
+            .otherwise(col("line")).as("value"))
+          .write.mode("overwrite").text(s"$root/jsonl")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    val parsed = s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(s"$root/jsonl")
+    // one aggregate routes BOTH sides in the single parse pass (and
+    // sidesteps Spark's corrupt-column-only query restriction by
+    // construction — the grouping references data columns too); the
+    // quarantine group's price sum is NULL by the when()
+    parsed.groupBy(
+        when(col("_bad").isNotNull, lit("_QUARANTINED_"))
+          .otherwise(col("o_orderstatus")).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_bad").isNull,
+            col("o_totalprice").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("s")
+  }
+
+  val etlBadRecordsSql: String =
+    """SELECT o_orderstatus AS s, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 13 <> 0
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT '_QUARANTINED_' AS s, COUNT(*) AS n,
+      |  CAST(NULL AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY s""".stripMargin
+
   private[graft] def manifestRoot(dir: String): String =
     s"/tmp/graft_manifest_${ScaleJoins.corpusTag(dir, Seq("orders"))}"
 
@@ -1103,6 +1172,7 @@ object Etl {
     "etl_cdc_deletes" -> (etlCdcDeletes _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_vacuum" -> (etlVacuum _),
+    "etl_bad_records" -> (etlBadRecords _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -1131,6 +1201,7 @@ object Etl {
     "etl_cdc_deletes" -> etlCdcDeletesSql,
     "etl_time_travel" -> etlTimeTravelSql,
     "etl_vacuum" -> etlVacuumSql,
+    "etl_bad_records" -> etlBadRecordsSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

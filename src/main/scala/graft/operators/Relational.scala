@@ -816,6 +816,57 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Recursive hierarchy walk — the WITH RECURSIVE capability Spark
+    * has no native operator for (org charts, bill-of-materials,
+    * category trees: every warehouse has one). Each order key gets a
+    * deterministic parent STRICTLY below it (MINSTD hash mod k, so
+    * the graph is an acyclic forest rooted at 0 with no closed form
+    * for ancestry — the walk must actually iterate); the key computes
+    * every node's depth to the root. Naive iteration is O(depth)
+    * joins; this is POINTER DOUBLING (dedup_clusters' machinery on a
+    * tree): each round follows the current pointer's pointer and adds
+    * its distance, so after r rounds every pointer has advanced 2^r
+    * steps — O(log depth) rounds of thin (k, ptr, dist) frames, with
+    * one localCheckpoint per round cutting lineage. The convergence
+    * count rides the same materialization. All-integer arithmetic:
+    * bit-exact against DuckDB's native WITH RECURSIVE replay of the
+    * same parent formula. */
+  def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    def parentOf(c: Column): Column =
+      when(c > 0, (c * 48271L % 8191L) % c).otherwise(lit(0L))
+    var t = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        parentOf(col("o_orderkey")).as("ptr"),
+        when(col("o_orderkey") > 0, 1L).otherwise(0L).as("dist"))
+      .localCheckpoint()
+    var open = t.filter(col("ptr") =!= 0).count()
+    var rounds = 0
+    while (open > 0) {
+      rounds += 1
+      require(rounds <= 40, s"pointer doubling failed to converge")
+      val t2 = t.select(col("k").as("j_k"), col("ptr").as("j_ptr"),
+        col("dist").as("j_dist"))
+      t = t.join(t2.hint("shuffle_hash"), col("ptr") === col("j_k"))
+        .select(col("k"), col("j_ptr").as("ptr"),
+          (col("dist") + col("j_dist")).as("dist"))
+        .localCheckpoint()
+      open = t.filter(col("ptr") =!= 0).count()
+    }
+    t.select(col("k").as("o_orderkey"), col("dist").as("depth"))
+      .orderBy("o_orderkey")
+  }
+
+  val qHierarchySql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders
+      |  UNION ALL
+      |  SELECT k, CASE WHEN cur > 0
+      |                 THEN (cur * 48271 % 8191) % cur ELSE 0 END,
+      |         depth + 1
+      |  FROM walk WHERE cur > 0)
+      |SELECT k AS o_orderkey, CAST(MAX(depth) AS BIGINT) AS depth
+      |FROM walk GROUP BY k ORDER BY k""".stripMargin
+
   /** Correlated scalar subquery (orders above their own customer's
     * average) — Catalyst de-correlates it into an aggregate + join;
     * the inner average is decimal-exact so the comparison is
@@ -1150,6 +1201,7 @@ object Relational {
     "q_percentile" -> (qPercentile _),
     "q_sessionize" -> (qSessionize _),
     "q_interval_merge" -> (qIntervalMerge _),
+    "q_hierarchy" -> (qHierarchy _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_cube" -> (qCube _),
@@ -1188,6 +1240,7 @@ object Relational {
     "q_percentile" -> qPercentileSql,
     "q_sessionize" -> qSessionizeSql,
     "q_interval_merge" -> qIntervalMergeSql,
+    "q_hierarchy" -> qHierarchySql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_cube" -> qCubeSql,

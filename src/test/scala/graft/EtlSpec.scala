@@ -511,6 +511,27 @@ class EtlSpec extends AnyFunSuite {
     assert(tombs.length < fullTombs.length, "no tombstone folded")
   }
 
+  test("etl_bad_records routes corrupt lines to quarantine, loses nothing") {
+    val got = Etl.etlBadRecords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val base = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantQuarantine = base.count(_._1 % 13 == 0).toLong
+    val q = got.find(_._1 == "_QUARANTINED_").get
+    assert(q._2 == wantQuarantine && q._3.isEmpty)
+    // per-status good counts match the corruption formula, and the
+    // total reconciles: nothing dropped, nothing double-counted
+    val wantGood = base.filter(_._1 % 13 != 0).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    got.filterNot(_._1 == "_QUARANTINED_").foreach { case (s, n, p) =>
+      assert(n == wantGood(s), s"status $s: $n != ${wantGood(s)}")
+      assert(p.nonEmpty)
+    }
+    assert(got.map(_._2).sum == base.length)
+  }
+
   test("etl_manifest_prune consults file stats and actually prunes") {
     Etl.etlManifestPrune(spark, sf).collect() // build layout + manifest
     val root = Etl.manifestRoot(sf)

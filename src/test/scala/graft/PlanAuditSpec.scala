@@ -101,6 +101,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_time_travel" -> 2,
     // vacuum: horizon tombstone agg only; images filter on a broadcast
     "etl_vacuum" -> 1,
+    // hierarchy: the iterative doubling runs inside the operator on
+    // checkpointed thin frames; the returned plan is checkpoint scan
+    // + ordered output
+    "q_hierarchy" -> 1,
+    // bad_records: one parse-pass aggregate + ordered output
+    "etl_bad_records" -> 2,
     // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg
     // + the pinned doc-grain join + ordered output; the vocabulary
     // itself broadcasts by contract (bounded N rows)

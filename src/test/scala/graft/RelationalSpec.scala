@@ -210,6 +210,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
 
+  test("q_hierarchy depths equal a driver-side recursive walk") {
+    val got = operators.Relational.qHierarchy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def parent(k: Long): Long = if (k > 0) (k * 48271L % 8191L) % k else 0L
+    def depth(k: Long): Long = {
+      var cur = k; var d = 0L
+      while (cur > 0) { cur = parent(cur); d += 1 }
+      d
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (k, d) => assert(d == depth(k), s"key $k: $d") }
+    // the forest is non-trivially deep at fixture scale — the walk
+    // had to iterate, not just look up a parent
+    assert(got.map(_._2).max >= 4)
+  }
+
   test("q_interval_merge islands are disjoint, exhaustive, and merged") {
     val got = operators.Relational.qIntervalMerge(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
