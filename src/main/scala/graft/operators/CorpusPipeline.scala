@@ -220,13 +220,67 @@ object CorpusPipeline {
        |WHERE ${TextOps.hashBucketSqlOn("d.doc_id")} >= 925
        |ORDER BY doc_id""".stripMargin
 
+  /** Dataset card — the release manifest every published corpus
+    * ships (composition by source × language, token/char budgets,
+    * quality-gate pass rates, median doc length): what a consumer
+    * reads BEFORE training and what a data audit diffs BETWEEN
+    * releases. Three grains in one pass via GROUPING SETS —
+    * (source, lang), per-source, grand total — so the card's
+    * subtotals can never drift from its cells; the quality column
+    * reuses the SHARED gate expression (TextOps.qualityExpr ≥
+    * threshold), so the card's pass rate is definitionally the
+    * pipeline's. Exact arithmetic throughout: integer sums, the
+    * exact interpolated median (percentile ≡ quantile_cont
+    * bit-for-bit, the q_percentile contract); one doc-grain scan +
+    * the Expand aggregate — O(sources × langs) result at any corpus
+    * size. */
+  def pipelineDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(TextOps.toks(col("text"))).as("n_toks"), col("n_chars"),
+        when(TextOps.qualityExpr(col("text")) >= qualityThreshold, 1L)
+          .otherwise(0L).as("q"))
+      .createOrReplaceTempView("graft_card_src")
+    s.sql(
+      """SELECT CAST(grouping_id(source, lang) AS BIGINT) AS gid,
+        |  source, lang,
+        |  COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        |  SUM(n_chars) AS total_chars, SUM(q) AS n_quality,
+        |  percentile(n_toks, 0.5) AS med_tokens
+        |FROM graft_card_src
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())
+        |ORDER BY gid, source, lang""".stripMargin)
+  }
+
+  val pipelineDatasetCardSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, ${TextOps.qualityFormulaSql} AS quality
+       |  FROM (${TextOps.qualityStatsSql("documents")}) x),
+       |t AS (
+       |  SELECT d.source, d.lang,
+       |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_toks,
+       |    d.n_chars,
+       |    CASE WHEN q.quality >= $qualityThreshold THEN 1 ELSE 0 END AS q
+       |  FROM documents d JOIN q USING (doc_id))
+       |SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(q) AS BIGINT) AS n_quality,
+       |  quantile_cont(n_toks, 0.5) AS med_tokens
+       |FROM t
+       |GROUP BY GROUPING SETS ((source, lang), (source), ())
+       |ORDER BY gid, source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
     "pipeline_split_safe" -> (pipelineSplitSafe _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
     "pipeline_split_safe" -> pipelineSplitSafeSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,

@@ -73,6 +73,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
+    // dataset_card: Expand + two-round grouping-sets agg (exact
+    // median forces sort-based agg legs) + ordered output
+    "pipeline_dataset_card" -> 3,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

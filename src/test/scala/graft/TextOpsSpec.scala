@@ -237,6 +237,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dataset_card subtotals reconcile across all three grains") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineDatasetCard(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val cells = rows.filter(_._1 == 0L)
+    val bySource = rows.filter(_._1 == 1L)
+    val total = rows.filter(_._1 == 3L)
+    assert(cells.nonEmpty && bySource.nonEmpty && total.length == 1)
+    // every per-source row is the exact sum of its (source, lang)
+    // cells; the grand total is the exact sum of the source rows
+    bySource.foreach { s =>
+      val mine = cells.filter(_._2 == s._2)
+      assert(mine.map(_._4).sum == s._4 && mine.map(_._5).sum == s._5 &&
+        mine.map(_._6).sum == s._6 && mine.map(_._7).sum == s._7,
+        s"source ${s._2} cells do not sum to its subtotal")
+    }
+    assert(bySource.map(_._4).sum == total.head._4 &&
+      bySource.map(_._5).sum == total.head._5)
+    // the gate is real at fixture scale: some docs pass, some fail
+    assert(total.head._7 > 0 && total.head._7 < total.head._4)
+  }
+
   test("text_vocab_oov scores docs against the corpus top-N vocabulary") {
     val docs = Tables.load(spark, sf, "documents").collect()
       .map(r => (r.getLong(0), r.getString(1)))
