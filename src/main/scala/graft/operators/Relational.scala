@@ -816,6 +816,36 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Counter budget for the Misra-Gries heavy-hitter sketch. */
+  val heavyK = 16
+
+  /** Frequent-items profile under constant memory — the third sketch
+    * beside HLL distinct (q_approx_distinct) and the quantile digest
+    * (q_approx_percentile): a Misra-Gries summary of a deliberately
+    * skewed key stream (half the fact table collapses onto 3 hot
+    * keys; the rest is a near-unique tail). Guarantees, not
+    * estimates-by-vibes: every key above n/(k+1) frequency MUST
+    * survive and every kept count undercounts by ≤ n/(k+1) — the
+    * spec asserts both against exact counts. Partial/final
+    * aggregation IS the mergeable-summaries merge tree, so only
+    * k-entry maps shuffle; at 100 TB this is the affordable skew
+    * probe run BEFORE choosing a join strategy (the salting decision
+    * q_skew_join demonstrates needs exactly this signal). [T] by
+    * design like the other sketches: counter internals are
+    * merge-order-dependent within the error bound, so no SQL engine
+    * reproduces them bit-for-bit. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.load(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 4 < 2,
+          concat(lit("hot_"), (col("l_orderkey") % 3).cast(StringType)))
+        .otherwise(col("l_orderkey").cast(StringType)).as("k")).as[String]
+    keys.select(graft.functions.MisraGries.sketch(heavyK).toColumn)
+      .flatMap(identity)
+      .toDF("item", "est_count")
+      .orderBy(col("est_count").desc, col("item"))
+  }
+
   /** Recursive hierarchy walk — the WITH RECURSIVE capability Spark
     * has no native operator for (org charts, bill-of-materials,
     * category trees: every warehouse has one). Each order key gets a
@@ -1202,6 +1232,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_hierarchy" -> (qHierarchy _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_cube" -> (qCube _),

@@ -44,8 +44,10 @@ class BoardSpec extends AnyFunSuite {
     // sketch internals (HLL, quantile digest) are engine-specific by
     // contract; mm_binary_meta decodes real media bytes no SQL engine
     // can recompute (mm_decode is its formula-derived [O] twin)
+    // q_heavy_hitters joins the sketch family: Misra-Gries counters
+    // are merge-order-dependent within the guaranteed error bound
     val declared = Set("q_approx_distinct", "q_approx_percentile",
-      "mm_binary_meta")
+      "mm_binary_meta", "q_heavy_hitters")
     assert(noOracle == declared,
       s"oracle-free keys drifted from the declared [T] set: " +
         s"extra=${(noOracle -- declared).toSeq.sorted} " +

@@ -104,6 +104,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_time_travel" -> 2,
     // vacuum: horizon tombstone agg only; images filter on a broadcast
     "etl_vacuum" -> 1,
+    // heavy_hitters: partial/final sketch agg (k-entry maps only) +
+    // the typed flatMap + ordered output
+    "q_heavy_hitters" -> 2,
     // hierarchy: the iterative doubling runs inside the operator on
     // checkpointed thin frames; the returned plan is checkpoint scan
     // + ordered output

@@ -210,6 +210,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
 
+  test("q_heavy_hitters honors both Misra-Gries guarantees") {
+    val got = operators.Relational.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = operators.Relational.heavyK
+    assert(got.length <= k)
+    // exact reference counts of the same derived key stream
+    val keys = Tables.load(spark, sf, "lineitem").select("l_orderkey")
+      .collect().map(_.getLong(0))
+      .map(o => if (o % 4 < 2) s"hot_${o % 3}" else o.toString)
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bound = keys.length.toLong / (k + 1)
+    // (1) kept estimates never overcount and undercount by <= n/(k+1)
+    got.foreach { case (item, est) =>
+      val t = exact(item)
+      assert(est <= t && t - est <= bound, s"$item: est $est vs true $t")
+    }
+    // (2) every true heavy hitter above the threshold survived
+    val mustKeep = exact.filter(_._2 > bound).keySet
+    val kept = got.map(_._1).toSet
+    assert(mustKeep.subsetOf(kept),
+      s"lost heavy hitters: ${(mustKeep -- kept).toSeq.sorted}")
+    // the fixture really has hot keys and a tail
+    assert(mustKeep.nonEmpty && exact.size > k)
+  }
+
   test("q_hierarchy depths equal a driver-side recursive walk") {
     val got = operators.Relational.qHierarchy(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
