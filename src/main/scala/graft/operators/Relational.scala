@@ -816,6 +816,64 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Fixed-point scale and iteration count for q_pagerank. */
+  private val prScale = 1000000000000L
+  private val prIters = 3
+
+  /** Iterative link-analysis centrality (PageRank recurrence) in
+    * EXACT integer fixed-point — the iterative-numeric sibling of
+    * q_hierarchy's iterative-pointer walk: ranks carry 12 fixed
+    * decimal digits as longs, damping is `(r · 85) div 100`, so
+    * every iteration is bit-reproducible across engines and across
+    * partitionings (float PageRank is neither: double summation
+    * order changes the low bits every run — the same discipline
+    * that bans sum(double) in §4, applied to an ITERATIVE kernel).
+    * Graph: the q_hierarchy parent forest (every node contributes
+    * its full damped rank to its parent; out-degree 1, so no
+    * division by out-degree complicates exactness). Three rounds of
+    * contribution-aggregate + rank rebuild — the general iterative
+    * shape (join on edges, aggregate to the target grain, rebuild)
+    * that any fixed-point graph metric runs at 100 TB, with every
+    * corpus-sized join side shuffle-pinned. The oracle unrolls the
+    * SAME three rounds as plain CTEs — every intermediate rank
+    * table is implicitly verified by the final hash. No terminal
+    * sort: a range sort's bounds sampling would re-execute the
+    * 3-round lineage (§8e's terminal-sort rule). */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
+    val edges = nodes.filter(col("k") > 0)
+      .select(col("k").as("c"), ((col("k") * 48271L % 8191L) % col("k")).as("p"))
+    var ranks = nodes.select(col("k"), lit(prScale).as("r"))
+    (1 to prIters).foreach { _ =>
+      val contrib = ranks.join(edges.hint("shuffle_hash"), col("k") === col("c"))
+        .groupBy(col("p")).agg(sum(col("r")).as("cs"))
+      ranks = nodes.join(contrib.hint("shuffle_hash"),
+          nodes("k") === contrib("p"), "left")
+        .select(col("k"),
+          expr(s"${prScale * 15 / 100}L + (coalesce(cs, 0L) * 85) div 100")
+            .as("r"))
+    }
+    ranks.select(col("k").as("o_orderkey"), col("r").as("rank"))
+  }
+
+  val qPagerankSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.k, ${prScale * 15 / 100} + (COALESCE(s.cs, 0) * 85) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.p, SUM($prev.r) AS cs
+         |    FROM $prev JOIN edges e ON $prev.k = e.c GROUP BY e.p) s
+         |  ON n.k = s.p)""".stripMargin
+    s"""WITH nodes AS (SELECT o_orderkey AS k FROM orders),
+       |edges AS (SELECT k AS c, (k * 48271 % 8191) % k AS p
+       |          FROM nodes WHERE k > 0),
+       |r0 AS (SELECT k, CAST($prScale AS BIGINT) AS r FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT k AS o_orderkey, CAST(r AS BIGINT) AS rank FROM r3""".stripMargin
+  }
+
   /** Counter budget for the Misra-Gries heavy-hitter sketch. */
   val heavyK = 16
 
@@ -1233,6 +1291,7 @@ object Relational {
     "q_interval_merge" -> (qIntervalMerge _),
     "q_hierarchy" -> (qHierarchy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_pagerank" -> (qPagerank _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_cube" -> (qCube _),
@@ -1272,6 +1331,7 @@ object Relational {
     "q_sessionize" -> qSessionizeSql,
     "q_interval_merge" -> qIntervalMergeSql,
     "q_hierarchy" -> qHierarchySql,
+    "q_pagerank" -> qPagerankSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_cube" -> qCubeSql,

@@ -104,6 +104,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_time_travel" -> 2,
     // vacuum: horizon tombstone agg only; images filter on a broadcast
     "etl_vacuum" -> 1,
+    // pagerank's 10 is the iterative regime priced honestly: 3 rounds
+    // x (edge join both sides + contribution agg + rank rebuild join),
+    // every corpus-sized side shuffle-pinned
+    "q_pagerank" -> 10,
     // heavy_hitters: partial/final sketch agg (k-entry maps only) +
     // the typed flatMap + ordered output
     "q_heavy_hitters" -> 2,

@@ -210,6 +210,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
 
+  test("q_pagerank equals a driver-side exact integer replay") {
+    val got = operators.Relational.qPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val keys = Tables.load(spark, sf, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    def parent(k: Long): Long = if (k > 0) (k * 48271L % 8191L) % k else 0L
+    var r = keys.map(k => k -> 1000000000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = keys.filter(_ > 0).groupBy(parent)
+        .view.mapValues(_.map(r).sum).toMap
+      r = keys.map(k =>
+        k -> (150000000000L + contrib.getOrElse(k, 0L) * 85 / 100)).toMap
+    }
+    assert(got.length == keys.length)
+    got.foreach { case (k, v) => assert(v == r(k), s"key $k: $v != ${r(k)}") }
+    // hub nodes accumulated real mass — the iteration did something
+    assert(got.map(_._2).max > 1000000000000L * 2)
+  }
+
   test("q_heavy_hitters honors both Misra-Gries guarantees") {
     val got = operators.Relational.qHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
