@@ -848,6 +848,63 @@ object Etl {
 
   val etlCompactSql: String = "SELECT * FROM orders ORDER BY o_orderkey"
 
+  private[graft] def partEvoDir(dir: String): String =
+    s"/tmp/graft_partevo_${ScaleJoins.corpusTag(dir, Seq("orders"))}"
+
+  /** Partition-spec evolution — the layout change etl_schema_evolution
+    * is to columns: a table's partitioning gets FINER as it grows
+    * (year → year/month is the canonical arc: early data was small
+    * enough for year partitions; later volume needs month-level
+    * listing), and history is NEVER rewritten — old batches stay
+    * under the old spec, new batches land under the new one, and the
+    * table must read as ONE relation with each side pruning at its
+    * own spec's granularity (the Iceberg partition-evolution
+    * contract). The fixture writes years ≤1997 partitioned by
+    * o_year and ≥1998 by (o_year, o_month), once per corpus
+    * fingerprint; the unified query slices one year from EACH era —
+    * the old era prunes to a year directory and filters months
+    * ROW-level (the coarseness that motivates evolving the spec),
+    * the new era prunes straight to one (year, month) directory.
+    * EtlSpec proves both scans' selectedPartitions: 1 year directory
+    * of 3 on the old side, 1 month directory of ~48 on the new.
+    * The oracle is plain SQL over the raw table — two eras, one
+    * answer, layout invisible. */
+  def etlPartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = partEvoDir(dir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = ScaleJoins.corpusTag(dir, Seq("orders"))
+    withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val base = Tables.load(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("o_month", month(col("o_orderdate")))
+        base.filter(col("o_year") <= 1997)
+          .write.mode("overwrite").partitionBy("o_year")
+          .parquet(s"$root/era_year")
+        base.filter(col("o_year") >= 1998)
+          .write.mode("overwrite").partitionBy("o_year", "o_month")
+          .parquet(s"$root/era_month")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    val uni = s.read.parquet(s"$root/era_year")
+      .unionByName(s.read.parquet(s"$root/era_month"))
+    uni.filter(col("o_year").isin(1996, 1999) && col("o_month") === 2)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  val etlPartitionEvolutionSql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE YEAR(o_orderdate) IN (1996, 1999) AND MONTH(o_orderdate) = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[graft] def badRecordsDir(dir: String): String =
     s"/tmp/graft_badrec_${ScaleJoins.corpusTag(dir, Seq("orders"))}"
 
@@ -1173,6 +1230,7 @@ object Etl {
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_vacuum" -> (etlVacuum _),
     "etl_bad_records" -> (etlBadRecords _),
+    "etl_partition_evolution" -> (etlPartitionEvolution _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -1202,6 +1260,7 @@ object Etl {
     "etl_time_travel" -> etlTimeTravelSql,
     "etl_vacuum" -> etlVacuumSql,
     "etl_bad_records" -> etlBadRecordsSql,
+    "etl_partition_evolution" -> etlPartitionEvolutionSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

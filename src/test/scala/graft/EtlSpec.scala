@@ -511,6 +511,37 @@ class EtlSpec extends AnyFunSuite {
     assert(tombs.length < fullTombs.length, "no tombstone folded")
   }
 
+  test("etl_partition_evolution: each era prunes at its own granularity") {
+    val df = Etl.etlPartitionEvolution(spark, sf)
+    df.collect() // build the two-era layout
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = TestSpark.allNodes(root).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 2, s"expected two era scans, got ${scans.length}")
+    val byEra = scans.map(sc =>
+      (sc.relation.location.rootPaths.head.toString, sc.selectedPartitions))
+    val oldEra = byEra.find(_._1.contains("era_year")).get._2
+    val newEra = byEra.find(_._1.contains("era_month")).get._2
+    // old spec prunes to ONE year directory (months filter row-level —
+    // the coarseness that motivates evolving the spec)...
+    assert(oldEra.partitionCount == 1,
+      s"old era scanned ${oldEra.partitionCount} partitions")
+    // ...the new spec prunes straight to ONE (year, month) directory
+    assert(newEra.partitionCount == 1,
+      s"new era scanned ${newEra.partitionCount} partitions")
+    val evoRoot = Etl.partEvoDir(sf)
+    val newAll = spark.read.parquet(s"$evoRoot/era_month")
+      .select("o_year", "o_month").distinct().count()
+    assert(newAll > 12, s"new era has only $newAll month partitions")
+    assert(newEra.totalNumberOfFiles <
+      spark.read.parquet(s"$evoRoot/era_month").inputFiles.length)
+  }
+
   test("etl_bad_records routes corrupt lines to quarantine, loses nothing") {
     val got = Etl.etlBadRecords(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),

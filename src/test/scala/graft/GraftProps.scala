@@ -69,4 +69,39 @@ object GraftProps extends Properties("graft") {
       val sql = PgSqlGen.createTable(td)
       td.liveColumns.forall(c => sql.contains(s""""${c.name}""""))
     }
+
+  // --- Misra-Gries sketch guarantees under ARBITRARY merge trees ---
+  // (functions/MisraGries.scala, the q_heavy_hitters kernel): for any
+  // stream, any partitioning of it, and any k, the merged sketch must
+  // (1) never overcount, (2) undercount by at most n/(k+1), and
+  // (3) retain every item with true frequency > n/(k+1). This is the
+  // mergeable-summaries contract Spark's partial/final aggregation
+  // relies on — randomized far beyond the fixture's one skew shape.
+  private val streamGen: Gen[(List[Int], Int, Int)] = for {
+    n <- Gen.choose(1, 400)
+    // small alphabet → real heavy hitters; big → tail-only streams
+    alpha <- Gen.choose(2, 40)
+    xs <- Gen.listOfN(n, Gen.choose(0, alpha - 1))
+    k <- Gen.choose(2, 12)
+    cuts <- Gen.choose(1, 6)
+  } yield (xs, k, cuts)
+
+  property("Misra-Gries merged sketch honors both error guarantees") =
+    forAll(streamGen) { case (xs, k, cuts) =>
+      import graft.functions.MisraGries
+      val items = xs.map(_.toString)
+      // partition the stream into `cuts` chunks, sketch each like a
+      // partition-local partial, then merge left-to-right
+      val chunkSize = math.max(1, items.length / cuts)
+      val partials = items.grouped(chunkSize).toList
+        .map(_.foldLeft(Map.empty[String, Long])((m, x) =>
+          MisraGries.reduce(m, x, k)))
+      val merged = partials.reduce((a, b) => MisraGries.merge(a, b, k))
+      val exact = items.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val bound = items.length.toLong / (k + 1)
+      val noOver = merged.forall { case (x, est) => est <= exact(x) }
+      val bounded = merged.forall { case (x, est) => exact(x) - est <= bound }
+      val complete = exact.filter(_._2 > bound).keySet.subsetOf(merged.keySet)
+      noOver && bounded && complete && merged.size <= k
+    }
 }

@@ -66,6 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // schema evolution: footer-level merge + ordered output range
     // exchange; compact: read of the compacted layout + ordered output
     "etl_schema_evolution" -> 1, "etl_compact" -> 1,
+    // partition evolution: two pruned era scans union + agg + order
+    "etl_partition_evolution" -> 2,
     // etl_profile's 4: the single-scan multi-distinct lowers to
     // Expand + two aggregate rounds (per-distinct-group shuffle,
     // final single-partition merge) — still ONE pass over the table
