@@ -178,6 +178,60 @@ object PgSqlGen {
 
   // --- schema JSON (the reference's output/*.json artifacts) ---
 
+  /** PG user provisioning + GRANT bundle — the last reference
+    * function without a graft counterpart (cf
+    * /root/reference/libs/PsqlParser.py:288-330 `_get_sql_user` and
+    * libs/MysqlParser.py:262-276 `get_user_user_pass`): an
+    * idempotent create-or-alter of the migrated database's
+    * application user, database ownership + CONNECT, a group grant,
+    * per-schema USAGE / sequence / table grants, search_path
+    * pinning, and default privileges for tables created later.
+    * Reference semantics preserved: the empty/None/'root' user guard
+    * returns "", and `$` in passwords is carried as the `\0024`
+    * unicode escape inside U&'' strings (the reference's dodge for
+    * `$` inside a DO $$ body); additionally single quotes are
+    * doubled — the reference would break on them, so this is
+    * strictly safer with identical output on its input domain.
+    * Pure text generation, spec-verified like the rest of the
+    * sqlgen surface. */
+  def generateSqlUser(user: Option[String], pass: Option[String],
+      dbName: String, schemas: Seq[String] = Seq("public", "v1"),
+      group: String = "b7group_user"): String =
+    (user, pass) match {
+      case (Some(u), Some(p)) if u.nonEmpty && u != "root" =>
+        val pw = p.replace("'", "''").replace("$", "\\0024")
+        val perSchema = schemas.map { sch =>
+          s"""GRANT USAGE ON SCHEMA $sch TO $u;
+             |GRANT ALL ON ALL SEQUENCES IN SCHEMA $sch TO $u;
+             |GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA $sch TO $u;""".stripMargin
+        }.mkString("\n")
+        val defaults = schemas.map { sch =>
+          s"""ALTER DEFAULT PRIVILEGES IN SCHEMA $sch GRANT ALL ON TABLES TO $u;
+             |ALTER DEFAULT PRIVILEGES IN SCHEMA $sch GRANT ALL ON SEQUENCES TO $u;""".stripMargin
+        }.mkString("\n")
+        s"""-- Adding PG User
+           |DO $$$$DECLARE r record;
+           |BEGIN
+           |   IF NOT EXISTS (
+           |      SELECT *
+           |      FROM   pg_catalog.pg_user
+           |      WHERE  usename = '$u') THEN
+           |      CREATE USER $u WITH PASSWORD U&'$pw';
+           |   ELSE
+           |      ALTER USER $u WITH PASSWORD U&'$pw';
+           |   END IF;
+           |END$$$$;
+           |ALTER DATABASE $dbName OWNER TO $u;
+           |GRANT CONNECT ON DATABASE $dbName TO $u;
+           |GRANT $group TO $u;
+           |$perSchema
+           |ALTER DATABASE $dbName SET search_path TO ${schemas.mkString(", ")};
+           |ALTER USER $u SET search_path TO ${schemas.mkString(", ")};
+           |$defaults
+           |""".stripMargin
+      case _ => ""
+    }
+
   private def js(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

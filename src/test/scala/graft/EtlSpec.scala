@@ -511,6 +511,33 @@ class EtlSpec extends AnyFunSuite {
     assert(tombs.length < fullTombs.length, "no tombstone folded")
   }
 
+  test("PgSqlGen.generateSqlUser provisions idempotently, reference semantics") {
+    val sql = PgSqlGen.generateSqlUser(Some("app_user"), Some("p$ss'wd"),
+      "client_42")
+    // idempotent create-or-alter with the reference's $ -> \0024
+    // escape inside U&'' (plus quote doubling, which the reference
+    // lacked and would break on)
+    assert(sql.contains("CREATE USER app_user WITH PASSWORD U&'p\\0024ss''wd'"))
+    assert(sql.contains("ALTER USER app_user WITH PASSWORD U&'p\\0024ss''wd'"))
+    assert(sql.contains("DO $$DECLARE") && sql.contains("END$$;"))
+    assert(sql.contains("ALTER DATABASE client_42 OWNER TO app_user"))
+    assert(sql.contains("GRANT CONNECT ON DATABASE client_42 TO app_user"))
+    assert(sql.contains("GRANT b7group_user TO app_user"))
+    Seq("public", "v1").foreach { sch =>
+      assert(sql.contains(s"GRANT USAGE ON SCHEMA $sch TO app_user"))
+      assert(sql.contains(
+        s"GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA $sch TO app_user"))
+      assert(sql.contains(
+        s"ALTER DEFAULT PRIVILEGES IN SCHEMA $sch GRANT ALL ON TABLES TO app_user"))
+    }
+    assert(sql.contains("search_path TO public, v1"))
+    // the reference's guards: root/empty/absent credentials emit nothing
+    assert(PgSqlGen.generateSqlUser(Some("root"), Some("x"), "db").isEmpty)
+    assert(PgSqlGen.generateSqlUser(Some(""), Some("x"), "db").isEmpty)
+    assert(PgSqlGen.generateSqlUser(None, Some("x"), "db").isEmpty)
+    assert(PgSqlGen.generateSqlUser(Some("u"), None, "db").isEmpty)
+  }
+
   test("etl_partition_evolution: each era prunes at its own granularity") {
     val df = Etl.etlPartitionEvolution(spark, sf)
     df.collect() // build the two-era layout
