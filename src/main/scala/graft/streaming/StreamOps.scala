@@ -677,6 +677,22 @@ object StreamOps {
     * per-batch cost O(batch). The final store must equal
     * etl_cdc_upsert's one-shot batch MERGE of the same changes —
     * that equality IS the oracle. */
+  /** The per-micro-batch MERGE: latest-wins by version via one
+    * struct-max aggregate. IDEMPOTENT by construction — re-merging an
+    * already-applied batch reselects the same max images — which is
+    * what makes the foreachBatch loop safe under at-least-once
+    * delivery and checkpoint-replayed batches (spec-asserted). */
+  private[graft] def cdcMerge(prev: DataFrame, batch: DataFrame): DataFrame = {
+    val payload = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cols = prev.columns.map(col).toSeq
+    prev.unionByName(batch.select(cols: _*))
+      .groupBy(col("c_custkey"))
+      .agg(max(struct((Seq("version", "op") ++ payload).map(col): _*))
+        .as("m"))
+      .select(col("c_custkey") +: (payload :+ "op" :+ "version")
+        .map(f => col(s"m.$f").as(f)): _*)
+  }
+
   def streamCdcApply(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     writeCdcLog(spark, sfDir)
@@ -685,7 +701,6 @@ object StreamOps {
       .withColumn("op", lit("I")).withColumn("version", lit(0))
       .write.parquet(s"$run/store_0")
     val cur = new AtomicInteger(0)
-    val payload = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val changes = spark.readStream.schema(cdcLogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcLogDir(sfDir)}/b*")
@@ -693,14 +708,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val i = cur.get()
         val prev = spark.read.parquet(s"$run/store_$i")
-        val cols = prev.columns.map(col).toSeq
-        prev.unionByName(batch.select(cols: _*))
-          .groupBy(col("c_custkey"))
-          .agg(max(struct((Seq("version", "op") ++ payload).map(col): _*))
-            .as("m"))
-          .select(col("c_custkey") +: (payload :+ "op" :+ "version")
-            .map(f => col(s"m.$f").as(f)): _*)
-          .write.parquet(s"$run/store_${i + 1}")
+        cdcMerge(prev, batch).write.parquet(s"$run/store_${i + 1}")
         cur.incrementAndGet()
         ()
       }

@@ -121,6 +121,29 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcMerge is idempotent and order-insensitive (at-least-once safety)") {
+    import org.apache.spark.sql.functions.lit
+    val base = Tables.load(spark, sf, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0))
+    val b1 = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("op", lit("U")).withColumn("version", lit(1))
+    val b2 = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 10 === 3)
+      .withColumn("op", lit("D")).withColumn("version", lit(2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val once = StreamOps.cdcMerge(StreamOps.cdcMerge(base, b1), b2)
+    // replaying an already-applied batch (checkpoint recovery under
+    // at-least-once delivery) must not change the store
+    val replay = StreamOps.cdcMerge(once, b1)
+    assert(rows(replay) == rows(once))
+    // arrival order must not matter: versions, not order, decide
+    val swapped = StreamOps.cdcMerge(StreamOps.cdcMerge(base, b2), b1)
+    assert(rows(swapped) == rows(once))
+  }
+
   test("stream_cdc_apply's merged store equals the one-shot batch MERGE") {
     val streamed = StreamOps.streamCdcApply(spark, sf).collect()
     val batch = graft.operators.Etl.etlCdcUpsert(spark, sf).collect()
