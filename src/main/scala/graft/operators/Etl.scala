@@ -848,6 +848,103 @@ object Etl {
 
   val etlCompactSql: String = "SELECT * FROM orders ORDER BY o_orderkey"
 
+  /** Data-quality validation report — the Deequ/dbt-test shape every
+    * production pipeline runs before promoting a batch (and the
+    * declarative successor of the reference's scattered row-level
+    * coercions: dumperAuxFuncs.py FIXES bad cells silently; a DQ
+    * report COUNTS them first so the fix is a decision, not an
+    * accident). Six rules across three tables — FK integrity,
+    * numeric range, domain membership, key uniqueness, sign, and a
+    * deliberately-failing uniqueness rule — each one scan/aggregate,
+    * unioned into (rule, n_checked, n_violations, passed). The
+    * fixture makes some rules PASS and some FIRE (negative balances
+    * exist; customers order repeatedly), because a report that can
+    * only say yes is not a check. Scale: each rule is an independent
+    * aggregate over its own pushed-down scan; the FK rule's
+    * anti-join pins to shuffle (customer is corpus-sized at 100 TB,
+    * exactly etl_fk_orphans' regime). */
+  def etlDqReport(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    // scalar rules batch into ONE conditional aggregate per table
+    // (the Deequ metric-batching shape — never a scan per rule);
+    // uniqueness and FK rules need their own shuffle grain
+    val ordScalar = ord.agg(count(lit(1)).as("n_ord"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+        .otherwise(0L)).as("v_domain"))
+    val custScalar = cust.agg(count(lit(1)).as("n_cust"),
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v_neg"))
+    val liScalar = li.agg(count(lit(1)).as("n_li"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_qty"))
+    val vFk = ord.select("o_custkey")
+      .join(cust.select(col("c_custkey")).hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val vUk = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("v_uk"))
+    val vDup = ord.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("v_dup"))
+    // assemble: all stat frames are exactly one row, so the
+    // cross-joins are 1-row × 1-row BNLJs by construction (the
+    // text_tfidf corpus-count contract) and the report explodes
+    // from the single combined row
+    def rrow(rule: String, n: String, v: String) =
+      struct(lit(rule).as("rule"), col(n).as("n_checked"),
+        col(v).as("n_violations"), (col(v) === 0L).as("passed"))
+    ordScalar.crossJoin(custScalar).crossJoin(liScalar)
+      .crossJoin(vFk).crossJoin(vUk).crossJoin(vDup)
+      .select(explode(array(
+        rrow("orders_custkey_fk", "n_ord", "v_fk"),
+        rrow("lineitem_qty_range", "n_li", "v_qty"),
+        rrow("orders_status_domain", "n_ord", "v_domain"),
+        rrow("orders_orderkey_unique", "n_ord", "v_uk"),
+        rrow("customer_acctbal_nonneg", "n_cust", "v_neg"),
+        rrow("orders_custkey_unique", "n_ord", "v_dup"))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"), col("r.passed").as("passed"))
+      .orderBy("rule")
+  }
+
+  val etlDqReportSql: String =
+    """SELECT 'orders_custkey_fk' AS rule,
+      |  (SELECT COUNT(*) FROM orders) AS n_checked,
+      |  (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+      |     ON o.o_custkey = c.c_custkey) AS n_violations,
+      |  (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+      |     ON o.o_custkey = c.c_custkey) = 0 AS passed
+      |UNION ALL
+      |SELECT 'lineitem_qty_range',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) = 0
+      |UNION ALL
+      |SELECT 'orders_status_domain',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')),
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')) = 0
+      |UNION ALL
+      |SELECT 'orders_orderkey_unique',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |     GROUP BY 1 HAVING COUNT(*) > 1)),
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |     GROUP BY 1 HAVING COUNT(*) > 1)) = 0
+      |UNION ALL
+      |SELECT 'customer_acctbal_nonneg',
+      |  (SELECT COUNT(*) FROM customer),
+      |  (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0),
+      |  (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) = 0
+      |UNION ALL
+      |SELECT 'orders_custkey_unique',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+      |     GROUP BY 1 HAVING COUNT(*) > 1)),
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+      |     GROUP BY 1 HAVING COUNT(*) > 1)) = 0
+      |ORDER BY rule""".stripMargin
+
   private[graft] def partEvoDir(dir: String): String =
     s"/tmp/graft_partevo_${ScaleJoins.corpusTag(dir, Seq("orders"))}"
 
@@ -1231,6 +1328,7 @@ object Etl {
     "etl_vacuum" -> (etlVacuum _),
     "etl_bad_records" -> (etlBadRecords _),
     "etl_partition_evolution" -> (etlPartitionEvolution _),
+    "etl_dq_report" -> (etlDqReport _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_shard_export" -> (etlShardExport _),
     "etl_profile" -> (etlProfile _),
@@ -1261,6 +1359,7 @@ object Etl {
     "etl_vacuum" -> etlVacuumSql,
     "etl_bad_records" -> etlBadRecordsSql,
     "etl_partition_evolution" -> etlPartitionEvolutionSql,
+    "etl_dq_report" -> etlDqReportSql,
     "etl_incremental_agg" -> etlIncrementalAggSql,
     "etl_shard_export" -> etlShardExportSql,
     "etl_profile" -> etlProfileSql,

@@ -511,6 +511,24 @@ class EtlSpec extends AnyFunSuite {
     assert(tombs.length < fullTombs.length, "no tombstone folded")
   }
 
+  test("etl_dq_report counts violations exactly; mixed pass/fail is real") {
+    val got = Etl.etlDqReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val cust = Tables.load(spark, sf, "customer").collect()
+    val ord = Tables.load(spark, sf, "orders").collect()
+    val negBal = cust.count(_.getDouble(3) < 0).toLong
+    assert(got("customer_acctbal_nonneg") == ((cust.length.toLong, negBal, negBal == 0)))
+    assert(negBal > 0, "fixture should have firing rules")
+    val dupCust = ord.map(_.getLong(1)).groupBy(identity).count(_._2.length > 1).toLong
+    assert(got("orders_custkey_unique")._2 == dupCust && dupCust > 0)
+    // the clean rules really pass
+    Seq("orders_custkey_fk", "lineitem_qty_range", "orders_status_domain",
+      "orders_orderkey_unique").foreach { r =>
+      assert(got(r)._2 == 0L && got(r)._3, s"rule $r should pass clean")
+    }
+  }
+
   test("PgSqlGen.generateSqlUser provisions idempotently, reference semantics") {
     val sql = PgSqlGen.generateSqlUser(Some("app_user"), Some("p$ss'wd"),
       "client_42")

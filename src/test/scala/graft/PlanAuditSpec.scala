@@ -68,6 +68,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_schema_evolution" -> 1, "etl_compact" -> 1,
     // partition evolution: two pruned era scans union + agg + order
     "etl_partition_evolution" -> 2,
+    // dq_report: one conditional-agg pass per table (3) + the FK
+    // anti-join + two key-grain uniqueness rules, each ending in a
+    // 1-row single-partition merge — 11 exchanges, all 1-row or
+    // key-grain frames
+    "etl_dq_report" -> 11,
     // etl_profile's 4: the single-scan multi-distinct lowers to
     // Expand + two aggregate rounds (per-distinct-group shuffle,
     // final single-partition merge) — still ONE pass over the table
@@ -178,7 +183,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * count the same way as the CDC shift. */
   private val bnlAllowed =
     Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk",
-      "etl_cdc_upsert", "text_tfidf")
+      "etl_cdc_upsert", "text_tfidf",
+      // dq_report crosses six 1-row stat aggregates into the single
+      // report row — 1-row × 1-row by construction
+      "etl_dq_report")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
