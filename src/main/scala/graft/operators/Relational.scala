@@ -816,6 +816,85 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM isl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Linear-interpolation resampling — the numeric sibling of
+    * q_gap_fill's LOCF: missing days in each user's daily series get
+    * values interpolated between the surrounding observations
+    * (metrics dashboards, sensor series, feature backfills — LOCF
+    * answers "what was last known", interpolation answers "what was
+    * it probably BETWEEN knowns"). Same scale shape as gap_fill
+    * (per-user spine via sequence+explode at the user grain, pinned
+    * shuffled join back to the daily aggregate); the neighbor lookup
+    * is four window expressions over ONE user-grain sort — prev/next
+    * observation day and value via last/first ignoreNulls over the
+    * past/future frames. Exactness discipline: sums are decimal
+    * before the one cast to double, and the interpolation formula
+    * `pv + (nv - pv) * (d - pd) / (nd - pd)` is the same
+    * left-associated IEEE expression in both engines, over exact
+    * integer day numbers. Spine endpoints are observed days, so
+    * every interior gap has both neighbors — `value` is never null. */
+  def qAsofInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val j = spine.join(daily.hint("shuffle_hash"), Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        unix_date(col("day").cast(DateType)).as("d"), col("v"))
+    val past = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pd = last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(past)
+    val pv = last(col("v"), ignoreNulls = true).over(past)
+    val nd = first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(future)
+    val nv = first(col("v"), ignoreNulls = true).over(future)
+    j.select(col("user_id"), col("day").cast(DateType).as("day"),
+        col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(pv + (nv - pv) * (col("d") - pd) / (nd - pd))
+          .as("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qAsofInterpolateSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      |        FROM daily GROUP BY 1)),
+      |j AS (
+      |  SELECT sp.user_id, sp.day,
+      |    date_diff('day', DATE '1970-01-01', CAST(sp.day AS DATE)) AS d,
+      |    dd.v
+      |  FROM spine sp LEFT JOIN daily dd
+      |    ON sp.user_id = dd.user_id AND sp.day = dd.day),
+      |w AS (
+      |  SELECT user_id, day, d, v,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER past AS pd,
+      |    LAST_VALUE(v IGNORE NULLS) OVER past AS pv,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER fut AS nd,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER fut AS nv
+      |  FROM j
+      |  WINDOW past AS (PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  fut AS (PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, CAST(day AS DATE) AS day,
+      |  v IS NOT NULL AS observed,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) * (d - pd) / (nd - pd) END AS value
+      |FROM w ORDER BY user_id, day""".stripMargin
+
   /** Fixed-point scale and iteration count for q_pagerank. */
   private val prScale = 1000000000000L
   private val prIters = 3
@@ -1289,6 +1368,7 @@ object Relational {
     "q_percentile" -> (qPercentile _),
     "q_sessionize" -> (qSessionize _),
     "q_interval_merge" -> (qIntervalMerge _),
+    "q_asof_interpolate" -> (qAsofInterpolate _),
     "q_hierarchy" -> (qHierarchy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pagerank" -> (qPagerank _),
@@ -1330,6 +1410,7 @@ object Relational {
     "q_percentile" -> qPercentileSql,
     "q_sessionize" -> qSessionizeSql,
     "q_interval_merge" -> qIntervalMergeSql,
+    "q_asof_interpolate" -> qAsofInterpolateSql,
     "q_hierarchy" -> qHierarchySql,
     "q_pagerank" -> qPagerankSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -100,6 +100,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-side join + ordered output — every side shuffles, none
     // broadcasts (the joined aggregates are corpus-derived)
     "q_gap_fill" -> 5, "q_retention_cohort" -> 5,
+    // asof_interpolate: gap_fill's shape + the user-grain window pass
+    "q_asof_interpolate" -> 5,
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
     // json_table: one scan-side shred projection + the ordered output
     // range exchange — shredding itself must never shuffle

@@ -210,6 +210,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
 
+  test("q_asof_interpolate gap values sit exactly between neighbors") {
+    val got = operators.Relational.qAsofInterpolate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getBoolean(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.exists(!_._3), "no gaps at fixture sf")
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // spine endpoints are observed by construction
+      assert(sorted.head._3 && sorted.last._3, s"user $u spine endpoint gap")
+      // walk gaps: each must equal the exact linear formula between
+      // its surrounding observations
+      val obs = sorted.filter(_._3)
+      sorted.filterNot(_._3).foreach { case (_, d, _, v) =>
+        val (pd, pv) = { val p = obs.filter(_._2 < d).last; (p._2, p._4) }
+        val (nd, nv) = { val n = obs.find(_._2 > d).get; (n._2, n._4) }
+        val want = pv + (nv - pv) * (d - pd) / (nd - pd)
+        assert(v == want, s"user $u day $d: $v != $want")
+      }
+    }
+  }
+
   test("q_pagerank equals a driver-side exact integer replay") {
     val got = operators.Relational.qPagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
