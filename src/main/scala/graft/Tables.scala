@@ -44,4 +44,22 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Redistribute a LOW-SPLIT source before per-row CPU-heavy work
+    * (JSON parsing, media decode): parquet cannot split inside a row
+    * group, so a single-row-group file scans as ONE task and
+    * serializes everything computed above it no matter how many cores
+    * exist — the driver fixtures ship exactly that shape (events and
+    * documents are single-file, single-row-group at EVERY sf, which
+    * made q_json_table's parse single-threaded: 8.5 s at sf1 where
+    * the plan itself is embarrassingly parallel). When the scan's
+    * split count is well under the session's parallelism, one
+    * round-robin shuffle of the raw rows buys full-width execution;
+    * when the source is already wide — the 100 TB case, thousands of
+    * files and row groups — the guard makes this a NO-OP and no
+    * shuffle is added. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 }

@@ -356,7 +356,9 @@ object Relational {
     * scan-side projection — no shuffle, no join; chunking parallelism
     * is the scan's. */
   def qJsonTable(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+    // parse-bound over a possibly single-row-group source: spread
+    // first (no-op on wide sources; see Tables.spread)
+    val ev = Tables.spread(s, Tables.load(s, dir, "events"))
     val str = (c: Column) => c.cast(StringType)
     val k = get_json_object(col("props"), "$.k").cast(IntegerType)
     val payload = concat(

@@ -103,8 +103,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // asof_interpolate: gap_fill's shape + the user-grain window pass
     "q_asof_interpolate" -> 5,
     "q_explode_lateral" -> 2, "q_full_outer" -> 3, "q_grouping_sets" -> 2,
-    // json_table: one scan-side shred projection + the ordered output
-    // range exchange — shredding itself must never shuffle
+    // json_table: the low-split-source spread exchange (Tables.spread
+    // — a no-op on wide sources) + the shred projection; shredding
+    // itself must never shuffle
     "q_json_table" -> 1,
     // cdc_deletes: tombstone max-version agg (O(deletes)); the
     // corpus-side visibility join is broadcast, no rewrite, no sort

@@ -206,7 +206,9 @@ class RelationalSpec extends AnyFunSuite {
       .executedPlan
     val shuffles = TestSpark.allNodes(plan).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-    // only the ordered-output range exchange; the parse+project is scan-side
+    // only the low-split-source spread exchange (Tables.spread — a
+    // no-op on wide sources); the parse+project runs above it with no
+    // further shuffle
     assert(shuffles <= 1, s"json shred should be scan-side, saw $shuffles shuffles")
   }
 
