@@ -11,12 +11,14 @@ object SparkEntry {
     Relational.queries ++ Etl.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ MultimodalOps.queries ++
       AsOfJoin.queries ++ RangeJoin.queries ++ ScaleJoins.queries ++
-      CorpusPipeline.queries ++ graft.streaming.StreamOps.queries
+      CorpusPipeline.queries ++ graft.streaming.StreamOps.queries ++
+      StatsOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Etl.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimOps.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ ScaleJoins.oracles ++ CorpusPipeline.oracles ++
-      graft.streaming.StreamOps.oracles ++ MultimodalOps.oracles
+      graft.streaming.StreamOps.oracles ++ MultimodalOps.oracles ++
+      StatsOps.oracles
 }

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Statistical / similarity-analysis query keys.
+  *
+  * Three shapes an analytics engine needs beyond plain aggregates:
+  * bivariate statistics (correlation / regression — the profiling
+  * step before any model touches the data), banded fuzzy matching
+  * (edit-distance join under a blocking key — entity resolution's
+  * workhorse), and graph motif counting (triangles over a
+  * co-occurrence graph — the structural signal behind community
+  * detection and spam/bot filtering on interaction data).
+  *
+  * Reference analog: the migration tool's closest relative is its
+  * per-table row/value introspection before transfer
+  * (/root/reference/libs/MysqlParser.py:41-258) — these keys are the
+  * analytical extension of "understand the table before you act on
+  * it" to second moments, near-matches, and link structure.
+  *
+  * Correctness discipline for the float outputs (SURVEY §4): every
+  * statistic is computed from EXACT decimal sufficient statistics
+  * (n, Σx, Σy, Σx², Σy², Σxy — decimal sums are exact in both
+  * engines), converted to double once, then combined with the SAME
+  * IEEE expression tree in Spark and DuckDB. Identical double inputs
+  * + identical correctly-rounded ops (+,-,*,/,sqrt) = bitwise-equal
+  * results, so the driver's bitwise float comparison passes without
+  * any epsilon.
+  */
+object StatsOps {
+
+  /** Per-group bivariate statistics over lineitem (quantity vs
+    * extended price): sample stddevs, Pearson correlation, and the
+    * least-squares slope/intercept of price on quantity.
+    *
+    * Scale shape: ONE pass, map-side partial aggregation of six
+    * decimal sums per group — the same shape as q1_agg regardless of
+    * table size. The closed-form combination runs on the 4-row
+    * aggregate. At 100 TB nothing here changes: sufficient
+    * statistics are the textbook distributed-statistics design
+    * (they merge associatively, so partial combine does the work).
+    */
+  def qStatsFuncs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val p = col("l_extendedprice").cast(DecimalType(12, 2))
+    val sums = li
+      .select(col("l_returnflag"), q.as("q"), p.as("p"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).cast(DoubleType).as("sq"),
+        sum(col("p")).cast(DoubleType).as("sp"),
+        sum(col("q") * col("q")).cast(DoubleType).as("sqq"),
+        sum(col("p") * col("p")).cast(DoubleType).as("spp"),
+        sum(col("q") * col("p")).cast(DoubleType).as("sqp"))
+    // the double expression trees below are textually mirrored in the
+    // oracle SQL — do not re-associate them
+    sums.select(
+      col("l_returnflag"),
+      col("n"),
+      expr("sqrt((cast(n as double) * sqq - sq * sq) / (cast(n as double) * (cast(n as double) - 1.0)))").as("std_qty"),
+      expr("sqrt((cast(n as double) * spp - sp * sp) / (cast(n as double) * (cast(n as double) - 1.0)))").as("std_price"),
+      expr("(cast(n as double) * sqp - sq * sp) / (sqrt(cast(n as double) * sqq - sq * sq) * sqrt(cast(n as double) * spp - sp * sp))").as("corr_qp"),
+      expr("(cast(n as double) * sqp - sq * sp) / (cast(n as double) * sqq - sq * sq)").as("slope_pq"),
+      expr("(sp - ((cast(n as double) * sqp - sq * sp) / (cast(n as double) * sqq - sq * sq)) * sq) / cast(n as double)").as("icept_pq"))
+  }
+
+  val qStatsFuncsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+      |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
+      |    CAST(SUM(p * p) AS DOUBLE) AS spp,
+      |    CAST(SUM(q * p) AS DOUBLE) AS sqp
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS DECIMAL(12,2)) AS q,
+      |          CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sqrt((CAST(n AS DOUBLE) * sqq - sq * sq) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
+      |  sqrt((CAST(n AS DOUBLE) * spp - sp * sp) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_price,
+      |  (CAST(n AS DOUBLE) * sqp - sq * sp) / (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * spp - sp * sp)) AS corr_qp,
+      |  (CAST(n AS DOUBLE) * sqp - sq * sp) / (CAST(n AS DOUBLE) * sqq - sq * sq) AS slope_pq,
+      |  (sp - ((CAST(n AS DOUBLE) * sqp - sq * sp) / (CAST(n AS DOUBLE) * sqq - sq * sq)) * sq) / CAST(n AS DOUBLE) AS icept_pq
+      |FROM s""".stripMargin
+
+  /** Edit-distance threshold for q_fuzzy_join: the fixture's
+    * two-word part names put true near-variants ("small ring" vs
+    * "small rings") within 3 edits while unrelated names in the same
+    * band sit at 4+. */
+  val fuzzyMaxDist = 3
+
+  /** Banded fuzzy self-join: part pairs in the same (brand, size)
+    * block whose names are within [[fuzzyMaxDist]] edits — the
+    * entity-resolution shape (candidate blocking + expensive verify).
+    *
+    * Scale shape: the levenshtein verify — O(|a|·|b|) per pair — runs
+    * ONLY inside blocks, so pair volume is Σ(block²), bounded by the
+    * blocking key's selectivity, never n². Both sides are the full
+    * corpus at production scale, so the block join is pinned to
+    * shuffle (broadcasting a 100 TB side is the classic fuzzy-join
+    * OOM); levenshtein itself is a codegen'd built-in, no UDF. */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    val a = p.toDF("a_key", "a_name", "p_brand", "p_size")
+    val b = p.toDF("b_key", "b_name", "p_brand", "p_size")
+    a.join(b.hint("shuffle_hash"), Seq("p_brand", "p_size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= fuzzyMaxDist)
+      .select("p_brand", "p_size", "a_key", "b_key", "dist")
+  }
+
+  val qFuzzyJoinSql: String =
+    s"""SELECT a.p_brand, a.p_size, a.p_partkey AS a_key,
+       |  b.p_partkey AS b_key,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |  AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $fuzzyMaxDist""".stripMargin
+
+  /** Keep every 10th part in the co-purchase graph: triangle cost is
+    * Σdeg² (wedge volume), and co-occurrence degree grows linearly
+    * with data at fixed catalog size — the modulus keeps the fixture
+    * honest about the SHAPE while bounding the motif-join volume the
+    * way a production run would bound it (degree cap / sampling). */
+  val triModulus = 10
+
+  /** Triangle counting over the part co-purchase graph (parts that
+    * share an order are linked). Emits per-anchor wedge and triangle
+    * counts — the local clustering signal.
+    *
+    * Built as the textbook distributed motif join: (1) distinct
+    * oriented edges a<b from the order-grain self-join; (2) wedges
+    * a→b→c from edges⋈edges on the middle vertex; (3) triangles by
+    * probing the closing edge (a,c). Every join is a shuffle
+    * hash-join on a key (order id, vertex id, edge pair) — no
+    * cartesian anywhere. Production hardening is degree-ordering the
+    * orientation so hub vertices don't own Σdeg² wedges; the fixture
+    * graph's degrees are near-uniform so id-ordering is equivalent
+    * here (noted, not needed). */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % triModulus === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val wedges = e.as("ab")
+      .join(e.as("bc").hint("shuffle_hash"), col("ab.b") === col("bc.a"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+    val nWedges = wedges.groupBy("a").agg(count(lit(1)).as("n_wedges"))
+    val nTris = wedges.as("w")
+      .join(e.as("ac").hint("shuffle_hash"),
+        col("w.a") === col("ac.a") && col("w.c") === col("ac.b"))
+      .groupBy(col("w.a").as("a")).agg(count(lit(1)).as("n_triangles"))
+    nWedges.join(nTris, Seq("a"), "left")
+      .select(col("a").as("p_partkey"), col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  val qTriangleCountSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey % $triModulus = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |w AS (
+       |  SELECT ab.a, ab.b, bc.b AS c
+       |  FROM e ab JOIN e bc ON ab.b = bc.a),
+       |nw AS (SELECT a, COUNT(*) AS n_wedges FROM w GROUP BY a),
+       |nt AS (
+       |  SELECT w.a, COUNT(*) AS n_triangles
+       |  FROM w JOIN e ac ON w.a = ac.a AND w.c = ac.b
+       |  GROUP BY w.a)
+       |SELECT nw.a AS p_partkey, nw.n_wedges,
+       |  COALESCE(nt.n_triangles, 0) AS n_triangles
+       |FROM nw LEFT JOIN nt ON nw.a = nt.a""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_funcs" -> (qStatsFuncs _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_triangle_count" -> (qTriangleCount _))
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_funcs" -> qStatsFuncsSql,
+    "q_fuzzy_join" -> qFuzzyJoinSql,
+    "q_triangle_count" -> qTriangleCountSql)
+}

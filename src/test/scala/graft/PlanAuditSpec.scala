@@ -173,7 +173,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
     "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
-    "text_train_split" -> 0)
+    "text_train_split" -> 0,
+    // stats_funcs: one map-side-combined agg of six decimal sums —
+    // q1_agg's shape with more accumulators
+    "q_stats_funcs" -> 1,
+    // fuzzy_join: both block-join sides shuffle on the blocking key
+    // (broadcasting a corpus-scale side is the fuzzy-join OOM)
+    "q_fuzzy_join" -> 2,
+    // triangle_count: the motif-join ladder — order-grain self-join,
+    // edge distinct, wedge + closing-edge joins, two per-anchor aggs
+    // and the final merge; every side shuffle-pinned, the distinct
+    // edge exchange reused across consumers at execution
+    "q_triangle_count" -> 22)
 
   /** The only nested-loop broadcasts the engine intends: the
     * brute-force ANN baseline's bounded queries×corpus scan
@@ -234,7 +245,10 @@ class PlanAuditSpec extends AnyFunSuite {
         n == "text_boilerplate" || n == "text_paragraph_dedup" ||
         // knn_join self-joins the assigned corpus on bucket id — both
         // sides are the whole corpus
-        n == "sim_knn_join") &&
+        n == "sim_knn_join" ||
+        // fuzzy_join blocks the corpus against itself; triangle_count
+        // self-joins the edge frame — every side corpus-sized
+        n == "q_fuzzy_join" || n == "q_triangle_count") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

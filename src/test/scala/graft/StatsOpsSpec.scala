@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatsOps
+
+class StatsOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_stats_funcs statistics are well-formed and match a driver-side replay") {
+    val rows = StatsOps.qStatsFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr_qp")
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+      assert(r.getAs[Double]("std_qty") > 0.0)
+      assert(r.getAs[Double]("std_price") > 0.0)
+    }
+    // replay one group's correlation from raw rows with exact decimal
+    // sums — the operator must agree bitwise, not approximately
+    val flag = rows.head.getString(0)
+    val raw = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val n = raw.length.toDouble
+    val sq = raw.map(_._1).sum.toDouble
+    val sp = raw.map(_._2).sum.toDouble
+    val sqq = raw.map(t => t._1 * t._1).sum.toDouble
+    val spp = raw.map(t => t._2 * t._2).sum.toDouble
+    val sqp = raw.map(t => t._1 * t._2).sum.toDouble
+    val expected = (n * sqp - sq * sp) /
+      (math.sqrt(n * sqq - sq * sq) * math.sqrt(n * spp - sp * sp))
+    assert(rows.head.getAs[Double]("corr_qp") == expected,
+      "corr must equal the exact-sufficient-statistics replay bitwise")
+  }
+
+  test("q_fuzzy_join pairs are ordered, in-band, and within the edit threshold") {
+    val rows = StatsOps.qFuzzyJoin(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_key") < r.getAs[Long]("b_key"))
+      assert(r.getAs[Int]("dist") <= StatsOps.fuzzyMaxDist)
+    }
+    // completeness: a driver-side exhaustive walk over EVERY
+    // (brand, size) block must find exactly the operator's pairs —
+    // the banding must lose nothing the blocks contain
+    val part = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    var inBandPairs = 0
+    val expected = part.groupBy(p => (p._3, p._4)).values.flatMap { blk =>
+      val b = blk.sortBy(_._1)
+      for {
+        i <- b.indices; j <- (i + 1) until b.length
+        _ = { inBandPairs += 1 }
+        if lev(b(i)._2, b(j)._2) <= StatsOps.fuzzyMaxDist
+      } yield (b(i)._1, b(j)._1)
+    }.toSet
+    assert(inBandPairs > 0, "fixture must produce candidate blocks to verify")
+    val got = rows.map(r =>
+      (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"))).toSet
+    assert(got == expected, "pairs must match the exhaustive driver walk")
+  }
+
+  test("q_triangle_count wedges bound triangles and match a driver-side count") {
+    val rows = StatsOps.qTriangleCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_triangles") >= 0L)
+      assert(r.getAs[Long]("n_triangles") <= r.getAs[Long]("n_wedges"),
+        "every triangle is a closed wedge")
+    }
+    // driver-side replay of the whole motif count at sf0.001
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") % StatsOps.triModulus === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val out = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val expected = out.map { case (a, bs) =>
+      val wedges = for (b <- bs; c <- out.getOrElse(b, Set.empty)) yield (b, c)
+      val tris = wedges.count { case (_, c) => bs.contains(c) }
+      (a, wedges.size.toLong, tris.toLong)
+    }.filter(_._2 > 0).toSet
+    val got = rows.map(r => (r.getAs[Long]("p_partkey"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))).toSet
+    assert(got == expected, "motif counts must match the driver replay")
+  }
+}
