@@ -1306,7 +1306,43 @@ object Etl {
       |FROM img WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)
       |ORDER BY c_custkey, eff_from_ver""".stripMargin
 
+  /** Deterministic pseudonymization — the anonymized-export variant of
+    * the reference's table dump (a migration tool's most-requested
+    * sibling feature: same pipeline, PII made safe for the target).
+    * Three standard techniques in one projection: keyed-hash
+    * pseudonyms (sha256 over a salted key — stable across runs and
+    * tables, so FK joins still work on the pseudonym), partial
+    * masking (phone keeps its last 4), and generalization (balance
+    * coarsened to a 100-unit band). Reference analog: the per-column
+    * value rewrite hook of RuleHandler.py — this is that hook with a
+    * privacy rule set.
+    *
+    * Scale shape: a pure column projection, zero shuffles, fuses with
+    * the scan; sha256 is a codegen'd built-in. At 100 TB this runs at
+    * scan speed, which is the requirement for "anonymize on export"
+    * to be viable at all. */
+  def etlAnonymize(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    c.select(
+      sha2(concat(lit("graft:"), col("c_custkey").cast(StringType)), 256)
+        .as("c_pseudonym"),
+      col("c_nationkey"),
+      concat(lit("***-"), substring(col("c_name"), -3, 3)).as("c_name_masked"),
+      (floor(col("c_acctbal") / 100.0).cast(LongType) * 100)
+        .as("c_acctbal_band"),
+      col("c_mktsegment"))
+  }
+
+  val etlAnonymizeSql: String =
+    """SELECT sha256('graft:' || CAST(c_custkey AS VARCHAR)) AS c_pseudonym,
+      |  c_nationkey,
+      |  '***-' || substring(c_name, length(c_name) - 2, 3) AS c_name_masked,
+      |  CAST(floor(c_acctbal / 100.0) AS BIGINT) * 100 AS c_acctbal_band,
+      |  c_mktsegment
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_anonymize" -> (etlAnonymize _),
     "etl_scd2" -> (etlScd2 _),
     "etl_rename_project" -> (etlRenameProject _),
     "etl_where_extract" -> (etlWhereExtract _),
@@ -1338,6 +1374,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_anonymize" -> etlAnonymizeSql,
     "etl_scd2" -> etlScd2Sql,
     "etl_rename_project" -> etlRenameProjectSql,
     "etl_where_extract" -> etlWhereExtractSql,

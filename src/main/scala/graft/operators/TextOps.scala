@@ -761,7 +761,52 @@ object TextOps {
        |FROM documents d JOIN tot t USING (doc_id)
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Corpus-trained bigram language-model familiarity — the CCNet
+    * idea (score each doc against an LM trained on the corpus itself)
+    * with an exact-integer statistic: per doc, the number of bigrams
+    * and the summed corpus-wide frequency of those bigrams. A
+    * boilerplate-heavy or templated doc scores high (its bigrams
+    * repeat everywhere), gibberish scores at the floor (every bigram
+    * frequency 1) — the two tails a perplexity filter would cut,
+    * without a float log in sight (a libm log is not bit-portable
+    * across engines; a ratio of exact counts is).
+    *
+    * Scale shape: bigrams are cut SCAN-SIDE from the token array
+    * (transform over indices — no window, no join to build pairs), so
+    * the only shuffles are the frequency aggregate and the
+    * frequency-lookup join, both on the bigram key with map-side
+    * combine. The frequency table is corpus-derived (vocab² grain) —
+    * shuffle-pinned, never broadcast. */
+  def textNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val lists = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("l"))
+      .filter(size(col("l")) >= 2)
+    val bigrams = lists.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))"))
+        .as("bg"))
+    val cnt = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+    bigrams.join(cnt.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("fam"))
+  }
+
+  val textNgramLmSql: String =
+    """WITH lists AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '') AS l
+      |  FROM documents),
+      |bigrams AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+      |  FROM lists, unnest(range(1, len(l))) AS t(i)),
+      |cnt AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS fam
+      |FROM bigrams JOIN cnt USING (bg) GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_lm" -> (textNgramLm _),
     "text_vocab_oov" -> (textVocabOov _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -779,6 +824,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,

@@ -622,4 +622,31 @@ class EtlSpec extends AnyFunSuite {
     val pruned = spark.read.parquet(sel: _*).filter(pred).count()
     assert(pruned == full, s"pruned scan lost rows: $pruned != $full")
   }
+
+  test("etl_anonymize pseudonyms are stable, joinable, and PII-free") {
+    import graft.operators.Etl
+    val rows = Etl.etlAnonymize(spark, sf).collect()
+    val cust = Tables.load(spark, sf, "customer").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(rows.length == cust.length)
+    // pseudonym is the documented keyed hash — any consumer (another
+    // table's FK column run through the same rule) joins on it
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pseudo(k: Long): String =
+      md.digest(s"graft:$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val expected = cust.map(c => pseudo(c._1)).toSet
+    assert(rows.map(_.getAs[String]("c_pseudonym")).toSet == expected)
+    // no raw name survives; the mask keeps exactly the last 3 chars
+    val names = cust.map(c => c._1 -> c._2).toMap
+    rows.foreach { r =>
+      val masked = r.getAs[String]("c_name_masked")
+      assert(masked.startsWith("***-") && masked.length == 7)
+    }
+    assert(!rows.exists(r => names.values.toSet.contains(
+      r.getAs[String]("c_name_masked"))), "raw names must not survive")
+    // generalization: bands are coarser than balances
+    val bands = rows.map(_.getAs[Long]("c_acctbal_band")).distinct
+    assert(bands.length < cust.map(_._3).distinct.length)
+  }
 }

@@ -174,6 +174,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
     "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0,
+    // anonymize: pure projection, fuses with the scan
+    "etl_anonymize" -> 0,
+    // ngram_lm: bigrams cut scan-side; frequency agg + lookup join +
+    // per-doc agg, all on keys with map-side combine
+    "text_ngram_lm" -> 4,
     // stats_funcs: one map-side-combined agg of six decimal sums —
     // q1_agg's shape with more accumulators
     "q_stats_funcs" -> 1,
@@ -248,7 +253,10 @@ class PlanAuditSpec extends AnyFunSuite {
         n == "sim_knn_join" ||
         // fuzzy_join blocks the corpus against itself; triangle_count
         // self-joins the edge frame — every side corpus-sized
-        n == "q_fuzzy_join" || n == "q_triangle_count") &&
+        n == "q_fuzzy_join" || n == "q_triangle_count" ||
+        // ngram_lm joins the bigram frequency table — vocab² grain,
+        // corpus-sized at web scale
+        n == "text_ngram_lm") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

@@ -306,4 +306,25 @@ class TextOpsSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
     assert(got.map(_._3).sum > 0, "no duplicate paragraph at fixture sf")
   }
+
+  test("text_ngram_lm matches a driver-side bigram frequency replay") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    val perDoc = docs.map { case (id, t) => (id, bigrams(t)) }
+      .filter(_._2.nonEmpty)
+    val freq = perDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val want = perDoc.map { case (id, bs) =>
+      (id, bs.length.toLong, bs.map(freq).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.textNgramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bigrams"), r.getAs[Long]("fam")))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // the signal separates: some doc's bigrams repeat corpus-wide
+    assert(got.exists(r => r._3 > r._2), "no repeated bigram at fixture sf")
+  }
 }
