@@ -805,7 +805,72 @@ object TextOps {
       |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS fam
       |FROM bigrams JOIN cnt USING (bg) GROUP BY doc_id""".stripMargin
 
+  /** Collocation support floor / result size — noise gate + bounded
+    * output at any corpus size. */
+  val collocMinCount = 5
+  val collocTopK = 20
+
+  /** Corpus-level collocation extraction: the top-K bigrams by LIFT
+    * (observed co-occurrence over independence-expected), the
+    * phrase-mining primitive behind tokenizer-vocabulary seeding and
+    * corpus drift dashboards. Lift ORDERS identically to PMI
+    * (log is monotone) while staying ONE IEEE division of exact
+    * integer counts — bit-identical cross-engine where a libm log is
+    * not (text_tfidf's ratio-idf rule applied to pair mining).
+    *
+    * Scale shape: bigrams cut scan-side (text_ngram_lm's transform);
+    * unigram/bigram frequency tables are vocab/vocab²-grain —
+    * corpus-derived, shuffle-pinned; the 1-row token total rides a
+    * BNLJ broadcast (the tfidf contract); the final top-K is a
+    * TakeOrdered bounded heap over the minCount-gated aggregate,
+    * never a global sort of the pair table. */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val lists = docs.select(
+      expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("l"))
+    val toks = lists.select(explode(col("l")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val bg = lists.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= collocMinCount)
+    bg.join(n)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1"))
+        .hint("shuffle_hash"), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2"))
+        .hint("shuffle_hash"), "w2")
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("cast(cxy as double) * cast(n as double) / (cast(c1 as double) * cast(c2 as double))")
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(collocTopK)
+  }
+
+  val textCollocationsSql: String =
+    s"""WITH lists AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |    x -> x <> '') AS l
+       |  FROM documents),
+       |toks AS (SELECT unnest(l) AS w FROM lists),
+       |uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+       |n AS (SELECT COUNT(*) AS n FROM toks),
+       |bg AS (
+       |  SELECT l[i] AS w1, l[i+1] AS w2, COUNT(*) AS cxy
+       |  FROM lists, unnest(range(1, len(l))) AS t(i)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $collocMinCount)
+       |SELECT bg.w1, bg.w2, bg.cxy,
+       |  CAST(bg.cxy AS DOUBLE) * CAST(n.n AS DOUBLE) / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+       |FROM bg, n
+       |JOIN uni u1 ON bg.w1 = u1.w
+       |JOIN uni u2 ON bg.w2 = u2.w
+       |ORDER BY lift DESC, bg.w1, bg.w2 LIMIT $collocTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> (textCollocations _),
     "text_ngram_lm" -> (textNgramLm _),
     "text_vocab_oov" -> (textVocabOov _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
@@ -824,6 +889,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,

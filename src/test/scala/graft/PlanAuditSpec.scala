@@ -179,6 +179,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ngram_lm: bigrams cut scan-side; frequency agg + lookup join +
     // per-doc agg, all on keys with map-side combine
     "text_ngram_lm" -> 4,
+    // collocations: unigram + bigram aggs, two pinned vocab joins,
+    // the 1-row total, and a TakeOrdered bounded heap (no global sort)
+    "text_collocations" -> 7,
     // stats_funcs: one map-side-combined agg of six decimal sums —
     // q1_agg's shape with more accumulators
     "q_stats_funcs" -> 1,
@@ -205,7 +208,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_cdc_upsert", "text_tfidf",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
-      "etl_dq_report")
+      "etl_dq_report",
+      // collocations joins the 1-row token total like text_tfidf
+      "text_collocations")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
@@ -254,9 +259,9 @@ class PlanAuditSpec extends AnyFunSuite {
         // fuzzy_join blocks the corpus against itself; triangle_count
         // self-joins the edge frame — every side corpus-sized
         n == "q_fuzzy_join" || n == "q_triangle_count" ||
-        // ngram_lm joins the bigram frequency table — vocab² grain,
-        // corpus-sized at web scale
-        n == "text_ngram_lm") &&
+        // ngram_lm/collocations join vocab- and vocab²-grain frequency
+        // tables — corpus-sized at web scale
+        n == "text_ngram_lm" || n == "text_collocations") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

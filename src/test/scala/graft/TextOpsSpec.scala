@@ -327,4 +327,30 @@ class TextOpsSpec extends AnyFunSuite {
     // the signal separates: some doc's bigrams repeat corpus-wide
     assert(got.exists(r => r._3 > r._2), "no repeated bigram at fixture sf")
   }
+
+  test("text_collocations top-K matches a driver-side lift ranking") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getString(1))
+    val tokens = docs.map(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+    val n = tokens.map(_.length.toLong).sum
+    val uni = tokens.flatten.groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val bg = tokens.flatMap(t => t.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1)))).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+      .filter(_._2 >= TextOps.collocMinCount)
+    val ranked = bg.toSeq.map { case ((w1, w2), cxy) =>
+      val lift = cxy.toDouble * n.toDouble / (uni(w1).toDouble * uni(w2).toDouble)
+      (w1, w2, cxy, lift)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(TextOps.collocTopK)
+    val got = TextOps.textCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == ranked, "top-K collocations must match the driver replay")
+    // the bounded-heap shape: a TakeOrdered, not a global Sort node
+    val plan = TextOps.textCollocations(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K must lower to a bounded heap")
+  }
 }
