@@ -801,7 +801,95 @@ object SimOps {
        |WHERE rank <= $knnK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** MaxSim geometry: token vectors per document, number of query
+    * documents, and the full-document dot count (tokens²) that gates
+    * partial trailing docs out of both engines identically. */
+  val maxsimTokens = 8
+  val maxsimQueryDocs = 2
+
+  /** ColBERT-style late-interaction scoring (MaxSim): documents are
+    * BAGS of token vectors (8 consecutive embedding rows here), and a
+    * query-document score is Σ over query tokens of the MAX dot
+    * product against any document token. This is the multi-vector
+    * retrieval model single-vector ANN cannot express — a document
+    * matching every query token somewhere beats one whose single
+    * pooled vector is mediocre everywhere.
+    *
+    * Float determinism: per-token maxes are order-independent
+    * (max commutes); the 8-term sum is one EXPLICITLY-PARENTHESIZED
+    * left fold mirrored textually in the oracle, so both engines run
+    * the identical IEEE tree (§4 extended to late interaction).
+    *
+    * Scale shape: query token vectors broadcast (bounded — the
+    * sim_cosine_topk contract); the corpus streams ONCE through the
+    * dot + conditional-max aggregate with map-side combine (state =
+    * 8 doubles per (query, doc) — never the token-pair matrix);
+    * winners flow through TopKPerKey bounded heaps. At 100 TB the
+    * production variant gates candidates through an ANN probe first
+    * (sim_ivf_topk composes in front), but the scoring kernel is
+    * exactly this aggregate. */
+  def simMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val toks = emb.select(
+      expr(s"vec_id div $maxsimTokens").as("doc"), col("embedding").as("v"))
+    val q = emb.filter(col("vec_id") < maxsimTokens * maxsimQueryDocs)
+      .select(expr(s"vec_id div $maxsimTokens").as("q_doc"),
+        (col("vec_id") % maxsimTokens).as("tok"), col("embedding").as("qv"))
+    val dots = toks.join(broadcast(q), col("doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("tok"), col("doc").as("c_doc"),
+        dotD(col("v"), col("qv")).as("d"))
+    val aggs = (0 until maxsimTokens).map(k =>
+      max(when(col("tok") === k, col("d"))).as(s"m$k")) :+
+      count(lit(1)).as("n_dots")
+    val sumExpr = (1 until maxsimTokens)
+      .foldLeft("m0")((acc, k) => s"($acc + m$k)")
+    val scored = dots.groupBy("q_doc", "c_doc")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_dots") === maxsimTokens * maxsimTokens)
+      .select(col("q_doc"), col("c_doc"), expr(sumExpr).as("score"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("q_doc"),
+      Seq(col("score").desc, col("c_doc")), topK)
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score").desc, col("c_doc"))
+    top.withColumn("rank", row_number().over(w))
+      .select("q_doc", "rank", "c_doc", "score")
+      .orderBy("q_doc", "rank")
+  }
+
+  val simMaxsimSql: String = {
+    val maxCols = (0 until maxsimTokens)
+      .map(k => s"MAX(CASE WHEN tok = $k THEN d END) AS m$k")
+      .mkString(",\n       |    ")
+    val sumExpr = (1 until maxsimTokens)
+      .foldLeft("m0")((acc, k) => s"($acc + m$k)")
+    s"""WITH c AS (
+       |  SELECT vec_id, vec_id // $maxsimTokens AS doc,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id // $maxsimTokens AS q_doc,
+       |    vec_id % $maxsimTokens AS tok, v AS qv
+       |  FROM c WHERE vec_id < ${maxsimTokens * maxsimQueryDocs}),
+       |dots AS (
+       |  SELECT q.q_doc, q.tok, c.doc AS c_doc,
+       |    list_dot_product(c.v, q.qv) AS d
+       |  FROM c CROSS JOIN q WHERE c.doc <> q.q_doc),
+       |m AS (
+       |  SELECT q_doc, c_doc,
+       |    $maxCols
+       |  FROM dots GROUP BY q_doc, c_doc
+       |  HAVING COUNT(*) = ${maxsimTokens * maxsimTokens}),
+       |s AS (
+       |  SELECT q_doc, c_doc, $sumExpr AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_doc
+       |      ORDER BY $sumExpr DESC, c_doc) AS rank
+       |  FROM m)
+       |SELECT q_doc, rank, c_doc, score FROM s
+       |WHERE rank <= $topK ORDER BY q_doc, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -812,6 +900,7 @@ object SimOps {
     "sim_ivf_ingest" -> (simIvfIngest _))
 
   val oracles: Map[String, String] = Map(
+    "sim_maxsim" -> simMaxsimSql,
     "sim_cosine_topk" -> simCosineTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,

@@ -349,4 +349,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
+
+  test("sim_maxsim matches a driver-side late-interaction replay") {
+    val emb = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val T = SimOps.maxsimTokens
+    val docs = emb.groupBy(e => e._1 / T)
+      .map { case (d, es) => d -> es.sortBy(_._1).map(_._2) }
+    val full = docs.filter(_._2.length == T)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val want = (0L until SimOps.maxsimQueryDocs.toLong).flatMap { qd =>
+      val qtoks = docs(qd)
+      val scoredDocs = full.toSeq.filter(_._1 != qd).map { case (cd, ctoks) =>
+        // mirror the engine: per query token the MAX dot, then the
+        // explicitly-left-folded 8-term sum
+        val maxes = qtoks.map(qt => ctoks.map(ct => dot(ct, qt)).max)
+        (cd, maxes.reduceLeft(_ + _))
+      }
+      scoredDocs.sortBy(t => (-t._2, t._1)).take(SimOps.topK)
+        .zipWithIndex.map { case ((cd, sc), i) => (qd, i + 1, cd, sc) }
+    }
+    val got = SimOps.simMaxsim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want, "maxsim ranking must match the driver replay")
+    // late interaction differs from pooled scoring: ranking is real
+    assert(got.map(_._4).distinct.length > 1)
+  }
 }

@@ -156,6 +156,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
     // shape, never all-pairs
     "sim_knn_join" -> 4,
+    // maxsim: ONE corpus pass into the (query, doc) conditional-max
+    // agg + TopKPerKey candidate shuffle + bounded rank window +
+    // ordered output
+    "sim_maxsim" -> 4,
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
@@ -204,7 +208,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * up quadratically at scale. text_tfidf joins the 1-row corpus
     * count the same way as the CDC shift. */
   private val bnlAllowed =
-    Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk",
+    Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk", "sim_maxsim",
       "etl_cdc_upsert", "text_tfidf",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
