@@ -1342,7 +1342,75 @@ object Relational {
       |FROM act a JOIN first f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** GROUP_CONCAT re-expressed — the MySQL aggregate every migrating
+    * schema leans on (the reference's users write it daily; PG calls
+    * it string_agg): per nation, the sorted distinct market segments
+    * its customers span, as one delimited string.
+    *
+    * Determinism is the whole trick: collect_set has NO order, so the
+    * engine sorts the set before joining (array_sort ∘ collect_set)
+    * and the oracle mirrors with string_agg(DISTINCT … ORDER BY …) —
+    * an unordered GROUP_CONCAT is unreproducible in ANY engine and
+    * hash-flakes across partitionings. One agg-grain shuffle with
+    * map-side partial sets; state per group is bounded by segment
+    * cardinality, not row count. */
+  def qGroupConcat(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    c.groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  val qGroupConcatSql: String =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+      |    AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+      |  COUNT(*) AS n_cust
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** The distribution-window functions q_window_funcs doesn't cover:
+    * percent_rank, cume_dist, nth_value. Partitioned by customer (key
+    * cardinality grows with the data — never a 3-value partition key
+    * that funnels the table through 3 reducers) with a unique
+    * (price, orderkey) ordering so ties can't make cross-engine frame
+    * semantics diverge; nth_value over an explicit full-partition ROWS
+    * frame (the default RANGE frame's peer handling is the classic
+    * cross-engine trap). percent_rank/cume_dist are single IEEE
+    * divisions of exact ranks — bit-identical. */
+  def qWindowDistFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ord.select(col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"))
+      .orderBy("o_orderkey")
+  }
+
+  val qWindowDistFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_cheapest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_concat" -> (qGroupConcat _),
+    "q_window_dist_funcs" -> (qWindowDistFuncs _),
     "q_gap_fill" -> (qGapFill _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q1_agg" -> (q1Agg _),
@@ -1385,6 +1453,8 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_group_concat" -> qGroupConcatSql,
+    "q_window_dist_funcs" -> qWindowDistFuncsSql,
     "q_gap_fill" -> qGapFillSql,
     "q_retention_cohort" -> qRetentionCohortSql,
     "q1_agg" -> q1AggSql,

@@ -96,9 +96,12 @@ object StatsOps {
     * band sit at 4+. */
   val fuzzyMaxDist = 3
 
-  /** Banded fuzzy self-join: part pairs in the same (brand, size)
-    * block whose names are within [[fuzzyMaxDist]] edits — the
-    * entity-resolution shape (candidate blocking + expensive verify).
+  /** Banded fuzzy self-join: part pairs in the same
+    * (brand, size-decade) block whose names are within
+    * [[fuzzyMaxDist]] edits — the entity-resolution shape (candidate
+    * blocking + expensive verify). The block key's coarseness is the
+    * recall/cost dial: (brand, exact size) would miss near-dups
+    * listed one size apart; brand alone quadruples the verify volume.
     *
     * Scale shape: the levenshtein verify — O(|a|·|b|) per pair — runs
     * ONLY inside blocks, so pair volume is Σ(block²), bounded by the
@@ -108,22 +111,23 @@ object StatsOps {
     * OOM); levenshtein itself is a codegen'd built-in, no UDF. */
   def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
-      .select("p_partkey", "p_name", "p_brand", "p_size")
-    val a = p.toDF("a_key", "a_name", "p_brand", "p_size")
-    val b = p.toDF("b_key", "b_name", "p_brand", "p_size")
-    a.join(b.hint("shuffle_hash"), Seq("p_brand", "p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        expr("p_size div 10").as("size_band"))
+    val a = p.toDF("a_key", "a_name", "p_brand", "size_band")
+    val b = p.toDF("b_key", "b_name", "p_brand", "size_band")
+    a.join(b.hint("shuffle_hash"), Seq("p_brand", "size_band"))
       .filter(col("a_key") < col("b_key"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= fuzzyMaxDist)
-      .select("p_brand", "p_size", "a_key", "b_key", "dist")
+      .select("p_brand", "size_band", "a_key", "b_key", "dist")
   }
 
   val qFuzzyJoinSql: String =
-    s"""SELECT a.p_brand, a.p_size, a.p_partkey AS a_key,
-       |  b.p_partkey AS b_key,
+    s"""SELECT a.p_brand, a.p_size // 10 AS size_band,
+       |  a.p_partkey AS a_key, b.p_partkey AS b_key,
        |  levenshtein(a.p_name, b.p_name) AS dist
        |FROM part a JOIN part b
-       |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |  ON a.p_brand = b.p_brand AND a.p_size // 10 = b.p_size // 10
        |  AND a.p_partkey < b.p_partkey
        |WHERE levenshtein(a.p_name, b.p_name) <= $fuzzyMaxDist""".stripMargin
 

@@ -152,6 +152,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_setops" -> 5, "q_skew_join" -> 5,
     "q_string_funcs" -> 0, "q_topk_per_key" -> 2, "q_unpivot" -> 2,
     "q_window_funcs" -> 3, "q_window_range" -> 2, "q_window_running" -> 2,
+    // group_concat: one agg-grain shuffle (Expand for the distinct
+    // count) + ordered output; dist_funcs: one customer-grain window
+    // shuffle carries all three functions + ordered output
+    "q_group_concat" -> 3, "q_window_dist_funcs" -> 2,
     // knn_join: bucket-grain shuffle of both self-join sides + the
     // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
     // shape, never all-pairs

@@ -315,4 +315,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._5).sum == evCount)
     assert(got.length < evCount, "no intervals merged at fixture sf")
   }
+
+  test("q_group_concat is the SORTED distinct concat (deterministic)") {
+    import graft.operators.Relational
+    val got = Relational.qGroupConcat(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cust = Tables.load(spark, sf, "customer").collect()
+      .map(r => (r.getInt(2), r.getString(4)))
+    val want = cust.groupBy(_._1).map { case (n, rows) =>
+      val segs = rows.map(_._2).distinct.sorted
+      (n, segs.mkString(","), segs.length.toLong, rows.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // multiple segments per nation: the ordering discipline is real
+    assert(got.exists(_._3 > 1))
+  }
+
+  test("q_window_dist_funcs replays driver-side for a sampled customer") {
+    import graft.operators.Relational
+    val got = Relational.qWindowDistFuncs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val orders = Tables.load(spark, sf, "orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // the customer with the most orders exercises real rank spreads
+    val ck = orders.groupBy(_._2).maxBy(_._2.size)._1
+    val mine = orders.filter(_._2 == ck).sortBy(t => (t._3, t._1))
+    val n = mine.length
+    assert(n >= 3, "need a multi-order customer at fixture sf")
+    val second = if (n >= 2) mine(1)._1 else -1L
+    mine.zipWithIndex.foreach { case ((ok, _, _), i) =>
+      val row = got.find(_._1 == ok).get
+      // no price ties under the unique ordering -> rank == row number
+      assert(row._3 == (if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble))
+      assert(row._4 == (i + 1).toDouble / n.toDouble)
+      assert(row._5 == second)
+    }
+  }
 }
