@@ -814,7 +814,73 @@ object StreamOps {
       |FROM e GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Shard count for the streaming heavy-hitter sketch. Each shard
+    * holds ONE O(k) Misra-Gries state record, so state is
+    * O(shards · k) regardless of stream length; at scale the shard
+    * count tracks input parallelism (a conf, like the state-partition
+    * knob) and the merge tree is unchanged — mergeable summaries
+    * guarantee the same n/(k+1) bound under ANY merge shape. */
+  val hhShards = 8L
+
+  case class ShardSketch(shard: Long, n_seen: Long,
+      counters: Map[String, Long])
+
+  /** Streaming heavy hitters — the skew probe as a LIVE signal
+    * (q_heavy_hitters' one-shot scan, kept continuously current): the
+    * event stream shards by user hash, every shard folds its
+    * micro-batches into a Misra-Gries sketch held as mapGroupsWithState
+    * state, and the drain merges the shard sketches with the
+    * mergeable-summaries merge. The production loop this models: a
+    * hot-key monitor feeding the salting/broadcast decision while the
+    * topic flows, state O(shards · k) forever. [T] like the batch
+    * sketch keys: counter internals are merge-order-dependent inside
+    * the guaranteed bound, so no SQL engine replays them bit-for-bit —
+    * the spec asserts BOTH Misra-Gries guarantees against exact batch
+    * counts instead. */
+  def streamHeavyHitters(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val k = graft.operators.Relational.heavyK
+    val name = s"stream_heavy_hitters_${runId.incrementAndGet()}"
+    val items = eventsStream(spark, sfDir)
+      .select((col("user_id") % hhShards).as("shard"),
+        when(col("user_id") % 4 < 2,
+            concat(lit("hot_"), (col("user_id") % 3).cast(StringType)))
+          .otherwise(col("user_id").cast(StringType)).as("item"))
+      .as[(Long, String)]
+    val sketches = items.groupByKey(_._1)
+      .mapGroupsWithState[ShardSketch, ShardSketch] {
+        (shard: Long, batch: Iterator[(Long, String)],
+            state: GroupState[ShardSketch]) =>
+          val prev = state.getOption
+            .getOrElse(ShardSketch(shard, 0L, Map.empty))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            ShardSketch(shard, acc.n_seen + 1,
+              graft.functions.MisraGries.reduce(acc.counters, e._2, k))
+          }
+          state.update(next)
+          next
+      }
+    runAvailableNow(sketches.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start())
+    // drain: the LATEST sketch per shard (n_seen is monotone under
+    // updates), then the mergeable-summaries merge over shard-count
+    // k-entry maps — model-sized driver work, the same drained-final-
+    // aggregate contract as the other streaming keys
+    val perShard = spark.table(name).as[ShardSketch].collect()
+      .groupBy(_.shard).map(_._2.maxBy(_.n_seen).counters).toSeq
+    spark.catalog.dropTempView(name)
+    val merged =
+      if (perShard.isEmpty) Map.empty[String, Long]
+      else perShard.reduceLeft(graft.functions.MisraGries.merge(_, _, k))
+    val rows = merged.toSeq.sortBy { case (i, c) => (-c, i) }
+    spark.createDataFrame(rows).toDF("item", "est_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_events" -> (streamEventsWindow _),
     "stream_user_state" -> (streamUserState _),
     "q_session_window" -> (qSessionWindow _),

@@ -46,8 +46,10 @@ class BoardSpec extends AnyFunSuite {
     // can recompute (mm_decode is its formula-derived [O] twin)
     // q_heavy_hitters joins the sketch family: Misra-Gries counters
     // are merge-order-dependent within the guaranteed error bound
+    // stream_heavy_hitters carries the same Misra-Gries contract as
+    // q_heavy_hitters, maintained as streaming state
     val declared = Set("q_approx_distinct", "q_approx_percentile",
-      "mm_binary_meta", "q_heavy_hitters")
+      "mm_binary_meta", "q_heavy_hitters", "stream_heavy_hitters")
     assert(noOracle == declared,
       s"oracle-free keys drifted from the declared [T] set: " +
         s"extra=${(noOracle -- declared).toSeq.sorted} " +

@@ -172,6 +172,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // cdc_apply merges inside foreachBatch micro-batch jobs; the
     // returned frame is the drained O(keys) local relation
     "stream_cdc_apply" -> 0,
+    // heavy_hitters: merged shard sketches return as a local relation
+    "stream_heavy_hitters" -> 0,
     // boilerplate's 11 is the dedup-family regime: the chunk frame is
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle

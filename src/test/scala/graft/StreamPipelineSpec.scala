@@ -470,4 +470,33 @@ class StreamPipelineSpec extends AnyFunSuite {
     val dumped = spark.read.csv(s"$out/clients")
     assert(dumped.count() == clients.rows)
   }
+
+  test("stream_heavy_hitters honors both Misra-Gries guarantees") {
+    import graft.streaming.StreamOps
+    val got = StreamOps.streamHeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact counts of the same item derivation, batch-side
+    val exact = Tables.load(spark, sf, "events")
+      .select(when(col("user_id") % 4 < 2,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+        .otherwise(col("user_id").cast("string")).as("item"))
+      .groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = graft.operators.Relational.heavyK
+    val bound = n / (k + 1)
+    // guarantee 1: every true heavy hitter survives the stream +
+    // shard-merge pipeline
+    exact.filter(_._2 > bound).foreach { case (item, c) =>
+      assert(got.contains(item), s"heavy item $item (count $c) lost")
+    }
+    // guarantee 2: kept estimates undercount by at most n/(k+1)
+    got.foreach { case (item, est) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est <= truth, s"$item overcounted: $est > $truth")
+      assert(truth - est <= bound, s"$item undercounted past the bound")
+    }
+    // the skewed derivation makes the probe non-trivial
+    assert(got.keys.exists(_.startsWith("hot_")))
+  }
 }
