@@ -238,6 +238,107 @@ object MultimodalOps {
     media.mapPartitions(it => resizeAndSample(decode(it)))
   }
 
+  /** Audio geometry: 16-bit PCM payloads framed the standard
+    * speech-pipeline way (400-sample windows, 160-sample hop — 25 ms
+    * / 10 ms at 16 kHz). Sample i of doc d is a formula, so the
+    * oracle recomputes every frame feature with no audio library
+    * while the Spark side round-trips REAL bytes. */
+  val audioBase = 4000
+  val audioSpan = 4000
+  def audioSamplesFor(id: Long): Int =
+    (audioBase + (id * 13) % audioSpan).toInt
+  def audioSampleAt(id: Long, i: Long): Int =
+    (((id * 31 + i * 17) % 65536) - 32768).toInt
+  val audioFrame = 400
+  val audioHop = 160
+
+  /** Little-endian int16 PCM bytes for doc `id` — the audio twin of
+    * payloadFor. */
+  def audioPayloadFor(id: Long): Array[Byte] = {
+    val n = audioSamplesFor(id)
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSampleAt(id, i)
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  case class AudioFrameRow(doc_id: Long, n_samples: Int, frame_idx: Int,
+      energy: Long, peak: Int)
+
+  /** Audio frame feature extraction — the third modality beside image
+    * decode and the embedding join: every payload PARSED back from its
+    * bytes (LE int16 PCM), cut into overlapping frames, per-frame
+    * energy (Σ sample²) and peak amplitude in exact integers. The
+    * decode is genuine byte plumbing; the features are
+    * formula-recomputable, so the whole path is oracle-checked
+    * (mm_decode's design applied to audio). A real pipeline swaps the
+    * synthetic samples for a codec call in the SAME per-partition
+    * pass — schema, framing, and shuffle shape unchanged.
+    *
+    * Scale shape: generate + parse + frame in ONE partition pass over
+    * the id-spread frame (codec work is per-row CPU; the repartition
+    * is the mm_* spread rule); output is frames-per-doc rows, no
+    * joins, no aggregate, no corpus shuffle. */
+  def mmAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(id => (id, audioPayloadFor(id)))
+      .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        val nFrames = (n - audioFrame) / audioHop + 1
+        (0 until nFrames).iterator.map { f =>
+          var e = 0L
+          var peak = 0
+          var j = f * audioHop
+          val end = j + audioFrame
+          while (j < end) {
+            val v = samples(j)
+            e += v.toLong * v
+            val a = if (v < 0) -v else v
+            if (a > peak) peak = a
+            j += 1
+          }
+          AudioFrameRow(id, n, f, e, peak)
+        }
+      }.toDF()
+  }
+
+  val mmAudioFramesSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CAST($audioBase + (doc_id * 13) % $audioSpan AS INTEGER)
+       |      AS n_samples
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_samples, CAST(t.f AS INTEGER) AS frame_idx
+       |  FROM p,
+       |    unnest(range(0, (n_samples - $audioFrame) // $audioHop + 1))
+       |      AS t(f)),
+       |v AS (
+       |  SELECT doc_id, n_samples, frame_idx,
+       |    (doc_id * 31 + (frame_idx * $audioHop + i.i) * 17) % 65536
+       |      - 32768 AS v
+       |  FROM f, unnest(range(0, $audioFrame)) AS i(i))
+       |SELECT doc_id, n_samples, frame_idx,
+       |  CAST(SUM(v * v) AS BIGINT) AS energy,
+       |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+       |FROM v GROUP BY doc_id, n_samples, frame_idx""".stripMargin
+
   /** Binary payload + metadata extraction + partition-batched decode
     * — the [T] key (payload byte counts/CRCs are codec products, not
     * SQL-derivable; the suite asserts the decode round-trip). */
@@ -343,9 +444,11 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode" -> (mmDecode _),
+    "mm_audio_frames" -> (mmAudioFrames _),
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
+    "mm_audio_frames" -> mmAudioFramesSql,
     "mm_embed_fusion" -> mmEmbedFusionSql)
 }

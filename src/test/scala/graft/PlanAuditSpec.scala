@@ -80,6 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_rename_project" -> 0, "etl_seq_setval" -> 6, "etl_type_cast" -> 0,
     "etl_utc_shift" -> 0, "etl_where_extract" -> 0, "etl_zero_date" -> 0,
     "mm_binary_meta" -> 1, "mm_decode" -> 1, "mm_embed_fusion" -> 1,
+    // audio: the id-spread exchange before per-row codec work (the
+    // mm_* rule); generate + parse + frame in one partition pass
+    "mm_audio_frames" -> 1,
     // dataset_card: Expand + two-round grouping-sets agg (exact
     // median forces sort-based agg legs) + ordered output
     "pipeline_dataset_card" -> 3,

@@ -499,4 +499,32 @@ class StreamPipelineSpec extends AnyFunSuite {
     // the skewed derivation makes the probe non-trivial
     assert(got.keys.exists(_.startsWith("hot_")))
   }
+
+  test("mm_audio_frames round-trips PCM bytes and matches the formulas") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.mmAudioFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one doc replayed sample-by-sample from the BYTES (not the
+    // formula): the decode path must be a true byte round-trip
+    val id = rows.head.getLong(0)
+    val bytes = MultimodalOps.audioPayloadFor(id)
+    val n = bytes.length / 2
+    assert(rows.head.getAs[Int]("n_samples") == n)
+    val samples = (0 until n).map(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+    (0 until n).foreach { i =>
+      assert(samples(i) == MultimodalOps.audioSampleAt(id, i.toLong),
+        s"byte round-trip broke at sample $i")
+    }
+    val mine = rows.filter(_.getLong(0) == id).sortBy(_.getAs[Int]("frame_idx"))
+    val expFrames = (n - MultimodalOps.audioFrame) / MultimodalOps.audioHop + 1
+    assert(mine.length == expFrames)
+    mine.foreach { r =>
+      val f = r.getAs[Int]("frame_idx")
+      val win = samples.slice(f * MultimodalOps.audioHop,
+        f * MultimodalOps.audioHop + MultimodalOps.audioFrame)
+      assert(r.getAs[Long]("energy") == win.map(v => v.toLong * v).sum)
+      assert(r.getAs[Int]("peak") == win.map(math.abs).max)
+    }
+  }
 }
