@@ -1341,7 +1341,136 @@ object Etl {
       |  c_mktsegment
       |FROM customer""".stripMargin
 
+  /** Order-independent polynomial row hash — text_fingerprint's
+    * exact-BIGINT rolling hash applied to a rendered row. */
+  private def polyHash(c: Column): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => ch =!= ""),
+        ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Canonical cell rendering shared by the checksum's two engines:
+    * exact decimals (never raw doubles — §4), ISO timestamps, an
+    * explicit null sentinel (concat_ws would silently DROP nulls and
+    * two different rows could render identically). */
+  private val checksumCols: Seq[(String, Seq[String])] = Seq(
+    "nation" -> Seq("CAST(n_nationkey AS STRING)", "n_name",
+      "CAST(n_regionkey AS STRING)"),
+    "customer" -> Seq("CAST(c_custkey AS STRING)", "c_name",
+      "CAST(c_nationkey AS STRING)",
+      "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING)", "c_mktsegment"),
+    "orders" -> Seq("CAST(o_orderkey AS STRING)",
+      "CAST(o_custkey AS STRING)", "o_orderstatus",
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)",
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+      "o_orderpriority"))
+
+  /** Table content checksum — the VERIFICATION step every migration
+    * needs (did the copy arrive intact?), which the reference leaves
+    * to eyeballing row counts (main.py prints per-table progress
+    * only). Each row renders canonically and hashes with the exact
+    * polynomial fold; the table checksum is the SUM of row hashes —
+    * commutative, so the result is independent of row order,
+    * partitioning, and parallelism, which is what lets source and
+    * target compute it independently and compare one number per
+    * table.
+    *
+    * Scale shape: scan + per-row fold + one global sum per table —
+    * embarrassingly parallel, no shuffle beyond the 1-row aggregate
+    * merges; at 100 TB this is the cheapest possible whole-table
+    * integrity probe. */
+  def etlTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val frames = checksumCols.map { case (tbl, cols) =>
+      val rendered = cols.map(c => s"coalesce($c, '~null~')")
+        .mkString("concat_ws('|', ", ", ", ")")
+      Tables.load(s, dir, tbl)
+        .select(polyHash(expr(rendered)).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  val etlTableChecksumSql: String = {
+    def render(cols: Seq[String]): String = cols
+      .map(_.replace(" AS STRING", " AS VARCHAR")
+        .replace("date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+          "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"))
+      .map(c => s"coalesce($c, '~null~')")
+      .mkString("concat_ws('|', ", ", ", ")")
+    checksumCols.map { case (tbl, cols) =>
+      s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
+         |  CAST(SUM(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(${render(cols)}, ''),
+         |      c -> ascii(c)::BIGINT)),
+         |    (acc, x) -> (acc*31 + x) % 1000000007)) AS BIGINT)
+         |    AS checksum
+         |FROM $tbl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** FK candidates probed by etl_fk_inference: three true edges of
+    * the star schema plus a decoy (order keys are NOT customer keys)
+    * that the containment test must reject. */
+  private val fkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"))
+
+  /** Foreign-key INFERENCE by value containment — the introspection
+    * step for schemas that never declared their FKs (legacy MySQL
+    * MyISAM has no FK enforcement at all, so real migrations meet
+    * exactly this). The reference can only read DECLARED constraints
+    * (/root/reference/libs/MysqlParser.py:218-258 reads
+    * information_schema); this key recovers the undeclared ones from
+    * the data: a candidate edge holds when every distinct child value
+    * appears in the parent key set. NULL child values are ignored
+    * (SQL FK semantics — a null FK is always valid, the same rule
+    * etl_fk_orphans applies).
+    *
+    * Scale shape: the child side reduces to DISTINCT values BEFORE
+    * the anti-join probe (the containment question only needs the
+    * value sets, so the corpus-sized fact table collapses to key
+    * cardinality first); each probe is a keyed anti-join + 1-row
+    * count — no corpus ever crosses a probe. */
+  def etlFkInference(s: SparkSession, dir: String): DataFrame = {
+    val frames = fkCandidates.map { case (ct, cc, pt, pc) =>
+      val childVals = Tables.load(s, dir, ct)
+        .select(col(cc).cast(LongType).as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val parentKeys = Tables.load(s, dir, pt)
+        .select(col(pc).cast(LongType).as("v")).distinct()
+      val orphans = childVals.join(parentKeys, Seq("v"), "left_anti")
+      childVals.agg(count(lit(1)).as("n_distinct"))
+        .join(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(ct).as("child_table"), lit(cc).as("child_col"),
+          lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+          col("n_distinct"), col("n_orphan"),
+          (col("n_orphan") === 0L).as("inferred_fk"))
+    }
+    frames.reduce(_.union(_))
+  }
+
+  val etlFkInferenceSql: String = fkCandidates.map { case (ct, cc, pt, pc) =>
+    s"""SELECT '$ct' AS child_table, '$cc' AS child_col,
+       |  '$pt' AS parent_table, '$pc' AS parent_col,
+       |  (SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL)
+       |    AS n_distinct,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) c
+       |   WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = c.v))
+       |    AS n_orphan,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) c
+       |   WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = c.v)) = 0
+       |    AS inferred_fk""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_fk_inference" -> (etlFkInference _),
+    "etl_table_checksum" -> (etlTableChecksum _),
     "etl_anonymize" -> (etlAnonymize _),
     "etl_scd2" -> (etlScd2 _),
     "etl_rename_project" -> (etlRenameProject _),
@@ -1374,6 +1503,8 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_fk_inference" -> etlFkInferenceSql,
+    "etl_table_checksum" -> etlTableChecksumSql,
     "etl_anonymize" -> etlAnonymizeSql,
     "etl_scd2" -> etlScd2Sql,
     "etl_rename_project" -> etlRenameProjectSql,

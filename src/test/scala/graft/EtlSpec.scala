@@ -649,4 +649,47 @@ class EtlSpec extends AnyFunSuite {
     val bands = rows.map(_.getAs[Long]("c_acctbal_band")).distinct
     assert(bands.length < cust.map(_._3).distinct.length)
   }
+
+  test("etl_table_checksum is row-order and partitioning independent") {
+    import graft.operators.Etl
+    val a = Etl.etlTableChecksum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.length == 3 && a.forall(_._3 > 0))
+    // identity must be content-derived: a re-read under a different
+    // partitioning yields the identical checksums
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val b = Etl.etlTableChecksum(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    // and content-sensitive: one flipped cell changes the table's sum
+    val cust = Tables.load(spark, sf, "customer")
+    val tweaked = cust.withColumn("c_name",
+      when(col("c_custkey") === 1L, lit("Tampered")).otherwise(col("c_name")))
+    val render = "concat_ws('|', coalesce(CAST(c_custkey AS STRING), '~null~'), " +
+      "coalesce(c_name, '~null~'), coalesce(CAST(c_nationkey AS STRING), '~null~'), " +
+      "coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING), '~null~'), " +
+      "coalesce(c_mktsegment, '~null~'))"
+    def sumOf(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(expr(s"aggregate(transform(filter(split($render, ''), ch -> ch != ''), ch -> cast(ascii(ch) as bigint)), 0L, (acc, x) -> (acc * 31 + x) % 1000000007L)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getLong(0)
+    assert(sumOf(tweaked) != a.find(_._1 == "customer").get._3)
+    assert(sumOf(cust) == a.find(_._1 == "customer").get._3)
+  }
+
+  test("etl_fk_inference finds the star edges and rejects the decoy") {
+    import graft.operators.Etl
+    val rows = Etl.etlFkInference(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows(("orders", "o_custkey", "customer"))._3,
+      "o_custkey -> c_custkey must infer")
+    assert(rows(("customer", "c_nationkey", "nation"))._3)
+    assert(rows(("nation", "n_regionkey", "region"))._3)
+    val decoy = rows(("orders", "o_orderkey", "customer"))
+    assert(!decoy._3 && decoy._2 > 0,
+      "the order-key decoy must be rejected with real orphans")
+  }
 }

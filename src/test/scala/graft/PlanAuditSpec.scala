@@ -189,6 +189,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_train_split" -> 0,
     // anonymize: pure projection, fuses with the scan
     "etl_anonymize" -> 0,
+    // table_checksum: per table one partial/final 1-row agg merge —
+    // scan + fold is shuffle-free by design
+    "etl_table_checksum" -> 3,
+    // fk_inference: 4 probes × (child distinct + parent distinct +
+    // anti-join + two 1-row agg merges) — all key-grain frames; the
+    // child side collapses to DISTINCT before any join
+    "etl_fk_inference" -> 20,
     // ngram_lm: bigrams cut scan-side; frequency agg + lookup join +
     // per-doc agg, all on keys with map-side combine
     "text_ngram_lm" -> 4,
@@ -223,7 +230,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // report row — 1-row × 1-row by construction
       "etl_dq_report",
       // collocations joins the 1-row token total like text_tfidf
-      "text_collocations")
+      "text_collocations",
+      // fk_inference crosses each probe's two 1-row counts
+      "etl_fk_inference")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
