@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** The full training-corpus assembly as ONE composed declarative
   * plan — the flagship shape every other key is a piece of:
   *
@@ -272,7 +274,69 @@ object CorpusPipeline {
        |GROUP BY GROUPING SETS ((source, lang), (source), ())
        |ORDER BY gid, source, lang""".stripMargin
 
+  /** Epoch-shuffle geometry: training-worker shard count and epochs
+    * materialized. At scale shards == data-parallel workers (a conf);
+    * two epochs suffice to prove the reshuffle property. */
+  val epochShards = 8
+  val epochCount = 2
+
+  /** Deterministic epoch shuffling — the training-loader primitive
+    * (MosaicML streaming / tf.data shuffle files): every epoch is a
+    * fresh pseudorandom permutation of the corpus, sharded across
+    * data-parallel workers, that any node can recompute INDEPENDENTLY
+    * (resume from step k without replaying the stream; rerun
+    * bit-identically for debugging). rand() cannot give any of that —
+    * the draw is md5(doc_id : epoch), the engine-portable seeded hash
+    * pipeline_stratified_sample established.
+    *
+    * Shard = first md5 byte mod shards (hex-digit arithmetic both
+    * engines share); within-shard order = ROW_NUMBER over the draw.
+    * The per-(epoch, shard) window is the point, not a compromise: a
+    * GLOBAL order would serialize the corpus through one reducer,
+    * while each shard's window is exactly its worker's sample order —
+    * the parallel grain of the consumer. */
+  def pipelineEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val epochs = (0 until epochCount).map { e =>
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":epoch$e")))
+          .as("draw"))
+    }.reduce(_.union(_))
+    val hx = "0123456789abcdef"
+    val shard =
+      ((instr(lit(hx), substring(col("draw"), 1, 1)) - 1) * 16 +
+        (instr(lit(hx), substring(col("draw"), 2, 1)) - 1)) % epochShards
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("draw"), col("doc_id"))
+    epochs.withColumn("shard", shard.cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "shard", "pos", "doc_id")
+  }
+
+  val pipelineEpochShuffleSql: String = {
+    val legs = (0 until epochCount).map { e =>
+      s"""SELECT $e AS epoch, doc_id,
+         |  md5(CAST(doc_id AS VARCHAR) || ':epoch$e') AS draw
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH draws AS (
+       |$legs),
+       |sharded AS (
+       |  SELECT epoch, doc_id, draw,
+       |    CAST(((strpos('0123456789abcdef', substr(draw, 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(draw, 2, 1)) - 1))
+       |      % $epochShards AS INTEGER) AS shard
+       |  FROM draws)
+       |SELECT epoch, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+       |    ORDER BY draw, doc_id) AS INTEGER) AS pos,
+       |  doc_id
+       |FROM sharded""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_shuffle" -> (pipelineEpochShuffle _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
     "pipeline_split_safe" -> (pipelineSplitSafe _),
@@ -280,6 +344,7 @@ object CorpusPipeline {
     "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
     "pipeline_split_safe" -> pipelineSplitSafeSql,

@@ -86,6 +86,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // dataset_card: Expand + two-round grouping-sets agg (exact
     // median forces sort-based agg legs) + ordered output
     "pipeline_dataset_card" -> 3,
+    // epoch_shuffle: ONE (epoch, shard)-grain window exchange carries
+    // both epochs' per-worker orders
+    "pipeline_epoch_shuffle" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
