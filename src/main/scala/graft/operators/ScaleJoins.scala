@@ -296,7 +296,61 @@ object ScaleJoins {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The registered MV definition — revenue per order-year, the
+    * signature dashboard aggregate. Built fresh by both the MV writer
+    * and the query so the catalog's canonical-plan matching is
+    * exercised for real (nothing is shared but the code). */
+  private[graft] def mvDefinition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+
+  /** One-time MV build per corpus fingerprint (the published-layout
+    * contract Bucketing and z-order follow) + catalog registration.
+    * Registration comes AFTER the write so the build job itself can
+    * never be rewritten into reading the not-yet-existing MV, and
+    * re-registration is skipped when analysis already rewrites the
+    * definition (same-session repeat). */
+  private[graft] def ensureMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders"))
+    val path = s"/tmp/graft_mv_orders_year_$tag.parquet"
+    if (!new java.io.File(path).exists)
+      mvDefinition(s, dir).write.mode("overwrite").parquet(path)
+    val defPlan = mvDefinition(s, dir).queryExecution.analyzed
+    defPlan match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        graft.plans.MvCatalog.register(a, path)
+      case _ => () // already rewritten -> already registered
+    }
+    path
+  }
+
+  /** Transparent materialized-view rewrite (plans/MvRewrite.scala):
+    * the query constructs the signature aggregate EXACTLY as any
+    * dashboard would, and the injected analyzer rule answers it from
+    * the pre-built summary — the executed plan scans k rows instead
+    * of the fact table, with zero shuffles (spec asserts both, plus
+    * a near-miss control that must NOT rewrite). The oracle runs the
+    * raw SQL over orders: the rewrite must be invisible in the
+    * answer. */
+  def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    ensureMv(s, dir)
+    mvDefinition(s, dir)
+      .select(col("yr"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        col("n_orders"))
+  }
+
+  val qMvRewriteSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_rewrite" -> (qMvRewrite _),
     "q_skew_join" -> (qSkewJoin _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -304,6 +358,7 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_rewrite" -> qMvRewriteSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,

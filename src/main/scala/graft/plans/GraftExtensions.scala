@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AsOfPick].getName, "graft_asof_pick"),
       (children: Seq[Expression]) => AsOfPick(children(0), children(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPostHocResolutionRule(MvRewrite(_))
   }
 }

@@ -142,6 +142,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_latest_per_key" -> 2, "q_histogram" -> 2,
     "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
     "q_partition_prune" -> 2, "q_zorder_prune" -> 2,
+    // mv_rewrite: the rewritten plan is a k-row MV scan + projection —
+    // ZERO exchanges is the feature
+    "q_mv_rewrite" -> 0,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     // interval_merge: ONE user-grain shuffle carries both window
     // passes and the aggregate (HashPartitioning(user_id) clusters

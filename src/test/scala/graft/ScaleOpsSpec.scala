@@ -381,4 +381,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(meanBestCos(refined) > meanBestCos(seeds),
       "Lloyd iterations should tighten cluster cohesion")
   }
+
+  test("q_mv_rewrite answers from the MV; near-misses run untouched") {
+    import graft.operators.ScaleJoins
+    val df = ScaleJoins.qMvRewrite(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_year"),
+      "the signature aggregate must be answered from the MV scan")
+    assert(!plan.contains("orders.parquet"),
+      "the fact table must not be scanned after the rewrite")
+    // zero exchanges: the whole point is k-row read instead of scan+shuffle
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange")))
+    // a filter ABOVE the aggregate still matches the inner aggregate
+    // and rewrites — correct MV semantics (parents stack on the scan)
+    val above = ScaleJoins.mvDefinition(spark, sf)
+      .filter(col("yr").isNotNull).queryExecution.executedPlan.toString
+    assert(above.contains("graft_mv_orders_year"))
+    // the rewrite is invisible in the answer: ground truth computed
+    // with a filter BELOW the aggregate — a genuinely different
+    // definition that must NOT match the catalog key
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    val truthPlan = truth.queryExecution.executedPlan.toString
+    assert(!truthPlan.contains("graft_mv_orders_year"),
+      "a near-miss shape must NOT rewrite")
+    assert(truthPlan.contains("orders"),
+      "the near-miss must scan the fact table")
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = truth.collect().map(r =>
+      (r.getInt(0), r.getAs[java.math.BigDecimal](1).doubleValue, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want, "rewritten and raw answers must be identical")
+    // freshly-constructed identical queries keep matching (catalog
+    // keys canonicalized plans, not object identity)
+    val again = ScaleJoins.qMvRewrite(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(again.contains("graft_mv_orders_year"))
+  }
 }
