@@ -1408,7 +1408,49 @@ object Relational {
       |  ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Six-hour OHLC bars per event type — the time-series summary
+    * finance and metrics pipelines run continuously (candlesticks,
+    * SLO rollups): per bar, the opening value, high, low, closing
+    * value and volume. Float-safe BY CONSTRUCTION: open/high/low/
+    * close are SELECTIONS of existing doubles (min_by/max_by/min/
+    * max), never arithmetic, so there is nothing to round — the only
+    * computed column is the exact integer bar id.
+    *
+    * Determinism: open/close pick by a zero-padded (epoch, event_id)
+    * string key, so timestamp ties cannot make the pick
+    * engine-dependent (a bare min_by(ts) tie is unspecified in BOTH
+    * engines). One agg-grain shuffle with map-side combine — state
+    * per bar is five scalars, q1_agg's scale shape. */
+  def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("bar_id", expr("unix_micros(ts) div 21600000000"))
+      .withColumn("pick_key",
+        expr("concat(lpad(cast(unix_micros(ts) as string), 20, '0'), " +
+          "lpad(cast(event_id as string), 12, '0'))"))
+    ev.groupBy(col("event_type"), col("bar_id"))
+      .agg(
+        min_by(col("value"), col("pick_key")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("pick_key")).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bar_id")
+  }
+
+  val qOhlcBarsSql: String =
+    """SELECT event_type,
+      |  epoch_us(ts) // 21600000000 AS bar_id,
+      |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_bars" -> (qOhlcBars _),
     "q_group_concat" -> (qGroupConcat _),
     "q_window_dist_funcs" -> (qWindowDistFuncs _),
     "q_gap_fill" -> (qGapFill _),
@@ -1453,6 +1495,7 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc_bars" -> qOhlcBarsSql,
     "q_group_concat" -> qGroupConcatSql,
     "q_window_dist_funcs" -> qWindowDistFuncsSql,
     "q_gap_fill" -> qGapFillSql,

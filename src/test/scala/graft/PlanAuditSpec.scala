@@ -165,6 +165,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // count) + ordered output; dist_funcs: one customer-grain window
     // shuffle carries all three functions + ordered output
     "q_group_concat" -> 3, "q_window_dist_funcs" -> 2,
+    // ohlc: one bar-grain agg shuffle (five-scalar state) + ordered
+    // output
+    "q_ohlc_bars" -> 2,
     // knn_join: bucket-grain shuffle of both self-join sides + the
     // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
     // shape, never all-pairs

@@ -352,4 +352,28 @@ class RelationalSpec extends AnyFunSuite {
       assert(row._5 == second)
     }
   }
+
+  test("q_ohlc_bars picks deterministic open/close and bounds them") {
+    import graft.operators.Relational
+    val rows = Relational.qOhlcBars(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        "open/close must lie inside [low, high]")
+    }
+    // driver replay of one bar: first/last by (ts, event_id)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sample = rows.maxBy(_.getLong(6))
+    val (et, bar) = (sample.getString(0), sample.getLong(1))
+    val mine = ev.filter(e => e._1 == et && e._2 / 21600000000L == bar)
+      .sortBy(e => (e._2, e._3))
+    assert(mine.length == sample.getLong(6))
+    assert(sample.getDouble(2) == mine.head._4, "open = first by (ts, id)")
+    assert(sample.getDouble(5) == mine.last._4, "close = last by (ts, id)")
+  }
 }
