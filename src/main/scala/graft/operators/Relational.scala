@@ -1449,7 +1449,56 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Batch funnel: view → click → purchase per user, each step's
+    * timestamp the FIRST occurrence STRICTLY AFTER the previous step
+    * (the product-analytics sequencing rule stream_funnel_timeout
+    * enforces live; this is its offline twin over the full history).
+    * Times as exact epoch micros; non-converting users carry NULLs.
+    *
+    * Scale shape: three filtered scans reduce to user-grain minima
+    * (map-side combine), then user-keyed joins of THIN frames — the
+    * corpus never joins itself; every step's frame is O(users). The
+    * strictly-after condition rides the join filter, so a step-2
+    * event before step 1 can never count. */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    def firstOf(t: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .groupBy("user_id").agg(min(col("us")).as(s"${t}_us"))
+    val s1 = firstOf("view")
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("us") > col("click_us"))
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .orderBy("user_id")
+  }
+
+  val qFunnelStepsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS view_us FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, MIN(us) AS click_us
+      |       FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |       WHERE event_type = 'click' AND us > s1.view_us
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, MIN(us) AS purchase_us
+      |       FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      |       WHERE event_type = 'purchase' AND us > s2.click_us
+      |       GROUP BY ev.user_id)
+      |SELECT s1.user_id, s1.view_us, s2.click_us, s3.purchase_us
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_steps" -> (qFunnelSteps _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_group_concat" -> (qGroupConcat _),
     "q_window_dist_funcs" -> (qWindowDistFuncs _),
@@ -1495,6 +1544,7 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_steps" -> qFunnelStepsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,
     "q_group_concat" -> qGroupConcatSql,
     "q_window_dist_funcs" -> qWindowDistFuncsSql,

@@ -168,6 +168,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ohlc: one bar-grain agg shuffle (five-scalar state) + ordered
     // output
     "q_ohlc_bars" -> 2,
+    // funnel: three filtered scans reduce to user-grain minima, then
+    // user-keyed joins of thin frames + ordered output
+    "q_funnel_steps" -> 8,
     // knn_join: bucket-grain shuffle of both self-join sides + the
     // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
     // shape, never all-pairs

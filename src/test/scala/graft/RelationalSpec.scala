@@ -376,4 +376,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(sample.getDouble(2) == mine.head._4, "open = first by (ts, id)")
     assert(sample.getDouble(5) == mine.last._4, "close = last by (ts, id)")
   }
+
+  test("q_funnel_steps enforces strict ordering and matches a replay") {
+    import graft.operators.Relational
+    val rows = Relational.qFunnelSteps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      if (!r.isNullAt(2)) assert(r.getLong(2) > v)
+      if (!r.isNullAt(3)) { assert(!r.isNullAt(2)); assert(r.getLong(3) > r.getLong(2)) }
+    }
+    // full driver replay of the three-step walk
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.flatMap { case (u, es) =>
+      val v = es.filter(_._2 == "view").map(_._3).minOption
+      v.map { vu =>
+        val c = es.filter(e => e._2 == "click" && e._3 > vu).map(_._3).minOption
+        val p = c.flatMap(cu =>
+          es.filter(e => e._2 == "purchase" && e._3 > cu).map(_._3).minOption)
+        (u, vu, c, p)
+      }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == want)
+    // the funnel is exercised end to end: full conversions exist
+    assert(got.exists(_._4.isDefined))
+  }
 }
