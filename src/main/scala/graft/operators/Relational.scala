@@ -1497,7 +1497,73 @@ object Relational {
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Exact proportional money allocation (the penny problem): spread
+    * each order's total across its line items proportionally to
+    * quantity so the parts sum EXACTLY to the whole — naive
+    * round(share·total) drifts by ±cents per order and books don't
+    * balance. Largest-remainder method in pure integer cents:
+    * base = (total_cents · qty) div qty_sum, then the leftover cents
+    * go one each to the largest remainders (ties → lowest line
+    * number). The reference's value-conversion layer rounds per cell
+    * (dumperAuxFuncs.py) and would hit exactly this drift on any
+    * derived allocation.
+    *
+    * Scale shape: ONE order-grain shuffle carries the qty-sum window,
+    * the base-sum window, and the remainder rank (all share the
+    * partition key), plus the keyed orders join — no global
+    * operation anywhere; integer arithmetic end to end. */
+  def qPennyAllocation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    val rankW = w.orderBy(col("rem").desc, col("l_linenumber"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("total_cents"))
+    li.join(ord, "l_orderkey")
+      .withColumn("qty_sum", sum(col("qty")).over(w))
+      .withColumn("base", expr("(total_cents * qty) div qty_sum"))
+      .withColumn("rem", expr("(total_cents * qty) % qty_sum"))
+      .withColumn("leftover", col("total_cents") - sum(col("base")).over(w))
+      .withColumn("rnk", row_number().over(rankW))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("base") + when(col("rnk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qPennyAllocationSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT li.*, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT) AS total_cents
+      |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+      |x AS (
+      |  SELECT *, CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |    AS qty_sum
+      |  FROM j),
+      |y AS (
+      |  SELECT *, (total_cents * qty) // qty_sum AS base,
+      |    (total_cents * qty) % qty_sum AS rem
+      |  FROM x),
+      |z AS (
+      |  SELECT *,
+      |    total_cents - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
+      |      AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS rnk
+      |  FROM y)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_cents
+      |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_penny_allocation" -> (qPennyAllocation _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_group_concat" -> (qGroupConcat _),
@@ -1544,6 +1610,7 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_penny_allocation" -> qPennyAllocationSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,
     "q_group_concat" -> qGroupConcatSql,

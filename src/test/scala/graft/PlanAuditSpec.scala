@@ -171,6 +171,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // funnel: three filtered scans reduce to user-grain minima, then
     // user-keyed joins of thin frames + ordered output
     "q_funnel_steps" -> 8,
+    // penny: the keyed orders join + ONE order-grain shuffle shared by
+    // both windows and the rank + ordered output
+    "q_penny_allocation" -> 4,
     // knn_join: bucket-grain shuffle of both self-join sides + the
     // TopKPerKey candidate shuffle + ordered output — the Σ bucket²
     // shape, never all-pairs

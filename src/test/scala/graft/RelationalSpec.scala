@@ -407,4 +407,32 @@ class RelationalSpec extends AnyFunSuite {
     // the funnel is exercised end to end: full conversions exist
     assert(got.exists(_._4.isDefined))
   }
+
+  test("q_penny_allocation parts sum exactly to each order total") {
+    import graft.operators.Relational
+    val rows = Relational.qPennyAllocation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val totals = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+          .as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perOrder = rows.groupBy(_._1)
+    perOrder.foreach { case (ok, allocs) =>
+      assert(allocs.map(_._3).sum == totals(ok),
+        s"order $ok allocations must sum exactly to its total")
+    }
+    // the correction is real: naive truncation alone would NOT sum up
+    // for at least one order (leftover cents exist somewhere)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val drifts = li.groupBy(_._1).count { case (ok, items) =>
+      val qsum = items.map(_._2).sum
+      val bases = items.map(i => totals(ok) * i._2 / qsum)
+      bases.sum != totals(ok)
+    }
+    assert(drifts > 0, "fixture must exercise the remainder correction")
+  }
 }
