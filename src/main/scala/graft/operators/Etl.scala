@@ -1468,7 +1468,68 @@ object Etl {
        |    AS inferred_fk""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** Bucket width for the sequence-gap audit: keys partition into
+    * id-range buckets so the lag window runs bucket-local. */
+  private val gapBucket = 1000L
+
+  /** Sequence-gap audit — the third migration-verification probe
+    * beside etl_table_checksum (content) and etl_fk_inference
+    * (relationships): find every hole in a surrogate-key sequence
+    * (gap_start, gap_end, missing count), the direct "which rows did
+    * the transfer lose" answer when keys are AUTO_INCREMENT (the
+    * reference's sequences — PsqlParser.py's setval handling — go
+    * wrong exactly when holes exist unnoticed). Customer keys modulo
+    * a prime create deterministic fixture holes.
+    *
+    * Scale shape: a GLOBAL lag window would funnel the table through
+    * ONE reducer, so the scan is bucket-decomposed instead: keys
+    * partition into id-range buckets (within-bucket gaps via a
+    * bucket-local lag window — parallelism = buckets), and the
+    * cross-bucket boundaries reduce to a per-bucket (min, max) frame
+    * — O(buckets) thin rows whose own lag window is model-sized at
+    * any data size. Missing WHOLE buckets fall out of the boundary
+    * pass automatically (the gap between consecutive PRESENT
+    * buckets' max/min spans them). Output is O(gaps), not O(rows). */
+  def etlIdGaps(s: SparkSession, dir: String): DataFrame =
+    gapsOf(Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("k")))
+
+  /** The bucket-decomposed gap scan over any single-column key frame
+    * (column `k`) — separated so specs can drive it with planted
+    * boundary-spanning holes the fixture's prime-modulus holes never
+    * produce. */
+  private[graft] def gapsOf(ks: DataFrame): DataFrame = {
+    val keys = ks.select(col("k"), expr(s"k div $gapBucket").as("b"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("k"))
+    val within = keys
+      .withColumn("prev", lag(col("k"), 1).over(inBucket))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+    val bounds = keys.groupBy(col("b"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    // the bounds frame is O(buckets): its global window is model-sized
+    val boundary = bounds
+      .withColumn("prev", lag(col("hi"), 1).over(Window.orderBy(col("b"))))
+      .filter(col("prev").isNotNull && col("lo") - col("prev") > 1)
+      .select(col("prev"), col("lo").as("k"))
+    within.select(col("prev"), col("k"))
+      .union(boundary)
+      .select((col("prev") + 1).as("gap_start"),
+        (col("k") - 1).as("gap_end"),
+        (col("k") - col("prev") - 1).as("n_missing"))
+  }
+
+  val etlIdGapsSql: String =
+    """WITH s AS (
+      |  SELECT c_custkey AS k,
+      |    LAG(c_custkey) OVER (ORDER BY c_custkey) AS prev
+      |  FROM customer WHERE c_custkey % 97 <> 0)
+      |SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+      |  k - prev - 1 AS n_missing
+      |FROM s WHERE prev IS NOT NULL AND k - prev > 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_id_gaps" -> (etlIdGaps _),
     "etl_fk_inference" -> (etlFkInference _),
     "etl_table_checksum" -> (etlTableChecksum _),
     "etl_anonymize" -> (etlAnonymize _),
@@ -1503,6 +1564,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_id_gaps" -> etlIdGapsSql,
     "etl_fk_inference" -> etlFkInferenceSql,
     "etl_table_checksum" -> etlTableChecksumSql,
     "etl_anonymize" -> etlAnonymizeSql,

@@ -692,4 +692,25 @@ class EtlSpec extends AnyFunSuite {
     assert(!decoy._3 && decoy._2 > 0,
       "the order-key decoy must be rejected with real orphans")
   }
+
+  test("etl_id_gaps finds every hole, including bucket-spanning ones") {
+    import graft.operators.Etl
+    // fixture path: replay driver-side against a sorted walk
+    val got = Etl.etlIdGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val keys = Tables.load(spark, sf, "customer").collect()
+      .map(_.getLong(0)).filter(_ % 97 != 0).sorted
+    val want = keys.zip(keys.tail).filter(p => p._2 - p._1 > 1)
+      .map(p => (p._1 + 1, p._2 - 1, p._2 - p._1 - 1))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // planted boundary case: a hole SPANNING bucket edges (the branch
+    // the prime-modulus fixture holes never reach) plus whole missing
+    // buckets inside it
+    import spark.implicits._
+    val planted = (Seq(1L, 2L, 999L) ++ Seq(3501L, 3502L, 7000L)).toDF("k")
+    val g2 = Etl.gapsOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(g2.toSeq == Seq((3L, 998L, 996L), (1000L, 3500L, 2501L),
+      (3503L, 6999L, 3497L)))
+  }
 }

@@ -211,6 +211,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // anti-join + two 1-row agg merges) — all key-grain frames; the
     // child side collapses to DISTINCT before any join
     "etl_fk_inference" -> 20,
+    // id_gaps: bucket-local lag window + the O(buckets) bounds agg
+    // and its model-sized single-partition window + union
+    "etl_id_gaps" -> 4,
     // ngram_lm: bigrams cut scan-side; frequency agg + lookup join +
     // per-doc agg, all on keys with map-side combine
     "text_ngram_lm" -> 4,
