@@ -79,9 +79,61 @@ object AnalyticsOps {
        |  CAST(SUM(n) AS BIGINT) AS n_events
        |FROM mrg GROUP BY 1, 2""".stripMargin
 
+  /** Conversion episode: a view, any run of clicks, then a purchase —
+    * matched non-overlapping left-to-right (identical find semantics
+    * in java.util.regex and RE2, so the count is engine-portable). */
+  private[graft] val convPattern = "vc*p"
+
+  /** Sequential pattern matching over per-user event paths — the
+    * batch form of CEP (Flink's MATCH_RECOGNIZE / pattern API), which
+    * Spark has no operator for: how many times did each user run the
+    * view→clicks→purchase episode, and how many purchases followed a
+    * view directly? The per-user event sequence collapses to a
+    * character path (one initial per event type — the fixture's five
+    * types have distinct initials) ordered by (ts, event_id), and
+    * episodes become regex matches over the path — the classic
+    * strings-as-sequences encoding that turns any regular-language
+    * episode query into one aggregate plus one codegen'd regexp.
+    *
+    * Scale shape: ONE user-grain shuffle; collect_list partials
+    * combine map-side, and per-user state is that user's event count
+    * — the same bounded-key-state contract every CEP engine imposes
+    * (production refinement: window the path by time to cap state for
+    * immortal keys). The regex runs over O(users) strings, not the
+    * event table. */
+  def qEventPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+    ev.groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        expr("array_join(transform(es, x -> x.c), '')").as("path"))
+      .select(col("user_id"),
+        length(col("path")).cast(LongType).as("n_events"),
+        expr(s"cast(regexp_count(path, '$convPattern') as bigint)")
+          .as("n_conversions"),
+        expr("cast(regexp_count(path, 'vp') as bigint)").as("n_direct"))
+  }
+
+  val qEventPatternSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+       |      AS path
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id, CAST(length(path) AS BIGINT) AS n_events,
+       |  CAST(len(regexp_extract_all(path, '$convPattern')) AS BIGINT)
+       |    AS n_conversions,
+       |  CAST(len(regexp_extract_all(path, 'vp')) AS BIGINT) AS n_direct
+       |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bitmap_distinct" -> (qBitmapDistinct _))
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_event_pattern" -> (qEventPattern _))
 
   val oracles: Map[String, String] = Map(
-    "q_bitmap_distinct" -> qBitmapDistinctSql)
+    "q_bitmap_distinct" -> qBitmapDistinctSql,
+    "q_event_pattern" -> qEventPatternSql)
 }

@@ -50,4 +50,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(merged == whole,
       "bit_or of segment partials must reproduce the whole-table count")
   }
+
+  test("q_event_pattern counts match a driver-side regex replay") {
+    val got = AnalyticsOps.qEventPattern(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    // at least one user must actually convert, or the fixture isn't
+    // exercising the pattern
+    assert(got.values.exists(_._2 > 0), "no user matched the episode")
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+    raw.foreach { case (uid, rows) =>
+      val path = rows.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(_.getString(3)).mkString
+      val conv = AnalyticsOps.convPattern.r.findAllIn(path).size.toLong
+      val direct = "vp".r.findAllIn(path).size.toLong
+      assert(got(uid) == ((path.length.toLong, conv, direct)),
+        s"user $uid: got ${got(uid)}, replay (${path.length}, $conv, $direct)")
+    }
+  }
 }

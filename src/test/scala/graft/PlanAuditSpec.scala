@@ -105,6 +105,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // partials → day-bucket merge → day popcount); each level is
     // map-side combined and carries bitmap words, never raw rows
     "q_bitmap_distinct" -> 3,
+    // event_pattern: the single user-grain collect_list agg (map-side
+    // combined); the regex runs over the O(users) path frame in place
+    "q_event_pattern" -> 1,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
