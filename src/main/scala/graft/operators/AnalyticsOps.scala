@@ -129,11 +129,65 @@ object AnalyticsOps {
        |  CAST(len(regexp_extract_all(path, 'vp')) AS BIGINT) AS n_direct
        |FROM p""".stripMargin
 
+  /** Size-range bucket width for the skyline scan (TPC-H part sizes
+    * span 1..50 → a handful of buckets at fixture scale; at corpus
+    * scale width tracks the dimension's range / desired parallelism). */
+  private val skyBucket = 10
+
+  /** 2-D skyline (Pareto frontier) of parts: minimize p_size,
+    * maximize p_retailprice — "no other part is at least as small AND
+    * at least as expensive, strictly better in one". The selection
+    * shape behind best-tradeoff queries (cost/latency, quality/size)
+    * that plain ORDER BY cannot express.
+    *
+    * The naive formulation is an O(n²) dominance self-join; the sorted
+    * formulation needs a GLOBAL running max over the size order — one
+    * reducer for the whole table. This scan bucket-decomposes it the
+    * way etl_id_gaps decomposes its sequence scan: size-range buckets
+    * run the strictly-smaller-size running max bucket-locally
+    * (parallelism = buckets), cross-bucket state reduces to ONE max
+    * per bucket whose prefix-max frame is O(buckets) — model-sized at
+    * any data size — and a per-size partition handles equal-size
+    * domination. Dominance tests compare raw stored doubles
+    * (selections, never arithmetic), so the frontier is hash-exact. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .withColumn("b", expr(s"p_size div $skyBucket"))
+    val bounds = p.groupBy("b").agg(max(col("p_retailprice")).as("bmax"))
+    // the bounds frame is O(buckets): its global window is model-sized
+    val prefix = bounds.withColumn("prev_max",
+      max(col("bmax")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val local = Window.partitionBy(col("b")).orderBy(col("p_size"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val perSize = Window.partitionBy(col("p_size"))
+    p.join(broadcast(prefix.select(col("b"), col("prev_max"))), Seq("b"))
+      .withColumn("m1", greatest(
+        coalesce(max(col("p_retailprice")).over(local),
+          lit(Double.NegativeInfinity)),
+        coalesce(col("prev_max"), lit(Double.NegativeInfinity))))
+      .withColumn("m2", max(col("p_retailprice")).over(perSize))
+      .filter(col("m1") < col("p_retailprice") &&
+        !(col("m2") > col("p_retailprice")))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
+  val qSkylineSql: String =
+    """SELECT a.p_partkey, a.p_size, a.p_retailprice FROM part a
+      |WHERE NOT EXISTS (SELECT 1 FROM part b
+      |  WHERE b.p_size <= a.p_size
+      |    AND b.p_retailprice >= a.p_retailprice
+      |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_distinct" -> (qBitmapDistinct _),
-    "q_event_pattern" -> (qEventPattern _))
+    "q_event_pattern" -> (qEventPattern _),
+    "q_skyline" -> (qSkyline _))
 
   val oracles: Map[String, String] = Map(
     "q_bitmap_distinct" -> qBitmapDistinctSql,
-    "q_event_pattern" -> qEventPatternSql)
+    "q_event_pattern" -> qEventPatternSql,
+    "q_skyline" -> qSkylineSql)
 }

@@ -73,4 +73,25 @@ class AnalyticsSpec extends AnyFunSuite {
         s"user $uid: got ${got(uid)}, replay (${path.length}, $conv, $direct)")
     }
   }
+
+  test("q_skyline equals the brute-force dominance replay") {
+    val got = AnalyticsOps.qSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val all = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def dominated(x: (Long, Int, Double)) = all.exists(y =>
+      y._2 <= x._2 && y._3 >= x._3 && (y._2 < x._2 || y._3 > x._3))
+    val expected = all.filterNot(dominated).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the frontier must be strictly increasing in price as size grows
+    val bySize = got.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Seq(a, b) if a._2 < b._2 =>
+        assert(a._3 < b._3, s"frontier not strictly improving: $a vs $b")
+      case _ => ()
+    }
+  }
 }

@@ -108,6 +108,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // event_pattern: the single user-grain collect_list agg (map-side
     // combined); the regex runs over the O(users) path frame in place
     "q_event_pattern" -> 1,
+    // skyline: bucket agg (2: partial+final on the O(buckets) frame)
+    // + its model-sized prefix window exchange + the bucket-local and
+    // per-size window passes over the table; the prefix frame itself
+    // joins back by broadcast
+    "q_skyline" -> 6,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
