@@ -335,7 +335,52 @@ object CorpusPipeline {
        |FROM sharded""".stripMargin
   }
 
+  /** Weighted sample size (big enough that heavy docs' dominance is
+    * visible, small enough that the fixture has real competition). */
+  val weightedK = 100
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): draw [[weightedK]] documents with
+    * probability proportional to length — the mixture-sampling step
+    * that upweights long documents (or any importance weight) when
+    * assembling a training slice. Each doc gets key = ln(u)/w for a
+    * pseudo-random u ∈ (0,1]; the top-k keys ARE the weighted draw
+    * (Efraimidis & Spirakis 2006). u comes from a Knuth
+    * multiplicative hash of doc_id — a pure function of the corpus,
+    * so reruns, retries, and the oracle all see the same sample (the
+    * same no-RNG-state discipline as pipeline_stratified_sample,
+    * extended to weighted draws).
+    *
+    * Scale shape: the key is a codegen'd projection; top-k lowers to
+    * TakeOrdered (per-partition bounded heap → one merge of
+    * k·partitions rows) — no global sort, no window over the corpus.
+    * The float key never reaches the output (ranks and ids only), so
+    * last-ulp ln() differences across engines cannot touch the hash. */
+  def pipelineWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr("ln(((doc_id * 2654435761 + 12345) % 4294967296 + 1)" +
+          " / 4294967297.0) / cast(n_chars as double)").as("k"))
+    keyed.orderBy(col("k").desc, col("doc_id")).limit(weightedK)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k").desc, col("doc_id"))).as("sample_rank"),
+        col("doc_id"), col("n_chars"))
+  }
+
+  val pipelineWeightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    ln(((doc_id * 2654435761 + 12345) % 4294967296 + 1)
+       |       / 4294967297.0) / CAST(n_chars AS DOUBLE) AS k
+       |  FROM documents)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INT)
+       |    AS sample_rank,
+       |  doc_id, n_chars
+       |FROM d ORDER BY k DESC, doc_id LIMIT $weightedK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_weighted_sample" -> (pipelineWeightedSample _),
     "pipeline_epoch_shuffle" -> (pipelineEpochShuffle _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
@@ -344,6 +389,7 @@ object CorpusPipeline {
     "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,

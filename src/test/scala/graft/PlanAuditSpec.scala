@@ -89,6 +89,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // epoch_shuffle: ONE (epoch, shard)-grain window exchange carries
     // both epochs' per-worker orders
     "pipeline_epoch_shuffle" -> 1,
+    // weighted_sample: TakeOrdered's single merge exchange + the
+    // rank window over the k-row result — no corpus-wide sort
+    "pipeline_weighted_sample" -> 2,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

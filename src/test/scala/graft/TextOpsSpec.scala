@@ -377,4 +377,34 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(rows.toSet == again.toSet)
   }
+
+  test("pipeline_weighted_sample equals the driver-side A-ES replay") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelineWeightedSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == CorpusPipeline.weightedK ||
+      got.length == Tables.load(spark, sf, "documents").count().toInt)
+    // ranks are dense 1..k
+    assert(got.map(_._1).sorted.toSeq == (1 to got.length))
+    // exact replay: same key formula with Math.log driver-side
+    val replay = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val u = ((id * 2654435761L + 12345L) % 4294967296L + 1).toDouble /
+          4294967297.0
+        (math.log(u) / w.toDouble, id, w)
+      }
+      .sortBy(t => (-t._1, t._2)).take(CorpusPipeline.weightedK)
+      .zipWithIndex.map { case ((_, id, w), i) => (i + 1, id, w) }
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == replay,
+      "weighted draw must equal the exact driver-side replay, rank for rank")
+    // the draw is genuinely weighted: sampled docs skew long
+    val meanAll = Tables.load(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val meanSample = got.map(_._3).sum.toDouble / got.length
+    assert(meanSample > meanAll,
+      s"length-weighted sample should skew long: $meanSample <= $meanAll")
+  }
 }
