@@ -181,13 +181,93 @@ object AnalyticsOps {
       |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
       |""".stripMargin
 
+  /** Scanline bucket width: one day of microseconds. Buckets multiply
+    * with the corpus's time span, so scanline parallelism grows with
+    * the data instead of being pinned to one reducer. */
+  private val scanBucketUs = 86400L * 1000000L
+
+  /** Interval duration for the concurrency scan: minutes derived from
+    * event_id, so the oracle rebuilds identical intervals (the same
+    * derivation discipline as q_interval_merge's fixture intervals). */
+  private val concDurExpr = "(event_id % 7 + 1) * 60000000"
+
+  /** Peak concurrency per event type — "how many sessions / GPUs /
+    * connections were in flight at the worst moment, and when was it
+    * first reached": each event occupies a half-open interval
+    * [ts, ts + minutes(event_id)); the answer is the max of the
+    * +1/−1 scanline's running sum. q_interval_merge unions intervals;
+    * this key counts their OVERLAP DEPTH — the occupancy question
+    * union-merging destroys.
+    *
+    * Scale shape: a global time-ordered running sum is one reducer,
+    * so the scanline bucket-decomposes (the etl_id_gaps pattern on the
+    * TIME axis): day buckets run local cumsums (parallelism = types ×
+    * days, growing with the corpus), per-bucket delta sums reduce to
+    * an O(types × days) frame whose prefix-sum window is model-sized,
+    * and offsets broadcast back. Half-open semantics ride the sort
+    * key (at equal t, −1 sorts before +1, so an interval ending as
+    * another starts never double-counts); equal-(t,d) permutations
+    * leave the prefix-value SET unchanged, so peak and its first time
+    * are deterministic. Exact integer microseconds end to end. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t0"),
+        col("event_id"))
+    val pts = ev.select(col("event_type"), col("t0").as("t"),
+        lit(1L).as("d"))
+      .union(ev.select(col("event_type"),
+        (col("t0") + expr(concDurExpr)).as("t"), lit(-1L).as("d")))
+      .withColumn("b", expr(s"t div $scanBucketUs"))
+    val local = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = pts.withColumn("lc", sum(col("d")).over(local))
+    // bucket totals are the LAST local cumsum of each bucket, read off
+    // the window result with max_by — the aggregate reuses the window's
+    // (type, bucket) partitioning, so it adds no exchange; the O(types
+    // × days) totals frame's prefix window is model-sized at any size
+    val off = withLocal.groupBy(col("event_type"), col("b"))
+      .agg(max_by(col("lc"), struct(col("t"), col("d"))).as("bs"))
+      .withColumn("off", coalesce(
+        sum(col("bs")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("b"), col("off"))
+    // peak + first attainment in ONE aggregate: max(struct(cum, -t))
+    // picks the max cum, then the min t among its ties
+    withLocal.join(broadcast(off), Seq("event_type", "b"))
+      .withColumn("cum", col("lc") + col("off"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("cum").as("c"), (-col("t")).as("nt"))).as("s"))
+      .select(col("event_type"), col("s.c").as("peak"),
+        (-col("s.nt")).as("peak_at"))
+  }
+
+  val qConcurrencySql: String =
+    s"""WITH pts AS (
+       |  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+       |  UNION ALL
+       |  SELECT event_type, epoch_us(ts) + $concDurExpr, -1 FROM events),
+       |c AS (
+       |  SELECT event_type, t,
+       |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM pts),
+       |p AS (SELECT event_type, MAX(cum) AS peak FROM c GROUP BY 1)
+       |SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak,
+       |  MIN(c.t) AS peak_at
+       |FROM c JOIN p ON c.event_type = p.event_type AND c.cum = p.peak
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_event_pattern" -> (qEventPattern _),
-    "q_skyline" -> (qSkyline _))
+    "q_skyline" -> (qSkyline _),
+    "q_concurrency" -> (qConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
-    "q_skyline" -> qSkylineSql)
+    "q_skyline" -> qSkylineSql,
+    "q_concurrency" -> qConcurrencySql)
 }

@@ -94,4 +94,29 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("q_concurrency equals a driver-side global scanline replay") {
+    val got = AnalyticsOps.qConcurrency(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the fixture must actually span multiple scanline buckets, or
+    // the bucket decomposition isn't exercised
+    val days = ev.map(_._2 / (86400L * 1000000L)).distinct
+    assert(days.length > 1, "fixture spans a single scanline bucket")
+    val replay = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val pts = rows.flatMap { case (_, t, id) =>
+        Seq((t, 1L), (t + (id % 7 + 1) * 60000000L, -1L)) }
+        .sortBy(identity)
+      var cum = 0L; var peak = 0L; var peakAt = 0L
+      pts.foreach { case (t, d) =>
+        cum += d
+        if (cum > peak) { peak = cum; peakAt = t }
+      }
+      tpe -> ((peak, peakAt))
+    }
+    assert(got == replay, s"got $got, replay $replay")
+  }
 }

@@ -116,6 +116,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-size window passes over the table; the prefix frame itself
     // joins back by broadcast
     "q_skyline" -> 6,
+    // concurrency: scanline bucket window exchange (bucket totals
+    // reuse its partitioning — no agg exchange), the model-sized
+    // prefix window on the O(types×days) frame, and the single peak
+    // aggregate's partial+final pair; offsets join back by broadcast
+    "q_concurrency" -> 4,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
