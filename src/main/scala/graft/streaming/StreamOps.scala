@@ -879,7 +879,41 @@ object StreamOps {
     spark.createDataFrame(rows).toDF("item", "est_count")
   }
 
+  /** Streaming twin of q_bitmap_distinct: EXACT daily distinct users
+    * per event type, maintained incrementally. The streaming state is
+    * bitmap WORDS per (day-window, type, id-bucket) — bit_or is the
+    * classic mergeable streaming aggregate, so each micro-batch folds
+    * into O(groups × id-range/64) words of state, never O(events) —
+    * and the popcount rollup runs as a read-side view over the
+    * drained sink: exactly the split a production serving path makes
+    * (mergeable partials in the store, popcount at query time).
+    * Same 60-slot word layout as the batch key, so the same oracle
+    * covers both. */
+  def streamBitmapDistinct(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    val name = s"stream_bitmap_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        expr("user_id div 60").as("bucket"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 60 as int)))").as("bm"),
+        count(lit(1)).as("n"))
+    runAvailableNow(agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    collectAndDrop(spark, name,
+      spark.table(name)
+        .groupBy(col("event_type"), to_date(col("w.start")).as("day"))
+        .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("n_users"),
+          sum(col("n")).as("n_events"))
+        .orderBy("event_type", "day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bitmap_distinct" -> (streamBitmapDistinct _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_events" -> (streamEventsWindow _),
     "stream_user_state" -> (streamUserState _),
@@ -892,6 +926,8 @@ object StreamOps {
     "stream_cdc_apply" -> (streamCdcApply _))
 
   val oracles: Map[String, String] = Map(
+    // same word layout as the batch key -> same oracle covers both
+    "stream_bitmap_distinct" -> graft.operators.AnalyticsOps.qBitmapDistinctSql,
     "q_session_window" -> qSessionWindowSql,
     "stream_events" -> streamEventsSql,
     "stream_sessions" -> streamSessionsSql,

@@ -212,6 +212,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_cdc_apply" -> 0,
     // heavy_hitters: merged shard sketches return as a local relation
     "stream_heavy_hitters" -> 0,
+    // bitmap_distinct: popcount rollup over the drained word state
+    // returns as a local relation
+    "stream_bitmap_distinct" -> 0,
     // boilerplate's 11 is the dedup-family regime: the chunk frame is
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle

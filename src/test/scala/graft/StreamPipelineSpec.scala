@@ -12,6 +12,18 @@ import graft.streaming.StreamOps
 class StreamPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("stream_bitmap_distinct equals the batch bitmap key") {
+    val streamed = StreamOps.streamBitmapDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.AnalyticsOps.qBitmapDistinct(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "incrementally-maintained bitmap counts must equal the batch scan")
+  }
+
   test("stream_events equals its batch twin on the drained source") {
     val streamed = StreamOps.streamEventsWindow(spark, sf).collect()
     val batch = StreamOps.batchEventsWindow(spark, sf).collect()
