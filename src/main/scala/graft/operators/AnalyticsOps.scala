@@ -259,15 +259,78 @@ object AnalyticsOps {
        |FROM c JOIN p ON c.event_type = p.event_type AND c.cum = p.peak
        |GROUP BY 1, 2""".stripMargin
 
+  /** Coordinate space and join radius for the spatial join. The
+    * plane is [0, 1000)²; points derive from keys by multiplicative
+    * hashing (documented synthetic projection — the fixture has no
+    * native geography), and the radius doubles as the grid cell
+    * size, which is what makes the 3×3 neighborhood sufficient. */
+  private val geoSpace = 1000L
+  private val geoR = 50L
+
+  /** Spatial join via grid blocking: every (customer, supplier) pair
+    * within Chebyshev distance [[geoR]] on the synthetic plane — the
+    * 2-D version of q_fuzzy_join's candidate-blocking-then-verify
+    * shape (geofencing, store-coverage, pickup-matching queries).
+    * Points snap to r-sized grid cells; the index side keys by ITS
+    * cell only, the probe side explodes to its 3×3 cell neighborhood,
+    * and the exact distance filter verifies inside the cell-keyed
+    * join. Cell size = radius makes the neighborhood sufficient, and
+    * since the index point lives in exactly one cell, each matching
+    * pair surfaces exactly once — no post-join dedup.
+    *
+    * Scale shape: pair volume is Σ(cell density²), bounded by the
+    * grid resolution, never |A|·|B|; the cell join is pinned to
+    * shuffle (both sides are corpus-sized at production scale); the
+    * 9× probe replication is the textbook spatial-join cost knob
+    * (finer cells → more replicas, smaller cells — the r = cell
+    * choice keeps it constant). All-integer coordinates end to end. */
+  def qGeoJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("cid"),
+        expr(s"(c_custkey * 48271) % $geoSpace").as("cx"),
+        expr(s"(c_custkey * 69621) % $geoSpace").as("cy"))
+      .withColumn("gx", explode(expr(
+        s"sequence(cx div $geoR - 1, cx div $geoR + 1)")))
+      .withColumn("gy", explode(expr(
+        s"sequence(cy div $geoR - 1, cy div $geoR + 1)")))
+    val supp = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("sid"),
+        expr(s"(s_suppkey * 48271 + 7) % $geoSpace").as("sx"),
+        expr(s"(s_suppkey * 69621 + 13) % $geoSpace").as("sy"))
+      .withColumn("gx", expr(s"sx div $geoR"))
+      .withColumn("gy", expr(s"sy div $geoR"))
+    cust.join(supp.hint("shuffle_hash"), Seq("gx", "gy"))
+      .filter(abs(col("cx") - col("sx")) <= geoR &&
+        abs(col("cy") - col("sy")) <= geoR)
+      .select(col("cid"), col("sid"),
+        greatest(abs(col("cx") - col("sx")),
+          abs(col("cy") - col("sy"))).as("dist"))
+  }
+
+  val qGeoJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey AS cid, (c_custkey * 48271) % $geoSpace AS cx,
+       |    (c_custkey * 69621) % $geoSpace AS cy
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey AS sid, (s_suppkey * 48271 + 7) % $geoSpace AS sx,
+       |    (s_suppkey * 69621 + 13) % $geoSpace AS sy
+       |  FROM supplier)
+       |SELECT cid, sid, GREATEST(ABS(cx - sx), ABS(cy - sy)) AS dist
+       |FROM c, s
+       |WHERE ABS(cx - sx) <= $geoR AND ABS(cy - sy) <= $geoR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_event_pattern" -> (qEventPattern _),
     "q_skyline" -> (qSkyline _),
-    "q_concurrency" -> (qConcurrency _))
+    "q_concurrency" -> (qConcurrency _),
+    "q_geo_join" -> (qGeoJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,
-    "q_concurrency" -> qConcurrencySql)
+    "q_concurrency" -> qConcurrencySql,
+    "q_geo_join" -> qGeoJoinSql)
 }

@@ -119,4 +119,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got == replay, s"got $got, replay $replay")
   }
+
+  test("q_geo_join equals brute force, once per pair, across cell borders") {
+    val got = AnalyticsOps.qGeoJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each qualifying pair surfaces exactly once despite the 3x3 probe
+    assert(got.length == got.distinct.length, "duplicate pairs emitted")
+    def pt(k: Long, dx: Long, dy: Long) =
+      ((k * 48271 + dx) % 1000, (k * 69621 + dy) % 1000)
+    val cs = Tables.load(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0)).map(k => k -> pt(k, 0, 0))
+    val ss = Tables.load(spark, sf, "supplier").select("s_suppkey")
+      .collect().map(_.getLong(0)).map(k => k -> pt(k, 7, 13))
+    val expected = for {
+      (c, (cx, cy)) <- cs
+      (sid, (sx, sy)) <- ss
+      if math.abs(cx - sx) <= 50 && math.abs(cy - sy) <= 50
+    } yield (c, sid, math.max(math.abs(cx - sx), math.abs(cy - sy)))
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+    // the fixture must exercise cross-cell matches, or the neighbor
+    // probe is untested
+    val crossCell = expected.exists { case (c, sid, _) =>
+      val (cx, cy) = cs.toMap.apply(c); val (sx, sy) = ss.toMap.apply(sid)
+      cx / 50 != sx / 50 || cy / 50 != sy / 50
+    }
+    assert(crossCell, "no pair spans a cell border")
+  }
 }

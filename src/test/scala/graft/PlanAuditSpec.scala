@@ -121,6 +121,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // prefix window on the O(types×days) frame, and the single peak
     // aggregate's partial+final pair; offsets join back by broadcast
     "q_concurrency" -> 4,
+    // geo_join: the cell-keyed shuffle hash-join's two exchanges —
+    // both sides corpus-sized at production scale, broadcast banned
+    "q_geo_join" -> 2,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
