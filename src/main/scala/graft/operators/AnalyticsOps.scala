@@ -320,17 +320,99 @@ object AnalyticsOps {
        |FROM c, s
        |WHERE ABS(cx - sx) <= $geoR AND ABS(cy - sy) <= $geoR""".stripMargin
 
+  /** Cumulative distinct users per (event_type, day) — the DAU→CAU
+    * growth curve. Spark (and standard SQL) cannot express
+    * COUNT(DISTINCT) OVER (ORDER BY day): distinct is not a window
+    * aggregate. The identity that unlocks it at scale: a user counts
+    * toward day d iff their FIRST event day ≤ d, so cumulative
+    * distinct = running sum of first-appearance counts. One
+    * (type, user)-grain min aggregate collapses the corpus, the
+    * per-day news frame is O(types × days), and ITS running-sum
+    * window is model-sized at any data size. Output grain = days
+    * where at least one new user appeared (n_new > 0 by
+    * construction). */
+  def qCumDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    firsts.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val qCumDistinctSql: String =
+    """WITH f AS (
+      |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, day, COUNT(*) AS n_new FROM f GROUP BY 1, 2)
+      |SELECT event_type, day, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d""".stripMargin
+
+  /** Decay horizon: events older than this many days contribute 0;
+    * one doubling per day keeps every weight a dyadic integer. */
+  private val decayHorizon = 30
+
+  /** Recency-weighted engagement score per user — the feature-store
+    * staple (recommendation / churn features) usually written as
+    * Σ exp(−λ·age) and therefore float-unreproducible across engines
+    * and partitionings. With a 1-day half-life the weights are exact
+    * powers of two, so the score becomes INTEGER fixed-point:
+    * weight = 2^(horizon − age_days), summed as plain longs —
+    * associative, order-independent, bitwise-reproducible anywhere
+    * (the q_pagerank discipline applied to time decay). The as-of day
+    * is the corpus max — a 1-row aggregate (model-sized collect, the
+    * SimOps centroid rule), never a per-row subquery.
+    *
+    * Scale shape: q1_agg's — one map-side-combined user-grain sum
+    * over a codegen'd projection. Partial scores merge associatively
+    * across shards/streams exactly like any counter. */
+  def qDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val asof = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+    ev.select(col("user_id"),
+        datediff(lit(asof), to_date(col("ts"))).as("age"))
+      .select(col("user_id"),
+        when(col("age") <= decayHorizon,
+          expr(s"shiftleft(1L, $decayHorizon - age)"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_events"))
+  }
+
+  val qDecayScoreSql: String =
+    // "asof" itself is a DuckDB keyword (ASOF JOIN) — alias avoids it
+    s"""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS asof_day FROM events)
+       |SELECT user_id,
+       |  CAST(SUM(CASE
+       |    WHEN date_diff('day', CAST(ts AS DATE), asof_day) <= $decayHorizon
+       |    THEN 1::BIGINT << CAST($decayHorizon
+       |      - date_diff('day', CAST(ts AS DATE), asof_day) AS INT)
+       |    ELSE 0 END) AS BIGINT) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM events, a GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_event_pattern" -> (qEventPattern _),
     "q_skyline" -> (qSkyline _),
     "q_concurrency" -> (qConcurrency _),
-    "q_geo_join" -> (qGeoJoin _))
+    "q_geo_join" -> (qGeoJoin _),
+    "q_cum_distinct" -> (qCumDistinct _),
+    "q_decay_score" -> (qDecayScore _))
 
   val oracles: Map[String, String] = Map(
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,
     "q_concurrency" -> qConcurrencySql,
-    "q_geo_join" -> qGeoJoinSql)
+    "q_geo_join" -> qGeoJoinSql,
+    "q_cum_distinct" -> qCumDistinctSql,
+    "q_decay_score" -> qDecayScoreSql)
 }

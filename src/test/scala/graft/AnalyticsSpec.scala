@@ -146,4 +146,51 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(crossCell, "no pair spans a cell border")
   }
+
+  test("q_cum_distinct ends at the exact distinct total and is monotone") {
+    val rows = AnalyticsOps.qCumDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val totals = Tables.load(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (tpe, seq) =>
+      // cum is the running sum of news and ends at the distinct total
+      seq.foldLeft(0L) { (acc, r) =>
+        assert(r._4 == acc + r._3, s"$tpe ${r._2}: cum breaks")
+        r._4
+      }
+      assert(seq.last._4 == totals(tpe), s"$tpe final cum != distinct total")
+      // spot-check an interior day against a direct distinct-to-date
+      val mid = seq(seq.length / 2)
+      val direct = Tables.load(spark, sf, "events")
+        .filter(col("event_type") === tpe &&
+          to_date(col("ts")) <= lit(java.sql.Date.valueOf(mid._2)))
+        .agg(countDistinct(col("user_id"))).head().getLong(0)
+      assert(mid._4 == direct, s"$tpe ${mid._2}: cum != distinct-to-date")
+    }
+  }
+
+  test("q_decay_score equals an exact driver-side replay and merges") {
+    val got = AnalyticsOps.qDecayScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val asof = ev.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val replay = ev.groupBy(_._1).view.mapValues { rs =>
+      val score = rs.map { case (_, d) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(d, asof)
+        if (age <= 30) 1L << (30 - age).toInt else 0L
+      }.sum
+      (score, rs.length.toLong)
+    }.toMap
+    assert(got == replay)
+    // decay is real: somebody's score must exceed their raw count
+    // scaled by the oldest weight and fall below count * 2^30
+    assert(got.values.exists { case (s, n) => s > 0 && s < n * (1L << 30) },
+      "no user shows a mixed-age (actually decayed) score")
+  }
 }

@@ -124,6 +124,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // geo_join: the cell-keyed shuffle hash-join's two exchanges —
     // both sides corpus-sized at production scale, broadcast banned
     "q_geo_join" -> 2,
+    // cum_distinct: (type,user) min agg + per-day regroup + the
+    // model-sized running-sum window over the O(types×days) frame
+    "q_cum_distinct" -> 3,
+    // decay_score: the as-of 1-row aggregate + the user-grain sum
+    "q_decay_score" -> 2,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
