@@ -398,7 +398,65 @@ object AnalyticsOps {
        |  CAST(COUNT(*) AS BIGINT) AS n_events
        |FROM events, a GROUP BY user_id""".stripMargin
 
+  /** Pareto / contribution analysis: the minimal prefix of parts —
+    * ranked by revenue — that covers 80% of total revenue (the 80/20
+    * cut behind "which SKUs matter", top-spender programs, capacity
+    * planning). Needs a GLOBAL revenue-desc cumulative sum: the
+    * classic one-reducer trap, decomposed here exactly like the
+    * packing scan (SURVEY §2 text_pack_sequences): repartitionByRange
+    * on the rank key gives contiguous revenue ranges, each partition
+    * cumsums locally, per-partition totals (one row each) prefix-sum
+    * driver-side into offsets added back. Everything is exact integer
+    * cents; the 80% test is 5·cum_before < 4·total in pure longs —
+    * no percentage float ever exists. Membership ties break by
+    * (revenue desc, partkey), so the covering set is deterministic. */
+  def qParetoShare(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val rev = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+      .groupBy(col("p")).agg(sum(col("cents")).as("rev"))
+    val total = rev.agg(sum(col("rev"))).head().getLong(0)
+    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = rev.repartitionByRange(nRange, col("rev").desc, col("p"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan must see one layout
+    val totals = parts.groupBy("pid").agg(sum(col("rev")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val offsets = new Array[Long](nParts + 1)
+    (1 to nParts).foreach(i =>
+      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("rev").desc, col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("cum", sum(col("rev")).over(w) +
+        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
+      .filter(lit(5L) * (col("cum") - col("rev")) < lit(4L) * lit(total))
+      .select(col("p").as("p_partkey"), col("rev").as("rev_cents"),
+        col("cum").as("cum_cents"))
+  }
+
+  val qParetoShareSql: String =
+    """WITH r AS (
+      |  SELECT l_partkey AS p,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS total FROM r),
+      |c AS (
+      |  SELECT p, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, p ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |  FROM r)
+      |SELECT p AS p_partkey, rev AS rev_cents, CAST(cum AS BIGINT)
+      |    AS cum_cents
+      |FROM c, t WHERE 5 * (cum - rev) < 4 * total""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_share" -> (qParetoShare _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_event_pattern" -> (qEventPattern _),
     "q_skyline" -> (qSkyline _),
@@ -414,5 +472,6 @@ object AnalyticsOps {
     "q_concurrency" -> qConcurrencySql,
     "q_geo_join" -> qGeoJoinSql,
     "q_cum_distinct" -> qCumDistinctSql,
-    "q_decay_score" -> qDecayScoreSql)
+    "q_decay_score" -> qDecayScoreSql,
+    "q_pareto_share" -> qParetoShareSql)
 }

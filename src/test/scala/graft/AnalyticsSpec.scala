@@ -193,4 +193,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists { case (s, n) => s > 0 && s < n * (1L << 30) },
       "no user shows a mixed-age (actually decayed) score")
   }
+
+  test("q_pareto_share is the minimal deterministic 80% covering prefix") {
+    val got = AnalyticsOps.qParetoShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.nonEmpty)
+    val all = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("c"))
+      .groupBy("l_partkey").agg(sum(col("c")).as("rev")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => (-t._2, t._1))
+    val total = all.map(_._2).sum
+    // replay: walk the ranked list, include while cum_before < 80%
+    var cum = 0L
+    val expected = all.takeWhile { case (_, rev) =>
+      val in = 5 * cum < 4 * total; cum += rev; in
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == expected.toSeq)
+    // cum column reconciles and the set is minimal: dropping the last
+    // member would fall below 80%
+    got.foldLeft(0L) { (acc, r) => assert(r._3 == acc + r._2); r._3 }
+    val withoutLast = got.init.map(_._2).sum
+    assert(5 * withoutLast < 4 * total, "covering set is not minimal")
+    // and the full set really covers: last cum_before was still short,
+    // but the set itself reaches at least 80%... unless the table is
+    // so skewed one part exceeds it — covered by construction
+    assert(got.length < all.length, "80% cut did not prune anything")
+  }
 }

@@ -129,6 +129,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cum_distinct" -> 3,
     // decay_score: the as-of 1-row aggregate + the user-grain sum
     "q_decay_score" -> 2,
+    // pareto_share: part-grain revenue agg + the total 1-row agg +
+    // the range repartition for the scan + the checkpoint-pinned
+    // partition-totals agg; the prefix offsets are driver-side
+    // O(partitions), the pack-scan discipline
+    "q_pareto_share" -> 5,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
