@@ -192,13 +192,73 @@ object StatsOps {
        |  COALESCE(nt.n_triangles, 0) AS n_triangles
        |FROM nw LEFT JOIN nt ON nw.a = nt.a""".stripMargin
 
+  /** χ² association between two categoricals (documents' lang ×
+    * source): the full contingency grid with per-cell deviation and
+    * χ² term — the categorical-feature screening step (is the source
+    * mix independent of language?) beside q_stats_funcs' numeric
+    * moments. Zero cells are REAL cells (a (lang, source) pair that
+    * never co-occurs is evidence, not absence), so the grid is the
+    * margins' cross product, not just observed pairs.
+    *
+    * Correctness: per-cell dev = obs·n − rowΣ·colΣ is EXACT integer
+    * (margins here stay < 2^26 so products fit longs; at larger
+    * cardinalities this lifts to decimal unchanged), and its per-row
+    * sum telescopes to exactly zero — the spec's invariant. The χ²
+    * term is a single mirrored IEEE expression over exact-in-double
+    * integers (§4 / q_stats_funcs discipline): bitwise equality, no
+    * epsilon. Scale shape: three map-side-combined aggregates over
+    * one source; the grid itself is dimension-sized (margins cross
+    * product), where a broadcast nested-loop is the RIGHT join — the
+    * corpus never crosses it. */
+  def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("lang", "source")
+    val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val rt = d.groupBy("lang").agg(count(lit(1)).as("row_total"))
+    val ct = d.groupBy("source").agg(count(lit(1)).as("col_total"))
+    val n = d.count() // model-sized scalar (one long), the SimOps rule
+    rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("dev",
+        col("obs") * lit(n) - col("row_total") * col("col_total"))
+      .select(col("lang"), col("source"), col("obs"), col("row_total"),
+        col("col_total"), col("dev"),
+        (col("dev").cast(DoubleType) * col("dev").cast(DoubleType) /
+          (lit(n).cast(DoubleType) * col("row_total").cast(DoubleType) *
+            col("col_total").cast(DoubleType))).as("chi2_term"))
+  }
+
+  val qChi2Sql: String =
+    """WITH d AS (SELECT lang, source FROM documents),
+      |o AS (SELECT lang, source, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, COUNT(*) AS row_total FROM d GROUP BY 1),
+      |c AS (SELECT source, COUNT(*) AS col_total FROM d GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |g AS (
+      |  SELECT r.lang, c.source, r.row_total, c.col_total,
+      |    CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs, nn.n
+      |  FROM r CROSS JOIN c CROSS JOIN nn
+      |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+      |g2 AS (
+      |  SELECT lang, source, obs, row_total, col_total, n,
+      |    obs * n - row_total * col_total AS dev
+      |  FROM g)
+      |SELECT lang, source, obs, CAST(row_total AS BIGINT) AS row_total,
+      |  CAST(col_total AS BIGINT) AS col_total, CAST(dev AS BIGINT) AS dev,
+      |  CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(row_total AS DOUBLE)
+      |       * CAST(col_total AS DOUBLE)) AS chi2_term
+      |FROM g2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_funcs" -> (qStatsFuncs _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
     "q_stats_funcs" -> qStatsFuncsSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
-    "q_triangle_count" -> qTriangleCountSql)
+    "q_triangle_count" -> qTriangleCountSql,
+    "q_chi2" -> qChi2Sql)
 }

@@ -134,6 +134,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // partition-totals agg; the prefix offsets are driver-side
     // O(partitions), the pack-scan discipline
     "q_pareto_share" -> 5,
+    // chi2: three margin aggregates off one source + the grid's
+    // obs left-join; the margins cross by broadcast (dimension-sized)
+    "q_chi2" -> 6,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
@@ -286,7 +289,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // collocations joins the 1-row token total like text_tfidf
       "text_collocations",
       // fk_inference crosses each probe's two 1-row counts
-      "etl_fk_inference")
+      "etl_fk_inference",
+      // chi2 crosses the two dimension-sized margin frames into the
+      // full contingency grid — the corpus never crosses it
+      "q_chi2")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet

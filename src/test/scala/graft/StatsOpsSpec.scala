@@ -37,6 +37,28 @@ class StatsOpsSpec extends AnyFunSuite {
       "corr must equal the exact-sufficient-statistics replay bitwise")
   }
 
+  test("q_chi2 grid is complete, deviations telescope, terms replay bitwise") {
+    val rows = StatsOps.qChi2(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val langs = rows.map(_._1).distinct.length
+    val sources = rows.map(_._2).distinct.length
+    // the grid is the FULL margins cross product, zero cells included
+    assert(rows.length == langs * sources)
+    // per-row (and per-column) deviations telescope to exactly zero
+    rows.groupBy(_._1).values.foreach(g => assert(g.map(_._6).sum == 0L))
+    rows.groupBy(_._2).values.foreach(g => assert(g.map(_._6).sum == 0L))
+    // bitwise replay of the term from the integer cells
+    val n = Tables.load(spark, sf, "documents").count()
+    rows.foreach { case (_, _, obs, rt, ct, dev, term) =>
+      assert(dev == obs * n - rt * ct)
+      val expected = dev.toDouble * dev.toDouble /
+        (n.toDouble * rt.toDouble * ct.toDouble)
+      assert(term == expected, "chi2 term must replay bitwise")
+    }
+  }
+
   test("q_fuzzy_join pairs are ordered, in-band, and within the edit threshold") {
     val rows = StatsOps.qFuzzyJoin(spark, sf).collect()
     assert(rows.nonEmpty, "near-dup names exist inside blocks at sf0.001")
