@@ -879,6 +879,116 @@ object StreamOps {
     spark.createDataFrame(rows).toDF("item", "est_count")
   }
 
+  /** Watermark delay for the lateness audit: 20 days against the
+    * fixture's 30-day span puts a real mix of late and on-time rows
+    * in every replay batch. */
+  val lateDelayUs: Long = 20L * 86400L * 1000000L
+
+  /** One-time 3-batch replay log for stream_late_data: events split
+    * by event_id % 3 — batches INTERLEAVE the whole time range, so
+    * later batches genuinely carry event times far behind the
+    * already-seen maximum (the out-of-order shape a late-data audit
+    * exists for). Batch order is load-bearing here (unlike the CDC
+    * log, whose merge is version-aware), so each directory's files
+    * get explicitly increasing mtimes — the file source's ordering
+    * key — instead of relying on write-latency gaps. */
+  private[graft] def lateLogDir(sfDir: String): String =
+    s"/tmp/graft_late_log_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("events"))}"
+
+  private val lateLogSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType)))
+
+  private def writeLateLog(s: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = lateLogDir(sfDir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("events"))
+    graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val ev = graft.Tables.load(s, sfDir, "events")
+          .select(col("event_id"), col("event_type"), col("ts"))
+        (0 until 3).foreach { b =>
+          val dir = s"$root/b${b + 1}"
+          ev.filter(col("event_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          // pin the file source's processing order explicitly
+          val t = java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + b * 60000L)
+          Files.list(Paths.get(dir)).forEach(p =>
+            Files.setLastModifiedTime(p, t))
+        }
+        Files.writeString(tagPath, tag)
+      }
+    }
+  }
+
+  case class LateEv(event_type: String, us: Long)
+  case class LateState(max_us: Long, n_ontime: Long, n_late: Long)
+  case class LateCounts(event_type: String, n_ontime: Long, n_late: Long)
+
+  /** Late-data accounting — the watermark observability every
+    * production stream needs ("how much am I dropping?") and Spark
+    * only surfaces as opaque query-progress metrics. A row is LATE
+    * when it arrives after the per-key watermark — the max event time
+    * of PRIOR micro-batches minus the allowed delay — which is
+    * exactly the batch-granular watermark contract (Spark, too,
+    * advances watermarks only between micro-batches, which is what
+    * makes this deterministic under intra-batch parallelism: counts
+    * depend on batch membership and batch ORDER, never on row order
+    * inside a batch).
+    *
+    * Held as explicit flatMapGroupsWithState state (max-seen + two
+    * counters per key — O(types) forever) rather than inferred from
+    * append-mode eviction timing: the semantics are the OPERATOR'S
+    * contract, so the oracle can replay them in SQL from the batch
+    * assignment rule alone. */
+  def streamLateData(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    writeLateLog(spark, sfDir)
+    val name = s"stream_late_${runId.incrementAndGet()}"
+    val evs = spark.readStream.schema(lateLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${lateLogDir(sfDir)}/b*")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[LateEv]
+    val counted = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[LateState, LateCounts](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[LateEv], state: GroupState[LateState]) =>
+          val prev = state.getOption.getOrElse(LateState(Long.MinValue, 0L, 0L))
+          var late = 0L; var on = 0L; var mx = prev.max_us
+          rows.foreach { e =>
+            val isLate = prev.max_us != Long.MinValue &&
+              e.us < prev.max_us - lateDelayUs
+            if (isLate) late += 1 else on += 1
+            if (e.us > mx) mx = e.us
+          }
+          val next = LateState(mx, prev.n_ontime + on, prev.n_late + late)
+          state.update(next)
+          Iterator(LateCounts(tpe, next.n_ontime, next.n_late))
+      }
+    runAvailableNow(counted.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    // update mode re-emits per batch; totals are monotone, so the
+    // final record per key is the running max
+    collectAndDrop(spark, name,
+      spark.table(name)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_ontime") + col("n_late"),
+          col("n_ontime"), col("n_late"))).as("m"))
+        .select(col("event_type"), col("m.n_ontime").as("n_ontime"),
+          col("m.n_late").as("n_late"))
+        .orderBy("event_type"))
+  }
+
   /** Streaming twin of q_bitmap_distinct: EXACT daily distinct users
     * per event type, maintained incrementally. The streaming state is
     * bitmap WORDS per (day-window, type, id-bucket) — bit_or is the
@@ -912,7 +1022,34 @@ object StreamOps {
         .orderBy("event_type", "day"))
   }
 
+  /** Batch-granular watermark replay: a row is late iff it undercuts
+    * the max event time of STRICTLY EARLIER batches minus the delay —
+    * the operator's exact contract, so plain SQL over the batch
+    * assignment rule (event_id % 3, ascending) reproduces it. */
+  val streamLateDataSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(ts) AS us, event_id % 3 AS b
+       |  FROM events),
+       |m AS (SELECT event_type, b, MAX(us) AS mx FROM e GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, b,
+       |    MAX(mx) OVER (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       |  FROM m),
+       |j AS (
+       |  SELECT e.event_type, e.us, w.prior_max
+       |  FROM e JOIN w ON e.event_type = w.event_type AND e.b = w.b)
+       |SELECT event_type,
+       |  CAST(SUM(CASE WHEN prior_max IS NOT NULL
+       |    AND us < prior_max - $lateDelayUs THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_ontime,
+       |  CAST(SUM(CASE WHEN prior_max IS NOT NULL
+       |    AND us < prior_max - $lateDelayUs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_late
+       |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> (streamLateData _),
     "stream_bitmap_distinct" -> (streamBitmapDistinct _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_events" -> (streamEventsWindow _),
@@ -926,6 +1063,7 @@ object StreamOps {
     "stream_cdc_apply" -> (streamCdcApply _))
 
   val oracles: Map[String, String] = Map(
+    "stream_late_data" -> streamLateDataSql,
     // same word layout as the batch key -> same oracle covers both
     "stream_bitmap_distinct" -> graft.operators.AnalyticsOps.qBitmapDistinctSql,
     "q_session_window" -> qSessionWindowSql,

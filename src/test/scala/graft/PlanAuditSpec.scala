@@ -231,6 +231,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // bitmap_distinct: popcount rollup over the drained word state
     // returns as a local relation
     "stream_bitmap_distinct" -> 0,
+    // late_data: drained O(types) counters return as a local relation
+    "stream_late_data" -> 0,
     // boilerplate's 11 is the dedup-family regime: the chunk frame is
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle

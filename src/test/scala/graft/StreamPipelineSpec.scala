@@ -12,6 +12,38 @@ import graft.streaming.StreamOps
 class StreamPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("stream_late_data matches the batch-granular watermark replay") {
+    val got = StreamOps.streamLateData(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // every type must see BOTH classes, or the fixture isn't
+    // exercising the audit
+    got.foreach { case (t, (on, late)) =>
+      assert(on > 0 && late > 0, s"$t: on=$on late=$late — degenerate mix")
+    }
+    // replay: batch = event_id % 3 ascending; late iff us undercuts
+    // the prior batches' max minus the delay
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        (col("event_id") % 3).as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val replay = ev.groupBy(_._1).map { case (tpe, rows) =>
+      var mx = Long.MinValue; var on = 0L; var late = 0L
+      (0L to 2L).foreach { b =>
+        val batch = rows.filter(_._3 == b)
+        batch.foreach { case (_, us, _) =>
+          if (mx != Long.MinValue && us < mx - StreamOps.lateDelayUs)
+            late += 1
+          else on += 1
+        }
+        val bm = if (batch.isEmpty) Long.MinValue else batch.map(_._2).max
+        if (bm > mx) mx = bm
+      }
+      tpe -> ((on, late))
+    }
+    assert(got == replay, s"got $got replay $replay")
+  }
+
   test("stream_bitmap_distinct equals the batch bitmap key") {
     val streamed = StreamOps.streamBitmapDistinct(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toString,
