@@ -869,7 +869,68 @@ object TextOps {
        |JOIN uni u2 ON bg.w2 = u2.w
        |ORDER BY lift DESC, bg.w1, bg.w2 LIMIT $collocTopK""".stripMargin
 
+  /** Shingle width for the span-duplication audit: long enough that
+    * a match means copied TEXT, not shared phrasing (the Lee et al.
+    * 2022 exact-substring-dedup insight, at the cheap shingle
+    * approximation instead of a suffix array). */
+  val dupSpanW = 8
+
+  /** Span-level duplication audit: per document, how many of its
+    * 8-token windows also appear verbatim in ANOTHER document.
+    * text_paragraph_dedup removes whole repeated paragraphs and
+    * pipeline_decontaminate checks test-vs-train containment; this
+    * key measures INTRA-corpus copying at the finest grain — the
+    * boilerplate/quotation rate that decides whether a doc is worth
+    * keeping at all (high dup fraction = templated or scraped-twice
+    * content a trainer should downweight).
+    *
+    * Scale shape: shingles explode w-per-token but collapse to
+    * DISTINCT (shingle, doc) before the frequency count (map-side
+    * combine); the shingle-grain join back is shuffle-pinned — every
+    * side is corpus-sized, the dedup-family regime (production hashes
+    * the shingle strings first; the fixture keeps raw strings so the
+    * oracle shares the identity). Output is O(docs). */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val spans = docs.filter(size(col("tk")) >= dupSpanW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $dupSpanW)," +
+          s" i -> array_join(slice(tk, i + 1, $dupSpanW), ' '))")).as("sh"))
+    val freq = spans.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("docs"))
+    val marked = spans.join(freq.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(marked.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
+  val textDupSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, array_to_string(tk[u+1:u+$dupSpanW], ' ') AS sh
+       |  FROM t, unnest(range(0, CASE WHEN len(tk) >= $dupSpanW
+       |    THEN len(tk) - ${dupSpanW - 1} ELSE 0 END)) AS z(u)),
+       |f AS (
+       |  SELECT sh, COUNT(DISTINCT doc_id) AS docs FROM s GROUP BY 1),
+       |m AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_spans,
+       |    SUM(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM s JOIN f ON s.sh = f.sh GROUP BY 1)
+       |SELECT t.doc_id, CAST(COALESCE(m.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(m.n_dup, 0) AS BIGINT) AS n_dup
+       |FROM t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_spans" -> (textDupSpans _),
     "text_collocations" -> (textCollocations _),
     "text_ngram_lm" -> (textNgramLm _),
     "text_vocab_oov" -> (textVocabOov _),
@@ -892,6 +953,7 @@ object TextOps {
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,
+    "text_dup_spans" -> textDupSpansSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_tfidf" -> textTfidfSql,

@@ -137,6 +137,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // chi2: three margin aggregates off one source + the grid's
     // obs left-join; the margins cross by broadcast (dimension-sized)
     "q_chi2" -> 6,
+    // dup_spans: distinct (shingle,doc) + shingle-frequency agg +
+    // the shingle-grain join back + doc-grain agg + the docs left
+    // join — every side corpus-sized, all pinned to shuffle
+    "text_dup_spans" -> 8,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
@@ -345,7 +349,10 @@ class PlanAuditSpec extends AnyFunSuite {
         n == "q_fuzzy_join" || n == "q_triangle_count" ||
         // ngram_lm/collocations join vocab- and vocab²-grain frequency
         // tables — corpus-sized at web scale
-        n == "text_ngram_lm" || n == "text_collocations") &&
+        n == "text_ngram_lm" || n == "text_collocations" ||
+        // dup_spans joins shingle-grain frames back to the exploded
+        // corpus — every side corpus-sized
+        n == "text_dup_spans") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

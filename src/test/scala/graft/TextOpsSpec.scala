@@ -378,6 +378,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("text_dup_spans counts verbatim cross-doc windows exactly") {
+    val got = TextOps.textDupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    // all docs present, including short ones as zeros
+    assert(got.size == texts.length)
+    def shingles(tk: Array[String]) =
+      if (tk.length < TextOps.dupSpanW) Seq.empty[String]
+      else tk.sliding(TextOps.dupSpanW).map(_.mkString(" ")).toSeq
+    val docsPerShingle = texts.flatMap { case (id, tk) =>
+      shingles(tk).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    texts.foreach { case (id, tk) =>
+      val sh = shingles(tk)
+      val expected = (sh.length.toLong,
+        sh.count(s => docsPerShingle(s) >= 2).toLong)
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, exp $expected")
+    }
+    // the corpus must actually contain copied spans
+    assert(got.values.exists(_._2 > 0), "no duplicated spans in fixture")
+    // and some docs must be clean, or the signal is saturated
+    assert(got.values.exists(v => v._1 > 0 && v._2 == 0))
+  }
+
   test("pipeline_weighted_sample equals the driver-side A-ES replay") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineWeightedSample(spark, sf).collect()
