@@ -455,7 +455,48 @@ object AnalyticsOps {
       |    AS cum_cents
       |FROM c, t WHERE 5 * (cum - rev) < 4 * total""".stripMargin
 
+  /** Rolling-median window length (trailing rows, current included). */
+  private val medWin = 5
+
+  /** Exact rolling median of event value per user — robust rolling
+    * statistics (spike-resistant smoothing for monitoring and
+    * feature pipelines), which Spark has no window function for:
+    * percentile_approx is approximate and median() is not a window
+    * aggregate. The trailing 5-row frame's values collect into a
+    * bounded array, sort, and pick the LOWER median — a selection of
+    * an existing exact-cents integer, never arithmetic, so the result
+    * is engine-exact (DuckDB's quantile_disc(0.5) picks the same
+    * element by definition).
+    *
+    * Scale shape: one user-grain window shuffle (partition key
+    * cardinality grows with data); per-row state is the O(k) frame
+    * array — constant — and the sort is k·log k per row, the honest
+    * cost of an exact rolling median at small fixed k. */
+  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(medWin - 1), Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        expr("element_at(arr, cast((size(arr) + 1) div 2 as int))")
+          .as("med5"))
+  }
+
+  val qRollingMedianSql: String =
+    s"""SELECT event_id, user_id, cents,
+       |  CAST(quantile_disc(cents, 0.5) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN ${medWin - 1} PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS med5
+       |FROM (SELECT event_id, user_id, ts,
+       |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (qRollingMedian _),
     "q_pareto_share" -> (qParetoShare _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_event_pattern" -> (qEventPattern _),
@@ -473,5 +514,6 @@ object AnalyticsOps {
     "q_geo_join" -> qGeoJoinSql,
     "q_cum_distinct" -> qCumDistinctSql,
     "q_decay_score" -> qDecayScoreSql,
-    "q_pareto_share" -> qParetoShareSql)
+    "q_pareto_share" -> qParetoShareSql,
+    "q_rolling_median" -> qRollingMedianSql)
 }

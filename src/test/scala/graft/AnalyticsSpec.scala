@@ -222,4 +222,25 @@ class AnalyticsSpec extends AnyFunSuite {
     // so skewed one part exceeds it — covered by construction
     assert(got.length < all.length, "80% cut did not prune anything")
   }
+
+  test("q_rolling_median equals a driver-side sliding replay") {
+    val got = AnalyticsOps.qRollingMedian(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        expr("cast(round(value * 100) as bigint)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.size == ev.length)
+    ev.groupBy(_._2).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val med = frame.sorted.apply((frame.length + 1) / 2 - 1)
+        val r = ordered(i)
+        assert(got(r._1) == ((r._2, r._4, med)),
+          s"event ${r._1}: got ${got(r._1)}, expected med $med")
+      }
+    }
+  }
 }

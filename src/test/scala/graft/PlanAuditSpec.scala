@@ -141,6 +141,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the shingle-grain join back + doc-grain agg + the docs left
     // join — every side corpus-sized, all pinned to shuffle
     "text_dup_spans" -> 8,
+    // rolling_median: the single user-grain window exchange
+    "q_rolling_median" -> 1,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
