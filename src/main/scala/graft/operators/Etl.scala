@@ -1528,7 +1528,78 @@ object Etl {
       |  k - prev - 1 AS n_missing
       |FROM s WHERE prev IS NOT NULL AND k - prev > 1""".stripMargin
 
+  /** Survivorship / golden-record merge — the step AFTER entity
+    * resolution that MDM systems name explicitly: q_fuzzy_join finds
+    * near-duplicate part records, this key collapses each connected
+    * cluster into ONE survivor row by field-level rules (keep the
+    * lowest key as canonical identity + its name, the best price,
+    * the smallest size, the most common brand). The reference's
+    * migration moves records as-is; any real consolidation migration
+    * runs exactly this after matching.
+    *
+    * Scale shape: fuzzy pairs come from the banded blocked join
+    * (Σblock², never n²); components reuse dedup_clusters'
+    * pointer-jumping labeler (O(log diameter) rounds, thin label
+    * frames); the survivor aggregates are two map-side-combined
+    * passes over the membership join — min_by/max/min are selections
+    * of stored values, and the brand vote picks max-count-then-
+    * lexicographic via one struct-ordered min_by, so every output
+    * cell is engine-exact. */
+  def etlSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val pairs = StatsOps.qFuzzyJoin(s, dir)
+      .select(col("a_key").as("a"), col("b_key").as("b"))
+    val parts = Tables.load(s, dir, "part")
+    val labels = DedupOps.clusterLabels(
+        parts.select(col("p_partkey").as("doc_id")), pairs)
+      .select(col("doc_id").as("p_partkey"),
+        col("canonical_id").as("cluster_id"))
+    val mem = parts.join(labels.hint("shuffle_hash"), Seq("p_partkey"))
+    val base = mem.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("p_partkey")).as("canonical_key"),
+        expr("min_by(p_name, p_partkey)").as("canonical_name"),
+        max(col("p_retailprice")).as("best_price"),
+        min(col("p_size")).as("min_size"))
+    val brand = mem.groupBy(col("cluster_id"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"))
+      .agg(expr("min_by(p_brand, struct(-c, p_brand))").as("top_brand"))
+    base.join(brand.hint("shuffle_hash"), Seq("cluster_id"))
+  }
+
+  val etlSurvivorshipSql: String =
+    s"""WITH RECURSIVE
+       |fp AS (${StatsOps.qFuzzyJoinSql}),
+       |pairs AS (SELECT a_key AS a, b_key AS b FROM fp),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION ALL SELECT b, a FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT p_partkey, p_partkey FROM part
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+       |lab AS (SELECT u AS p_partkey, MIN(lbl) AS cluster_id
+       |        FROM reach GROUP BY u),
+       |mem AS (SELECT part.*, lab.cluster_id
+       |        FROM part JOIN lab USING (p_partkey)),
+       |base AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    MIN(p_partkey) AS canonical_key,
+       |    arg_min(p_name, p_partkey) AS canonical_name,
+       |    MAX(p_retailprice) AS best_price,
+       |    MIN(p_size) AS min_size
+       |  FROM mem GROUP BY 1),
+       |bc AS (SELECT cluster_id, p_brand, COUNT(*) AS c
+       |       FROM mem GROUP BY 1, 2),
+       |tb AS (SELECT cluster_id, p_brand AS top_brand FROM (
+       |  SELECT cluster_id, p_brand,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY c DESC, p_brand) AS rn
+       |  FROM bc) WHERE rn = 1)
+       |SELECT base.*, tb.top_brand FROM base JOIN tb USING (cluster_id)
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_survivorship" -> (etlSurvivorship _),
     "etl_id_gaps" -> (etlIdGaps _),
     "etl_fk_inference" -> (etlFkInference _),
     "etl_table_checksum" -> (etlTableChecksum _),
@@ -1564,6 +1635,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_survivorship" -> etlSurvivorshipSql,
     "etl_id_gaps" -> etlIdGapsSql,
     "etl_fk_inference" -> etlFkInferenceSql,
     "etl_table_checksum" -> etlTableChecksumSql,

@@ -713,4 +713,40 @@ class EtlSpec extends AnyFunSuite {
     assert(g2.toSeq == Seq((3L, 998L, 996L), (1000L, 3500L, 2501L),
       (3503L, 6999L, 3497L)))
   }
+
+  test("etl_survivorship golden records match a union-find replay") {
+    import graft.operators.{Etl, StatsOps}
+    val got = Etl.etlSurvivorship(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getInt(5), r.getString(6))).toMap
+    // union-find over the fuzzy pairs
+    val parts = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getDouble(4)))
+    val parent = scala.collection.mutable.Map(
+      parts.map(p => p._1 -> p._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    StatsOps.qFuzzyJoin(spark, sf).select("a_key", "b_key").collect()
+      .foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+    val clusters = parts.groupBy(p => find(p._1))
+    assert(got.size == clusters.size)
+    // every cluster's golden record follows the field rules exactly
+    clusters.foreach { case (_, ms) =>
+      val cid = ms.map(_._1).min
+      val canonical = ms.minBy(_._1)
+      val topBrand = ms.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (b, c) => (-c, b) }.head._1
+      assert(got(cid) == ((ms.size.toLong, canonical._1, canonical._2,
+        ms.map(_._5).max, ms.map(_._4).min, topBrand)), s"cluster $cid")
+    }
+    // the fixture must contain a real multi-member cluster with
+    // competing field values, or survivorship is vacuous
+    assert(got.values.exists(_._1 >= 2), "no multi-member cluster")
+  }
 }

@@ -143,6 +143,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_dup_spans" -> 8,
     // rolling_median: the single user-grain window exchange
     "q_rolling_median" -> 1,
+    // survivorship: membership join (checkpointed labels + parts) +
+    // the two survivor aggregates + brand vote + final cluster join —
+    // all corpus-grain sides shuffle-pinned
+    "etl_survivorship" -> 7,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
