@@ -743,6 +743,44 @@ object SimOps {
     "SELECT c_id, cv, cnrm FROM " +
       "read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')")
 
+  /** Recall@k of the Lloyd-refined IVF index against the exact scan —
+    * ANN quality as a first-class QUERY instead of a test-suite
+    * number: the eval every vector-store deployment runs after
+    * (re)building an index, and the gate a probe/centroid change must
+    * pass before rollout. Per query: how many of the exact top-k does
+    * the IVF answer recover. IvfSweep measures this across parameter
+    * settings in the suite; this key makes the deployed setting's
+    * recall hash-verifiable data.
+    *
+    * Scale shape: both inputs are the existing keys' plans (exact scan
+    * + probe-pruned IVF); their outputs are O(queries × k) frames, so
+    * the intersection join and count are model-sized. The oracle
+    * composes both keys' published SQL — any drift in either pipeline
+    * OR the published centroid artifact breaks parity here too. */
+  def simRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = simCosineTopk(s, dir).select(col("q_id"), col("vec_id"))
+    val iv = simIvfTopk(s, dir).select(col("q_id"), col("vec_id"))
+    val hits = bf.join(iv, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    bf.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(topK.toLong).as("k"))
+  }
+
+  lazy val simRecallSql: String =
+    s"""WITH bf AS (SELECT q_id, vec_id FROM ($simCosineTopkSql) x),
+       |iv AS (SELECT q_id, vec_id FROM ($simIvfTopkSql) y),
+       |h AS (
+       |  SELECT bf.q_id, COUNT(*) AS n_hits
+       |  FROM bf JOIN iv ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST($topK AS BIGINT) AS k
+       |FROM (SELECT DISTINCT q_id FROM bf) q
+       |LEFT JOIN h ON q.q_id = h.q_id""".stripMargin
+
   /** Neighbors per vector in the kNN-graph build. */
   val knnK = 3
 
@@ -891,6 +929,7 @@ object SimOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_recall" -> (simRecall _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf0_topk" -> (simIvf0Topk _),
@@ -901,6 +940,7 @@ object SimOps {
 
   val oracles: Map[String, String] = Map(
     "sim_maxsim" -> simMaxsimSql,
+    "sim_recall" -> simRecallSql,
     "sim_cosine_topk" -> simCosineTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,

@@ -380,4 +380,25 @@ class DedupSimSpec extends AnyFunSuite {
     // late interaction differs from pooled scoring: ranking is real
     assert(got.map(_._4).distinct.length > 1)
   }
+
+  test("sim_recall equals the set intersection of the two ANN keys") {
+    val got = SimOps.simRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == SimOps.nQueries)
+    val bf = SimOps.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val iv = SimOps.simIvfTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    got.foreach { case (q, (hits, k)) =>
+      assert(k == SimOps.topK)
+      val expected = bf(q).map(_._2).toSet
+        .intersect(iv.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet)
+        .size.toLong
+      assert(hits == expected, s"query $q: $hits vs $expected")
+    }
+    // the deployed parameters must actually recall most of the truth
+    val total = got.values.map(_._1).sum.toDouble /
+      (SimOps.nQueries * SimOps.topK)
+    assert(total >= 0.6, s"aggregate recall $total below the deploy gate")
+  }
 }

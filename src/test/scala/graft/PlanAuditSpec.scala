@@ -229,6 +229,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ordered output
     "sim_maxsim" -> 4,
     "sim_cosine_topk" -> 2, "sim_ivf0_topk" -> 3, "sim_ivf_topk" -> 3,
+    // recall: the two composed ANN plans' exchanges + the O(q×k)
+    // intersection joins and counts
+    "sim_recall" -> 9,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_funnel_timeout" -> 0,
@@ -304,7 +307,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_fk_inference",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
-      "q_chi2")
+      "q_chi2",
+      // recall composes sim_cosine_topk + sim_ivf_topk, inheriting
+      // their intended query-side broadcast crosses
+      "sim_recall")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
