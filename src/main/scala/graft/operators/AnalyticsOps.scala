@@ -495,7 +495,44 @@ object AnalyticsOps {
        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
        |""".stripMargin
 
+  /** Hopping (sliding) window aggregation: hourly totals re-computed
+    * every 15 minutes — the smoothed-trend / alerting view where
+    * tumbling windows (q_events_window) jump and miss cross-boundary
+    * bursts. Each event belongs to len/slide = 4 overlapping windows;
+    * Spark's window(ts, len, slide) does the replication natively and
+    * the oracle mirrors it with the same epoch-aligned expansion
+    * (ws = slide·⌊us/slide⌋ − j·slide, keep us < ws + len).
+    *
+    * Scale shape: one agg-grain shuffle; the 4× row replication is
+    * the inherent hopping-window cost (windows/slide ratio is the
+    * smoothness dial) and replicates BEFORE the map-side combine, so
+    * the shuffle carries only (window, type) partials. Exact integer
+    * cents; window starts emitted as epoch µs. */
+  def qHoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
+  val qHoppingWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, us, cents,
+      |    (us // 900000000) * 900000000 - j * 900000000::BIGINT AS ws
+      |  FROM e, unnest([0, 1, 2, 3]) AS t(j))
+      |SELECT ws AS window_start_us, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM x WHERE us < ws + 3600000000 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping_window" -> (qHoppingWindow _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_pareto_share" -> (qParetoShare _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
@@ -515,5 +552,6 @@ object AnalyticsOps {
     "q_cum_distinct" -> qCumDistinctSql,
     "q_decay_score" -> qDecayScoreSql,
     "q_pareto_share" -> qParetoShareSql,
-    "q_rolling_median" -> qRollingMedianSql)
+    "q_rolling_median" -> qRollingMedianSql,
+    "q_hopping_window" -> qHoppingWindowSql)
 }

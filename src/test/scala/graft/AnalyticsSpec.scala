@@ -223,6 +223,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.length < all.length, "80% cut did not prune anything")
   }
 
+  test("q_hopping_window: every event lands in exactly 4 windows") {
+    val got = AnalyticsOps.qHoppingWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val nEvents = Tables.load(spark, sf, "events").count()
+    // the 4x replication is exact: window-count mass = 4 * events
+    assert(got.map(_._3).sum == 4 * nEvents)
+    // windows overlap: consecutive starts are 15 min apart and each
+    // hour-long window's count equals the sum of its 4 quarter slices
+    // computed from a tumbling 15-min replay
+    val quarter = Tables.load(spark, sf, "events")
+      .groupBy(expr("(unix_micros(ts) div 900000000) * 900000000").as("q"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case (ws, tpe, n, _) =>
+      val expected = (0 until 4)
+        .map(i => quarter.getOrElse((ws + i * 900000000L, tpe), 0L)).sum
+      assert(n == expected, s"window $ws/$tpe: $n != $expected")
+    }
+  }
+
   test("q_rolling_median equals a driver-side sliding replay") {
     val got = AnalyticsOps.qRollingMedian(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

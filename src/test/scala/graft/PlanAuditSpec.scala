@@ -143,6 +143,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_dup_spans" -> 8,
     // rolling_median: the single user-grain window exchange
     "q_rolling_median" -> 1,
+    // hopping_window: one agg-grain exchange — the 4× replication
+    // happens before the map-side combine
+    "q_hopping_window" -> 1,
     // survivorship: membership join (checkpointed labels + parts) +
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned
