@@ -531,7 +531,86 @@ object AnalyticsOps {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM x WHERE us < ws + 3600000000 GROUP BY 1, 2""".stripMargin
 
+  /** Attribution lookback window. */
+  private val attrWindowUs = 7L * 86400L * 1000000L
+
+  /** Linear multi-touch attribution — marketing analytics' standard
+    * credit split: each purchase distributes its credit equally over
+    * the user's preceding non-purchase touches within 7 days, with
+    * untouched purchases credited to 'direct'. Equal split means
+    * FRACTIONS — the float trap q_penny_allocation documented — so
+    * credit is exact integer BASIS POINTS by largest remainder:
+    * 10000 div n per touch, the 10000 mod n leftover points to the
+    * most recent touches (recency is the natural tie-break, ordered
+    * by (ts, event_id) desc). The invariant that makes books balance:
+    * Σ all credit = 10000 · purchases, EXACTLY.
+    *
+    * Scale shape: the touch join shuffles on user_id with the time
+    * range as join filter (pair volume bounded per user, the funnel
+    * contract); rank and touch-count ride ONE purchase-grain window
+    * partition (cardinality grows with data); the credit aggregate is
+    * map-side combined. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type"), col("us"))
+    val j = p.join(t.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("us") < col("p_us") &&
+        col("us") >= col("p_us") - attrWindowUs)
+    val byP = Window.partitionBy(col("p_id"))
+    val ranked = j
+      .withColumn("rnk", row_number().over(
+        byP.orderBy(col("us").desc, col("t_id").desc)))
+      .withColumn("n", count(lit(1)).over(byP))
+      .select(col("event_type"),
+        expr("cast(10000 div n + (case when rnk <= 10000 % n then 1 else 0 end) as bigint)")
+          .as("bp"))
+    val direct = p.join(j.select("p_id").distinct().hint("shuffle_hash"),
+        Seq("p_id"), "left_anti")
+      .select(lit("direct").as("event_type"), lit(10000L).as("bp"))
+    ranked.union(direct)
+      .groupBy(col("event_type"))
+      .agg(sum(col("bp")).as("total_bp"), count(lit(1)).as("n_touches"))
+  }
+
+  val qAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |  FROM events),
+       |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM e
+       |      WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, event_type, us FROM e
+       |      WHERE event_type <> 'purchase'),
+       |j AS (
+       |  SELECT p.p_id, t.event_type, t.us, t.t_id
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |    AND t.us < p.p_us AND t.us >= p.p_us - $attrWindowUs),
+       |r AS (
+       |  SELECT p_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY p_id
+       |      ORDER BY us DESC, t_id DESC) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY p_id) AS n
+       |  FROM j),
+       |a AS (
+       |  SELECT event_type,
+       |    10000 // n + CASE WHEN rnk <= 10000 % n THEN 1 ELSE 0 END AS bp
+       |  FROM r),
+       |direct AS (
+       |  SELECT 'direct' AS event_type, 10000 AS bp FROM p
+       |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.p_id))
+       |SELECT event_type, CAST(SUM(bp) AS BIGINT) AS total_bp,
+       |  CAST(COUNT(*) AS BIGINT) AS n_touches
+       |FROM (SELECT * FROM a UNION ALL SELECT * FROM direct)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_hopping_window" -> (qHoppingWindow _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_pareto_share" -> (qParetoShare _),
@@ -553,5 +632,6 @@ object AnalyticsOps {
     "q_decay_score" -> qDecayScoreSql,
     "q_pareto_share" -> qParetoShareSql,
     "q_rolling_median" -> qRollingMedianSql,
-    "q_hopping_window" -> qHoppingWindowSql)
+    "q_hopping_window" -> qHoppingWindowSql,
+    "q_attribution" -> qAttributionSql)
 }

@@ -223,6 +223,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.length < all.length, "80% cut did not prune anything")
   }
 
+  test("q_attribution conserves credit exactly and replays per purchase") {
+    val got = AnalyticsOps.qAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    // books balance: total credit is exactly 10000 bp per purchase
+    assert(got.values.map(_._1).sum == 10000L * purchases.length)
+    // replay the full split
+    val win = 7L * 86400L * 1000000L
+    val credit = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    purchases.foreach { case (u, _, _, pus) =>
+      val touches = ev.filter(t => t._1 == u && t._3 != "purchase" &&
+          t._4 < pus && t._4 >= pus - win)
+        .sortBy(t => (-t._4, -t._2))
+      if (touches.isEmpty) {
+        val (b, c) = credit("direct"); credit("direct") = (b + 10000L, c + 1)
+      } else {
+        val n = touches.length
+        touches.zipWithIndex.foreach { case (t, i) =>
+          val bp = 10000L / n + (if (i + 1 <= 10000 % n) 1L else 0L)
+          val (b, c) = credit(t._3); credit(t._3) = (b + bp, c + 1)
+        }
+      }
+    }
+    assert(got == credit.toMap, s"got $got, replay ${credit.toMap}")
+    // the fixture exercises both regimes
+    assert(got.contains("direct") && got.size > 1)
+  }
+
   test("q_hopping_window: every event lands in exactly 4 windows") {
     val got = AnalyticsOps.qHoppingWindow(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

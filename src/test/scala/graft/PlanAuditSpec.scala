@@ -146,6 +146,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // hopping_window: one agg-grain exchange — the 4× replication
     // happens before the map-side combine
     "q_hopping_window" -> 1,
+    // attribution: user-keyed touch join (2 sides) + purchase-grain
+    // window + the direct anti-join legs + final credit agg
+    "q_attribution" -> 8,
     // survivorship: membership join (checkpointed labels + parts) +
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned
