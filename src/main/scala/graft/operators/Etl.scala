@@ -1598,7 +1598,55 @@ object Etl {
        |SELECT base.*, tb.top_brand FROM base JOIN tb USING (cluster_id)
        |""".stripMargin
 
+  /** Point-in-time (temporal) dimension lookup — the reason SCD2
+    * tables exist: join each fact to the dimension version that was
+    * valid WHEN THE FACT HAPPENED, not the current one (the
+    * restated-history bug every naive dim join ships). Each order
+    * carries a deterministic observation version; the lookup picks
+    * the latest dimension version at or before it.
+    *
+    * Scale shape: the as-of pick is the q_latest_per_key struct-max
+    * aggregate — join on the equality key with the version bound as
+    * join filter (pair volume ≤ versions-per-key × facts), then ONE
+    * map-side-combined max — no per-key window rank over the fact
+    * table. Both sides shuffle on the key (the dim is corpus-sized
+    * at production scale — broadcast banned by hint). */
+  def etlScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val dim = etlScd2(s, dir)
+    val facts = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("o_orderkey % 3").as("obs_ver"))
+    facts.join(dim.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey") &&
+          col("eff_from_ver") <= col("obs_ver"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("obs_ver"))
+      .agg(max(struct(col("eff_from_ver"), col("c_acctbal"),
+        col("c_mktsegment"))).as("m"))
+      .select(col("o_orderkey"), col("o_custkey"), col("obs_ver"),
+        col("m.eff_from_ver").as("ver_used"),
+        col("m.c_acctbal").as("c_acctbal"),
+        col("m.c_mktsegment").as("c_mktsegment"))
+  }
+
+  val etlScd2LookupSql: String =
+    s"""WITH dim AS ($etlScd2Sql),
+       |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 AS obs_ver
+       |      FROM orders),
+       |j AS (
+       |  SELECT f.o_orderkey, f.o_custkey, f.obs_ver,
+       |    d.eff_from_ver, d.c_acctbal, d.c_mktsegment
+       |  FROM f JOIN dim d ON f.o_custkey = d.c_custkey
+       |    AND d.eff_from_ver <= f.obs_ver),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |    ORDER BY eff_from_ver DESC) AS rn
+       |  FROM j)
+       |SELECT o_orderkey, o_custkey, obs_ver, eff_from_ver AS ver_used,
+       |  c_acctbal, c_mktsegment
+       |FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_lookup" -> (etlScd2Lookup _),
     "etl_survivorship" -> (etlSurvivorship _),
     "etl_id_gaps" -> (etlIdGaps _),
     "etl_fk_inference" -> (etlFkInference _),
@@ -1635,6 +1683,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,
     "etl_id_gaps" -> etlIdGapsSql,
     "etl_fk_inference" -> etlFkInferenceSql,

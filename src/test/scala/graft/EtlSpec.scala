@@ -714,6 +714,32 @@ class EtlSpec extends AnyFunSuite {
       (3503L, 6999L, 3497L)))
   }
 
+  test("etl_scd2_lookup picks the version valid at observation time") {
+    import graft.operators.Etl
+    val dim = Etl.etlScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(4), r.getString(5)))
+      .groupBy(_._1)
+    val got = Etl.etlScd2Lookup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getString(5)))
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    assert(got.length == nOrders, "every fact must resolve a version")
+    got.foreach { case (ok, (ck, obs, used, bal, seg)) =>
+      val versions = dim(ck).filter(_._2 <= obs)
+      val expect = versions.maxBy(_._2)
+      assert(used == expect._2 && bal == expect._3 && seg == expect._4,
+        s"order $ok: used $used, expected ${expect._2}")
+      // naive current-version join would restate history: when the key
+      // has later versions than obs, the picked one must differ
+      assert(used <= obs)
+    }
+    // the fixture exercises real versioning: some lookups must NOT be
+    // the key's current version
+    val current = dim.view.mapValues(_.maxBy(_._2)._2).toMap
+    assert(got.exists { case (_, (ck, _, used, _, _)) => used < current(ck) },
+      "no lookup ever differed from current — fixture degenerate")
+  }
+
   test("etl_survivorship golden records match a union-find replay") {
     import graft.operators.{Etl, StatsOps}
     val got = Etl.etlSurvivorship(spark, sf).collect()

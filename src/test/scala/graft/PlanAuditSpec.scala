@@ -153,6 +153,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned
     "etl_survivorship" -> 7,
+    // scd2_lookup: the dim build's version window + the key-equality
+    // join (both sides pinned) + the as-of struct-max agg
+    "etl_scd2_lookup" -> 5,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
