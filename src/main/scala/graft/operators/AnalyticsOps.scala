@@ -609,7 +609,93 @@ object AnalyticsOps {
        |FROM (SELECT * FROM a UNION ALL SELECT * FROM direct)
        |GROUP BY 1""".stripMargin
 
+  /** Event-type transition matrix — the user-flow / Markov-chain
+    * view behind Sankey diagrams and next-step prediction features:
+    * how often does type A immediately precede type B in a user's
+    * timeline. One lag over the user order, one count per (prev,
+    * cur) cell; counts stay integers (consumers derive probabilities
+    * by dividing row counts themselves — emitting the float here
+    * would only launder exactness away).
+    *
+    * Scale shape: one user-grain window shuffle + one cell-grain
+    * map-side-combined count over an O(types²) result. */
+  def qTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qTransitionMatrixSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS cur_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Minimum pair support for the basket scan (fixture-scaled; at
+    * production this is the frequent-itemset support threshold). */
+  val basketMinSupport = 3L
+
+  /** Market-basket pair mining: part pairs co-purchased in the same
+    * order with support ≥ threshold, plus each part's own order
+    * frequency — the support/confidence inputs of association-rule
+    * mining (lift = n_ab·N/(n_a·n_b) left to the consumer as exact
+    * integers). q_triangle_count walks this co-purchase graph's
+    * structure; this key mines its weighted EDGES.
+    *
+    * Scale shape: the pair join is order-keyed (volume Σorder², the
+    * basket bound — never catalog²) and shuffle-pinned; the support
+    * filter prunes BEFORE the per-part frequency joins, which are
+    * keyed thin frames. */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    // materialize the distinct basket frame ONCE: three consumers
+    // (both pair-join sides + the frequency count) would otherwise
+    // each re-scan and re-distinct the fact table
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val pairs = li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= basketMinSupport)
+    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.select(col("p").as("a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(freq.select(col("p").as("b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"))
+  }
+
+  val qBasketPairsSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_ab
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $basketMinSupport),
+       |freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY 1)
+       |SELECT pairs.a, pairs.b, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(fa.n AS BIGINT) AS n_a, CAST(fb.n AS BIGINT) AS n_b
+       |FROM pairs JOIN freq fa ON fa.p = pairs.a
+       |JOIN freq fb ON fb.p = pairs.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition_matrix" -> (qTransitionMatrix _),
+    "q_basket_pairs" -> (qBasketPairs _),
     "q_attribution" -> (qAttribution _),
     "q_hopping_window" -> (qHoppingWindow _),
     "q_rolling_median" -> (qRollingMedian _),
@@ -633,5 +719,7 @@ object AnalyticsOps {
     "q_pareto_share" -> qParetoShareSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_hopping_window" -> qHoppingWindowSql,
-    "q_attribution" -> qAttributionSql)
+    "q_attribution" -> qAttributionSql,
+    "q_transition_matrix" -> qTransitionMatrixSql,
+    "q_basket_pairs" -> qBasketPairsSql)
 }

@@ -223,6 +223,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.length < all.length, "80% cut did not prune anything")
   }
 
+  test("q_transition_matrix mass balances against event counts") {
+    val got = AnalyticsOps.qTransitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // total transitions = events - users (each user's first event has
+    // no predecessor)
+    val nEvents = Tables.load(spark, sf, "events").count()
+    val nUsers = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(got.map(_._3).sum == nEvents - nUsers)
+    // replay one user's chain
+    val u = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val replay = u.values.flatMap { rows =>
+      val chain = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      chain.zip(chain.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == replay)
+  }
+
+  test("q_basket_pairs supports reconcile with brute-force counting") {
+    val got = AnalyticsOps.qBasketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCounts = byOrder.values.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val freq = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = pairCounts.filter(_._2 >= AnalyticsOps.basketMinSupport)
+      .map { case ((a, b), n) => (a, b, n, freq(a), freq(b)) }.toSet
+    assert(got.toSet == expected)
+  }
+
   test("q_attribution conserves credit exactly and replays per purchase") {
     val got = AnalyticsOps.qAttribution(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

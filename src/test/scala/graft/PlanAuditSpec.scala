@@ -149,6 +149,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // attribution: user-keyed touch join (2 sides) + purchase-grain
     // window + the direct anti-join legs + final credit agg
     "q_attribution" -> 8,
+    // transition_matrix: user-grain window + cell-grain count
+    "q_transition_matrix" -> 2,
+    // basket_pairs: checkpointed basket frame feeds the order-keyed
+    // pair join + pair agg + frequency agg + the two thin joins
+    "q_basket_pairs" -> 7,
     // survivorship: membership join (checkpointed labels + parts) +
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned
