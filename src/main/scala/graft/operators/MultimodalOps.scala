@@ -216,13 +216,14 @@ object MultimodalOps {
   /** The full media pipeline over the documents id domain: generate
     * real payloads, extract binary metadata columnar-side, then
     * decode + resize + frame-sample in ONE partition pass. */
-  private def processed(s: SparkSession, dir: String): Dataset[ProcessedRow] = {
+  /** Real payload generation over the documents id domain. The
+    * documents scan is one thin parquet split, but codec work is
+    * CPU-bound per row — spread ids across the session's parallelism
+    * BEFORE generate/decode (at scale: repartition by payload bytes
+    * per task, same principle). */
+  private def mediaRows(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    // the documents scan is one thin parquet split, but codec work is
-    // CPU-bound per row — spread ids across the session's parallelism
-    // BEFORE generate/decode (at scale: repartition by payload bytes
-    // per task, same principle)
-    val media: Dataset[MediaRow] = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .as[Long]
@@ -233,9 +234,13 @@ object MultimodalOps {
         hex(substring(col("payload"), 1, 4)).as("magic_hex"),
         crc32(col("payload")).as("payload_crc"))
       .as[MediaRow]
+  }
+
+  private def processed(s: SparkSession, dir: String): Dataset[ProcessedRow] = {
+    import s.implicits._
     // partition count controls decode batch shape; at scale set this
     // from payload-bytes-per-task, not row count
-    media.mapPartitions(it => resizeAndSample(decode(it)))
+    mediaRows(s, dir).mapPartitions(it => resizeAndSample(decode(it)))
   }
 
   /** Audio geometry: 16-bit PCM payloads framed the standard
@@ -441,14 +446,107 @@ object MultimodalOps {
       |FROM documents JOIN embeddings ON vec_id = doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Patch grid side for the ViT-style tiling. */
+  val patchSize = 16
+
+  case class PatchRow(doc_id: Long, width: Int, height: Int, n_px: Int,
+      n_py: Int, n_patches: Int, weighted_px_sum: Long)
+
+  /** ViT-style patch tiling over the DECODED raster — the image
+    * preprocessing every vision-language training pipeline runs
+    * (image → fixed-size patch grid → per-patch tensors): the image
+    * splits into 16×16 patches (ragged edges keep their true
+    * smaller size, the ViT padding decision made explicit), and each
+    * patch's pixel sum is read from ITS OWN subregion raster read.
+    * The output checksum weights each patch by its 1-based row-major
+    * index, so a tiler that read patches in the wrong order, merged
+    * edge patches, or re-read patch 0 n times cannot match the
+    * oracle — the same index-pinning trick mm_decode's frame
+    * sampling uses. Solid-fill fixtures keep every per-patch sum a
+    * formula, so the oracle rebuilds the full grid in SQL from
+    * doc_id alone while the Spark side exercises a real decoder and
+    * real subregion reads.
+    *
+    * Scale shape: identical to mm_decode — id-spread before per-row
+    * codec work, one partition pass, O(1) output per image. */
+  def mmPatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tile(rows: Iterator[Decoded]): Iterator[PatchRow] = rows.map {
+      case d if d.img.isEmpty =>
+        PatchRow(d.doc_id, -1, -1, 0, 0, 0, -1L)
+      case d =>
+        val img = d.img.get
+        val w = img.getWidth; val h = img.getHeight
+        val npx = (w + patchSize - 1) / patchSize
+        val npy = (h + patchSize - 1) / patchSize
+        var sum = 0L
+        var py = 0
+        while (py < npy) {
+          var px = 0
+          while (px < npx) {
+            val pw = math.min(patchSize, w - px * patchSize)
+            val ph = math.min(patchSize, h - py * patchSize)
+            val pix = img.getRGB(px * patchSize, py * patchSize,
+              pw, ph, null, 0, pw)
+            var s0 = 0L; var i = 0
+            while (i < pix.length) {
+              val p = pix(i)
+              s0 += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              i += 1
+            }
+            sum += (py.toLong * npx + px + 1) * s0
+            px += 1
+          }
+          py += 1
+        }
+        PatchRow(d.doc_id, w, h, npx, npy, npx * npy, sum)
+    }
+    mediaRows(s, dir).mapPartitions(it => tile(decode(it))).toDF()
+  }
+
+  val mmPatchesSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id AS id,
+       |    CAST(8 + (doc_id * 7) % 56 AS INT) AS w,
+       |    CAST(8 + (doc_id * 11) % 40 AS INT) AS h,
+       |    (doc_id * 37) % 256 + (doc_id * 59) % 256
+       |      + (doc_id * 83) % 256 AS rgb,
+       |    doc_id % 10 = 7 AS opaque
+       |  FROM documents),
+       |op AS (
+       |  SELECT id AS doc_id, -1 AS width, -1 AS height, 0 AS n_px,
+       |    0 AS n_py, 0 AS n_patches, CAST(-1 AS BIGINT)
+       |      AS weighted_px_sum
+       |  FROM g WHERE opaque),
+       |im AS (
+       |  SELECT id, w, h, rgb, (w + ${patchSize - 1}) // $patchSize AS npx,
+       |    (h + ${patchSize - 1}) // $patchSize AS npy
+       |  FROM g WHERE NOT opaque),
+       |p AS (
+       |  SELECT id, w, h, rgb, npx, npy,
+       |    (y * npx + x + 1)
+       |      * rgb
+       |      * LEAST($patchSize, w - $patchSize * x)
+       |      * LEAST($patchSize, h - $patchSize * y) AS wsum
+       |  FROM im, unnest(range(npx)) AS tx(x), unnest(range(npy)) AS ty(y)),
+       |img_rows AS (
+       |  SELECT id AS doc_id, MIN(w) AS width, MIN(h) AS height,
+       |    CAST(MIN(npx) AS INT) AS n_px, CAST(MIN(npy) AS INT) AS n_py,
+       |    CAST(MIN(npx * npy) AS INT) AS n_patches,
+       |    CAST(SUM(wsum) AS BIGINT) AS weighted_px_sum
+       |  FROM p GROUP BY id)
+       |SELECT * FROM img_rows UNION ALL SELECT * FROM op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode" -> (mmDecode _),
     "mm_audio_frames" -> (mmAudioFrames _),
+    "mm_patches" -> (mmPatches _),
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
     "mm_audio_frames" -> mmAudioFramesSql,
+    "mm_patches" -> mmPatchesSql,
     "mm_embed_fusion" -> mmEmbedFusionSql)
 }

@@ -83,6 +83,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // audio: the id-spread exchange before per-row codec work (the
     // mm_* rule); generate + parse + frame in one partition pass
     "mm_audio_frames" -> 1,
+    // patches: same mm_* shape — id spread, then decode + tile in
+    // one partition pass
+    "mm_patches" -> 1,
     // dataset_card: Expand + two-round grouping-sets agg (exact
     // median forces sort-based agg legs) + ordered output
     "pipeline_dataset_card" -> 3,

@@ -273,6 +273,37 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("mm_patches tiles the decoded raster into an index-pinned grid") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.mmPatches(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (w, h, npx, npy, np, wsum)) =>
+      if (MultimodalOps.isOpaque(id)) {
+        assert((w, h, npx, npy, np, wsum) == ((-1, -1, 0, 0, 0, -1L)))
+      } else {
+        assert(w == MultimodalOps.widthFor(id) &&
+          h == MultimodalOps.heightFor(id))
+        assert(npx == (w + 15) / 16 && npy == (h + 15) / 16 &&
+          np == npx * npy)
+        // solid fill: replay the weighted grid formula
+        val rgb = MultimodalOps.redFor(id) + MultimodalOps.greenFor(id) +
+          MultimodalOps.blueFor(id)
+        var expect = 0L
+        for (py <- 0 until npy; px <- 0 until npx) {
+          val pw = math.min(16, w - px * 16); val ph = math.min(16, h - py * 16)
+          expect += (py.toLong * npx + px + 1) * rgb * pw * ph
+        }
+        assert(wsum == expect, s"doc $id weighted sum")
+      }
+    }
+    // ragged edges must exist (some dim not a multiple of 16), or the
+    // edge-patch branch is untested
+    assert(rows.exists { case (id, (w, h, _, _, _, _)) =>
+      !MultimodalOps.isOpaque(id) && (w % 16 != 0 || h % 16 != 0) })
+  }
+
   test("PgCopyWriter renders the _supaFilta dialect") {
     import spark.implicits._
     val df = Seq(
