@@ -1545,12 +1545,38 @@ object Etl {
     * of stored values, and the brand vote picks max-count-then-
     * lexicographic via one struct-ordered min_by, so every output
     * cell is engine-exact. */
+  private[graft] def partLabelsDir(dir: String): String =
+    s"/tmp/graft_part_labels_${Integer.toHexString(dir.hashCode)}"
+
+  /** Part entity-resolution labels as a PUBLISHED artifact (once per
+    * corpus fingerprint) — the same split publishedLabels makes for
+    * document clusters: matching runs as its own (priced) job, and
+    * the survivorship merge CONSUMES the match output like a
+    * production MDM pipeline consumes its match service. The oracle
+    * still rebuilds components independently, so the artifact is
+    * verified, never trusted. */
+  def publishedPartLabels(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = partLabelsDir(dir)
+    val tag = ScaleJoins.corpusTag(dir, Seq("part"))
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val ids = Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("doc_id"))
+        val pairs = StatsOps.qFuzzyJoin(s, dir)
+          .select(col("a_key").as("a"), col("b_key").as("b"))
+        DedupOps.clusterLabels(ids, pairs)
+          .write.mode("overwrite").parquet(root)
+        Files.writeString(tagPath, tag)
+      }
+    }
+    s.read.parquet(root)
+  }
+
   def etlSurvivorship(s: SparkSession, dir: String): DataFrame = {
-    val pairs = StatsOps.qFuzzyJoin(s, dir)
-      .select(col("a_key").as("a"), col("b_key").as("b"))
     val parts = Tables.load(s, dir, "part")
-    val labels = DedupOps.clusterLabels(
-        parts.select(col("p_partkey").as("doc_id")), pairs)
+    val labels = publishedPartLabels(s, dir)
       .select(col("doc_id").as("p_partkey"),
         col("canonical_id").as("cluster_id"))
     val mem = parts.join(labels.hint("shuffle_hash"), Seq("p_partkey"))
