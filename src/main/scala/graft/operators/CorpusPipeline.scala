@@ -379,7 +379,75 @@ object CorpusPipeline {
        |  doc_id, n_chars
        |FROM d ORDER BY k DESC, doc_id LIMIT $weightedK""".stripMargin
 
+  /** Cumulative percent boundaries of the curriculum phases:
+    * warmup 50%, core 30%, anneal 20%. */
+  val curriculumCuts: Seq[(String, Long)] =
+    Seq(("warmup", 50L), ("core", 80L))
+
+  /** Curriculum assignment — order the corpus by difficulty and cut
+    * it into training phases with EXACT boundaries (warmup 50% /
+    * core 30% / anneal 20%): the curriculum-learning schedule step,
+    * where "about half" is not a spec (loaders need phase manifests
+    * that partition the corpus exactly, reproducibly). Difficulty
+    * here is token count — integer, engine-shared; production plugs
+    * any integer difficulty score in unchanged.
+    *
+    * Scale shape: the global difficulty rank is the pack-scan
+    * discipline's third consumer (repartitionByRange on the rank key
+    * → bucket-local row_number → O(partitions) offsets driver-side);
+    * boundaries are pure integer arithmetic on the corpus count
+    * (b = n·pct div 100), so phases partition the corpus exactly at
+    * any size with no percentage float anywhere. */
+  def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.toks(col("text"))).cast("long").as("difficulty"))
+    val n = docs.count()
+    val cuts = curriculumCuts.map { case (p, pct) => (p, n * pct / 100) }
+    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = docs
+      .repartitionByRange(nRange, col("difficulty"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan see one layout
+    val totals = parts.groupBy("pid").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val offsets = new Array[Long](nParts + 1)
+    (1 to nParts).foreach(i =>
+      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("difficulty"), col("doc_id"))
+    val ranked = parts.withColumn("rnk",
+      row_number().over(w).cast("long") +
+        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
+    val phase = cuts.foldRight(lit("anneal")) { case ((p, b), e) =>
+      when(col("rnk") <= b, p).otherwise(e)
+    }
+    ranked.select(col("doc_id"), col("difficulty"), col("rnk"),
+      phase.as("phase"))
+  }
+
+  val pipelineCurriculumSql: String = {
+    val Seq((p1, c1), (p2, c2)) = curriculumCuts
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS difficulty
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, difficulty,
+       |    ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM t)
+       |SELECT doc_id, difficulty, CAST(rnk AS BIGINT) AS rnk,
+       |  CASE WHEN rnk <= n * $c1 // 100 THEN '$p1'
+       |       WHEN rnk <= n * $c2 // 100 THEN '$p2'
+       |       ELSE 'anneal' END AS phase
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_weighted_sample" -> (pipelineWeightedSample _),
     "pipeline_epoch_shuffle" -> (pipelineEpochShuffle _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -389,6 +457,7 @@ object CorpusPipeline {
     "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,

@@ -95,6 +95,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // weighted_sample: TakeOrdered's single merge exchange + the
     // rank window over the k-row result — no corpus-wide sort
     "pipeline_weighted_sample" -> 2,
+    // curriculum: the rank-key range exchange feeding the
+    // checkpoint-pinned scan (offsets are driver-side O(partitions))
+    "pipeline_curriculum" -> 2,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -404,6 +404,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > 0 && v._2 == 0))
   }
 
+  test("pipeline_curriculum partitions the corpus at exact boundaries") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelineCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val n = got.length.toLong
+    assert(n == Tables.load(spark, sf, "documents").count())
+    // ranks are a permutation of 1..n and rank order follows
+    // (difficulty, doc_id)
+    assert(got.map(_._3).sorted.toSeq == (1L to n))
+    val ordered = got.sortBy(_._3).toSeq
+    ordered.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ => ()
+    }
+    // phase sizes are exactly the integer-arithmetic quotas
+    val sizes = got.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val b1 = n * 50 / 100; val b2 = n * 80 / 100
+    assert(sizes("warmup") == b1)
+    assert(sizes("core") == b2 - b1)
+    assert(sizes("anneal") == n - b2)
+    // phases are rank-contiguous
+    assert(ordered.takeWhile(_._4 == "warmup").length == b1)
+    assert(ordered.drop(b1.toInt).takeWhile(_._4 == "core").length == b2 - b1)
+  }
+
   test("pipeline_weighted_sample equals the driver-side A-ES replay") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineWeightedSample(spark, sf).collect()
