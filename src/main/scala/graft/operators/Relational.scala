@@ -598,6 +598,52 @@ object Relational {
       |  SELECT DISTINCT o_custkey AS k FROM orders)
       |ORDER BY op""".stripMargin
 
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL next
+    * to q_setops' distinct forms: on fact data, MULTIPLICITY is the
+    * signal ("how many returned line items have an accepted twin"
+    * counts pairs, not part ids), and the ALL forms keep it where
+    * DISTINCT collapses it. Both engines implement SQL:2003 bag
+    * semantics (min multiplicity for intersect, saturating difference
+    * for except); the key emits all four variants side by side so the
+    * distinct/all gap is itself asserted data.
+    *
+    * Scale shape: Catalyst lowers the ALL forms to per-key count
+    * aggregates + a replicate generate — shuffles carry (key, count)
+    * pairs, never row-duplicated payloads. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("k"))
+    val a = li.filter(col("l_returnflag") === "A")
+      .select(col("l_partkey").as("k"))
+    Seq(
+      ("intersect_all", r.intersectAll(a)),
+      ("intersect_distinct", r.intersect(a)),
+      ("except_all", r.exceptAll(a)),
+      ("except_distinct", r.except(a)))
+      .map { case (op, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH r AS (SELECT l_partkey AS k FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |a AS (SELECT l_partkey AS k FROM lineitem
+      |      WHERE l_returnflag = 'A')
+      |SELECT 'intersect_all' AS op, COUNT(*) AS n
+      |  FROM (SELECT k FROM r INTERSECT ALL SELECT k FROM a)
+      |UNION ALL
+      |SELECT 'intersect_distinct', COUNT(*)
+      |  FROM (SELECT k FROM r INTERSECT SELECT k FROM a)
+      |UNION ALL
+      |SELECT 'except_all', COUNT(*)
+      |  FROM (SELECT k FROM r EXCEPT ALL SELECT k FROM a)
+      |UNION ALL
+      |SELECT 'except_distinct', COUNT(*)
+      |  FROM (SELECT k FROM r EXCEPT SELECT k FROM a)""".stripMargin
+
   /** Conditional (pivot-style) aggregation: per priority, order counts
     * and decimal-exact revenue split by status via CASE. */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1588,6 +1634,7 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_outer_join" -> (qOuterJoin _),
     "q_setops" -> (qSetOps _),
+    "q_setops_all" -> (qSetOpsAll _),
     "q_case_agg" -> (qCaseAgg _),
     "q_topk_per_key" -> (qTopkPerKey _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -1635,6 +1682,7 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_setops" -> qSetOpsSql,
+    "q_setops_all" -> qSetOpsAllSql,
     "q_case_agg" -> qCaseAggSql,
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_string_funcs" -> qStringFuncsSql,

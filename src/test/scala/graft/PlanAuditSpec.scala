@@ -160,6 +160,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // basket_pairs: checkpointed basket frame feeds the order-keyed
     // pair join + pair agg + frequency agg + the two thin joins
     "q_basket_pairs" -> 7,
+    // setops_all: four independent set-op legs, each lowering to
+    // per-key count aggregates (+ generate for the ALL forms) and a
+    // 1-row final count — shuffles carry (key, count) pairs
+    "q_setops_all" -> 14,
     // survivorship: membership join (checkpointed labels + parts) +
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned

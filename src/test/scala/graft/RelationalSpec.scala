@@ -435,4 +435,22 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(drifts > 0, "fixture must exercise the remainder correction")
   }
+
+  test("q_setops_all bag semantics match the multiplicity formulas") {
+    val got = operators.Relational.qSetOpsAll(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def multi(flag: String) = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === flag).select("l_partkey").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val r = multi("R"); val a = multi("A")
+    val keys = r.keySet ++ a.keySet
+    assert(got("intersect_all") == keys.toSeq.map(k => math.min(r(k), a(k))).sum)
+    assert(got("except_all") == keys.toSeq.map(k => math.max(0L, r(k) - a(k))).sum)
+    assert(got("intersect_distinct") == keys.count(k => r(k) > 0 && a(k) > 0))
+    assert(got("except_distinct") == keys.count(k => r(k) > 0 && a(k) == 0))
+    // the fixture must make the bag/set gap visible
+    assert(got("intersect_all") > got("intersect_distinct"))
+    assert(got("except_all") > got("except_distinct"))
+  }
 }
