@@ -173,19 +173,56 @@ object TextOps {
        |  $qualityFormulaSql AS quality
        |FROM t""".stripMargin
 
+  /** The language-ID argmax as a reusable Column: the first lang in
+    * priority order reaching the max stopword-hit count wins ('und'
+    * when nothing matches) — foldRight keeps langOrder priority,
+    * exactly like the oracle's CASE chain. */
+  private[graft] def langPredExpr(text: Column): Column = {
+    val hits = langOrder.map(l => l -> stopHits(text, stopwords(l))).toMap
+    val maxHits = greatest(langOrder.map(hits): _*)
+    langOrder.foldRight(lit("und"): Column) { (l, acc) =>
+      when(hits(l) === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Stopword-profile language ID: per-language hit counts, argmax
     * with a fixed priority order, 'und' when nothing matches. */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val hits = langOrder.map(l => l -> stopHits(col("text"), stopwords(l))).toMap
-    val maxHits = greatest(langOrder.map(hits): _*)
-    val pred = langOrder.foldRight(lit("und"): Column) { (l, acc) =>
-      when(hits(l) === maxHits && maxHits > 0, lit(l)).otherwise(acc)
-    }
-    // foldRight keeps langOrder priority: the first lang reaching the
-    // max wins, exactly like the oracle's CASE chain.
     docs.select(col("doc_id") +: langOrder.map(l => hits(l).as(s"${l}_hits")) :+
-      pred.as("lang_pred"): _*)
+      langPredExpr(col("text")).as("lang_pred"): _*)
+  }
+
+  /** Classifier evaluation as data: the language-ID confusion matrix
+    * against the corpus's labeled lang column — (true, predicted, n)
+    * cells from which precision/recall/accuracy derive as exact
+    * integer ratios. Model-eval-over-the-corpus is a pipeline stage
+    * like any other (every classifier that gates data needs its
+    * confusion matrix recomputed per corpus version), and keeping
+    * counts integer means the eval re-aggregates across shards.
+    *
+    * Scale shape: ONE scan — the predictor rides the same projection
+    * as the label, no self-join — and one O(langs²) map-side-combined
+    * count. */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang").as("true_lang"),
+        langPredExpr(col("text")).as("lang_pred"))
+      .groupBy(col("true_lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  val textLangConfusionSql: String = {
+    def hitsSql(words: Seq[String]): String =
+      s"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val cols = langOrder.map(l => s"${hitsSql(stopwords(l))} AS ${l}_hits").mkString(",\n  ")
+    val maxE = s"greatest(${langOrder.map(l => s"${l}_hits").mkString(",")})"
+    val caseChain = langOrder.map(l =>
+      s"WHEN ${l}_hits = $maxE AND $maxE > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (SELECT lang AS true_lang,\n  $cols\nFROM documents)
+       |SELECT true_lang, CASE $caseChain ELSE 'und' END AS lang_pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM t GROUP BY 1, 2""".stripMargin
   }
 
   val textLangidSql: String = {
@@ -944,6 +981,7 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -964,6 +1002,7 @@ object TextOps {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_lang_confusion" -> textLangConfusionSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
     "text_pii_scrub" -> textPiiScrubSql,

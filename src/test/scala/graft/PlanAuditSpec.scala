@@ -164,6 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-key count aggregates (+ generate for the ALL forms) and a
     // 1-row final count — shuffles carry (key, count) pairs
     "q_setops_all" -> 14,
+    // lang_confusion: one scan (predictor rides the label projection,
+    // no self-join) + the O(langs²) cell count
+    "text_lang_confusion" -> 1,
     // survivorship: membership join (checkpointed labels + parts) +
     // the two survivor aggregates + brand vote + final cluster join —
     // all corpus-grain sides shuffle-pinned

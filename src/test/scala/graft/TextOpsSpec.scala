@@ -404,6 +404,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > 0 && v._2 == 0))
   }
 
+  test("text_lang_confusion reconciles with per-doc predictions") {
+    val cells = TextOps.textLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perDoc = TextOps.textLangid(spark, sf)
+      .select(col("doc_id"), col("lang_pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val replay = truth.toSeq.map { case (id, t) => (t, perDoc(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cells == replay)
+    assert(cells.values.sum == truth.size)
+    // the classifier is better than chance on the fixture: diagonal
+    // mass dominates any single off-diagonal cell
+    val diag = cells.collect { case ((t, p), n) if t == p => n }.sum
+    val offMax = cells.collect { case ((t, p), n) if t != p => n }
+      .foldLeft(0L)(math.max)
+    assert(diag > offMax, s"diag $diag <= off-diagonal max $offMax")
+  }
+
   test("pipeline_curriculum partitions the corpus at exact boundaries") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineCurriculum(spark, sf).collect()
