@@ -1671,7 +1671,100 @@ object Etl {
        |  c_acctbal, c_mktsegment
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Write-Audit-Publish — the lakehouse ingest gate (Iceberg's WAP
+    * pattern, the batch form of quarantine ingest): every batch lands
+    * in a STAGED snapshot first, an audit runs against the staged
+    * files (null surrogate keys, duplicate keys), and only passing
+    * batches publish into the serving table — a failing batch leaves
+    * the published state untouched, which is the whole point (readers
+    * never see a half-bad load; etl_bad_records quarantines ROWS,
+    * WAP quarantines BATCHES). The staging writes, audits, and
+    * conditional publishes are REAL file operations per batch; the
+    * returned manifest is the audit trail plus the final published
+    * count, and the oracle replays every audit decision from the
+    * batch derivation rule alone.
+    *
+    * Scale shape: per batch O(batch) staging + audit (both
+    * full-scan aggregates with map-side combine) and O(batch)
+    * publish; the manifest is O(batches). The driver orchestrates
+    * (the stream_cdc_apply/foreachBatch regime) — data never
+    * collects. */
+  def etlWap(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val run = s"/tmp/graft_wap_run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val batches = (0 until 3).map { b =>
+      val slice = base.filter(col("c_custkey") % 3 === b)
+      if (b == 1)
+        // the poisoned batch: nulled keys + duplicated keys
+        slice.withColumn("c_custkey",
+            when(col("c_custkey") % 5 === 1, lit(null))
+              .otherwise(col("c_custkey")))
+          .unionAll(slice.filter(col("c_custkey") % 7 === 1))
+      else slice
+    }
+    val manifest = batches.zipWithIndex.map { case (df, b) =>
+      df.write.parquet(s"$run/stage_$b") // WRITE (staged, unpublished)
+      val staged = s.read.parquet(s"$run/stage_$b")
+      val nRows = staged.count()
+      val nNull = staged.filter(col("c_custkey").isNull).count()
+      val nDup = staged.filter(col("c_custkey").isNotNull)
+        .groupBy("c_custkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      val ok = nNull == 0 && nDup == 0 // AUDIT on the staged files
+      if (ok) // PUBLISH only after the audit passes
+        staged.write.mode("append").parquet(s"$run/published")
+      (b, nRows, nNull, nDup, if (ok) "published" else "rejected")
+    }
+    val publishedTotal = s.read.parquet(s"$run/published").count()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    val rows = manifest.map { case (b, n, nn, nd, st) =>
+      org.apache.spark.sql.Row(b, n, nn, nd, st, publishedTotal)
+    }
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("batch_id", IntegerType),
+      StructField("n_rows", LongType),
+      StructField("n_null_keys", LongType),
+      StructField("n_dup_keys", LongType),
+      StructField("status", StringType),
+      StructField("published_total", LongType))))
+  }
+
+  val etlWapSql: String =
+    """WITH b1 AS (
+      |  SELECT CASE WHEN c_custkey % 5 = 1 THEN NULL
+      |              ELSE c_custkey END AS k
+      |  FROM customer WHERE c_custkey % 3 = 1
+      |  UNION ALL
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_custkey % 3 = 1 AND c_custkey % 7 = 1),
+      |m AS (
+      |  SELECT 0 AS batch_id, COUNT(*) AS n_rows,
+      |    CAST(0 AS BIGINT) AS n_null_keys, CAST(0 AS BIGINT) AS n_dup_keys
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 1, (SELECT COUNT(*) FROM b1),
+      |    (SELECT COUNT(*) FROM b1 WHERE k IS NULL),
+      |    (SELECT COUNT(*) FROM (
+      |       SELECT k FROM b1 WHERE k IS NOT NULL
+      |       GROUP BY k HAVING COUNT(*) > 1))
+      |  UNION ALL
+      |  SELECT 2, COUNT(*), 0, 0
+      |  FROM customer WHERE c_custkey % 3 = 2),
+      |st AS (
+      |  SELECT batch_id, CAST(n_rows AS BIGINT) AS n_rows,
+      |    n_null_keys, n_dup_keys,
+      |    CASE WHEN n_null_keys = 0 AND n_dup_keys = 0
+      |         THEN 'published' ELSE 'rejected' END AS status
+      |  FROM m)
+      |SELECT batch_id, n_rows, n_null_keys, n_dup_keys, status,
+      |  (SELECT CAST(SUM(n_rows) AS BIGINT) FROM st
+      |   WHERE status = 'published') AS published_total
+      |FROM st""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_wap" -> (etlWap _),
     "etl_scd2_lookup" -> (etlScd2Lookup _),
     "etl_survivorship" -> (etlSurvivorship _),
     "etl_id_gaps" -> (etlIdGaps _),
@@ -1709,6 +1802,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,
     "etl_id_gaps" -> etlIdGapsSql,

@@ -714,6 +714,34 @@ class EtlSpec extends AnyFunSuite {
       (3503L, 6999L, 3497L)))
   }
 
+  test("etl_wap publishes only audited batches; rejection leaves state clean") {
+    import graft.operators.Etl
+    val rows = Etl.etlWap(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    val base = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    def slice(b: Int) = base.filter(_ % 3 == b)
+    // batches 0 and 2 are clean and publish
+    Seq(0, 2).foreach { b =>
+      val r = rows(b)
+      assert(r._2 == slice(b).length && r._3 == 0 && r._4 == 0 &&
+        r._5 == "published")
+    }
+    // batch 1 carries both defects and is rejected
+    val r1 = rows(1)
+    val nulled = slice(1).count(_ % 5 == 1).toLong
+    val dups = slice(1).count(k => k % 7 == 1 && k % 5 != 1).toLong
+    assert(r1._2 == slice(1).length + slice(1).count(_ % 7 == 1))
+    assert(r1._3 == nulled && r1._4 == dups && r1._5 == "rejected")
+    // the published table holds EXACTLY the clean batches — the
+    // rejected batch left no partial rows behind
+    val expectTotal = (slice(0).length + slice(2).length).toLong
+    assert(rows.forall(_._6 == expectTotal))
+  }
+
   test("etl_scd2_lookup picks the version valid at observation time") {
     import graft.operators.Etl
     val dim = Etl.etlScd2(spark, sf).collect()

@@ -174,6 +174,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // scd2_lookup: the dim build's version window + the key-equality
     // join (both sides pinned) + the as-of struct-max agg
     "etl_scd2_lookup" -> 5,
+    // wap: the returned manifest is an O(batches) local relation;
+    // staging/audit/publish jobs run inside the call (cdc_apply rule)
+    "etl_wap" -> 0,
     "q_date_funcs" -> 0, "q_distinct" -> 3, "q_events_window" -> 3,
     // gap_fill/retention: daily/weekly grain aggs + the pinned
     // corpus-side join + ordered output — every side shuffles, none
