@@ -966,7 +966,48 @@ object TextOps {
        |  CAST(COALESCE(m.n_dup, 0) AS BIGINT) AS n_dup
        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin
 
+  /** BPE tokenizer training, the counting step: adjacent-symbol pair
+    * frequencies over the corpus vocabulary — the statistic every
+    * merge round of byte-pair encoding (Sennrich et al. 2016) ranks
+    * on. The decisive scale trick is BPE's own: collapse the corpus
+    * to DISTINCT words first (groupBy word → count), then count char
+    * pairs once per distinct word weighted by its frequency — pair
+    * work scales with vocabulary size, not corpus size. Training
+    * loops this with the learned merges broadcast; round one is the
+    * verifiable unit (later rounds re-run the same plan over re-paired
+    * symbol arrays).
+    *
+    * Scale shape: word agg is map-side combined (Zipf means heavy
+    * collapse before the exchange); the pair explode runs over the
+    * vocabulary only and lands in a ≤|alphabet|² agg. Two shuffles
+    * total, both tiny relative to the scan. */
+  def textBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> substring(w, i, 2))")).as("pair"), col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+  }
+
+  val textBpePairsSql: String =
+    """WITH w AS (
+      |  SELECT t.x AS w, COUNT(*) AS wc
+      |  FROM documents,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(x)
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT substring(w, i, 2) AS pair, wc
+      |  FROM w, unnest(range(1, length(w))) AS z(i)
+      |  WHERE length(w) >= 2)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> (textBpePairs _),
     "text_dup_spans" -> (textDupSpans _),
     "text_collocations" -> (textCollocations _),
     "text_ngram_lm" -> (textNgramLm _),
@@ -988,6 +1029,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,

@@ -280,6 +280,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // rebuilt per branch (frequency, anti-join, totals, reassembly)
     // and every corpus-derived side is pinned to shuffle
     "text_boilerplate" -> 11,
+    "text_bpe_pairs" -> 2,
     "text_chunk" -> 1,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,

@@ -404,6 +404,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > 0 && v._2 == 0))
   }
 
+  test("text_bpe_pairs equals the driver-side BPE pair replay") {
+    val got = TextOps.textBpePairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wordRe = "[a-z]+".r
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.load(spark, sf, "documents").select("text").collect()
+      .foreach { r =>
+        wordRe.findAllIn(r.getString(0).toLowerCase)
+          .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+      }
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2)
+        .foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
+    }
+    assert(got == pairs.toMap)
+    // pair counting runs over the vocabulary, which must be far
+    // smaller than the corpus for BPE's trick to pay off
+    assert(wc.size.toLong < wc.values.sum / 2)
+    // every pair is two lowercase letters
+    assert(got.keys.forall(p => p.length == 2 &&
+      p.forall(ch => ch >= 'a' && ch <= 'z')))
+  }
+
   test("text_lang_confusion reconciles with per-doc predictions") {
     val cells = TextOps.textLangConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
