@@ -446,7 +446,53 @@ object CorpusPipeline {
        |FROM r""".stripMargin
   }
 
+  /** Preference-pair construction — the DPO/RLHF data-prep step:
+    * within each candidate group, pair the best-scored response with
+    * the worst and record the margin; groups whose candidates all tie
+    * carry no preference signal and are dropped. The fixture stands
+    * in (source, lang) for the prompt id and the integer n_chars
+    * column for the reward-model score — any grouping and any integer
+    * score plug in unchanged.
+    *
+    * Scale shape: one map-side-combined groupBy — chosen and rejected
+    * are max/min over a (score, id) struct, so the exchange carries
+    * two structs + a count per group, never the candidate rows. No
+    * window (a per-group rank would sort every candidate); no join.
+    * Tie-breaks are total (score, then id) so the pair set is
+    * deterministic under any partitioning. */
+  def pipelinePrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val cands = graft.Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars").as("score"))
+    cands.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_cands"),
+        max(struct(col("score"), col("doc_id"))).as("b"),
+        min(struct(col("score"), col("doc_id"))).as("w"))
+      .filter(col("b.score") > col("w.score"))
+      .select(col("source"), col("lang"), col("n_cands"),
+        col("b.doc_id").as("chosen_id"), col("w.doc_id").as("rejected_id"),
+        (col("b.score") - col("w.score")).as("margin"))
+  }
+
+  val pipelinePrefPairsSql: String =
+    """WITH c AS (
+      |  SELECT source, lang, doc_id, n_chars AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY score DESC, doc_id DESC) AS rb,
+      |    ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY score ASC, doc_id ASC) AS rw,
+      |    COUNT(*) OVER (PARTITION BY source, lang) AS n_cands
+      |  FROM documents)
+      |SELECT b.source, b.lang, CAST(b.n_cands AS BIGINT) AS n_cands,
+      |  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+      |  b.score - w.score AS margin
+      |FROM c b JOIN c w
+      |  ON b.source = w.source AND b.lang = w.lang
+      |  AND b.rb = 1 AND w.rw = 1
+      |WHERE b.score > w.score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pref_pairs" -> (pipelinePrefPairs _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_weighted_sample" -> (pipelineWeightedSample _),
     "pipeline_epoch_shuffle" -> (pipelineEpochShuffle _),
@@ -457,6 +503,7 @@ object CorpusPipeline {
     "pipeline_decontaminate" -> (pipelineDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pref_pairs" -> pipelinePrefPairsSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,

@@ -98,6 +98,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // curriculum: the rank-key range exchange feeding the
     // checkpoint-pinned scan (offsets are driver-side O(partitions))
     "pipeline_curriculum" -> 2,
+    "pipeline_pref_pairs" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -449,6 +449,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(diag > offMax, s"diag $diag <= off-diagonal max $offMax")
   }
 
+  test("pipeline_pref_pairs equals the driver-side best/worst replay") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelinePrefPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val replay = docs.groupBy(d => (d._1, d._2)).flatMap {
+      case (g, cs) =>
+        val best = cs.maxBy(c => (c._4, c._3))
+        val worst = cs.minBy(c => (c._4, c._3))
+        if (best._4 > worst._4)
+          Some(g -> ((cs.length.toLong, best._3, worst._3, best._4 - worst._4)))
+        else None
+    }.toMap
+    assert(got == replay)
+    assert(got.nonEmpty)
+    // margins are strictly positive by construction
+    assert(got.values.forall(_._4 > 0))
+    // chosen and rejected never coincide
+    assert(got.values.forall(v => v._2 != v._3))
+  }
+
   test("pipeline_curriculum partitions the corpus at exact boundaries") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineCurriculum(spark, sf).collect()
