@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.plans.GlobalRank
 
 /** Second-wave analytic keys: exact re-aggregatable distinct
   * counting, sequential pattern matching (batch CEP), Pareto
@@ -693,7 +694,83 @@ object AnalyticsOps {
        |FROM pairs JOIN freq fa ON fa.p = pairs.a
        |JOIN freq fb ON fb.p = pairs.b""".stripMargin
 
+  /** NTILE(k) bucket from an exact 1-based rank over n rows — the SQL
+    * standard's sizing (the first n mod k buckets take ceil(n/k) rows,
+    * the rest floor(n/k)), restated as pure integer arithmetic so the
+    * bucket can be computed from a DISTRIBUTED rank instead of a
+    * one-reducer NTILE window. Integer `div` throughout — no double
+    * division anywhere (exact at any corpus size). */
+  private def ntileOfRank(rankCol: String, n: Long, k: Long): Column = {
+    val q = n / k
+    val rem = n % k
+    if (q == 0) expr(s"cast($rankCol as int)")
+    else expr(
+      s"cast(case when $rankCol - 1 < ${rem * (q + 1)}" +
+        s" then ($rankCol - 1) div ${q + 1}" +
+        s" else $rem + ($rankCol - 1 - ${rem * (q + 1)}) div $q end" +
+        " + 1 as int)")
+  }
+
+  /** RFM segmentation — the classic customer-value scoring every
+    * CRM/marketing warehouse runs: per customer, Recency (latest
+    * order date), Frequency (order count), Monetary (lifetime spend,
+    * exact cents), each scored into quintiles (1 = best) and fused
+    * into the 3-digit RFM segment code.
+    *
+    * Scale shape: quintiles need an exact GLOBAL rank per dimension —
+    * the one-reducer NTILE trap — so each dimension runs the factored
+    * [[GlobalRank]] range-rank scan (parallel range buckets +
+    * O(partitions) driver offsets) and converts rank → bucket with
+    * [[ntileOfRank]]'s integer arithmetic. The customer-metric frame
+    * is localCheckpoint-pinned so the three rank passes and the final
+    * join read ONE materialization of the orders aggregate, and every
+    * join is shuffle-pinned (the frame is O(customers) — broadcasting
+    * it at 100 TB would die). Ties break by custkey, so scores are
+    * deterministic under any partitioning. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+          .as("cents"))
+      .localCheckpoint() // one materialization feeds 3 ranks + the join
+    val n = m.count()
+    def dim(keys: Seq[Column], out: String): DataFrame =
+      GlobalRank.withRank(s, m, keys, "rnk")
+        .select(col("c"), ntileOfRank("rnk", n, 5).as(out))
+    val r = dim(Seq(col("last_d").desc, col("c")), "r_score")
+    val f = dim(Seq(col("freq").desc, col("c")), "f_score")
+    val mo = dim(Seq(col("cents").desc, col("c")), "m_score")
+    m.join(r.hint("shuffle_hash"), Seq("c"))
+      .join(f.hint("shuffle_hash"), Seq("c"))
+      .join(mo.hint("shuffle_hash"), Seq("c"))
+      .select(col("c").as("custkey"), col("last_d"), col("freq"),
+        col("cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast(IntegerType).as("rfm"))
+      .orderBy("custkey")
+  }
+
+  val qRfmSql: String =
+    """WITH m AS (
+      |  SELECT o_custkey AS c, MAX(o_orderdate) AS last_d,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT c, last_d, CAST(freq AS BIGINT) AS freq, cents,
+      |    CAST(NTILE(5) OVER (ORDER BY last_d DESC, c) AS INT) AS r_score,
+      |    CAST(NTILE(5) OVER (ORDER BY freq DESC, c) AS INT) AS f_score,
+      |    CAST(NTILE(5) OVER (ORDER BY cents DESC, c) AS INT) AS m_score
+      |  FROM m)
+      |SELECT c AS custkey, last_d, freq, cents, r_score, f_score, m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+      |FROM sc ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_attribution" -> (qAttribution _),
@@ -709,6 +786,7 @@ object AnalyticsOps {
     "q_decay_score" -> (qDecayScore _))
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -340,4 +340,53 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_rfm quintiles equal a driver-side NTILE replay") {
+    val got = AnalyticsOps.qRfm(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))).toMap
+    val m = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.max(col("o_orderdate"))
+          .as("last_d"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("freq"),
+        expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+          .as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getLong(2),
+        r.getLong(3)))
+    val n = m.length
+    // reference NTILE: first n%5 buckets take ceil(n/5) rows
+    def ntile(rank: Int): Int = {
+      val q = n / 5; val rem = n % 5
+      val r0 = rank - 1
+      if (r0 < rem * (q + 1)) r0 / (q + 1) + 1
+      else rem + (r0 - rem * (q + 1)) / q + 1
+    }
+    def scores[K: Ordering](key: ((Long, String, Long, Long)) => K)
+        : Map[Long, Int] =
+      m.sortBy(r => (key(r), r._1))(
+          Ordering.Tuple2(Ordering[K].reverse, Ordering.Long))
+        .zipWithIndex.map { case (r, i) => r._1 -> ntile(i + 1) }.toMap
+    // each dimension orders metric DESC, custkey ASC
+    val rS = scores(r => r._2) // ISO date strings sort chronologically
+    val fS = scores(r => r._3)
+    val mS = scores(r => r._4)
+    assert(got.size == n)
+    m.foreach { r =>
+      val exp = (rS(r._1), fS(r._1), mS(r._1),
+        rS(r._1) * 100 + fS(r._1) * 10 + mS(r._1))
+      assert(got(r._1) == exp, s"cust ${r._1}: got ${got(r._1)}, exp $exp")
+    }
+    // quintile sizing: bucket sizes differ by at most one per dimension
+    Seq(4, 5, 6).foreach { c =>
+      val sizes = got.values.groupBy {
+        case t => c match {
+          case 4 => t._1; case 5 => t._2; case _ => t._3
+        }
+      }.values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"col $c sizes $sizes")
+    }
+  }
 }

@@ -99,6 +99,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // checkpoint-pinned scan (offsets are driver-side O(partitions))
     "pipeline_curriculum" -> 2,
     "pipeline_pref_pairs" -> 1,
+    // rfm: the orders→customer agg is checkpoint-pinned (its exchange
+    // happens before the audited plan); the audited plan carries the
+    // three rank passes' pid-grain window exchanges, the three
+    // shuffle-pinned score joins, and the ordered output
+    "q_rfm" -> 8,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
