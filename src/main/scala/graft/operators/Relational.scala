@@ -1608,7 +1608,54 @@ object Relational {
       |    AS alloc_cents
       |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Exact per-group MODE with a deterministic tie-break — the
+    * most-frequent-value aggregate (top category per segment, modal
+    * status per queue) that Spark's built-in `mode()` gets WRONG for
+    * reproducibility: on tied frequencies it returns an arbitrary
+    * survivor, so reruns and different partitionings disagree. Here:
+    * per market segment, the modal customer nation, its count, and
+    * its exact ppm share of the segment.
+    *
+    * Scale shape: two map-side-combined aggregations — (seg, value)
+    * counts, then ONE struct-max per segment over (count, -value,
+    * value) so equal counts resolve to the SMALLEST value under any
+    * partitioning; the exchange carries value-grain counts, never
+    * rows, and no window ever sorts a group. Share is integer ppm
+    * via `div` — no percentage float. */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("v"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("seg")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        max(struct(col("n"), (-col("v")).as("nv"), col("v"))).as("m"))
+      .select(col("seg").as("c_mktsegment"), col("n_rows"),
+        col("n_values"), col("m.v").as("mode_val"), col("m.n").as("mode_n"))
+      .withColumn("mode_ppm",
+        expr("cast((mode_n * 1000000) div n_rows as bigint)"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS v, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |t AS (SELECT seg, SUM(n) AS n_rows, COUNT(*) AS n_values
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT seg, v, n,
+      |        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY n DESC, v)
+      |          AS rk
+      |      FROM c)
+      |SELECT r.seg AS c_mktsegment, CAST(t.n_rows AS BIGINT) AS n_rows,
+      |  CAST(t.n_values AS BIGINT) AS n_values, r.v AS mode_val,
+      |  CAST(r.n AS BIGINT) AS mode_n,
+      |  CAST(r.n * 1000000 // t.n_rows AS BIGINT) AS mode_ppm
+      |FROM r JOIN t USING (seg) WHERE rk = 1
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_ohlc_bars" -> (qOhlcBars _),
@@ -1688,6 +1735,7 @@ object Relational {
     "q_string_funcs" -> qStringFuncsSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_percentile" -> qPercentileSql,
+    "q_mode" -> qModeSql,
     "q_sessionize" -> qSessionizeSql,
     "q_interval_merge" -> qIntervalMergeSql,
     "q_asof_interpolate" -> qAsofInterpolateSql,

@@ -104,6 +104,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // three rank passes' pid-grain window exchanges, the three
     // shuffle-pinned score joins, and the ordered output
     "q_rfm" -> 8,
+    // mode: value-grain counts agg + segment struct-max agg + ordered
+    // output — value-grain rows on the wire, never customers
+    "q_mode" -> 3,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -453,4 +453,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("intersect_all") > got("intersect_distinct"))
     assert(got("except_all") > got("except_distinct"))
   }
+
+  test("q_mode equals a driver-side frequency replay with min tie-break") {
+    val got = graft.operators.Relational.qMode(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Number](3).longValue(),
+          r.getLong(4), r.getLong(5))).toMap
+    val rows = Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+    val exp = rows.groupBy(_._1).map { case (seg, rs) =>
+      val freq = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // mode = max count, ties to the SMALLEST value
+      val (v, n) = freq.toSeq.minBy { case (value, cnt) => (-cnt, value) }
+      seg -> (rs.size.toLong, freq.size.toLong, v, n,
+        n * 1000000L / rs.size)
+    }
+    assert(got == exp)
+  }
 }
