@@ -769,7 +769,62 @@ object AnalyticsOps {
       |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
       |FROM sc ORDER BY custkey""".stripMargin
 
+  /** Year-over-year growth — the periodic-comparison report every
+    * finance/BI surface runs (same-period-last-year revenue, delta,
+    * growth rate): per order priority and year, revenue in exact
+    * cents, the prior YEAR's revenue (not merely the prior row — a
+    * gap year yields NULL, it never silently compares across the
+    * gap), the delta, and growth in integer basis points.
+    *
+    * Scale shape: one map-side-combined agg collapses the fact table
+    * to the (priority, year) grain; the lag window runs over that
+    * model-sized frame partitioned by priority — the corpus is never
+    * windowed. Growth is (delta·10⁴) div prev in pure longs (Spark
+    * `div` and DuckDB `//` both truncate toward zero, verified on
+    * negatives) — no percentage float anywhere. */
+  def qYoy(s: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(
+        expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+          .as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("yr"))
+    yearly
+      .withColumn("prev_cents",
+        when(lag(col("yr"), 1).over(w) === col("yr") - 1,
+          lag(col("rev_cents"), 1).over(w)))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("growth_bp",
+        expr("cast((delta_cents * 10000) div prev_cents as bigint)"))
+      .orderBy("priority", "yr")
+  }
+
+  val qYoySql: String =
+    """WITH y AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(year(o_orderdate) AS INT) AS yr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS rev_cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (
+      |  SELECT priority, yr, rev_cents, CAST(n_orders AS BIGINT)
+      |      AS n_orders,
+      |    CASE WHEN LAG(yr) OVER (PARTITION BY priority ORDER BY yr)
+      |           = yr - 1
+      |      THEN LAG(rev_cents) OVER (PARTITION BY priority ORDER BY yr)
+      |      END AS prev_cents
+      |  FROM y)
+      |SELECT priority, yr, rev_cents, n_orders, prev_cents,
+      |  rev_cents - prev_cents AS delta_cents,
+      |  CAST((rev_cents - prev_cents) * 10000 // prev_cents AS BIGINT)
+      |    AS growth_bp
+      |FROM l ORDER BY priority, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yoy" -> (qYoy _),
     "q_rfm" -> (qRfm _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_basket_pairs" -> (qBasketPairs _),
@@ -787,6 +842,7 @@ object AnalyticsOps {
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
+    "q_yoy" -> qYoySql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

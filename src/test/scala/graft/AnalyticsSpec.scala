@@ -341,6 +341,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_yoy equals a driver-side lag replay, trunc-division on drops") {
+    val got = AnalyticsOps.qYoy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    val yearly = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == yearly.size)
+    var sawDrop = false
+    yearly.foreach { case ((p, y), rev) =>
+      val prev = yearly.get((p, y - 1))
+      // Scala Long division truncates toward zero — the shared law
+      val bp = prev.map(pc => (rev - pc) * 10000L / pc)
+      if (bp.exists(_ < 0)) sawDrop = true
+      assert(got((p, y)) == ((rev, prev, bp)), s"($p,$y)")
+    }
+    assert(sawDrop, "fixture must exercise negative growth (2001 partial)")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

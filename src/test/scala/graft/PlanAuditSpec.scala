@@ -107,6 +107,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // mode: value-grain counts agg + segment struct-max agg + ordered
     // output — value-grain rows on the wire, never customers
     "q_mode" -> 3,
+    // yoy: fact agg to (priority, year) grain + the model-sized lag
+    // window's exchange + ordered output
+    "q_yoy" -> 3,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
