@@ -823,7 +823,69 @@ object AnalyticsOps {
       |    AS growth_bp
       |FROM l ORDER BY priority, yr""".stripMargin
 
+  /** Benford expected first-digit shares, parts-per-million: round
+    * (log10(1+1/d)·10⁶) for d=1..9, shipped as INTEGER CONSTANTS so
+    * neither engine evaluates a transcendental at query time (two
+    * libm log10s could differ in the last ulp; two copies of the same
+    * literal cannot). */
+  private val benfordPpm =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** Benford first-digit audit — the classic fabricated-data /
+    * fraud / unit-mixing screen: the distribution of FIRST
+    * significant digits of order amounts against Benford's law, with
+    * deviation in exact ppm. Amounts spanning several orders of
+    * magnitude follow log10(1+1/d); human-invented or truncated data
+    * does not.
+    *
+    * Scale shape: the digit is `substring(cast(exact cents to
+    * string), 1, 1)` — pure codegen'd string projection, no log10 on
+    * data (and exact at any magnitude, where a double log10 would
+    * wobble near power-of-ten boundaries); one map-side-combined
+    * count per digit collapses the corpus to ≤9 rows; the share
+    * window runs over that 9-row frame only. Shares and deviations
+    * are integer ppm via `div`; expected values are shared integer
+    * literals — the whole result is engine-exact. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "orders")
+      .select(expr(
+        "cast(substring(cast(cast(cast(o_totalprice as decimal(14,2))" +
+          " * 100 as bigint) as string), 1, 1) as int)").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share_ppm", expr("cast((n * 1000000) div total as bigint)"))
+      .withColumn("expected_ppm",
+        element_at(typedlit(benfordPpm), col("d")))
+      .withColumn("dev_ppm", col("share_ppm") - col("expected_ppm"))
+      .select(col("d"), col("n"), col("share_ppm"), col("expected_ppm"),
+        col("dev_ppm"))
+      .orderBy("d")
+  }
+
+  val qBenfordSql: String = {
+    val cases = benfordPpm.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice
+       |      AS DECIMAL(14,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+       |      AS INT) AS d,
+       |    COUNT(*) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT SUM(n) AS total FROM c)
+       |SELECT d, CAST(n AS BIGINT) AS n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST(CASE d $cases END AS BIGINT) AS expected_ppm,
+       |  CAST(n * 1000000 // total - CASE d $cases END AS BIGINT)
+       |    AS dev_ppm
+       |FROM c, t ORDER BY d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
     "q_yoy" -> (qYoy _),
     "q_rfm" -> (qRfm _),
     "q_transition_matrix" -> (qTransitionMatrix _),
@@ -843,6 +905,7 @@ object AnalyticsOps {
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
     "q_yoy" -> qYoySql,
+    "q_benford" -> qBenfordSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

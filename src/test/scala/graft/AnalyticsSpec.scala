@@ -364,6 +364,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sawDrop, "fixture must exercise negative growth (2001 partial)")
   }
 
+  test("q_benford digits replay exactly and shares sum near 10^6") {
+    val got = AnalyticsOps.qBenford(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cents = Tables.load(spark, sf, "orders")
+      .select(expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"))
+      .collect().map(_.getLong(0))
+    val exp = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.size.toLong).toMap
+    val total = cents.length.toLong
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (d, n) =>
+      val share = n * 1000000L / total
+      assert(got(d) == ((n, share, ppm(d - 1), share - ppm(d - 1))), s"d=$d")
+    }
+    // truncating div loses < 9 ppm total
+    val s6 = got.values.map(_._2).sum
+    assert(s6 > 999991L && s6 <= 1000000L, s"share sum $s6")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -110,6 +110,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // yoy: fact agg to (priority, year) grain + the model-sized lag
     // window's exchange + ordered output
     "q_yoy" -> 3,
+    // benford: digit-grain count agg + the ≤9-row share window's
+    // single-partition exchange + ordered output
+    "q_benford" -> 3,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
