@@ -1006,7 +1006,62 @@ object TextOps {
       |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
       |FROM p GROUP BY 1""".stripMargin
 
+  /** Readability scoring — the document-difficulty feature
+    * (Gunning-Fog / Flesch family) quality pipelines use to route
+    * text to grade bands and to filter degenerate prose. Per doc:
+    * word count, syllable count (vowel-run proxy — the standard
+    * dictionary-free approximation), syllables-per-word in exact
+    * milli, complex-word count (≥3 vowel runs), complex share in
+    * ppm, and a Gunning-Fog-style grade in centi-points. Fixture
+    * texts carry no sentence marks, so the sentence term
+    * degenerates to words-per-doc (documented; real prose plugs in
+    * a sentence split unchanged).
+    *
+    * Scale shape: pure per-row codegen'd projection — regexp_count
+    * for the corpus-wide vowel runs and a higher-order
+    * filter(transform) over the token array for complex words; no
+    * explode (the token array never leaves its row), no shuffle
+    * except the ordered output. All ratios are integer `div` at
+    * fixed scales — no float ever exists. */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_words"),
+        expr("cast(regexp_count(lower(text), '[aeiou]+') as bigint)")
+          .as("n_syll"),
+        expr("cast(size(filter(filter(split(text, ' '), t -> t != '')," +
+          " w -> regexp_count(lower(w), '[aeiou]+') >= 3)) as bigint)")
+          .as("n_complex"))
+      .withColumn("syll_per_word_milli",
+        expr("cast((n_syll * 1000) div n_words as bigint)"))
+      .withColumn("complex_ppm",
+        expr("cast((n_complex * 1000000) div n_words as bigint)"))
+      .withColumn("fog_centi",
+        expr("cast(40 * n_words + (4000 * n_complex) div n_words" +
+          " as bigint)"))
+      .orderBy("doc_id")
+
+  val textReadabilitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+      |      AS BIGINT) AS n_syll,
+      |    CAST(len(list_filter(
+      |        list_filter(string_split(text, ' '), x -> x <> ''),
+      |        w -> len(regexp_extract_all(lower(w), '[aeiou]+')) >= 3))
+      |      AS BIGINT) AS n_complex
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syll, n_complex,
+      |  CAST(n_syll * 1000 // n_words AS BIGINT) AS syll_per_word_milli,
+      |  CAST(n_complex * 1000000 // n_words AS BIGINT) AS complex_ppm,
+      |  CAST(40 * n_words + 4000 * n_complex // n_words AS BIGINT)
+      |    AS fog_centi
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_dup_spans" -> (textDupSpans _),
     "text_collocations" -> (textCollocations _),
@@ -1029,6 +1084,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,

@@ -113,6 +113,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // benford: digit-grain count agg + the ≤9-row share window's
     // single-partition exchange + ordered output
     "q_benford" -> 3,
+    // readability: pure per-row projection; only the ordered output
+    "text_readability" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -528,4 +528,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(meanSample > meanAll,
       s"length-weighted sample should skew long: $meanSample <= $meanAll")
   }
+
+  test("text_readability equals a driver-side vowel-run replay") {
+    val got = graft.operators.TextOps.textReadability(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    val runs = "[aeiou]+".r
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val nw = words.length.toLong
+      val ns = runs.findAllIn(text.toLowerCase).size.toLong
+      val nc = words.count(w =>
+        runs.findAllIn(w.toLowerCase).size >= 3).toLong
+      val exp = (nw, ns, nc, ns * 1000 / nw, nc * 1000000L / nw,
+        40 * nw + 4000 * nc / nw)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, exp $exp")
+    }
+  }
 }
