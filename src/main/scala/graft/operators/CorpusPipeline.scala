@@ -491,7 +491,54 @@ object CorpusPipeline {
       |  AND b.rb = 1 AND w.rw = 1
       |WHERE b.score > w.score""".stripMargin
 
+  /** Length-bucket histogram — the batch-planning audit behind every
+    * padded-batch trainer: assign each document to the next
+    * power-of-two token-length bucket (the bucketed-batching scheme)
+    * and account the exact padding waste per bucket — the number that
+    * decides between padded batching and sequence packing
+    * (text_pack_sequences is the packing alternative; this key prices
+    * the other side).
+    *
+    * Scale shape: bucket id is a pure bit-width projection —
+    * `shiftleft(1, length(bin(n-1)))` — no log2 float anywhere; one
+    * map-side-combined agg collapses the corpus to O(log max_len)
+    * rows; waste share is integer ppm on exact token/slot counts. */
+  def pipelineLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextOps.toks(col("text"))
+    graft.Tables.load(s, dir, "documents")
+      .select(size(toks).cast("long").as("n"))
+      .withColumn("bucket",
+        expr("case when n <= 1 then 1" +
+          " else shiftleft(cast(1 as bigint)," +
+          " cast(length(bin(n - 1)) as int)) end"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("bucket") - col("n")).as("total_padding"))
+      .withColumn("waste_ppm",
+        expr("cast((total_padding * 1000000) div (n_docs * bucket)" +
+          " as bigint)"))
+      .orderBy("bucket")
+  }
+
+  val pipelineLengthBucketsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT n, CASE WHEN n <= 1 THEN 1
+      |    ELSE CAST(1 AS BIGINT) << len(bin(n - 1)) END AS bucket
+      |  FROM d)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(bucket - n) AS BIGINT) AS total_padding,
+      |  CAST(SUM(bucket - n) * 1000000 // (COUNT(*) * bucket) AS BIGINT)
+      |    AS waste_ppm
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_pref_pairs" -> (pipelinePrefPairs _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_weighted_sample" -> (pipelineWeightedSample _),
@@ -504,6 +551,7 @@ object CorpusPipeline {
 
   val oracles: Map[String, String] = Map(
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
+    "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,

@@ -115,6 +115,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_benford" -> 3,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
+    // length_buckets: bucket-grain agg (partial+final) + ordered output
+    "pipeline_length_buckets" -> 2,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -529,6 +529,31 @@ class TextOpsSpec extends AnyFunSuite {
       s"length-weighted sample should skew long: $meanSample <= $meanAll")
   }
 
+  test("pipeline_length_buckets: pow2 covers, accounts every doc and token") {
+    val got = graft.operators.CorpusPipeline
+      .pipelineLengthBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val lens = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"))
+      .collect().map(_.getLong(0))
+    // every bucket is a power of two; bucket/2 < n <= bucket
+    got.foreach { case (b, _, _, _, _) =>
+      assert((b & (b - 1)) == 0 && b > 0, s"bucket $b not a power of two")
+    }
+    def pow2(n: Long): Long = {
+      var b = 1L; while (b < n) b <<= 1; b
+    }
+    val exp = lens.groupBy(pow2).map { case (b, ns) =>
+      val pad = ns.map(b - _).sum
+      (b, ns.length.toLong, ns.sum, pad,
+        pad * 1000000L / (ns.length * b))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+    assert(got.map(_._2).sum == lens.length.toLong)
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
