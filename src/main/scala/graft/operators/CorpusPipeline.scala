@@ -537,7 +537,95 @@ object CorpusPipeline {
       |    AS waste_ppm
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Staged quality-filter cascade — the attrition report every
+    * corpus-cleaning pipeline publishes (how many documents each
+    * filter stage dropped, in order): stage 1 minimum length,
+    * stage 2 mean word length in [2,12] (gibberish / charsalad
+    * screen), stage 3 vocabulary diversity (distinct tokens ≥ half —
+    * the cheap repetition screen), stage 4 recognized language. A
+    * document reaches stage k only through stages 1..k-1, so the
+    * report is a strict funnel.
+    *
+    * Scale shape: all four predicates are codegen'd per-row integer
+    * comparisons (the word-length band is cross-multiplied — no
+    * division per row); ONE map-side-combined aggregate carries four
+    * conditional counts; the 4-row funnel is then unpivoted from the
+    * single aggregate row. Attrition is integer ppm. */
+  def pipelineFilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(graft.operators.TextOps.toks(col("text"))).cast("long")
+          .as("nt"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("nc"),
+        size(array_distinct(graft.operators.TextOps.toks(col("text"))))
+          .cast("long").as("nd"))
+      .select(
+        col("nt").geq(20).as("p1"),
+        (col("nc").geq(lit(2) * col("nt")) &&
+          col("nc").leq(lit(12) * col("nt"))).as("p2"),
+        (lit(2) * col("nd") >= col("nt")).as("p3"),
+        col("lang").isin("en", "de", "fr", "es", "zh").as("p4"))
+    val agg = docs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+        .as("n3"),
+      sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+        .otherwise(0L)).as("n4"))
+    agg.select(expr(
+      "stack(4," +
+        " 1, 'min_length',      n0, n1," +
+        " 2, 'word_length_band', n1, n2," +
+        " 3, 'vocab_diversity',  n2, n3," +
+        " 4, 'known_language',   n3, n4)" +
+        " as (stage, stage_name, n_in, n_out)"))
+      .withColumn("dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_ppm",
+        expr("case when n_in = 0 then cast(0 as bigint)" +
+          " else cast(((n_in - n_out) * 1000000) div n_in as bigint) end"))
+      .orderBy("stage")
+  }
+
+  val pipelineFilterCascadeSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS nt,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+      |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+      |      x -> x <> ''))) AS BIGINT) AS nd
+      |  FROM documents),
+      |p AS (
+      |  SELECT nt >= 20 AS p1,
+      |    nc >= 2 * nt AND nc <= 12 * nt AS p2,
+      |    2 * nd >= nt AS p3,
+      |    lang IN ('en', 'de', 'fr', 'es', 'zh') AS p4
+      |  FROM d),
+      |a AS (
+      |  SELECT COUNT(*) AS n0,
+      |    SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS n3,
+      |    SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS n4
+      |  FROM p),
+      |f AS (
+      |  SELECT 1 AS stage, 'min_length' AS stage_name, n0 AS n_in,
+      |    n1 AS n_out FROM a
+      |  UNION ALL SELECT 2, 'word_length_band', n1, n2 FROM a
+      |  UNION ALL SELECT 3, 'vocab_diversity', n2, n3 FROM a
+      |  UNION ALL SELECT 4, 'known_language', n3, n4 FROM a)
+      |SELECT CAST(stage AS INT) AS stage, stage_name,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+      |  CAST(n_in - n_out AS BIGINT) AS dropped,
+      |  CASE WHEN n_in = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((n_in - n_out) * 1000000 // n_in AS BIGINT) END
+      |    AS drop_ppm
+      |FROM f ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_filter_cascade" -> (pipelineFilterCascade _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_pref_pairs" -> (pipelinePrefPairs _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
@@ -552,6 +640,7 @@ object CorpusPipeline {
   val oracles: Map[String, String] = Map(
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,
+    "pipeline_filter_cascade" -> pipelineFilterCascadeSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,

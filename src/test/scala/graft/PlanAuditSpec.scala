@@ -117,6 +117,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
     "pipeline_length_buckets" -> 2,
+    // filter_cascade: one corpus agg (partial + 1-row final) + the
+    // 4-row funnel's ordered output
+    "pipeline_filter_cascade" -> 3,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

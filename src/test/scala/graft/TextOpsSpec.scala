@@ -554,6 +554,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == lens.length.toLong)
   }
 
+  test("pipeline_filter_cascade is a strict funnel matching a replay") {
+    val got = graft.operators.CorpusPipeline
+      .pipelineFilterCascade(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // funnel chaining: stage k's input is stage k-1's output
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._3, s"funnel break between ${a._1} and ${b._1}")
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val preds = docs.map { case (lang, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val nt = ws.length.toLong
+      val nc = text.replace(" ", "").length.toLong
+      (nt >= 20, nc >= 2 * nt && nc <= 12 * nt,
+        2L * ws.distinct.length >= nt,
+        Set("en", "de", "fr", "es", "zh")(lang))
+    }
+    val exp = Seq(
+      (preds.length.toLong, preds.count(_._1).toLong),
+      (preds.count(_._1).toLong, preds.count(p => p._1 && p._2).toLong),
+      (preds.count(p => p._1 && p._2).toLong,
+        preds.count(p => p._1 && p._2 && p._3).toLong),
+      (preds.count(p => p._1 && p._2 && p._3).toLong,
+        preds.count(p => p._1 && p._2 && p._3 && p._4).toLong))
+    assert(got.map(r => (r._3, r._4)).toSeq == exp)
+    got.foreach { r =>
+      assert(r._5 == r._3 - r._4)
+      assert(r._6 == (if (r._3 == 0) 0L else r._5 * 1000000L / r._3))
+    }
+    // the fixture must exercise attrition somewhere
+    assert(got.map(_._5).sum > 0, "cascade dropped nothing — dead filters")
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
