@@ -1048,7 +1048,47 @@ object StreamOps {
        |    AS n_late
        |FROM j GROUP BY 1""".stripMargin
 
+  /** Streaming OHLC bars — the live candlestick / SLO-rollup loop
+    * (the continuously-running twin of the batch q_ohlc_bars): 6-hour
+    * bars per event type maintained by an actual streaming
+    * aggregation, open/close picked by the same zero-padded
+    * (epoch, event_id) key so stream and batch agree bit-for-bit on
+    * timestamp ties.
+    *
+    * Scale shape: per-bar state is five scalars + a count (min_by/
+    * max_by carry one candidate each) — O(open bars × types), never
+    * O(stream); the watermark admits a day of lateness and lets
+    * closed bars evict in append-style production sinks (the drained
+    * fixture run uses complete mode into memory). Oracle: the batch
+    * key's own SQL — stream/batch parity IS the correctness claim. */
+  def streamOhlc(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    val name = s"stream_ohlc_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .withColumn("bar_id", expr("unix_micros(ts) div 21600000000"))
+      .withColumn("pick_key",
+        expr("concat(lpad(cast(unix_micros(ts) as string), 20, '0'), " +
+          "lpad(cast(event_id as string), 12, '0'))"))
+      .groupBy(col("event_type"), col("bar_id"))
+      .agg(
+        min_by(col("value"), col("pick_key")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("pick_key")).as("close"),
+        count(lit(1)).as("n_events"))
+    runAvailableNow(agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    collectAndDrop(spark, name,
+      spark.table(name).orderBy("event_type", "bar_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ohlc" -> (streamOhlc _),
     "stream_late_data" -> (streamLateData _),
     "stream_bitmap_distinct" -> (streamBitmapDistinct _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
@@ -1063,6 +1103,8 @@ object StreamOps {
     "stream_cdc_apply" -> (streamCdcApply _))
 
   val oracles: Map[String, String] = Map(
+    // stream/batch parity: the batch key's SQL covers the stream twin
+    "stream_ohlc" -> graft.operators.Relational.qOhlcBarsSql,
     "stream_late_data" -> streamLateDataSql,
     // same word layout as the batch key -> same oracle covers both
     "stream_bitmap_distinct" -> graft.operators.AnalyticsOps.qBitmapDistinctSql,

@@ -290,7 +290,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_sessions" -> 0, "stream_user_state" -> 0,
     // cdc_apply merges inside foreachBatch micro-batch jobs; the
     // returned frame is the drained O(keys) local relation
-    "stream_cdc_apply" -> 0,
+    "stream_cdc_apply" -> 0, "stream_ohlc" -> 0,
     // heavy_hitters: merged shard sketches return as a local relation
     "stream_heavy_hitters" -> 0,
     // bitmap_distinct: popcount rollup over the drained word state

@@ -64,6 +64,13 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_ohlc equals the batch OHLC key row-for-row") {
+    val streamed = StreamOps.streamOhlc(spark, sf).collect()
+    val batch = graft.operators.Relational.qOhlcBars(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("stream_sessions (session_window) equals its batch twin") {
     val streamed = StreamOps.streamSessions(spark, sf).collect()
     val batch = StreamOps.qSessionWindow(spark, sf)
