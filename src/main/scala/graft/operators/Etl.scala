@@ -1763,7 +1763,70 @@ object Etl {
       |   WHERE status = 'published') AS published_total
       |FROM st""".stripMargin
 
+  /** Late-arriving dimension resolution — the warehouse-loading
+    * problem SCD literature calls the "early-arriving fact": a fact
+    * lands before its dimension row exists, the load manufactures an
+    * inferred placeholder member so the fact is never dropped or
+    * stalled, and a later dimension delivery backfills the
+    * placeholder in place. Deterministic staging on the fixture:
+    * dim members with custkey % 7 == 0 are withheld from the initial
+    * load; of those, multiples of 21 never arrive at all — so every
+    * fact resolves through exactly one of three lifecycle paths:
+    * `initial` (dim present at load), `backfilled` (placeholder
+    * repaired by the late delivery), `unknown` (placeholder
+    * persists, surfaced for stewardship — never silently dropped).
+    *
+    * Scale shape: two thin left joins fact→dim slices, both
+    * shuffle-pinned (a 100 TB fact table's dimension can itself be
+    * huge — broadcasting it is the classic late-dim OOM); the
+    * placeholder is a projection, not a driver-side insert loop.
+    * Row counts are conserved by construction (left joins on a
+    * unique dim key). */
+  def etlLateArrivingDim(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val dimInitial = dim.filter(col("c_custkey") % 7 =!= 0)
+    val dimLate = dim.filter(col("c_custkey") % 7 === 0 &&
+      col("c_custkey") % 21 =!= 0)
+    val b1 = facts
+      .join(dimInitial.hint("shuffle_hash"),
+        facts("o_custkey") === dimInitial("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_name").as("name_initial"))
+    b1.join(dimLate.hint("shuffle_hash"),
+        b1("o_custkey") === dimLate("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("name_initial"), col("c_name"), lit("UNKNOWN"))
+          .as("member_name"),
+        when(col("name_initial").isNotNull, "initial")
+          .when(col("c_name").isNotNull, "backfilled")
+          .otherwise("unknown").as("status"),
+        col("name_initial").isNull.as("was_inferred"))
+      .orderBy("o_orderkey")
+  }
+
+  val etlLateArrivingDimSql: String =
+    """WITH di AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 <> 0),
+      |dl AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  WHERE c_custkey % 7 = 0 AND c_custkey % 21 <> 0),
+      |b1 AS (
+      |  SELECT o.o_orderkey, o.o_custkey, di.c_name AS name_initial
+      |  FROM orders o LEFT JOIN di ON o.o_custkey = di.c_custkey)
+      |SELECT b1.o_orderkey, b1.o_custkey,
+      |  COALESCE(b1.name_initial, dl.c_name, 'UNKNOWN') AS member_name,
+      |  CASE WHEN b1.name_initial IS NOT NULL THEN 'initial'
+      |       WHEN dl.c_name IS NOT NULL THEN 'backfilled'
+      |       ELSE 'unknown' END AS status,
+      |  b1.name_initial IS NULL AS was_inferred
+      |FROM b1 LEFT JOIN dl ON b1.o_custkey = dl.c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_dim" -> (etlLateArrivingDim _),
     "etl_wap" -> (etlWap _),
     "etl_scd2_lookup" -> (etlScd2Lookup _),
     "etl_survivorship" -> (etlSurvivorship _),
@@ -1802,6 +1865,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_late_dim" -> etlLateArrivingDimSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

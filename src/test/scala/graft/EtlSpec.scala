@@ -803,4 +803,30 @@ class EtlSpec extends AnyFunSuite {
     // competing field values, or survivorship is vacuous
     assert(got.values.exists(_._1 >= 2), "no multi-member cluster")
   }
+
+  test("etl_late_dim conserves facts and walks all three lifecycles") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Etl.etlLateArrivingDim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    assert(got.length.toLong == nOrders, "left joins must conserve facts")
+    val names = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (_, ck, name, status, inferred) =>
+      val expStatus =
+        if (ck % 7 != 0) "initial"
+        else if (ck % 21 != 0) "backfilled"
+        else "unknown"
+      assert(status == expStatus, s"cust $ck")
+      assert(inferred == (expStatus != "initial"))
+      val expName =
+        if (expStatus == "unknown") "UNKNOWN" else names(ck)
+      assert(name == expName, s"cust $ck name")
+    }
+    // all three lifecycle paths must be exercised by the fixture
+    assert(got.map(_._4).distinct.toSet ==
+      Set("initial", "backfilled", "unknown"))
+  }
 }

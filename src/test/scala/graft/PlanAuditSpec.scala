@@ -120,6 +120,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // filter_cascade: one corpus agg (partial + 1-row final) + the
     // 4-row funnel's ordered output
     "pipeline_filter_cascade" -> 3,
+    // late_dim: two shuffle-pinned fact→dim-slice left joins + the
+    // ordered output
+    "etl_late_dim" -> 5,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
