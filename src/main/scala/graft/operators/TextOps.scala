@@ -1060,7 +1060,59 @@ object TextOps {
       |    AS fog_centi
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** N-gram novelty audit — the cross-document memorization signal
+    * (what share of a document's 5-gram shingles appear HERE first,
+    * in corpus order?): low-novelty documents are recombinations of
+    * earlier text — the pretraining-dedup long tail that survives
+    * document-level near-dup (text_dup_spans finds verbatim spans
+    * against one window vocabulary; this scores every doc against
+    * the WHOLE corpus's first-occurrence frontier).
+    *
+    * Scale shape: distinct (doc, shingle) pairs explode once; the
+    * first-occurrence frontier is ONE map-side-combined min per
+    * shingle; frontier joins back shuffle-pinned (both sides
+    * corpus-sized — broadcast dies at 100 TB) and collapses to doc
+    * grain. Shingles join by STRING at fixture scale for oracle
+    * parity; the production path swaps in xxhash64 keys (the same
+    * swap the dedup family ships) without touching the shape.
+    * Novelty is integer ppm. */
+  def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 5)," +
+          " i -> array_join(slice(w, i + 1, 5), ' '))")).as("sgl"))
+      .distinct()
+    val frontier = sh.groupBy("sgl").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(frontier.hint("shuffle_hash"), "sgl")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("cast((n_novel * 1000000) div n_shingles as bigint)"))
+      .orderBy("doc_id")
+  }
+
+  val textNgramNoveltySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sgl
+      |  FROM t, unnest(range(1, len(w) - 3)) AS z(i)),
+      |m AS (SELECT sgl, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN m.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN m.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN m ON sh.sgl = m.sgl
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_dup_spans" -> (textDupSpans _),
@@ -1085,6 +1137,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
+    "text_ngram_novelty" -> textNgramNoveltySql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,

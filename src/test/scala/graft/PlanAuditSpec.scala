@@ -123,6 +123,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // late_dim: two shuffle-pinned fact→dim-slice left joins + the
     // ordered output
     "etl_late_dim" -> 5,
+    // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
+    // the pinned frontier join's two sides, doc-grain agg, ordered
+    // output — every side corpus-sized, broadcast banned
+    "text_ngram_novelty" -> 8,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,
@@ -420,7 +424,10 @@ class PlanAuditSpec extends AnyFunSuite {
         n == "text_ngram_lm" || n == "text_collocations" ||
         // dup_spans joins shingle-grain frames back to the exploded
         // corpus — every side corpus-sized
-        n == "text_dup_spans") &&
+        n == "text_dup_spans" ||
+        // ngram_novelty joins the shingle frontier back to the
+        // exploded distinct pairs — both sides corpus-sized
+        n == "text_ngram_novelty") &&
         p.contains("BroadcastHashJoin")
     }.keys.toSeq.sorted
     assert(bad.isEmpty, s"broadcast joins in corpus-scale plans: $bad")

@@ -592,6 +592,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).sum > 0, "cascade dropped nothing — dead filters")
   }
 
+  test("text_ngram_novelty matches a driver-side frontier replay") {
+    val got = graft.operators.TextOps.textNgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, text) =>
+      val w = text.split(" ").filter(_.nonEmpty)
+      id -> w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val first = scala.collection.mutable.Map[String, Long]()
+    perDoc.toSeq.sortBy(_._1).foreach { case (id, shs) =>
+      shs.foreach(sh =>
+        if (!first.contains(sh) || first(sh) > id) first(sh) = id)
+    }
+    assert(got.size == docs.length)
+    perDoc.foreach { case (id, shs) =>
+      val novel = shs.count(first(_) == id).toLong
+      val exp = (shs.size.toLong, novel, novel * 1000000L / shs.size)
+      assert(got(id) == exp, s"doc $id")
+    }
+    // the fixture's word-salad must produce real sharing: some doc
+    // must be below full novelty, and doc 0 is all-novel by definition
+    assert(got(0L)._3 == 1000000L)
+    assert(got.values.exists(_._3 < 1000000L))
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
