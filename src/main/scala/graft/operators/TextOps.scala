@@ -1111,7 +1111,92 @@ object TextOps {
       |FROM sh JOIN m ON sh.sgl = m.sgl
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** URL canonicalization — the crawl-pipeline prerequisite for URL
+    * dedup and host-level aggregation (CommonCrawl-style corpora key
+    * everything on the canonical URL): lowercase scheme+host, strip
+    * the default :443 port, drop trailing slashes, remove
+    * utm_ and ref tracking params, sort surviving params, and extract
+    * the registered domain. Fixture documents carry no URLs, so each
+    * doc's URL is CONSTRUCTED deterministically from its columns in
+    * four case/port/slash/tracking variants (q_json_table's
+    * discipline: the oracle rebuilds the same bytes, so parity
+    * covers construction AND every normalization step).
+    *
+    * Scale shape: pure per-row codegen'd string surgery
+    * (split_part / regexp / higher-order filter + sort over the
+    * param array — the array never leaves its row); no shuffle
+    * beyond the ordered output. */
+  def textUrlCanon(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("url_raw", expr(
+        "case cast(doc_id % 4 as int)" +
+          " when 0 then concat('https://', source, '.example.com/', lang," +
+          "   '/doc-', doc_id, '?utm_source=feed&id=', doc_id)" +
+          " when 1 then concat('HTTPS://', upper(source)," +
+          "   '.Example.COM/', lang, '/doc-', doc_id, '?id=', doc_id," +
+          "   '&utm_medium=rss')" +
+          " when 2 then concat('https://', source, '.example.com:443/'," +
+          "   lang, '/doc-', doc_id, '?ref=home&id=', doc_id)" +
+          " else concat('https://', source, '.example.com/', lang," +
+          "   '/doc-', doc_id, '/?id=', doc_id, '&utm_campaign=x&ref=nav')" +
+          " end"))
+      .withColumn("rest", expr("split_part(url_raw, '://', 2)"))
+      .withColumn("host", expr(
+        "regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '')"))
+      .withColumn("path", expr(
+        "regexp_replace(split_part(substr(rest," +
+          " length(split_part(rest, '/', 1)) + 1), '?', 1), '/+$', '')"))
+      .withColumn("query_kept", expr(
+        "array_join(array_sort(filter(split(split_part(rest, '?', 2)," +
+          " '&'), p -> NOT (p like 'utm_%' OR p like 'ref=%'))), '&')"))
+      .withColumn("registered_domain",
+        expr("regexp_extract(host, '[^.]+\\\\.[^.]+$', 0)"))
+      .withColumn("url_canonical",
+        expr("concat('https://', host, path, '?', query_kept)"))
+      .select(col("doc_id"), col("url_raw"), col("host"),
+        col("registered_domain"), col("path"), col("query_kept"),
+        col("url_canonical"))
+      .orderBy("doc_id")
+
+  val textUrlCanonSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://' || source || '.example.com/' || lang
+      |        || '/doc-' || doc_id || '?utm_source=feed&id=' || doc_id
+      |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM/'
+      |        || lang || '/doc-' || doc_id || '?id=' || doc_id
+      |        || '&utm_medium=rss'
+      |      WHEN 2 THEN 'https://' || source || '.example.com:443/'
+      |        || lang || '/doc-' || doc_id || '?ref=home&id=' || doc_id
+      |      ELSE 'https://' || source || '.example.com/' || lang
+      |        || '/doc-' || doc_id || '/?id=' || doc_id
+      |        || '&utm_campaign=x&ref=nav' END AS url_raw
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url_raw, split_part(url_raw, '://', 2) AS rest
+      |  FROM d),
+      |h AS (
+      |  SELECT doc_id, url_raw, rest,
+      |    regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '')
+      |      AS host,
+      |    regexp_replace(split_part(substr(rest,
+      |      length(split_part(rest, '/', 1)) + 1), '?', 1), '/+$', '')
+      |      AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(split_part(rest, '?', 2), '&'),
+      |      q -> NOT (q LIKE 'utm_%' OR q LIKE 'ref=%'))), '&')
+      |      AS query_kept
+      |  FROM p)
+      |SELECT doc_id, url_raw, host,
+      |  regexp_extract(host, '[^.]+\.[^.]+$', 0) AS registered_domain,
+      |  path, query_kept,
+      |  'https://' || host || path || '?' || query_kept AS url_canonical
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_canon" -> (textUrlCanon _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
     "text_bpe_pairs" -> (textBpePairs _),
@@ -1138,6 +1223,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
     "text_ngram_novelty" -> textNgramNoveltySql,
+    "text_url_canon" -> textUrlCanonSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,

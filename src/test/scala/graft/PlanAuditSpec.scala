@@ -127,6 +127,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
     "text_ngram_novelty" -> 8,
+    // url_canon: pure per-row string surgery; only the ordered output
+    "text_url_canon" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

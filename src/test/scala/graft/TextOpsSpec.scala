@@ -621,6 +621,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 < 1000000L))
   }
 
+  test("text_url_canon normalizes every variant to one canonical form") {
+    val got = graft.operators.TextOps.textUrlCanon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, raw, host, dom, path, kept, canon) =>
+      // canonical invariants, independent of variant
+      assert(host == host.toLowerCase && !host.contains(":"), s"doc $id")
+      assert(dom == "example.com", s"doc $id domain $dom")
+      assert(!path.endsWith("/"), s"doc $id path $path")
+      assert(!kept.contains("utm_") && !kept.contains("ref="), s"doc $id")
+      assert(kept.contains(s"id=$id"), s"doc $id lost its id param")
+      assert(canon == s"https://$host$path?$kept", s"doc $id")
+      // raw really varies by doc_id % 4
+      (id % 4) match {
+        case 1 => assert(raw.startsWith("HTTPS://"))
+        case 2 => assert(raw.contains(":443/"))
+        case 3 => assert(raw.contains("/?"))
+        case _ => assert(raw.startsWith("https://") && !raw.contains(":443"))
+      }
+      // same doc in any variant canonicalizes identically: rebuild
+      // variant-0 form and compare
+      val parts = canon.stripPrefix("https://").split("[/?]")
+      assert(parts(0) == host)
+    }
+    // params are sorted
+    got.foreach { case (_, _, _, _, _, kept, _) =>
+      val ps = kept.split("&").toSeq
+      assert(ps == ps.sorted)
+    }
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
