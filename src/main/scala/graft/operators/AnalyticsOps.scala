@@ -884,7 +884,73 @@ object AnalyticsOps {
        |FROM c, t ORDER BY d""".stripMargin
   }
 
+  /** Debounce gap: bursts are events of the same (user, type) less
+    * than a day apart — the daily-digest collapse rule (the fixture's
+    * event cadence is hours-to-days; a production click stream plugs
+    * in seconds unchanged). */
+  private val debounceGapUs = 86400L * 1000000L
+
+  /** Event debouncing — the telemetry/alerting collapse rule (send
+    * one notification per burst, not one per event; count a click
+    * flurry once): within each (user, event_type), events closer
+    * than the debounce gap to their predecessor collapse into the burst of
+    * that predecessor; output one row per burst with its first
+    * event, start time, span and collapsed count.
+    *
+    * Scale shape: ONE (user, type)-grain sort exchange feeds both
+    * window passes (the burst-opening lag flag and the running
+    * burst-id sum share the same window spec, so Catalyst plans one
+    * shuffle + one sort); the burst aggregation then reuses that
+    * partitioning (grouping keys are a superset of the partition
+    * keys — no further exchange). Total order (ts, event_id) makes
+    * burst membership deterministic under timestamp ties. */
+  def qDebounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val flagged = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("opens", lag(col("us"), 1).over(w).isNull ||
+        (col("us") - lag(col("us"), 1).over(w)) > debounceGapUs)
+      .withColumn("burst_id",
+        sum(when(col("opens"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(min_by(col("event_id"), struct(col("us"), col("event_id")))
+          .as("first_event_id"),
+        min(col("us")).as("burst_start_us"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        count(lit(1)).as("n_collapsed"))
+      .orderBy("user_id", "event_type", "burst_id")
+  }
+
+  val qDebounceSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+       |  FROM events),
+       |f AS (
+       |  SELECT *,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |      OR us - LAG(us) OVER w > $debounceGapUs
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id, event_type
+       |    ORDER BY us, event_id)),
+       |b AS (
+       |  SELECT *,
+       |    SUM(opens) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS burst_id
+       |  FROM f)
+       |SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+       |  arg_min(event_id, lpad(CAST(us AS VARCHAR), 20, '0')
+       |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_event_id,
+       |  MIN(us) AS burst_start_us,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+       |  COUNT(*) AS n_collapsed
+       |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_debounce" -> (qDebounce _),
     "q_benford" -> (qBenford _),
     "q_yoy" -> (qYoy _),
     "q_rfm" -> (qRfm _),
@@ -906,6 +972,7 @@ object AnalyticsOps {
     "q_rfm" -> qRfmSql,
     "q_yoy" -> qYoySql,
     "q_benford" -> qBenfordSql,
+    "q_debounce" -> qDebounceSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

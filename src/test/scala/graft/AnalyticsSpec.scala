@@ -386,6 +386,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(s6 > 999991L && s6 <= 1000000L, s"share sum $s6")
   }
 
+  test("q_debounce partitions every event into exactly one burst") {
+    val got = AnalyticsOps.qDebounce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // burst replay
+    val gapUs = 86400L * 1000000L
+    val exp = ev.groupBy(e => (e._1, e._2)).flatMap { case ((u, t), es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      var burst = 0L
+      var prev = Long.MinValue / 4
+      val tagged = ordered.map { e =>
+        if (e._3 - prev > gapUs) burst += 1
+        prev = e._3
+        (burst, e)
+      }
+      tagged.groupBy(_._1).map { case (b, bes) =>
+        val times = bes.map(_._2._3)
+        (u, t, b, bes.minBy(x => (x._2._3, x._2._4))._2._4,
+          times.min, times.max - times.min, bes.size.toLong)
+      }
+    }.toSet
+    assert(got.toSet == exp)
+    // conservation: collapsed counts sum to the event count
+    assert(got.map(_._7).sum == ev.length.toLong)
+    // the gap must actually collapse something
+    assert(got.exists(_._7 > 1L), "no burst collapsed >1 event")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

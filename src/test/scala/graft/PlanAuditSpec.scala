@@ -113,6 +113,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // benford: digit-grain count agg + the ≤9-row share window's
     // single-partition exchange + ordered output
     "q_benford" -> 3,
+    // debounce: ONE (user,type)-grain sort exchange shared by both
+    // window passes; the burst agg reuses that partitioning (grouping
+    // keys superset) — plus the ordered output
+    "q_debounce" -> 2,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
