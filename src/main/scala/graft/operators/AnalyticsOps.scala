@@ -949,7 +949,67 @@ object AnalyticsOps {
        |  COUNT(*) AS n_collapsed
        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Activity streaks — the engagement metric product analytics ships
+    * on every dashboard (longest run of consecutive active days per
+    * user), the canonical gaps-and-islands problem: consecutive
+    * calendar days collapse to one island via the classic
+    * day_number − row_number key (consecutive days share it; any gap
+    * breaks it).
+    *
+    * Scale shape: distinct (user, day) first — the event table
+    * collapses to at most users×days thin rows before any window;
+    * ONE user-grain sort exchange for the island key; streak and
+    * user aggregates are map-side-combined. The longest streak picks
+    * its start by an ARITHMETIC tie-break key (len·10¹⁰ − start_day
+    * — unique because streak starts are distinct per user), so
+    * max_by is deterministic in both engines without relying on
+    * unspecified tie rules. Everything is integer day arithmetic. */
+  def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    val streaks = d
+      .withColumn("isl", col("dn") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"), min(col("dn")).as("sdn"))
+    streaks.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("sdn"),
+          col("len") * lit(10000000000L) - col("sdn")).as("ldn"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"),
+        date_add(lit("1970-01-01").cast("date"), col("ldn"))
+          .as("longest_start"))
+      .orderBy("user_id")
+  }
+
+  val qStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |n AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', day) AS dn
+      |  FROM d),
+      |r AS (
+      |  SELECT user_id, dn,
+      |    dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+      |      AS isl
+      |  FROM n),
+      |g AS (
+      |  SELECT user_id, isl, COUNT(*) AS len, MIN(dn) AS sdn
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  DATE '1970-01-01'
+      |    + CAST(arg_max(sdn, len * 10000000000 - sdn) AS INT)
+      |    AS longest_start
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> (qStreaks _),
     "q_debounce" -> (qDebounce _),
     "q_benford" -> (qBenford _),
     "q_yoy" -> (qYoy _),
@@ -973,6 +1033,7 @@ object AnalyticsOps {
     "q_yoy" -> qYoySql,
     "q_benford" -> qBenfordSql,
     "q_debounce" -> qDebounceSql,
+    "q_streaks" -> qStreaksSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

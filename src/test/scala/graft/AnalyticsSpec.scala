@@ -418,6 +418,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.exists(_._7 > 1L), "no burst collapsed >1 event")
   }
 
+  test("q_streaks equals a driver-side consecutive-day replay") {
+    val got = AnalyticsOps.qStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toLocalDate.toEpochDay)).toMap
+    val days = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .distinct
+    val exp = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val streaks = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((start, len) :: rest, d) if d == start + len =>
+          (start, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.reverse
+      val longest = streaks.maxBy { case (st, len) =>
+        len * 10000000000L - st
+      }
+      u -> (sorted.length.toLong, streaks.length.toLong, longest._2,
+        longest._1)
+    }
+    assert(got == exp)
+    // the fixture must contain a real multi-day streak
+    assert(got.values.exists(_._3 > 1), "no streak longer than one day")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -117,6 +117,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // window passes; the burst agg reuses that partitioning (grouping
     // keys superset) — plus the ordered output
     "q_debounce" -> 2,
+    // streaks: distinct (user,day) agg + the user-grain island window
+    // sort (streak + user aggs reuse its partitioning) + ordered output
+    "q_streaks" -> 4,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
