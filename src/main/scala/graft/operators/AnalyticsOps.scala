@@ -1008,7 +1008,65 @@ object AnalyticsOps {
       |    AS longest_start
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Median absolute deviation — the robust dispersion statistic
+    * monitoring pipelines use where stddev is ruined by the very
+    * outliers being hunted: per event type, the exact median of
+    * |x − median(x)| over exact cents, plus the robust outlier count
+    * (deviation > 3·MAD). The float discipline is SURVEY §4's:
+    * medians are selections/midpoints of exact integer cents (never
+    * running float sums), deviations are exact-integer-minus-midpoint
+    * doubles, and both engines interpolate identically (the
+    * q_percentile precedent) — bitwise-equal results.
+    *
+    * Scale shape: two corpus passes (median, then deviation median +
+    * outlier count), each a sort-based percentile aggregate at the
+    * TYPE grain with the model-sized median frame broadcast back —
+    * the corpus itself never joins or re-shuffles beyond its
+    * aggregates. */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"),
+        count(lit(1)).as("n"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med_cents"), col("n"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3d) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val qMadSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents,
+      |    COUNT(*) AS n
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, m.n, m.med_cents,
+      |    abs(e.cents - m.med_cents) AS dev
+      |  FROM e JOIN m USING (event_type)),
+      |a AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+      |  MAX(d.med_cents) AS med_cents, MAX(a.mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN a USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad" -> (qMad _),
     "q_streaks" -> (qStreaks _),
     "q_debounce" -> (qDebounce _),
     "q_benford" -> (qBenford _),
@@ -1034,6 +1092,7 @@ object AnalyticsOps {
     "q_benford" -> qBenfordSql,
     "q_debounce" -> qDebounceSql,
     "q_streaks" -> qStreaksSql,
+    "q_mad" -> qMadSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -444,6 +444,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 1), "no streak longer than one day")
   }
 
+  test("q_mad equals a driver-side robust-statistics replay") {
+    val got = AnalyticsOps.qMad(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def medInterp(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val cents = rows.map(_._2).toSeq
+      val med = medInterp(cents)
+      val devs = cents.map(c => math.abs(c - med))
+      val mad = {
+        val s = devs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+      val out = devs.count(_ > 3 * mad).toLong
+      assert(got(t) == ((cents.length.toLong, med, mad, out)), s"type $t")
+    }
+    // MAD must be resistant: for each type it is far below the range
+    got.foreach { case (t, (_, _, mad, nOut)) =>
+      assert(mad >= 0.0)
+      assert(nOut > 0, s"$t: no robust outliers flagged — vacuous fixture")
+    }
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -120,6 +120,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // streaks: distinct (user,day) agg + the user-grain island window
     // sort (streak + user aggs reuse its partitioning) + ordered output
     "q_streaks" -> 4,
+    // mad: two sort-based percentile aggregates at type grain (each
+    // partial+final) + the outlier agg + ordered output; median
+    // frames broadcast back (intended, model-sized)
+    "q_mad" -> 7,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
