@@ -1825,7 +1825,89 @@ object Etl {
       |FROM b1 LEFT JOIN dl ON b1.o_custkey = dl.c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** GDPR erasure (right-to-be-forgotten) — the compliance job every
+    * store holding personal data must run: given a subject set
+    * (customers with custkey % 97 == 0 stands in for the request
+    * queue), physically erase the subjects' rows AND cascade through
+    * the FK graph (their orders, and those orders' lineitems — which
+    * carry no customer key and are reachable only THROUGH orders),
+    * then publish the per-table audit report regulators expect:
+    * rows before, rows erased, rows after, and the residual
+    * reference count actually RE-COMPUTED on the erased data (an
+    * erasure job that asserts rather than measures its own
+    * completeness is not auditable).
+    *
+    * Scale shape: customer and orders erase by pure predicate
+    * (filter pushdown — no join); lineitem cascades via a
+    * shuffle-pinned semi/anti join on the erased order keys (the
+    * erased-key frame is O(subjects' orders) — corpus-sized in a
+    * real backlog, so broadcast is banned); every report number is a
+    * map-side-combined count, and the report itself is three rows. */
+  def etlGdprErase(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ords = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val isSubj = (c: Column) => c % 97 === 0
+    val eo = ords.filter(isSubj(col("o_custkey")))
+      .select(col("o_orderkey")).hint("shuffle_hash")
+    val liAfter = li.join(eo, li("l_orderkey") === eo("o_orderkey"),
+      "left_anti")
+    def report(name: String, before: DataFrame, erased: DataFrame,
+        residual: DataFrame): DataFrame = {
+      val b = before.agg(count(lit(1)).as("rows_before"))
+      val e = erased.agg(count(lit(1)).as("rows_erased"))
+      val r = residual.agg(count(lit(1)).as("residual_refs"))
+      b.crossJoin(e).crossJoin(r)
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_erased"),
+          (col("rows_before") - col("rows_erased")).as("rows_after"),
+          col("residual_refs"))
+    }
+    val custAfter = cust.filter(!isSubj(col("c_custkey")))
+    val ordsAfter = ords.filter(!isSubj(col("o_custkey")))
+    report("customer", cust, cust.filter(isSubj(col("c_custkey"))),
+        custAfter.filter(isSubj(col("c_custkey"))))
+      .unionAll(report("lineitem", li,
+        li.join(eo, li("l_orderkey") === eo("o_orderkey"), "left_semi"),
+        liAfter.join(eo, liAfter("l_orderkey") === eo("o_orderkey"),
+          "left_semi")))
+      .unionAll(report("orders", ords,
+        ords.filter(isSubj(col("o_custkey"))),
+        ordsAfter.filter(isSubj(col("o_custkey")))))
+      .orderBy("table_name")
+  }
+
+  val etlGdprEraseSql: String =
+    """WITH eo AS (
+      |  SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0)
+      |SELECT 'customer' AS table_name,
+      |  (SELECT COUNT(*) FROM customer) AS rows_before,
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 97 = 0)
+      |    AS rows_erased,
+      |  (SELECT COUNT(*) FROM customer)
+      |    - (SELECT COUNT(*) FROM customer WHERE c_custkey % 97 = 0)
+      |    AS rows_after,
+      |  CAST(0 AS BIGINT) AS residual_refs
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+      |  (SELECT COUNT(*) FROM lineitem)
+      |    - (SELECT COUNT(*) FROM lineitem
+      |       WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+      |  CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0),
+      |  (SELECT COUNT(*) FROM orders)
+      |    - (SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gdpr_erase" -> (etlGdprErase _),
     "etl_late_dim" -> (etlLateArrivingDim _),
     "etl_wap" -> (etlWap _),
     "etl_scd2_lookup" -> (etlScd2Lookup _),
@@ -1866,6 +1948,7 @@ object Etl {
 
   val oracles: Map[String, String] = Map(
     "etl_late_dim" -> etlLateArrivingDimSql,
+    "etl_gdpr_erase" -> etlGdprEraseSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

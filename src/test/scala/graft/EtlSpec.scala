@@ -829,4 +829,30 @@ class EtlSpec extends AnyFunSuite {
     assert(got.map(_._4).distinct.toSet ==
       Set("initial", "backfilled", "unknown"))
   }
+
+  test("etl_gdpr_erase cascades completely and balances its ledger") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Etl.etlGdprErase(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("customer", "orders", "lineitem"))
+    // ledger: before - erased = after; nothing residual anywhere
+    got.foreach { case (t, (b, e, a, res)) =>
+      assert(b - e == a, s"$t ledger")
+      assert(res == 0L, s"$t left residual references after erasure")
+      assert(e > 0L, s"$t erased nothing — vacuous request set")
+    }
+    // replay the cascade driver-side
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val ords = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val eo = ords.filter(_._2 % 97 == 0).map(_._1).toSet
+    assert(got("customer")._2 == cust.count(_ % 97 == 0).toLong)
+    assert(got("orders")._2 == ords.count(_._2 % 97 == 0).toLong)
+    assert(got("lineitem")._2 == li.count(eo).toLong)
+  }
 }

@@ -134,6 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // late_dim: two shuffle-pinned fact→dim-slice left joins + the
     // ordered output
     "etl_late_dim" -> 5,
+    // gdpr_erase: per-table count aggregates (predicate-pushed
+    // filters for customer/orders, two shuffle-pinned semi joins for
+    // the lineitem cascade + residual) + the 3-row ordered report
+    "etl_gdpr_erase" -> 16,
     // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
