@@ -1065,7 +1065,70 @@ object AnalyticsOps {
       |FROM d JOIN a USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Audience overlap — the segment-intersection question every
+    * growth/ads surface asks (how many users do segments share? how
+    * similar are they?): exact pairwise user-set intersection and
+    * Jaccard between event types, computed on q_bitmap_distinct's
+    * mergeable bitmap layout rather than raw rows.
+    *
+    * Scale shape: the event table collapses ONCE to per-(type,
+    * bucket) bitmap words (map-side bit_or); the pair join runs over
+    * that word frame — O(types × id-range/60) thin rows, joined
+    * bucket-local and shuffle-pinned (the word frame grows with the
+    * id space — broadcasting it dies at a 10⁹-user dimension);
+    * intersections are popcount(a AND b), so RAW (type, user) pairs
+    * never cross the wire a second time. Jaccard in integer ppm via
+    * inclusion-exclusion. */
+  def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(s, dir, "events")
+      .select(col("event_type").as("t"),
+        expr(s"user_id div $bmSlot").as("bucket"),
+        expr(s"shiftleft(1L, cast(user_id % $bmSlot as int))").as("mask"))
+      .groupBy("t", "bucket")
+      .agg(expr("bit_or(mask)").as("bm"))
+      .hint("shuffle_hash")
+    val sizes = words.groupBy("t")
+      .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("n"))
+    val inter = words.as("a")
+      .join(words.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(expr("cast(sum(bit_count(a.bm & b.bm)) as bigint)")
+        .as("n_both"))
+      // pairs sharing buckets but no users: the oracle's pair join
+      // never materializes them — neither do we
+      .filter(col("n_both") > 0)
+    inter
+      .join(sizes.withColumnRenamed("t", "type_a")
+        .withColumnRenamed("n", "n_a").hint("shuffle_hash"), "type_a")
+      .join(sizes.withColumnRenamed("t", "type_b")
+        .withColumnRenamed("n", "n_b").hint("shuffle_hash"), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("cast((n_both * 1000000) div (n_a + n_b - n_both)" +
+          " as bigint)").as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qAudienceOverlapSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      |c AS (SELECT t, COUNT(*) AS n FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+      |  FROM d a JOIN d b ON a.u = b.u AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+      |  CAST(p.n_both AS BIGINT) AS n_both,
+      |  CAST(p.n_both * 1000000 // (ca.n + cb.n - p.n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM p JOIN c ca ON p.type_a = ca.t
+      |       JOIN c cb ON p.type_b = cb.t
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audience_overlap" -> (qAudienceOverlap _),
     "q_mad" -> (qMad _),
     "q_streaks" -> (qStreaks _),
     "q_debounce" -> (qDebounce _),
@@ -1093,6 +1156,7 @@ object AnalyticsOps {
     "q_debounce" -> qDebounceSql,
     "q_streaks" -> qStreaksSql,
     "q_mad" -> qMadSql,
+    "q_audience_overlap" -> qAudienceOverlapSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -477,6 +477,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_audience_overlap equals exact set intersections") {
+    val got = AnalyticsOps.qAudienceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sets = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expPairs = for {
+      a <- types; b <- types if a < b
+      both = (sets(a) & sets(b)).size.toLong if both > 0
+    } yield (a, b) -> (sets(a).size.toLong, sets(b).size.toLong, both,
+      both * 1000000L / (sets(a).size + sets(b).size - both))
+    assert(got == expPairs.toMap)
+    // every pair overlaps in this fixture (small user pool); the
+    // meaningful invariants are the bounds and inclusion-exclusion
+    got.values.foreach { case (na, nb, both, j) =>
+      assert(both <= math.min(na, nb))
+      assert(j > 0 && j <= 1000000L)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

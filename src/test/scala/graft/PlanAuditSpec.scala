@@ -124,6 +124,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial+final) + the outlier agg + ordered output; median
     // frames broadcast back (intended, model-sized)
     "q_mad" -> 7,
+    // audience_overlap: word-frame agg, the bucket-local pinned pair
+    // join, pair agg, the two pinned size joins + ordered output —
+    // raw (type,user) pairs cross the wire exactly once, as bits
+    "q_audience_overlap" -> 12,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
@@ -382,6 +386,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_collocations",
       // fk_inference crosses each probe's two 1-row counts
       "etl_fk_inference",
+      // gdpr_erase crosses each table's three 1-row ledger counts
+      // into its report row — 1-row × 1-row by construction
+      "etl_gdpr_erase",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
