@@ -1906,7 +1906,92 @@ object Etl {
       |  CAST(0 AS BIGINT)
       |ORDER BY table_name""".stripMargin
 
+  /** Reconciliation key-range width: orders bucket by
+    * o_orderkey div 512. */
+  private val reconcileBucket = 512L
+
+  /** Source↔target reconciliation — the migration-verification step
+    * AFTER etl_table_checksum says "the copy differs": ONE number
+    * can't say WHERE, so reconciliation drills down by key-range
+    * bucket (count + order-independent content checksum per bucket)
+    * and reports exactly the diverged ranges — the bisection that
+    * turns "re-copy 100 TB" into "re-copy three buckets". The target
+    * here is a deterministic divergent copy of orders (every 1999th
+    * key dropped, every 1201st key's row content corrupted) so both
+    * drift classes — missing rows and silent corruption — surface.
+    *
+    * Scale shape: each side collapses to bucket grain in ONE
+    * map-side-combined pass (the same canonical rendering + row
+    * polyhash as etl_table_checksum — checksums commute, so bucket
+    * sums are partition-order-free); the bucket frames join
+    * full-outer shuffle-pinned (bucket count grows with the key
+    * space) and only diverged buckets are emitted. */
+  def etlReconcile(s: SparkSession, dir: String): DataFrame = {
+    val render = checksumCols.toMap.apply("orders")
+      .map(c => s"coalesce($c, '~null~')")
+      .mkString("concat_ws('|', ", ", ", ")")
+    val ords = Tables.load(s, dir, "orders")
+    val src = ords
+      .select(expr(s"o_orderkey div $reconcileBucket").as("bucket"),
+        polyHash(expr(render)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_src"), sum(col("h")).as("cs_src"))
+      .hint("shuffle_hash")
+    val dst = ords.filter(col("o_orderkey") % 1999 =!= 0)
+      .select(expr(s"o_orderkey div $reconcileBucket").as("bucket"),
+        polyHash(when(col("o_orderkey") % 1201 === 0,
+          concat(expr(render), lit("X"))).otherwise(expr(render)))
+          .as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_dst"), sum(col("h")).as("cs_dst"))
+      .hint("shuffle_hash")
+    src.join(dst, Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_src"), lit(-1L)) =!=
+          coalesce(col("n_dst"), lit(-1L)) ||
+        coalesce(col("cs_src"), lit(-1L)) =!=
+          coalesce(col("cs_dst"), lit(-1L)))
+      .select(col("bucket"), col("n_src"), col("n_dst"),
+        col("cs_src"), col("cs_dst"),
+        when(coalesce(col("n_src"), lit(-1L)) =!=
+          coalesce(col("n_dst"), lit(-1L)), "count_drift")
+          .otherwise("content_drift").as("status"))
+      .orderBy("bucket")
+  }
+
+  val etlReconcileSql: String = {
+    val render = checksumCols.toMap.apply("orders")
+      .map(_.replace(" AS STRING", " AS VARCHAR")
+        .replace("date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+          "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"))
+      .map(c => s"coalesce($c, '~null~')")
+      .mkString("concat_ws('|', ", ", ", ")")
+    def ph(e: String): String =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split($e, ''),
+         |      c -> ascii(c)::BIGINT)),
+         |    (acc, x) -> (acc*31 + x) % 1000000007)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT o_orderkey // $reconcileBucket AS bucket,
+       |    COUNT(*) AS n_src, CAST(SUM(${ph(render)}) AS BIGINT) AS cs_src
+       |  FROM orders GROUP BY 1),
+       |dst AS (
+       |  SELECT o_orderkey // $reconcileBucket AS bucket,
+       |    COUNT(*) AS n_dst,
+       |    CAST(SUM(${ph(s"CASE WHEN o_orderkey % 1201 = 0 THEN $render || 'X' ELSE $render END")})
+       |      AS BIGINT) AS cs_dst
+       |  FROM orders WHERE o_orderkey % 1999 <> 0 GROUP BY 1)
+       |SELECT COALESCE(src.bucket, dst.bucket) AS bucket,
+       |  n_src, n_dst, cs_src, cs_dst,
+       |  CASE WHEN COALESCE(n_src, -1) <> COALESCE(n_dst, -1)
+       |    THEN 'count_drift' ELSE 'content_drift' END AS status
+       |FROM src FULL OUTER JOIN dst ON src.bucket = dst.bucket
+       |WHERE COALESCE(n_src, -1) <> COALESCE(n_dst, -1)
+       |   OR COALESCE(cs_src, -1) <> COALESCE(cs_dst, -1)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_reconcile" -> (etlReconcile _),
     "etl_gdpr_erase" -> (etlGdprErase _),
     "etl_late_dim" -> (etlLateArrivingDim _),
     "etl_wap" -> (etlWap _),
@@ -1949,6 +2034,7 @@ object Etl {
   val oracles: Map[String, String] = Map(
     "etl_late_dim" -> etlLateArrivingDimSql,
     "etl_gdpr_erase" -> etlGdprEraseSql,
+    "etl_reconcile" -> etlReconcileSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

@@ -855,4 +855,25 @@ class EtlSpec extends AnyFunSuite {
     assert(got("orders")._2 == ords.count(_._2 % 97 == 0).toLong)
     assert(got("lineitem")._2 == li.count(eo).toLong)
   }
+
+  test("etl_reconcile flags exactly the diverged key ranges") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Etl.etlReconcile(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val keys = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expCount = keys.filter(_ % 1999 == 0).map(_ / 512L).toSet
+    val expContent = keys.filter(_ % 1201 == 0).map(_ / 512L).toSet
+    // every bucket with a dropped key is count_drift; buckets with
+    // only corruption are content_drift; clean buckets are absent
+    assert(got.keySet == (expCount ++ expContent))
+    got.foreach { case (b, status) =>
+      assert(status == (if (expCount(b)) "count_drift"
+        else "content_drift"), s"bucket $b")
+    }
+    // both drift classes must appear, and some buckets must be clean
+    assert(got.values.toSet == Set("count_drift", "content_drift"))
+    assert(got.size < keys.map(_ / 512L).distinct.length,
+      "every bucket diverged — bisection is vacuous")
+  }
 }

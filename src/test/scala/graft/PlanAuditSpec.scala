@@ -142,6 +142,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // filters for customer/orders, two shuffle-pinned semi joins for
     // the lineitem cascade + residual) + the 3-row ordered report
     "etl_gdpr_erase" -> 16,
+    // reconcile: both sides collapse to bucket grain in one pass
+    // (partial+final each), the pinned full-outer bucket join + the
+    // ordered mismatch output
+    "etl_reconcile" -> 6,
     // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
