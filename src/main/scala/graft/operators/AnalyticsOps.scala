@@ -1127,7 +1127,71 @@ object AnalyticsOps {
       |       JOIN c cb ON p.type_b = cb.t
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Equi-depth histogram bucket count. */
+  private val edhK = 8
+
+  /** Equi-depth histogram — the optimizer-statistics builder
+    * (ANALYZE's height-balanced histogram, the basis of selectivity
+    * estimation): k buckets of (near-)equal row count over order
+    * amounts, each reported with its exact boundary VALUES and exact
+    * row count. Equal-width histograms (q_histogram) mislead on
+    * skewed data; equi-depth is what planners actually keep.
+    *
+    * Scale shape: boundaries are order statistics — the one-reducer
+    * sort trap — so the exact global rank comes from the factored
+    * [[GlobalRank]] range-rank scan; bucket edges are the rows at
+    * ranks (n·(i−1) div k)+1 and n·i div k, selected by joining the
+    * ranked corpus against the BROADCAST 8-row boundary-rank frame
+    * (the one join here where broadcast is right: the small side is
+    * O(k), not data-sized). Boundary values are SELECTIONS of exact
+    * cents; counts are pure integer rank arithmetic. */
+  def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.load(s, dir, "orders")
+      .select(
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"),
+        col("o_orderkey"))
+    val n = e.count()
+    val ranked = GlobalRank.withRank(s, e,
+      Seq(col("cents"), col("o_orderkey")), "rnk")
+    val bdf = (1 to edhK)
+      .map(i => (i, n * (i - 1) / edhK + 1, n * i / edhK))
+      .toDF("bucket", "lo_rank", "hi_rank")
+    val lo = ranked.join(broadcast(bdf), col("rnk") === col("lo_rank"))
+      .select(col("bucket"), col("cents").as("lo_cents"),
+        col("lo_rank"), col("hi_rank"))
+    ranked.join(broadcast(lo), col("rnk") === col("hi_rank"))
+      .select(col("bucket"), col("lo_cents"), col("cents").as("hi_cents"),
+        (col("hi_rank") - col("lo_rank") + 1L).as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  val qEquidepthHistSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS cents,
+       |    o_orderkey
+       |  FROM orders),
+       |r AS (
+       |  SELECT cents,
+       |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk
+       |  FROM e),
+       |c AS (SELECT COUNT(*) AS n FROM e),
+       |b AS (
+       |  SELECT CAST(i AS INT) AS bucket,
+       |    n * (i - 1) // $edhK + 1 AS lo_rank,
+       |    n * i // $edhK AS hi_rank
+       |  FROM unnest(range(1, ${edhK + 1})) AS t(i), c)
+       |SELECT b.bucket, rlo.cents AS lo_cents, rhi.cents AS hi_cents,
+       |  CAST(b.hi_rank - b.lo_rank + 1 AS BIGINT) AS n_rows
+       |FROM b JOIN r rlo ON rlo.rnk = b.lo_rank
+       |       JOIN r rhi ON rhi.rnk = b.hi_rank
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth_hist" -> (qEquidepthHist _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_mad" -> (qMad _),
     "q_streaks" -> (qStreaks _),
@@ -1157,6 +1221,7 @@ object AnalyticsOps {
     "q_streaks" -> qStreaksSql,
     "q_mad" -> qMadSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
+    "q_equidepth_hist" -> qEquidepthHistSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -501,6 +501,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_equidepth_hist buckets cover the sorted corpus exactly") {
+    val got = AnalyticsOps.qEquidepthHist(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val cents = Tables.load(spark, sf, "orders")
+      .select(
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    val n = cents.length
+    assert(got.map(_._1).toSeq == (1 to 8))
+    // counts sum to n and differ by at most one
+    assert(got.map(_._4).sum == n.toLong)
+    assert(got.map(_._4).max - got.map(_._4).min <= 1)
+    // boundary values are the exact order statistics
+    got.foreach { case (i, lo, hi, cnt) =>
+      val loRank = n.toLong * (i - 1) / 8 + 1
+      val hiRank = n.toLong * i / 8
+      assert(lo == cents((loRank - 1).toInt), s"bucket $i lo")
+      assert(hi == cents((hiRank - 1).toInt), s"bucket $i hi")
+      assert(cnt == hiRank - loRank + 1)
+      assert(lo <= hi)
+    }
+    // monotone non-decreasing across buckets
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) }
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -128,6 +128,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // join, pair agg, the two pinned size joins + ordered output —
     // raw (type,user) pairs cross the wire exactly once, as bits
     "q_audience_overlap" -> 12,
+    // equidepth: the checkpoint-pinned rank scan's pid window exchange
+    // + two broadcast boundary joins (no shuffle) + ordered output
+    "q_equidepth_hist" -> 3,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
