@@ -1190,7 +1190,70 @@ object AnalyticsOps {
        |       JOIN r rhi ON rhi.rnk = b.hi_rank
        |ORDER BY bucket""".stripMargin
 
+  /** Cohort lifetime value — the revenue sibling of
+    * q_retention_cohort (that key counts surviving USERS; growth
+    * teams price cohorts in MONEY): customers grouped by first-order
+    * month, revenue accumulated per month-offset since acquisition —
+    * the LTV curve that sets acquisition budgets.
+    *
+    * Scale shape: first-order month is one map-side-combined min per
+    * customer; the cohort join is shuffle-pinned (the customer frame
+    * is corpus-sized); revenue collapses to (cohort, offset) grain
+    * BEFORE the cumulative window, which therefore runs over the
+    * model-sized cohort×offset frame only. Exact cents throughout;
+    * month offset is pure integer calendar arithmetic. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("c"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+    val first = ords.groupBy("c").agg(min(col("m")).as("m0"))
+      .hint("shuffle_hash")
+    val grain = ords.join(first, "c")
+      .groupBy(col("m0").as("cohort_month"),
+        (col("m") - col("m0")).as("month_offset"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        countDistinct(col("c")).as("n_active"))
+    val w = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(
+        expr("cast(cohort_month div 12 as int)").as("cohort_year"),
+        expr("cast(cohort_month % 12 + 1 as int)").as("cohort_mon"),
+        col("month_offset").cast(IntegerType).as("month_offset"),
+        col("rev_cents"), col("cum_rev_cents"), col("n_active"))
+      .orderBy("cohort_year", "cohort_mon", "month_offset")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS c,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |f AS (SELECT c, MIN(m) AS m0 FROM o GROUP BY 1),
+      |g AS (
+      |  SELECT f.m0 AS cohort_month, o.m - f.m0 AS month_offset,
+      |    CAST(SUM(o.cents) AS BIGINT) AS rev_cents,
+      |    COUNT(DISTINCT o.c) AS n_active
+      |  FROM o JOIN f USING (c)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(cohort_month // 12 AS INT) AS cohort_year,
+      |  CAST(cohort_month % 12 + 1 AS INT) AS cohort_mon,
+      |  CAST(month_offset AS INT) AS month_offset,
+      |  rev_cents,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+      |    ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_rev_cents,
+      |  CAST(n_active AS BIGINT) AS n_active
+      |FROM g ORDER BY cohort_year, cohort_mon, month_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_equidepth_hist" -> (qEquidepthHist _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_mad" -> (qMad _),
@@ -1222,6 +1285,7 @@ object AnalyticsOps {
     "q_mad" -> qMadSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_equidepth_hist" -> qEquidepthHistSql,
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

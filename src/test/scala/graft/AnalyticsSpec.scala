@@ -529,6 +529,38 @@ class AnalyticsSpec extends AnyFunSuite {
     got.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) }
   }
 
+  test("q_cohort_ltv conserves revenue and accumulates monotonically") {
+    val got = AnalyticsOps.qCohortLtv(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ords = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getLong(2)))
+    // total revenue is conserved across the whole cohort grid
+    assert(got.map(_._4).sum == ords.map(_._3).sum)
+    // cum is a running sum per cohort, monotone, ending at cohort total
+    got.groupBy(r => (r._1, r._2)).foreach { case (coh, rows) =>
+      val seq = rows.sortBy(_._3)
+      seq.foldLeft(0L) { (acc, r) =>
+        assert(r._5 == acc + r._4, s"cohort $coh offset ${r._3}")
+        r._5
+      }
+    }
+    // replay one cohort fully driver-side
+    val first = ords.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val coh0 = first.values.min
+    val exp0 = ords.filter(o => first(o._1) == coh0)
+      .groupBy(o => o._2 - coh0).view
+      .mapValues(os => (os.map(_._3).sum, os.map(_._1).distinct.size.toLong))
+      .toMap
+    val got0 = got.filter(r => r._1 * 12L + r._2 - 1 == coh0)
+      .map(r => r._3.toLong -> (r._4, r._6)).toMap
+    assert(got0 == exp0.map { case (k, v) => k -> v })
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -131,6 +131,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // equidepth: the checkpoint-pinned rank scan's pid window exchange
     // + two broadcast boundary joins (no shuffle) + ordered output
     "q_equidepth_hist" -> 3,
+    // cohort_ltv: first-order agg, the pinned cohort join, the
+    // (cohort, offset)-grain agg (distinct forces two rounds), the
+    // model-sized cum window + ordered output
+    "q_cohort_ltv" -> 7,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
