@@ -1990,7 +1990,104 @@ object Etl {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** Schema-on-read type inference — the ingest twin of the
+    * reference's declared-schema introspection
+    * (libs/MysqlParser.py:41-258 reads types the source DECLARES;
+    * CSV/log ingest has no declarations, so the loader must infer
+    * them from the values): every column arrives as strings, each is
+    * classified by exhaustive regex tests (boolean / integer /
+    * decimal / date) over ALL its values — never a sample, which is
+    * how "the first 1000 rows were ints" corrupts a load — and the
+    * narrowest type all values fit becomes the verdict. Six
+    * deterministic stringified columns exercise every verdict
+    * including the poisoned mostly-int column that must fall back to
+    * varchar and a nullable int.
+    *
+    * Scale shape: the unpivot is a codegen'd stack (rows × 6, still
+    * one scan); classification counts are ONE map-side-combined
+    * aggregate per column name; the verdict is pure CASE arithmetic
+    * on the 6-row result. */
+  def etlTypeInfer(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "orders").select(
+      expr("cast(o_orderkey as string)").as("c_int"),
+      expr("cast(cast(o_totalprice as decimal(12,2)) as string)")
+        .as("c_dec"),
+      expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("c_date"),
+      expr("case when o_orderkey % 10 = 0 then o_orderpriority" +
+        " else cast(o_orderkey as string) end").as("c_mixed"),
+      expr("case when o_orderkey % 5 = 0 then null" +
+        " else cast(o_orderkey as string) end").as("c_nullable_int"),
+      expr("cast(o_orderkey % 2 as string)").as("c_bool"))
+    val long = src.select(expr(
+      "stack(6, 'c_int', c_int, 'c_dec', c_dec, 'c_date', c_date," +
+        " 'c_mixed', c_mixed, 'c_nullable_int', c_nullable_int," +
+        " 'c_bool', c_bool) as (col_name, v)"))
+    long.groupBy("col_name")
+      .agg(
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_values"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("v").rlike("^[01]$"), 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L))
+          .as("n_int"),
+        sum(when(col("v").rlike("^-?[0-9]+\\.[0-9]+$"), 1L).otherwise(0L))
+          .as("n_dec"),
+        sum(when(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L)
+          .otherwise(0L)).as("n_date"))
+      .withColumn("inferred", expr(
+        "case when n_values = 0 then 'varchar'" +
+          " when n_bool = n_values then 'boolean'" +
+          " when n_int = n_values then 'bigint'" +
+          " when n_int + n_dec = n_values then 'decimal'" +
+          " when n_date = n_values then 'date'" +
+          " else 'varchar' end"))
+      .orderBy("col_name")
+  }
+
+  val etlTypeInferSql: String =
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS c_int,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS c_dec,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+      |      ELSE CAST(o_orderkey AS VARCHAR) END AS c_mixed,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |      ELSE CAST(o_orderkey AS VARCHAR) END AS c_nullable_int,
+      |    CAST(o_orderkey % 2 AS VARCHAR) AS c_bool
+      |  FROM orders),
+      |long AS (
+      |  SELECT 'c_int' AS col_name, c_int AS v FROM src
+      |  UNION ALL SELECT 'c_dec', c_dec FROM src
+      |  UNION ALL SELECT 'c_date', c_date FROM src
+      |  UNION ALL SELECT 'c_mixed', c_mixed FROM src
+      |  UNION ALL SELECT 'c_nullable_int', c_nullable_int FROM src
+      |  UNION ALL SELECT 'c_bool', c_bool FROM src),
+      |a AS (
+      |  SELECT col_name,
+      |    CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_values,
+      |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    CAST(SUM(CASE WHEN regexp_full_match(v, '[01]') THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_bool,
+      |    CAST(SUM(CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_int,
+      |    CAST(SUM(CASE WHEN regexp_full_match(v, '-?[0-9]+\.[0-9]+')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+      |    CAST(SUM(CASE WHEN
+      |      regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+      |  FROM long GROUP BY 1)
+      |SELECT col_name, n_values, n_null, n_bool, n_int, n_dec, n_date,
+      |  CASE WHEN n_values = 0 THEN 'varchar'
+      |    WHEN n_bool = n_values THEN 'boolean'
+      |    WHEN n_int = n_values THEN 'bigint'
+      |    WHEN n_int + n_dec = n_values THEN 'decimal'
+      |    WHEN n_date = n_values THEN 'date'
+      |    ELSE 'varchar' END AS inferred
+      |FROM a ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_type_infer" -> (etlTypeInfer _),
     "etl_reconcile" -> (etlReconcile _),
     "etl_gdpr_erase" -> (etlGdprErase _),
     "etl_late_dim" -> (etlLateArrivingDim _),
@@ -2035,6 +2132,7 @@ object Etl {
     "etl_late_dim" -> etlLateArrivingDimSql,
     "etl_gdpr_erase" -> etlGdprEraseSql,
     "etl_reconcile" -> etlReconcileSql,
+    "etl_type_infer" -> etlTypeInferSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

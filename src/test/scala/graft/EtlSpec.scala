@@ -876,4 +876,23 @@ class EtlSpec extends AnyFunSuite {
     assert(got.size < keys.map(_ / 512L).distinct.length,
       "every bucket diverged — bisection is vacuous")
   }
+
+  test("etl_type_infer lands every column on its narrowest type") {
+    val got = graft.operators.Etl.etlTypeInfer(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(7))).toMap
+    val n = Tables.load(spark, sf, "orders").count()
+    assert(got.keySet == Set("c_int", "c_dec", "c_date", "c_mixed",
+      "c_nullable_int", "c_bool"))
+    assert(got("c_int")._3 == "bigint")
+    assert(got("c_dec")._3 == "decimal")
+    assert(got("c_date")._3 == "date")
+    // the poisoned column must NOT infer as int despite being mostly int
+    assert(got("c_mixed")._3 == "varchar")
+    assert(got("c_nullable_int")._3 == "bigint")
+    assert(got("c_nullable_int")._2 > 0, "nullable column lost its nulls")
+    assert(got("c_bool")._3 == "boolean")
+    // value + null counts account for every row in every column
+    got.values.foreach { case (nv, nn, _) => assert(nv + nn == n) }
+  }
 }

@@ -153,6 +153,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (partial+final each), the pinned full-outer bucket join + the
     // ordered mismatch output
     "etl_reconcile" -> 6,
+    // type_infer: one scan through the stack unpivot, one column-name
+    // grain agg (partial+final) + the 6-row ordered verdict
+    "etl_type_infer" -> 3,
     // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
