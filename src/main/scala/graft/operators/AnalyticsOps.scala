@@ -1252,7 +1252,69 @@ object AnalyticsOps {
       |  CAST(n_active AS BIGINT) AS n_active
       |FROM g ORDER BY cohort_year, cohort_mon, month_offset""".stripMargin
 
+  /** DAU/MAU stickiness — the engagement ratio every consumer product
+    * reports (daily actives over trailing-30-day actives, per day).
+    * The naive form needs COUNT(DISTINCT) over a SLIDING window —
+    * re-scanning 30 days of raw events per report day. On
+    * q_bitmap_distinct's mergeable words it collapses to bitmap
+    * algebra: daily per-bucket words, each word EXPLODED to the 30
+    * report days it contributes to (the sliding-union expansion —
+    * 30× the word frame, not 30× the events; a bucket-local window
+    * would silently MISS buckets inactive on the report day), then
+    * bit_or per (report day, bucket) and popcount-summed. Raw events
+    * cross the wire once, as bits.
+    *
+    * Stickiness is integer ppm; report days are days WITH activity
+    * (inner join of the DAU frame), and early days see a partial
+    * window by convention. */
+  def qDauMau(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        expr(s"user_id div $bmSlot").as("bucket"),
+        expr(s"shiftleft(1L, cast(user_id % $bmSlot as int))").as("mask"))
+      .groupBy("day", "bucket")
+      .agg(expr("bit_or(mask)").as("bm"))
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+    val mau = words
+      .select(explode(sequence(col("dn"), col("dn") + 29)).as("tdn"),
+        col("bucket"), col("bm"))
+      .groupBy("tdn", "bucket")
+      .agg(expr("bit_or(bm)").as("mbm"))
+      .groupBy("tdn")
+      .agg(expr("cast(sum(bit_count(mbm)) as bigint)").as("mau"))
+      .hint("shuffle_hash")
+    val dau = words.groupBy(col("day"), col("dn"))
+      .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("dau"))
+    dau.join(mau, dau("dn") === mau("tdn"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("cast((dau * 1000000) div mau as bigint)")
+          .as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val qDauMauSql: String =
+    s"""WITH w AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id // $bmSlot AS bucket,
+       |    bit_or(1::BIGINT << CAST(user_id % $bmSlot AS INT)) AS bm
+       |  FROM events GROUP BY 1, 2),
+       |i AS (
+       |  SELECT day, bucket, bm,
+       |    date_diff('day', DATE '1970-01-01', day) AS dn
+       |  FROM w),
+       |x AS (
+       |  SELECT i.dn + z.d AS tdn, bucket, bm
+       |  FROM i, unnest(range(0, 30)) AS z(d)),
+       |mb AS (SELECT tdn, bucket, bit_or(bm) AS mbm FROM x GROUP BY 1, 2),
+       |ma AS (SELECT tdn, CAST(SUM(bit_count(mbm)) AS BIGINT) AS mau
+       |       FROM mb GROUP BY 1),
+       |da AS (SELECT day, dn, CAST(SUM(bit_count(bm)) AS BIGINT) AS dau
+       |       FROM i GROUP BY 1, 2)
+       |SELECT day, dau, mau,
+       |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+       |FROM da JOIN ma ON da.dn = ma.tdn ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_mau" -> (qDauMau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_equidepth_hist" -> (qEquidepthHist _),
     "q_audience_overlap" -> (qAudienceOverlap _),
@@ -1286,6 +1348,7 @@ object AnalyticsOps {
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_equidepth_hist" -> qEquidepthHistSql,
     "q_cohort_ltv" -> qCohortLtvSql,
+    "q_dau_mau" -> qDauMauSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

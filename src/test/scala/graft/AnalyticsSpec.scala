@@ -561,6 +561,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got0 == exp0.map { case (k, v) => k -> v })
   }
 
+  test("q_dau_mau equals exact trailing-30-day distinct counts") {
+    val got = AnalyticsOps.qDauMau(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(to_date(col("ts")), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val byDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (d, todays) =>
+      val mauSet = byDay.filter { case (d2, _) =>
+        d2 >= d - 29 && d2 <= d
+      }.values.flatten.toSet
+      val exp = (todays.size.toLong, mauSet.size.toLong,
+        todays.size.toLong * 1000000L / mauSet.size)
+      assert(got(d) == exp, s"day $d")
+      // DAU can never exceed MAU
+      assert(got(d)._1 <= got(d)._2)
+    }
+    // a real corpus has days where MAU > DAU (stickiness < 1)
+    assert(got.values.exists(v => v._2 > v._1))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -135,6 +135,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (cohort, offset)-grain agg (distinct forces two rounds), the
     // model-sized cum window + ordered output
     "q_cohort_ltv" -> 7,
+    // dau_mau: daily word agg, the exploded (report-day, bucket)
+    // merge agg, the day-grain MAU agg, the pinned DAU↔MAU join +
+    // ordered output — events collapse to bits in pass one
+    "q_dau_mau" -> 8,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
