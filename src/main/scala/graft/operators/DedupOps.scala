@@ -762,7 +762,43 @@ object DedupOps {
       |    / len(list_distinct(cs.sh || bs.sh)) >= 0.5
       |ORDER BY a, b""".stripMargin
 
+  /** Dedup impact report — the number the pipeline owner actually
+    * reads after a dedup run (how much is duplicated, in what shapes?):
+    * the cluster-size histogram over dedup_clusters' connected
+    * components plus the corpus dedup rate. A long tail of large
+    * clusters means template/boilerplate families; a thin head means
+    * the corpus is mostly unique — the histogram decides which dedup
+    * investment pays next.
+    *
+    * Scale shape: two map-side-combined aggregations over the
+    * O(docs) assignment frame dedup_clusters already produces
+    * (cluster sizes, then the size histogram) — the text corpus is
+    * never re-read and the histogram is O(distinct sizes) rows. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val sizes = dedupClusters(s, dir)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS ($dupDocsSql),
+       |$componentsCtesSql
+       |, asg AS (
+       |  SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |  FROM reach GROUP BY u),
+       |cs AS (SELECT canonical_id, COUNT(*) AS sz FROM asg GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  COUNT(*) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -772,6 +808,7 @@ object DedupOps {
     "dedup_embed_cosine" -> (dedupEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -401,4 +401,21 @@ class DedupSimSpec extends AnyFunSuite {
       (SimOps.nQueries * SimOps.topK)
     assert(total >= 0.6, s"aggregate recall $total below the deploy gate")
   }
+
+  test("dedup_cluster_stats accounts every doc and matches clusters") {
+    val stats = graft.operators.DedupOps.dedupClusterStats(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val asg = graft.operators.DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // histogram replays from the assignment frame
+    val exp = asg.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz.toLong, cs.size.toLong, sz.toLong * cs.size)
+      }.toSeq.sortBy(_._1)
+    assert(stats.toSeq == exp)
+    // conservation: histogram docs == corpus docs, and real dup
+    // clusters exist
+    assert(stats.map(_._3).sum == asg.length.toLong)
+    assert(stats.exists(_._1 > 1), "no multi-doc cluster — vacuous dedup")
+  }
 }
