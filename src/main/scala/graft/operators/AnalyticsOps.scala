@@ -1313,7 +1313,59 @@ object AnalyticsOps {
        |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
        |FROM da JOIN ma ON da.dn = ma.tdn ORDER BY day""".stripMargin
 
+  /** Seasonal-naive forecast backtest — the baseline every demand /
+    * capacity forecasting effort must beat (predict month m with
+    * month m−12) and the backtest ledger that scores it: per order
+    * priority and month, actual vs forecast revenue, signed and
+    * absolute error in exact cents, and the relative error in
+    * integer basis points. The m−12 match is a JOIN on the month
+    * index, never a LAG-12 over rows — a gap month would silently
+    * misalign a positional lag.
+    *
+    * Scale shape: the fact table collapses once to (priority, month)
+    * grain (map-side combine); the forecast join runs over that
+    * model-sized frame. All error arithmetic is integer cents /
+    * truncating div — no float. */
+  def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+        .as("cents"))
+    val prev = g.select(col("priority"), (col("m") + 12).as("m"),
+      col("cents").as("forecast_cents"))
+    g.join(prev, Seq("priority", "m"))
+      .select(col("priority"),
+        expr("cast(m div 12 as int)").as("yr"),
+        expr("cast(m % 12 + 1 as int)").as("mon"),
+        col("cents").as("actual_cents"), col("forecast_cents"),
+        (col("cents") - col("forecast_cents")).as("err_cents"),
+        abs(col("cents") - col("forecast_cents")).as("abs_err_cents"),
+        expr("cast(((cents - forecast_cents) * 10000)" +
+          " div forecast_cents as bigint)").as("err_bp"))
+      .orderBy("priority", "yr", "mon")
+  }
+
+  val qForecastBacktestSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS priority,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT c.priority AS priority, CAST(c.m // 12 AS INT) AS yr,
+      |  CAST(c.m % 12 + 1 AS INT) AS mon,
+      |  c.cents AS actual_cents, p.cents AS forecast_cents,
+      |  c.cents - p.cents AS err_cents,
+      |  abs(c.cents - p.cents) AS abs_err_cents,
+      |  CAST((c.cents - p.cents) * 10000 // p.cents AS BIGINT) AS err_bp
+      |FROM g c JOIN g p
+      |  ON c.priority = p.priority AND c.m = p.m + 12
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_backtest" -> (qForecastBacktest _),
     "q_dau_mau" -> (qDauMau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_equidepth_hist" -> (qEquidepthHist _),
@@ -1349,6 +1401,7 @@ object AnalyticsOps {
     "q_equidepth_hist" -> qEquidepthHistSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_dau_mau" -> qDauMauSql,
+    "q_forecast_backtest" -> qForecastBacktestSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -584,6 +584,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._2 > v._1))
   }
 
+  test("q_forecast_backtest aligns m-12 exactly and scores errors") {
+    val got = AnalyticsOps.qForecastBacktest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    val g = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()) ->
+        r.getLong(2)).toMap
+    val exp = g.flatMap { case ((p, m), cents) =>
+      g.get((p, m - 12)).map { f =>
+        (p, (m / 12).toInt, (m % 12 + 1).toInt) ->
+          (cents, f, cents - f, math.abs(cents - f),
+            (cents - f) * 10000L / f)
+      }
+    }
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // the backtest must contain both over- and under-forecasts
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 0))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

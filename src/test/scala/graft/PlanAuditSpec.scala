@@ -142,6 +142,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // merge agg, the day-grain MAU agg, the pinned DAU↔MAU join +
     // ordered output — events collapse to bits in pass one
     "q_dau_mau" -> 8,
+    // forecast_backtest: one fact agg to (priority, month) grain +
+    // the model-sized self-join's exchanges + ordered output
+    "q_forecast_backtest" -> 5,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
