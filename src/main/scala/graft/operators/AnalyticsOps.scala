@@ -1364,7 +1364,85 @@ object AnalyticsOps {
       |  ON c.priority = p.priority AND c.m = p.m + 12
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Growth accounting — the user-state ledger (new / retained /
+    * resurrected / churned per week) that growth teams close every
+    * period: each active user-week classifies by the user's PREVIOUS
+    * active week (none → new, last week → retained, older →
+    * resurrected), and churn falls out of the accounting identity
+    * churned(w) = active(w−1) − retained(w) — derived arithmetically
+    * from the weekly aggregates, never via an extra anti-join pass
+    * over the corpus.
+    *
+    * Scale shape: distinct (user, week) first (the corpus collapses
+    * to thin rows); ONE user-grain sort exchange for the
+    * previous-week lag; the weekly roll-up is map-side combined and
+    * the churn lag runs over the model-sized week frame. */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-01') div 7")
+          .as("wk"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classified = d
+      .withColumn("prev", lag(col("wk"), 1).over(wu))
+      .select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - 1, "retained")
+          .otherwise("resurrected").as("state"))
+    val weekly = classified.groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val ww = Window.orderBy(col("wk"))
+    weekly
+      .withColumn("churned", when(lag(col("wk"), 1).over(ww) ===
+          col("wk") - 1,
+        lag(col("n_active"), 1).over(ww) - col("n_retained"))
+        .otherwise(coalesce(lag(col("n_active"), 1).over(ww), lit(0L))))
+      .select(col("wk").cast(IntegerType).as("wk"), col("n_active"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("churned").as("n_churned"))
+      .orderBy("wk")
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |      AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT wk,
+      |    CASE WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk)
+      |           IS NULL THEN 'new'
+      |      WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk)
+      |           = wk - 1 THEN 'retained'
+      |      ELSE 'resurrected' END AS state
+      |  FROM d),
+      |w AS (
+      |  SELECT wk, COUNT(*) AS n_active,
+      |    SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |    SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+      |      AS n_retained,
+      |    SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS n_resurrected
+      |  FROM c GROUP BY 1)
+      |SELECT CAST(wk AS INT) AS wk, CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(n_retained AS BIGINT) AS n_retained,
+      |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(CASE WHEN LAG(wk) OVER (ORDER BY wk) = wk - 1
+      |    THEN LAG(n_active) OVER (ORDER BY wk) - n_retained
+      |    ELSE COALESCE(LAG(n_active) OVER (ORDER BY wk), 0) END
+      |    AS BIGINT) AS n_churned
+      |FROM w ORDER BY wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth_accounting" -> (qGrowthAccounting _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "q_dau_mau" -> (qDauMau _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -1402,6 +1480,7 @@ object AnalyticsOps {
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_dau_mau" -> qDauMauSql,
     "q_forecast_backtest" -> qForecastBacktestSql,
+    "q_growth_accounting" -> qGrowthAccountingSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

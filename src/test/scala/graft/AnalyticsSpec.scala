@@ -610,6 +610,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 0))
   }
 
+  test("q_growth_accounting balances the user-state ledger") {
+    val got = AnalyticsOps.qGrowthAccounting(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val uw = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-01') div 7"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).distinct
+    val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val weeks = uw.map(_._2).distinct.sorted
+    val exp = weeks.map { w =>
+      var nw = 0L; var ret = 0L; var res = 0L
+      byUser.values.foreach { ws =>
+        if (ws.contains(w)) {
+          val prev = ws.filter(_ < w)
+          if (prev.isEmpty) nw += 1
+          else if (prev.max == w - 1) ret += 1
+          else res += 1
+        }
+      }
+      val active = nw + ret + res
+      w -> (active, nw, ret, res)
+    }.toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap == exp)
+    // every state decomposes actives; churn equals the identity
+    weeks.sliding(2).foreach {
+      case Array(a, b) if b == a + 1 =>
+        assert(got(b)._5 == got(a)._1 - got(b)._3, s"churn at $b")
+      case _ => ()
+    }
+    // the fixture must exercise new + retained at minimum
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -145,6 +145,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // forecast_backtest: one fact agg to (priority, month) grain +
     // the model-sized self-join's exchanges + ordered output
     "q_forecast_backtest" -> 5,
+    // growth_accounting: distinct (user,week) agg + the user-grain
+    // lag exchange + weekly roll-up + the model-sized churn window's
+    // single-partition exchange + ordered output
+    "q_growth_accounting" -> 6,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
