@@ -2086,7 +2086,109 @@ object Etl {
       |    ELSE 'varchar' END AS inferred
       |FROM a ORDER BY col_name""".stripMargin
 
+  /** CSV dialect sniffing — the ingest step before etl_type_infer
+    * can even run (a delimited file declares nothing, the loader
+    * must DETECT the separator): per file, each candidate delimiter
+    * (comma / semicolon / pipe / tab) is tested for CONSISTENCY —
+    * the same positive per-line count on EVERY line — and the unique
+    * survivor is the verdict. The per-source "files" are constructed
+    * deterministically (source index picks the true delimiter), and
+    * every third line's lang field is POISONED with an embedded
+    * comma so a naive frequency sniffer mis-fires: comma counts
+    * exist in every file but are inconsistent across lines — only
+    * the true delimiter survives the consistency test.
+    *
+    * Scale shape: per-line candidate counts are codegen'd
+    * length-difference projections (no split, no explode); ONE
+    * map-side-combined aggregate per file computes min/max per
+    * candidate; the verdict is pure CASE logic on the per-file row.
+    * At scale "files" are millions of ingest shards — the shape is
+    * one thin agg regardless. */
+  def etlCsvSniff(s: SparkSession, dir: String): DataFrame = {
+    val cands = Seq("comma" -> ",", "semicolon" -> ";", "pipe" -> "|",
+      "tab" -> "\t")
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("delim", expr(
+        "element_at(array(',', ';', '|', '\\t')," +
+          " cast(substring(source, 4) as int) % 4 + 1)"))
+      .withColumn("f2", expr(
+        "case when doc_id % 3 = 0 and delim != ','" +
+          " then concat(lang, ',poison') else lang end"))
+      .withColumn("line", expr(
+        "concat_ws(delim, cast(doc_id as string), f2," +
+          " cast(n_chars as string), source)"))
+    val counted = cands.foldLeft(docs) { case (df, (name, d)) =>
+      df.withColumn(s"c_$name",
+        (length(col("line")) - length(regexp_replace(col("line"),
+          java.util.regex.Pattern.quote(d), ""))).cast("long"))
+    }
+    val aggCols = count(lit(1)).as("n_lines") +:
+      cands.flatMap { case (n, _) =>
+        Seq(min(col(s"c_$n")).as(s"lo_$n"), max(col(s"c_$n")).as(s"hi_$n"))
+      }
+    val agg = counted.groupBy("source").agg(aggCols.head, aggCols.tail: _*)
+    val verdict = cands.foldRight(lit("unknown"): Column) {
+      case ((n, _), e) =>
+        when(col(s"lo_$n") === col(s"hi_$n") && col(s"lo_$n") > 0,
+          lit(n)).otherwise(e)
+    }
+    // exactly one candidate survives consistency, so the fold order
+    // cannot mask a second survivor — asserted by the spec
+    agg.select(col("source"), col("n_lines"), verdict.as("delimiter"),
+        (cands.map(c => when(col(s"lo_${c._1}") === col(s"hi_${c._1}") &&
+          col(s"lo_${c._1}") > 0, col(s"lo_${c._1}")).otherwise(lit(0L)))
+          .reduce(_ + _) + 1L).as("fields_per_line"))
+      .orderBy("source")
+  }
+
+  val etlCsvSniffSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, lang, n_chars,
+      |    CASE CAST(substring(source, 4) AS INT) % 4
+      |      WHEN 0 THEN ',' WHEN 1 THEN ';' WHEN 2 THEN '|'
+      |      ELSE chr(9) END AS delim
+      |  FROM documents),
+      |l AS (
+      |  SELECT source,
+      |    concat_ws(delim, CAST(doc_id AS VARCHAR),
+      |      CASE WHEN doc_id % 3 = 0 AND delim <> ','
+      |        THEN lang || ',poison' ELSE lang END,
+      |      CAST(n_chars AS VARCHAR), source) AS line
+      |  FROM d),
+      |c AS (
+      |  SELECT source,
+      |    length(line) - length(replace(line, ',', '')) AS c_comma,
+      |    length(line) - length(replace(line, ';', '')) AS c_semicolon,
+      |    length(line) - length(replace(line, '|', '')) AS c_pipe,
+      |    length(line) - length(replace(line, chr(9), '')) AS c_tab
+      |  FROM l),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n_lines,
+      |    MIN(c_comma) AS lo_comma, MAX(c_comma) AS hi_comma,
+      |    MIN(c_semicolon) AS lo_semicolon,
+      |    MAX(c_semicolon) AS hi_semicolon,
+      |    MIN(c_pipe) AS lo_pipe, MAX(c_pipe) AS hi_pipe,
+      |    MIN(c_tab) AS lo_tab, MAX(c_tab) AS hi_tab
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_lines,
+      |  CASE WHEN lo_comma = hi_comma AND lo_comma > 0 THEN 'comma'
+      |    WHEN lo_semicolon = hi_semicolon AND lo_semicolon > 0
+      |      THEN 'semicolon'
+      |    WHEN lo_pipe = hi_pipe AND lo_pipe > 0 THEN 'pipe'
+      |    WHEN lo_tab = hi_tab AND lo_tab > 0 THEN 'tab'
+      |    ELSE 'unknown' END AS delimiter,
+      |  CAST(CASE WHEN lo_comma = hi_comma AND lo_comma > 0
+      |      THEN lo_comma ELSE 0 END
+      |    + CASE WHEN lo_semicolon = hi_semicolon AND lo_semicolon > 0
+      |      THEN lo_semicolon ELSE 0 END
+      |    + CASE WHEN lo_pipe = hi_pipe AND lo_pipe > 0
+      |      THEN lo_pipe ELSE 0 END
+      |    + CASE WHEN lo_tab = hi_tab AND lo_tab > 0
+      |      THEN lo_tab ELSE 0 END + 1 AS BIGINT) AS fields_per_line
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_csv_sniff" -> (etlCsvSniff _),
     "etl_type_infer" -> (etlTypeInfer _),
     "etl_reconcile" -> (etlReconcile _),
     "etl_gdpr_erase" -> (etlGdprErase _),
@@ -2133,6 +2235,7 @@ object Etl {
     "etl_gdpr_erase" -> etlGdprEraseSql,
     "etl_reconcile" -> etlReconcileSql,
     "etl_type_infer" -> etlTypeInferSql,
+    "etl_csv_sniff" -> etlCsvSniffSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

@@ -895,4 +895,25 @@ class EtlSpec extends AnyFunSuite {
     // value + null counts account for every row in every column
     got.values.foreach { case (nv, nn, _) => assert(nv + nn == n) }
   }
+
+  test("etl_csv_sniff survives the poisoned-comma trap") {
+    val got = graft.operators.Etl.etlCsvSniff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        r.getLong(3))).toMap
+    val expDelim = Map(0 -> "comma", 1 -> "semicolon", 2 -> "pipe",
+      3 -> "tab")
+    got.foreach { case (src, (nLines, verdict, fields)) =>
+      val idx = src.stripPrefix("src").toInt % 4
+      assert(verdict == expDelim(idx), s"$src verdict $verdict")
+      // four fields -> true delimiter appears exactly 3 times per line
+      assert(fields == 4L, s"$src fields $fields")
+      assert(nLines > 0)
+    }
+    // the poison must actually exist: non-comma files contain commas
+    // (a naive frequency sniffer would see them), yet none infer comma
+    assert(got.keys.exists(_.stripPrefix("src").toInt % 4 != 0))
+    assert(!got.exists { case (src, v) =>
+      src.stripPrefix("src").toInt % 4 != 0 && v._2 == "comma"
+    })
+  }
 }

@@ -170,6 +170,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // type_infer: one scan through the stack unpivot, one column-name
     // grain agg (partial+final) + the 6-row ordered verdict
     "etl_type_infer" -> 3,
+    // csv_sniff: one file-grain min/max agg (partial+final) + the
+    // 10-row ordered verdict
+    "etl_csv_sniff" -> 3,
     // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
