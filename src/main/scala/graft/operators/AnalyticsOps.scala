@@ -1441,7 +1441,80 @@ object AnalyticsOps {
       |    AS BIGINT) AS n_churned
       |FROM w ORDER BY wk""".stripMargin
 
+  /** Revenue bridge years: decompose the 1999→2000 change. */
+  private val bridgeY1 = 1999
+  private val bridgeY2 = 2000
+
+  /** Revenue bridge — the period-over-period waterfall every revenue
+    * review opens with: the year-over-year revenue DELTA decomposed
+    * by customer into new / churned / expansion / contraction
+    * components that provably sum back to the total change (q_yoy
+    * reports THAT revenue moved; the bridge answers WHY). Exact
+    * cents throughout, so the reconciliation row is an identity, not
+    * an approximation.
+    *
+    * Scale shape: one filtered scan collapses the fact table to
+    * customer grain with both years' revenue as conditional sums
+    * (map-side combine — no self-join of the two years); component
+    * classification is a pure projection; the 4-component roll-up +
+    * 1-row reconciliation are model-sized. */
+  def qRevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(bridgeY1, bridgeY2))
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr(s"cast(sum(case when year(o_orderdate) = $bridgeY1 then " +
+          "cast(o_totalprice as decimal(14,2)) * 100 else 0 end) " +
+          "as bigint)").as("r1"),
+        expr(s"cast(sum(case when year(o_orderdate) = $bridgeY2 then " +
+          "cast(o_totalprice as decimal(14,2)) * 100 else 0 end) " +
+          "as bigint)").as("r2"))
+    val classified = perCust.select(
+      when(col("r1") === 0, "new")
+        .when(col("r2") === 0, "churned")
+        .when(col("r2") > col("r1"), "expansion")
+        .otherwise("contraction").as("component"),
+      (col("r2") - col("r1")).as("delta"),
+      col("o_custkey"))
+    classified.groupBy("component")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("delta")).as("delta_cents"))
+      .unionAll(classified.agg(count(lit(1)).as("n_customers"),
+          sum(col("delta")).as("delta_cents"))
+        .select(lit("total_change").as("component"), col("n_customers"),
+          col("delta_cents")))
+      .orderBy("component")
+  }
+
+  val qRevenueBridgeSql: String =
+    s"""WITH p AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CASE WHEN year(o_orderdate) = $bridgeY1
+       |      THEN CAST(o_totalprice AS DECIMAL(14,2)) * 100
+       |      ELSE 0 END) AS BIGINT) AS r1,
+       |    CAST(SUM(CASE WHEN year(o_orderdate) = $bridgeY2
+       |      THEN CAST(o_totalprice AS DECIMAL(14,2)) * 100
+       |      ELSE 0 END) AS BIGINT) AS r2
+       |  FROM orders
+       |  WHERE year(o_orderdate) IN ($bridgeY1, $bridgeY2)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT CASE WHEN r1 = 0 THEN 'new'
+       |      WHEN r2 = 0 THEN 'churned'
+       |      WHEN r2 > r1 THEN 'expansion'
+       |      ELSE 'contraction' END AS component,
+       |    r2 - r1 AS delta
+       |  FROM p)
+       |SELECT component, COUNT(*) AS n_customers,
+       |  CAST(SUM(delta) AS BIGINT) AS delta_cents
+       |FROM c GROUP BY 1
+       |UNION ALL
+       |SELECT 'total_change', COUNT(*), CAST(SUM(delta) AS BIGINT)
+       |FROM c
+       |ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_bridge" -> (qRevenueBridge _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "q_dau_mau" -> (qDauMau _),
@@ -1481,6 +1554,7 @@ object AnalyticsOps {
     "q_dau_mau" -> qDauMauSql,
     "q_forecast_backtest" -> qForecastBacktestSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
+    "q_revenue_bridge" -> qRevenueBridgeSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

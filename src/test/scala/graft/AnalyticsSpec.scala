@@ -644,6 +644,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0))
   }
 
+  test("q_revenue_bridge components reconcile to the total change") {
+    val got = AnalyticsOps.qRevenueBridge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perCust = Tables.load(spark, sf, "orders")
+      .filter(expr("year(o_orderdate) in (1999, 2000)"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("cast(sum(case when year(o_orderdate) = 1999 then " +
+          "cast(o_totalprice as decimal(14,2)) * 100 else 0 end) as bigint)"),
+        expr("cast(sum(case when year(o_orderdate) = 2000 then " +
+          "cast(o_totalprice as decimal(14,2)) * 100 else 0 end) as bigint)"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def comp(r1: Long, r2: Long) =
+      if (r1 == 0) "new" else if (r2 == 0) "churned"
+      else if (r2 > r1) "expansion" else "contraction"
+    val exp = perCust.groupBy { case (a, b) => comp(a, b) }.map {
+      case (c, rs) => c -> (rs.length.toLong, rs.map(r => r._2 - r._1).sum)
+    }
+    exp.foreach { case (c, v) => assert(got(c) == v, s"component $c") }
+    // reconciliation identity: components sum to the total row
+    val compsOnly = got - "total_change"
+    assert(compsOnly.values.map(_._2).sum == got("total_change")._2)
+    assert(compsOnly.values.map(_._1).sum == got("total_change")._1)
+    // all four components must be live in the fixture
+    assert(compsOnly.keySet ==
+      Set("new", "churned", "expansion", "contraction"))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

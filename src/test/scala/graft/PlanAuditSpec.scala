@@ -149,6 +149,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // lag exchange + weekly roll-up + the model-sized churn window's
     // single-partition exchange + ordered output
     "q_growth_accounting" -> 6,
+    // revenue_bridge: one customer-grain conditional-sum agg feeding
+    // both the component roll-up and the 1-row reconciliation +
+    // ordered output
+    "q_revenue_bridge" -> 6,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
