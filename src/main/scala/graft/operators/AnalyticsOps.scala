@@ -1513,7 +1513,61 @@ object AnalyticsOps {
        |FROM c
        |ORDER BY component""".stripMargin
 
+  /** Association rules — the market-basket layer ABOVE q_basket_pairs
+    * (that key counts co-occurrence; recommenders act on directed
+    * RULES): each qualifying pair becomes two directed rules a→b and
+    * b→a scored by support, confidence and lift — all in scaled
+    * integers (ppm / milli) so "lift > 1" is the exact test
+    * lift_milli > 1000, no float anywhere.
+    *
+    * Scale shape: reuses q_basket_pairs' checkpointed pair frame
+    * (basket self-join stays bucket-local and shuffle-pinned there);
+    * the rule expansion is a projection union; the basket total is
+    * one driver-side scalar (model-sized, the q_pareto_share
+    * pattern). */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val base = qBasketPairs(s, dir)
+    val nB = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val d1 = base.select(col("a").as("antecedent"),
+      col("b").as("consequent"), col("n_ab"),
+      col("n_a").as("n_ant"), col("n_b").as("n_con"))
+    val d2 = base.select(col("b").as("antecedent"),
+      col("a").as("consequent"), col("n_ab"),
+      col("n_b").as("n_ant"), col("n_a").as("n_con"))
+    d1.unionAll(d2)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        expr(s"cast((n_ab * 1000000) div $nB as bigint)")
+          .as("support_ppm"),
+        expr("cast((n_ab * 1000000) div n_ant as bigint)")
+          .as("confidence_ppm"),
+        expr(s"cast((n_ab * $nB * 1000) div (n_ant * n_con) as bigint)")
+          .as("lift_milli"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val qAssocRulesSql: String = {
+    val baseSql = qBasketPairsSql
+    s"""WITH base AS ($baseSql),
+       |nb AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+       |rules AS (
+       |  SELECT a AS antecedent, b AS consequent, n_ab,
+       |    n_a AS n_ant, n_b AS n_con
+       |  FROM base
+       |  UNION ALL
+       |  SELECT b, a, n_ab, n_b, n_a FROM base)
+       |SELECT antecedent, consequent, n_ab,
+       |  CAST(n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+       |  CAST(n_ab * 1000000 // n_ant AS BIGINT) AS confidence_ppm,
+       |  CAST(n_ab * nb.n * 1000 // (n_ant * n_con) AS BIGINT)
+       |    AS lift_milli
+       |FROM rules, nb
+       |ORDER BY antecedent, consequent""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules _),
     "q_revenue_bridge" -> (qRevenueBridge _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_forecast_backtest" -> (qForecastBacktest _),
@@ -1555,6 +1609,7 @@ object AnalyticsOps {
     "q_forecast_backtest" -> qForecastBacktestSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_revenue_bridge" -> qRevenueBridgeSql,
+    "q_assoc_rules" -> qAssocRulesSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -672,6 +672,27 @@ class AnalyticsSpec extends AnyFunSuite {
       Set("new", "churned", "expansion", "contraction"))
   }
 
+  test("q_assoc_rules scores both directions of every pair") {
+    val got = AnalyticsOps.qAssocRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val pairs = AnalyticsOps.qBasketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nB = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    assert(got.size == pairs.length * 2)
+    pairs.foreach { case (a, b, nab, na, nb2) =>
+      assert(got((a, b)) == ((nab, nab * 1000000L / nB,
+        nab * 1000000L / na, nab * nB * 1000L / (na * nb2))), s"$a->$b")
+      assert(got((b, a)) == ((nab, nab * 1000000L / nB,
+        nab * 1000000L / nb2, nab * nB * 1000L / (na * nb2))), s"$b->$a")
+    }
+    // lift must be symmetric for a pair and both >1 and <=1 cases
+    // need not both exist, but some rule must show real lift
+    assert(got.values.exists(_._4 > 1000L), "no rule lifts above chance")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -153,6 +153,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // both the component roll-up and the 1-row reconciliation +
     // ordered output
     "q_revenue_bridge" -> 6,
+    // assoc_rules: q_basket_pairs' pinned pair machinery × the
+    // two-direction union + ordered output (basket total is a
+    // driver-side scalar)
+    "q_assoc_rules" -> 14,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
