@@ -1566,7 +1566,59 @@ object AnalyticsOps {
        |ORDER BY antecedent, consequent""".stripMargin
   }
 
+  /** Purchase-cadence intervals — the replenishment-cycle statistic
+    * behind reorder reminders, churn-risk windows and inventory
+    * planning: per market segment, the distribution of DAYS BETWEEN
+    * consecutive orders of the same customer (median, p90, extremes).
+    *
+    * Scale shape: ONE customer-grain sort exchange produces the lag
+    * gaps; the segment lookup joins shuffle-pinned (the customer
+    * dimension is corpus-sized at 100 TB); the percentile aggregate
+    * is sort-based at SEGMENT grain. Gaps are exact integer days;
+    * medians interpolate identically in both engines (q_percentile
+    * precedent). */
+  def qOrderIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c")).orderBy(col("d"), col("k"))
+    val gaps = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("c"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderkey").as("k"))
+      .withColumn("gap",
+        datediff(col("d"), lag(col("d"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    val seg = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("c"), col("c_mktsegment").as("seg"))
+      .hint("shuffle_hash")
+    gaps.join(seg, "c")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("c")).as("n_customers"),
+        expr("percentile(gap, 0.5)").as("med_gap_days"),
+        expr("percentile(gap, 0.9)").as("p90_gap_days"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+      .orderBy("seg")
+  }
+
+  val qOrderIntervalsSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey AS c,
+      |    date_diff('day',
+      |      LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders),
+      |f AS (SELECT c, CAST(gap AS BIGINT) AS gap FROM g
+      |      WHERE gap IS NOT NULL)
+      |SELECT c_mktsegment AS seg, COUNT(*) AS n_gaps,
+      |  COUNT(DISTINCT f.c) AS n_customers,
+      |  quantile_cont(gap, 0.5) AS med_gap_days,
+      |  quantile_cont(gap, 0.9) AS p90_gap_days,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap
+      |FROM f JOIN customer ON c_custkey = f.c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_intervals" -> (qOrderIntervals _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_revenue_bridge" -> (qRevenueBridge _),
     "q_growth_accounting" -> (qGrowthAccounting _),
@@ -1610,6 +1662,7 @@ object AnalyticsOps {
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_revenue_bridge" -> qRevenueBridgeSql,
     "q_assoc_rules" -> qAssocRulesSql,
+    "q_order_intervals" -> qOrderIntervalsSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -693,6 +693,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 1000L), "no rule lifts above chance")
   }
 
+  test("q_order_intervals equals a driver-side gap replay") {
+    val got = AnalyticsOps.qOrderIntervals(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val ords = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val segs = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def interp(xs: Seq[Long], p: Double): Double = {
+      val sorted = xs.sorted
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo).toDouble
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val gaps = ords.groupBy(_._1).toSeq.flatMap { case (c, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        (segs(c), c, b._2 - a._2)
+      }
+    }
+    val exp = gaps.groupBy(_._1).map { case (seg, gs) =>
+      val vals = gs.map(_._3)
+      seg -> (vals.size.toLong, gs.map(_._2).distinct.size.toLong,
+        interp(vals, 0.5), interp(vals, 0.9), vals.min, vals.max)
+    }
+    assert(got == exp)
+    // same-day repeat orders and long gaps must both exist
+    assert(got.values.exists(_._5 == 0L) || got.values.exists(_._5 < 5L))
+    assert(got.values.forall(v => v._3 <= v._4))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

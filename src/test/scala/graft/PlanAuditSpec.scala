@@ -157,6 +157,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-direction union + ordered output (basket total is a
     // driver-side scalar)
     "q_assoc_rules" -> 14,
+    // order_intervals: the customer-grain lag exchange, the pinned
+    // segment join, the segment-grain sort-based percentile agg
+    // (distinct forces two rounds) + ordered output
+    "q_order_intervals" -> 6,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
