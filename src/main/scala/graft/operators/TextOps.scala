@@ -1195,7 +1195,77 @@ object TextOps {
       |  'https://' || host || path || '?' || query_kept AS url_canonical
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** HTML→text extraction — the first transform every web-crawl
+    * pipeline runs (tags stripped, entities decoded, whitespace
+    * collapsed) and the step whose bugs silently poison everything
+    * downstream. Fixture docs are plain text, so each is wrapped in
+    * deterministic markup first — nested tags, attributes, a script
+    * block that must drop WITH its contents (naive tag-stripping
+    * leaves javascript in the corpus — the classic C4-era bug), and
+    * entities — then extracted; the oracle rebuilds the same bytes
+    * and extracts with its own regex engine, so parity covers
+    * construction AND extraction.
+    *
+    * Scale shape: pure per-row codegen'd regexp chain — script block
+    * removal, tag removal, entity decode, whitespace collapse — no
+    * shuffle beyond the ordered output. */
+  def textHtmlStrip(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .withColumn("html", expr(
+        "concat('<html><head><title>doc-', doc_id, '</title>'," +
+          " '<script type=\"text/javascript\">var x = ', doc_id," +
+          " ' &amp;&amp; 1;</script></head>'," +
+          " '<body class=\"doc\"><h1>Doc &amp; ', doc_id, '</h1><p>'," +
+          " replace(text, ' ', case when doc_id % 5 = 0" +
+          "   then '&nbsp;' else ' ' end)," +
+          " '</p><div>&lt;end&gt;</div></body></html>')"))
+      .withColumn("stripped", trim(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(col("html"),
+            "<script[^>]*>.*?</script>", " "), // script WITH contents
+            "<[^>]+>", " "),                   // remaining tags
+            "&nbsp;", " "), "&amp;", "&"),     // entities
+            "&lt;", "<"), "&gt;", ">")))
+      .withColumn("extracted",
+        expr("trim(regexp_replace(stripped, ' +', ' '))"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("html_len"),
+        length(col("extracted")).cast("long").as("text_len"),
+        expr("cast(length(html) - length(regexp_replace(html," +
+          " '<[^>]+>', '')) as bigint)").as("markup_chars"),
+        col("extracted"))
+      .orderBy("doc_id")
+
+  val textHtmlStripSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc-' || doc_id || '</title>'
+      |    || '<script type="text/javascript">var x = ' || doc_id
+      |    || ' &amp;&amp; 1;</script></head>'
+      |    || '<body class="doc"><h1>Doc &amp; ' || doc_id || '</h1><p>'
+      |    || replace(text, ' ', CASE WHEN doc_id % 5 = 0
+      |         THEN '&nbsp;' ELSE ' ' END)
+      |    || '</p><div>&lt;end&gt;</div></body></html>' AS html
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(html,
+      |      '<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+      |      '&lt;', '<', 'g'), '&gt;', '>', 'g')) AS stripped
+      |  FROM h)
+      |SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+      |  CAST(length(trim(regexp_replace(stripped, ' +', ' ', 'g')))
+      |    AS BIGINT) AS text_len,
+      |  CAST(length(html) - length(regexp_replace(html, '<[^>]+>', '',
+      |    'g')) AS BIGINT) AS markup_chars,
+      |  trim(regexp_replace(stripped, ' +', ' ', 'g')) AS extracted
+      |FROM st ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_strip" -> (textHtmlStrip _),
     "text_url_canon" -> (textUrlCanon _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
@@ -1224,6 +1294,7 @@ object TextOps {
     "text_readability" -> textReadabilitySql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_url_canon" -> textUrlCanonSql,
+    "text_html_strip" -> textHtmlStripSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,

@@ -191,6 +191,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_ngram_novelty" -> 8,
     // url_canon: pure per-row string surgery; only the ordered output
     "text_url_canon" -> 1,
+    // html_strip: pure per-row regexp chain; only the ordered output
+    "text_html_strip" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

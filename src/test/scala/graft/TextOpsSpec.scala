@@ -653,6 +653,32 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_html_strip recovers the original text, drops scripts") {
+    val got = graft.operators.TextOps.textHtmlStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val (hlen, tlen, markup, extracted) = got(id)
+      // the extraction must contain the full original text...
+      assert(extracted.contains(text.replaceAll(" +", " ").trim),
+        s"doc $id lost body text")
+      // ...the heading with its decoded entity, and the decoded div
+      // title text survives (only script CONTENT drops), then the
+      // heading with its decoded entity
+      assert(extracted.startsWith(s"doc-$id Doc & $id"), s"doc $id head")
+      assert(extracted.endsWith("<end>"), s"doc $id entity tail")
+      // script content must be GONE (the classic naive-strip bug)
+      assert(!extracted.contains("var x"), s"doc $id leaked script")
+      assert(!extracted.contains("<html"), s"doc $id leaked tags")
+      assert(markup > 0 && hlen > tlen)
+    }
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
