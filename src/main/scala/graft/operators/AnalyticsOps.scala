@@ -1617,7 +1617,68 @@ object AnalyticsOps {
       |FROM f JOIN customer ON c_custkey = f.c
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Revenue concentration — the Herfindahl-Hirschman index per year
+    * over order-priority revenue shares (the antitrust/portfolio
+    * diversification metric: 10000-scale HHI > 2500 is
+    * "highly concentrated"; here ppm-scaled): how evenly does
+    * revenue spread across categories, and who holds the top share?
+    *
+    * Float discipline: shares are TRUNCATED integer ppm first
+    * (r_i·10⁶ div R — identical truncation in both engines), then
+    * HHI = Σ share² div 10⁶ in pure longs — the classic Σ(p_i²)
+    * without a single float, exact under the documented ppm
+    * quantization. Top category resolves ties by priority name via
+    * a total struct order.
+    *
+    * Scale shape: facts collapse once to (year, priority) grain; the
+    * share window and final roll-up run over that model-sized frame. */
+  def qConcentration(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("prio"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+        .as("rev"))
+    g.withColumn("share_ppm",
+        expr("cast((rev * 1000000) div sum(rev) over" +
+          " (partition by yr) as bigint)"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_categories"),
+        expr("cast(sum(share_ppm * share_ppm) div 1000000 as bigint)")
+          .as("hhi_ppm"),
+        max(struct(col("share_ppm"), col("prio"))).as("top"))
+      .select(col("yr").cast(IntegerType).as("yr"), col("n_categories"),
+        col("hhi_ppm"), col("top.share_ppm").as("top_share_ppm"),
+        col("top.prio").as("top_priority"))
+      .orderBy("yr")
+  }
+
+  val qConcentrationSql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT yr, prio,
+      |    CAST(rev * 1000000 // SUM(rev) OVER (PARTITION BY yr)
+      |      AS BIGINT) AS share_ppm
+      |  FROM g),
+      |r AS (
+      |  SELECT yr, prio, share_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY yr
+      |      ORDER BY share_ppm DESC, prio DESC) AS rk
+      |  FROM sh)
+      |SELECT CAST(sh.yr AS INT) AS yr, COUNT(*) AS n_categories,
+      |  CAST(SUM(sh.share_ppm * sh.share_ppm) // 1000000 AS BIGINT)
+      |    AS hhi_ppm,
+      |  MAX(CASE WHEN r.rk = 1 THEN r.share_ppm END) AS top_share_ppm,
+      |  MAX(CASE WHEN r.rk = 1 THEN r.prio END) AS top_priority
+      |FROM sh JOIN r ON sh.yr = r.yr AND sh.prio = r.prio
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concentration" -> (qConcentration _),
     "q_order_intervals" -> (qOrderIntervals _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_revenue_bridge" -> (qRevenueBridge _),
@@ -1663,6 +1724,7 @@ object AnalyticsOps {
     "q_revenue_bridge" -> qRevenueBridgeSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_order_intervals" -> qOrderIntervalsSql,
+    "q_concentration" -> qConcentrationSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

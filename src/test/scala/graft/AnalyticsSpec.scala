@@ -730,6 +730,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._3 <= v._4))
   }
 
+  test("q_concentration HHI replays and stays within uniform bounds") {
+    val got = AnalyticsOps.qConcentration(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    val g = Tables.load(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")), col("o_orderpriority"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    g.groupBy(_._1).foreach { case (yr, rows) =>
+      val total = rows.map(_._3).sum
+      val shares = rows.map(r => (r._2, r._3 * 1000000L / total))
+      val hhi = shares.map(s => s._2 * s._2).sum / 1000000L
+      val top = shares.maxBy(s => (s._2, s._1))
+      assert(got(yr) == ((rows.length.toLong, hhi, top._2, top._1)),
+        s"year $yr")
+      // HHI bounds: uniform 1/k floor (ppm, minus quantization),
+      // monopoly 10^6 ceiling
+      assert(hhi <= 1000000L && hhi >= 1000000L / rows.length - 2)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

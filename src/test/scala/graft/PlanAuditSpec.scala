@@ -161,6 +161,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // segment join, the segment-grain sort-based percentile agg
     // (distinct forces two rounds) + ordered output
     "q_order_intervals" -> 6,
+    // concentration: fact agg to (year, priority) grain + the
+    // model-sized share window + year roll-up + ordered output
+    "q_concentration" -> 5,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
