@@ -1677,7 +1677,53 @@ object AnalyticsOps {
       |FROM sh JOIN r ON sh.yr = r.yr AND sh.prio = r.prio
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Fulfillment lag — the order-to-ship SLA report every operations
+    * dashboard runs: per order priority, the distribution of days
+    * between order placement and each line item's ship date (count,
+    * exact median, share shipped within 30 days in ppm, worst case).
+    *
+    * Scale shape: the canonical FACT-to-FACT join (lineitem ⋈ orders
+    * on the order key) — shuffle-pinned on both sides (at 100 TB
+    * neither side broadcasts; with both tables bucketed by order key
+    * this join is co-located and exchange-free, the layout
+    * q_bucket_join ships); lags are exact integer days; the
+    * percentile aggregate is sort-based at PRIORITY grain; the SLA
+    * share is a conditional count, integer ppm. */
+  def qFulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("od"))
+      .hint("shuffle_hash")
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("sd"), col("od")).cast("long"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag_days, 0.5)").as("med_lag_days"),
+        expr("cast(sum(case when lag_days <= 30 then 1 else 0 end)" +
+          " * 1000000 div count(1) as bigint)").as("within_30d_ppm"),
+        min(col("lag_days")).as("min_lag"),
+        max(col("lag_days")).as("max_lag"))
+      .orderBy("priority")
+  }
+
+  val qFulfillmentLagSql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS lag_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT priority, COUNT(*) AS n_lines,
+      |  quantile_cont(CAST(lag_days AS BIGINT), 0.5) AS med_lag_days,
+      |  CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS within_30d_ppm,
+      |  CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+      |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fulfillment_lag" -> (qFulfillmentLag _),
     "q_concentration" -> (qConcentration _),
     "q_order_intervals" -> (qOrderIntervals _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -1725,6 +1771,7 @@ object AnalyticsOps {
     "q_assoc_rules" -> qAssocRulesSql,
     "q_order_intervals" -> qOrderIntervalsSql,
     "q_concentration" -> qConcentrationSql,
+    "q_fulfillment_lag" -> qFulfillmentLagSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

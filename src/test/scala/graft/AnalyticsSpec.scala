@@ -753,6 +753,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_fulfillment_lag equals a driver-side join replay") {
+    val got = AnalyticsOps.qFulfillmentLag(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ords = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate"))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDate(2).toLocalDate.toEpochDay)).toMap
+    val lags = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .flatMap { case (ok, sd) =>
+        ords.get(ok).map { case (p, od) => (p, sd - od) }
+      }
+    def interp(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo).toDouble
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val exp = lags.groupBy(_._1).map { case (p, ls) =>
+      val vs = ls.map(_._2).toSeq
+      p -> (vs.size.toLong, interp(vs),
+        vs.count(_ <= 30).toLong * 1000000L / vs.size, vs.min, vs.max)
+    }
+    assert(got == exp)
+    // the SLA split must be informative: neither 0 nor 100 percent
+    assert(got.values.exists(v => v._3 > 0 && v._3 < 1000000L))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -164,6 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // concentration: fact agg to (year, priority) grain + the
     // model-sized share window + year roll-up + ordered output
     "q_concentration" -> 5,
+    // fulfillment_lag: the pinned fact-fact join's two exchanges +
+    // the priority-grain sort-based percentile agg + ordered output
+    "q_fulfillment_lag" -> 5,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
