@@ -1722,7 +1722,63 @@ object AnalyticsOps {
       |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Top movers — the trending-items report (monthly top-3 parts by
+    * revenue, each with its previous-month rank and the rank delta):
+    * leaderboards alone say WHO leads; dashboards want WHO MOVED,
+    * which needs the FULL previous-month ranking (a climber may come
+    * from rank 40 — a top-k-only history cannot price the move).
+    *
+    * Scale shape: facts collapse to (month, part) grain map-side;
+    * the rank window partitions by month (parallelism = months,
+    * state per partition = that month's parts); the prev-month
+    * lookup joins the full ranked frame shuffle-pinned (it is
+    * corpus-sized — parts × months); ties rank deterministically by
+    * part key. */
+  def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "lineitem")
+      .groupBy(
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
+        col("l_partkey").as("p"))
+      .agg(expr(
+        "cast(sum(cast(l_extendedprice as decimal(14,2)) * 100) as bigint)")
+        .as("rev"))
+    val w = Window.partitionBy(col("m"))
+      .orderBy(col("rev").desc, col("p"))
+    val ranked = g.withColumn("rk", row_number().over(w).cast("long"))
+      .localCheckpoint() // one ranking feeds both the top-3 and lookup
+    val prev = ranked.select((col("m") + 1).as("m"), col("p"),
+      col("rk").as("prev_rk")).hint("shuffle_hash")
+    ranked.filter(col("rk") <= 3)
+      .join(prev, Seq("m", "p"), "left")
+      .select(expr("cast(m div 12 as int)").as("yr"),
+        expr("cast(m % 12 + 1 as int)").as("mon"),
+        col("p").as("partkey"), col("rev").as("rev_cents"), col("rk"),
+        col("prev_rk"), (col("prev_rk") - col("rk")).as("rank_gain"))
+      .orderBy("yr", "mon", "rk")
+  }
+
+  val qTopMoversSql: String =
+    """WITH g AS (
+      |  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+      |    l_partkey AS p,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT m, p, rev,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY m
+      |      ORDER BY rev DESC, p) AS BIGINT) AS rk
+      |  FROM g)
+      |SELECT CAST(c.m // 12 AS INT) AS yr,
+      |  CAST(c.m % 12 + 1 AS INT) AS mon,
+      |  c.p AS partkey, c.rev AS rev_cents, c.rk,
+      |  pv.rk AS prev_rk, pv.rk - c.rk AS rank_gain
+      |FROM r c LEFT JOIN r pv ON pv.m = c.m - 1 AND pv.p = c.p
+      |WHERE c.rk <= 3
+      |ORDER BY 1, 2, c.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_movers" -> (qTopMovers _),
     "q_fulfillment_lag" -> (qFulfillmentLag _),
     "q_concentration" -> (qConcentration _),
     "q_order_intervals" -> (qOrderIntervals _),
@@ -1772,6 +1828,7 @@ object AnalyticsOps {
     "q_order_intervals" -> qOrderIntervalsSql,
     "q_concentration" -> qConcentrationSql,
     "q_fulfillment_lag" -> qFulfillmentLagSql,
+    "q_top_movers" -> qTopMoversSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -785,6 +785,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._3 > 0 && v._3 < 1000000L))
   }
 
+  test("q_top_movers ranks replay and movement is priced from full ranks") {
+    val got = AnalyticsOps.qTopMovers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .toMap
+    val g = Tables.load(spark, sf, "lineitem")
+      .groupBy(expr("year(l_shipdate) * 12 + month(l_shipdate) - 1"),
+        col("l_partkey"))
+      .agg(expr(
+        "cast(sum(cast(l_extendedprice as decimal(14,2)) * 100) as bigint)"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1),
+        r.getLong(2)))
+    val ranks = g.groupBy(_._1).map { case (m, rows) =>
+      m -> rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L, r._3) }.toMap
+    }
+    assert(got.nonEmpty)
+    got.foreach { case ((yr, mon, p), (rev, rk, prevRk, gain)) =>
+      val m = yr * 12L + mon - 1
+      val (expRk, expRev) = ranks(m)(p)
+      assert(rk == expRk && rev == expRev && rk <= 3, s"($yr,$mon,$p)")
+      val expPrev = ranks.get(m - 1).flatMap(_.get(p).map(_._1))
+      assert(prevRk == expPrev, s"($yr,$mon,$p) prev")
+      assert(gain == expPrev.map(_ - rk), s"($yr,$mon,$p) gain")
+    }
+    // movement must be priced from OUTSIDE the top-3 somewhere
+    assert(got.values.exists(_._3.exists(_ > 3)),
+      "no mover climbed from beyond the top-3 — full ranking untested")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

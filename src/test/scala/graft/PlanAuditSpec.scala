@@ -167,6 +167,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
+    // top_movers: checkpoint-pinned (month,part) ranking (its agg +
+    // window exchanges run before the pin), the pinned prev-month
+    // lookup join + ordered output
+    "q_top_movers" -> 4,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
