@@ -1777,7 +1777,70 @@ object AnalyticsOps {
       |WHERE c.rk <= 3
       |ORDER BY 1, 2, c.rk""".stripMargin
 
+  /** Promotion effectiveness — the discount-band analysis behind
+    * TPC-H Q6's revenue-impact question, taken to the report pricing
+    * teams actually read: per discount band (percentage points),
+    * line volume, quantity, revenue, the discount given back (the
+    * promo's exact cost — Q6's `extendedprice·discount` as exact
+    * cents), and quantity lift per line vs the zero-discount
+    * baseline in ppm (per-line averages truncated to centi-units
+    * first — identical quantization both engines, and the arithmetic
+    * stays inside long at any corpus size).
+    *
+    * Scale shape: ONE map-side-combined pass collapses lineitem to
+    * ≤11 discount bands; the baseline is the band-0 row, joined back
+    * by a 1-row broadcast (intended); every ratio is integer div on
+    * exact decimal-derived cents — the discount product is decimal
+    * BEFORE the cast, so no double rounding anywhere. */
+  def qPromoLift(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.load(s, dir, "lineitem")
+      .groupBy(expr("cast(round(l_discount * 100) as int)").as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(cast(l_quantity as decimal(12,2)) * 100)" +
+          " as bigint)").as("qty_centi"),
+        expr("cast(sum(cast(l_extendedprice as decimal(14,2)) * 100)" +
+          " as bigint)").as("rev_cents"),
+        // the discount product carries fractional cents — FLOOR
+        // explicitly (Spark's decimal→long cast truncates, DuckDB's
+        // rounds; floor is the same function in both)
+        expr("cast(floor(sum(cast(l_extendedprice as decimal(14,2))" +
+          " * cast(l_discount as decimal(4,2)) * 100)) as bigint)")
+          .as("promo_cost_cents"))
+    val base = bands.filter(col("disc_pct") === 0)
+      .select(col("n_lines").as("b_lines"), col("qty_centi").as("b_qty"))
+    bands.join(broadcast(base))
+      .select(col("disc_pct"), col("n_lines"), col("qty_centi"),
+        col("rev_cents"), col("promo_cost_cents"),
+        // per-line averages FIRST (truncated centi-units, identical
+        // both engines) — the direct cross-product form overflows
+        // long at sf1 (qty_centi·b_lines·10⁶ ≈ 9e21)
+        expr("cast(((qty_centi div n_lines) * 1000000)" +
+          " div (b_qty div b_lines) - 1000000 as bigint)")
+          .as("qty_lift_ppm"))
+      .orderBy("disc_pct")
+  }
+
+  val qPromoLiftSql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+      |    COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT)
+      |      AS qty_centi,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+      |      AS BIGINT) AS rev_cents,
+      |    CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+      |      * CAST(l_discount AS DECIMAL(4,2)) * 100)) AS BIGINT)
+      |      AS promo_cost_cents
+      |  FROM lineitem GROUP BY 1),
+      |z AS (SELECT n_lines AS b_lines, qty_centi AS b_qty FROM b
+      |      WHERE disc_pct = 0)
+      |SELECT disc_pct, b.n_lines, qty_centi, rev_cents, promo_cost_cents,
+      |  CAST((qty_centi // b.n_lines) * 1000000 // (b_qty // b_lines)
+      |    - 1000000 AS BIGINT) AS qty_lift_ppm
+      |FROM b, z ORDER BY disc_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_promo_lift" -> (qPromoLift _),
     "q_top_movers" -> (qTopMovers _),
     "q_fulfillment_lag" -> (qFulfillmentLag _),
     "q_concentration" -> (qConcentration _),
@@ -1829,6 +1892,7 @@ object AnalyticsOps {
     "q_concentration" -> qConcentrationSql,
     "q_fulfillment_lag" -> qFulfillmentLagSql,
     "q_top_movers" -> qTopMoversSql,
+    "q_promo_lift" -> qPromoLiftSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

@@ -818,6 +818,37 @@ class AnalyticsSpec extends AnyFunSuite {
       "no mover climbed from beyond the top-3 — full ranking untested")
   }
 
+  test("q_promo_lift bands replay and the baseline lifts zero") {
+    val got = AnalyticsOps.qPromoLift(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(expr("cast(round(l_discount * 100) as int)"),
+        expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"),
+        expr("cast(l_extendedprice as decimal(14,2))" +
+          " * cast(l_discount as decimal(4,2)) * 100"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
+    val bands = li.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum.setScale(0, BigDecimal.RoundingMode.FLOOR)
+          .toLong)
+    }.toMap
+    val (bl, bq) = (bands(0)._1, bands(0)._2)
+    assert(got.keySet == bands.keySet)
+    bands.foreach { case (d, (n, q, rev, cost)) =>
+      val lift = (q / n) * 1000000L / (bq / bl) - 1000000L
+      assert((got(d)._1, got(d)._2, got(d)._3, got(d)._4) ==
+        ((n, q, rev, cost)), s"band $d")
+      assert(got(d)._5 == lift, s"band $d lift")
+    }
+    // the zero band lifts exactly zero; discounted bands cost money
+    assert(got(0)._5 == 0L)
+    assert(got.filter(_._1 > 0).values.forall(_._4 > 0L))
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -171,6 +171,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // window exchanges run before the pin), the pinned prev-month
     // lookup join + ordered output
     "q_top_movers" -> 4,
+    // promo_lift: one band agg (partial+final), the 1-row baseline
+    // broadcast join + ordered output
+    "q_promo_lift" -> 4,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
