@@ -1264,7 +1264,52 @@ object TextOps {
       |  trim(regexp_replace(stripped, ' +', ' ', 'g')) AS extracted
       |FROM st ORDER BY doc_id""".stripMargin
 
+  /** Concordance term. */
+  private[graft] val kwicTerm = "spark"
+
+  /** Concordance (KWIC — keyword in context) — the corpus-inspection
+    * surface behind search-result snippets, linguistic corpus tools,
+    * and "show me how this token is actually used" debugging during
+    * data cleaning: every occurrence of the term with up to three
+    * tokens of context either side, addressable by (doc, position).
+    *
+    * Scale shape: the position explode is corpus-sized (this IS the
+    * inverted-index build shape — at 100 TB you'd persist it once and
+    * serve lookups from it); context slices read the token array
+    * still carried on the exploded row (no join back to the
+    * document); one ordered output. */
+  def textConcordance(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("i", "t")))
+      .filter(col("t") === kwicTerm)
+      .select(col("doc_id"), (col("i") + 1).as("pos"),
+        expr("array_join(slice(w, i + 1 - least(i, 3), least(i, 3)), ' ')")
+          .as("left_ctx"),
+        col("t").as("term"),
+        expr("array_join(slice(w, i + 2, 3), ' ')").as("right_ctx"))
+      .orderBy("doc_id", "pos")
+
+  val textConcordanceSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, w, w[CAST(z.p AS INT)] AS tok,
+       |    CAST(z.p AS INT) AS p
+       |  FROM t, unnest(range(1, len(w) + 1)) AS z(p))
+       |SELECT doc_id, p AS pos,
+       |  COALESCE(array_to_string(w[GREATEST(p - 3, 1):p - 1], ' '), '')
+       |    AS left_ctx,
+       |  tok AS term,
+       |  COALESCE(array_to_string(w[p + 1:p + 3], ' '), '') AS right_ctx
+       |FROM u WHERE tok = '$kwicTerm'
+       |ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_concordance" -> (textConcordance _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_url_canon" -> (textUrlCanon _),
     "text_ngram_novelty" -> (textNgramNovelty _),
@@ -1295,6 +1340,7 @@ object TextOps {
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_url_canon" -> textUrlCanonSql,
     "text_html_strip" -> textHtmlStripSql,
+    "text_concordance" -> textConcordanceSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,

@@ -206,6 +206,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_url_canon" -> 1,
     // html_strip: pure per-row regexp chain; only the ordered output
     "text_html_strip" -> 1,
+    // concordance: the corpus position explode + ordered output —
+    // the inverted-index build shape, no join back
+    "text_concordance" -> 1,
     "pipeline_train_corpus" -> 2, "pipeline_split_safe" -> 1,
     "pipeline_stratified_sample" -> 2, "pipeline_decontaminate" -> 5,
     "embed_pq" -> 3,

@@ -679,6 +679,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_concordance finds every occurrence with exact context") {
+    val got = graft.operators.TextOps.textConcordance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.flatMap { case (id, text) =>
+      val w = text.split(" ").filter(_.nonEmpty)
+      w.zipWithIndex.collect { case ("spark", i) =>
+        (id, i + 1) -> (w.slice(math.max(0, i - 3), i).mkString(" "),
+          "spark", w.slice(i + 1, i + 4).mkString(" "))
+      }
+    }.toMap
+    assert(got == exp)
+    assert(got.nonEmpty, "term absent from the corpus — vacuous")
+    // the edges must be exercised: an occurrence with short left
+    // context and one with a full 3-token window on both sides
+    assert(got.values.exists(_._1.split(" ").count(_.nonEmpty) < 3))
+    assert(got.values.exists(v =>
+      v._1.split(" ").length == 3 && v._3.split(" ").length == 3))
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
