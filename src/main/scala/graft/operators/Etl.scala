@@ -2187,7 +2187,56 @@ object Etl {
       |      THEN lo_tab ELSE 0 END + 1 AS BIGINT) AS fields_per_line
       |FROM a ORDER BY source""".stripMargin
 
+  /** Partition-skew report — the layout diagnostic run before
+    * choosing a partition column (etl_compact fixes small files;
+    * THIS decides whether the partitioning itself is viable): per
+    * candidate day partition of events, row count, payload bytes,
+    * share of the table, and the ratio to the MEDIAN partition in
+    * milli — the number that says "day 17 is 40× median, this key
+    * needs salting" (q_skew_join is the query-side answer; this is
+    * the storage-side audit).
+    *
+    * Scale shape: one map-side-combined agg collapses events to day
+    * grain; the median partition size is an exact selection over the
+    * model-sized day frame (lower median — a selection, no
+    * interpolation float); shares and ratios are integer ppm/milli. */
+  def etlPartitionSkew(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("props")).cast("long")).as("payload_bytes"))
+      .localCheckpoint() // one day frame feeds total, median and report
+    val total = days.agg(sum(col("n_rows"))).head().getLong(0)
+    // exact lower median of partition sizes: selection, not arithmetic
+    val sizes = days.select(col("n_rows")).collect().map(_.getLong(0))
+      .sorted
+    val med = sizes((sizes.length + 1) / 2 - 1)
+    days
+      .select(col("day"), col("n_rows"), col("payload_bytes"),
+        expr(s"cast((n_rows * 1000000) div $total as bigint)")
+          .as("share_ppm"),
+        expr(s"cast((n_rows * 1000) div $med as bigint)")
+          .as("ratio_to_median_milli"))
+      .withColumn("is_skewed", col("ratio_to_median_milli") >= 2000L)
+      .orderBy("day")
+  }
+
+  val etlPartitionSkewSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+      |    CAST(SUM(length(props)) AS BIGINT) AS payload_bytes
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT SUM(n_rows) AS total,
+      |        quantile_disc(n_rows, 0.5) AS med
+      |      FROM d)
+      |SELECT day, CAST(n_rows AS BIGINT) AS n_rows, payload_bytes,
+      |  CAST(n_rows * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |  CAST(n_rows * 1000 // t.med AS BIGINT) AS ratio_to_median_milli,
+      |  n_rows * 1000 // t.med >= 2000 AS is_skewed
+      |FROM d, t ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_partition_skew" -> (etlPartitionSkew _),
     "etl_csv_sniff" -> (etlCsvSniff _),
     "etl_type_infer" -> (etlTypeInfer _),
     "etl_reconcile" -> (etlReconcile _),
@@ -2236,6 +2285,7 @@ object Etl {
     "etl_reconcile" -> etlReconcileSql,
     "etl_type_infer" -> etlTypeInferSql,
     "etl_csv_sniff" -> etlCsvSniffSql,
+    "etl_partition_skew" -> etlPartitionSkewSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,
     "etl_survivorship" -> etlSurvivorshipSql,

@@ -916,4 +916,28 @@ class EtlSpec extends AnyFunSuite {
       src.stripPrefix("src").toInt % 4 != 0 && v._2 == "comma"
     })
   }
+
+  test("etl_partition_skew replays the layout audit exactly") {
+    import org.apache.spark.sql.functions.{col, to_date, length}
+    val got = graft.operators.Etl.etlPartitionSkew(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val rows = Tables.load(spark, sf, "events")
+      .select(to_date(col("ts")), length(col("props"))).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1).toLong))
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val total = rows.length.toLong
+    val sizes = byDay.values.map(_._1).toSeq.sorted
+    val med = sizes((sizes.length + 1) / 2 - 1)
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (d, (n, b)) =>
+      val ratio = n * 1000L / med
+      assert(got(d) == ((n, b, n * 1000000L / total, ratio,
+        ratio >= 2000L)), s"day $d")
+    }
+    // counts are conserved and the median day sits at ratio ~1000
+    assert(got.values.map(_._1).sum == total)
+    assert(got.values.exists(v => v._4 >= 900 && v._4 <= 1100))
+  }
 }

@@ -198,6 +198,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // csv_sniff: one file-grain min/max agg (partial+final) + the
     // 10-row ordered verdict
     "etl_csv_sniff" -> 3,
+    // partition_skew: the checkpoint-pinned day frame (its agg runs
+    // before the pin) + the ordered report; total/median are
+    // model-sized driver scalars
+    "etl_partition_skew" -> 1,
     // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
     // the pinned frontier join's two sides, doc-grain agg, ordered
     // output — every side corpus-sized, broadcast banned
