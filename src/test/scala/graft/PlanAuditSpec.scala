@@ -156,7 +156,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // assoc_rules: q_basket_pairs' pinned pair machinery × the
     // two-direction union + ordered output (basket total is a
     // driver-side scalar)
-    "q_assoc_rules" -> 14,
+    "q_assoc_rules" -> 15,
     // order_intervals: the customer-grain lag exchange, the pinned
     // segment join, the segment-grain sort-based percentile agg
     // (distinct forces two rounds) + ordered output
@@ -454,6 +454,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // gdpr_erase crosses each table's three 1-row ledger counts
       // into its report row — 1-row × 1-row by construction
       "etl_gdpr_erase",
+      // promo_lift broadcasts its 1-row zero-discount baseline into
+      // the ≤11-band frame — 1-row by construction
+      "q_promo_lift",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
