@@ -1839,7 +1839,80 @@ object AnalyticsOps {
       |    - 1000000 AS BIGINT) AS qty_lift_ppm
       |FROM b, z ORDER BY disc_pct""".stripMargin
 
+  /** A/B bucket count (a 90/10 holdout-style split: variant =
+    * bucket 0 is control-heavy on purpose so expected counts
+    * differ per variant). */
+  private val abBuckets = Seq(("control", 9L), ("treatment", 1L))
+
+  /** Experiment bucketing + sample-ratio-mismatch audit — the two
+    * experimentation-platform invariants: assignment must be a PURE
+    * FUNCTION of the unit id (sticky across sessions, replayable —
+    * no RNG state; the same Knuth multiplicative hash discipline as
+    * pipeline_weighted_sample), and realized allocation must match
+    * the declared 90/10 split (SRM — the first thing a trustworthy
+    * experiment dashboard checks, because a mismatch invalidates
+    * every downstream metric). Deviation is reported as exact ppm
+    * and as the χ² numerator term over expected (scaled integer —
+    * q_chi2's discipline), never a float p-value.
+    *
+    * Scale shape: assignment is a codegen'd hash projection; ONE
+    * map-side-combined count per variant; the 2-row audit is pure
+    * integer arithmetic on declared weights. */
+  def qAbBucketing(s: SparkSession, dir: String): DataFrame = {
+    val totalW = abBuckets.map(_._2).sum
+    // hash mod 2^32 sliced into 10 equal bands; bands 0-8 = control
+    val hashedBucket =
+      s"case when (user_id * 2654435761 + 12345) % 4294967296" +
+        s" div 429496730 < ${abBuckets.head._2}" +
+        s" then '${abBuckets.head._1}' else '${abBuckets(1)._1}' end"
+    val counts = Tables.load(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(expr(hashedBucket).as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("n_units"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val weights = typedlit(abBuckets.toMap)
+    counts
+      .withColumn("total", sum(col("n_units")).over(w))
+      .withColumn("expected_units",
+        expr(s"(total * element_at(map(" +
+          abBuckets.map(b => s"'${b._1}', ${b._2}L").mkString(", ") +
+          s"), variant)) div $totalW"))
+      .select(col("variant"), col("n_units"), col("expected_units"),
+        expr("cast(((n_units - expected_units) * 1000000)" +
+          " div expected_units as bigint)").as("srm_dev_ppm"),
+        expr("cast(((n_units - expected_units)" +
+          " * (n_units - expected_units) * 1000000)" +
+          " div expected_units as bigint)").as("chi2_term_micro"))
+      .orderBy("variant")
+  }
+
+  val qAbBucketingSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (
+      |  SELECT CASE WHEN (user_id * 2654435761 + 12345) % 4294967296
+      |      // 429496730 < 9
+      |    THEN 'control' ELSE 'treatment' END AS variant
+      |  FROM u),
+      |c AS (SELECT variant, COUNT(*) AS n_units FROM a GROUP BY 1),
+      |t AS (SELECT SUM(n_units) AS total FROM c)
+      |SELECT variant, CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(total * (CASE variant WHEN 'control' THEN 9 ELSE 1 END)
+      |    // 10 AS BIGINT) AS expected_units,
+      |  CAST((n_units - total * (CASE variant WHEN 'control' THEN 9
+      |      ELSE 1 END) // 10) * 1000000
+      |    // (total * (CASE variant WHEN 'control' THEN 9 ELSE 1 END)
+      |      // 10) AS BIGINT) AS srm_dev_ppm,
+      |  CAST((n_units - total * (CASE variant WHEN 'control' THEN 9
+      |      ELSE 1 END) // 10)
+      |    * (n_units - total * (CASE variant WHEN 'control' THEN 9
+      |      ELSE 1 END) // 10) * 1000000
+      |    // (total * (CASE variant WHEN 'control' THEN 9 ELSE 1 END)
+      |      // 10) AS BIGINT) AS chi2_term_micro
+      |FROM c, t ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_bucketing" -> (qAbBucketing _),
     "q_promo_lift" -> (qPromoLift _),
     "q_top_movers" -> (qTopMovers _),
     "q_fulfillment_lag" -> (qFulfillmentLag _),
@@ -1893,6 +1966,7 @@ object AnalyticsOps {
     "q_fulfillment_lag" -> qFulfillmentLagSql,
     "q_top_movers" -> qTopMoversSql,
     "q_promo_lift" -> qPromoLiftSql,
+    "q_ab_bucketing" -> qAbBucketingSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

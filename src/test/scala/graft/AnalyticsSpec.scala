@@ -849,6 +849,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.filter(_._1 > 0).values.forall(_._4 > 0L))
   }
 
+  test("q_ab_bucketing is sticky, replayable, and audits SRM exactly") {
+    val got = AnalyticsOps.qAbBucketing(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val users = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    def variant(u: Long): String =
+      if ((u * 2654435761L + 12345L) % 4294967296L / 429496730L < 9)
+        "control" else "treatment"
+    val byV = users.groupBy(variant).view.mapValues(_.length.toLong)
+    val total = users.length.toLong
+    assert(got.keySet == byV.keySet.toSet)
+    byV.foreach { case (v, n) =>
+      val w = if (v == "control") 9L else 1L
+      val expd = total * w / 10
+      val dev = (n - expd) * 1000000L / expd
+      val chi2 = (n - expd) * (n - expd) * 1000000L / expd
+      assert(got(v) == ((n, expd, dev, chi2)), s"variant $v")
+    }
+    // allocation accounting: variants partition the population
+    assert(got.values.map(_._1).sum == total)
+    // the hash split must land near 90/10 — within 4 binomial sigmas
+    // of the declared rate at this population size (n=150 at sf0.001
+    // makes a fixed percentage bound meaningless)
+    val c = got("control")
+    val sigmaPpm = math.sqrt(0.1 / (0.9 * total)) * 1000000L
+    assert(math.abs(c._3) < 4 * sigmaPpm,
+      s"control off by ${c._3} ppm > 4σ (${4 * sigmaPpm}) — slicing broken")
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

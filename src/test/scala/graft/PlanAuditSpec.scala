@@ -174,6 +174,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // promo_lift: one band agg (partial+final), the 1-row baseline
     // broadcast join + ordered output
     "q_promo_lift" -> 4,
+    // ab_bucketing: distinct users agg, the variant count agg, the
+    // 2-row total window's single-partition exchange + ordered output
+    "q_ab_bucketing" -> 5,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
