@@ -1911,7 +1911,78 @@ object AnalyticsOps {
       |      // 10) AS BIGINT) AS chi2_term_micro
       |FROM c, t ORDER BY variant""".stripMargin
 
+  /** Winsorization — the outlier-clipping prep step (clamp to the
+    * p05/p95 band) feature pipelines and robust KPIs run before any
+    * mean is trusted, with the audit a reviewer needs: how many
+    * values were clipped at each tail and how much mass moved.
+    * Bounds are SELECTIONS at integer ranks (row_number against
+    * deterministic rank cutoffs), not interpolated percentiles — so
+    * the clipped values stay exact integer cents and every sum is a
+    * long (an interpolated bound would drag the whole report into
+    * float summation, which SURVEY §4 bans).
+    *
+    * Scale shape: ONE type-grain sort exchange produces ranks and
+    * group sizes together (same window spec — one shuffle); the two
+    * bound rows per type join back by broadcast (model-sized: 2×
+    * types); clip + conditional sums are map-side combined. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type").as("t"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+    val w = Window.partitionBy(col("t")).orderBy(col("c"), col("event_id"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("t"))))
+    val lo = ranked
+      .filter(col("rk") === expr("greatest(1L, (5 * n) div 100)"))
+      .select(col("t"), col("c").as("lo"))
+    val hi = ranked
+      .filter(col("rk") === expr("least(n, (95 * n + 99) div 100)"))
+      .select(col("t"), col("c").as("hi"))
+    ev.join(broadcast(lo), "t").join(broadcast(hi), "t")
+      .groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(col("c")).as("sum_before_cents"),
+        sum(greatest(col("lo"), least(col("hi"), col("c"))))
+          .as("sum_after_cents"))
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS t, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |r AS (
+      |  SELECT t, c,
+      |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY c, event_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY t) AS n
+      |  FROM e),
+      |lo AS (SELECT t, c AS lo FROM r
+      |       WHERE rk = GREATEST(1, (5 * n) // 100)),
+      |hi AS (SELECT t, c AS hi FROM r
+      |       WHERE rk = LEAST(n, (95 * n + 99) // 100))
+      |SELECT e.t AS event_type, COUNT(*) AS n,
+      |  CAST(MAX(lo.lo) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(hi.hi) AS BIGINT) AS hi_cents,
+      |  CAST(SUM(CASE WHEN e.c < lo.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN e.c > hi.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  CAST(SUM(e.c) AS BIGINT) AS sum_before_cents,
+      |  CAST(SUM(GREATEST(lo.lo, LEAST(hi.hi, e.c))) AS BIGINT)
+      |    AS sum_after_cents
+      |FROM e JOIN lo ON e.t = lo.t JOIN hi ON e.t = hi.t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
     "q_promo_lift" -> (qPromoLift _),
     "q_top_movers" -> (qTopMovers _),
@@ -1967,6 +2038,7 @@ object AnalyticsOps {
     "q_top_movers" -> qTopMoversSql,
     "q_promo_lift" -> qPromoLiftSql,
     "q_ab_bucketing" -> qAbBucketingSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_event_pattern" -> qEventPatternSql,
     "q_skyline" -> qSkylineSql,

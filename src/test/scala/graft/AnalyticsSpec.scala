@@ -879,6 +879,29 @@ class AnalyticsSpec extends AnyFunSuite {
       s"control off by ${c._3} ppm > 4σ (${4 * sigmaPpm}) — slicing broken")
   }
 
+  test("q_winsorize clips exactly at the selected rank bounds") {
+    val got = AnalyticsOps.qWinsorize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length.toLong
+      val lo = sorted((math.max(1L, 5 * n / 100) - 1).toInt)
+      val hi = sorted((math.min(n, (95 * n + 99) / 100) - 1).toInt)
+      val exp = (n, lo, hi,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+        sorted.sum, sorted.map(c => math.max(lo, math.min(hi, c))).sum)
+      assert(got(t) == exp, s"type $t")
+      // winsorization must actually clip both tails here
+      assert(exp._4 > 0 && exp._5 > 0, s"type $t clipped nothing")
+    }
+  }
+
   test("q_rfm quintiles equal a driver-side NTILE replay") {
     val got = AnalyticsOps.qRfm(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -177,6 +177,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ab_bucketing: distinct users agg, the variant count agg, the
     // 2-row total window's single-partition exchange + ordered output
     "q_ab_bucketing" -> 5,
+    // winsorize: the type-grain rank sort exchange (ranks + counts
+    // share it), the clip agg + ordered output; bound rows broadcast
+    "q_winsorize" -> 5,
     // readability: pure per-row projection; only the ordered output
     "text_readability" -> 1,
     // length_buckets: bucket-grain agg (partial+final) + ordered output
