@@ -797,7 +797,62 @@ object DedupOps {
        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
        |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  /** Policy-ranked canonical selection — the KEEP-WHICH-COPY layer
+    * over dedup_clusters (that key only labels components; a real
+    * pipeline must then pick ONE survivor per family by POLICY, not
+    * by accident): prefer the original corpus over the re-crawl
+    * batch (the planted +1M id space), then the longer document,
+    * then the smaller id — the C4/RefinedWeb-style quality-ranked
+    * survivorship rule for text (etl_survivorship is the
+    * field-level sibling for records).
+    *
+    * Scale shape: one shuffle-pinned join of the assignment frame
+    * with the document metadata (both corpus-sized), then ONE
+    * struct-max per cluster — the policy is a total order packed
+    * into the comparator, so the exchange carries one candidate
+    * struct per cluster, never member lists, and the winner is
+    * partition-order-independent. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val asg = dedupClusters(s, dir).hint("shuffle_hash")
+    val meta = dupDocs(s, dir).select(col("doc_id"),
+      expr("case when doc_id >= 1000000 then 0L else 1L end").as("prio"),
+      col("n_chars"))
+    asg.join(meta.hint("shuffle_hash"), "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("prio"), col("n_chars"),
+          (-col("doc_id")).as("nd"), col("doc_id"))).as("b"))
+      .select(col("canonical_id"), col("n_members"),
+        col("b.doc_id").as("keep_id"), col("b.prio").as("keep_prio"),
+        col("b.n_chars").as("keep_chars"))
+      .orderBy("canonical_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS ($dupDocsSql),
+       |$componentsCtesSql
+       |, asg AS (
+       |  SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |  FROM reach GROUP BY u),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= 1000000 THEN 0 ELSE 1 END AS prio,
+       |    n_chars
+       |  FROM corpus),
+       |j AS (
+       |  SELECT asg.canonical_id, m.doc_id, m.prio, m.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY asg.canonical_id
+       |      ORDER BY m.prio DESC, m.n_chars DESC, m.doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY asg.canonical_id) AS n_members
+       |  FROM asg JOIN m ON asg.doc_id = m.doc_id)
+       |SELECT canonical_id, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS keep_id, CAST(prio AS BIGINT) AS keep_prio,
+       |  n_chars AS keep_chars
+       |FROM j WHERE rk = 1 ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_clusters" -> (dedupClusters _),
@@ -809,6 +864,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,

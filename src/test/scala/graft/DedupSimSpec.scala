@@ -418,4 +418,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(stats.map(_._3).sum == asg.length.toLong)
     assert(stats.exists(_._1 > 1), "no multi-doc cluster — vacuous dedup")
   }
+
+  test("dedup_keep_best picks originals by policy, one per cluster") {
+    val got = graft.operators.DedupOps.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val asg = graft.operators.DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nc(id: Long) = chars(if (id >= 1000000L) id - 1000000L else id)
+    val exp = asg.groupBy(_._2).map { case (c, ms) =>
+      val best = ms.map(_._1).minBy(id =>
+        (if (id >= 1000000L) 1L else 0L, -nc(id), id))
+      c -> (ms.size.toLong, best, if (best >= 1000000L) 0L else 1L,
+        nc(best))
+    }
+    assert(got == exp)
+    // every multi-member cluster spans the two tiers and keeps an
+    // ORIGINAL — the policy dimension is exercised, not vacuous
+    val multi = got.filter(_._2._1 > 1)
+    assert(multi.nonEmpty)
+    assert(multi.values.forall(_._2 < 1000000L),
+      "a re-crawl clone won over its original")
+  }
 }

@@ -57,7 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_clusters" -> 1,
     // cluster_stats: the two aggs over the checkpoint-pinned
     // assignment frame + ordered output
-    "dedup_cluster_stats" -> 5, "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
+    "dedup_cluster_stats" -> 5,
+    // keep_best: the pinned assignment↔metadata join over the
+    // checkpoint-pinned frame + the cluster struct-max agg + ordered
+    // output
+    "dedup_keep_best" -> 6,
+    "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
     "etl_bool_convert" -> 0, "etl_cdc_upsert" -> 2, "etl_fk_orphans" -> 2,
