@@ -624,7 +624,76 @@ object CorpusPipeline {
       |    AS drop_ppm
       |FROM f ORDER BY stage""".stripMargin
 
+  /** Temperature-based mixture resampling plan — the multilingual /
+    * multi-source pretraining standard (mT5's α-sampling, α = 0.5):
+    * raw source sizes are too skewed to train on directly, so each
+    * source's target weight is n^α — here √n — flattening the head
+    * without drowning the tail; the plan allocates a half-corpus
+    * token budget across sources by those weights and emits each
+    * source's sampling rate (text_domain_mix MEASURES the mixture;
+    * this key PLANS the resample that fixes it).
+    *
+    * Exactness: √n is the one transcendental — computed as
+    * floor(sqrt(exact long)) which is engine-identical (same double
+    * in, correctly-rounded sqrt, floor to long); everything after is
+    * integer arithmetic (allocation by weight share, rate in ppm
+    * capped at 10⁶, expected tokens by truncating div).
+    *
+    * Scale shape: one map-side-combined agg to source grain; the
+    * weight normalization window runs over the model-sized source
+    * frame. */
+  def pipelineTempSampling(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.operators.TextOps.toks(col("text"))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("weight", expr("cast(floor(sqrt(n_tokens)) as bigint)"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    src
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("total_weight", sum(col("weight")).over(w))
+      .withColumn("alloc_tokens",
+        expr("((total_tokens div 2) * weight) div total_weight"))
+      .withColumn("rate_ppm",
+        expr("least(cast(1000000 as bigint)," +
+          " (alloc_tokens * 1000000) div n_tokens)"))
+      .withColumn("expected_tokens",
+        expr("(n_tokens * rate_ppm) div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("alloc_tokens"), col("rate_ppm"),
+        col("expected_tokens"))
+      .orderBy("source")
+  }
+
+  val pipelineTempSamplingSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '),
+      |      x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT SUM(n_tokens) AS total_tokens,
+      |    SUM(CAST(floor(sqrt(n_tokens)) AS BIGINT)) AS total_weight
+      |  FROM s),
+      |p AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight,
+      |    (total_tokens // 2) * CAST(floor(sqrt(n_tokens)) AS BIGINT)
+      |      // total_weight AS alloc_tokens
+      |  FROM s, t)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, weight,
+      |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+      |  CAST(LEAST(1000000, alloc_tokens * 1000000 // n_tokens)
+      |    AS BIGINT) AS rate_ppm,
+      |  CAST(n_tokens * LEAST(1000000, alloc_tokens * 1000000
+      |    // n_tokens) // 1000000 AS BIGINT) AS expected_tokens
+      |FROM p ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_pref_pairs" -> (pipelinePrefPairs _),
@@ -641,6 +710,7 @@ object CorpusPipeline {
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_filter_cascade" -> pipelineFilterCascadeSql,
+    "pipeline_temp_sampling" -> pipelineTempSamplingSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_weighted_sample" -> pipelineWeightedSampleSql,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffleSql,

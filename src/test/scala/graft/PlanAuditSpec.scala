@@ -192,6 +192,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // filter_cascade: one corpus agg (partial + 1-row final) + the
     // 4-row funnel's ordered output
     "pipeline_filter_cascade" -> 3,
+    // temp_sampling: source-grain agg + the model-sized normalization
+    // window's single-partition exchange + ordered output
+    "pipeline_temp_sampling" -> 3,
     // late_dim: two shuffle-pinned fact→dim-slice left joins + the
     // ordered output
     "etl_late_dim" -> 5,

@@ -703,6 +703,37 @@ class TextOpsSpec extends AnyFunSuite {
       v._1.split(" ").length == 3 && v._3.split(" ").length == 3))
   }
 
+  test("pipeline_temp_sampling flattens the mixture toward the tail") {
+    val got = graft.operators.CorpusPipeline
+      .pipelineTempSampling(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.expr(
+          "cast(size(filter(split(text, ' '), t -> t != '')) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val totalT = docs.map(_._2).sum
+    val totalW = bySrc.values.map(v => math.sqrt(v._2.toDouble).toLong).sum
+    bySrc.foreach { case (src, (nd, nt)) =>
+      val wgt = math.sqrt(nt.toDouble).toLong
+      val alloc = (totalT / 2) * wgt / totalW
+      val rate = math.min(1000000L, alloc * 1000000L / nt)
+      val expT = nt * rate / 1000000L
+      assert(got(src) == ((nd, nt, wgt, alloc, rate, expT)), s"$src")
+    }
+    // temperature flattening: the LARGEST source is sampled at a
+    // strictly lower rate than the smallest (√n compresses the head)
+    val largest = bySrc.maxBy(_._2._2)._1
+    val smallest = bySrc.minBy(_._2._2)._1
+    assert(got(largest)._5 < got(smallest)._5,
+      "sqrt reweighting did not flatten the mixture")
+    // budget discipline: expected tokens never exceed the allocation
+    got.values.foreach(v => assert(v._6 <= v._4 || v._5 == 1000000L))
+  }
+
   test("text_readability equals a driver-side vowel-run replay") {
     val got = graft.operators.TextOps.textReadability(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
