@@ -1981,6 +1981,81 @@ object AnalyticsOps {
       |FROM e JOIN lo ON e.t = lo.t JOIN hi ON e.t = hi.t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Revenue inequality per market segment — the exact Lorenz-curve
+    * pair every fairness/concentration dashboard wants next to
+    * q_concentration's HHI: the Gini coefficient over per-customer
+    * lifetime revenue, plus the top-decile revenue share. Gini uses
+    * the rank formulation G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i)
+    * over ascending-sorted x — one sort, no O(n²) pairwise |x_i−x_j|.
+    *
+    * Float discipline: revenues are integer cents; the rank-weighted
+    * sum Σi·x_i runs in DECIMAL(38,0) (at 10⁹ customers × 10⁹ cents
+    * the product tops 2⁶³ — the packFrame lesson from r7 applied
+    * BEFORE the overflow ships), and both ratios are integral `div`
+    * (Spark's IntegralDivide accepts decimals and returns an exact
+    * long; DuckDB computes the same quotient in HUGEINT) — ppm
+    * outputs, zero floats. Ranks tie-break by customer key, which
+    * cannot change either statistic (equal x values commute in Σi·x
+    * and in any decile cut).
+    *
+    * Scale shape: facts collapse once to customer grain (map-side
+    * partial), the rank window sorts CUSTOMER-grain rows within each
+    * segment — the honest cost of an exact Gini, the same
+    * distributed-sort regime as q_equidepth_hist — and the segment
+    * roll-up reuses the window's partitioning (no extra exchange).
+    * Customers who never ordered are out of scope (revenue
+    * population, not account population). */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+        .as("rev"))
+    val ranked = rev
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("c_custkey").as("ck"), col("rev"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("rev"), col("ck"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+    ranked.groupBy("seg")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("tot"),
+        expr("sum(cast(i as decimal(38,0)) * rev)").as("iwx"),
+        expr("sum(case when i > n - n div 10 then rev else 0L end)")
+          .as("toprev"))
+      .select(col("seg"), col("n_customers"),
+        col("tot").as("total_rev_cents"),
+        expr("((2 * iwx - (cast(n_customers as decimal(38,0)) + 1) * tot)" +
+          " * 1000000) div (cast(n_customers as decimal(38,0)) * tot)")
+          .as("gini_ppm"),
+        expr("(cast(toprev as decimal(38,0)) * 1000000) div tot")
+          .as("top_decile_ppm"))
+      .orderBy("seg")
+  }
+
+  val qGiniSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT c_mktsegment AS seg, ck, rev,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY rev, ck) AS i,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM r JOIN customer ON c_custkey = ck)
+      |SELECT seg, COUNT(*) AS n_customers,
+      |  CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+      |  CAST(((2 * SUM(CAST(i AS HUGEINT) * rev)
+      |         - (COUNT(*) + 1) * SUM(rev)) * 1000000)
+      |    // (COUNT(*) * SUM(rev)) AS BIGINT) AS gini_ppm,
+      |  CAST((SUM(CASE WHEN i > n - n // 10 THEN rev ELSE 0 END)
+      |    * 1000000) // SUM(rev) AS BIGINT) AS top_decile_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2015,7 +2090,8 @@ object AnalyticsOps {
     "q_concurrency" -> (qConcurrency _),
     "q_geo_join" -> (qGeoJoin _),
     "q_cum_distinct" -> (qCumDistinct _),
-    "q_decay_score" -> (qDecayScore _))
+    "q_decay_score" -> (qDecayScore _),
+    "q_gini" -> (qGini _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2051,5 +2127,6 @@ object AnalyticsOps {
     "q_hopping_window" -> qHoppingWindowSql,
     "q_attribution" -> qAttributionSql,
     "q_transition_matrix" -> qTransitionMatrixSql,
-    "q_basket_pairs" -> qBasketPairsSql)
+    "q_basket_pairs" -> qBasketPairsSql,
+    "q_gini" -> qGiniSql)
 }

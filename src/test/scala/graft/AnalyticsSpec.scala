@@ -950,4 +950,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sizes.max - sizes.min <= 1, s"col $c sizes $sizes")
     }
   }
+
+  test("q_gini replays the exact rank-formula Gini and Lorenz bounds") {
+    val got = AnalyticsOps.qGini(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rev.groupBy(r => cust(r._1)).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1)).map(_._2)
+      val n = sorted.length.toLong
+      val tot = sorted.map(BigInt(_)).sum
+      val iwx = sorted.zipWithIndex
+        .map { case (x, i0) => BigInt(i0 + 1) * x }.sum
+      val gini = ((iwx * 2 - (BigInt(n) + 1) * tot) * 1000000) /
+        (BigInt(n) * tot)
+      val topRev = sorted.drop((n - n / 10).toInt).map(BigInt(_)).sum
+      val topPpm = topRev * 1000000 / tot
+      assert(got(seg) ==
+        ((n, tot.toLong, gini.toLong, topPpm.toLong)), s"seg $seg")
+      // Lorenz sanity: Gini in [0, 1e6); the top decile holds at
+      // least its population share (sorted cut, minus ppm rounding)
+      assert(gini >= 0 && gini < 1000000L, s"seg $seg gini $gini")
+      assert(topPpm + 1 >= (n / 10) * 1000000 / n, s"seg $seg top $topPpm")
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -169,6 +169,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // concentration: fact agg to (year, priority) grain + the
     // model-sized share window + year roll-up + ordered output
     "q_concentration" -> 5,
+    // gini: fact agg to customer grain, the pinned segment join's two
+    // exchanges, the segment rank-window sort (the segment roll-up
+    // reuses its partitioning) + ordered output
+    "q_gini" -> 5,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
