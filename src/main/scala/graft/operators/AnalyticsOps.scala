@@ -2056,6 +2056,91 @@ object AnalyticsOps {
       |    * 1000000) // SUM(rev) AS BIGINT) AS top_decile_ppm
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mean-shift changepoint detection per nation — the time-series
+    * QC primitive behind "did this metric jump, and when": over each
+    * nation's daily-revenue series, the CUSUM statistic
+    * D_i = |n·S_i − i·S_n| (S = prefix sum; the running total's
+    * deviation from the straight line it would draw if the mean never
+    * changed, scaled by n to stay integral) maximized over interior
+    * days. The argmax day IS the estimated changepoint; the report
+    * adds the exact before/after mean levels the shift separates.
+    *
+    * Float discipline: daily revenue is integer cents; n·S and i·S_n
+    * run in DECIMAL(38,0) (a 10-year series over 2⁶³-cent totals
+    * overflows long products), the reported deviation is normalized
+    * back to cents by integral `div n`, means are integral cents.
+    * Ties on the max resolve to the EARLIEST day in both engines.
+    *
+    * Scale shape: the fact→customer join is shuffle-pinned (both
+    * sides corpus-sized at 100 TB), the 25-row nation dim broadcasts,
+    * facts collapse to (nation, day) grain map-side; every window —
+    * prefix scan, series totals, argmax rank — partitions by nation
+    * over that model-sized frame, sharing ONE exchange. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("c"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("day"))
+      .agg(sum(col("c")).as("x"))
+    val w = Window.partitionBy("nation").orderBy("day")
+    val wAll = Window.partitionBy("nation")
+    val best = daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("x")).over(wAll))
+      .filter(col("i") < col("n"))
+      .withColumn("dev", expr(
+        "abs(cast(n as decimal(38,0)) * s - cast(i as decimal(38,0)) * tot)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nation").orderBy(col("dev").desc, col("day"))))
+      .filter(col("rk") === 1)
+    best.select(col("nation"), col("n").as("n_days"),
+        col("tot").as("total_cents"), col("day").as("cp_day"),
+        expr("cast(dev div cast(n as decimal(38,0)) as bigint)")
+          .as("dev_cents"),
+        expr("s div i").as("mean_before_cents"),
+        expr("(tot - s) div (n - i)").as("mean_after_cents"))
+      .orderBy("nation")
+  }
+
+  val qChangepointSql: String =
+    """WITH d AS (
+      |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+      |      AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT nation, day,
+      |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY day) AS i,
+      |    SUM(x) OVER (PARTITION BY nation ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS s,
+      |    COUNT(*) OVER (PARTITION BY nation) AS n,
+      |    SUM(x) OVER (PARTITION BY nation) AS tot
+      |  FROM d),
+      |dv AS (
+      |  SELECT nation, day, i, s, n, tot,
+      |    ABS(CAST(n AS HUGEINT) * s - CAST(i AS HUGEINT) * tot) AS dev
+      |  FROM sc WHERE i < n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY nation
+      |    ORDER BY dev DESC, day) AS rk FROM dv)
+      |SELECT nation, CAST(n AS BIGINT) AS n_days,
+      |  CAST(tot AS BIGINT) AS total_cents, day AS cp_day,
+      |  CAST(dev // n AS BIGINT) AS dev_cents,
+      |  CAST(s // i AS BIGINT) AS mean_before_cents,
+      |  CAST((tot - s) // (n - i) AS BIGINT) AS mean_after_cents
+      |FROM r WHERE rk = 1 ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2091,7 +2176,8 @@ object AnalyticsOps {
     "q_geo_join" -> (qGeoJoin _),
     "q_cum_distinct" -> (qCumDistinct _),
     "q_decay_score" -> (qDecayScore _),
-    "q_gini" -> (qGini _))
+    "q_gini" -> (qGini _),
+    "q_changepoint" -> (qChangepoint _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2128,5 +2214,6 @@ object AnalyticsOps {
     "q_attribution" -> qAttributionSql,
     "q_transition_matrix" -> qTransitionMatrixSql,
     "q_basket_pairs" -> qBasketPairsSql,
-    "q_gini" -> qGiniSql)
+    "q_gini" -> qGiniSql,
+    "q_changepoint" -> qChangepointSql)
 }

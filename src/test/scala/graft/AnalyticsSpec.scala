@@ -982,4 +982,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_changepoint replays the integer CUSUM argmax per nation") {
+    val got = AnalyticsOps.qChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val daily = spark.sql(
+      s"""SELECT n_name, to_date(o_orderdate) AS day,
+         |  cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)
+         |    AS x
+         |FROM parquet.`$sf/orders.parquet`
+         |JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |JOIN parquet.`$sf/nation.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (nation, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length
+      if (n >= 2) {
+        val tot = series.map(BigInt(_)).sum
+        val prefix = series.scanLeft(BigInt(0))(_ + _).tail
+        val devs = (1 until n).map(i =>
+          (BigInt(n) * prefix(i - 1) - BigInt(i) * tot).abs)
+        val bestI = devs.zipWithIndex.maxBy {
+          case (d, i0) => (d, -i0) // max dev, earliest day on ties
+        }._2 + 1
+        val s = prefix(bestI - 1)
+        val exp = (n.toLong, tot.toLong,
+          rows.sortBy(_._2).map(_._2).apply(bestI - 1),
+          (devs(bestI - 1) / n).toLong,
+          (s / bestI).toLong, ((tot - s) / (n - bestI)).toLong)
+        assert(got(nation) == exp, s"nation $nation")
+      }
+    }
+    assert(got.nonEmpty)
+  }
 }

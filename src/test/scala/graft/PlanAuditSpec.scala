@@ -173,6 +173,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchanges, the segment rank-window sort (the segment roll-up
     // reuses its partitioning) + ordered output
     "q_gini" -> 5,
+    // changepoint: the pinned fact-customer join's two exchanges
+    // (nation dim broadcasts), the (nation, day) grain agg, ONE
+    // nation-window exchange shared by scan/totals/argmax + ordered
+    // output
+    "q_changepoint" -> 5,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
