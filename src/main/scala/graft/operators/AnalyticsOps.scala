@@ -2141,6 +2141,83 @@ object AnalyticsOps {
       |  CAST((tot - s) // (n - i) AS BIGINT) AS mean_after_cents
       |FROM r WHERE rk = 1 ORDER BY nation""".stripMargin
 
+  /** Censoring horizon for q_survival: a customer whose last order is
+    * more than this many days before the observation edge counts as
+    * CHURNED (event); anyone active within it is CENSORED — still
+    * alive as far as the data can say. */
+  private val survivalChurnDays = 90
+
+  /** Churn life table per market segment — the Kaplan-Meier risk-set
+    * report behind every retention curve: customer lifetime = first
+    * order → last order, an EVENT if the customer went quiet more
+    * than 90 days before the dataset's edge, CENSORED otherwise
+    * (right-censoring is the whole point of survival analysis — a
+    * naive churn rate over all customers calls every recent signup a
+    * churner). Per (segment, lifetime-month) bucket: n still at
+    * risk, events, censored — the exact integer triple the KM
+    * product Π(1 − d_i/n_i) is computed from; the engine ships the
+    * counts, not the float product, so the gate stays bitwise.
+    *
+    * Scale shape: facts collapse to customer grain map-side (min/max
+    * dates), the observation edge is a 1-row broadcast (a scalar at
+    * any corpus size), the segment join is shuffle-pinned, and the
+    * life table itself is model-sized (segments × months) — the
+    * reverse-cumulative at-risk window runs over that frame. */
+  def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val o = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"))
+    val edge = o.agg(max(col("l")).as("m"))
+    val lives = o
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(edge))
+      .select(col("seg"),
+        when(datediff(col("m"), col("l")) > survivalChurnDays, 1L)
+          .otherwise(0L).as("ev"),
+        expr(s"""(case when datediff(m, l) > $survivalChurnDays
+                 | then datediff(l, f) else datediff(m, f) end) div 30"""
+          .stripMargin).as("t_months"))
+    val table = lives.groupBy("seg", "t_months")
+      .agg(sum(col("ev")).as("n_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    table
+      .withColumn("at_risk",
+        sum(col("n_events") + col("n_censored")).over(
+          Window.partitionBy("seg").orderBy(col("t_months").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("seg"), col("t_months"), col("at_risk"),
+        col("n_events"), col("n_censored"))
+      .orderBy("seg", "t_months")
+  }
+
+  val qSurvivalSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS ck, MIN(CAST(o_orderdate AS DATE)) AS f,
+       |    MAX(CAST(o_orderdate AS DATE)) AS l
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT MAX(l) AS m FROM o),
+       |lv AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CASE WHEN date_diff('day', l, m.m) > $survivalChurnDays
+       |      THEN 1 ELSE 0 END AS ev,
+       |    (CASE WHEN date_diff('day', l, m.m) > $survivalChurnDays
+       |      THEN date_diff('day', f, l)
+       |      ELSE date_diff('day', f, m.m) END) // 30 AS t_months
+       |  FROM o CROSS JOIN m JOIN customer ON c_custkey = ck),
+       |c AS (
+       |  SELECT seg, t_months, CAST(SUM(ev) AS BIGINT) AS n_events,
+       |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+       |  FROM lv GROUP BY 1, 2)
+       |SELECT seg, CAST(t_months AS BIGINT) AS t_months,
+       |  CAST(SUM(n_events + n_censored) OVER (PARTITION BY seg
+       |    ORDER BY t_months DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS at_risk,
+       |  n_events, n_censored
+       |FROM c ORDER BY seg, t_months""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2177,7 +2254,8 @@ object AnalyticsOps {
     "q_cum_distinct" -> (qCumDistinct _),
     "q_decay_score" -> (qDecayScore _),
     "q_gini" -> (qGini _),
-    "q_changepoint" -> (qChangepoint _))
+    "q_changepoint" -> (qChangepoint _),
+    "q_survival" -> (qSurvival _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2215,5 +2293,6 @@ object AnalyticsOps {
     "q_transition_matrix" -> qTransitionMatrixSql,
     "q_basket_pairs" -> qBasketPairsSql,
     "q_gini" -> qGiniSql,
-    "q_changepoint" -> qChangepointSql)
+    "q_changepoint" -> qChangepointSql,
+    "q_survival" -> qSurvivalSql)
 }

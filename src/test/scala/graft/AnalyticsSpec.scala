@@ -1018,4 +1018,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_survival replays the censored life table per segment") {
+    val rows = AnalyticsOps.qSurvival(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val spans = spark.sql(
+      s"""SELECT c_mktsegment AS seg, min(to_date(o_orderdate)) AS f,
+         |  max(to_date(o_orderdate)) AS l
+         |FROM parquet.`$sf/orders.parquet`
+         |JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_custkey""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDate(2)))
+    val m = spans.map(_._3.toLocalDate).max
+    def days(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(a, b)
+    val exp = spans.map { case (seg, f, l) =>
+      val churned = days(l.toLocalDate, m) > 90
+      val t = (if (churned) days(f.toLocalDate, l.toLocalDate)
+               else days(f.toLocalDate, m)) / 30
+      (seg, t, churned)
+    }
+    // per-bucket event/censor counts match
+    val gotMap = rows.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    exp.groupBy(e => (e._1, e._2)).foreach { case (k, es) =>
+      val ev = es.count(_._3).toLong
+      assert(gotMap(k) == ((ev, es.length - ev)), s"bucket $k")
+    }
+    assert(gotMap.keySet == exp.map(e => (e._1, e._2)).toSet)
+    // life-table identities: at_risk telescopes by events+censored,
+    // and the first bucket's at-risk is the segment's customer count
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val o = rs.sortBy(_._2)
+      o.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 - a._4 - a._5 == b._3, s"$seg telescoping at ${a._2}")
+        case _ =>
+      }
+      assert(o.head._3 == exp.count(_._1 == seg), s"$seg head at_risk")
+      assert(o.last._3 == o.last._4 + o.last._5, s"$seg tail at_risk")
+    }
+    assert(rows.nonEmpty)
+  }
 }

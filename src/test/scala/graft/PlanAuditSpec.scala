@@ -178,6 +178,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // nation-window exchange shared by scan/totals/argmax + ordered
     // output
     "q_changepoint" -> 5,
+    // survival: fact agg to customer grain feeding both the 1-row
+    // edge broadcast and the pinned segment join, the (seg, bucket)
+    // life-table agg + its reverse-cumulative window exchange +
+    // ordered output
+    "q_survival" -> 7,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
@@ -480,6 +485,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // promo_lift broadcasts its 1-row zero-discount baseline into
       // the ≤11-band frame — 1-row by construction
       "q_promo_lift",
+      // survival broadcasts its 1-row observation edge into the
+      // customer-grain frame — 1-row by construction
+      "q_survival",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
