@@ -1654,6 +1654,95 @@ object Relational {
       |FROM r JOIN t USING (seg) WHERE rk = 1
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Bill-of-materials explosion — the manufacturing rollup
+    * q_hierarchy's additive walk can't express: each part feeds its
+    * parent assembly with a per-edge QUANTITY, and a part's effective
+    * quantity in its top-level assembly is the PRODUCT of edge
+    * quantities along the path to the root (the (×, Σ) semiring
+    * where q_hierarchy runs (+1, min-hop) and q_pagerank runs
+    * damped-Σ). Per root assembly: component count, total effective
+    * quantity, and fully-exploded cost.
+    *
+    * The part forest is synthetic (parent = (k·48271 mod 8191) mod k,
+    * qty(edge k→parent) = 1 + k mod 3) — the same public-LCG
+    * convention as q_hierarchy so the oracle can walk the identical
+    * edges; a real deployment reads the edge table from storage and
+    * nothing in the plan changes.
+    *
+    * Scale shape: pointer-doubling path composition — each round
+    * joins every node's walked segment onto the segment starting
+    * where it ended (position, accumulated product), so path length
+    * covered doubles per round: O(log depth) shuffle-pinned
+    * self-joins, localCheckpoint truncating lineage per round
+    * (dedup_clusters' regime), instead of O(depth) sequential steps.
+    * Root-absorbed rows ride along unchanged. Rollup sums run in
+    * DECIMAL(38,0) (effective quantities are path PRODUCTS — the
+    * one statistic in the engine that grows geometrically with
+    * depth), cast to long only at the output edge where DuckDB's
+    * HUGEINT cast fails equally loud on overflow. */
+  def qBomExplosion(s: SparkSession, dir: String): DataFrame = {
+    def parentOf(c: Column): Column =
+      when(c > 0, (c * 48271L % 8191L) % c).otherwise(lit(0L))
+    def qtyOf(c: Column): Column = lit(1L) + pmod(c, lit(3L))
+    val parts = Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("k"),
+        expr("cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint)")
+          .as("cents"))
+    var t = parts
+      .select(col("k"),
+        when(parentOf(col("k")) === 0, col("k")).as("root"),
+        parentOf(col("k")).as("ptr"),
+        when(parentOf(col("k")) === 0, lit(1L))
+          .otherwise(qtyOf(col("k"))).as("q"))
+      .localCheckpoint()
+    var open = t.filter(col("root").isNull).count()
+    var rounds = 0
+    while (open > 0) {
+      rounds += 1
+      require(rounds <= 40, "BOM path composition failed to converge")
+      val j = t.select(col("k").as("j_k"), col("root").as("j_root"),
+        col("ptr").as("j_ptr"), col("q").as("j_q"))
+      t = t.filter(col("root").isNull)
+        .join(j.hint("shuffle_hash"), col("ptr") === col("j_k"))
+        .select(col("k"), col("j_root").as("root"),
+          col("j_ptr").as("ptr"), (col("q") * col("j_q")).as("q"))
+        .unionByName(t.filter(col("root").isNotNull))
+        .localCheckpoint()
+      open = t.filter(col("root").isNull).count()
+    }
+    t.join(parts.hint("shuffle_hash"), Seq("k"))
+      .groupBy(col("root").as("root_part"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("cast(sum(cast(q as decimal(38,0))) as bigint)")
+          .as("total_qty"),
+        expr("cast(sum(cast(q as decimal(38,0)) * cents) as bigint)")
+          .as("total_cost_cents"))
+      .orderBy("root_part")
+  }
+
+  val qBomExplosionSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT p_partkey AS k, p_partkey AS cur, CAST(1 AS HUGEINT) AS q
+      |  FROM part
+      |  UNION ALL
+      |  SELECT k, (cur * 48271 % 8191) % cur AS cur,
+      |    q * (1 + cur % 3) AS q
+      |  FROM w WHERE CASE WHEN cur > 0
+      |    THEN (cur * 48271 % 8191) % cur ELSE 0 END <> 0),
+      |r AS (
+      |  SELECT k, cur AS root, q FROM w
+      |  WHERE CASE WHEN cur > 0
+      |    THEN (cur * 48271 % 8191) % cur ELSE 0 END = 0),
+      |c AS (
+      |  SELECT k, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT) AS cents
+      |  FROM part JOIN r ON p_partkey = k)
+      |SELECT r.root AS root_part, COUNT(*) AS n_parts,
+      |  CAST(SUM(r.q) AS BIGINT) AS total_qty,
+      |  CAST(SUM(r.q * c.cents) AS BIGINT) AS total_cost_cents
+      |FROM r JOIN c ON r.k = c.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
@@ -1691,6 +1780,7 @@ object Relational {
     "q_interval_merge" -> (qIntervalMerge _),
     "q_asof_interpolate" -> (qAsofInterpolate _),
     "q_hierarchy" -> (qHierarchy _),
+    "q_bom_explosion" -> (qBomExplosion _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pagerank" -> (qPagerank _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1740,6 +1830,7 @@ object Relational {
     "q_interval_merge" -> qIntervalMergeSql,
     "q_asof_interpolate" -> qAsofInterpolateSql,
     "q_hierarchy" -> qHierarchySql,
+    "q_bom_explosion" -> qBomExplosionSql,
     "q_pagerank" -> qPagerankSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,

@@ -350,6 +350,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // checkpointed thin frames; the returned plan is checkpoint scan
     // + ordered output
     "q_hierarchy" -> 1,
+    // bom_explosion: the doubling rounds run inside checkpointed
+    // frames; the returned plan is the pinned cost join (two
+    // exchanges), the root rollup + ordered output
+    "q_bom_explosion" -> 5,
     // bad_records: one parse-pass aggregate + ordered output
     "etl_bad_records" -> 2,
     // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg

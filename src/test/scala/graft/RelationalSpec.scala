@@ -471,4 +471,27 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got == exp)
   }
+
+  test("q_bom_explosion replays the multiplicative path rollup") {
+    val got = graft.operators.Relational.qBomExplosion(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"),
+        expr("cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def parent(c: Long): Long = if (c > 0) (c * 48271L % 8191L) % c else 0L
+    val walked = parts.map { case (k, cents) =>
+      var cur = k
+      var q = BigInt(1)
+      while (parent(cur) != 0) { q *= 1 + cur % 3; cur = parent(cur) }
+      (cur, q, cents)
+    }
+    walked.groupBy(_._1).foreach { case (root, rs) =>
+      val exp = (rs.length.toLong, rs.map(_._2).sum.toLong,
+        rs.map(r => r._2 * r._3).sum.toLong)
+      assert(got(root) == exp, s"root $root")
+    }
+    assert(got.keySet == walked.map(_._1).toSet && got.nonEmpty)
+  }
 }
