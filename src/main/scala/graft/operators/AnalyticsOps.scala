@@ -2218,6 +2218,91 @@ object AnalyticsOps {
        |  n_events, n_censored
        |FROM c ORDER BY seg, t_months""".stripMargin
 
+  /** Inventory ledger with stockout clamping — the running-balance
+    * recurrence S_i = max(0, S_{i−1} + x_i) that looks inherently
+    * sequential (each day depends on the last) and therefore
+    * impossible to window — solved EXACTLY by the prefix-min
+    * identity S_i = P_i − min(0, min_{j≤i} P_j) (P = plain prefix
+    * sum): clamping at zero repeatedly is the same as subtracting
+    * the running minimum wherever it dips below zero. Two ordinary
+    * windows replace the sequential scan, so the operator
+    * distributes like any other prefix aggregation. Per part:
+    * final/max balance, stockout count (strict new prefix minima
+    * below zero = days demand was lost), total lost units.
+    *
+    * All arithmetic is integer units (quantities are integral in
+    * the fixture; the decimal→long cast truncates identically in
+    * both engines). Receipts are returned lines (+qty), shipments
+    * everything else (−qty).
+    *
+    * Scale shape: facts collapse to (part, day) grain map-side; the
+    * prefix-sum, running-min and lagged-min windows all partition by
+    * part and share ONE exchange; the final rollup reuses it.
+    * Latest-day selection is a total struct order (day unique per
+    * part), not a second ranking pass. */
+  def qStockLedger(s: SparkSession, dir: String): DataFrame = {
+    val mv = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        to_date(col("l_shipdate")).as("day"),
+        expr("""case when l_returnflag = 'R'
+                | then cast(cast(l_quantity as decimal(12,2)) as bigint)
+                | else -cast(cast(l_quantity as decimal(12,2)) as bigint)
+                | end""".stripMargin).as("m"))
+      .groupBy("part", "day").agg(sum(col("m")).as("x"))
+    val w = Window.partitionBy("part").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("part").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = mv
+      .withColumn("p", sum(col("x")).over(w))
+      .withColumn("pm", least(lit(0L), min(col("p")).over(w)))
+      .withColumn("prevmin",
+        coalesce(least(lit(0L), min(col("p")).over(wPrev)), lit(0L)))
+    scanned.groupBy("part")
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("day"), col("p"), col("pm"))).as("last"),
+        max(col("p") - col("pm")).as("max_balance"),
+        sum(when(col("p") < col("prevmin"), 1L).otherwise(0L))
+          .as("n_stockouts"))
+      .select(col("part"), col("n_days"),
+        (col("last.p") - col("last.pm")).as("final_balance"),
+        col("max_balance"), col("n_stockouts"),
+        (-col("last.pm")).as("lost_units"))
+      .orderBy("part")
+  }
+
+  val qStockLedgerSql: String =
+    """WITH mv AS (
+      |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(l_quantity AS BIGINT)
+      |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1, 2),
+      |p1 AS (
+      |  SELECT part, day, SUM(x) OVER (PARTITION BY part ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM mv),
+      |p2 AS (
+      |  SELECT part, day, p,
+      |    LEAST(0, MIN(p) OVER (PARTITION BY part ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING)) AS pm,
+      |    COALESCE(LEAST(0, MIN(p) OVER (PARTITION BY part ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 0)
+      |      AS prevmin
+      |  FROM p1),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+      |    ORDER BY day DESC) AS rk
+      |  FROM p2)
+      |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN p - pm END) AS BIGINT)
+      |    AS final_balance,
+      |  CAST(MAX(p - pm) AS BIGINT) AS max_balance,
+      |  CAST(SUM(CASE WHEN p < prevmin THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stockouts,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN -pm END) AS BIGINT) AS lost_units
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2255,7 +2340,8 @@ object AnalyticsOps {
     "q_decay_score" -> (qDecayScore _),
     "q_gini" -> (qGini _),
     "q_changepoint" -> (qChangepoint _),
-    "q_survival" -> (qSurvival _))
+    "q_survival" -> (qSurvival _),
+    "q_stock_ledger" -> (qStockLedger _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2294,5 +2380,6 @@ object AnalyticsOps {
     "q_basket_pairs" -> qBasketPairsSql,
     "q_gini" -> qGiniSql,
     "q_changepoint" -> qChangepointSql,
-    "q_survival" -> qSurvivalSql)
+    "q_survival" -> qSurvivalSql,
+    "q_stock_ledger" -> qStockLedgerSql)
 }

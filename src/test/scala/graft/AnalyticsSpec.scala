@@ -1060,4 +1060,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q_stock_ledger matches the naive sequential clamp recurrence") {
+    val got = AnalyticsOps.qStockLedger(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val mv = spark.sql(
+      s"""SELECT l_partkey, to_date(l_shipdate) AS day,
+         |  cast(sum(case when l_returnflag = 'R'
+         |    then cast(cast(l_quantity as decimal(12,2)) as bigint)
+         |    else -cast(cast(l_quantity as decimal(12,2)) as bigint)
+         |    end) as bigint) AS x
+         |FROM parquet.`$sf/lineitem.parquet` GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    mv.groupBy(_._1).foreach { case (part, rows) =>
+      // the semantics the identity must reproduce: day by day,
+      // balance = max(0, balance + movement), losses accumulate
+      var bal = 0L
+      var maxBal = 0L
+      var stockouts = 0L
+      var lost = 0L
+      rows.sortBy(_._2).foreach { case (_, _, x) =>
+        val raw = bal + x
+        if (raw < 0) { stockouts += 1; lost += -raw }
+        bal = math.max(0L, raw)
+        maxBal = math.max(maxBal, bal)
+      }
+      assert(got(part) ==
+        ((rows.size.toLong, bal, maxBal, stockouts, lost)), s"part $part")
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -183,6 +183,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // life-table agg + its reverse-cumulative window exchange +
     // ordered output
     "q_survival" -> 7,
+    // stock_ledger: (part, day) grain agg + ONE part-window exchange
+    // shared by prefix-sum/running-min/lagged-min (part roll-up
+    // reuses it) + ordered output
+    "q_stock_ledger" -> 4,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
