@@ -2303,6 +2303,65 @@ object AnalyticsOps {
       |  CAST(MAX(CASE WHEN rk = 1 THEN -pm END) AS BIGINT) AS lost_units
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Path length and report size for q_top_paths. */
+  private val pathLen = 3
+  private val pathTopK = 20
+
+  /** Top user paths — the Sankey/flow-report primitive one level
+    * above q_transition_matrix's single-step counts: the most common
+    * 3-step event-type SEQUENCES users actually walk (a transition
+    * matrix can't distinguish a→b→a loops from a→b→c funnels — path
+    * mining can, and product analytics reads the difference as
+    * "stuck in a loop" vs "converting"). Top 20 paths by exact
+    * count, ties broken lexicographically.
+    *
+    * Scale shape: ONE user-partitioned window exchange produces both
+    * lookahead steps (lead 1 and lead 2 share the sort); paths
+    * collapse to path-grain counts map-side; the top-k is a
+    * model-sized total order (distinct paths ≤ |event types|³ — a
+    * GLOBAL rank over a frame that small is not the q_top_movers
+    * corpus-ranking regime, so a plain window rank is the honest
+    * plan). Windows within a user never cross partitions: the
+    * sequence recurrence the engine cannot distribute row-by-row is
+    * exactly what Spark's window SORT already solves. */
+  def qTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("s3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("s2"), col("s3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .filter(col("rk") <= pathTopK)
+      .select(col("rk").cast(LongType).as("rk"), col("path"), col("n"))
+      .orderBy("rk")
+  }
+
+  val qTopPathsSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type,
+       |    LEAD(event_type, 1) OVER w AS s2,
+       |    LEAD(event_type, 2) OVER w AS s3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |p AS (
+       |  SELECT event_type || ' > ' || s2 || ' > ' || s3 AS path,
+       |    COUNT(*) AS n
+       |  FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1),
+       |r AS (
+       |  SELECT path, CAST(n AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+       |  FROM p)
+       |SELECT CAST(rk AS BIGINT) AS rk, path, n FROM r
+       |WHERE rk <= $pathTopK ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2341,7 +2400,8 @@ object AnalyticsOps {
     "q_gini" -> (qGini _),
     "q_changepoint" -> (qChangepoint _),
     "q_survival" -> (qSurvival _),
-    "q_stock_ledger" -> (qStockLedger _))
+    "q_stock_ledger" -> (qStockLedger _),
+    "q_top_paths" -> (qTopPaths _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2381,5 +2441,6 @@ object AnalyticsOps {
     "q_gini" -> qGiniSql,
     "q_changepoint" -> qChangepointSql,
     "q_survival" -> qSurvivalSql,
-    "q_stock_ledger" -> qStockLedgerSql)
+    "q_stock_ledger" -> qStockLedgerSql,
+    "q_top_paths" -> qTopPathsSql)
 }

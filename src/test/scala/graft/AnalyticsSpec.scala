@@ -1091,4 +1091,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_top_paths replays 3-gram path mining with deterministic ties") {
+    val got = AnalyticsOps.qTopPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(3)
+        .filter(_.size == 3).map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+    assert(got.toSeq == exp)
+  }
 }

@@ -187,6 +187,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // shared by prefix-sum/running-min/lagged-min (part roll-up
     // reuses it) + ordered output
     "q_stock_ledger" -> 4,
+    // top_paths: ONE user-window exchange (both leads share the
+    // sort), path-grain agg, the model-sized global rank's
+    // single-partition exchange + ordered output
+    "q_top_paths" -> 5,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
