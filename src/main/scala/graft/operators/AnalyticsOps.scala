@@ -2362,6 +2362,118 @@ object AnalyticsOps {
        |SELECT CAST(rk AS BIGINT) AS rk, path, n FROM r
        |WHERE rk <= $pathTopK ORDER BY rk""".stripMargin
 
+  /** Periodic-FIFO cost of goods shipped — the inventory-accounting
+    * allocation that looks like a sequential matching loop (each
+    * shipment consumes the oldest remaining receipt layers) and is
+    * actually an INTERVAL-OVERLAP JOIN in cumulative-quantity space:
+    * number receipt units 0..R and shipment units 0..S per part in
+    * FIFO order; receipt r owns units [rlo, rhi), shipment s consumes
+    * units [slo, shi), and FIFO matches exactly their overlap —
+    * match(r, s) = max(0, min(rhi, shi) − max(rlo, slo)). The
+    * q_stock_ledger trick's sibling: a "can't-distribute" recurrence
+    * turned into two prefix sums and a band join. Per part: receipt/
+    * shipped/matched quantities, exact COGS at truncated integer
+    * unit cost, unfilled demand.
+    *
+    * Periodic (cost-layer) FIFO: layers match in receipt order over
+    * the full horizon, the standard end-of-period costing method —
+    * date-aware perpetual FIFO would add a day predicate to the same
+    * join. Unit cost = line cents div qty, truncated identically in
+    * both engines.
+    *
+    * Scale shape: the two FIFO numberings are part-partitioned
+    * prefix-sum windows; the overlap join is EQUI on part first
+    * (volume Σ_p receipts_p·shipments_p — the q_basket_pairs
+    * per-key bound, never corpus²) with the band predicate as a
+    * post-filter, shuffle-pinned both sides; all rollups are
+    * part-grain thin frames. */
+  def qFifoCogs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        to_date(col("l_shipdate")).as("day"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)")
+          .as("qty"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"),
+        col("l_returnflag").as("rf"))
+    val w = Window.partitionBy("part")
+      .orderBy("day", "ok", "ln")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rec = li.filter(col("rf") === "R")
+      .withColumn("rhi", sum(col("qty")).over(w))
+      .select(col("part"), (col("rhi") - col("qty")).as("rlo"), col("rhi"),
+        expr("cents div qty").as("unit"))
+    val shp = li.filter(col("rf") =!= "R")
+      .withColumn("shi", sum(col("qty")).over(w))
+      .select(col("part").as("spart"), (col("shi") - col("qty")).as("slo"),
+        col("shi"))
+    val matched = rec
+      .join(shp.hint("shuffle_hash"),
+        col("part") === col("spart") &&
+          col("slo") < col("rhi") && col("rlo") < col("shi"))
+      .groupBy("part")
+      .agg(sum(least(col("rhi"), col("shi")) -
+          greatest(col("rlo"), col("slo"))).as("matched_qty"),
+        sum((least(col("rhi"), col("shi")) -
+          greatest(col("rlo"), col("slo"))) * col("unit"))
+          .as("cogs_cents"))
+    val recTot = rec.groupBy("part")
+      .agg(sum(col("rhi") - col("rlo")).as("receipt_qty"))
+    val shpTot = shp.groupBy(col("spart").as("part"))
+      .agg(sum(col("shi") - col("slo")).as("shipped_qty"))
+    recTot.join(shpTot, Seq("part"), "full_outer")
+      .join(matched, Seq("part"), "left")
+      .select(col("part"),
+        coalesce(col("receipt_qty"), lit(0L)).as("receipt_qty"),
+        coalesce(col("shipped_qty"), lit(0L)).as("shipped_qty"),
+        coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+        coalesce(col("cogs_cents"), lit(0L)).as("cogs_cents"),
+        (coalesce(col("shipped_qty"), lit(0L)) -
+          coalesce(col("matched_qty"), lit(0L))).as("unfilled_qty"))
+      .orderBy("part")
+  }
+
+  val qFifoCogsSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+      |    l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    l_returnflag AS rf
+      |  FROM lineitem),
+      |rec AS (
+      |  SELECT part, SUM(qty) OVER w - qty AS rlo, SUM(qty) OVER w AS rhi,
+      |    cents // qty AS unit
+      |  FROM li WHERE rf = 'R'
+      |  WINDOW w AS (PARTITION BY part ORDER BY day, ok, ln
+      |    ROWS UNBOUNDED PRECEDING)),
+      |shp AS (
+      |  SELECT part, SUM(qty) OVER w - qty AS slo, SUM(qty) OVER w AS shi
+      |  FROM li WHERE rf <> 'R'
+      |  WINDOW w AS (PARTITION BY part ORDER BY day, ok, ln
+      |    ROWS UNBOUNDED PRECEDING)),
+      |m AS (
+      |  SELECT r.part,
+      |    SUM(LEAST(r.rhi, s.shi) - GREATEST(r.rlo, s.slo)) AS mq,
+      |    SUM((LEAST(r.rhi, s.shi) - GREATEST(r.rlo, s.slo)) * r.unit)
+      |      AS cogs
+      |  FROM rec r JOIN shp s ON r.part = s.part
+      |    AND s.slo < r.rhi AND r.rlo < s.shi
+      |  GROUP BY 1),
+      |tr AS (SELECT part, SUM(rhi - rlo) AS rq FROM rec GROUP BY 1),
+      |tsh AS (SELECT part, SUM(shi - slo) AS sq FROM shp GROUP BY 1)
+      |SELECT COALESCE(tr.part, tsh.part) AS part,
+      |  CAST(COALESCE(rq, 0) AS BIGINT) AS receipt_qty,
+      |  CAST(COALESCE(sq, 0) AS BIGINT) AS shipped_qty,
+      |  CAST(COALESCE(mq, 0) AS BIGINT) AS matched_qty,
+      |  CAST(COALESCE(cogs, 0) AS BIGINT) AS cogs_cents,
+      |  CAST(COALESCE(sq, 0) - COALESCE(mq, 0) AS BIGINT) AS unfilled_qty
+      |FROM tr FULL OUTER JOIN tsh ON tr.part = tsh.part
+      |LEFT JOIN m ON m.part = COALESCE(tr.part, tsh.part)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2401,7 +2513,8 @@ object AnalyticsOps {
     "q_changepoint" -> (qChangepoint _),
     "q_survival" -> (qSurvival _),
     "q_stock_ledger" -> (qStockLedger _),
-    "q_top_paths" -> (qTopPaths _))
+    "q_top_paths" -> (qTopPaths _),
+    "q_fifo_cogs" -> (qFifoCogs _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2442,5 +2555,6 @@ object AnalyticsOps {
     "q_changepoint" -> qChangepointSql,
     "q_survival" -> qSurvivalSql,
     "q_stock_ledger" -> qStockLedgerSql,
-    "q_top_paths" -> qTopPathsSql)
+    "q_top_paths" -> qTopPathsSql,
+    "q_fifo_cogs" -> qFifoCogsSql)
 }

@@ -1108,4 +1108,41 @@ class AnalyticsSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
     assert(got.toSeq == exp)
   }
+
+  test("q_fifo_cogs matches a sequential FIFO layer matcher") {
+    val got = AnalyticsOps.qFifoCogs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val li = spark.sql(
+      s"""SELECT l_partkey, to_date(l_shipdate) AS day, l_orderkey,
+         |  l_linenumber,
+         |  cast(cast(l_quantity as decimal(12,2)) as bigint) AS qty,
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)
+         |    AS cents,
+         |  l_returnflag
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    li.groupBy(_._1).foreach { case (part, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3, r._4))
+      // the semantics the band join must reproduce: consume receipt
+      // layers oldest-first until shipped demand is exhausted
+      val layers = ordered.filter(_._7 == "R").map(r => (r._5, r._6 / r._5))
+      val shipped = ordered.filter(_._7 != "R").map(_._5).sum
+      var shipLeft = shipped
+      var matched = 0L
+      var cogs = 0L
+      layers.foreach { case (q, unit) =>
+        val take = math.min(q, shipLeft)
+        matched += take
+        cogs += take * unit
+        shipLeft -= take
+      }
+      val receipts = layers.map(_._1).sum
+      assert(got(part) ==
+        ((receipts, shipped, matched, cogs, shipped - matched)),
+        s"part $part")
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -191,6 +191,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // sort), path-grain agg, the model-sized global rank's
     // single-partition exchange + ordered output
     "q_top_paths" -> 5,
+    // fifo_cogs: two part-window prefix-sum exchanges (receipts +
+    // shipments), the pinned band join (matched agg + side totals +
+    // the full-outer/left stitch all reuse part partitioning) +
+    // ordered output
+    "q_fifo_cogs" -> 6,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
