@@ -2240,7 +2240,12 @@ object AnalyticsOps {
     * part and share ONE exchange; the final rollup reuses it.
     * Latest-day selection is a total struct order (day unique per
     * part), not a second ranking pass. */
-  def qStockLedger(s: SparkSession, dir: String): DataFrame = {
+  /** Shared clamped-ledger scan for q_stock_ledger / q_twab: daily
+    * net movements at (part, day) grain with the prefix-sum (`p`),
+    * capped running-min (`pm` — so clamped balance = p − pm) and
+    * lagged min (`prevmin`, stockout detection) windows, all sharing
+    * one part-partitioned exchange. */
+  private def stockScan(s: SparkSession, dir: String): DataFrame = {
     val mv = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("part"),
         to_date(col("l_shipdate")).as("day"),
@@ -2253,12 +2258,14 @@ object AnalyticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.partitionBy("part").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val scanned = mv
-      .withColumn("p", sum(col("x")).over(w))
+    mv.withColumn("p", sum(col("x")).over(w))
       .withColumn("pm", least(lit(0L), min(col("p")).over(w)))
       .withColumn("prevmin",
         coalesce(least(lit(0L), min(col("p")).over(wPrev)), lit(0L)))
-    scanned.groupBy("part")
+  }
+
+  def qStockLedger(s: SparkSession, dir: String): DataFrame = {
+    stockScan(s, dir).groupBy("part")
       .agg(count(lit(1)).as("n_days"),
         max(struct(col("day"), col("p"), col("pm"))).as("last"),
         max(col("p") - col("pm")).as("max_balance"),
@@ -2474,6 +2481,63 @@ object AnalyticsOps {
       |LEFT JOIN m ON m.part = COALESCE(tr.part, tsh.part)
       |ORDER BY 1""".stripMargin
 
+  /** Time-weighted average balance per part — the metering/billing
+    * primitive (interest accrual, storage billing, avg-inventory
+    * turns all weight a level by HOW LONG it held, not how often it
+    * changed): each clamped ledger balance S_i (q_stock_ledger's
+    * prefix-min identity) is held from its movement day until the
+    * next movement (the final level counts 1 day), and
+    * twab_milli = (Σ S_i·w_i · 1000) div (Σ w_i). Also reports days
+    * at zero stock — the availability SLA the average alone hides.
+    *
+    * Weighted sums run in DECIMAL(38,0) (balance × days × corpus
+    * horizon outgrows long), quotient integral `div` — milli-units,
+    * zero floats. Scale shape: q_stock_ledger's scan plus a lead()
+    * on the SAME part window (no new exchange); the rollup reuses
+    * the partitioning. */
+  def qTwab(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy("part").orderBy("day")
+    stockScan(s, dir)
+      .withColumn("w",
+        coalesce(datediff(lead(col("day"), 1).over(lw), col("day"))
+          .cast(LongType), lit(1L)))
+      .withColumn("bal", col("p") - col("pm"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("w")).as("horizon_days"),
+        expr("(sum(cast(bal as decimal(38,0)) * w) * 1000)" +
+          " div cast(sum(w) as decimal(38,0))").as("twab_milli"),
+        sum(when(col("bal") === 0L, col("w")).otherwise(0L))
+          .as("days_at_zero"))
+      .orderBy("part")
+  }
+
+  val qTwabSql: String =
+    """WITH mv AS (
+      |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(l_quantity AS BIGINT)
+      |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1, 2),
+      |p1 AS (
+      |  SELECT part, day, SUM(x) OVER (PARTITION BY part ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM mv),
+      |p2 AS (
+      |  SELECT part, day, p,
+      |    LEAST(0, MIN(p) OVER (PARTITION BY part ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING)) AS pm,
+      |    COALESCE(date_diff('day', day,
+      |      LEAD(day) OVER (PARTITION BY part ORDER BY day)), 1) AS w
+      |  FROM p1)
+      |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(w) AS BIGINT) AS horizon_days,
+      |  CAST((SUM(CAST(p - pm AS HUGEINT) * w) * 1000) // SUM(w)
+      |    AS BIGINT) AS twab_milli,
+      |  CAST(SUM(CASE WHEN p - pm = 0 THEN w ELSE 0 END) AS BIGINT)
+      |    AS days_at_zero
+      |FROM p2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2514,7 +2578,8 @@ object AnalyticsOps {
     "q_survival" -> (qSurvival _),
     "q_stock_ledger" -> (qStockLedger _),
     "q_top_paths" -> (qTopPaths _),
-    "q_fifo_cogs" -> (qFifoCogs _))
+    "q_fifo_cogs" -> (qFifoCogs _),
+    "q_twab" -> (qTwab _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2556,5 +2621,6 @@ object AnalyticsOps {
     "q_survival" -> qSurvivalSql,
     "q_stock_ledger" -> qStockLedgerSql,
     "q_top_paths" -> qTopPathsSql,
-    "q_fifo_cogs" -> qFifoCogsSql)
+    "q_fifo_cogs" -> qFifoCogsSql,
+    "q_twab" -> qTwabSql)
 }

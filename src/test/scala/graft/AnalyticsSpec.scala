@@ -1145,4 +1145,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_twab replays duration-weighted balances over the clamp scan") {
+    val got = AnalyticsOps.qTwab(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val mv = spark.sql(
+      s"""SELECT l_partkey, to_date(l_shipdate) AS day,
+         |  cast(sum(case when l_returnflag = 'R'
+         |    then cast(cast(l_quantity as decimal(12,2)) as bigint)
+         |    else -cast(cast(l_quantity as decimal(12,2)) as bigint)
+         |    end) as bigint) AS x
+         |FROM parquet.`$sf/lineitem.parquet` GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    mv.groupBy(_._1).foreach { case (part, rows) =>
+      val o = rows.sortBy(_._2)
+      var bal = 0L
+      var wSum = 0L
+      var wx = BigInt(0)
+      var zero = 0L
+      o.zipWithIndex.foreach { case ((_, d, x), i) =>
+        bal = math.max(0L, bal + x)
+        val w = if (i + 1 < o.length)
+          java.time.temporal.ChronoUnit.DAYS.between(d, o(i + 1)._2)
+        else 1L
+        wSum += w
+        wx += BigInt(bal) * w
+        if (bal == 0L) zero += w
+      }
+      assert(got(part) ==
+        ((o.length.toLong, wSum, (wx * 1000 / wSum).toLong, zero)),
+        s"part $part")
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -196,6 +196,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the full-outer/left stitch all reuse part partitioning) +
     // ordered output
     "q_fifo_cogs" -> 6,
+    // twab: the ledger scan's (part, day) agg + its ONE part-window
+    // exchange (lead shares it; rollup reuses it) + ordered output
+    "q_twab" -> 4,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
