@@ -851,8 +851,63 @@ object DedupOps {
        |  n_chars AS keep_chars
        |FROM j WHERE rk = 1 ORDER BY canonical_id""".stripMargin
 
+  /** Per-family survivor cap for dedup_soft_cap: LLM curation keeps
+    * a FEW copies of near-duplicated text (natural frequency carries
+    * signal; Muennighoff et al. 2023 repeat data up to 4 epochs) —
+    * hard keep-one is for exact clones. */
+  val softCapN = 3
+
+  /** Soft dedup — the keep-≤N sibling of dedup_keep_best's keep-one:
+    * every duplicate family retains its top 3 members under the same
+    * total quality order (curated tier first, longer text, stable id
+    * tie-break), so near-dup counts are CAPPED rather than
+    * collapsed. Families smaller than the cap pass through whole;
+    * output is the kept corpus with family ids.
+    *
+    * Scale shape: reuses the pointer-jumped family assignment, then
+    * the per-family top-3 runs on TopKPerKey's bounded heaps
+    * (partial heap per partition → ≤ k·partitions rows per family →
+    * final heap) — NOT a window rank over the corpus-sized joined
+    * frame; both join sides shuffle-pinned (corpus-sized at 100 TB). */
+  def dedupSoftCap(s: SparkSession, dir: String): DataFrame = {
+    val asg = dedupClusters(s, dir).hint("shuffle_hash")
+    val meta = dupDocs(s, dir).select(col("doc_id"),
+      expr("case when doc_id >= 1000000 then 0L else 1L end").as("prio"),
+      col("n_chars"))
+    val joined = asg.join(meta.hint("shuffle_hash"), "doc_id")
+      .select(col("canonical_id"), col("doc_id"), col("prio"),
+        col("n_chars"))
+    graft.plans.TopKPerKey.topK(joined, Seq("canonical_id"),
+        Seq(col("prio").desc, col("n_chars").desc, col("doc_id")),
+        softCapN)
+      .orderBy(col("canonical_id"), col("prio").desc,
+        col("n_chars").desc, col("doc_id"))
+  }
+
+  val dedupSoftCapSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS ($dupDocsSql),
+       |$componentsCtesSql
+       |, asg AS (
+       |  SELECT u AS doc_id, MIN(lbl) AS canonical_id
+       |  FROM reach GROUP BY u),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= 1000000 THEN 0 ELSE 1 END AS prio,
+       |    n_chars
+       |  FROM corpus),
+       |j AS (
+       |  SELECT asg.canonical_id, m.doc_id, m.prio, m.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY asg.canonical_id
+       |      ORDER BY m.prio DESC, m.n_chars DESC, m.doc_id) AS rk
+       |  FROM asg JOIN m ON asg.doc_id = m.doc_id)
+       |SELECT canonical_id, doc_id, CAST(prio AS BIGINT) AS prio, n_chars
+       |FROM j WHERE rk <= $softCapN
+       |ORDER BY canonical_id, prio DESC, n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_soft_cap" -> (dedupSoftCap _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_exact" -> (dedupExact _),
     "dedup_clusters" -> (dedupClusters _),
@@ -864,6 +919,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_soft_cap" -> dedupSoftCapSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -444,4 +444,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(multi.values.forall(_._2 < 1000000L),
       "a re-crawl clone won over its original")
   }
+
+  test("dedup_soft_cap keeps the top 3 per family under the policy order") {
+    val got = graft.operators.DedupOps.dedupSoftCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val asg = graft.operators.DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nc(id: Long) = chars(if (id >= 1000000L) id - 1000000L else id)
+    val exp = asg.groupBy(_._2).toSeq.flatMap { case (c, ms) =>
+      ms.map(_._1).toSeq
+        .sortBy(id => (if (id >= 1000000L) 1L else 0L, -nc(id), id))
+        .take(graft.operators.DedupOps.softCapN)
+        .map(id => (c, id, if (id >= 1000000L) 0L else 1L, nc(id)))
+    }.toSet
+    assert(got.toSet == exp && got.length == exp.size)
+    // cap binds somewhere (a family larger than N exists) AND small
+    // families pass through whole
+    val sizes = asg.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.exists(_ > graft.operators.DedupOps.softCapN))
+    val keptPerFam = got.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (c, n) =>
+      assert(keptPerFam(c) == math.min(n, graft.operators.DedupOps.softCapN),
+        s"family $c")
+    }
+  }
 }

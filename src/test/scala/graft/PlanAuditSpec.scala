@@ -62,6 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // checkpoint-pinned frame + the cluster struct-max agg + ordered
     // output
     "dedup_keep_best" -> 6,
+    // soft_cap: keep_best's pinned assignment+meta join exchanges,
+    // the TopKPerKey family exchange (bounded heaps, no window
+    // sort) + ordered output
+    "dedup_soft_cap" -> 7,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
