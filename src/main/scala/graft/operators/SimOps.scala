@@ -926,6 +926,107 @@ object SimOps {
        |WHERE rank <= $topK ORDER BY q_doc, rank""".stripMargin
   }
 
+  /** Maximum-inner-product search via norm augmentation — the
+    * recommender-scoring retrieval (user·item raw dot products,
+    * where vector MAGNITUDE is signal) that cosine ANN cannot serve
+    * directly. The classic reduction (Bachrach et al. 2014, RecSys):
+    * append sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus
+    * norm) so all augmented norms equal M, and pad queries with 0 —
+    * in the augmented space cosine ORDER equals inner-product order,
+    * so the engine's existing IVF bucketing (NearestCentroid argmax,
+    * probe ranking) applies unchanged; final candidate scoring is
+    * the RAW dot product (the pad contributes qᵢ·0). Centroids are
+    * the first-k augmented corpus vectors (the sim_ivf0 convention:
+    * fully oracle-recomputable, no model artifact).
+    *
+    * Scale shape: identical to sim_ivf0_topk — M and the k seed
+    * vectors are driver scalars/KBs, assignment is the native
+    * expression argmax (zero corpus shuffle), probed buckets feed
+    * TopKPerKey's bounded heaps. The augmentation is one extra
+    * element per vector: memory ε, plan unchanged. */
+  def simMipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+      .select(col("vec_id"), expr("cast(v as array<double>)").as("vd"),
+        col("nrm"))
+    val mVal = c.agg(max(col("nrm"))).head.getDouble(0)
+    val caug = c.select(col("vec_id"), col("vd"),
+      concat(col("vd"),
+        array(sqrt(lit(mVal) * lit(mVal) - col("nrm") * col("nrm"))))
+        .as("va"))
+    val seeds = caug.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("va")).collect().sortBy(_.getLong(0))
+    val cents = Centroids(seeds.map(_.getLong(0).toInt),
+      seeds.map(_.getAs[Seq[Double]]("va").toArray),
+      seeds.map(_ => mVal))
+    val assigned = caug.select(col("vec_id"), col("vd"),
+      nearestCentroid(col("va"), lit(mVal), cents).as("centroid"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+        col("nrm").as("qnrm"),
+        concat(col("vd"), array(lit(0.0d))).as("qa"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents.toDF(s)))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        (dotD(col("qa"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("c_id").as("centroid"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dotD(col("vd"), col("qv")).as("ip"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("ip").desc, col("vec_id")), topK)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("ip").desc, col("vec_id"))))
+      .select("q_id", "rank", "vec_id", "ip")
+      .orderBy("q_id", "rank")
+  }
+
+  val simMipsTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |mm AS (SELECT MAX(nrm) AS m FROM c),
+       |ca AS (
+       |  SELECT vec_id, v,
+       |    list_append(v, sqrt(m * m - nrm * nrm)) AS va, m, nrm
+       |  FROM c CROSS JOIN mm),
+       |cents AS (
+       |  SELECT vec_id AS c_id, va AS cv FROM ca
+       |  WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, v, centroid FROM (
+       |    SELECT ca.vec_id, ca.v, ct.c_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY ca.vec_id
+       |        ORDER BY list_dot_product(ca.va, ct.cv) / (ca.m * ca.m)
+       |          DESC, ct.c_id) AS rn
+       |    FROM ca CROSS JOIN cents ct) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+       |    list_append(v, 0.0) AS qa, m
+       |  FROM ca WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, qv, centroid FROM (
+       |    SELECT q.q_id, q.qv, ct.c_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qa, ct.cv) / (q.qnrm * q.m)
+       |          DESC, ct.c_id) AS rn
+       |    FROM q CROSS JOIN cents ct) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_dot_product(a.v, p.qv) AS ip,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p USING (centroid)
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, ip FROM scored
+       |WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
@@ -936,7 +1037,8 @@ object SimOps {
     "embed_quantize" -> (embedQuantize _),
     "embed_pq" -> (embedPq _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
-    "sim_ivf_ingest" -> (simIvfIngest _))
+    "sim_ivf_ingest" -> (simIvfIngest _),
+    "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
     "sim_maxsim" -> simMaxsimSql,
@@ -948,5 +1050,6 @@ object SimOps {
     "embed_pq" -> embedPqSql,
     "sim_ivfpq_topk" -> simIvfPqTopkSql,
     "sim_ivf_ingest" -> simIvfIngestSql,
-    "sim_knn_join" -> simKnnJoinSql)
+    "sim_knn_join" -> simKnnJoinSql,
+    "sim_mips_topk" -> simMipsTopkSql)
 }

@@ -472,4 +472,44 @@ class DedupSimSpec extends AnyFunSuite {
         s"family $c")
     }
   }
+
+  test("sim_mips_topk replays the norm-augmented IVF-MIPS pipeline") {
+    import graft.operators.SimOps
+    val got = SimOps.simMipsTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val nrm = vecs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val m = nrm.values.max
+    val va = vecs.map { case (id, v) =>
+      id -> (v :+ math.sqrt(m * m - nrm(id) * nrm(id)))
+    }
+    val cents = (0L until SimOps.nCentroids.toLong).map(i => i -> va(i))
+    def argmaxAssign(id: Long): Long =
+      cents.maxBy { case (cid, cv) =>
+        (dot(va(id), cv) / (m * m), -cid)
+      }._1
+    val assigned = vecs.keys.map(id => id -> argmaxAssign(id)).toMap
+    val exp = (0L until SimOps.nQueries.toLong).flatMap { qid =>
+      val qa = vecs(qid) :+ 0.0
+      val probed = cents
+        .sortBy { case (cid, cv) => (-(dot(qa, cv) / (nrm(qid) * m)), cid) }
+        .take(SimOps.nProbe).map(_._1).toSet
+      vecs.keys.toSeq.filter(v => v != qid && probed(assigned(v)))
+        .map(v => (v, dot(vecs(v), vecs(qid))))
+        .sortBy { case (v, ip) => (-ip, v) }
+        .take(SimOps.topK).zipWithIndex
+        .map { case ((v, ip), i) => (qid, i + 1, v, ip) }
+    }
+    assert(got.toSeq == exp)
+    // the augmentation invariant: every augmented norm equals M
+    va.values.foreach(v => assert(math.abs(dot(v, v) - m * m) < 1e-9))
+  }
 }

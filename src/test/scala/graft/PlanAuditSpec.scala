@@ -66,6 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the TopKPerKey family exchange (bounded heaps, no window
     // sort) + ordered output
     "dedup_soft_cap" -> 7,
+    // mips: sim_ivf0's shape on augmented vectors — expression-argmax
+    // assignment (no corpus shuffle), broadcast probes, TopKPerKey
+    // heap exchange, the bounded rank + ordered output
+    "sim_mips_topk" -> 3,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -495,6 +499,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * count the same way as the CDC shift. */
   private val bnlAllowed =
     Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk", "sim_maxsim",
+      "sim_mips_topk",
       "etl_cdc_upsert", "text_tfidf",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
