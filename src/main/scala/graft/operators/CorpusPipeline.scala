@@ -692,6 +692,138 @@ object CorpusPipeline {
       |    // n_tokens) // 1000000 AS BIGINT) AS expected_tokens
       |FROM p ORDER BY source""".stripMargin
 
+  /** Max epochs any source may repeat (the data-constrained-scaling
+    * ceiling: repeated data stops helping past ~4 epochs), and the
+    * mid-length band treated as quality signal for the weights. */
+  val repMaxEpochs = 4L
+  val repMidLo = 200L
+  val repMidHi = 5000L
+
+  /** Token-budget allocation across sources with a repetition cap —
+    * the data-constrained-scaling planner (Muennighoff et al. 2023):
+    * given a training budget of 2× the corpus' available tokens,
+    * allocate to each source proportionally to its quality-weighted
+    * size w = avail·quality, but cap every source at 4 epochs of its
+    * own data. That is capped water-filling: alloc_s = min(4·A_s,
+    * λ·w_s) with λ chosen so Σ alloc = B — high-quality sources hit
+    * their epoch ceiling first and the surplus cascades to the rest.
+    *
+    * λ is NEVER materialized as a float: sources sort by their cap
+    * breakpoint (λ_s = 4000/q_s, i.e. quality DESC), and the unique
+    * prefix length j where λ lands between consecutive breakpoints
+    * is found by CROSS-MULTIPLIED integer comparisons of
+    * λ_j = (B − Σ_{≤j} cap) / Σ_{>j} w against 4000/q — exact
+    * rationals in DECIMAL(38,0) (num·w products reach ~10³⁰ at
+    * 100 TB). Allocations are integral div; epochs reported in
+    * exact milli-epochs. Degenerate cases are total: budget above
+    * all caps ⇒ every source capped; below the first breakpoint ⇒
+    * nobody capped (j = 0).
+    *
+    * Scale shape: ONE corpus pass aggregates to source grain; all
+    * windows and the breakpoint pick run over the model-sized source
+    * frame (single-partition by design); the budget/total row is a
+    * 1-row broadcast. */
+  def pipelineRepetitionBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val src = Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.toks(col("text"))).cast(LongType)).as("avail"),
+        count(lit(1)).as("nd"),
+        sum(when(col("n_chars").between(repMidLo, repMidHi), 1L)
+          .otherwise(0L)).as("nm"))
+      .select(col("source"), col("avail"),
+        greatest(lit(1L), expr("nm * 1000 div nd")).as("q"))
+      .withColumn("cap", col("avail") * repMaxEpochs)
+      .withColumn("w", col("avail") * col("q"))
+    val tot = src.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val ord = Window.orderBy(col("q").desc, col("source"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = src.join(broadcast(tot))
+      .withColumn("b", col("ta") * 2)
+      .withColumn("j", row_number().over(ord))
+      .withColumn("cumC", sum(col("cap")).over(run))
+      .withColumn("cumW", sum(col("w")).over(run))
+      .withColumn("qn", lead(col("q"), 1).over(ord))
+      .withColumn("num", col("b") - col("cumC"))
+      .withColumn("den", col("tw") - col("cumW"))
+    val valid = ranked
+      .filter(col("num") >= 0 &&
+        expr(s"cast(num as decimal(38,0)) * q >= ${repMaxEpochs * 1000}" +
+          " * cast(den as decimal(38,0))") &&
+        (col("qn").isNull ||
+          expr(s"cast(num as decimal(38,0)) * qn < ${repMaxEpochs * 1000}" +
+            " * cast(den as decimal(38,0))")))
+      .orderBy(col("j")).limit(1)
+      .select(col("j").as("jstar"), col("num").as("selNum"),
+        col("den").as("selDen"), lit(0).as("fallback"))
+    val pick = valid
+      .unionByName(tot.select(lit(0).as("jstar"),
+        (col("ta") * 2).as("selNum"), col("tw").as("selDen"),
+        lit(1).as("fallback")))
+      .orderBy(col("fallback"), col("jstar")).limit(1)
+    ranked.crossJoin(broadcast(pick))
+      .withColumn("alloc_tokens",
+        when(col("j") <= col("jstar"), col("cap"))
+          .otherwise(expr("cast((cast(selNum as decimal(38,0)) * w)" +
+            " div cast(selDen as decimal(38,0)) as bigint)")))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("q").as("quality_permille"), col("cap").as("cap_tokens"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 1000 div avail").as("epochs_milli"))
+      .orderBy("source")
+  }
+
+  val pipelineRepetitionBudgetSql: String = {
+    val e1000 = repMaxEpochs * 1000
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(SUM(len(list_filter(string_split(text, ' '),
+       |      x -> x <> ''))) AS BIGINT) AS avail,
+       |    COUNT(*) AS nd,
+       |    SUM(CASE WHEN n_chars BETWEEN $repMidLo AND $repMidHi
+       |      THEN 1 ELSE 0 END) AS nm
+       |  FROM documents GROUP BY 1),
+       |src AS (
+       |  SELECT source, avail, GREATEST(1, nm * 1000 // nd) AS q,
+       |    avail * $repMaxEpochs AS cap,
+       |    avail * GREATEST(1, nm * 1000 // nd) AS w
+       |  FROM d),
+       |tot AS (SELECT SUM(avail) AS ta, SUM(w) AS tw FROM src),
+       |r AS (
+       |  SELECT src.*, t.ta * 2 AS b, t.tw,
+       |    ROW_NUMBER() OVER ord AS j,
+       |    SUM(cap) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumC,
+       |    SUM(w) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumW,
+       |    LEAD(q) OVER ord AS qn
+       |  FROM src CROSS JOIN tot t
+       |  WINDOW ord AS (ORDER BY q DESC, source)),
+       |v AS (
+       |  SELECT j, b - cumC AS num, tw - cumW AS den, q, qn FROM r),
+       |valid AS (
+       |  SELECT j AS jstar, num, den FROM v
+       |  WHERE num >= 0
+       |    AND CAST(num AS HUGEINT) * q >= $e1000 * CAST(den AS HUGEINT)
+       |    AND (qn IS NULL OR
+       |      CAST(num AS HUGEINT) * qn < $e1000 * CAST(den AS HUGEINT))
+       |  ORDER BY j LIMIT 1),
+       |pick AS (
+       |  SELECT COALESCE(v.jstar, 0) AS jstar,
+       |    COALESCE(v.num, t.ta * 2) AS num, COALESCE(v.den, t.tw) AS den
+       |  FROM tot t LEFT JOIN valid v ON TRUE),
+       |a AS (
+       |  SELECT r.source, r.avail, r.q, r.cap,
+       |    CAST(CASE WHEN r.j <= p.jstar THEN r.cap
+       |      ELSE (CAST(p.num AS HUGEINT) * r.w) // p.den
+       |      END AS BIGINT) AS alloc
+       |  FROM r CROSS JOIN pick p)
+       |SELECT source, avail AS avail_tokens,
+       |  CAST(q AS BIGINT) AS quality_permille, cap AS cap_tokens,
+       |  alloc AS alloc_tokens,
+       |  CAST(alloc * 1000 // avail AS BIGINT) AS epochs_milli
+       |FROM a ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
@@ -704,7 +836,8 @@ object CorpusPipeline {
     "pipeline_train_corpus" -> (pipelineTrainCorpus _),
     "pipeline_split_safe" -> (pipelineSplitSafe _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
-    "pipeline_decontaminate" -> (pipelineDecontaminate _))
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
+    "pipeline_repetition_budget" -> (pipelineRepetitionBudget _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
@@ -718,5 +851,6 @@ object CorpusPipeline {
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
     "pipeline_split_safe" -> pipelineSplitSafeSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
-    "pipeline_decontaminate" -> pipelineDecontaminateSql)
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_repetition_budget" -> pipelineRepetitionBudgetSql)
 }

@@ -70,6 +70,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // assignment (no corpus shuffle), broadcast probes, TopKPerKey
     // heap exchange, the bounded rank + ordered output
     "sim_mips_topk" -> 3,
+    // repetition_budget: ONE corpus agg to source grain + the
+    // model-sized frame's single-partition window exchange (taken
+    // twice: the ranked frame feeds both the pick and the output) +
+    // the two totals aggs + the 1-row pick's limit exchanges +
+    // ordered output — all over the source-grain frame except the
+    // first agg
+    "pipeline_repetition_budget" -> 9,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -517,6 +524,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // survival broadcasts its 1-row observation edge into the
       // customer-grain frame — 1-row by construction
       "q_survival",
+      // repetition_budget crosses the 1-row totals and the 1-row
+      // water-level pick into the model-sized source frame
+      "pipeline_repetition_budget",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",

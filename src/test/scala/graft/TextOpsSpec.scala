@@ -755,4 +755,55 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got(id) == exp, s"doc $id: got ${got(id)}, exp $exp")
     }
   }
+
+  test("pipeline_repetition_budget replays capped water-filling exactly") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelineRepetitionBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val src = docs.groupBy(_._1).map { case (sn, rows) =>
+      val avail = rows.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val nm = rows.count(r => r._3 >= 200 && r._3 <= 5000).toLong
+      val q = math.max(1L, nm * 1000 / rows.length)
+      (sn, avail, q, avail * 4, avail * q)
+    }.toSeq.sortBy(t => (-t._3, t._1))
+    val b = BigInt(src.map(_._2).sum) * 2
+    val totW = BigInt(src.map(_._5).sum)
+    // find the water level: first j where lambda_j fits the interval
+    val n = src.length
+    var jstar = 0
+    var num = b
+    var den = totW
+    var cumC = BigInt(0)
+    var cumW = BigInt(0)
+    var found = false
+    (1 to n).foreach { j =>
+      val (_, _, q, cap, w) = src(j - 1)
+      cumC += cap
+      cumW += w
+      val nj = b - cumC
+      val dj = totW - cumW
+      val qn = if (j < n) Some(src(j)._3) else None
+      if (!found && nj >= 0 && nj * q >= BigInt(4000) * dj &&
+          qn.forall(nj * _ < BigInt(4000) * dj)) {
+        found = true; jstar = j; num = nj; den = dj
+      }
+    }
+    src.zipWithIndex.foreach { case ((sn, avail, q, cap, w), i) =>
+      val alloc = if (i + 1 <= jstar) BigInt(cap) else num * w / den
+      val exp = (avail, q, cap, alloc.toLong, (alloc * 1000 / avail).toLong)
+      assert(got(sn) == exp, s"source $sn")
+      // the cap is a real ceiling and capped sources sit exactly at it
+      assert(alloc <= cap)
+      if (i + 1 <= jstar) assert(got(sn)._5 == 4000L, s"$sn at cap")
+    }
+    // budget exhaustion: unless everything capped, only per-source
+    // truncation slack (< 1 token each) goes unallocated
+    val spent = got.values.map(v => BigInt(v._4)).sum
+    if (jstar < n) assert(b - spent >= 0 && b - spent < n, s"slack ${b - spent}")
+    assert(got.size == n && n > 1)
+  }
 }
