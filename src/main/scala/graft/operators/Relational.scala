@@ -1743,6 +1743,68 @@ object Relational {
       |FROM r JOIN c ON r.k = c.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GROUPS window frames — the third SQL frame mode (ROWS counts
+    * rows, RANGE bounds values, GROUPS counts PEER GROUPS) that
+    * Spark does not implement: per supplier, each line item's
+    * revenue summed over its own ship-day peer group plus the two
+    * preceding distinct ship days. ROWS can't express it (peer
+    * counts vary), RANGE can't either (days are gapped — "2
+    * preceding days that EXIST" ≠ "day − 2").
+    *
+    * Emulation is exact and three steps: (1) dense_rank gives each
+    * row its group ordinal g, (2) revenue collapses to (supplier, g)
+    * grain where a ROWS 2-PRECEDING sliding sum IS the groups frame
+    * (one row per group by construction), (3) the group sums join
+    * back to row grain. The oracle engine does not implement GROUPS
+    * frames either, so the oracle is an INDEPENDENT restatement —
+    * an explicit band join over group ordinals (g' ∈ [g−2, g])
+    * aggregated per group — not an echo of the sliding-window plan.
+    *
+    * Scale shape: both windows and the final join partition by
+    * supplier — the rank window's exchange is reused by the
+    * group-grain agg and the join (shuffle-pinned on the row-grain
+    * side); revenue is exact integer cents. */
+  def qWindowGroups(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey").as("supp"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        to_date(col("l_shipdate")).as("day"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+    val grouped = li.groupBy("supp", "day").agg(sum(col("cents")).as("gsum"))
+    val wDay = Window.partitionBy("supp").orderBy("day")
+    val slid = grouped.withColumn("frame_sum",
+      sum(col("gsum")).over(wDay.rowsBetween(-2, 0)))
+    li.join(slid.select(col("supp"), col("day"), col("frame_sum"))
+          .hint("shuffle_hash"),
+        Seq("supp", "day"))
+      .select(col("supp"), col("ok"), col("ln"), col("day"),
+        col("cents"), col("frame_sum"))
+      .orderBy("supp", "day", "ok", "ln")
+  }
+
+  val qWindowGroupsSql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey AS supp, l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |d AS (SELECT DISTINCT supp, day FROM li),
+      |r AS (
+      |  SELECT supp, day,
+      |    DENSE_RANK() OVER (PARTITION BY supp ORDER BY day) AS g
+      |  FROM d),
+      |f AS (
+      |  SELECT a.supp, a.day, CAST(SUM(x.cents) AS BIGINT) AS frame_sum
+      |  FROM r a
+      |  JOIN r b ON a.supp = b.supp AND b.g BETWEEN a.g - 2 AND a.g
+      |  JOIN li x ON x.supp = b.supp AND x.day = b.day
+      |  GROUP BY 1, 2)
+      |SELECT li.supp, li.ok, li.ln, li.day, li.cents, f.frame_sum
+      |FROM li JOIN f ON li.supp = f.supp AND li.day = f.day
+      |ORDER BY li.supp, li.day, li.ok, li.ln""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
@@ -1781,6 +1843,7 @@ object Relational {
     "q_asof_interpolate" -> (qAsofInterpolate _),
     "q_hierarchy" -> (qHierarchy _),
     "q_bom_explosion" -> (qBomExplosion _),
+    "q_window_groups" -> (qWindowGroups _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pagerank" -> (qPagerank _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1831,6 +1894,7 @@ object Relational {
     "q_asof_interpolate" -> qAsofInterpolateSql,
     "q_hierarchy" -> qHierarchySql,
     "q_bom_explosion" -> qBomExplosionSql,
+    "q_window_groups" -> qWindowGroupsSql,
     "q_pagerank" -> qPagerankSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,

@@ -385,6 +385,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // frames; the returned plan is the pinned cost join (two
     // exchanges), the root rollup + ordered output
     "q_bom_explosion" -> 5,
+    // window_groups: the (supp, day) group agg + its supplier-window
+    // exchange + the pinned row-grain join-back + ordered output
+    "q_window_groups" -> 6,
     // bad_records: one parse-pass aggregate + ordered output
     "etl_bad_records" -> 2,
     // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg

@@ -494,4 +494,32 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got.keySet == walked.map(_._1).toSet && got.nonEmpty)
   }
+
+  test("q_window_groups matches per-row GROUPS-frame semantics") {
+    val got = graft.operators.Relational.qWindowGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDate(3).toString, r.getLong(4), r.getLong(5))).sorted
+    val li = spark.sql(
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         |  to_date(l_shipdate) AS day,
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDate(3).toString, r.getLong(4)))
+    // (ok, ln) is NOT unique in the fixture — compare row multisets
+    val exp = li.groupBy(_._1).toSeq.flatMap { case (supp, rows) =>
+      val days = rows.map(_._4).distinct.sorted
+      val dayIdx = days.zipWithIndex.toMap
+      val byDay = rows.groupBy(_._4).view.mapValues(_.map(_._5).sum).toMap
+      rows.map { case (_, ok, ln, day, cents) =>
+        val g = dayIdx(day)
+        // the GROUPS frame: this day's peer group + 2 preceding
+        // distinct days that EXIST (gapped days don't count)
+        val frame = days.slice(math.max(0, g - 2), g + 1).map(byDay).sum
+        (supp, ok, ln, day, cents, frame)
+      }
+    }.sorted
+    assert(got.length == exp.length)
+    assert(got.sameElements(exp))
+  }
 }
