@@ -2235,6 +2235,98 @@ object Etl {
       |  n_rows * 1000 // t.med >= 2000 AS is_skewed
       |FROM d, t ORDER BY day""".stripMargin
 
+  /** Full MERGE-statement semantics — the three-clause conditional
+    * upsert (ANSI MERGE / Delta MERGE INTO) that etl_cdc_upsert
+    * (replace) and etl_cdc_deletes (tombstones) each cover one arm
+    * of, with FIRST-MATCH-WINS clause order and per-clause
+    * conditions:
+    *
+    *   WHEN MATCHED AND op='D' AND target.bal < 2000 THEN DELETE
+    *   WHEN MATCHED AND op='U' AND target.bal < 5000 THEN UPDATE
+    *     (bal += 1000, segment → 'UPGRADED')
+    *   WHEN NOT MATCHED AND op='I' AND src.amt > 0  THEN INSERT
+    *
+    * — a matched row whose clause condition fails stays UNCHANGED
+    * (the subtlety naive upserts get wrong: a condition miss is not
+    * a delete). The batch is derived from the target so the oracle
+    * rebuilds it exactly: delete candidates (key%11=2, only
+    * low-balance accounts actually die), update candidates
+    * (key%7=1 minus the delete set, only sub-5000 balances move),
+    * inserts under a fresh key range gated on positive seed amounts.
+    * Every surviving row carries its action tag for audit.
+    *
+    * Scale shape: ONE shuffle-pinned full-outer join on the merge
+    * key (both sides corpus-sized at 100 TB — a MERGE batch is not
+    * generally broadcastable) and a per-row CASE cascade; no second
+    * pass, no window. Balance arithmetic is scalar double (+1000.0),
+    * bit-identical in both engines — no double AGGREGATION (§4's
+    * rule bans sums, not scalars). */
+  def etlMergeAll(s: SparkSession, dir: String): DataFrame = {
+    val tgt = Tables.load(s, dir, "customer")
+    val k = col("c_custkey")
+    val src = tgt.filter(k % 7 === 1 && k % 11 =!= 2)
+        .select(k.as("mk"), lit("U").as("op"), lit(0.0).as("amt"))
+      .unionByName(tgt.filter(k % 11 === 2)
+        .select(k.as("mk"), lit("D").as("op"), lit(0.0).as("amt")))
+      .unionByName(tgt.filter(k % 13 === 5)
+        .select((k + 1000000L).as("mk"), lit("I").as("op"),
+          col("c_acctbal").as("amt")))
+    tgt.join(src.hint("shuffle_hash"), k === col("mk"), "full_outer")
+      .withColumn("action",
+        when(col("op").isNull, lit("kept"))
+          .when(col("op") === "D",
+            when(col("c_acctbal") < 2000, lit("deleted"))
+              .otherwise(lit("kept")))
+          .when(col("op") === "U",
+            when(col("c_acctbal") < 5000, lit("updated"))
+              .otherwise(lit("kept")))
+          .otherwise(when(col("amt") > 0, lit("inserted")).otherwise(lit("skip"))))
+      .filter(col("action") =!= "deleted" && col("action") =!= "skip")
+      .select(
+        coalesce(k, col("mk")).as("c_custkey"),
+        coalesce(col("c_name"), concat(lit("NEW_"), col("mk"))).as("c_name"),
+        coalesce(col("c_nationkey"), (col("mk") % 25).cast("int"))
+          .as("c_nationkey"),
+        when(col("action") === "updated", col("c_acctbal") + 1000.0)
+          .when(col("action") === "inserted", col("amt"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("action") === "updated", lit("UPGRADED"))
+          .when(col("action") === "inserted", lit("FRESH"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("action"))
+  }
+
+  val etlMergeAllSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS mk, 'U' AS op, 0.0 AS amt FROM customer
+      |  WHERE c_custkey % 7 = 1 AND c_custkey % 11 <> 2
+      |  UNION ALL
+      |  SELECT c_custkey, 'D', 0.0 FROM customer WHERE c_custkey % 11 = 2
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I', c_acctbal FROM customer
+      |  WHERE c_custkey % 13 = 5),
+      |j AS (
+      |  SELECT t.*, s.mk, s.op, s.amt,
+      |    CASE WHEN s.op IS NULL THEN 'kept'
+      |         WHEN s.op = 'D' THEN
+      |           CASE WHEN t.c_acctbal < 2000 THEN 'deleted' ELSE 'kept' END
+      |         WHEN s.op = 'U' THEN
+      |           CASE WHEN t.c_acctbal < 5000 THEN 'updated' ELSE 'kept' END
+      |         ELSE CASE WHEN s.amt > 0 THEN 'inserted' ELSE 'skip' END
+      |    END AS action
+      |  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.mk)
+      |SELECT COALESCE(c_custkey, mk) AS c_custkey,
+      |  COALESCE(c_name, 'NEW_' || mk) AS c_name,
+      |  CAST(COALESCE(c_nationkey, mk % 25) AS INT) AS c_nationkey,
+      |  CASE WHEN action = 'updated' THEN c_acctbal + 1000.0
+      |       WHEN action = 'inserted' THEN amt
+      |       ELSE c_acctbal END AS c_acctbal,
+      |  CASE WHEN action = 'updated' THEN 'UPGRADED'
+      |       WHEN action = 'inserted' THEN 'FRESH'
+      |       ELSE c_mktsegment END AS c_mktsegment,
+      |  action
+      |FROM j WHERE action NOT IN ('deleted', 'skip')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_partition_skew" -> (etlPartitionSkew _),
     "etl_csv_sniff" -> (etlCsvSniff _),
@@ -2266,6 +2358,7 @@ object Etl {
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_cdc_deletes" -> (etlCdcDeletes _),
+    "etl_merge_all" -> (etlMergeAll _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_vacuum" -> (etlVacuum _),
     "etl_bad_records" -> (etlBadRecords _),
@@ -2310,6 +2403,7 @@ object Etl {
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_cdc_deletes" -> etlCdcDeletesSql,
+    "etl_merge_all" -> etlMergeAllSql,
     "etl_time_travel" -> etlTimeTravelSql,
     "etl_vacuum" -> etlVacuumSql,
     "etl_bad_records" -> etlBadRecordsSql,

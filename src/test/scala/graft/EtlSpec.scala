@@ -940,4 +940,36 @@ class EtlSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == total)
     assert(got.values.exists(v => v._4 >= 900 && v._4 <= 1100))
   }
+
+  test("etl_merge_all replays three-clause conditional MERGE semantics") {
+    val got = Etl.etlMergeAll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getString(4), r.getString(5))).toMap
+    val base = Tables.load(spark, sf, "customer").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getString(4)))
+    val exp = scala.collection.mutable.Map[Long,
+      (String, Int, Double, String, String)]()
+    base.foreach { case (k, name, nat, bal, seg) =>
+      val isD = k % 11 == 2
+      val isU = k % 7 == 1 && !isD
+      if (isD && bal < 2000) () // deleted
+      else if (isU && bal < 5000)
+        exp(k) = (name, nat, bal + 1000.0, "UPGRADED", "updated")
+      else exp(k) = (name, nat, bal, seg, "kept")
+      if (k % 13 == 5 && bal > 0)
+        exp(k + 1000000L) =
+          (s"NEW_${k + 1000000L}", ((k + 1000000L) % 25).toInt, bal,
+            "FRESH", "inserted")
+    }
+    assert(got == exp.toMap)
+    // every clause fired: conditional update, conditional delete
+    // (rows missing), conditional insert, and untouched rows
+    val actions = got.values.map(_._5).toSet
+    assert(actions == Set("kept", "updated", "inserted"))
+    assert(base.exists { case (k, _, _, bal, _) => k % 11 == 2 && bal < 2000 })
+    // a matched row whose condition failed stayed (not deleted)
+    assert(base.exists { case (k, _, _, bal, _) =>
+      k % 11 == 2 && bal >= 2000 && got(k)._5 == "kept" })
+  }
 }

@@ -388,6 +388,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // window_groups: the (supp, day) group agg + its supplier-window
     // exchange + the pinned row-grain join-back + ordered output
     "q_window_groups" -> 6,
+    // merge_all: the pinned full-outer merge join's exchanges (the
+    // batch union reads the target thrice — one exchange each) and
+    // the per-row CASE cascade; no window, no second pass
+    "etl_merge_all" -> 5,
     // bad_records: one parse-pass aggregate + ordered output
     "etl_bad_records" -> 2,
     // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg
