@@ -824,6 +824,72 @@ object CorpusPipeline {
        |FROM a ORDER BY source""".stripMargin
   }
 
+  /** RAG ingest manifest — the composed retrieval-corpus build that
+    * chains three families the way a production RAG indexer does:
+    * sliding-window chunking (text_chunk's stride/width), chunk →
+    * document-embedding attachment, IVF bucket assignment
+    * (sim_ivf0's deterministic seed centroids via the NATIVE
+    * NearestCentroid argmax), rolled up to the (bucket, source)
+    * ingest manifest every index build publishes — which buckets got
+    * how many chunks from which provenance, and how many tokens. The
+    * oracle recomposes chunking + assignment + rollup from the
+    * shared SQL fragments, so the END-TO-END manifest is
+    * hash-verified like pipeline_train_corpus's.
+    *
+    * Scale shape: chunking explodes row-local (no shuffle), the two
+    * doc-grain joins are shuffle-pinned (chunks and docs both
+    * corpus-sized at 100 TB; the embedding side rides the same doc
+    * key), assignment is the zero-shuffle expression argmax, and the
+    * manifest is model-sized (buckets × sources). */
+  def pipelineRagIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val chunks = TextOps.textChunk(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+    val meta = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val c = SimOps.corpus(s, dir)
+    val cents = SimOps.lloydCentroids(c, SimOps.nCentroids, iters = 0)
+    val assigned = SimOps.assignTo(c, cents)
+      .select(col("vec_id").as("doc_id"),
+        col("centroid").cast(LongType).as("bucket"))
+    chunks
+      .join(meta.hint("shuffle_hash"), Seq("doc_id"))
+      .join(assigned.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("sum_tokens"))
+      .orderBy("bucket", "source")
+  }
+
+  val pipelineRagIngestSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, chunk_id, n_tokens
+       |  FROM (${TextOps.textChunkSql}) x),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM c
+       |  WHERE vec_id < ${SimOps.nCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT c.vec_id, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm)
+       |          DESC, ct.c_id) AS rn
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1)
+       |SELECT CAST(a.bucket AS BIGINT) AS bucket, d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ch.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM ch
+       |JOIN documents d ON ch.doc_id = d.doc_id
+       |JOIN assigned a ON a.vec_id = ch.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
@@ -837,7 +903,8 @@ object CorpusPipeline {
     "pipeline_split_safe" -> (pipelineSplitSafe _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
-    "pipeline_repetition_budget" -> (pipelineRepetitionBudget _))
+    "pipeline_repetition_budget" -> (pipelineRepetitionBudget _),
+    "pipeline_rag_ingest" -> (pipelineRagIngest _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
@@ -852,5 +919,6 @@ object CorpusPipeline {
     "pipeline_split_safe" -> pipelineSplitSafeSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
-    "pipeline_repetition_budget" -> pipelineRepetitionBudgetSql)
+    "pipeline_repetition_budget" -> pipelineRepetitionBudgetSql,
+    "pipeline_rag_ingest" -> pipelineRagIngestSql)
 }

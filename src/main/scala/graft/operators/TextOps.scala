@@ -43,8 +43,8 @@ object TextOps {
   private val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** RAG chunking window/stride in tokens. */
-  private val chunkW = 30
-  private val chunkS = 20
+  private[graft] val chunkW = 30
+  private[graft] val chunkS = 20
 
   /** Retrieval chunking — the RAG-prep operator: each document is cut
     * into fixed-size OVERLAPPING token windows (30-token chunks on a

@@ -77,6 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // ordered output — all over the source-grain frame except the
     // first agg
     "pipeline_repetition_budget" -> 9,
+    // rag_ingest: chunk explode is row-local; the two pinned
+    // doc-grain joins' exchanges + the two-round (distinct-doc)
+    // manifest agg + ordered output
+    "pipeline_rag_ingest" -> 8,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,

@@ -806,4 +806,41 @@ class TextOpsSpec extends AnyFunSuite {
     if (jstar < n) assert(b - spent >= 0 && b - spent < n, s"slack ${b - spent}")
     assert(got.size == n && n > 1)
   }
+
+  test("pipeline_rag_ingest replays chunk counts and bucket assignment") {
+    import graft.operators.{CorpusPipeline, SimOps}
+    val got = CorpusPipeline.pipelineRagIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val nrm = vecs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val cents = (0L until SimOps.nCentroids.toLong).map(i => i -> vecs(i))
+    def bucket(id: Long): Long = cents.maxBy { case (cid, cv) =>
+      (dot(vecs(id), cv) / (nrm(id) * nrm(cid)), -cid)
+    }._1
+    val exp = docs.flatMap { case (id, src, text) =>
+      val nTok = text.split(" ").count(_.nonEmpty)
+      if (nTok == 0) Nil
+      else {
+        val nChunks = (nTok - 1) / TextOps.chunkS + 1
+        val toks = (0 until nChunks).map(ci =>
+          math.min(nTok - ci * TextOps.chunkS, TextOps.chunkW)).sum.toLong
+        Seq((bucket(id), src) -> (nChunks.toLong, 1L, toks))
+      }
+    }.groupBy(_._1).view.mapValues { vs =>
+      (vs.map(_._2._1).sum, vs.map(_._2._2).sum, vs.map(_._2._3).sum)
+    }.toMap
+    assert(got == exp)
+    assert(got.keys.map(_._1).toSet.size > 1, "all chunks in one bucket")
+  }
 }
