@@ -156,4 +156,80 @@ class RandomizedOpsSpec extends AnyFunSuite {
     val plain = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
     assert(salted == plain)
   }
+
+  test("prefix-min clamp identity holds on random signed sequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // q_stock_ledger's identity S_i = P_i - min(0, min_{j<=i} P_j),
+    // stressed on random walks (frequent deep negatives) across many
+    // keys and partitions — not just the fixture's movement shapes
+    val rows = for {
+      k <- 0L until 80L
+      n = 1 + rnd.nextInt(60)
+      i <- 0 until n
+    } yield (k, i, (rnd.nextInt(21) - 11).toLong) // bias negative
+    val df = rows.toDF("k", "i", "x").repartition(11)
+    val w = Window.partitionBy("k").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df
+      .withColumn("p", sum(col("x")).over(w))
+      .withColumn("bal", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      var bal = 0L
+      g.sortBy(_._2).foreach { case (_, i, x) =>
+        bal = math.max(0L, bal + x)
+        assert(got((k, i)) == bal, s"k=$k i=$i")
+      }
+    }
+  }
+
+  test("cumulative-interval FIFO matching equals a sequential matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // q_fifo_cogs' construction on random receipt/shipment streams
+    // incl. oversold parts (shipments exceeding stock) and parts with
+    // one side empty
+    val rows = for {
+      k <- 0L until 60L
+      n = rnd.nextInt(25)
+      i <- 0 until n
+    } yield (k, i, 1L + rnd.nextInt(9),
+      (1 + rnd.nextInt(50)).toLong, rnd.nextInt(3) == 0)
+    val df = rows.toDF("k", "i", "qty", "unit", "isRec")
+    val w = Window.partitionBy("k").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rec = df.filter(col("isRec"))
+      .withColumn("rhi", sum(col("qty")).over(w))
+      .select(col("k"), (col("rhi") - col("qty")).as("rlo"), col("rhi"),
+        col("unit"))
+    val shp = df.filter(!col("isRec"))
+      .withColumn("shi", sum(col("qty")).over(w))
+      .select(col("k").as("sk"), (col("shi") - col("qty")).as("slo"),
+        col("shi"))
+    val got = rec.join(shp, col("k") === col("sk") &&
+        col("slo") < col("rhi") && col("rlo") < col("shi"))
+      .groupBy("k")
+      .agg(sum(least(col("rhi"), col("shi")) -
+          greatest(col("rlo"), col("slo"))).as("mq"),
+        sum((least(col("rhi"), col("shi")) -
+          greatest(col("rlo"), col("slo"))) * col("unit")).as("cogs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val o = g.sortBy(_._2)
+      val layers = o.filter(_._5).map(r => (r._3, r._4))
+      var shipLeft = o.filterNot(_._5).map(_._3).sum
+      var matched = 0L
+      var cogs = 0L
+      layers.foreach { case (q, u) =>
+        val take = math.min(q, shipLeft)
+        matched += take; cogs += take * u; shipLeft -= take
+      }
+      if (matched > 0)
+        assert(got(k) == ((matched, cogs)), s"k=$k")
+      else assert(!got.contains(k), s"k=$k unexpectedly matched")
+    }
+  }
 }
