@@ -2327,6 +2327,92 @@ object Etl {
       |  action
       |FROM j WHERE action NOT IN ('deleted', 'skip')""".stripMargin
 
+  /** Bitemporal snapshot grid — the two-axis question neither
+    * etl_scd2 (valid time only) nor etl_time_travel (transaction
+    * time only) can answer alone: "what did the system BELIEVE at
+    * transaction time T about the state EFFECTIVE at business time
+    * V" — the query auditors and restatement reports actually run,
+    * where a retroactive correction (recorded later, effective
+    * earlier) must change history for late T but not early T.
+    *
+    * Ledger (derived from customer, so the oracle rebuilds it):
+    * base facts at (valid 0, tx 0); a business UPDATE at
+    * (valid 1, tx 1) for key%5=1; a retroactive CORRECTION at
+    * (valid 0, tx 2) for key%7=2 — same business time as base,
+    * recorded later; a late business update at (valid 2, tx 3) for
+    * key%9=4. Resolution per (key, T, V): among records with
+    * tx ≤ T and valid ≤ V, the max (valid, tx) struct wins —
+    * business effectivity first, then latest recorded belief about
+    * that effectivity. The 2×2 grid T∈{1,3} × V∈{1,2} exercises
+    * all four belief/effectivity combinations; output is the
+    * per-(T, V, segment) row count and balance total in cents.
+    *
+    * Scale shape: the ledger is append-only union (no rewrite — the
+    * bitemporal point); the 4-row grid cross-joins broadcast (row
+    * multiplier 4, the audit's grid size, not corpus²); resolution
+    * is ONE max(struct) aggregate at (key, T, V) grain; the report
+    * rollup is model-sized. Balances are integer cents (§4: no
+    * double sums). */
+  def etlBitemporal(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+          .as("cents"))
+    val ledger = base
+      .select(col("k"), col("seg"), lit(0L).as("valid_v"),
+        lit(0L).as("tx_v"), col("cents"))
+      .unionByName(base.filter(col("k") % 5 === 1)
+        .select(col("k"), col("seg"), lit(1L).as("valid_v"),
+          lit(1L).as("tx_v"), (col("cents") + 10000L).as("cents")))
+      .unionByName(base.filter(col("k") % 7 === 2)
+        .select(col("k"), col("seg"), lit(0L).as("valid_v"),
+          lit(2L).as("tx_v"), (col("cents") + 700L).as("cents")))
+      .unionByName(base.filter(col("k") % 9 === 4)
+        .select(col("k"), col("seg"), lit(2L).as("valid_v"),
+          lit(3L).as("tx_v"), (col("cents") + 20000L).as("cents")))
+    val grid = s.range(0, 4).select(
+      (col("id") % 2 * 2 + 1).as("as_of_tx"),
+      expr("id div 2 + 1").as("as_of_valid"))
+    ledger.crossJoin(broadcast(grid))
+      .filter(col("tx_v") <= col("as_of_tx") &&
+        col("valid_v") <= col("as_of_valid"))
+      .groupBy("k", "seg", "as_of_tx", "as_of_valid")
+      .agg(max(struct(col("valid_v"), col("tx_v"), col("cents"))).as("b"))
+      .groupBy("as_of_tx", "as_of_valid", "seg")
+      .agg(count(lit(1)).as("n_rows"), sum(col("b.cents")).as("total_cents"))
+      .orderBy("as_of_tx", "as_of_valid", "seg")
+  }
+
+  val etlBitemporalSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |ledger AS (
+      |  SELECT k, seg, 0 AS valid_v, 0 AS tx_v, cents FROM base
+      |  UNION ALL
+      |  SELECT k, seg, 1, 1, cents + 10000 FROM base WHERE k % 5 = 1
+      |  UNION ALL
+      |  SELECT k, seg, 0, 2, cents + 700 FROM base WHERE k % 7 = 2
+      |  UNION ALL
+      |  SELECT k, seg, 2, 3, cents + 20000 FROM base WHERE k % 9 = 4),
+      |grid AS (
+      |  SELECT CAST(t AS BIGINT) AS as_of_tx, CAST(v AS BIGINT)
+      |    AS as_of_valid
+      |  FROM (VALUES (1, 1), (1, 2), (3, 1), (3, 2)) g(t, v)),
+      |res AS (
+      |  SELECT l.k, l.seg, g.as_of_tx, g.as_of_valid, l.cents,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY l.k, g.as_of_tx, g.as_of_valid
+      |      ORDER BY l.valid_v DESC, l.tx_v DESC) AS rn
+      |  FROM ledger l CROSS JOIN grid g
+      |  WHERE l.tx_v <= g.as_of_tx AND l.valid_v <= g.as_of_valid)
+      |SELECT as_of_tx, as_of_valid, seg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM res WHERE rn = 1
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_partition_skew" -> (etlPartitionSkew _),
     "etl_csv_sniff" -> (etlCsvSniff _),
@@ -2359,6 +2445,7 @@ object Etl {
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_cdc_deletes" -> (etlCdcDeletes _),
     "etl_merge_all" -> (etlMergeAll _),
+    "etl_bitemporal" -> (etlBitemporal _),
     "etl_time_travel" -> (etlTimeTravel _),
     "etl_vacuum" -> (etlVacuum _),
     "etl_bad_records" -> (etlBadRecords _),
@@ -2404,6 +2491,7 @@ object Etl {
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_cdc_deletes" -> etlCdcDeletesSql,
     "etl_merge_all" -> etlMergeAllSql,
+    "etl_bitemporal" -> etlBitemporalSql,
     "etl_time_travel" -> etlTimeTravelSql,
     "etl_vacuum" -> etlVacuumSql,
     "etl_bad_records" -> etlBadRecordsSql,

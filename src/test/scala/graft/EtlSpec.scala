@@ -972,4 +972,40 @@ class EtlSpec extends AnyFunSuite {
     assert(base.exists { case (k, _, _, bal, _) =>
       k % 11 == 2 && bal >= 2000 && got(k)._5 == "kept" })
   }
+
+  test("etl_bitemporal resolves belief x effectivity incl. retroactivity") {
+    val got = Etl.etlBitemporal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = scala.collection.mutable.Map[(Long, Long, String),
+      (Long, Long)]().withDefaultValue((0L, 0L))
+    for {
+      (k, seg, cents) <- base
+      t <- Seq(1L, 3L)
+      v <- Seq(1L, 2L)
+    } {
+      // ledger records for k, filtered by (tx <= t, valid <= v),
+      // resolved by max (valid, tx)
+      val recs = Seq((0L, 0L, cents)) ++
+        (if (k % 5 == 1) Seq((1L, 1L, cents + 10000L)) else Nil) ++
+        (if (k % 7 == 2) Seq((0L, 2L, cents + 700L)) else Nil) ++
+        (if (k % 9 == 4) Seq((2L, 3L, cents + 20000L)) else Nil)
+      val win = recs.filter(r => r._2 <= t && r._1 <= v).maxBy(r => (r._1, r._2))
+      val cur = exp((t, v, seg))
+      exp((t, v, seg)) = (cur._1 + 1, cur._2 + win._3)
+    }
+    assert(got == exp.toMap)
+    // retroactivity: the tx-2 correction changes the V=1 totals
+    // between belief times T=1 and T=3
+    val segs = base.map(_._2).distinct
+    assert(segs.exists(s => got((1L, 1L, s))._2 != got((3L, 1L, s))._2))
+    // and a correction shadowed by a later business version never
+    // leaks: keys with both k%5==1 and k%7==2 resolve to the valid-1
+    // record at V>=1 regardless of T
+    assert(base.exists { case (k, _, _) => k % 5 == 1 && k % 7 == 2 })
+  }
 }

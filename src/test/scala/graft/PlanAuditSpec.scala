@@ -396,6 +396,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // batch union reads the target thrice — one exchange each) and
     // the per-row CASE cascade; no window, no second pass
     "etl_merge_all" -> 5,
+    // bitemporal: the append-only ledger unions read the base four
+    // times (one exchange each into the resolution agg), the (key,
+    // grid) argmax + report rollup share partitioning + ordered
+    // output; the 4-row grid broadcasts
+    "etl_bitemporal" -> 7,
     // bad_records: one parse-pass aggregate + ordered output
     "etl_bad_records" -> 2,
     // vocab_oov: term-count agg + TopKPerKey final + per-doc oov agg
@@ -538,6 +543,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // repetition_budget crosses the 1-row totals and the 1-row
       // water-level pick into the model-sized source frame
       "pipeline_repetition_budget",
+      // bitemporal crosses the 4-row snapshot grid into the ledger —
+      // row multiplier = grid size by construction
+      "etl_bitemporal",
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
