@@ -2538,6 +2538,67 @@ object AnalyticsOps {
       |    AS days_at_zero
       |FROM p2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Weighted quantiles — the pricing/actuarial statistic
+    * q_percentile's unweighted rank cannot express: each line's
+    * price counts with its QUANTITY's weight (a 50-unit line moves
+    * the median 50× more than a single unit — "the median sold
+    * unit's price", not "the median line's price"). Per return
+    * flag: exact lower weighted median and weighted p90 over unit
+    * weights, defined as the smallest value whose cumulative weight
+    * crosses the quantile of total weight — crossings tested in
+    * CROSS-MULTIPLIED integers (2·cumw ≥ W, 10·cumw ≥ 9·W), no
+    * division anywhere.
+    *
+    * Scale shape: one flag-partitioned sort window produces the
+    * cumulative weights (ties broken by orderkey/linenumber — any
+    * tie order yields the same crossing value since equal values
+    * share a crossing); the crossing pick is a conditional min in
+    * the SAME grouping pass; output is flag grain. */
+  def qWeightedPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("price"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("w"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val win = Window.partitionBy("flag")
+      .orderBy(col("price"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("flag")
+    li.withColumn("cumw", sum(col("w")).over(win))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_lines"),
+        max(col("tot")).as("total_units"),
+        min(when(col("cumw") * 2 >= col("tot"), col("price")))
+          .as("wmedian_cents"),
+        min(when(col("cumw") * 10 >= col("tot") * 9, col("price")))
+          .as("wp90_cents"))
+      .orderBy("flag")
+  }
+
+  val qWeightedPercentileSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS price,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS w,
+      |    l_orderkey AS ok, l_linenumber AS ln
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY price, ok, ln
+      |      ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    SUM(w) OVER (PARTITION BY flag) AS tot
+      |  FROM li)
+      |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(MAX(tot) AS BIGINT) AS total_units,
+      |  CAST(MIN(CASE WHEN cumw * 2 >= tot THEN price END) AS BIGINT)
+      |    AS wmedian_cents,
+      |  CAST(MIN(CASE WHEN cumw * 10 >= tot * 9 THEN price END) AS BIGINT)
+      |    AS wp90_cents
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2579,7 +2640,8 @@ object AnalyticsOps {
     "q_stock_ledger" -> (qStockLedger _),
     "q_top_paths" -> (qTopPaths _),
     "q_fifo_cogs" -> (qFifoCogs _),
-    "q_twab" -> (qTwab _))
+    "q_twab" -> (qTwab _),
+    "q_weighted_percentile" -> (qWeightedPercentile _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2622,5 +2684,6 @@ object AnalyticsOps {
     "q_stock_ledger" -> qStockLedgerSql,
     "q_top_paths" -> qTopPathsSql,
     "q_fifo_cogs" -> qFifoCogsSql,
-    "q_twab" -> qTwabSql)
+    "q_twab" -> qTwabSql,
+    "q_weighted_percentile" -> qWeightedPercentileSql)
 }

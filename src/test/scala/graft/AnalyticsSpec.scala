@@ -1180,4 +1180,42 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q_weighted_percentile replays cumulative-weight crossings") {
+    val got = AnalyticsOps.qWeightedPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val li = spark.sql(
+      s"""SELECT l_returnflag,
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint),
+         |  cast(cast(l_quantity as decimal(12,2)) as bigint),
+         |  l_orderkey, l_linenumber
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val o = rows.sortBy(r => (r._2, r._4, r._5))
+      val tot = o.map(_._3).sum
+      var cumw = 0L
+      var med = Option.empty[Long]
+      var p90 = Option.empty[Long]
+      o.foreach { case (_, price, w, _, _) =>
+        cumw += w
+        if (med.isEmpty && cumw * 2 >= tot) med = Some(price)
+        if (p90.isEmpty && cumw * 10 >= tot * 9) p90 = Some(price)
+      }
+      assert(got(flag) == ((o.length.toLong, tot, med.get, p90.get)),
+        s"flag $flag")
+      assert(med.get <= p90.get)
+      // the weighting moves the statistic: the weighted median must
+      // differ from treating every line as weight 1 for SOME flag —
+      // checked globally below
+    }
+    val unweighted = li.groupBy(_._1).map { case (f, rows) =>
+      val o = rows.sortBy(r => (r._2, r._4, r._5)).map(_._2)
+      f -> o((o.length - 1) / 2)
+    }
+    assert(got.exists { case (f, v) => unweighted(f) != v._3 },
+      "weighting never changed the median — vacuous fixture")
+  }
 }

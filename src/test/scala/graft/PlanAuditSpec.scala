@@ -218,6 +218,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // twab: the ledger scan's (part, day) agg + its ONE part-window
     // exchange (lead shares it; rollup reuses it) + ordered output
     "q_twab" -> 4,
+    // weighted_percentile: ONE flag-window sort exchange (cumulative
+    // + total weights share it; the crossing agg reuses it) +
+    // ordered output
+    "q_weighted_percentile" -> 3,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
