@@ -890,6 +890,86 @@ object CorpusPipeline {
        |JOIN assigned a ON a.vec_id = ch.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Blocklist phrases for the safety screen (fixture vocabulary;
+    * production swaps in the real denylist). Token bigrams, matched
+    * exactly. */
+  val safetyBlocklist: Seq[String] =
+    Seq("data slow", "order fast", "window join")
+
+  /** Max tolerated blocklist hits before a document drops (below it,
+    * flag for review — the three-way disposition real safety
+    * pipelines use). */
+  val safetyMaxHits = 2L
+
+  /** Safety / policy screening — the LLM-pipeline stage
+    * pipeline_decontaminate is NOT: decontamination matches corpus
+    * against corpus (both sides huge → hashed shingles, shuffle-
+    * pinned joins), while a safety screen matches corpus against a
+    * CURATED DENYLIST that is tiny by construction — so the correct
+    * plan is the OPPOSITE shape: broadcast the phrase list, keep the
+    * corpus side exploded-but-local, never shuffle raw text. Per
+    * document: total blocklist hits, distinct phrases hit, and the
+    * three-way disposition (kept / flagged ≤2 hits / dropped).
+    *
+    * Scale shape: token-bigram explode is row-local; the match is a
+    * BROADCAST join against the phrase list (the one join in the
+    * pipeline family that SHOULD broadcast — PlanAuditSpec pins the
+    * dedup family's corpus-sized sides to shuffle for exactly the
+    * opposite reason); the doc-grain rollup combines map-side. Left
+    * join keeps zero-hit docs without a second corpus pass. */
+  def pipelineSafetyFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+    val bigrams = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+    val deny = s.createDataFrame(
+      safetyBlocklist.map(Tuple1(_))).toDF("phrase")
+    val hits = bigrams
+      .join(broadcast(deny), col("bg") === col("phrase"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("phrase")).as("n_phrases"))
+    docs.select(col("doc_id"))
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        when(coalesce(col("n_hits"), lit(0L)) === 0, lit("kept"))
+          .when(coalesce(col("n_hits"), lit(0L)) <= safetyMaxHits,
+            lit("flagged"))
+          .otherwise(lit("dropped")).as("disposition"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineSafetyFilterSql: String = {
+    val denyVals = safetyBlocklist.map(p => s"('$p')").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bg
+       |  FROM t, unnest(range(0, greatest(len(tk) - 1, 0))) z(i)),
+       |deny AS (SELECT * FROM (VALUES $denyVals) d(phrase)),
+       |h AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits,
+       |    COUNT(DISTINCT phrase) AS n_phrases
+       |  FROM bg JOIN deny ON bg.bg = deny.phrase
+       |  GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_phrases, 0) AS BIGINT) AS n_phrases,
+       |  CASE WHEN COALESCE(h.n_hits, 0) = 0 THEN 'kept'
+       |       WHEN COALESCE(h.n_hits, 0) <= $safetyMaxHits THEN 'flagged'
+       |       ELSE 'dropped' END AS disposition
+       |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
@@ -904,7 +984,8 @@ object CorpusPipeline {
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "pipeline_repetition_budget" -> (pipelineRepetitionBudget _),
-    "pipeline_rag_ingest" -> (pipelineRagIngest _))
+    "pipeline_rag_ingest" -> (pipelineRagIngest _),
+    "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
@@ -920,5 +1001,6 @@ object CorpusPipeline {
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_repetition_budget" -> pipelineRepetitionBudgetSql,
-    "pipeline_rag_ingest" -> pipelineRagIngestSql)
+    "pipeline_rag_ingest" -> pipelineRagIngestSql,
+    "pipeline_safety_filter" -> pipelineSafetyFilterSql)
 }

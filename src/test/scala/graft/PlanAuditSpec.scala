@@ -81,6 +81,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // doc-grain joins' exchanges + the two-round (distinct-doc)
     // manifest agg + ordered output
     "pipeline_rag_ingest" -> 8,
+    // safety_filter: bigram explode row-local, the deny join
+    // BROADCASTS (the one pipeline join that should), the two-round
+    // distinct-phrase hit agg + the pinned zero-hit stitch +
+    // ordered output
+    "pipeline_safety_filter" -> 6,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -591,6 +596,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // etl_snapshot_diff's two full-outer sides are both whole corpus
     // snapshots — same regime, same ban
     val bad = plans.filter { case (n, p) =>
+      // safety_filter is the deliberate exception: its broadcast side
+      // is the curated DENYLIST — constant-sized by construction (a
+      // policy artifact, not data), the one pipeline join that SHOULD
+      // broadcast at any corpus size
+      n != "pipeline_safety_filter" &&
       (n.startsWith("dedup_") || n.startsWith("pipeline_") ||
         n == "text_tfidf" || n == "etl_snapshot_diff" ||
         // boilerplate joins the chunk vocabulary and per-source doc

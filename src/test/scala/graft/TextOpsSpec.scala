@@ -843,4 +843,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.keys.map(_._1).toSet.size > 1, "all chunks in one bucket")
   }
+
+  test("pipeline_safety_filter replays bigram blocklist dispositions") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelineSafetyFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val deny = CorpusPipeline.safetyBlocklist.toSet
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val bgs = tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        .filter(deny).toSeq
+      val exp = (bgs.size.toLong, bgs.distinct.size.toLong,
+        if (bgs.isEmpty) "kept"
+        else if (bgs.size <= CorpusPipeline.safetyMaxHits) "flagged"
+        else "dropped")
+      assert(got(id) == exp, s"doc $id")
+    }
+    assert(got.size == docs.length)
+    // every disposition occurs on the fixture — the screen is real
+    assert(got.values.map(_._3).toSet == Set("kept", "flagged", "dropped"))
+  }
 }
