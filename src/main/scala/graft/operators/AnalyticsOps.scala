@@ -2599,6 +2599,91 @@ object AnalyticsOps {
       |    AS wp90_cents
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rolling-window size and band width for q_anomaly_bands. */
+  private val bandN = 5
+  private val bandK = 3L
+
+  /** Volatility-band anomaly detection — the Bollinger/3σ day-over-
+    * day monitor, the VOLATILITY complement to q_changepoint's mean
+    * shift (a changepoint is a new level; a band breakout is one day
+    * outside the recent spread): per nation, a day is a breakout
+    * when its revenue leaves the ±3σ band of the 5 PRECEDING days
+    * (the trailing baseline — the current day never contaminates its
+    * own band).
+    *
+    * σ never exists as a float: |x − μ| > kσ cross-multiplies to
+    * (n·x − S)² > k²·(n·Q − S²) with S = Σx, Q = Σx² over the
+    * window — an exact integer comparison in DECIMAL(38,0) (Q alone
+    * tops 2⁶³ in cents²; the squared sides reach ~10²³). Days with
+    * an incomplete 5-day history are not evaluated.
+    *
+    * Scale shape: q_changepoint's frame — pinned fact→customer join,
+    * broadcast nation dim, (nation, day) grain map-side; both
+    * rolling windows and the report rollup share ONE
+    * nation-partitioned exchange. */
+  def qAnomalyBands(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("c"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("day"))
+      .agg(sum(col("c")).as("x"))
+    val w = Window.partitionBy("nation").orderBy("day")
+      .rowsBetween(-bandN, -1)
+    daily
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(expr("cast(x as decimal(38,0)) * x")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("m") === bandN)
+      .withColumn("breakout", expr(
+        s"($bandN * cast(x as decimal(38,0)) - s)" +
+          s" * ($bandN * cast(x as decimal(38,0)) - s)" +
+          s" > ${bandK * bandK} * ($bandN * q" +
+          s" - cast(s as decimal(38,0)) * s)"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("breakout"), 1L).otherwise(0L)).as("n_breakouts"),
+        min(when(col("breakout"), col("day"))).as("first_breakout"),
+        max(when(col("breakout"), col("day"))).as("last_breakout"))
+      .orderBy("nation")
+  }
+
+  val qAnomalyBandsSql: String =
+    s"""WITH d AS (
+       |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+       |      AS x
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT nation, day, x,
+       |    SUM(x) OVER w AS s,
+       |    SUM(CAST(x AS HUGEINT) * x) OVER w AS q,
+       |    COUNT(*) OVER w AS m
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY nation ORDER BY day
+       |    ROWS BETWEEN $bandN PRECEDING AND 1 PRECEDING)),
+       |e AS (
+       |  SELECT nation, day,
+       |    ($bandN * CAST(x AS HUGEINT) - s)
+       |      * ($bandN * CAST(x AS HUGEINT) - s)
+       |      > ${bandK * bandK} * ($bandN * q - CAST(s AS HUGEINT) * s)
+       |      AS breakout
+       |  FROM r WHERE m = $bandN)
+       |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  CAST(SUM(CASE WHEN breakout THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_breakouts,
+       |  MIN(CASE WHEN breakout THEN day END) AS first_breakout,
+       |  MAX(CASE WHEN breakout THEN day END) AS last_breakout
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
@@ -2641,7 +2726,8 @@ object AnalyticsOps {
     "q_top_paths" -> (qTopPaths _),
     "q_fifo_cogs" -> (qFifoCogs _),
     "q_twab" -> (qTwab _),
-    "q_weighted_percentile" -> (qWeightedPercentile _))
+    "q_weighted_percentile" -> (qWeightedPercentile _),
+    "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
     "q_rfm" -> qRfmSql,
@@ -2685,5 +2771,6 @@ object AnalyticsOps {
     "q_top_paths" -> qTopPathsSql,
     "q_fifo_cogs" -> qFifoCogsSql,
     "q_twab" -> qTwabSql,
-    "q_weighted_percentile" -> qWeightedPercentileSql)
+    "q_weighted_percentile" -> qWeightedPercentileSql,
+    "q_anomaly_bands" -> qAnomalyBandsSql)
 }

@@ -1218,4 +1218,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.exists { case (f, v) => unweighted(f) != v._3 },
       "weighting never changed the median — vacuous fixture")
   }
+
+  test("q_anomaly_bands replays trailing-window 3-sigma breakouts") {
+    val got = AnalyticsOps.qAnomalyBands(spark, sf).collect()
+      .map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2),
+          Option(r.getDate(3)).map(_.toString),
+          Option(r.getDate(4)).map(_.toString))
+      }.toMap
+    val daily = spark.sql(
+      s"""SELECT n_name, to_date(o_orderdate) AS day,
+         |  cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)
+         |    AS x
+         |FROM parquet.`$sf/orders.parquet`
+         |JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |JOIN parquet.`$sf/nation.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (nation, rows) =>
+      val o = rows.sortBy(_._2)
+      val evald = (5 until o.length).map { i =>
+        val win = o.slice(i - 5, i).map(r => BigInt(r._3))
+        val x = BigInt(o(i)._3)
+        val s = win.sum
+        val q = win.map(v => v * v).sum
+        val breakout = (x * 5 - s).pow(2) > 9 * (q * 5 - s * s)
+        (o(i)._2, breakout)
+      }
+      val exp = (evald.length.toLong, evald.count(_._2).toLong,
+        evald.find(_._2).map(_._1), evald.reverse.find(_._2).map(_._1))
+      assert(got(nation) == exp, s"nation $nation")
+    }
+    // breakouts exist somewhere — the band test is not vacuous
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
+  }
 }

@@ -227,6 +227,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // + total weights share it; the crossing agg reuses it) +
     // ordered output
     "q_weighted_percentile" -> 3,
+    // anomaly_bands: changepoint's frame — pinned fact-customer join
+    // (two exchanges), (nation, day) agg, ONE nation-window exchange
+    // shared by both rolling stats + the rollup + ordered output
+    "q_anomaly_bands" -> 5,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
