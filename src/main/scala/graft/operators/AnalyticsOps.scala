@@ -2230,10 +2230,12 @@ object AnalyticsOps {
     * final/max balance, stockout count (strict new prefix minima
     * below zero = days demand was lost), total lost units.
     *
-    * All arithmetic is integer units (quantities are integral in
-    * the fixture; the decimal→long cast truncates identically in
-    * both engines). Receipts are returned lines (+qty), shipments
-    * everything else (−qty).
+    * All arithmetic is integer units. Quantities floor to longs —
+    * the one form both engines agree on for positive values: Spark's
+    * decimal→long cast truncates while DuckDB's decimal and double
+    * casts ROUND (half-away and half-even respectively), so the
+    * oracle says FLOOR explicitly. Receipts are returned lines
+    * (+qty), shipments everything else (−qty).
     *
     * Scale shape: facts collapse to (part, day) grain map-side; the
     * prefix-sum, running-min and lagged-min windows all partition by
@@ -2282,8 +2284,8 @@ object AnalyticsOps {
     """WITH mv AS (
       |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
       |    CAST(SUM(CASE WHEN l_returnflag = 'R'
-      |      THEN CAST(l_quantity AS BIGINT)
-      |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+      |      THEN CAST(FLOOR(l_quantity) AS BIGINT)
+      |      ELSE -CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT) AS x
       |  FROM lineitem GROUP BY 1, 2),
       |p1 AS (
       |  SELECT part, day, SUM(x) OVER (PARTITION BY part ORDER BY day
@@ -2445,7 +2447,7 @@ object AnalyticsOps {
     """WITH li AS (
       |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
       |    l_orderkey AS ok, l_linenumber AS ln,
-      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
       |      AS cents,
       |    l_returnflag AS rf
@@ -2516,8 +2518,8 @@ object AnalyticsOps {
     """WITH mv AS (
       |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
       |    CAST(SUM(CASE WHEN l_returnflag = 'R'
-      |      THEN CAST(l_quantity AS BIGINT)
-      |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+      |      THEN CAST(FLOOR(l_quantity) AS BIGINT)
+      |      ELSE -CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT) AS x
       |  FROM lineitem GROUP BY 1, 2),
       |p1 AS (
       |  SELECT part, day, SUM(x) OVER (PARTITION BY part ORDER BY day
@@ -2582,7 +2584,7 @@ object AnalyticsOps {
       |  SELECT l_returnflag AS flag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
       |      AS price,
-      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS w,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS w,
       |    l_orderkey AS ok, l_linenumber AS ln
       |  FROM lineitem),
       |c AS (

@@ -701,7 +701,8 @@ object CorpusPipeline {
 
   /** Token-budget allocation across sources with a repetition cap —
     * the data-constrained-scaling planner (Muennighoff et al. 2023):
-    * given a training budget of 2× the corpus' available tokens,
+    * given a training budget of 3.75× the corpus' available tokens
+    * (15·ΣA div 4 — integral in both engines),
     * allocate to each source proportionally to its quality-weighted
     * size w = avail·quality, but cap every source at 4 epochs of its
     * own data. That is capped water-filling: alloc_s = min(4·A_s,
@@ -712,7 +713,9 @@ object CorpusPipeline {
     * breakpoint (λ_s = 4000/q_s, i.e. quality DESC), and the unique
     * prefix length j where λ lands between consecutive breakpoints
     * is found by CROSS-MULTIPLIED integer comparisons of
-    * λ_j = (B − Σ_{≤j} cap) / Σ_{>j} w against 4000/q — exact
+    * λ_j = (B − Σ_{≤j} cap) / Σ_{>j} w against cap/w = E/q (the
+    * permille in q cancels against the permille in w = avail·q, so
+    * the cross-multiplied constant is E itself) — exact
     * rationals in DECIMAL(38,0) (num·w products reach ~10³⁰ at
     * 100 TB). Allocations are integral div; epochs reported in
     * exact milli-epochs. Degenerate cases are total: budget above
@@ -740,7 +743,7 @@ object CorpusPipeline {
     val ord = Window.orderBy(col("q").desc, col("source"))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = src.join(broadcast(tot))
-      .withColumn("b", col("ta") * 2)
+      .withColumn("b", expr("ta * 15 div 4"))
       .withColumn("j", row_number().over(ord))
       .withColumn("cumC", sum(col("cap")).over(run))
       .withColumn("cumW", sum(col("w")).over(run))
@@ -749,17 +752,17 @@ object CorpusPipeline {
       .withColumn("den", col("tw") - col("cumW"))
     val valid = ranked
       .filter(col("num") >= 0 &&
-        expr(s"cast(num as decimal(38,0)) * q >= ${repMaxEpochs * 1000}" +
+        expr(s"cast(num as decimal(38,0)) * q >= $repMaxEpochs" +
           " * cast(den as decimal(38,0))") &&
         (col("qn").isNull ||
-          expr(s"cast(num as decimal(38,0)) * qn < ${repMaxEpochs * 1000}" +
+          expr(s"cast(num as decimal(38,0)) * qn < $repMaxEpochs" +
             " * cast(den as decimal(38,0))")))
       .orderBy(col("j")).limit(1)
       .select(col("j").as("jstar"), col("num").as("selNum"),
         col("den").as("selDen"), lit(0).as("fallback"))
     val pick = valid
       .unionByName(tot.select(lit(0).as("jstar"),
-        (col("ta") * 2).as("selNum"), col("tw").as("selDen"),
+        expr("ta * 15 div 4").as("selNum"), col("tw").as("selDen"),
         lit(1).as("fallback")))
       .orderBy(col("fallback"), col("jstar")).limit(1)
     ranked.crossJoin(broadcast(pick))
@@ -775,7 +778,7 @@ object CorpusPipeline {
   }
 
   val pipelineRepetitionBudgetSql: String = {
-    val e1000 = repMaxEpochs * 1000
+    val e = repMaxEpochs
     s"""WITH d AS (
        |  SELECT source,
        |    CAST(SUM(len(list_filter(string_split(text, ' '),
@@ -791,7 +794,7 @@ object CorpusPipeline {
        |  FROM d),
        |tot AS (SELECT SUM(avail) AS ta, SUM(w) AS tw FROM src),
        |r AS (
-       |  SELECT src.*, t.ta * 2 AS b, t.tw,
+       |  SELECT src.*, t.ta * 15 // 4 AS b, t.tw,
        |    ROW_NUMBER() OVER ord AS j,
        |    SUM(cap) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumC,
        |    SUM(w) OVER (ord ROWS UNBOUNDED PRECEDING) AS cumW,
@@ -803,13 +806,13 @@ object CorpusPipeline {
        |valid AS (
        |  SELECT j AS jstar, num, den FROM v
        |  WHERE num >= 0
-       |    AND CAST(num AS HUGEINT) * q >= $e1000 * CAST(den AS HUGEINT)
+       |    AND CAST(num AS HUGEINT) * q >= $e * CAST(den AS HUGEINT)
        |    AND (qn IS NULL OR
-       |      CAST(num AS HUGEINT) * qn < $e1000 * CAST(den AS HUGEINT))
+       |      CAST(num AS HUGEINT) * qn < $e * CAST(den AS HUGEINT))
        |  ORDER BY j LIMIT 1),
        |pick AS (
        |  SELECT COALESCE(v.jstar, 0) AS jstar,
-       |    COALESCE(v.num, t.ta * 2) AS num, COALESCE(v.den, t.tw) AS den
+       |    COALESCE(v.num, t.ta * 15 // 4) AS num, COALESCE(v.den, t.tw) AS den
        |  FROM tot t LEFT JOIN valid v ON TRUE),
        |a AS (
        |  SELECT r.source, r.avail, r.q, r.cap,

@@ -2252,8 +2252,11 @@ object Etl {
     * rebuilds it exactly: delete candidates (key%11=2, only
     * low-balance accounts actually die), update candidates
     * (key%7=1 minus the delete set, only sub-5000 balances move),
-    * inserts under a fresh key range gated on positive seed amounts.
-    * Every surviving row carries its action tag for audit.
+    * inserts under a fresh key range gated on positive seed amounts —
+    * shifted by max(c_custkey)+1, DERIVED from the target (the
+    * etl_cdc_upsert r7 lesson: a fixed constant shift collides once
+    * the table outgrows it; a derived shift is collision-free at any
+    * corpus scale). Every surviving row carries its action tag.
     *
     * Scale shape: ONE shuffle-pinned full-outer join on the merge
     * key (both sides corpus-sized at 100 TB — a MERGE batch is not
@@ -2264,12 +2267,15 @@ object Etl {
   def etlMergeAll(s: SparkSession, dir: String): DataFrame = {
     val tgt = Tables.load(s, dir, "customer")
     val k = col("c_custkey")
+    // collision-free insert keyspace at any scale: shift by the
+    // target's own max key (a driver scalar, like cdc_upsert's)
+    val shift = tgt.agg(max(k)).head.getLong(0) + 1
     val src = tgt.filter(k % 7 === 1 && k % 11 =!= 2)
         .select(k.as("mk"), lit("U").as("op"), lit(0.0).as("amt"))
       .unionByName(tgt.filter(k % 11 === 2)
         .select(k.as("mk"), lit("D").as("op"), lit(0.0).as("amt")))
       .unionByName(tgt.filter(k % 13 === 5)
-        .select((k + 1000000L).as("mk"), lit("I").as("op"),
+        .select((k + shift).as("mk"), lit("I").as("op"),
           col("c_acctbal").as("amt")))
     tgt.join(src.hint("shuffle_hash"), k === col("mk"), "full_outer")
       .withColumn("action",
@@ -2303,7 +2309,8 @@ object Etl {
       |  UNION ALL
       |  SELECT c_custkey, 'D', 0.0 FROM customer WHERE c_custkey % 11 = 2
       |  UNION ALL
-      |  SELECT c_custkey + 1000000, 'I', c_acctbal FROM customer
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+      |    'I', c_acctbal FROM customer
       |  WHERE c_custkey % 13 = 5),
       |j AS (
       |  SELECT t.*, s.mk, s.op, s.amt,

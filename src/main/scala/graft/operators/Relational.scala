@@ -1582,7 +1582,7 @@ object Relational {
 
   val qPennyAllocationSql: String =
     """WITH li AS (
-      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |  SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS qty
       |  FROM lineitem),
       |j AS (
       |  SELECT li.*, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
@@ -1675,11 +1675,13 @@ object Relational {
     * covered doubles per round: O(log depth) shuffle-pinned
     * self-joins, localCheckpoint truncating lineage per round
     * (dedup_clusters' regime), instead of O(depth) sequential steps.
-    * Root-absorbed rows ride along unchanged. Rollup sums run in
-    * DECIMAL(38,0) (effective quantities are path PRODUCTS — the
-    * one statistic in the engine that grows geometrically with
-    * depth), cast to long only at the output edge where DuckDB's
-    * HUGEINT cast fails equally loud on overflow. */
+    * Root-absorbed rows ride along unchanged. The path product `q`
+    * itself rides in DECIMAL(38,0) from the first edge — effective
+    * quantities grow GEOMETRICALLY with depth, and a long product
+    * would wrap silently on deep BOMs while the oracle's HUGEINT
+    * stays exact; decimal overflow surfaces as null (and the oracle
+    * errors on its BIGINT cast), never as silent garbage. Rollup
+    * sums stay decimal, cast to long only at the output edge. */
   def qBomExplosion(s: SparkSession, dir: String): DataFrame = {
     def parentOf(c: Column): Column =
       when(c > 0, (c * 48271L % 8191L) % c).otherwise(lit(0L))
@@ -1693,7 +1695,7 @@ object Relational {
         when(parentOf(col("k")) === 0, col("k")).as("root"),
         parentOf(col("k")).as("ptr"),
         when(parentOf(col("k")) === 0, lit(1L))
-          .otherwise(qtyOf(col("k"))).as("q"))
+          .otherwise(qtyOf(col("k"))).cast("decimal(38,0)").as("q"))
       .localCheckpoint()
     var open = t.filter(col("root").isNull).count()
     var rounds = 0
@@ -1713,10 +1715,8 @@ object Relational {
     t.join(parts.hint("shuffle_hash"), Seq("k"))
       .groupBy(col("root").as("root_part"))
       .agg(count(lit(1)).as("n_parts"),
-        expr("cast(sum(cast(q as decimal(38,0))) as bigint)")
-          .as("total_qty"),
-        expr("cast(sum(cast(q as decimal(38,0)) * cents) as bigint)")
-          .as("total_cost_cents"))
+        expr("cast(sum(q) as bigint)").as("total_qty"),
+        expr("cast(sum(q * cents) as bigint)").as("total_cost_cents"))
       .orderBy("root_part")
   }
 

@@ -948,6 +948,7 @@ class EtlSpec extends AnyFunSuite {
     val base = Tables.load(spark, sf, "customer").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
         r.getDouble(3), r.getString(4)))
+    val shift = base.map(_._1).max + 1
     val exp = scala.collection.mutable.Map[Long,
       (String, Int, Double, String, String)]()
     base.foreach { case (k, name, nat, bal, seg) =>
@@ -958,8 +959,8 @@ class EtlSpec extends AnyFunSuite {
         exp(k) = (name, nat, bal + 1000.0, "UPGRADED", "updated")
       else exp(k) = (name, nat, bal, seg, "kept")
       if (k % 13 == 5 && bal > 0)
-        exp(k + 1000000L) =
-          (s"NEW_${k + 1000000L}", ((k + 1000000L) % 25).toInt, bal,
+        exp(k + shift) =
+          (s"NEW_${k + shift}", ((k + shift) % 25).toInt, bal,
             "FRESH", "inserted")
     }
     assert(got == exp.toMap)

@@ -770,7 +770,7 @@ class TextOpsSpec extends AnyFunSuite {
       val q = math.max(1L, nm * 1000 / rows.length)
       (sn, avail, q, avail * 4, avail * q)
     }.toSeq.sortBy(t => (-t._3, t._1))
-    val b = BigInt(src.map(_._2).sum) * 2
+    val b = BigInt(src.map(_._2).sum) * 15 / 4
     val totW = BigInt(src.map(_._5).sum)
     // find the water level: first j where lambda_j fits the interval
     val n = src.length
@@ -787,8 +787,8 @@ class TextOpsSpec extends AnyFunSuite {
       val nj = b - cumC
       val dj = totW - cumW
       val qn = if (j < n) Some(src(j)._3) else None
-      if (!found && nj >= 0 && nj * q >= BigInt(4000) * dj &&
-          qn.forall(nj * _ < BigInt(4000) * dj)) {
+      if (!found && nj >= 0 && nj * q >= BigInt(4) * dj &&
+          qn.forall(nj * _ < BigInt(4) * dj)) {
         found = true; jstar = j; num = nj; den = dj
       }
     }
@@ -805,6 +805,9 @@ class TextOpsSpec extends AnyFunSuite {
     val spent = got.values.map(v => BigInt(v._4)).sum
     if (jstar < n) assert(b - spent >= 0 && b - spent < n, s"slack ${b - spent}")
     assert(got.size == n && n > 1)
+    // the cap genuinely binds AND surplus cascades: some sources sit
+    // at exactly 4 epochs, others below — both regimes exercised
+    assert(jstar > 0 && jstar < n, s"jstar $jstar of $n")
   }
 
   test("pipeline_rag_ingest replays chunk counts and bucket assignment") {
