@@ -1805,6 +1805,76 @@ object Relational {
       |FROM li JOIN f ON li.supp = f.supp AND li.day = f.day
       |ORDER BY li.supp, li.day, li.ok, li.ln""".stripMargin
 
+  /** Window frame EXCLUDE clause — the second frame feature Spark
+    * lacks (q_window_groups covers the GROUPS mode): standard SQL
+    * lets a frame drop the current row, its whole peer group, or
+    * just its ties (EXCLUDE CURRENT ROW / GROUP / TIES) — the
+    * "everyone else's total" shape behind leave-one-out baselines
+    * and self-excluding comparisons. Per line item, over a 3-day
+    * trailing RANGE frame by supplier: the full frame sum and all
+    * three EXCLUDE variants of nearby revenue.
+    *
+    * Emulation is algebra over two window sums: with F = frame sum,
+    * G = the current row's peer-group sum (its ship-day total —
+    * always fully inside a trailing range frame that ends at the
+    * current day) and x = the row's own value,
+    * EXCLUDE CURRENT ROW = F − x, EXCLUDE GROUP = F − G,
+    * EXCLUDE TIES = F − G + x. SQL defines an emptied frame as NULL
+    * (sum over no rows), and revenue cents are strictly positive, so
+    * nullif(·, 0) reproduces that exactly — a zero difference can
+    * only mean the exclusion emptied the frame. The oracle runs
+    * DuckDB's NATIVE EXCLUDE clause against this plan — the
+    * emulation is checked against the real feature.
+    *
+    * Scale shape: the range frame orders by integer epoch-day within
+    * supplier; the peer-group sum is a second window on (supplier,
+    * day) — both share the supplier exchange; no joins. */
+  def qWindowExclude(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey").as("supp"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        to_date(col("l_shipdate")).as("day"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val frame = Window.partitionBy("supp").orderBy("day_num")
+      .rangeBetween(-3, 0)
+    val peer = Window.partitionBy("supp", "day")
+    li.withColumn("f", sum(col("cents")).over(frame))
+      .withColumn("g", sum(col("cents")).over(peer))
+      .select(col("supp"), col("ok"), col("ln"), col("day"), col("cents"),
+        col("f").as("full_sum"),
+        nullif(col("f") - col("cents"), lit(0L)).as("exc_current"),
+        nullif(col("f") - col("g"), lit(0L)).as("exc_group"),
+        (col("f") - col("g") + col("cents")).as("exc_ties"))
+      .orderBy("supp", "day", "ok", "ln")
+  }
+
+  val qWindowExcludeSql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey AS supp, l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      AS day_num
+      |  FROM lineitem)
+      |SELECT supp, ok, ln, day, cents,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS full_sum,
+      |  CAST(SUM(cents) OVER (PARTITION BY supp ORDER BY day_num
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+      |    EXCLUDE CURRENT ROW) AS BIGINT) AS exc_current,
+      |  CAST(SUM(cents) OVER (PARTITION BY supp ORDER BY day_num
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+      |    EXCLUDE GROUP) AS BIGINT) AS exc_group,
+      |  CAST(SUM(cents) OVER (PARTITION BY supp ORDER BY day_num
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+      |    EXCLUDE TIES) AS BIGINT) AS exc_ties
+      |FROM li
+      |WINDOW w AS (PARTITION BY supp ORDER BY day_num
+      |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY supp, day, ok, ln""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
@@ -1844,6 +1914,7 @@ object Relational {
     "q_hierarchy" -> (qHierarchy _),
     "q_bom_explosion" -> (qBomExplosion _),
     "q_window_groups" -> (qWindowGroups _),
+    "q_window_exclude" -> (qWindowExclude _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pagerank" -> (qPagerank _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1895,6 +1966,7 @@ object Relational {
     "q_hierarchy" -> qHierarchySql,
     "q_bom_explosion" -> qBomExplosionSql,
     "q_window_groups" -> qWindowGroupsSql,
+    "q_window_exclude" -> qWindowExcludeSql,
     "q_pagerank" -> qPagerankSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scalar_subquery" -> qScalarSubquerySql,

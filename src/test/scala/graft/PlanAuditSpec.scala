@@ -405,6 +405,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // window_groups: the (supp, day) group agg + its supplier-window
     // exchange + the pinned row-grain join-back + ordered output
     "q_window_groups" -> 6,
+    // window_exclude: two windows sharing the supplier exchange
+    // (range frame + peer-group sum need separate sorts) + ordered
+    // output; no joins
+    "q_window_exclude" -> 4,
     // merge_all: the pinned full-outer merge join's exchanges (the
     // batch union reads the target thrice — one exchange each) and
     // the per-row CASE cascade; no window, no second pass

@@ -522,4 +522,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.length == exp.length)
     assert(got.sameElements(exp))
   }
+
+  test("q_window_exclude matches brute-force exclusion semantics") {
+    val got = graft.operators.Relational.qWindowExclude(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDate(3).toString, r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long]),
+        Option(r.get(7)).map(_.asInstanceOf[Long]), r.getLong(8))).sorted
+    val li = spark.sql(
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         |  to_date(l_shipdate) AS day,
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint),
+         |  datediff(to_date(l_shipdate), to_date('1970-01-01'))
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDate(3).toString, r.getLong(4), r.getInt(5).toLong))
+    val exp = li.groupBy(_._1).toSeq.flatMap { case (supp, rows) =>
+      rows.map { case (_, ok, ln, day, cents, dn) =>
+        // the direct definition: filter the frame, then exclude
+        val frame = rows.filter(r => r._6 >= dn - 3 && r._6 <= dn)
+        val f = frame.map(_._5).sum
+        val g = frame.filter(_._6 == dn).map(_._5).sum
+        def nz(v: Long): Option[Long] = if (v == 0) None else Some(v)
+        (supp, ok, ln, day, cents, f, nz(f - cents), nz(f - g), f - g + cents)
+      }
+    }.sorted
+    assert(got.length == exp.length)
+    assert(got.sameElements(exp))
+    // the exclusion is observable: some group has real peers
+    assert(got.exists(r => r._7 != r._8))
+  }
 }
