@@ -232,4 +232,70 @@ class RandomizedOpsSpec extends AnyFunSuite {
       else assert(!got.contains(k), s"k=$k unexpectedly matched")
     }
   }
+
+  test("water-filling breakpoint scan satisfies the optimality conditions") {
+    // pipeline_repetition_budget's algebra on random source profiles —
+    // the class of defect a fixture spec cannot see (the original
+    // cap-constant bug kept Spark, oracle, and replay consistently
+    // wrong): verify the scan's output against the DEFINITION of
+    // capped water-filling, not against a reimplementation.
+    val E = BigInt(4)
+    (1 to 200).foreach { trial =>
+      val n = 2 + rnd.nextInt(8)
+      val src = (0 until n).map { i =>
+        (s"s$i", BigInt(1 + rnd.nextInt(100000)),
+          BigInt(1 + rnd.nextInt(1000)))                 // (name, avail, q)
+      }.sortBy { case (nm, _, q) => (-q, BigInt(nm.drop(1).toInt)) }
+      val caps = src.map { case (_, a, _) => a * E }
+      val ws = src.map { case (_, a, q) => a * q }
+      val tw = ws.sum
+      // budget anywhere from starved to beyond all caps
+      val b = src.map(_._2).sum * BigInt(1 + rnd.nextInt(6)) / 2
+      // the operator's scan (same algebra as CorpusPipeline)
+      var jstar = 0
+      var num = b
+      var den = tw
+      var cumC = BigInt(0)
+      var cumW = BigInt(0)
+      var found = false
+      (1 to n).foreach { j =>
+        cumC += caps(j - 1); cumW += ws(j - 1)
+        val nj = b - cumC
+        val dj = tw - cumW
+        val q = src(j - 1)._3
+        val qn = if (j < n) Some(src(j)._3) else None
+        if (!found && nj >= 0 && nj * q >= E * dj &&
+            qn.forall(nj * _ < E * dj)) {
+          found = true; jstar = j; num = nj; den = dj
+        }
+      }
+      val alloc = src.zipWithIndex.map { case ((_, a, q), i) =>
+        if (i + 1 <= jstar) caps(i)
+        else if (den == 0) caps(i)
+        else num * ws(i) / den
+      }
+      // optimality conditions of min(cap, lambda*w) water-filling:
+      alloc.zip(caps).foreach { case (al, c) =>
+        assert(al <= c, s"trial $trial: cap violated")
+      }
+      if (jstar < n && den > 0) {
+        // budget exhausted up to per-source truncation slack
+        val spent = alloc.sum
+        assert(b - spent >= 0 && b - spent < n, s"trial $trial: slack")
+        // capped sources have breakpoints at or below the water
+        // level; uncapped strictly above (cross-multiplied, exact)
+        (0 until n).foreach { i =>
+          val q = src(i)._3
+          if (i + 1 <= jstar)
+            assert(num * q >= E * den, s"trial $trial: wrongly capped $i")
+          else
+            assert(num * q < E * den || num * ws(i) / den == caps(i),
+              s"trial $trial: should be capped $i")
+        }
+      } else if (jstar == n) {
+        // everything capped: only legal when the budget covers all caps
+        assert(b >= caps.sum, s"trial $trial: all-capped without budget")
+      }
+    }
+  }
 }
