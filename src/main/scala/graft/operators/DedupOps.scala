@@ -771,11 +771,14 @@ object DedupOps {
     * investment pays next.
     *
     * Scale shape: two map-side-combined aggregations over the
-    * O(docs) assignment frame dedup_clusters already produces
-    * (cluster sizes, then the size histogram) — the text corpus is
-    * never re-read and the histogram is O(distinct sizes) rows. */
+    * O(docs) assignment frame — consumed from the PUBLISHED label
+    * artifact (the nightly dedup service's output, the same contract
+    * pipeline_train_corpus reads; the oracle still recomputes
+    * components from scratch, so the artifact is verified, not
+    * trusted) — the text corpus is never re-read and the histogram
+    * is O(distinct sizes) rows. */
   def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
-    val sizes = dedupClusters(s, dir)
+    val sizes = publishedLabels(s, dir)
       .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
     sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -813,7 +816,9 @@ object DedupOps {
     * struct per cluster, never member lists, and the winner is
     * partition-order-independent. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val asg = dedupClusters(s, dir).hint("shuffle_hash")
+    // published assignment artifact (see dedupClusterStats) — the
+    // oracle recomputes components independently
+    val asg = publishedLabels(s, dir).hint("shuffle_hash")
     val meta = dupDocs(s, dir).select(col("doc_id"),
       expr("case when doc_id >= 1000000 then 0L else 1L end").as("prio"),
       col("n_chars"))
@@ -870,7 +875,9 @@ object DedupOps {
     * final heap) — NOT a window rank over the corpus-sized joined
     * frame; both join sides shuffle-pinned (corpus-sized at 100 TB). */
   def dedupSoftCap(s: SparkSession, dir: String): DataFrame = {
-    val asg = dedupClusters(s, dir).hint("shuffle_hash")
+    // published assignment artifact (see dedupClusterStats) — the
+    // oracle recomputes components independently
+    val asg = publishedLabels(s, dir).hint("shuffle_hash")
     val meta = dupDocs(s, dir).select(col("doc_id"),
       expr("case when doc_id >= 1000000 then 0L else 1L end").as("prio"),
       col("n_chars"))
