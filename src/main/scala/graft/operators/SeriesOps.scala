@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Calendar-arithmetic and time-series keys: business-day lags,
+  * day-of-week seasonality, FIFO inventory aging, and series
+  * autocorrelation.
+  *
+  * Reference analog: the migration tool's datetime surface is value
+  * conversion (zero-date guards, UTC shifts —
+  * /root/reference/libs/dumperAuxFuncs.py:1-41); these keys extend
+  * "dates are data" to the calendar questions a warehouse actually
+  * gets asked — SLA lags in working days, weekly cycle strength,
+  * how old the stock on the shelf is, and whether yesterday predicts
+  * today.
+  *
+  * Float discipline (SURVEY §4): every statistic is exact-integer
+  * (cents, ppm, milli-days via `div`) or a double produced ONCE from
+  * exact decimal sufficient statistics with the identical IEEE
+  * expression tree in both engines.
+  */
+object SeriesOps {
+
+  /** Days from the Monday epoch 1970-01-05 to `d` — the anchor that
+    * makes weekday counting a pure mod-7 formula. */
+  private def mondayN(d: String): String =
+    s"datediff($d, date'1970-01-05')"
+
+  /** Weekdays (Mon-Fri) strictly before `d`, counted from the Monday
+    * epoch: 5 per full week plus the clamped partial week. */
+  private def wb(n: String): String =
+    s"(5 * ($n div 7) + least($n % 7, 5))"
+
+  /** Order→ship lag in BUSINESS days per order priority — the SLA
+    * report every fulfillment dashboard runs, computed closed-form:
+    * weekdays-before(ship) − weekdays-before(order) via the mod-7
+    * identity, never a calendar explode (the naive per-day generate_
+    * series join multiplies the fact table by the lag length — at a
+    * 30-day average lag that is 30× the corpus for a formula the
+    * engine can evaluate per row).
+    *
+    * Exactness: all integer (datediff, div, mod, least are exact and
+    * identical in both engines; dates are post-epoch so no negative
+    * div/mod asymmetry). Mean lag is integral milli-days.
+    *
+    * Scale shape: orders⨝lineitem is the fact-fact shuffle on
+    * orderkey (both sides corpus-sized at 100 TB — shuffle-pinned,
+    * broadcasting either is the OOM); the weekday formula is a
+    * codegen'd scan-side projection; the rollup is a 5-row hash
+    * aggregate with map-side combine. */
+  def qBusinessDays(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("oday"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sday"))
+    val lag = li.join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("no", expr(mondayN("oday")))
+      .withColumn("ns", expr(mondayN("sday")))
+      .withColumn("bdays",
+        expr(s"cast(${wb("ns")} - ${wb("no")} as bigint)"))
+    lag.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("bdays")).as("sum_bdays"),
+        min(col("bdays")).as("min_bdays"),
+        max(col("bdays")).as("max_bdays"))
+      .withColumn("avg_milli_bdays",
+        expr("(sum_bdays * 1000) div n_lines"))
+      .orderBy("priority")
+  }
+
+  val qBusinessDaysSql: String =
+    """WITH lag AS (
+      |  SELECT o_orderpriority AS priority,
+      |    date_diff('day', DATE '1970-01-05',
+      |      CAST(o_orderdate AS DATE)) AS no,
+      |    date_diff('day', DATE '1970-01-05',
+      |      CAST(l_shipdate AS DATE)) AS ns
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |b AS (
+      |  SELECT priority,
+      |    (5 * (ns // 7) + LEAST(ns % 7, 5))
+      |      - (5 * (no // 7) + LEAST(no % 7, 5)) AS bdays
+      |  FROM lag)
+      |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(bdays) AS BIGINT) AS sum_bdays,
+      |  CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+      |  CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+      |  CAST(CAST(SUM(bdays) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+      |    AS avg_milli_bdays
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Day-of-week revenue seasonality — the weekly-cycle index behind
+    * staffing and capacity plans: each weekday's average order value
+    * relative to the all-days average, in exact ppm
+    * (index = (Σ_d · N) / (n_d · Σ) · 10⁶). Weekday is computed from
+    * raw day arithmetic ((epoch_days + 4) mod 7, 0 = Sunday), NOT an
+    * engine dayofweek() — DOW numbering conventions differ across
+    * engines and the mod-7 form is definitionally identical.
+    *
+    * Exactness: revenue in integer cents; the index product runs in
+    * DECIMAL(38,0) (cents × orders × 10⁶ outgrows long at corpus
+    * scale) and lands as integral ppm via `div`.
+    *
+    * Scale shape: ONE hash aggregate to 7 rows with map-side combine
+    * — the corpus crosses the wire as 7 partials per task; the
+    * global total is a broadcast of the 1-row re-aggregate of those
+    * 7 rows. Nothing downstream of the first agg is data-sized. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val d7 = Tables.load(s, dir, "orders")
+      .select(
+        expr("cast((datediff(to_date(o_orderdate), date'1970-01-01') + 4) % 7 as bigint)")
+          .as("dow"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val tot = d7.agg(sum(col("n_orders")).as("nt"),
+      sum(col("sum_cents")).as("st"))
+    d7.crossJoin(broadcast(tot))
+      .withColumn("index_ppm", expr(
+        """cast((cast(sum_cents as decimal(38,0)) * nt * 1000000)
+          | div (cast(n_orders as decimal(38,0)) * st) as bigint)"""
+          .stripMargin))
+      .select(col("dow"), col("n_orders"), col("sum_cents"),
+        col("index_ppm"))
+      .orderBy("dow")
+  }
+
+  val qSeasonalitySql: String =
+    """WITH d7 AS (
+      |  SELECT (date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) + 4) % 7 AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_orders) AS BIGINT) AS nt,
+      |    CAST(SUM(sum_cents) AS BIGINT) AS st
+      |  FROM d7)
+      |SELECT CAST(dow AS BIGINT) AS dow, n_orders, sum_cents,
+      |  CAST(CAST(sum_cents AS HUGEINT) * nt * 1000000
+      |    // (CAST(n_orders AS HUGEINT) * st) AS BIGINT) AS index_ppm
+      |FROM d7 CROSS JOIN tot ORDER BY dow""".stripMargin
+
+  /** Width of one inventory age bucket, in days. */
+  val agingBucketDays = 30
+
+  /** FIFO inventory aging — the balance-sheet read of the
+    * q_stock_ledger/q_fifo_cogs movement stream: of the stock still
+    * on the shelf at the horizon, how old is it? Under FIFO, issues
+    * consume the OLDEST receipt layers first, so the remaining
+    * quantity of a receipt occupying cumulative-unit interval
+    * [rlo, rhi) against total issues S is the interval clip
+    * max(0, rhi − max(rlo, S)) — the same cumulative-space identity
+    * as q_fifo_cogs, read from the survivor side. Layers roll up to
+    * 30-day age buckets (bucket 0 = newest) with layer/part/unit
+    * counts.
+    *
+    * Exactness: quantities are exact integers; ages are integer
+    * datediff against the global max movement day; buckets via `div`.
+    *
+    * Scale shape: movements collapse to (part, day) grain map-side;
+    * the FIFO numbering is ONE part-partitioned window exchange
+    * (prefix sum and the per-part issue total share it); the as-of
+    * day is a broadcast 1-row aggregate; the bucket rollup is a
+    * model-sized hash aggregate. No joins beyond the scalar
+    * broadcast — the q_fifo_cogs band join is not needed because
+    * only the total issue volume, not per-shipment matching,
+    * determines survivorship. */
+  def qInventoryAging(s: SparkSession, dir: String): DataFrame = {
+    val mv = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        to_date(col("l_shipdate")).as("day"),
+        expr("""case when l_returnflag = 'R'
+                | then cast(cast(l_quantity as decimal(12,2)) as bigint)
+                | else 0L end""".stripMargin).as("qr"),
+        expr("""case when l_returnflag = 'R' then 0L
+                | else cast(cast(l_quantity as decimal(12,2)) as bigint)
+                | end""".stripMargin).as("qi"))
+      .groupBy("part", "day")
+      .agg(sum(col("qr")).as("qr"), sum(col("qi")).as("qi"))
+    val wOrd = Window.partitionBy("part").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("part")
+    val layers = mv
+      .withColumn("rhi", sum(col("qr")).over(wOrd))
+      .withColumn("s_issued", sum(col("qi")).over(wAll))
+      .filter(col("qr") > 0L)
+      .withColumn("rlo", col("rhi") - col("qr"))
+      .withColumn("remaining",
+        greatest(lit(0L), col("rhi") - greatest(col("rlo"), col("s_issued"))))
+      .filter(col("remaining") > 0L)
+    val asof = Tables.load(s, dir, "lineitem")
+      .agg(max(to_date(col("l_shipdate"))).as("asof"))
+    layers.crossJoin(broadcast(asof))
+      .withColumn("age_bucket",
+        expr(s"datediff(asof, day) div $agingBucketDays"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_layers"),
+        count_distinct(col("part")).as("n_parts"),
+        sum(col("remaining")).as("units"))
+      .orderBy("age_bucket")
+  }
+
+  val qInventoryAgingSql: String =
+    s"""WITH mv AS (
+       |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+       |      THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS qr,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0
+       |      ELSE CAST(FLOOR(l_quantity) AS BIGINT) END)
+       |      AS BIGINT) AS qi
+       |  FROM lineitem GROUP BY 1, 2),
+       |num AS (
+       |  SELECT part, day, qr,
+       |    SUM(qr) OVER (PARTITION BY part ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS rhi,
+       |    SUM(qi) OVER (PARTITION BY part) AS s_issued
+       |  FROM mv),
+       |layers AS (
+       |  SELECT part, day, rhi - qr AS rlo, rhi, s_issued,
+       |    GREATEST(0, rhi - GREATEST(rhi - qr, s_issued)) AS remaining
+       |  FROM num WHERE qr > 0),
+       |horizon AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS h_day
+       |  FROM lineitem)
+       |SELECT CAST(date_diff('day', day, h_day) // $agingBucketDays
+       |    AS BIGINT) AS age_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_layers,
+       |  CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts,
+       |  CAST(SUM(remaining) AS BIGINT) AS units
+       |FROM layers CROSS JOIN horizon
+       |WHERE remaining > 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Max autocorrelation lag examined. */
+  val acfMaxLag = 7
+
+  /** Autocorrelation function of the daily order-count series at
+    * lags 1..7 — the "does yesterday predict today / is there a
+    * weekly cycle" diagnostic behind every forecasting model choice
+    * (a strong lag-7 spike says weekly seasonality; lag-1 says
+    * momentum). Pearson r between the series and its k-step lead,
+    * in TRADING-DAY terms (pairs are adjacent OBSERVED days via
+    * LEAD over the day-ordered series — the convention that still
+    * works when the calendar has holes).
+    *
+    * Exactness: counts are integers; per-lag sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) run in DECIMAL(38,0) (corpus-scale
+    * daily counts square past long), converted to double ONCE and
+    * combined with the identical IEEE tree in both engines.
+    *
+    * Scale shape: the corpus collapses to the day-grain series
+    * (O(horizon) rows — model-sized by construction) at the first
+    * hash aggregate; the 7 leads share ONE sort of that small frame
+    * (a single-partition window over O(10³) rows, not corpus data);
+    * the stack and per-lag rollup are trivial. At 100 TB the only
+    * data-sized stage is still the first aggregate. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day")
+    val leads = (1 to acfMaxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("c"), k).over(w))
+    }
+    val stacked = leads.select(col("c").as("x"), expr(
+      s"stack($acfMaxLag, ${(1 to acfMaxLag)
+        .map(k => s"$k, y$k").mkString(", ")}) as (k, y)"))
+      .filter(col("y").isNotNull)
+    val sums = stacked.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("syy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("sxy"))
+    // double tree mirrored textually in the oracle — do not re-associate
+    sums.select(col("k"), col("n"),
+        expr("""(cast(n as double) * sxy - sx * sy) /
+          | (sqrt(cast(n as double) * sxx - sx * sx) *
+          |  sqrt(cast(n as double) * syy - sy * sy))""".stripMargin)
+          .as("acf"))
+      .orderBy("k")
+  }
+
+  val qAutocorrSql: String = {
+    val leadCols = (1 to acfMaxLag)
+      .map(k => s"LEAD(c, $k) OVER (ORDER BY day) AS y$k").mkString(",\n      |    ")
+    val arms = (1 to acfMaxLag)
+      .map(k => s"SELECT c AS x, $k AS k, y$k AS y FROM l")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+       |  FROM orders GROUP BY 1),
+       |l AS (
+       |  SELECT c,
+       |    $leadCols
+       |  FROM d),
+       |st AS (
+       |  $arms),
+       |s AS (
+       |  SELECT k, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+       |  FROM st WHERE y IS NOT NULL GROUP BY k)
+       |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+       |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+       |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+       |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS acf
+       |FROM s ORDER BY k""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_business_days" -> (qBusinessDays _),
+    "q_seasonality" -> (qSeasonality _),
+    "q_inventory_aging" -> (qInventoryAging _),
+    "q_autocorr" -> (qAutocorr _))
+
+  val oracles: Map[String, String] = Map(
+    "q_business_days" -> qBusinessDaysSql,
+    "q_seasonality" -> qSeasonalitySql,
+    "q_inventory_aging" -> qInventoryAgingSql,
+    "q_autocorr" -> qAutocorrSql)
+}

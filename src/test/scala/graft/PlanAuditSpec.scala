@@ -231,6 +231,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // (two exchanges), (nation, day) agg, ONE nation-window exchange
     // shared by both rolling stats + the rollup + ordered output
     "q_anomaly_bands" -> 5,
+    // business_days: the orderkey fact-fact join (2) + 5-row rollup
+    // + ordered output
+    "q_business_days" -> 4,
+    // seasonality: map-side agg to 7 rows + the 1-row total
+    // re-aggregate + its single-partition landing + ordered output
+    "q_seasonality" -> 4,
+    // inventory_aging: (part,day) agg + the shared part-window
+    // exchange + 1-row as-of landing + bucket rollup + ordered output
+    "q_inventory_aging" -> 5,
+    // autocorr: day-grain agg + the single-partition series window;
+    // the 7-row lag rollup and output reuse that partitioning
+    "q_autocorr" -> 2,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
@@ -568,7 +580,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_chi2",
       // recall composes sim_cosine_topk + sim_ivf_topk, inheriting
       // their intended query-side broadcast crosses
-      "sim_recall")
+      "sim_recall",
+      // seasonality broadcasts its 1-row grand total into the 7-row
+      // weekday frame — 1-row by construction
+      "q_seasonality",
+      // inventory_aging broadcasts the 1-row as-of day into the
+      // surviving-layer frame — 1-row by construction
+      "q_inventory_aging")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet

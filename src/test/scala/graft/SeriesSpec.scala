@@ -1,0 +1,132 @@
+package graft
+
+import java.time.{DayOfWeek, LocalDate}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SeriesOps
+
+class SeriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_business_days equals a brute-force weekday walk") {
+    val got = SeriesOps.qBusinessDays(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = spark.sql(
+      s"""SELECT o_orderpriority, to_date(o_orderdate) AS od,
+         |  to_date(l_shipdate) AS sd
+         |FROM parquet.`$sf/lineitem.parquet`
+         |JOIN parquet.`$sf/orders.parquet` ON l_orderkey = o_orderkey
+         |""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDate(2).toLocalDate))
+    // semantics under test: SIGNED weekday (Mon-Fri) count in
+    // [orderdate, shipdate) — the synthetic fixture ships some lines
+    // before their order date, and the closed form is signed there
+    def walk(a: LocalDate, b: LocalDate): Long = {
+      def fwd(x: LocalDate, y: LocalDate): Long =
+        Iterator.iterate(x)(_.plusDays(1)).takeWhile(_.isBefore(y))
+          .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+            d.getDayOfWeek != DayOfWeek.SUNDAY).toLong
+      if (!b.isBefore(a)) fwd(a, b) else -fwd(b, a)
+    }
+    val exp = rows.groupBy(_._1).map { case (p, rs) =>
+      val bd = rs.map { case (_, od, sd) => walk(od, sd) }
+      p -> (rs.size.toLong, bd.sum, bd.min, bd.max,
+        bd.sum * 1000L / rs.size)
+    }
+    assert(got == exp)
+    assert(got.values.exists(_._2 > 0), "fixture must have positive lags")
+  }
+
+  test("q_seasonality replays the ppm index in BigInt") {
+    val got = SeriesOps.qSeasonality(spark, sf).collect()
+      .map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = spark.sql(
+      s"""SELECT (datediff(to_date(o_orderdate), date'1970-01-01') + 4) % 7,
+         |  cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)
+         |FROM parquet.`$sf/orders.parquet`""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byDow = rows.groupBy(_._1)
+    val nt = BigInt(rows.size)
+    val st = rows.map(r => BigInt(r._2)).sum
+    val exp = byDow.map { case (d, rs) =>
+      val n = BigInt(rs.size)
+      val cents = rs.map(r => BigInt(r._2)).sum
+      d -> (rs.size.toLong, cents.toLong,
+        ((cents * nt * 1000000) / (n * st)).toLong)
+    }
+    assert(got == exp)
+    assert(got.size == 7, "every weekday must appear in the fixture")
+  }
+
+  test("q_inventory_aging equals a sequential FIFO consumer") {
+    val got = SeriesOps.qInventoryAging(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val mv = spark.sql(
+      s"""SELECT l_partkey, to_date(l_shipdate) AS day, l_returnflag,
+         |  cast(cast(l_quantity as decimal(12,2)) as bigint) AS qty
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2),
+        r.getLong(3)))
+    val asof = mv.map(_._2).maxBy(_.toEpochDay)
+    // per part: receipts in day order as (day, qty) layers at
+    // (part, day) grain, then consume FIFO by the part's TOTAL issues
+    case class Layer(part: Long, day: LocalDate, remaining: Long)
+    val layers = mv.groupBy(_._1).toSeq.flatMap { case (part, rs) =>
+      val rec = rs.filter(_._3 == "R").groupBy(_._2).view
+        .mapValues(_.map(_._4).sum).toSeq.sortBy(_._1.toEpochDay)
+      var toConsume = rs.filter(_._3 != "R").map(_._4).sum
+      rec.map { case (day, qty) =>
+        val eaten = math.min(qty, math.max(0L, toConsume))
+        toConsume -= eaten
+        Layer(part, day, qty - eaten)
+      }.filter(_.remaining > 0)
+    }
+    val exp = layers.groupBy(l =>
+        (asof.toEpochDay - l.day.toEpochDay) / SeriesOps.agingBucketDays)
+      .map { case (b, ls) =>
+        b -> (ls.size.toLong, ls.map(_.part).distinct.size.toLong,
+          ls.map(_.remaining).sum)
+      }
+    assert(got == exp)
+    assert(got.size > 1, "fixture must span multiple age buckets")
+  }
+
+  test("q_autocorr replays the trading-day ACF from sufficient stats") {
+    val got = SeriesOps.qAutocorr(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = spark.sql(
+      s"""SELECT to_date(o_orderdate) AS day, count(*) AS c
+         |FROM parquet.`$sf/orders.parquet` GROUP BY 1 ORDER BY 1"""
+        .stripMargin)
+      .collect().map(_.getLong(1))
+    val exp = (1 to SeriesOps.acfMaxLag).map { k =>
+      val pairs = daily.dropRight(k).zip(daily.drop(k))
+      val n = pairs.size.toDouble
+      def d(b: BigInt) = b.toDouble
+      val sx = d(pairs.map(p => BigInt(p._1)).sum)
+      val sy = d(pairs.map(p => BigInt(p._2)).sum)
+      val sxx = d(pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum)
+      val syy = d(pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum)
+      val sxy = d(pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum)
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      k -> (pairs.size.toLong, r)
+    }.toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, (n, r)) =>
+      assert(got(k)._1 == n, s"lag $k pair count")
+      assert(got(k)._2 == r, s"lag $k acf (bitwise)")
+    }
+    assert(got.values.exists { case (_, r) => r.abs > 1e-6 },
+      "fixture series must show some autocorrelation structure")
+  }
+}
