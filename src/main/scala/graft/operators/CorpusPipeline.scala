@@ -973,7 +973,94 @@ object CorpusPipeline {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Inter-annotator agreement (Cohen's kappa) — the annotation-QC
+    * gate every labeling pipeline runs before trusting labels: how
+    * much do two annotators agree BEYOND chance (raw agreement
+    * flatters any pair that both favor the majority class; kappa
+    * subtracts the chance floor). The two "annotators" here are
+    * deterministic rubrics over the documents table — a length
+    * tercile and a vocabulary-richness tercile — so both engines
+    * label identically and the statistic itself is what's tested.
+    * Output is one row: n, the full 3×3 confusion matrix, observed/
+    * expected agreement in ppm, kappa in milli.
+    *
+    * Exactness: all counts integer; expected agreement's marginal
+    * products run in DECIMAL(38,0) (n_a·n_b·10⁶ outgrows long at
+    * corpus scale) and land as integral ppm via `div`; kappa_milli =
+    * (po−pe)·1000 div (10⁶−pe) in pure integers (both engines'
+    * integral division truncates toward zero — q_yoy precedent).
+    *
+    * Scale shape: labels are a codegen'd scan-side projection; ONE
+    * global aggregate with map-side combine collapses the corpus to
+    * a single row of 16 counters (cells + marginals + n); the kappa
+    * arithmetic is a projection on that row. */
+  def pipelineAnnotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.load(s, dir, "documents")
+      .select(
+        least(expr("n_chars div 200"), lit(2L)).as("la"),
+        least(expr("cast(size(array_distinct(filter(split(text, ' '), t -> t != ''))) as bigint) div 11"),
+          lit(2L)).as("lb"))
+    def cell(i: Int, j: Int) =
+      sum(when(col("la") === i && col("lb") === j, 1L).otherwise(0L))
+        .as(s"c$i$j")
+    def ma(i: Int) =
+      sum(when(col("la") === i, 1L).otherwise(0L)).as(s"na$i")
+    def mb(j: Int) =
+      sum(when(col("lb") === j, 1L).otherwise(0L)).as(s"nb$j")
+    val cells = for { i <- 0 to 2; j <- 0 to 2 } yield cell(i, j)
+    val sums = labeled.agg(count(lit(1)).as("n"),
+      (cells ++ (0 to 2).map(ma) ++ (0 to 2).map(mb)): _*)
+    sums
+      .withColumn("po_ppm", expr("((c00 + c11 + c22) * 1000000) div n"))
+      .withColumn("pe_ppm", expr(
+        """cast((cast(na0 as decimal(38,0)) * nb0 +
+          |       cast(na1 as decimal(38,0)) * nb1 +
+          |       cast(na2 as decimal(38,0)) * nb2) * 1000000
+          |  div (cast(n as decimal(38,0)) * n) as bigint)""".stripMargin))
+      .withColumn("kappa_milli",
+        expr("((po_ppm - pe_ppm) * 1000) div (1000000 - pe_ppm)"))
+      .select(col("n"), col("c00"), col("c01"), col("c02"),
+        col("c10"), col("c11"), col("c12"),
+        col("c20"), col("c21"), col("c22"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_milli"))
+  }
+
+  val pipelineAnnotatorAgreementSql: String = {
+    val cells = (for { i <- 0 to 2; j <- 0 to 2 } yield
+      s"CAST(SUM(CASE WHEN la = $i AND lb = $j THEN 1 ELSE 0 END) AS BIGINT) AS c$i$j")
+      .mkString(",\n      |  ")
+    val margs = ((0 to 2).map(i =>
+      s"CAST(SUM(CASE WHEN la = $i THEN 1 ELSE 0 END) AS BIGINT) AS na$i") ++
+      (0 to 2).map(j =>
+        s"CAST(SUM(CASE WHEN lb = $j THEN 1 ELSE 0 END) AS BIGINT) AS nb$j"))
+      .mkString(",\n      |  ")
+    s"""WITH t AS (
+       |  SELECT LEAST(n_chars // 200, 2) AS la,
+       |    LEAST(len(list_distinct(list_filter(string_split(text, ' '),
+       |      x -> x <> ''))) // 11, 2) AS lb
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  $cells,
+       |  $margs
+       |  FROM t),
+       |p AS (
+       |  SELECT *,
+       |    ((c00 + c11 + c22) * 1000000) // n AS po_ppm,
+       |    CAST((CAST(na0 AS HUGEINT) * nb0 +
+       |          CAST(na1 AS HUGEINT) * nb1 +
+       |          CAST(na2 AS HUGEINT) * nb2) * 1000000
+       |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+       |  FROM s)
+       |SELECT n, c00, c01, c02, c10, c11, c12, c20, c21, c22,
+       |  CAST(po_ppm AS BIGINT) AS po_ppm, pe_ppm,
+       |  CAST(((po_ppm - pe_ppm) * 1000) // (1000000 - pe_ppm)
+       |    AS BIGINT) AS kappa_milli
+       |FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_annotator_agreement" -> (pipelineAnnotatorAgreement _),
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
@@ -991,6 +1078,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_annotator_agreement" -> pipelineAnnotatorAgreementSql,
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_filter_cascade" -> pipelineFilterCascadeSql,

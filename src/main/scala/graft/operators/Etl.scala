@@ -2420,7 +2420,57 @@ object Etl {
       |FROM res WHERE rn = 1
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Staleness threshold for etl_freshness, in seconds. */
+  val staleAfterS = 1500L
+
+  /** Ingest freshness report — the data-SLA monitor every pipeline
+    * scheduler polls before kicking downstream jobs: per event type,
+    * the newest event's age against the newest event ANYWHERE in the
+    * feed, and a stale flag when that lag exceeds the SLA window
+    * (a silently-dead producer shows up here hours before a consumer
+    * notices missing rows). The reference's analog is its pre-transfer
+    * per-table introspection (/root/reference/libs/MysqlParser.py:41) —
+    * freshness is the same "look before you act", applied to time.
+    *
+    * Exactness: ages are integral seconds from microsecond epochs
+    * (unix_micros ↔ epoch_us, `div` 10⁶); the newest timestamps are
+    * emitted AS epochs so timestamp-encoding differences between
+    * engines can't touch parity; the flag is an integer 0/1.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the feed
+    * to type grain; the global newest is the 1-row re-aggregate of
+    * that model-sized frame broadcast back. Nothing downstream of the
+    * first agg is data-sized. */
+  def etlFreshness(s: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+    val g = byType.agg(max(col("last_ts")).as("g_ts"))
+    byType.crossJoin(broadcast(g))
+      .withColumn("last_us", expr("unix_micros(last_ts)"))
+      .withColumn("lag_s",
+        expr("(unix_micros(g_ts) - unix_micros(last_ts)) div 1000000"))
+      .withColumn("is_stale",
+        when(col("lag_s") > staleAfterS, 1L).otherwise(0L))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        col("lag_s"), col("is_stale"))
+      .orderBy("event_type")
+  }
+
+  val etlFreshnessSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT MAX(last_ts) AS g_ts FROM t)
+       |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       |  epoch_us(last_ts) AS last_us,
+       |  (epoch_us(g_ts) - epoch_us(last_ts)) // 1000000 AS lag_s,
+       |  CAST(CASE WHEN (epoch_us(g_ts) - epoch_us(last_ts)) // 1000000
+       |    > $staleAfterS THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+       |FROM t CROSS JOIN g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_freshness" -> (etlFreshness _),
     "etl_partition_skew" -> (etlPartitionSkew _),
     "etl_csv_sniff" -> (etlCsvSniff _),
     "etl_type_infer" -> (etlTypeInfer _),
@@ -2472,6 +2522,7 @@ object Etl {
     "etl_reconcile" -> etlReconcileSql,
     "etl_type_infer" -> etlTypeInferSql,
     "etl_csv_sniff" -> etlCsvSniffSql,
+    "etl_freshness" -> etlFreshnessSql,
     "etl_partition_skew" -> etlPartitionSkewSql,
     "etl_wap" -> etlWapSql,
     "etl_scd2_lookup" -> etlScd2LookupSql,

@@ -1308,7 +1308,51 @@ object TextOps {
        |FROM u WHERE tok = '$kwicTerm'
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** Lexical diversity per source — type-token ratio and hapax share
+    * (the vocabulary-richness screen corpus curation runs next to
+    * text_quality's surface stats: template-generated or looping text
+    * shows a collapsed vocabulary long before a human reads it; a
+    * healthy hapax share is the classic Zipf-tail signature).
+    * Per source: token count, type count, hapax count (types seen
+    * once IN THAT SOURCE), TTR and hapax share in exact ppm.
+    *
+    * Scale shape: the exploded token stream collapses to
+    * (source, type) grain at the FIRST aggregate (map-side combine —
+    * raw tokens cross the wire once as thin count rows, volume
+    * O(per-source vocabulary), never corpus tokens); the source
+    * rollup reuses that frame. Integer ppm via `div`, no floats. */
+  def textTtr(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_types"))
+      .orderBy("source")
+  }
+
+  val textTtrSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hapax,
+      |  CAST(CAST(COUNT(*) AS BIGINT) * 1000000
+      |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS ttr_ppm,
+      |  CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS hapax_ppm
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> (textTtr _),
     "text_concordance" -> (textConcordance _),
     "text_html_strip" -> (textHtmlStrip _),
     "text_url_canon" -> (textUrlCanon _),
@@ -1340,6 +1384,7 @@ object TextOps {
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_url_canon" -> textUrlCanonSql,
     "text_html_strip" -> textHtmlStripSql,
+    "text_ttr" -> textTtrSql,
     "text_concordance" -> textConcordanceSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_collocations" -> textCollocationsSql,

@@ -10,6 +10,26 @@ import graft.schema._
 import graft.sqlgen.PgSqlGen
 
 class EtlSpec extends AnyFunSuite {
+
+  test("etl_freshness reports exact lags against the feed's newest event") {
+    import TestSpark._
+    val got = Etl.etlFreshness(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gUs = ev.map(_._2).max
+    val exp = ev.groupBy(_._1).map { case (t, rs) =>
+      val last = rs.map(_._2).max
+      val lagS = (gUs - last) / 1000000L
+      t -> (rs.size.toLong, last, lagS,
+        if (lagS > Etl.staleAfterS) 1L else 0L)
+    }
+    assert(got == exp)
+    // the SLA threshold genuinely separates the fixture's types
+    assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L))
+  }
   import TestSpark._
 
   // --- schema introspection (MysqlParser.get_schema analogue) ---

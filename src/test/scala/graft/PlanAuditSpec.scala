@@ -86,6 +86,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // distinct-phrase hit agg + the pinned zero-hit stitch +
     // ordered output
     "pipeline_safety_filter" -> 6,
+    // annotator_agreement: ONE global single-row aggregate; the
+    // kappa arithmetic is a projection on that row
+    "pipeline_annotator_agreement" -> 1,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -105,6 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row single-partition merge — 11 exchanges, all 1-row or
     // key-grain frames
     "etl_dq_report" -> 11,
+    // freshness: type-grain agg + the 1-row newest re-aggregate +
+    // its single-partition landing + ordered output
+    "etl_freshness" -> 4,
     // etl_profile's 4: the single-scan multi-distinct lowers to
     // Expand + two aggregate rounds (per-distinct-group shuffle,
     // final single-partition merge) — still ONE pass over the table
@@ -508,6 +514,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
+    // ttr: (source,type) grain agg + source rollup + ordered output
+    "text_ttr" -> 3,
     "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0,
     // anonymize: pure projection, fuses with the scan
@@ -586,7 +594,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_seasonality",
       // inventory_aging broadcasts the 1-row as-of day into the
       // surviving-layer frame — 1-row by construction
-      "q_inventory_aging")
+      "q_inventory_aging",
+      // freshness broadcasts its 1-row global newest into the
+      // type-grain frame — 1-row by construction
+      "etl_freshness")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet

@@ -870,4 +870,60 @@ class TextOpsSpec extends AnyFunSuite {
     // every disposition occurs on the fixture — the screen is real
     assert(got.values.map(_._3).toSet == Set("kept", "flagged", "dropped"))
   }
+
+  test("text_ttr replays per-source type/token/hapax counts") {
+    val got = TextOps.textTtr(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      val nTok = toks.size.toLong
+      val nTyp = counts.size.toLong
+      val nHap = counts.count(_._2 == 1).toLong
+      src -> (nTok, nTyp, nHap,
+        nTyp * 1000000L / nTok, nHap * 1000000L / nTyp)
+    }
+    assert(got == exp)
+    // hapaxes exist and vocabulary is genuinely shared across docs
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.forall(v => v._2 < v._1))
+  }
+
+  test("pipeline_annotator_agreement replays Cohen's kappa in BigInt") {
+    import graft.operators.CorpusPipeline
+    val r = CorpusPipeline.pipelineAnnotatorAgreement(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val docs = Tables.load(spark, sf, "documents")
+      .select("n_chars", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val labels = docs.map { case (nc, text) =>
+      val la = math.min(nc / 200, 2L)
+      val nu = text.split(" ").filter(_.nonEmpty).distinct.length
+      val lb = math.min(nu / 11, 2L)
+      (la, lb)
+    }
+    val n = BigInt(labels.length)
+    def c(i: Int, j: Int) = labels.count(l => l._1 == i && l._2 == j)
+    val cells = for { i <- 0 to 2; j <- 0 to 2 } yield c(i, j)
+    assert(row.getLong(0) == labels.length.toLong)
+    cells.zipWithIndex.foreach { case (v, k) =>
+      assert(row.getLong(1 + k) == v.toLong, s"cell $k")
+    }
+    val po = BigInt(cells.zipWithIndex.collect {
+      case (v, k) if k % 4 == 0 => v }.sum) * 1000000 / n
+    val pe = (0 to 2).map(k => BigInt(labels.count(_._1 == k)) *
+      BigInt(labels.count(_._2 == k))).sum * 1000000 / (n * n)
+    val kappa = (po - pe) * 1000 / (1000000 - pe)
+    assert(row.getLong(10) == po.toLong)
+    assert(row.getLong(11) == pe.toLong)
+    assert(row.getLong(12) == kappa.toLong)
+    // the rubrics genuinely disagree somewhere AND agree beyond zero
+    assert(po.toLong > 0 && po.toLong < 1000000)
+  }
 }
