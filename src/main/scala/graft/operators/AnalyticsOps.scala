@@ -2686,7 +2686,120 @@ object AnalyticsOps {
        |  MAX(CASE WHEN breakout THEN day END) AS last_breakout
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Brand adoption curve — the product-growth S-curve report (new
+    * adopters per month + cumulative installed base per brand): the
+    * PRODUCT-side complement of q_retention_cohort/q_cohort_ltv's
+    * customer-side cohorts. A customer "adopts" a brand in the month
+    * of their FIRST order containing it.
+    *
+    * Scale shape: lineitem⨝part and lineitem⨝orders are both
+    * corpus-sized at 100 TB — shuffle-pinned (the part dimension is
+    * only broadcastable at fixture scale; pinning keeps the plan the
+    * one that survives); first-adoption collapses to (brand,
+    * customer) grain with a map-side min; the monthly rollup and
+    * cumulative window run over the model-sized brand×month frame.
+    * Pure integer counts and calendar months. */
+  def qAdoption(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val firsts = li
+      .join(part.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_brand").as("brand"), col("o_custkey").as("cust"))
+      .agg(min(col("month")).as("month"))
+    val monthly = firsts.groupBy("brand", "month")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy("brand").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cum_adopters", sum(col("n_new")).over(w))
+      .orderBy("brand", "month")
+  }
+
+  val qAdoptionSql: String =
+    """WITH f AS (
+      |  SELECT p_brand AS brand, o_custkey AS cust,
+      |    MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS month
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT brand, month, COUNT(*) AS n_new FROM f GROUP BY 1, 2)
+      |SELECT brand, month, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(SUM(n_new) OVER (PARTITION BY brand ORDER BY month
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_adopters
+      |FROM m ORDER BY brand, month""".stripMargin
+
+  /** Matched-sample fixed-base (Laspeyres) price index — the
+    * inflation/price-drift monitor every commerce and procurement
+    * dashboard carries: each month's basket priced at current vs
+    * base-month unit prices, weighted by base-month quantities,
+    * restricted per month to parts OBSERVED that month (the matched-
+    * sample convention — an unmatched fixed basket silently divides
+    * by a stale denominator when parts churn). Unit price is
+    * integral cents-per-unit (cents div qty, truncation mirrored).
+    *
+    * Exactness: the basket sums Σp_t·w and Σp₀·w run in
+    * DECIMAL(38,0) (price × weight × 10⁹ parts outgrows long); the
+    * index lands as integral ppm via div.
+    *
+    * Scale shape: the corpus collapses to (part, month) grain at the
+    * FIRST aggregate; the base extraction is the q_latest_per_key
+    * min-struct (one map-side-combined agg, never a window over the
+    * corpus); the base⨝monthly join is part-grain and shuffle-pinned
+    * (both sides O(parts) — corpus-key-sized at 100 TB); the month
+    * rollup is model-sized. */
+  def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        trunc(to_date(col("l_shipdate")), "month").as("month"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)")
+          .as("qty"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+      .groupBy("part", "month")
+      .agg(sum(col("qty")).as("q"), sum(col("cents")).as("c"))
+      .withColumn("p", expr("c div q"))
+    val base = pm.groupBy("part")
+      .agg(min(struct(col("month"), col("p"), col("q"))).as("b"))
+      .select(col("part"), col("b.p").as("p0"), col("b.q").as("w"))
+    pm.join(base.hint("shuffle_hash"), "part")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("cast(p as decimal(38,0)) * w")).as("num"),
+        sum(expr("cast(p0 as decimal(38,0)) * w")).as("den"))
+      .withColumn("index_ppm",
+        expr("cast((num * 1000000) div den as bigint)"))
+      .select(col("month"), col("n_parts"), col("index_ppm"))
+      .orderBy("month")
+  }
+
+  val qPriceIndexSql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey AS part,
+      |    date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |p1 AS (SELECT part, month, q, c // q AS p FROM pm),
+      |b AS (
+      |  SELECT p1.part, p1.p AS p0, p1.q AS w
+      |  FROM p1 JOIN (SELECT part, MIN(month) AS m0 FROM p1 GROUP BY 1) mm
+      |    ON p1.part = mm.part AND p1.month = mm.m0)
+      |SELECT t.month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST((SUM(CAST(t.p AS HUGEINT) * b.w) * 1000000)
+      |    // SUM(CAST(b.p0 AS HUGEINT) * b.w) AS BIGINT) AS index_ppm
+      |FROM p1 t JOIN b ON t.part = b.part
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_adoption" -> (qAdoption _),
+    "q_price_index" -> (qPriceIndex _),
     "q_winsorize" -> (qWinsorize _),
     "q_ab_bucketing" -> (qAbBucketing _),
     "q_promo_lift" -> (qPromoLift _),
@@ -2732,6 +2845,8 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_adoption" -> qAdoptionSql,
+    "q_price_index" -> qPriceIndexSql,
     "q_rfm" -> qRfmSql,
     "q_yoy" -> qYoySql,
     "q_benford" -> qBenfordSql,

@@ -1253,4 +1253,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0))
     assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
   }
+
+  test("q_adoption replays first-month adoption and conserves adopters") {
+    val got = AnalyticsOps.qAdoption(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val rows = spark.sql(
+      s"""SELECT p_brand, o_custkey, trunc(to_date(o_orderdate), 'month') AS m
+         |FROM parquet.`$sf/lineitem.parquet`
+         |JOIN parquet.`$sf/part.parquet` ON l_partkey = p_partkey
+         |JOIN parquet.`$sf/orders.parquet` ON l_orderkey = o_orderkey
+         |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString))
+    val firsts = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.map(_._3).min
+    }
+    val monthly = firsts.toSeq.groupBy { case ((b, _), m) => (b, m) }
+      .view.mapValues(_.size.toLong).toMap
+    // cumulative replay per brand
+    val exp = monthly.keys.groupBy(_._1).flatMap { case (b, ks) =>
+      var cum = 0L
+      ks.toSeq.sortBy(_._2).map { k =>
+        cum += monthly(k); k -> (monthly(k), cum)
+      }
+    }
+    assert(got == exp)
+    // conservation: final cumulative == distinct (brand, cust) pairs
+    val finals = got.groupBy(_._1._1).values
+      .map(_.maxBy(_._1._2)._2._2).sum
+    assert(finals == firsts.size.toLong)
+  }
+
+  test("q_price_index replays the matched-sample Laspeyres in BigInt") {
+    val got = AnalyticsOps.qPriceIndex(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val pm = spark.sql(
+      s"""SELECT l_partkey, trunc(to_date(l_shipdate), 'month') AS m,
+         |  cast(sum(cast(cast(l_quantity as decimal(12,2)) as bigint))
+         |    as bigint) AS q,
+         |  cast(sum(cast(cast(l_extendedprice as decimal(14,2)) * 100
+         |    as bigint)) as bigint) AS c
+         |FROM parquet.`$sf/lineitem.parquet` GROUP BY 1, 2""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3)))
+    val withP = pm.map { case (part, m, q, c) => (part, m, q, c / q) }
+    val base = withP.groupBy(_._1).map { case (part, rs) =>
+      val b = rs.minBy(_._2)
+      part -> (b._4, b._3) // (p0, w)
+    }
+    val exp = withP.groupBy(_._2).map { case (m, rs) =>
+      val num = rs.map(r => BigInt(r._4) * BigInt(base(r._1)._2)).sum
+      val den = rs.map(r => BigInt(base(r._1)._1) * BigInt(base(r._1)._2)).sum
+      m -> (rs.size.toLong, (num * 1000000 / den).toLong)
+    }
+    assert(got == exp)
+    // the index genuinely moves off 1.0 somewhere
+    assert(got.values.exists(_._2 != 1000000L))
+    // and the base month itself indexes to exactly parity for parts
+    // present there — sanity on at least one month equal to 10^6 ppm
+    // is not required (matched sample), but num==den must hold when
+    // every part is in its own base month
+  }
 }

@@ -237,6 +237,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // (two exchanges), (nation, day) agg, ONE nation-window exchange
     // shared by both rolling stats + the rollup + ordered output
     "q_anomaly_bands" -> 5,
+    // adoption: two pinned corpus joins (4) + (brand,cust) first-
+    // adoption agg + monthly rollup + brand window + ordered output
+    "q_adoption" -> 8,
+    // price_index: (part,month) agg + base min-struct agg + the
+    // pinned part-grain join (2) + month rollup + ordered output
+    "q_price_index" -> 6,
     // business_days: the orderkey fact-fact join (2) + 5-row rollup
     // + ordered output
     "q_business_days" -> 4,
