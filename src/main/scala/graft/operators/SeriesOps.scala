@@ -325,13 +325,99 @@ object SeriesOps {
        |FROM s ORDER BY k""".stripMargin
   }
 
+  /** Rolling-OLS window width, in trading days. */
+  val trendW = 30
+  /** Σx and Σx² for x = 0..trendW-1 — compile-time constants of the
+    * in-window position regressor. */
+  private val trendSumX = trendW * (trendW - 1) / 2
+  private val trendSumX2 = (trendW - 1) * trendW * (2 * trendW - 1) / 6
+  /** The OLS denominator n·Σx² − (Σx)² — a positive constant. */
+  private val trendDen = trendW * trendSumX2 - trendSumX * trendSumX
+
+  /** Rolling trend slope — the least-squares slope of each nation's
+    * daily revenue over its trailing 30 trading days, in exact
+    * integer milli-cents/day: the TREND detector that completes the
+    * monitoring triptych (q_changepoint = level shift, q_anomaly_bands
+    * = volatility breakout, this = sustained drift a band test never
+    * fires on). The float-free trick: with the regressor x fixed at
+    * in-window positions 0..29, Σx and Σx² are CONSTANTS, and
+    * Σxy = T − (i−29)·S where T = Σ(global_row·y) and S = Σy are
+    * plain window sums — so the classic slope
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is integer arithmetic over two
+    * window sums divided by a compile-time constant.
+    *
+    * Exactness: T runs in DECIMAL(38,0) (row index × cents × window
+    * outgrows long at horizon scale); slope lands as integral milli
+    * via div; truncation toward zero in both engines.
+    *
+    * Scale shape: q_changepoint's frame — pinned fact→customer join,
+    * broadcast 25-row nation dim, facts collapse to (nation, day)
+    * grain map-side; row numbering and both window sums share ONE
+    * nation-window exchange over the model-sized daily frame. */
+  def qTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("c"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("day"))
+      .agg(sum(col("c")).as("y"))
+    val wOrd = Window.partitionBy("nation").orderBy("day")
+    val wFrame = wOrd.rowsBetween(-(trendW - 1), 0)
+    daily
+      .withColumn("i", row_number().over(wOrd).cast(LongType))
+      .withColumn("sw", sum(col("y")).over(wFrame))
+      .withColumn("tw",
+        sum(expr("cast(i as decimal(38,0)) * y")).over(wFrame))
+      .filter(col("i") >= trendW)
+      .withColumn("slope_milli", expr(
+        s"""cast((($trendW * (tw - cast(i - ${trendW - 1} as decimal(38,0)) * sw)
+           |  - $trendSumX * sw) * 1000) div $trendDen as bigint)"""
+          .stripMargin))
+      .select(col("nation"), col("day"), col("y"), col("slope_milli"))
+      .orderBy("nation", "day")
+  }
+
+  val qTrendSlopeSql: String =
+    s"""WITH d AS (
+       |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+       |      AS BIGINT) AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |r1 AS (
+       |  SELECT nation, day, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM d),
+       |r2 AS (
+       |  SELECT nation, day, y, i,
+       |    SUM(y) OVER wf AS sw,
+       |    SUM(CAST(i AS HUGEINT) * y) OVER wf AS tw
+       |  FROM r1
+       |  WINDOW wf AS (PARTITION BY nation ORDER BY day
+       |    ROWS BETWEEN ${trendW - 1} PRECEDING AND CURRENT ROW))
+       |SELECT nation, day, y,
+       |  CAST((($trendW * (tw - CAST(i - ${trendW - 1} AS HUGEINT) * sw)
+       |    - $trendSumX * sw) * 1000) // $trendDen AS BIGINT)
+       |    AS slope_milli
+       |FROM r2 WHERE i >= $trendW ORDER BY nation, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_slope" -> (qTrendSlope _),
     "q_business_days" -> (qBusinessDays _),
     "q_seasonality" -> (qSeasonality _),
     "q_inventory_aging" -> (qInventoryAging _),
     "q_autocorr" -> (qAutocorr _))
 
   val oracles: Map[String, String] = Map(
+    "q_trend_slope" -> qTrendSlopeSql,
     "q_business_days" -> qBusinessDaysSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_inventory_aging" -> qInventoryAgingSql,

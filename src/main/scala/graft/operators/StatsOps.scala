@@ -250,13 +250,91 @@ object StatsOps {
       |       * CAST(col_total AS DOUBLE)) AS chi2_term
       |FROM g2""".stripMargin
 
+  /** Higher-moment shape statistics — population skewness and excess
+    * kurtosis of line quantities per return flag (the distribution-
+    * shape profile q_stats_funcs' second moments can't see: skew
+    * says the tail's direction, kurtosis says whether outliers or
+    * shoulders carry the variance — the first screen before choosing
+    * robust vs classical monitors).
+    *
+    * Float discipline (SURVEY §4): raw power sums Σx..Σx⁴ are EXACT
+    * decimal integers (quantities are integral), converted to double
+    * once; the moment combinations use only +,-,*,/ and sqrt — all
+    * correctly rounded, so identical inputs give bitwise-equal
+    * results. x^1.5 is spelled v*sqrt(v), never pow() (libm pow is
+    * not correctly rounded and may differ across engines).
+    *
+    * Scale shape: ONE map-side-combined aggregate of five sums per
+    * group — q1_agg's shape at any corpus size; the closed-form
+    * combination runs on the 3-row aggregate. */
+  def qMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("x"))
+    val sums = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast(DoubleType).as("s1"),
+        sum(expr("cast(x as decimal(38,0)) * x")).cast(DoubleType).as("s2"),
+        sum(expr("cast(x as decimal(38,0)) * x * x")).cast(DoubleType)
+          .as("s3"),
+        sum(expr("cast(x as decimal(38,0)) * x * x * x")).cast(DoubleType)
+          .as("s4"))
+    // the double trees below are textually mirrored in the oracle —
+    // do not re-associate; ^1.5 and ^2 are spelled via * and sqrt
+    sums.select(col("l_returnflag"), col("n"),
+        expr("s1 / cast(n as double)").as("mean_qty"),
+        expr("""(s3 / cast(n as double)
+          |  - 3.0 * (s1 / cast(n as double)) * (s2 / cast(n as double))
+          |  + 2.0 * (s1 / cast(n as double)) * (s1 / cast(n as double)) * (s1 / cast(n as double)))
+          | / ((s2 / cast(n as double) - (s1 / cast(n as double)) * (s1 / cast(n as double)))
+          |    * sqrt(s2 / cast(n as double) - (s1 / cast(n as double)) * (s1 / cast(n as double))))"""
+          .stripMargin).as("skewness"),
+        expr("""(s4 / cast(n as double)
+          |  - 4.0 * (s1 / cast(n as double)) * (s3 / cast(n as double))
+          |  + 6.0 * (s1 / cast(n as double)) * (s1 / cast(n as double)) * (s2 / cast(n as double))
+          |  - 3.0 * (s1 / cast(n as double)) * (s1 / cast(n as double)) * (s1 / cast(n as double)) * (s1 / cast(n as double)))
+          | / ((s2 / cast(n as double) - (s1 / cast(n as double)) * (s1 / cast(n as double)))
+          |    * (s2 / cast(n as double) - (s1 / cast(n as double)) * (s1 / cast(n as double)))) - 3.0"""
+          .stripMargin).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  val qMomentsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+      |  FROM (SELECT l_returnflag,
+      |          CAST(FLOOR(l_quantity) AS BIGINT) AS x FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  s1 / CAST(n AS DOUBLE) AS mean_qty,
+      |  (s3 / CAST(n AS DOUBLE)
+      |   - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+      |   + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+      |  / ((s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+      |     * sqrt(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+      |    AS skewness,
+      |  (s4 / CAST(n AS DOUBLE)
+      |   - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+      |   + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+      |   - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+      |  / ((s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+      |     * (s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))) - 3.0
+      |    AS kurtosis_excess
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moments" -> (qMoments _),
     "q_stats_funcs" -> (qStatsFuncs _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_moments" -> qMomentsSql,
     "q_stats_funcs" -> qStatsFuncsSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_triangle_count" -> qTriangleCountSql,

@@ -255,6 +255,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // autocorr: day-grain agg + the single-partition series window;
     // the 7-row lag rollup and output reuse that partitioning
     "q_autocorr" -> 2,
+    // moments: one map-side-combined power-sum agg + ordered output
+    "q_moments" -> 2,
+    // trend_slope: the pinned fact→customer join (2) + (nation,day)
+    // agg + ONE shared nation-window exchange + ordered output
+    "q_trend_slope" -> 5,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,

@@ -129,4 +129,38 @@ class SeriesSpec extends AnyFunSuite {
     assert(got.values.exists { case (_, r) => r.abs > 1e-6 },
       "fixture series must show some autocorrelation structure")
   }
+
+  test("q_trend_slope equals a brute-force rolling OLS in BigInt") {
+    val got = SeriesOps.qTrendSlope(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val daily = spark.sql(
+      s"""SELECT n_name, to_date(o_orderdate) AS day,
+         |  cast(sum(cast(cast(o_totalprice as decimal(14,2)) * 100
+         |    as bigint)) as bigint) AS y
+         |FROM parquet.`$sf/orders.parquet`
+         |JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+         |JOIN parquet.`$sf/nation.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val w = SeriesOps.trendW
+    val sumX = BigInt(w * (w - 1) / 2)
+    val den = BigInt(w * ((w - 1) * w * (2 * w - 1) / 6)) - sumX * sumX
+    val exp = daily.groupBy(_._1).flatMap { case (nat, rs) =>
+      val ys = rs.sortBy(_._2)
+      ys.indices.drop(w - 1).map { t =>
+        val win = ys.slice(t - w + 1, t + 1)
+        // brute-force: x = 0..w-1 against the window's y values
+        val sxy = win.zipWithIndex
+          .map { case (r, x) => BigInt(x) * BigInt(r._3) }.sum
+        val sy = win.map(r => BigInt(r._3)).sum
+        val num = BigInt(w) * sxy - sumX * sy
+        (nat, ys(t)._2) -> (ys(t)._3, (num * 1000 / den).toLong)
+      }
+    }
+    assert(got == exp)
+    // drift is detected in both directions somewhere on the fixture
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0))
+  }
 }

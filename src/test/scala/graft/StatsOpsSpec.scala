@@ -124,4 +124,39 @@ class StatsOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))).toSet
     assert(got == expected, "motif counts must match the driver replay")
   }
+
+  test("q_moments replays skew/kurtosis from exact power sums") {
+    val got = StatsOps.qMoments(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val xs = spark.sql(
+      s"""SELECT l_returnflag,
+         |  cast(cast(l_quantity as decimal(12,2)) as bigint) AS x
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = xs.groupBy(_._1).map { case (f, rs) =>
+      val n = rs.size.toDouble
+      def p(k: Int) =
+        rs.map(r => BigInt(r._2).pow(k)).sum.toDouble
+      val (s1, s2, s3, s4) = (p(1), p(2), p(3), p(4))
+      val m = s1 / n
+      val v = s2 / n - m * m
+      val skew = (s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m) /
+        (v * math.sqrt(v))
+      val kurt = (s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) -
+        3.0 * m * m * m * m) / (v * v) - 3.0
+      f -> (rs.size.toLong, m, skew, kurt)
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (f, (n, m, sk, ku)) =>
+      assert(got(f)._1 == n)
+      assert(got(f)._2 == m, s"$f mean (bitwise)")
+      assert(got(f)._3 == sk, s"$f skewness (bitwise)")
+      assert(got(f)._4 == ku, s"$f kurtosis (bitwise)")
+    }
+    // a uniform-ish quantity distribution is platykurtic — the
+    // statistic must actually see that shape, not return 0
+    assert(got.values.forall(_._4 < 0))
+  }
 }
