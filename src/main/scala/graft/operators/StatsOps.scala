@@ -326,7 +326,158 @@ object StatsOps {
       |    AS kurtosis_excess
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** The four cov-matrix measures, each an exact integer projection
+    * of a lineitem column (quantity units, price cents, discount and
+    * tax in basis points). */
+  private val covVars = Seq("q", "p", "d", "t")
+  private val covPairs =
+    for { i <- covVars.indices; j <- i until covVars.size }
+      yield (covVars(i), covVars(j))
+
+  /** ONE formula text per statistic, fed verbatim to BOTH Spark's
+    * SQL parser and DuckDB — the §4 mirrored-IEEE-tree discipline
+    * made structural: the two engines cannot drift because they
+    * parse the same string. */
+  private def covTree(sx: String, sy: String, sxy: String): String =
+    s"(CAST(n AS DOUBLE) * $sxy - $sx * $sy) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+  private def corrTree(sx: String, sy: String, sxx: String, syy: String,
+      sxy: String): String =
+    s"(CAST(n AS DOUBLE) * $sxy - $sx * $sy) / " +
+      s"(sqrt(CAST(n AS DOUBLE) * $sxx - $sx * $sx) * " +
+      s"sqrt(CAST(n AS DOUBLE) * $syy - $sy * $sy))"
+
+  /** Full pairwise covariance/correlation matrix over four lineitem
+    * measures (quantity, price, discount, tax) — the multi-column
+    * profiling pass feature selection and anomaly models start from
+    * (q_stats_funcs profiles ONE pair; the matrix is what correlation
+    * heatmaps and PCA preprocessing actually consume). 10 rows: the
+    * upper triangle incl. diagonals, sample covariance + Pearson r.
+    *
+    * Scale shape: ONE map-side-combined aggregate of 14 exact
+    * DECIMAL(38,0) sums (4 firsts + 10 pair products) collapses the
+    * corpus to a single row; the matrix rows are a stack projection
+    * of that row. The agg state is O(measures²) per task — the
+    * textbook one-pass covariance-matrix layout. */
+  def qCovMatrix(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "lineitem").select(
+      expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"),
+      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+        .as("p"),
+      expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)")
+        .as("d"),
+      expr("cast(cast(l_tax as decimal(6,4)) * 10000 as bigint)").as("t"))
+    val firstSums = covVars.map(v =>
+      sum(col(v).cast(DecimalType(38, 0))).cast(DoubleType).as(s"s_$v"))
+    val pairSums = covPairs.map { case (a, b) =>
+      sum(expr(s"cast($a as decimal(38,0)) * $b")).cast(DoubleType)
+        .as(s"s_$a$b")
+    }
+    val sums = base.agg(count(lit(1)).as("n"),
+      (firstSums ++ pairSums): _*)
+    val withStats = covPairs.foldLeft(sums) { case (df, (a, b)) =>
+      df.withColumn(s"cov_$a$b", expr(covTree(s"s_$a", s"s_$b", s"s_$a$b")))
+        .withColumn(s"corr_$a$b",
+          expr(corrTree(s"s_$a", s"s_$b", s"s_$a$a", s"s_$b$b", s"s_$a$b")))
+    }
+    val stackArgs = covPairs
+      .map { case (a, b) => s"'$a', '$b', cov_$a$b, corr_$a$b" }
+      .mkString(", ")
+    withStats.select(col("n"), expr(
+        s"stack(${covPairs.size}, $stackArgs) as (var_a, var_b, cov, corr)"))
+      .select(col("var_a"), col("var_b"), col("n"), col("cov"), col("corr"))
+      .orderBy("var_a", "var_b")
+  }
+
+  val qCovMatrixSql: String = {
+    val pairSums = covPairs.map { case (a, b) =>
+      s"CAST(SUM(CAST($a AS HUGEINT) * $b) AS DOUBLE) AS s_$a$b"
+    }.mkString(",\n      |    ")
+    val firstSums = covVars.map(v =>
+      s"CAST(SUM(CAST($v AS HUGEINT)) AS DOUBLE) AS s_$v")
+      .mkString(",\n      |    ")
+    val arms = covPairs.map { case (a, b) =>
+      s"SELECT '$a' AS var_a, '$b' AS var_b, CAST(n AS BIGINT) AS n, " +
+        s"${covTree(s"s_$a", s"s_$b", s"s_$a$b")} AS cov, " +
+        s"${corrTree(s"s_$a", s"s_$b", s"s_$a$a", s"s_$b$b", s"s_$a$b")} AS corr FROM s"
+    }.mkString("\n      |UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS p,
+       |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS d,
+       |    CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT) AS t
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT COUNT(*) AS n,
+       |    $firstSums,
+       |    $pairSums
+       |  FROM b)
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY var_a, var_b""".stripMargin
+  }
+
+  /** Wilson z for the 95% lower bound — shipped as a shared literal
+    * so neither engine evaluates an inverse-normal. */
+  private val wilsonZ = "1.96"
+
+  /** Return-rate QC with a Wilson lower confidence bound per brand —
+    * the defect-ranking read a naive rate gets WRONG on small
+    * samples (1 return of 2 lines "beats" 40 of 100; the Wilson
+    * lower bound is the standard small-n-honest ranking key used by
+    * every review-scoring system). Per brand: lines, returns, exact
+    * rate in ppm, and the 95% Wilson lower bound.
+    *
+    * Float discipline: counts exact; the bound uses only
+    * +,-,*,/,sqrt on (r/n, z) with z a shared literal — bitwise
+    * parity, no inverse-normal evaluated in either engine.
+    *
+    * Scale shape: lineitem⨝part shuffle-pinned (part only
+    * broadcastable at fixture scale); ONE brand-grain aggregate with
+    * map-side combine; the bound is a projection on the 25-row
+    * brand frame. */
+  def qReturnRates(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"))
+    li.join(part.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .withColumn("rate_ppm", expr("(r * 1000000) div n"))
+      .withColumn("wilson_low_ppm", expr(wilsonLowTree))
+      .orderBy("brand")
+  }
+
+  /** The Wilson lower-bound tree, parsed by both engines verbatim
+    * (values in ppm to match rate_ppm's scale; still a double). */
+  private def wilsonLowTree: String =
+    s"""1000000.0 * (
+       | (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+       |   + $wilsonZ * $wilsonZ / (2.0 * CAST(n AS DOUBLE))
+       |   - $wilsonZ * sqrt(
+       |       (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+       |         * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |         + $wilsonZ * $wilsonZ / (4.0 * CAST(n AS DOUBLE)))
+       |       / CAST(n AS DOUBLE)))
+       | / (1.0 + $wilsonZ * $wilsonZ / CAST(n AS DOUBLE)))""".stripMargin
+
+  val qReturnRatesSql: String =
+    s"""WITH g AS (
+       |  SELECT p_brand AS brand, COUNT(*) AS n,
+       |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1)
+       |SELECT brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       |  CAST((r * 1000000) // n AS BIGINT) AS rate_ppm,
+       |  $wilsonLowTree AS wilson_low_ppm
+       |FROM g ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cov_matrix" -> (qCovMatrix _),
+    "q_return_rates" -> (qReturnRates _),
     "q_moments" -> (qMoments _),
     "q_stats_funcs" -> (qStatsFuncs _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -334,6 +485,8 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_cov_matrix" -> qCovMatrixSql,
+    "q_return_rates" -> qReturnRatesSql,
     "q_moments" -> qMomentsSql,
     "q_stats_funcs" -> qStatsFuncsSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,

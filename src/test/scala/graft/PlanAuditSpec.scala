@@ -257,6 +257,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_autocorr" -> 2,
     // moments: one map-side-combined power-sum agg + ordered output
     "q_moments" -> 2,
+    // cov_matrix: ONE single-row sum aggregate; the stack projection
+    // and 10-row sort add no data-sized exchange
+    "q_cov_matrix" -> 1,
+    // return_rates: the pinned part join (2) + brand rollup +
+    // ordered output
+    "q_return_rates" -> 4,
     // trend_slope: the pinned fact→customer join (2) + (nation,day)
     // agg + ONE shared nation-window exchange + ordered output
     "q_trend_slope" -> 5,

@@ -159,4 +159,83 @@ class StatsOpsSpec extends AnyFunSuite {
     // statistic must actually see that shape, not return 0
     assert(got.values.forall(_._4 < 0))
   }
+
+  test("q_cov_matrix replays all 10 pairs and is diagonally consistent") {
+    val got = StatsOps.qCovMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 10)
+    val rows = spark.sql(
+      s"""SELECT cast(cast(l_quantity as decimal(12,2)) as bigint),
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint),
+         |  cast(cast(l_discount as decimal(6,4)) * 10000 as bigint),
+         |  cast(cast(l_tax as decimal(6,4)) * 10000 as bigint)
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val vars = Seq("q", "p", "d", "t")
+    val n = rows.length.toDouble
+    def s1(i: Int) = rows.map(r => BigInt(r(i))).sum.toDouble
+    def s2(i: Int, j: Int) =
+      rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum.toDouble
+    for { i <- vars.indices; j <- i until vars.size } {
+      val (sx, sy, sxy) = (s1(i), s1(j), s2(i, j))
+      val cov = (n * sxy - sx * sy) / (n * (n - 1.0))
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * s2(i, i) - sx * sx) *
+          math.sqrt(n * s2(j, j) - sy * sy))
+      val g = got((vars(i), vars(j)))
+      assert(g._1 == rows.length.toLong)
+      assert(g._2 == cov, s"cov ${vars(i)}${vars(j)} (bitwise)")
+      assert(g._3 == corr, s"corr ${vars(i)}${vars(j)} (bitwise)")
+    }
+    // diagonals are r = 1 up to the sqrt(v)*sqrt(v) rounding step
+    // (the formula is shared text, so both engines carry the same
+    // last-ulp excursion) and cov = sample variance > 0
+    vars.foreach { v =>
+      assert(math.abs(got((v, v))._3 - 1.0) < 1e-12)
+      assert(got((v, v))._2 > 0.0)
+    }
+    // off-diagonals are real correlations: inside [-1, 1], not NaN,
+    // and not identically zero (the synthetic measures are
+    // independent draws, so they're small — but never exactly 0)
+    val off = got.filter { case ((a, b), _) => a != b }.values
+    off.foreach { case (_, _, c) =>
+      assert(!c.isNaN && math.abs(c) <= 1.0)
+    }
+    assert(off.exists(_._3 != 0.0))
+  }
+
+  test("q_return_rates Wilson bound is sane and replay-exact") {
+    val got = StatsOps.qReturnRates(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val rows = spark.sql(
+      s"""SELECT p_brand, l_returnflag
+         |FROM parquet.`$sf/lineitem.parquet`
+         |JOIN parquet.`$sf/part.parquet` ON l_partkey = p_partkey
+         |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val z = 1.96
+    val exp = rows.groupBy(_._1).map { case (b, rs) =>
+      val n = rs.size.toLong
+      val r = rs.count(_._2 == "R").toLong
+      val (nd, rd) = (n.toDouble, r.toDouble)
+      val ph = rd / nd
+      val wl = 1000000.0 * ((ph + z * z / (2.0 * nd) -
+        z * math.sqrt((ph * (1.0 - ph) + z * z / (4.0 * nd)) / nd)) /
+        (1.0 + z * z / nd))
+      b -> (n, r, r * 1000000L / n, wl)
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (b, (n, r, ppm, wl)) =>
+      assert(got(b)._1 == n && got(b)._2 == r && got(b)._3 == ppm)
+      assert(got(b)._4 == wl, s"$b wilson (bitwise)")
+    }
+    // the bound is strictly below the point rate (r>0 everywhere on
+    // the fixture) and never negative
+    got.values.foreach { case (_, r, ppm, wl) =>
+      if (r > 0) assert(wl < ppm.toDouble && wl > 0.0)
+    }
+  }
 }
