@@ -995,11 +995,14 @@ object CorpusPipeline {
     * a single row of 16 counters (cells + marginals + n); the kappa
     * arithmetic is a projection on that row. */
   def pipelineAnnotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val labeled = Tables.load(s, dir, "documents")
+      .select(col("n_chars"),
+        size(array_distinct(TextOps.toks(col("text"))))
+          .cast(LongType).as("nu"))
       .select(
         least(expr("n_chars div 200"), lit(2L)).as("la"),
-        least(expr("cast(size(array_distinct(filter(split(text, ' '), t -> t != ''))) as bigint) div 11"),
-          lit(2L)).as("lb"))
+        least(expr("nu div 11"), lit(2L)).as("lb"))
     def cell(i: Int, j: Int) =
       sum(when(col("la") === i && col("lb") === j, 1L).otherwise(0L))
         .as(s"c$i$j")

@@ -198,8 +198,10 @@ object SeriesOps {
       .withColumn("remaining",
         greatest(lit(0L), col("rhi") - greatest(col("rlo"), col("s_issued"))))
       .filter(col("remaining") > 0L)
-    val asof = Tables.load(s, dir, "lineitem")
-      .agg(max(to_date(col("l_shipdate"))).as("asof"))
+    // the horizon comes from the ALREADY-AGGREGATED movement frame
+    // (every ship day survives the (part, day) group-by) — a second
+    // raw lineitem scan would double the key's dominant stage
+    val asof = mv.agg(max(col("day")).as("asof"))
     layers.crossJoin(broadcast(asof))
       .withColumn("age_bucket",
         expr(s"datediff(asof, day) div $agingBucketDays"))
@@ -280,11 +282,14 @@ object SeriesOps {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
         sum(col("y").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+        // cast BEFORE the multiply — a long×long product wraps right
+        // where the decimal was supposed to protect (oracle mirrors
+        // with HUGEINT × x)
+        sum(expr("cast(x as decimal(38,0)) * x"))
           .cast(DoubleType).as("sxx"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 0)))
+        sum(expr("cast(y as decimal(38,0)) * y"))
           .cast(DoubleType).as("syy"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 0)))
+        sum(expr("cast(x as decimal(38,0)) * y"))
           .cast(DoubleType).as("sxy"))
     // double tree mirrored textually in the oracle — do not re-associate
     sums.select(col("k"), col("n"),
