@@ -204,7 +204,9 @@ object DedupOps {
     * The stored band buckets ARE the contract: DuckDB never needs
     * xxhash64. In production this index is the durable artifact a
     * nightly ingest (dedup_incremental) joins new batches against. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** Publishes (or freshness-checks) the minhash signature index for
+    * `dir`; returns its location. Idempotent per corpus fingerprint. */
+  private[graft] def minhashPublish(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val idxDir = minhashIdxDir(dir)
     val tag = ScaleJoins.corpusTag(dir, Seq("documents"))
@@ -219,15 +221,65 @@ object DedupOps {
         Files.writeString(tagPath, tag)
       }
     }
+    idxDir
+  }
+
+  /** Unverified LSH candidate pairs (a < b) from the published band
+    * buckets — the recall-side raw material dedup_minhash verifies
+    * and dedup_lsh_eval measures. */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String)
+      : DataFrame = {
+    val idxDir = minhashPublish(s, dir)
     // corpus-sized band frame: never broadcast (see jaccardPairs)
     val banded = s.read.parquet(s"$idxDir/buckets").hint("shuffle_hash")
-    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .dropDuplicates("a", "b")
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = minhashPublish(s, dir)
+    val candidates = minhashCandidates(s, dir)
     val sh = s.read.parquet(s"$idxDir/sets")
     verifyJaccard(candidates, sh, sh, tau = 0.5)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** LSH banding quality evaluation — the measurement every LSH
+    * deployment owes its users: against the EXACT 3-gram-Jaccard
+    * ground truth (the dedup_ngram_jaccard machinery, τ = 0.5), how
+    * many true near-dup pairs do the published minhash band buckets
+    * propose (recall) and how much verify work do false candidates
+    * cost (precision)? One row: truth/candidate/TP/FP/FN counts +
+    * precision/recall in exact ppm. LshSweep explores the banding
+    * design space offline; this KEY regression-gates the shipped
+    * 16×16 configuration — a signature or banding change that dents
+    * recall fails loud in the board, not in a notebook.
+    *
+    * No oracle by design ([T]): the candidate side is xxhash64
+    * banding DuckDB cannot recompute; the truth side alone is
+    * oracle-checked via dedup_ngram_jaccard. The spec cross-checks
+    * every count against driver-side set algebra.
+    *
+    * Scale shape: both pair frames are corpus-sized — the full-outer
+    * alignment join is pinned to shuffle on the pair key; counts
+    * collapse map-side to one row. */
+  def dedupLshEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(dupDocs(s, dir), jaccardTau)
+      .select(col("a"), col("b"), lit(1L).as("in_t"))
+    val cand = minhashCandidates(s, dir)
+      .select(col("a"), col("b"), lit(1L).as("in_c"))
+    truth.join(cand.hint("shuffle_hash"), Seq("a", "b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_candidates"),
+        sum(when(col("in_t").isNotNull && col("in_c").isNotNull, 1L)
+          .otherwise(0L)).as("tp"))
+      .withColumn("fn", col("n_truth") - col("tp"))
+      .withColumn("fp", col("n_candidates") - col("tp"))
+      .withColumn("precision_ppm", expr("(tp * 1000000) div n_candidates"))
+      .withColumn("recall_ppm", expr("(tp * 1000000) div n_truth"))
   }
 
   /** Candidates and Jaccard rebuilt entirely from the published
@@ -921,6 +973,7 @@ object DedupOps {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_lsh_eval" -> (dedupLshEval _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _))
 

@@ -2469,7 +2469,73 @@ object Etl {
        |    > $staleAfterS THEN 1 ELSE 0 END AS BIGINT) AS is_stale
        |FROM t CROSS JOIN g ORDER BY event_type""".stripMargin
 
+  /** Backfill planning — etl_freshness's actionable sibling: given
+    * the hourly partition slots a feed SHOULD have (every type ×
+    * every hour of the observed horizon), find the missing ones and
+    * group them into CONTIGUOUS backfill ranges (schedulers submit
+    * ranges, not 10⁵ single-slot jobs — the islands step is the
+    * whole point). Per range: type, first/last missing hour index,
+    * slot count. The reference's drop-and-reload has no notion of
+    * partial history; this is the op that replaces it at scale.
+    *
+    * Exactness: hours are integer indices (unix_micros div 3.6e9);
+    * islands via the hr − row_number() key — all integer.
+    *
+    * Scale shape: observed slots collapse map-side to (type, hour)
+    * grain; the expected grid is sequence-exploded from a 1-row
+    * min/max aggregate × the model-sized type list (grid volume =
+    * types × horizon hours — model-sized by construction, NOT
+    * corpus-sized); the anti-join runs grid-vs-slots (both thin);
+    * islands window over the missing slots only. */
+  def etlBackfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val span = obs.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = obs.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+    val missing = grid.join(obs.hint("shuffle_hash"),
+        Seq("event_type", "hr"), "left_anti")
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    missing
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("start_hr"), col("end_hr"),
+        col("n_hours"))
+      .orderBy("event_type", "start_hr")
+  }
+
+  val etlBackfillPlanSql: String =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM obs),
+      |grid AS (
+      |  SELECT t.event_type, g.hr
+      |  FROM (SELECT DISTINCT event_type FROM obs) t
+      |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hr
+      |              FROM span) g),
+      |missing AS (
+      |  SELECT g.event_type, g.hr FROM grid g
+      |  LEFT JOIN obs o ON g.event_type = o.event_type AND g.hr = o.hr
+      |  WHERE o.hr IS NULL),
+      |isl AS (
+      |  SELECT event_type, hr,
+      |    hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+      |      AS grp
+      |  FROM missing)
+      |SELECT event_type, CAST(MIN(hr) AS BIGINT) AS start_hr,
+      |  CAST(MAX(hr) AS BIGINT) AS end_hr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours
+      |FROM isl GROUP BY event_type, grp
+      |ORDER BY event_type, start_hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_backfill_plan" -> (etlBackfillPlan _),
     "etl_freshness" -> (etlFreshness _),
     "etl_partition_skew" -> (etlPartitionSkew _),
     "etl_csv_sniff" -> (etlCsvSniff _),
@@ -2522,6 +2588,7 @@ object Etl {
     "etl_reconcile" -> etlReconcileSql,
     "etl_type_infer" -> etlTypeInferSql,
     "etl_csv_sniff" -> etlCsvSniffSql,
+    "etl_backfill_plan" -> etlBackfillPlanSql,
     "etl_freshness" -> etlFreshnessSql,
     "etl_partition_skew" -> etlPartitionSkewSql,
     "etl_wap" -> etlWapSql,

@@ -48,8 +48,12 @@ class BoardSpec extends AnyFunSuite {
     // are merge-order-dependent within the guaranteed error bound
     // stream_heavy_hitters carries the same Misra-Gries contract as
     // q_heavy_hitters, maintained as streaming state
+    // dedup_lsh_eval measures xxhash64 banding DuckDB cannot
+    // recompute; its truth side is oracle-checked via
+    // dedup_ngram_jaccard and its counts are spec-cross-checked
     val declared = Set("q_approx_distinct", "q_approx_percentile",
-      "mm_binary_meta", "q_heavy_hitters", "stream_heavy_hitters")
+      "mm_binary_meta", "q_heavy_hitters", "stream_heavy_hitters",
+      "dedup_lsh_eval")
     assert(noOracle == declared,
       s"oracle-free keys drifted from the declared [T] set: " +
         s"extra=${(noOracle -- declared).toSeq.sorted} " +

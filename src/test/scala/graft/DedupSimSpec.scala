@@ -512,4 +512,29 @@ class DedupSimSpec extends AnyFunSuite {
     // the augmentation invariant: every augmented norm equals M
     va.values.foreach(v => assert(math.abs(dot(v, v) - m * m) < 1e-9))
   }
+
+  test("dedup_lsh_eval counts reconcile with driver-side set algebra") {
+    val row = DedupOps.dedupLshEval(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nT, nC, tp, fn, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    val truth = DedupOps.jaccardPairs(
+        DedupOps.dupDocs(spark, sf), DedupOps.jaccardTau)
+      .select("a", "b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cand = DedupOps.minhashCandidates(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nT == truth.size.toLong && nC == cand.size.toLong)
+    assert(tp == (truth & cand).size.toLong)
+    assert(fn == (truth -- cand).size.toLong)
+    assert(fp == (cand -- truth).size.toLong)
+    assert(r.getLong(5) == tp * 1000000L / nC)
+    assert(r.getLong(6) == tp * 1000000L / nT)
+    assert(nT > 0, "ground truth must be non-empty")
+    // the shipped 16x16 banding sits above the S-curve knee at tau
+    // 0.5 — recall below 90% would mean the banding regressed
+    assert(r.getLong(6) >= 900000L)
+  }
 }

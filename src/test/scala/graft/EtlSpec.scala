@@ -30,6 +30,33 @@ class EtlSpec extends AnyFunSuite {
     // the SLA threshold genuinely separates the fixture's types
     assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L))
   }
+
+  test("etl_backfill_plan ranges cover exactly the missing hour slots") {
+    import TestSpark._
+    val got = Etl.etlBackfillPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val obs = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val hrs = obs.map(_._2)
+    val types = obs.map(_._1)
+    val missing = for {
+      t <- types; h <- hrs.min to hrs.max if !obs.contains((t, h))
+    } yield (t, h)
+    // every range is maximal-contiguous and counts its slots
+    got.foreach { case (t, s0, s1, n) =>
+      assert(n == s1 - s0 + 1)
+      (s0 to s1).foreach(h => assert(missing.contains((t, h)), s"$t $h"))
+      assert(!missing.contains((t, s0 - 1)), s"$t range not maximal left")
+      assert(!missing.contains((t, s1 + 1)), s"$t range not maximal right")
+    }
+    // and the ranges cover every missing slot exactly once
+    val covered = got.flatMap { case (t, s0, s1, _) =>
+      (s0 to s1).map(h => (t, h)) }
+    assert(covered.toSet == missing && covered.length == missing.size)
+    assert(got.nonEmpty, "fixture must have gaps at hour grain")
+  }
   import TestSpark._
 
   // --- schema introspection (MysqlParser.get_schema analogue) ---

@@ -111,6 +111,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // freshness: type-grain agg + the 1-row newest re-aggregate +
     // its single-partition landing + ordered output
     "etl_freshness" -> 4,
+    // backfill_plan: slot agg + span/type re-aggregates + the pinned
+    // grid-vs-slots anti-join + islands window + ordered output
+    "etl_backfill_plan" -> 6,
+    // lsh_eval: the truth side's counted-intersection exchanges +
+    // the pinned full-outer pair alignment + the 1-row rollup
+    "dedup_lsh_eval" -> 7,
     // etl_profile's 4: the single-scan multi-distinct lowers to
     // Expand + two aggregate rounds (per-distinct-group shuffle,
     // final single-partition merge) — still ONE pass over the table
@@ -614,7 +620,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_inventory_aging",
       // freshness broadcasts its 1-row global newest into the
       // type-grain frame — 1-row by construction
-      "etl_freshness")
+      "etl_freshness",
+      // backfill_plan crosses the 1-row horizon span into the
+      // model-sized type list to build the expected grid
+      "etl_backfill_plan")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
