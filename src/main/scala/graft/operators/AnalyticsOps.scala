@@ -2797,7 +2797,37 @@ object AnalyticsOps {
       |FROM p1 t JOIN b ON t.part = b.part
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Degree distribution of the supplier→part supply graph — the
+    * graph-profiling scan run before any graph algorithm is chosen
+    * (q_pagerank/q_triangle_count assume a shape; the degree
+    * histogram is how you find out: a power-law tail means hub
+    * suppliers that will skew any per-vertex partitioning — the
+    * q_skew_join signal, read from the graph side).
+    *
+    * Scale shape: two map-side-combined aggregates — edges collapse
+    * to (supplier, degree) at the first (distinct parts per
+    * supplier), degrees to the model-sized histogram at the second.
+    * The edge list crosses the wire once. */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+      .groupBy("l_suppkey")
+      .agg(count_distinct(col("l_partkey")).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("degree")
+  }
+
+  val qDegreeDistSql: String =
+    """WITH d AS (
+      |  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS degree
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(degree AS BIGINT) AS degree,
+      |  CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> (qDegreeDist _),
     "q_adoption" -> (qAdoption _),
     "q_price_index" -> (qPriceIndex _),
     "q_winsorize" -> (qWinsorize _),
@@ -2845,6 +2875,7 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_degree_dist" -> qDegreeDistSql,
     "q_adoption" -> qAdoptionSql,
     "q_price_index" -> qPriceIndexSql,
     "q_rfm" -> qRfmSql,

@@ -537,7 +537,50 @@ object MultimodalOps {
        |  FROM p GROUP BY id)
        |SELECT * FROM img_rows UNION ALL SELECT * FROM op""".stripMargin
 
+  /** Re-upload family width for mm_dedup: every [[mmDupFamily]]
+    * consecutive doc ids share one payload. */
+  val mmDupFamily = 7
+
+  /** Content-hash dedup of binary media — THE multimodal dedup
+    * primitive (image/audio re-uploads are byte-identical far more
+    * often than text is; every media corpus dedups by content hash
+    * before any perceptual pass): sha256 over REAL encoded payloads,
+    * one family row per distinct blob with the canonical (min) doc
+    * and the duplicate count. Re-uploads are synthesized by sharing
+    * one payload across each run of 7 consecutive ids — so the
+    * family structure is pure id arithmetic the DuckDB oracle states
+    * WITHOUT decoding bytes (mm_decode's formula-oracle discipline),
+    * while the Spark side proves real bytes hash into exactly those
+    * families (an encoder nondeterminism or hash collision breaks
+    * parity loud).
+    *
+    * Scale shape: payload generation spreads across the session's
+    * parallelism; sha256 is per-row scan-side work; ONE hash
+    * aggregate at blob grain with map-side combine (dedup_exact's
+    * shape with a binary payload). */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(id => (id, payloadFor(id / mmDupFamily)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), sha2(col("payload"), 256).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+      .select(col("rep_doc"), col("n_docs"))
+      .orderBy("rep_doc")
+  }
+
+  val mmDedupSql: String =
+    s"""SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY doc_id // $mmDupFamily
+       |ORDER BY rep_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> (mmDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode" -> (mmDecode _),
     "mm_audio_frames" -> (mmAudioFrames _),
@@ -545,6 +588,7 @@ object MultimodalOps {
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup" -> mmDedupSql,
     "mm_decode" -> mmDecodeSql,
     "mm_audio_frames" -> mmAudioFramesSql,
     "mm_patches" -> mmPatchesSql,

@@ -1254,6 +1254,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
   }
 
+  test("q_degree_dist is a true histogram of per-supplier fan-out") {
+    val got = AnalyticsOps.qDegreeDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Tables.load(spark, sf, "lineitem")
+      .select("l_suppkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = edges.groupBy(_._1).values
+      .map(_.map(_._2).distinct.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exp)
+    // conservation: histogram masses sum to the supplier count
+    assert(got.values.sum == edges.map(_._1).distinct.length.toLong)
+    assert(got.size > 1, "fixture fan-out must not be constant")
+  }
+
   test("q_adoption replays first-month adoption and conserves adopters") {
     val got = AnalyticsOps.qAdoption(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) ->

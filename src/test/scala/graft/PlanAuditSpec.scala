@@ -243,6 +243,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // (two exchanges), (nation, day) agg, ONE nation-window exchange
     // shared by both rolling stats + the rollup + ordered output
     "q_anomaly_bands" -> 5,
+    // mm_dedup: the generate-spread repartition + blob-grain hash
+    // agg + ordered output
+    "mm_dedup" -> 3,
+    // degree_dist: distinct-edge + per-supplier degree (shared
+    // grouping) + histogram rollup + ordered output
+    "q_degree_dist" -> 4,
     // adoption: two pinned corpus joins (4) + (brand,cust) first-
     // adoption agg + monthly rollup + brand window + ordered output
     "q_adoption" -> 8,

@@ -232,6 +232,25 @@ class StreamPipelineSpec extends AnyFunSuite {
       s"sink rows should be aggregates (<= $nPairs raw pairs)")
   }
 
+  test("mm_dedup: real payload bytes hash into exactly the id families") {
+    import graft.operators.MultimodalOps
+    val got = MultimodalOps.mmDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = ids.groupBy(_ / MultimodalOps.mmDupFamily).values
+      .map(g => (g.min, g.size.toLong)).toSeq.sorted
+    assert(got.toSeq == exp)
+    // distinct families really carry distinct bytes (collision sanity
+    // on a sample pair) and same-family bytes are identical
+    assert(!java.util.Arrays.equals(
+      MultimodalOps.payloadFor(0L), MultimodalOps.payloadFor(1L)))
+    assert(java.util.Arrays.equals(
+      MultimodalOps.payloadFor(3L), MultimodalOps.payloadFor(3L)))
+    // dedup is real: some family has more than one member
+    assert(got.exists(_._2 > 1L))
+  }
+
   test("mm_binary_meta: real ImageIO decode of real PNG/BMP payloads") {
     import graft.operators.MultimodalOps
     val df = MultimodalOps.mmBinaryMeta(spark, sf)
