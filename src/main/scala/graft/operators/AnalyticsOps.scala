@@ -2826,7 +2826,50 @@ object AnalyticsOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_suppliers
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Same-day multi-order audit — the velocity / split-billing
+    * screen every payments audit runs: customers placing MORE THAN
+    * ONE order on the same day (the signature of double-submission,
+    * split-to-dodge-approval-limit, or a retrying integration). One
+    * row per suspect (customer, day) with order count, exposure, and
+    * the amount spread (identical amounts smell like double-submits;
+    * wide spreads like limit-splitting).
+    *
+    * Scale shape: ONE map-side-combined aggregate at the natural
+    * suspect-key grain (customer, day); the n ≥ 2 filter rides the
+    * aggregate (HAVING), pruning before the ordered output. Exact
+    * integer cents throughout. */
+  def qDoubleBilling(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"))
+      .groupBy("o_custkey", "day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .filter(col("n_orders") >= 2L)
+      .withColumn("spread_cents", col("max_cents") - col("min_cents"))
+      .orderBy("o_custkey", "day")
+  }
+
+  val qDoubleBillingSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders)
+      |SELECT o_custkey, day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+      |  CAST(MAX(cents) - MIN(cents) AS BIGINT) AS spread_cents
+      |FROM o GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_double_billing" -> (qDoubleBilling _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_adoption" -> (qAdoption _),
     "q_price_index" -> (qPriceIndex _),
@@ -2875,6 +2918,7 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_double_billing" -> qDoubleBillingSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_adoption" -> qAdoptionSql,
     "q_price_index" -> qPriceIndexSql,

@@ -1062,7 +1062,76 @@ object CorpusPipeline {
        |FROM p""".stripMargin
   }
 
+  /** Span-corruption geometry: a span starts every [[spanStride]]
+    * positions (per-doc phase = doc_id mod stride) and masks up to
+    * [[spanLen]] tokens — stride > len means spans never overlap. */
+  val spanStride = 20
+  val spanLen = 3
+
+  /** Span-corruption planning — the T5/UL2 denoising-objective prep
+    * step: decide, deterministically and reproducibly, WHICH token
+    * spans of each document get masked, and account for the noise
+    * density actually achieved (training-recipe budgets are quoted
+    * as mask ratios; the plan is what guarantees the quote). Spans
+    * start every 20 positions at a per-doc phase with length 3
+    * clipped at the doc end — deterministic integer geometry, no RNG,
+    * so re-runs and both engines agree exactly.
+    *
+    * Per doc: token count, span count, masked-token count, achieved
+    * mask ratio in ppm.
+    *
+    * Scale shape: pure scan-side array arithmetic (sequence/filter/
+    * aggregate over positions — codegen'd, no UDF, no explode: the
+    * position list never leaves its row); ordered output is the only
+    * exchange. */
+  def pipelineSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("starts", expr(
+        s"""filter(sequence(0L, n_tokens - 1),
+           |       p -> p % $spanStride = doc_id % $spanStride)"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("starts")).cast(LongType).as("n_spans"),
+        expr(s"""aggregate(starts, 0L,
+           |  (acc, p) -> acc + least(cast($spanLen as bigint),
+           |                          n_tokens - p))""".stripMargin)
+          .as("n_masked"))
+      .withColumn("mask_ppm", expr(
+        "case when n_tokens > 0 then (n_masked * 1000000) div n_tokens " +
+          "else 0L end"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineSpanCorruptionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, p
+       |  FROM t, unnest(range(0, n_tokens)) AS z(p)
+       |  WHERE p % $spanStride = doc_id % $spanStride),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(LEAST($spanLen, n_tokens - p)) AS BIGINT)
+       |      AS n_masked
+       |  FROM sp GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens,
+       |  COALESCE(a.n_spans, 0) AS n_spans,
+       |  COALESCE(a.n_masked, 0) AS n_masked,
+       |  CASE WHEN t.n_tokens > 0
+       |    THEN CAST((COALESCE(a.n_masked, 0) * 1000000) // t.n_tokens
+       |      AS BIGINT)
+       |    ELSE 0 END AS mask_ppm
+       |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_span_corruption" -> (pipelineSpanCorruption _),
     "pipeline_annotator_agreement" -> (pipelineAnnotatorAgreement _),
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
     "pipeline_filter_cascade" -> (pipelineFilterCascade _),
@@ -1081,6 +1150,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_span_corruption" -> pipelineSpanCorruptionSql,
     "pipeline_annotator_agreement" -> pipelineAnnotatorAgreementSql,
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,

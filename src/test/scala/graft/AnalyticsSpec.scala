@@ -1254,6 +1254,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
   }
 
+  test("q_double_billing flags exactly the multi-order customer-days") {
+    val got = AnalyticsOps.qDoubleBilling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val orders = spark.sql(
+      s"""SELECT o_custkey, to_date(o_orderdate) AS day,
+         |  cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)
+         |FROM parquet.`$sf/orders.parquet`""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val exp = orders.groupBy(o => (o._1, o._2))
+      .filter(_._2.size >= 2)
+      .map { case (k, os) =>
+        val cs = os.map(_._3)
+        k -> (os.size.toLong, cs.sum, cs.min, cs.max, cs.max - cs.min)
+      }
+    assert(got == exp)
+    assert(got.nonEmpty, "fixture must contain same-day multi-orders")
+    // flagged groups are strictly a subset of customers, not everyone
+    assert(got.size < orders.map(_._1).distinct.length)
+  }
+
   test("q_degree_dist is a true histogram of per-supplier fan-out") {
     val got = AnalyticsOps.qDegreeDist(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

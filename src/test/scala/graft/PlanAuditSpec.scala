@@ -89,6 +89,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // annotator_agreement: ONE global single-row aggregate; the
     // kappa arithmetic is a projection on that row
     "pipeline_annotator_agreement" -> 1,
+    // span_corruption: pure scan-side array arithmetic; ordered
+    // output is the only exchange
+    "pipeline_span_corruption" -> 1,
+    // double_billing: one suspect-key aggregate + ordered output
+    "q_double_billing" -> 2,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,

@@ -893,6 +893,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 < v._1))
   }
 
+  test("pipeline_span_corruption masks the exact deterministic spans") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.pipelineSpanCorruption(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (stride, len) =
+      (CorpusPipeline.spanStride.toLong, CorpusPipeline.spanLen.toLong)
+    val exp = docs.map { case (id, text) =>
+      val n = text.split(" ").count(_.nonEmpty).toLong
+      val starts = (0L until n).filter(p => p % stride == id % stride)
+      val masked = starts.map(p => math.min(len, n - p)).sum
+      id -> (n, starts.size.toLong, masked,
+        if (n > 0) masked * 1000000L / n else 0L)
+    }.toMap
+    assert(got == exp)
+    // the plan is real: spans exist, and clipping fires on some doc
+    // whose last span starts within spanLen of its end
+    assert(got.values.exists(_._2 > 0))
+    assert(exp.exists { case (id, (n, _, _, _)) =>
+      (0L until n).exists(p =>
+        p % stride == id % stride && n - p < len)
+    }, "fixture must exercise end-of-doc span clipping")
+  }
+
   test("pipeline_annotator_agreement replays Cohen's kappa in BigInt") {
     import graft.operators.CorpusPipeline
     val r = CorpusPipeline.pipelineAnnotatorAgreement(spark, sf)
