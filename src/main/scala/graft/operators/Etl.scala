@@ -2534,7 +2534,63 @@ object Etl {
       |FROM isl GROUP BY event_type, grp
       |ORDER BY event_type, start_hr""".stripMargin
 
+  /** The candidate keys etl_pk_discovery tests, per table. */
+  private[graft] val pkCandidates: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey"),
+    "orders" -> Seq("o_custkey"),
+    "lineitem" -> Seq("l_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey"),
+    "events" -> Seq("event_id"))
+
+  /** Primary-key discovery — the uniqueness half of the reference's
+    * pre-transfer key introspection (MysqlParser.py reads DECLARED
+    * keys from information_schema; a parquet lake has no catalog, so
+    * the engine must MEASURE): each candidate column set is tested by
+    * exact distinct-vs-total counting. The fixture answers are not
+    * all obvious — (l_orderkey, l_linenumber) is NOT unique here
+    * (the TPC-H-familiar reader's assumption fails, and a migration
+    * keyed on it would silently merge rows), while adding partkey
+    * STILL leaves collisions and only the 4-column set is a key.
+    *
+    * Scale shape: one scan + map-side-combined distinct-count
+    * aggregate per candidate (each a 1-row frame), unioned; the
+    * distinct state is bounded by key cardinality per task. Exact
+    * counts — a probabilistic NDV sketch (q_approx_distinct's HLL)
+    * is the scale refinement when 2% error is acceptable; a KEY
+    * decision usually isn't. */
+  def etlPkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val arms = pkCandidates.map { case (table, cols) =>
+      Tables.load(s, dir, table)
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(struct(cols.map(col): _*)).as("n_distinct"))
+        .select(lit(table).as("tbl"),
+          lit(cols.mkString(",")).as("candidate"),
+          col("n_rows"), col("n_distinct"),
+          when(col("n_rows") === col("n_distinct"), 1L).otherwise(0L)
+            .as("is_unique"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy("tbl", "candidate")
+  }
+
+  val etlPkDiscoverySql: String = {
+    val arms = pkCandidates.map { case (table, cols) =>
+      val csv = cols.mkString(",")
+      s"""SELECT '$table' AS tbl, '${csv}' AS candidate,
+         |  CAST((SELECT COUNT(*) FROM $table) AS BIGINT) AS n_rows,
+         |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT $csv FROM $table))
+         |    AS BIGINT) AS n_distinct,
+         |  CAST(CASE WHEN (SELECT COUNT(*) FROM $table) =
+         |    (SELECT COUNT(*) FROM (SELECT DISTINCT $csv FROM $table))
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_unique"""
+    }.map(_.stripMargin).mkString("\nUNION ALL ")
+    s"$arms\nORDER BY tbl, candidate"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pk_discovery" -> (etlPkDiscovery _),
     "etl_backfill_plan" -> (etlBackfillPlan _),
     "etl_freshness" -> (etlFreshness _),
     "etl_partition_skew" -> (etlPartitionSkew _),
@@ -2588,6 +2644,7 @@ object Etl {
     "etl_reconcile" -> etlReconcileSql,
     "etl_type_infer" -> etlTypeInferSql,
     "etl_csv_sniff" -> etlCsvSniffSql,
+    "etl_pk_discovery" -> etlPkDiscoverySql,
     "etl_backfill_plan" -> etlBackfillPlanSql,
     "etl_freshness" -> etlFreshnessSql,
     "etl_partition_skew" -> etlPartitionSkewSql,

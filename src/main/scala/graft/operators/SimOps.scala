@@ -78,6 +78,56 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Filtered exact ANN — same-label top-k retrieval (the "filtered
+    * vector search" every production retrieval system needs the day
+    * after it ships plain ANN: search only products in the query's
+    * category, docs in the user's tenant, passages in the query's
+    * language). The metadata predicate becomes part of the CANDIDATE
+    * GENERATION — here the label equality is the broadcast-hash join
+    * KEY, so non-matching vectors are never scored (post-filtering
+    * top-k instead would return < k rows whenever the filter bites
+    * inside the unfiltered top-k).
+    *
+    * Scale shape: sim_cosine_topk's plan with the filter fused into
+    * the join — the corpus is scored only against same-label queries
+    * (candidate volume ÷ label cardinality); winners flow through the
+    * bounded-heap TopKPerKey operator, never a corpus sort. The IVF
+    * refinement at 100 TB is label-partitioned posting lists — same
+    * predicate, pushed one level deeper. */
+  def simFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"),
+        col("label"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("q_label"))
+    val scored = c.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cosine"))
+    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
+  }
+
+  val simFilteredTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |    label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, label AS ql
+       |      FROM c WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, vec_id) AS rank
+       |  FROM c JOIN q ON c.label = q.ql AND c.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM scored
+       |WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
   /** IVF parameters: seeds are the first `nCentroids` corpus vectors,
     * refined by `lloydIters` k-means steps. */
   val nCentroids = 16
@@ -1032,6 +1082,7 @@ object SimOps {
     "sim_knn_join" -> (simKnnJoin _),
     "sim_recall" -> (simRecall _),
     "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_filtered_topk" -> (simFilteredTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf0_topk" -> (simIvf0Topk _),
     "embed_quantize" -> (embedQuantize _),
@@ -1044,6 +1095,7 @@ object SimOps {
     "sim_maxsim" -> simMaxsimSql,
     "sim_recall" -> simRecallSql,
     "sim_cosine_topk" -> simCosineTopkSql,
+    "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf0_topk" -> simIvf0TopkSql,
     "embed_quantize" -> embedQuantizeSql,

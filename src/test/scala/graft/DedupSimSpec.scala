@@ -473,6 +473,41 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_filtered_topk retrieves same-label top-k and the filter bites") {
+    import graft.operators.SimOps
+    val got = SimOps.simFilteredTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val rows = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getInt(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val nrm = rows.map(r => r._1 -> math.sqrt(dot(r._2, r._2))).toMap
+    def topFor(qid: Long, filtered: Boolean) = rows
+      .filter(r => r._1 != qid &&
+        (!filtered || r._3 == byId(qid)._3))
+      .map(r => (r._1,
+        dot(r._2, byId(qid)._2) / (nrm(r._1) * nrm(qid))))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(SimOps.topK)
+    val exp = (0L until SimOps.nQueries.toLong).flatMap { qid =>
+      topFor(qid, filtered = true).zipWithIndex
+        .map { case ((id, c), i) => (qid, i + 1, id, c) }
+    }
+    assert(got.toSeq == exp)
+    // the filter genuinely changes results for some query (an
+    // unfiltered neighbor with a different label outranks one kept)
+    assert((0L until SimOps.nQueries.toLong).exists { qid =>
+      topFor(qid, filtered = true).map(_._1) !=
+        topFor(qid, filtered = false).map(_._1)
+    })
+  }
+
   test("sim_mips_topk replays the norm-augmented IVF-MIPS pipeline") {
     import graft.operators.SimOps
     val got = SimOps.simMipsTopk(spark, sf).collect()

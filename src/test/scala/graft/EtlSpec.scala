@@ -57,6 +57,28 @@ class EtlSpec extends AnyFunSuite {
     assert(covered.toSet == missing && covered.length == missing.size)
     assert(got.nonEmpty, "fixture must have gaps at hour grain")
   }
+
+  test("etl_pk_discovery measures uniqueness, not assumptions") {
+    import TestSpark._
+    val got = Etl.etlPkDiscovery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 7)
+    Etl.pkCandidates.foreach { case (table, cols) =>
+      val rows = Tables.load(spark, sf, table)
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq.toList)
+      val (n, d) = (rows.length.toLong, rows.distinct.length.toLong)
+      val g = got((table, cols.mkString(",")))
+      assert(g == ((n, d, if (n == d) 1L else 0L)),
+        s"$table(${cols.mkString(",")})")
+    }
+    // the verdicts genuinely mix on the fixture — including the trap:
+    // the TPC-H-familiar (l_orderkey, l_linenumber) is NOT a key here
+    assert(got(("orders", "o_orderkey"))._3 == 1L)
+    assert(got(("lineitem", "l_orderkey,l_linenumber"))._3 == 0L)
+    assert(got.values.exists(_._3 == 1L) && got.values.exists(_._3 == 0L))
+  }
   import TestSpark._
 
   // --- schema introspection (MysqlParser.get_schema analogue) ---

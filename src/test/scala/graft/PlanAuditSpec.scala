@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // freshness: type-grain agg + the 1-row newest re-aggregate +
     // its single-partition landing + ordered output
     "etl_freshness" -> 4,
+    // pk_discovery: 7 candidate arms, each an exact distinct-count
+    // aggregate (2 exchanges per arm — partial + final over the
+    // distinct state); the 1-row arms union driver-free
+    "etl_pk_discovery" -> 14,
+    // filtered_topk: the TopKPerKey family exchange + ordered
+    // output; the label filter rides the broadcast-hash join key
+    "sim_filtered_topk" -> 2,
     // backfill_plan: slot agg + span/type re-aggregates + the pinned
     // grid-vs-slots anti-join + islands window + ordered output
     "etl_backfill_plan" -> 6,
