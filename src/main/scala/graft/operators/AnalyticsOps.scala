@@ -2868,7 +2868,114 @@ object AnalyticsOps {
       |FROM o GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Substring search pattern for q_trigram_search. */
+  val trigramPattern = "ring"
+
+  /** Trigram-index substring search — how `LIKE '%pat%'` survives
+    * 100 TB (a leading-wildcard LIKE defeats every B-tree and sorts/
+    * scans the corpus per query; pg_trgm's answer is an inverted
+    * trigram index): names explode into distinct trigrams, the
+    * query's trigrams select posting lists, a candidate must match
+    * ALL of them (count == |query trigrams|), and a final contains()
+    * verify on the candidates alone removes trigram false positives
+    * (shared trigrams in the wrong order). Results are EXACTLY the
+    * LIKE results — the oracle states the naive scan, parity proves
+    * the index path equivalent.
+    *
+    * Scale shape: the posting explode is scan-side; candidates
+    * collapse at (part) grain with map-side combine; the verify join
+    * back to names is keyed and shuffle-pinned (both sides
+    * corpus-sized at scale); per-query work is posting-list-sized,
+    * not corpus-sized — at 100 TB the posting lists are the
+    * persisted index this key builds inline. */
+  def qTrigramSearch(s: SparkSession, dir: String): DataFrame = {
+    val qgrams = trigramPattern.sliding(3).toSeq
+    val parts = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val grams = parts.select(col("p_partkey"),
+        explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, length(p_name) - 2),
+            |  i -> substring(p_name, i, 3)))""".stripMargin)).as("g"))
+    val cand = grams.filter(col("g").isin(qgrams: _*))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === qgrams.size.toLong)
+    parts.join(cand.hint("shuffle_hash"), Seq("p_partkey"), "left_semi")
+      .filter(col("p_name").contains(trigramPattern))
+      .orderBy("p_partkey")
+  }
+
+  val qTrigramSearchSql: String =
+    s"""SELECT p_partkey, p_name FROM part
+       |WHERE p_name LIKE '%$trigramPattern%'
+       |ORDER BY p_partkey""".stripMargin
+
+  /** Repricing scenario deltas, in discount basis points. */
+  val scenarioDeltasBp: Seq[Long] = Seq(-500L, 0L, 500L)
+
+  /** Discount what-if scenarios — the repricing projection every
+    * margin review runs ("what does ±5pp discount do to revenue, all
+    * else equal"): each scenario shifts every line's discount by a
+    * delta (clamped to [0, 100%]) and reprices the book in exact
+    * cents. One row per scenario with total revenue and the delta
+    * against the base book.
+    *
+    * Exactness: per-line repricing is price_cents·(10⁴ − d')
+    * div 10⁴ — the truncation mirrored in both engines; sums exact.
+    *
+    * Scale shape: the 3-row scenario grid broadcasts into the scan
+    * (row multiplier = |scenarios|, the etl_bitemporal grid
+    * discipline); ONE map-side-combined aggregate to |scenarios|
+    * rows; the base-delta self-join runs on that model-sized frame. */
+  def qDiscountScenarios(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = scenarioDeltasBp.toDF("delta_bp")
+    val lines = Tables.load(s, dir, "lineitem")
+      .select(
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("cents"),
+        expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)")
+          .as("d_bp"))
+    val priced = lines.crossJoin(broadcast(grid))
+      .select(col("delta_bp"), expr(
+        """cast(cents as decimal(38,0)) *
+          |  (10000 - greatest(0L, least(10000L, d_bp + delta_bp)))
+          |  div 10000""".stripMargin).as("rev"))
+      .groupBy("delta_bp")
+      .agg(sum(col("rev")).cast(LongType).as("revenue_cents"))
+    val base = priced.filter(col("delta_bp") === 0L)
+      .select(col("revenue_cents").as("base_cents"))
+    priced.crossJoin(broadcast(base))
+      .withColumn("delta_cents", col("revenue_cents") - col("base_cents"))
+      .select(col("delta_bp"), col("revenue_cents"), col("delta_cents"))
+      .orderBy("delta_bp")
+  }
+
+  val qDiscountScenariosSql: String = {
+    val deltas = scenarioDeltasBp.mkString("), (")
+    s"""WITH grid AS (SELECT * FROM (VALUES ($deltas)) g(delta_bp)),
+       |l AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+       |      AS BIGINT) AS cents,
+       |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)
+       |      AS d_bp
+       |  FROM lineitem),
+       |p AS (
+       |  SELECT delta_bp,
+       |    CAST(SUM(CAST(cents AS HUGEINT) *
+       |      (10000 - GREATEST(0, LEAST(10000, d_bp + delta_bp)))
+       |      // 10000) AS BIGINT) AS revenue_cents
+       |  FROM l CROSS JOIN grid GROUP BY 1),
+       |b AS (SELECT revenue_cents AS base_cents FROM p WHERE delta_bp = 0)
+       |SELECT CAST(delta_bp AS BIGINT) AS delta_bp, revenue_cents,
+       |  CAST(revenue_cents - base_cents AS BIGINT) AS delta_cents
+       |FROM p CROSS JOIN b ORDER BY delta_bp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trigram_search" -> (qTrigramSearch _),
+    "q_discount_scenarios" -> (qDiscountScenarios _),
     "q_double_billing" -> (qDoubleBilling _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_adoption" -> (qAdoption _),
@@ -2918,6 +3025,8 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_trigram_search" -> qTrigramSearchSql,
+    "q_discount_scenarios" -> qDiscountScenariosSql,
     "q_double_billing" -> qDoubleBillingSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_adoption" -> qAdoptionSql,

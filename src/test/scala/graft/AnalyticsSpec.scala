@@ -1254,6 +1254,54 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
   }
 
+  test("q_trigram_search equals the naive LIKE scan, and pruning is real") {
+    val got = AnalyticsOps.qTrigramSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val names = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pat = AnalyticsOps.trigramPattern
+    val exp = names.filter(_._2.contains(pat)).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+    assert(exp.nonEmpty && exp.size < names.length,
+      "pattern must select a strict non-empty subset")
+    // prefilter power: the all-trigrams candidate set is a superset
+    // of the matches and excludes most of the corpus (on this
+    // adjective×noun vocabulary trigram containment happens to imply
+    // substring containment, so the verify step has nothing left to
+    // prune — its correctness is covered by the LIKE-equality above)
+    val qg = pat.sliding(3).toSet
+    val cands = names.filter { case (_, n) => qg.subsetOf(n.sliding(3).toSet) }
+    assert(exp.map(_._1).toSet.subsetOf(cands.map(_._1).toSet))
+    assert(cands.size < names.length / 2,
+      "the posting prefilter must exclude most of the corpus")
+  }
+
+  test("q_discount_scenarios reprices the book exactly per scenario") {
+    val got = AnalyticsOps.qDiscountScenarios(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lines = spark.sql(
+      s"""SELECT cast(cast(l_extendedprice as decimal(14,2)) * 100
+         |    as bigint) AS cents,
+         |  cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)
+         |    AS d_bp
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = AnalyticsOps.scenarioDeltasBp.map { d =>
+      val rev = lines.map { case (c, bp) =>
+        val eff = math.max(0L, math.min(10000L, bp + d))
+        (BigInt(c) * (10000 - eff) / 10000).toLong
+      }.sum
+      d -> rev
+    }.toMap
+    got.foreach { case (d, (rev, delta)) =>
+      assert(rev == exp(d), s"scenario $d")
+      assert(delta == rev - exp(0L))
+    }
+    // deeper discounts lose revenue, shallower ones gain it
+    assert(got(-500L)._1 > got(0L)._1 && got(500L)._1 < got(0L)._1)
+  }
+
   test("q_double_billing flags exactly the multi-order customer-days") {
     val got = AnalyticsOps.qDoubleBilling(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDate(1).toString) ->

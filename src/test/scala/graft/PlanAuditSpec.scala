@@ -94,6 +94,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_span_corruption" -> 1,
     // double_billing: one suspect-key aggregate + ordered output
     "q_double_billing" -> 2,
+    // trigram_search: posting-candidate agg + the pinned verify
+    // semi-join + ordered output
+    "q_trigram_search" -> 3,
+    // discount_scenarios: ONE grid-expanded aggregate to |scenarios|
+    // rows + the single-partition landing + ordered output
+    "q_discount_scenarios" -> 3,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -641,7 +647,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_freshness",
       // backfill_plan crosses the 1-row horizon span into the
       // model-sized type list to build the expected grid
-      "etl_backfill_plan")
+      "etl_backfill_plan",
+      // discount_scenarios crosses the 3-row scenario grid into the
+      // scan and the 1-row base back into the 3-row result
+      "q_discount_scenarios")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
