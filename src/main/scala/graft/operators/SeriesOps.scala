@@ -175,6 +175,23 @@ object SeriesOps {
     * broadcast — the q_fifo_cogs band join is not needed because
     * only the total issue volume, not per-shipment matching,
     * determines survivorship. */
+  /** The FIFO survivor-clip core over any (part, day, qr, qi)
+    * movement frame: surviving receipt layers with their remaining
+    * quantities — max(0, rhi − max(rlo, S)) per layer. Factored so
+    * the randomized spec can drive it with arbitrary streams. */
+  private[graft] def agingLayers(mv: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("part").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("part")
+    mv.withColumn("rhi", sum(col("qr")).over(wOrd))
+      .withColumn("s_issued", sum(col("qi")).over(wAll))
+      .filter(col("qr") > 0L)
+      .withColumn("rlo", col("rhi") - col("qr"))
+      .withColumn("remaining",
+        greatest(lit(0L), col("rhi") - greatest(col("rlo"), col("s_issued"))))
+      .filter(col("remaining") > 0L)
+  }
+
   def qInventoryAging(s: SparkSession, dir: String): DataFrame = {
     val mv = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("part"),
@@ -187,17 +204,7 @@ object SeriesOps {
                 | end""".stripMargin).as("qi"))
       .groupBy("part", "day")
       .agg(sum(col("qr")).as("qr"), sum(col("qi")).as("qi"))
-    val wOrd = Window.partitionBy("part").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("part")
-    val layers = mv
-      .withColumn("rhi", sum(col("qr")).over(wOrd))
-      .withColumn("s_issued", sum(col("qi")).over(wAll))
-      .filter(col("qr") > 0L)
-      .withColumn("rlo", col("rhi") - col("qr"))
-      .withColumn("remaining",
-        greatest(lit(0L), col("rhi") - greatest(col("rlo"), col("s_issued"))))
-      .filter(col("remaining") > 0L)
+    val layers = agingLayers(mv)
     // the horizon comes from the ALREADY-AGGREGATED movement frame
     // (every ship day survives the (part, day) group-by) — a second
     // raw lineitem scan would double the key's dominant stage

@@ -298,4 +298,83 @@ class RandomizedOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("weekday closed form equals a brute-force walk on random date pairs") {
+    import java.time.{DayOfWeek, LocalDate}
+    import spark.implicits._
+    // random pairs in both orders, including same-day and multi-year;
+    // clamped to the formula's contract (post-epoch day indices —
+    // negative LAGS are in contract, pre-1970 dates are not: integer
+    // div/mod change sign behavior there and no warehouse data
+    // predates its own epoch)
+    val epoch = LocalDate.of(1970, 1, 5)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(20000)
+      val b = math.max(0, a + rnd.nextInt(2000) - 1000)
+      (a.toLong, b.toLong)
+    }
+    val got = pairs.toDF("na", "nb")
+      .selectExpr(
+        "na", "nb",
+        """(5 * (nb div 7) + least(nb % 7, 5))
+          | - (5 * (na div 7) + least(na % 7, 5))""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def walkFwd(x: LocalDate, y: LocalDate): Long =
+      Iterator.iterate(x)(_.plusDays(1)).takeWhile(_.isBefore(y))
+        .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+          d.getDayOfWeek != DayOfWeek.SUNDAY).toLong
+    got.foreach { case (na, nb, bd) =>
+      val (da, db) = (epoch.plusDays(na), epoch.plusDays(nb))
+      val exp = if (!db.isBefore(da)) walkFwd(da, db) else -walkFwd(db, da)
+      assert(bd == exp, s"pair $na $nb")
+    }
+  }
+
+  test("FIFO survivor clip equals a sequential consumer on random streams") {
+    import spark.implicits._
+    // random receipt/issue streams per part, incl. stockout regimes
+    val mv = (0 until 40).flatMap { part =>
+      (0 until 1 + rnd.nextInt(15)).map { day =>
+        val qr = if (rnd.nextInt(3) == 0) rnd.nextInt(20).toLong + 1 else 0L
+        val qi = if (rnd.nextInt(2) == 0) rnd.nextInt(25).toLong else 0L
+        (part.toLong, day, qr, qi)
+      }
+    }
+    val got = operators.SeriesOps.agingLayers(
+        mv.toDF("part", "day", "qr", "qi").repartition(7))
+      .select("part", "day", "remaining").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exp = mv.groupBy(_._1).toSeq.flatMap { case (part, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var toConsume = ordered.map(_._4).sum
+      ordered.collect { case (_, day, qr, _) if qr > 0 =>
+        val eaten = math.min(qr, math.max(0L, toConsume))
+        toConsume -= eaten
+        (part, day, qr - eaten)
+      }.filter(_._3 > 0)
+    }.toSet
+    assert(got == exp)
+    // both regimes occur: some part fully consumed, some with survivors
+    assert(exp.nonEmpty)
+    assert(mv.map(_._1).distinct.size > exp.map(_._1).size,
+      "some random part must be fully consumed")
+  }
+
+  test("rolling-OLS position-sum identity holds on random windows") {
+    // 30·(T − (i−29)·S) − 435·S == 30·Σ(x·y) − 435·Σy for x = 0..29
+    val w = operators.SeriesOps.trendW
+    (1 to 200).foreach { trial =>
+      val i = w + rnd.nextInt(1000) // global index of the window end
+      val ys = Seq.fill(w)(BigInt(rnd.nextInt(1000000)))
+      val s = ys.sum
+      val t = ys.zipWithIndex
+        .map { case (y, j) => BigInt(i - (w - 1) + j) * y }.sum
+      val viaWindowSums =
+        BigInt(w) * (t - BigInt(i - (w - 1)) * s) - BigInt(w * (w - 1) / 2) * s
+      val direct = BigInt(w) * ys.zipWithIndex
+        .map { case (y, x) => BigInt(x) * y }.sum -
+        BigInt(w * (w - 1) / 2) * s
+      assert(viaWindowSums == direct, s"trial $trial")
+    }
+  }
 }
