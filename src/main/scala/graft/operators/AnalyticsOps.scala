@@ -2924,29 +2924,33 @@ object AnalyticsOps {
     * Exactness: per-line repricing is price_cents·(10⁴ − d')
     * div 10⁴ — the truncation mirrored in both engines; sums exact.
     *
-    * Scale shape: the 3-row scenario grid broadcasts into the scan
-    * (row multiplier = |scenarios|, the etl_bitemporal grid
-    * discipline); ONE map-side-combined aggregate to |scenarios|
-    * rows; the base-delta self-join runs on that model-sized frame. */
+    * Scale shape: scenarios become PARALLEL AGGREGATE COLUMNS of one
+    * pass — never a grid × scan row expansion (a 3-scenario grid
+    * cross-join reads the corpus once but SHUFFLE-WEIGHS it 3×; a
+    * 50-scenario sweep, 50×). One single-row aggregate of
+    * |scenarios| conditional sums, stacked to rows at the end —
+    * corpus cost is independent of the scenario count. */
   def qDiscountScenarios(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val grid = scenarioDeltasBp.toDF("delta_bp")
     val lines = Tables.load(s, dir, "lineitem")
       .select(
         expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
           .as("cents"),
         expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)")
           .as("d_bp"))
-    val priced = lines.crossJoin(broadcast(grid))
-      .select(col("delta_bp"), expr(
-        """cast(cents as decimal(38,0)) *
-          |  (10000 - greatest(0L, least(10000L, d_bp + delta_bp)))
-          |  div 10000""".stripMargin).as("rev"))
-      .groupBy("delta_bp")
-      .agg(sum(col("rev")).cast(LongType).as("revenue_cents"))
-    val base = priced.filter(col("delta_bp") === 0L)
-      .select(col("revenue_cents").as("base_cents"))
-    priced.crossJoin(broadcast(base))
+    // per-row repricing stays in LONG (price_cents × 10⁴ < 2⁶³ by
+    // domain — decimal per-row multiplication would triple the scan
+    // cost); only the corpus SUM runs in DECIMAL(38,0)
+    def rev(delta: Long) = sum(expr(
+      s"""cast(cents * (10000 - greatest(0L, least(10000L, d_bp + $delta)))
+         |  div 10000 as decimal(38,0))""".stripMargin))
+      .cast(LongType).as(s"rev_$delta")
+    val one = lines.agg(rev(scenarioDeltasBp.head),
+      scenarioDeltasBp.tail.map(rev): _*)
+    val stackArgs = scenarioDeltasBp
+      .map(d => s"${d}L, `rev_$d`").mkString(", ")
+    one.select(expr(
+        s"stack(${scenarioDeltasBp.size}, $stackArgs) as (delta_bp, revenue_cents)"),
+        col(s"rev_0").as("base_cents"))
       .withColumn("delta_cents", col("revenue_cents") - col("base_cents"))
       .select(col("delta_bp"), col("revenue_cents"), col("delta_cents"))
       .orderBy("delta_bp")

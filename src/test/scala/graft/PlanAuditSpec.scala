@@ -97,9 +97,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // trigram_search: posting-candidate agg + the pinned verify
     // semi-join + ordered output
     "q_trigram_search" -> 3,
-    // discount_scenarios: ONE grid-expanded aggregate to |scenarios|
-    // rows + the single-partition landing + ordered output
-    "q_discount_scenarios" -> 3,
+    // discount_scenarios: ONE single-row aggregate of |scenarios|
+    // conditional sums; the stack projection adds no exchange
+    "q_discount_scenarios" -> 1,
     "dedup_embed_cosine" -> 8, "dedup_exact" -> 1,
     "dedup_incremental" -> 8, "dedup_minhash" -> 10,
     "dedup_ngram_jaccard" -> 3, "dedup_simhash" -> 6, "embed_quantize" -> 0,
@@ -647,10 +647,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_freshness",
       // backfill_plan crosses the 1-row horizon span into the
       // model-sized type list to build the expected grid
-      "etl_backfill_plan",
-      // discount_scenarios crosses the 3-row scenario grid into the
-      // scan and the 1-row base back into the 3-row result
-      "q_discount_scenarios")
+      "etl_backfill_plan")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
