@@ -271,13 +271,17 @@ object StatsOps {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("x"))
+    // per-row powers stay in LONG (x⁴ < 2⁶³ holds for any physical
+    // line quantity below ~55k units — the q_discount_scenarios
+    // lesson); the corpus SUMs run in DECIMAL(38,0), where overflow
+    // actually lives
     val sums = li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(DecimalType(38, 0))).cast(DoubleType).as("s1"),
-        sum(expr("cast(x as decimal(38,0)) * x")).cast(DoubleType).as("s2"),
-        sum(expr("cast(x as decimal(38,0)) * x * x")).cast(DoubleType)
+        sum(expr("cast(x * x as decimal(38,0))")).cast(DoubleType).as("s2"),
+        sum(expr("cast(x * x * x as decimal(38,0))")).cast(DoubleType)
           .as("s3"),
-        sum(expr("cast(x as decimal(38,0)) * x * x * x")).cast(DoubleType)
+        sum(expr("cast(x * x * x * x as decimal(38,0))")).cast(DoubleType)
           .as("s4"))
     // the double trees below are textually mirrored in the oracle —
     // do not re-associate; ^1.5 and ^2 are spelled via * and sqrt
@@ -367,10 +371,15 @@ object StatsOps {
       expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)")
         .as("d"),
       expr("cast(cast(l_tax as decimal(6,4)) * 10000 as bigint)").as("t"))
+    // per-row pair products stay in LONG — the largest is p·p ≤
+    // (10⁹ cents)² = 10¹⁸ < 2⁶³, bounded by the money domain (the
+    // q_discount_scenarios lesson: per-row decimal multiplication
+    // multiplies scan cost ~8×); only the corpus SUMs run in
+    // DECIMAL(38,0), where overflow actually lives
     val firstSums = covVars.map(v =>
       sum(col(v).cast(DecimalType(38, 0))).cast(DoubleType).as(s"s_$v"))
     val pairSums = covPairs.map { case (a, b) =>
-      sum(expr(s"cast($a as decimal(38,0)) * $b")).cast(DoubleType)
+      sum(expr(s"cast($a * $b as decimal(38,0))")).cast(DoubleType)
         .as(s"s_$a$b")
     }
     val sums = base.agg(count(lit(1)).as("n"),
