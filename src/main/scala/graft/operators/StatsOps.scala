@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -484,7 +485,301 @@ object StatsOps {
        |  $wilsonLowTree AS wilson_low_ppm
        |FROM g ORDER BY brand""".stripMargin
 
+  /** Spearman rank correlation of quantity vs extended price per
+    * SUPPLIER — the monotone-association read Pearson (q_stats_funcs)
+    * misses when the relation is nonlinear or outlier-laden; per
+    * supplier it answers "does this supplier's line price actually
+    * track order size?" as a robust profiling signal.
+    *
+    * Exactness: ties use the classical average-rank convention kept
+    * in INTEGER half-units — 2·avgrank = 2·rank() + ties − 1 — so
+    * the sufficient statistics are exact integer sums (Pearson is
+    * scale-invariant, so rho(2rx, 2ry) = rho(rx, ry)); the single
+    * double combination reuses [[corrTree]] verbatim in both engines.
+    *
+    * Scale shape: the rank windows partition by supplier — a key
+    * whose cardinality GROWS with the corpus (TPC-H suppliers scale
+    * with SF), so the two sorts are honestly parallel range sorts,
+    * never a handful-of-reducers window; per-group rank products fit
+    * long at any SF because per-supplier group size is catalog-bound,
+    * and the corpus SUMs run in DECIMAL(38,0). */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_suppkey").as("sk"),
+      expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"),
+      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+        .as("p"))
+    val ranked = li.select(col("sk"),
+      expr("""cast(2 * rank() over (partition by sk order by q)
+        | + count(*) over (partition by sk, q) - 1 as bigint)"""
+        .stripMargin).as("rx"),
+      expr("""cast(2 * rank() over (partition by sk order by p)
+        | + count(*) over (partition by sk, p) - 1 as bigint)"""
+        .stripMargin).as("ry"))
+    val sums = ranked.groupBy("sk").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+      sum(col("ry").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+      sum(expr("cast(rx * rx as decimal(38,0))")).cast(DoubleType).as("sxx"),
+      sum(expr("cast(ry * ry as decimal(38,0))")).cast(DoubleType).as("syy"),
+      sum(expr("cast(rx * ry as decimal(38,0))")).cast(DoubleType).as("sxy"))
+    sums.select(col("sk").as("l_suppkey"), col("n"),
+        expr(corrTree("sx", "sy", "sxx", "syy", "sxy")).as("rho"))
+      .orderBy("l_suppkey")
+  }
+
+  val qSpearmanSql: String =
+    s"""WITH b AS (
+       |  SELECT l_suppkey AS sk,
+       |    CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS p
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT sk,
+       |    CAST(2 * RANK() OVER (PARTITION BY sk ORDER BY q)
+       |      + COUNT(*) OVER (PARTITION BY sk, q) - 1 AS BIGINT) AS rx,
+       |    CAST(2 * RANK() OVER (PARTITION BY sk ORDER BY p)
+       |      + COUNT(*) OVER (PARTITION BY sk, p) - 1 AS BIGINT) AS ry
+       |  FROM b),
+       |s AS (
+       |  SELECT sk, COUNT(*) AS n,
+       |    CAST(SUM(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
+       |  FROM r GROUP BY 1)
+       |SELECT sk AS l_suppkey, CAST(n AS BIGINT) AS n,
+       |  ${corrTree("sx", "sy", "sxx", "syy", "sxy")} AS rho
+       |FROM s ORDER BY l_suppkey""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the total-price
+    * distributions of urgent vs non-urgent orders — the standard
+    * "did the distribution shift?" gate (release monitoring, cohort
+    * drift, A/B sanity) that mean-based tests miss when shape, not
+    * center, moves.
+    *
+    * Exactness: D = max_v |F1(v) − F2(v)| is computed as an INTEGER
+    * cross-multiplied numerator max|f1·n2 − f2·n1| (no per-point
+    * division), so the max and its location are exact; the one
+    * division to a double happens once on the final row. The argmax
+    * price is tie-broken to the smallest (struct-max on (gap, −v)).
+    *
+    * Scale shape: the corpus collapses to the price-grain frame
+    * first (one agg), then the ECDF prefix-sum runs as the pareto
+    * distributed scan — range partition by value, per-partition
+    * window, driver-side offsets (model-sized: one long pair per
+    * partition) — never a single-partition global window. The
+    * cross-products fit long up to ~3e9 orders per side; past that
+    * the numerator lifts to decimal unchanged. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    val o = Tables.load(s, dir, "orders").select(
+      expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+        .as("v"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+        .as("g1"))
+    val per = o.groupBy("v").agg(sum(col("g1")).as("c1"),
+      (count(lit(1)) - sum(col("g1"))).as("c2"))
+    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = per.repartitionByRange(nRange, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan must see one layout
+    val totals = parts.groupBy("pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val off1 = new Array[Long](nParts + 1)
+    val off2 = new Array[Long](nParts + 1)
+    (1 to nParts).foreach { i =>
+      off1(i) = off1(i - 1) + totals.get(i - 1).map(_._1).getOrElse(0L)
+      off2(i) = off2(i - 1) + totals.get(i - 1).map(_._2).getOrElse(0L)
+    }
+    val n1 = off1(nParts)
+    val n2 = off2(nParts)
+    val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts
+      .withColumn("f1", sum(col("c1")).over(w) +
+        element_at(typedlit(off1.take(nParts).toSeq), col("pid") + 1))
+      .withColumn("f2", sum(col("c2")).over(w) +
+        element_at(typedlit(off2.take(nParts).toSeq), col("pid") + 1))
+    cum.select(col("v"),
+        abs(col("f1") * lit(n2) - col("f2") * lit(n1)).as("gap"))
+      .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("b"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        col("b.gap").as("d_num"), (-col("b.nv")).as("at_cents"),
+        (col("b.gap").cast(DoubleType) /
+          (lit(n1.toDouble) * lit(n2.toDouble))).as("ks_d"))
+  }
+
+  val qKsTestSql: String =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      |  FROM orders),
+      |n AS (SELECT SUM(g1) AS n1, COUNT(*) - SUM(g1) AS n2 FROM o),
+      |per AS (
+      |  SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2
+      |  FROM o GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+      |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+      |  FROM per),
+      |gap AS (
+      |  SELECT v, ABS(f1 * n.n2 - f2 * n.n1) AS gap FROM cum, n)
+      |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+      |  CAST(gap AS BIGINT) AS d_num, v AS at_cents,
+      |  CAST(gap AS DOUBLE)
+      |    / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS ks_d
+      |FROM gap, n ORDER BY gap DESC, v ASC LIMIT 1""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) comparing line quantities of
+    * returned ('R') vs kept lines — the nonparametric "is one group
+    * stochastically larger?" test, the robust companion to a means
+    * test when the distribution is discrete and skewed (quantities
+    * are 1..50 integers: exactly the tie-heavy regime where the
+    * rank-sum with tie-corrected variance is the defensible test).
+    *
+    * Exactness: the corpus collapses to the ~50-row quantity-grain
+    * frame FIRST (one map-side-combined agg); ranks in integer
+    * half-units (2·avgrank(v) = 2·cumAll(v) − cnt(v) + 1), so
+    * R1, U1, and the tie-cube correction ΣT(t³−t) are exact integer
+    * sums; z is one mirrored double tree at the end.
+    *
+    * Scale shape: ONE aggregate over the corpus, then all rank and
+    * test arithmetic runs on the value-domain frame (50 rows at any
+    * SF) — the single-partition window is over 50 rows by
+    * construction, not corpus-sized. Per-value c1·r2 products fit
+    * long to ~2e9 rows per value; the SUMs run in DECIMAL(38,0). */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("v"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g1"))
+    val per = li.groupBy("v").agg(sum(col("g1")).as("c1"),
+      (count(lit(1)) - sum(col("g1"))).as("c2"))
+    // value-domain frame: |quantities| rows, window cost is O(50)
+    val cum = per.select(col("v"), col("c1"), col("c2"),
+      (col("c1") + col("c2")).as("cnt"),
+      expr("""sum(c1 + c2) over (order by v
+        | rows between unbounded preceding and current row)"""
+        .stripMargin).as("cum_all"))
+    val r2 = cum.withColumn("r2",
+      lit(2L) * col("cum_all") - col("cnt") + lit(1L))
+    val agg = r2.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"),
+      sum(expr("cast(c1 * r2 as decimal(38,0))")).cast(LongType)
+        .as("r1_x2"),
+      sum(expr("cast(cnt * cnt * cnt - cnt as decimal(38,0))"))
+        .cast(LongType).as("tie_cubes"))
+    agg
+      .withColumn("u1_x2",
+        lit(2L) * col("n1") * col("n2") +
+          col("n1") * (col("n1") + lit(1L)) - col("r1_x2"))
+      .withColumn("z", expr(mannWhitneyZTree))
+      .select("n1", "n2", "r1_x2", "u1_x2", "tie_cubes", "z")
+  }
+
+  /** The tie-corrected z tree, parsed verbatim by both engines:
+    * z = (U1 − n1·n2/2) / sqrt(n1·n2/12 · (N+1 − ΣT/(N·(N−1)))). */
+  private def mannWhitneyZTree: String =
+    """(CAST(u1_x2 AS DOUBLE) / 2.0
+      |  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      | / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      |   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0
+      |      - CAST(tie_cubes AS DOUBLE)
+      |        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))"""
+      .stripMargin
+
+  val qMannWhitneySql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+       |  FROM lineitem),
+       |per AS (
+       |  SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2
+       |  FROM b GROUP BY 1),
+       |cum AS (
+       |  SELECT v, c1, c2, c1 + c2 AS cnt,
+       |    SUM(c1 + c2) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+       |  FROM per),
+       |r AS (SELECT *, 2 * cum_all - cnt + 1 AS r2 FROM cum),
+       |a AS (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |    CAST(SUM(c2) AS BIGINT) AS n2,
+       |    CAST(SUM(CAST(c1 AS HUGEINT) * r2) AS BIGINT) AS r1_x2,
+       |    CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+       |      AS tie_cubes
+       |  FROM r),
+       |u AS (
+       |  SELECT *, 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u1_x2 FROM a)
+       |SELECT n1, n2, r1_x2, CAST(u1_x2 AS BIGINT) AS u1_x2, tie_cubes,
+       |  $mannWhitneyZTree AS z
+       |FROM u""".stripMargin
+
+  /** Ecological-diversity profile of the language mix per document
+    * source — Simpson's index (probability two random docs share a
+    * language), its Gini-Simpson complement, and language richness:
+    * the corpus-composition read a training-data curator checks
+    * before fixing a sampling mix (q_chi2 tests independence; this
+    * SUMMARIZES concentration per source in one interpretable number).
+    *
+    * Exactness: Simpson's numerator Σnᵢ(nᵢ−1) and denominator
+    * N(N−1) are exact integers; ONE division to double per output
+    * column, mirrored textually.
+    *
+    * Scale shape: two chained map-side-combined aggregates —
+    * (source, lang) grain then source grain; per-row products fit
+    * long up to ~3e9 docs per (source, lang) cell, with the SUM in
+    * DECIMAL(38,0) past that (documented, matching q_chi2's rule). */
+  def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    per.groupBy("source").agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(expr("c * (c - 1)")).as("simpson_num"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("simpson_num"),
+        expr("""cast(simpson_num as double)
+          | / (cast(n_docs as double) * (cast(n_docs as double) - 1.0))"""
+          .stripMargin).as("simpson"),
+        expr("""1.0 - cast(simpson_num as double)
+          | / (cast(n_docs as double) * (cast(n_docs as double) - 1.0))"""
+          .stripMargin).as("gini_simpson"))
+      .orderBy("source")
+  }
+
+  val qDiversitySql: String =
+    """WITH per AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    COUNT(*) AS n_langs,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num
+      |  FROM per GROUP BY 1)
+      |SELECT source, n_docs, CAST(n_langs AS BIGINT) AS n_langs,
+      |  simpson_num,
+      |  CAST(simpson_num AS DOUBLE)
+      | / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0))
+      |    AS simpson,
+      |  1.0 - CAST(simpson_num AS DOUBLE)
+      | / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0))
+      |    AS gini_simpson
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
+    "q_ks_test" -> (qKsTest _),
+    "q_mannwhitney" -> (qMannWhitney _),
+    "q_diversity" -> (qDiversity _),
     "q_cov_matrix" -> (qCovMatrix _),
     "q_return_rates" -> (qReturnRates _),
     "q_moments" -> (qMoments _),
@@ -494,6 +789,10 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_spearman" -> qSpearmanSql,
+    "q_ks_test" -> qKsTestSql,
+    "q_mannwhitney" -> qMannWhitneySql,
+    "q_diversity" -> qDiversitySql,
     "q_cov_matrix" -> qCovMatrixSql,
     "q_return_rates" -> qReturnRatesSql,
     "q_moments" -> qMomentsSql,

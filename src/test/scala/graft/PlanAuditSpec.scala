@@ -287,6 +287,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_autocorr" -> 2,
     // moments: one map-side-combined power-sum agg + ordered output
     "q_moments" -> 2,
+    // spearman: ONE supplier-grain window exchange shared by both
+    // rank passes, the rank-sum agg reusing that partitioning +
+    // ordered output
+    "q_spearman" -> 2,
+    // ks_test: post-checkpoint only (the price-grain agg + range
+    // repartition run before the pin): the pid window exchange +
+    // the 1-row max aggregate's partial/final pair
+    "q_ks_test" -> 3,
+    // mannwhitney: value-grain agg (partial+final) + the 50-row
+    // value-domain window's single-partition exchange + the 1-row
+    // final aggregate
+    "q_mannwhitney" -> 3,
+    // diversity: (source,lang) agg + source regroup + ordered output
+    "q_diversity" -> 3,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,

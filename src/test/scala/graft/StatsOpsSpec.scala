@@ -238,4 +238,141 @@ class StatsOpsSpec extends AnyFunSuite {
       if (r > 0) assert(wl < ppm.toDouble && wl > 0.0)
     }
   }
+
+  /** Driver-side doubled average ranks (2·avgrank) of a value
+    * sequence — the exact-integer tie convention q_spearman and
+    * q_mannwhitney are built on. */
+  private def doubledAvgRanks(vs: Seq[Long]): Seq[Long] = {
+    val sorted = vs.sorted
+    val firstIdx = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2).min }
+    val cnt = vs.groupBy(identity).map { case (v, g) => v -> g.size }
+    vs.map(v => 2L * (firstIdx(v) + 1) + cnt(v) - 1)
+  }
+
+  test("q_spearman replays rho from driver-side average ranks") {
+    val rows = StatsOps.qSpearman(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    }
+    // bitwise replay for every supplier at sf0.001
+    val raw = spark.sql(
+      s"""SELECT l_suppkey,
+         |  cast(cast(l_quantity as decimal(12,2)) as bigint) AS q,
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)
+         |    AS p
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = raw.groupBy(_._1).map { case (sk, g) =>
+      val rx = doubledAvgRanks(g.map(_._2).toSeq)
+      val ry = doubledAvgRanks(g.map(_._3).toSeq)
+      val n = g.size.toDouble
+      def d(s: Seq[BigInt]) = s.sum.toDouble
+      val (sx, sy) = (d(rx.map(BigInt(_))), d(ry.map(BigInt(_))))
+      val sxx = d(rx.map(v => BigInt(v) * v))
+      val syy = d(ry.map(v => BigInt(v) * v))
+      val sxy = d(rx.zip(ry).map { case (a, b) => BigInt(a) * b })
+      sk -> ((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val got = rows.map(r =>
+      r.getAs[Long]("l_suppkey") -> r.getAs[Double]("rho")).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (sk, rho) =>
+      assert(got(sk) == rho, s"supplier $sk rho (bitwise)")
+    }
+    // ranks must actually vary: at least one supplier's rho is
+    // neither 0 nor ±1 (a degenerate rank mapping would collapse)
+    assert(got.values.exists(r => r != 0.0 && math.abs(r) != 1.0))
+  }
+
+  test("q_ks_test replays the ECDF max gap exactly") {
+    val r = StatsOps.qKsTest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val raw = spark.sql(
+      s"""SELECT cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)
+         |    AS v,
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+         |FROM parquet.`$sf/orders.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val n1 = raw.count(_._2 == 1).toLong
+    val n2 = raw.length - n1
+    // walk the ECDF over sorted distinct values
+    var (f1, f2, best, bestV) = (0L, 0L, -1L, 0L)
+    raw.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      f1 += g.count(_._2 == 1); f2 += g.count(_._2 == 0)
+      val gap = math.abs(f1 * n2 - f2 * n1)
+      if (gap > best) { best = gap; bestV = v }
+    }
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("d_num") == best)
+    assert(row.getAs[Long]("at_cents") == bestV)
+    assert(row.getAs[Double]("ks_d") ==
+      best.toDouble / (n1.toDouble * n2.toDouble), "ks_d (bitwise)")
+    // the two priority classes draw prices from the same synthetic
+    // distribution: D must be small but the numerator nonzero
+    assert(best > 0L && row.getAs[Double]("ks_d") < 0.5)
+  }
+
+  test("q_mannwhitney replays U and z from driver-side ranks") {
+    val r = StatsOps.qMannWhitney(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val raw = spark.sql(
+      s"""SELECT cast(cast(l_quantity as decimal(12,2)) as bigint) AS v,
+         |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+         |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val n1 = raw.count(_._2 == 1).toLong
+    val n2 = raw.length - n1
+    val r2 = doubledAvgRanks(raw.map(_._1).toSeq)
+    val r1x2 = raw.zip(r2).filter(_._1._2 == 1).map(_._2).sum
+    val u1x2 = 2L * n1 * n2 + n1 * (n1 + 1) - r1x2
+    val cnt = raw.groupBy(_._1).map(_._2.size.toLong)
+    val ties = cnt.map(t => t * t * t - t).sum
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("r1_x2") == r1x2)
+    assert(row.getAs[Long]("u1_x2") == u1x2)
+    assert(row.getAs[Long]("tie_cubes") == ties)
+    val nd1 = n1.toDouble; val nd2 = n2.toDouble
+    val z = (u1x2.toDouble / 2.0 - nd1 * nd2 / 2.0) /
+      math.sqrt(nd1 * nd2 / 12.0 * (nd1 + nd2 + 1.0 -
+        ties.toDouble / ((nd1 + nd2) * (nd1 + nd2 - 1.0))))
+    assert(row.getAs[Double]("z") == z, "z (bitwise)")
+    // return flags are independent of quantity on the fixture: |z|
+    // must be finite and the tie correction nonzero (50 fat ties)
+    assert(!row.getAs[Double]("z").isNaN && ties > 0L)
+  }
+
+  test("q_diversity replays Simpson per source and orders sources") {
+    val rows = StatsOps.qDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sf, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = raw.groupBy(_._1).map { case (src, g) =>
+      val per = g.groupBy(_._2).map(_._2.size.toLong)
+      val n = g.size.toLong
+      val num = per.map(c => c * (c - 1)).sum
+      src -> ((n, per.size.toLong, num,
+        num.toDouble / (n.toDouble * (n.toDouble - 1.0))))
+    }
+    val got = rows.map(r => r.getString(0) -> ((r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getAs[Double]("simpson")))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, (n, langs, num, simpson)) =>
+      val g = got(src)
+      assert(g._1 == n && g._2 == langs && g._3 == num)
+      assert(g._4 == simpson, s"$src simpson (bitwise)")
+      assert(got(src)._4 >= 0.0 && got(src)._4 <= 1.0)
+    }
+    // gini_simpson is the exact complement under the shared tree
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gini_simpson") ==
+        1.0 - r.getAs[Double]("simpson"))
+    }
+  }
 }
