@@ -3040,7 +3040,86 @@ object AnalyticsOps {
       |  (MAX({'adev': adev, 'prio': prio})).prio AS top_drift_prio
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Progressive brackets over order totals in exact cents: id, lower
+    * and upper bound (cents), marginal rate in basis points. The top
+    * bracket's bound is a shared literal far above any order total so
+    * LEAST never meets an open end. */
+  private val taxBrackets: Seq[(String, Long, Long, Long)] = Seq(
+    ("b1_to_100k", 0L, 10000000L, 200L),
+    ("b2_to_200k", 10000000L, 20000000L, 350L),
+    ("b3_to_300k", 20000000L, 30000000L, 500L),
+    ("b4_above_300k", 30000000L, 10000000000L, 800L))
+
+  /** The per-order taxable slice of one bracket — ONE string parsed
+    * by both engines (the q_cov_matrix shared-text discipline). */
+  private def bracketSlice(lo: Long, hi: Long): String =
+    s"greatest(least(v, $hi) - $lo, 0)"
+
+  /** Progressive bracket allocation — the marginal-rate computation
+    * behind tiered pricing, commissions, duties, and progressive tax:
+    * each order's total is sliced across brackets and each slice pays
+    * its bracket's marginal rate. Per bracket: orders reaching it,
+    * taxable cents, tax cents, and the realized effective rate.
+    *
+    * Exactness: pure integer cents/bp arithmetic — the slice is
+    * greatest/least clamping, per-order tax is slice·rate div 10⁴
+    * (the div grain is PER ORDER, matching how an invoice line would
+    * round), and both engines parse the same slice text.
+    *
+    * Scale shape: the q_discount_scenarios lesson applied — brackets
+    * are PARALLEL CONDITIONAL AGGREGATE COLUMNS of one corpus pass,
+    * never an orders × brackets grid join (which would shuffle-weigh
+    * the corpus |brackets|×); the stack to rows happens on the 1-row
+    * aggregate. Per-row slice·rate ≤ 10¹⁰·800 < 2⁶³ by the money
+    * domain; corpus SUMs run in DECIMAL(38,0). */
+  def qTaxBrackets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+        .as("v"))
+    val aggs = taxBrackets.flatMap { case (id, lo, hi, bp) =>
+      val slice = bracketSlice(lo, hi)
+      Seq(
+        sum(expr(s"case when v > $lo then 1 else 0 end")).as(s"n_$id"),
+        sum(expr(s"cast($slice as decimal(38,0))")).cast(LongType)
+          .as(s"taxable_$id"),
+        sum(expr(s"cast(($slice * $bp) div 10000 as decimal(38,0))"))
+          .cast(LongType).as(s"tax_$id"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = taxBrackets.map { case (id, _, _, _) =>
+      s"'$id', n_$id, taxable_$id, tax_$id"
+    }.mkString(", ")
+    one.select(expr(s"stack(${taxBrackets.size}, $stackArgs)" +
+        " as (bracket, n_orders, taxable_cents, tax_cents)"))
+      .withColumn("effective_bp",
+        expr("(tax_cents * 10000) div taxable_cents"))
+      .orderBy("bracket")
+  }
+
+  val qTaxBracketsSql: String = {
+    val arms = taxBrackets.map { case (id, lo, hi, bp) =>
+      val slice = bracketSlice(lo, hi)
+      s"""SELECT '$id' AS bracket,
+         |  CAST(SUM(CASE WHEN v > $lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orders,
+         |  CAST(SUM($slice) AS BIGINT) AS taxable_cents,
+         |  CAST(SUM(($slice * $bp) // 10000) AS BIGINT) AS tax_cents
+         |FROM o""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH o AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS v
+       |  FROM orders),
+       |b AS (
+       |$arms
+       |)
+       |SELECT bracket, n_orders, taxable_cents, tax_cents,
+       |  (tax_cents * 10000) // taxable_cents AS effective_bp
+       |FROM b ORDER BY bracket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tax_brackets" -> (qTaxBrackets _),
     "q_dataset_drift" -> (qDatasetDrift _),
     "q_trigram_search" -> (qTrigramSearch _),
     "q_discount_scenarios" -> (qDiscountScenarios _),
@@ -3093,6 +3172,7 @@ object AnalyticsOps {
     "q_anomaly_bands" -> (qAnomalyBands _))
 
   val oracles: Map[String, String] = Map(
+    "q_tax_brackets" -> qTaxBracketsSql,
     "q_dataset_drift" -> qDatasetDriftSql,
     "q_trigram_search" -> qTrigramSearchSql,
     "q_discount_scenarios" -> qDiscountScenariosSql,

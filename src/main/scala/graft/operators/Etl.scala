@@ -2589,7 +2589,95 @@ object Etl {
     s"$arms\nORDER BY tbl, candidate"
   }
 
+  /** Month range of the published rate table: orders span 1995-01 ..
+    * 2001-08 on the fixture; rates exist only through 2000-12, so
+    * 2001 orders exercise the missing-rate fallback. */
+  private val rateMonths = 72 // 1995-01 .. 2000-12
+
+  /** Deterministic per-(nation, month) rate in ppm — a synthetic but
+    * fixed SCD-style rate dim both engines derive identically (pure
+    * positive integer arithmetic; % agrees across engines on
+    * positives). */
+  private val ratePpmText =
+    "500000 + (n_nationkey * 7919 + ym * 31) % 1000000"
+
+  /** Currency normalization — the multi-region ledger's first ETL
+    * step: convert order totals recorded in local currency to a
+    * reporting currency through a (nation, month)-grain rate
+    * dimension, with an explicit fallback (rate 1.0) for months the
+    * rate feed hasn't published — the late-dim reality every finance
+    * pipeline handles (NULLing or dropping unmatched facts silently
+    * corrupts the ledger).
+    *
+    * Exactness: rates are integer ppm; per-order conversion is
+    * cents·rate_ppm div 10⁶ (long product ≤ 10¹⁰·1.5·10⁶ < 2⁶³ by
+    * the money domain); corpus SUMs in DECIMAL(38,0); the rate
+    * formula is ONE shared text.
+    *
+    * Scale shape: facts flow through one pinned orders⨝customer
+    * shuffle; nation (25 rows) and the derived rate grid (25×72 —
+    * dimension-sized at ANY corpus size, the definition of a
+    * broadcast-right side) broadcast; ONE (nation, month) rollup
+    * with map-side combine. */
+  def etlCurrencyNormalize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_custkey"),
+      expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+        .as("cents"),
+      expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)")
+        .as("ym"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val months = s.range(0, rateMonths).select(
+      expr("199500 + (id div 12) * 100 + id % 12 + 1").as("ym"))
+    val rates = n.crossJoin(months)
+      .select(col("n_nationkey").as("r_nationkey"), col("ym"),
+        expr(ratePpmText).as("rate_ppm"))
+    o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rates),
+        col("r_nationkey") === col("c_nationkey") &&
+          rates("ym") === o("ym"), "left")
+      .withColumn("rate", coalesce(col("rate_ppm"), lit(1000000L)))
+      .groupBy(col("n_name"), o("ym").as("ym"), col("rate").as("rate_ppm"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+          .as("local_cents"),
+        sum(expr("cast((cents * rate) div 1000000 as decimal(38,0))"))
+          .cast(LongType).as("usd_cents"))
+      .orderBy("n_name", "ym")
+  }
+
+  val etlCurrencyNormalizeSql: String =
+    s"""WITH m AS (
+       |  SELECT 199500 + (i // 12) * 100 + i % 12 + 1 AS ym
+       |  FROM range($rateMonths) t(i)),
+       |r AS (
+       |  SELECT n_nationkey, ym, $ratePpmText AS rate_ppm
+       |  FROM nation CROSS JOIN m),
+       |o AS (
+       |  SELECT o_custkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS cents,
+       |    YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym
+       |  FROM orders),
+       |j AS (
+       |  SELECT n.n_name, o.ym, o.cents,
+       |    COALESCE(r.rate_ppm, 1000000) AS rate
+       |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  LEFT JOIN r ON r.n_nationkey = c.c_nationkey AND r.ym = o.ym)
+       |SELECT n_name, CAST(ym AS BIGINT) AS ym,
+       |  CAST(rate AS BIGINT) AS rate_ppm,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(cents) AS BIGINT) AS local_cents,
+       |  CAST(SUM((cents * rate) // 1000000) AS BIGINT) AS usd_cents
+       |FROM j GROUP BY 1, 2, 3 ORDER BY n_name, ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_currency_normalize" -> (etlCurrencyNormalize _),
     "etl_pk_discovery" -> (etlPkDiscovery _),
     "etl_backfill_plan" -> (etlBackfillPlan _),
     "etl_freshness" -> (etlFreshness _),
@@ -2639,6 +2727,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_currency_normalize" -> etlCurrencyNormalizeSql,
     "etl_late_dim" -> etlLateArrivingDimSql,
     "etl_gdpr_erase" -> etlGdprEraseSql,
     "etl_reconcile" -> etlReconcileSql,

@@ -1875,7 +1875,51 @@ object Relational {
       |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY supp, day, ok, ln""".stripMargin
 
+  /** Forward-fill via IGNORE NULLS — the last-observation-carried-
+    * forward read every event pipeline needs without a time grid
+    * (q_gap_fill fills a CALENDAR; this carries state along the raw
+    * event sequence): at every event, the user's last purchase value
+    * and how many purchases precede it.
+    *
+    * Exactness: pure SELECTION — the carried value is the stored
+    * double, never arithmetic, so parity is definitional; the
+    * running purchase count is an integer conditional sum; (ts,
+    * event_id) makes the order total, so fills are deterministic
+    * under same-timestamp events.
+    *
+    * Scale shape: ONE user-grain window exchange feeds both the
+    * ignore-nulls last and the running count (shared window spec —
+    * one shuffle, one sort); partition cardinality (users) grows
+    * with the corpus. */
+  def qWindowIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      when(col("event_type") === "purchase", col("value")).as("paid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("user_id"), col("event_type"),
+        last(col("paid"), ignoreNulls = true).over(w).as("last_paid"),
+        sum(when(col("paid").isNotNull, 1L).otherwise(0L)).over(w)
+          .as("purchases_so_far"))
+      .orderBy("event_id")
+  }
+
+  val qWindowIgnoreNullsSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+      |      IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_paid,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS purchases_so_far
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_ignore_nulls" -> (qWindowIgnoreNulls _),
     "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
     "q_funnel_steps" -> (qFunnelSteps _),
@@ -1928,6 +1972,7 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_ignore_nulls" -> qWindowIgnoreNullsSql,
     "q_penny_allocation" -> qPennyAllocationSql,
     "q_funnel_steps" -> qFunnelStepsSql,
     "q_ohlc_bars" -> qOhlcBarsSql,

@@ -1434,4 +1434,36 @@ class AnalyticsSpec extends AnyFunSuite {
     // is not required (matched sample), but num==den must hold when
     // every part is in its own base month
   }
+
+  test("q_tax_brackets allocates every cent exactly once at marginal rates") {
+    val rows = AnalyticsOps.qTaxBrackets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 4)
+    val cents = Tables.load(spark, sf, "orders")
+      .select(expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"))
+      .collect().map(_.getLong(0))
+    // driver replay per bracket in BigInt
+    val brackets = Seq(("b1_to_100k", 0L, 10000000L, 200L),
+      ("b2_to_200k", 10000000L, 20000000L, 350L),
+      ("b3_to_300k", 20000000L, 30000000L, 500L),
+      ("b4_above_300k", 30000000L, 10000000000L, 800L))
+    brackets.zip(rows.sortBy(_._1)).foreach {
+      case ((id, lo, hi, bp), (gid, n, taxable, tax, effBp)) =>
+        assert(gid == id)
+        val slices = cents.map(v => (v.min(hi) - lo).max(0L))
+        assert(n == cents.count(_ > lo).toLong)
+        assert(taxable == slices.map(BigInt(_)).sum)
+        assert(tax == slices.map(s => BigInt(s * bp / 10000)).sum)
+        assert(effBp == tax * 10000L / taxable)
+        // per-order rounding makes the effective rate sit AT or just
+        // under the marginal rate, never above
+        assert(effBp <= bp && effBp >= bp - 1)
+    }
+    // conservation: the bracket slices partition every order total
+    assert(rows.map(r => BigInt(r._3)).sum == cents.map(BigInt(_)).sum,
+      "bracket taxable bases must sum to total cents")
+    // participation shrinks up the schedule
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }

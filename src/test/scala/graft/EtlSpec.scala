@@ -1078,4 +1078,52 @@ class EtlSpec extends AnyFunSuite {
     // record at V>=1 regardless of T
     assert(base.exists { case (k, _, _) => k % 5 == 1 && k % 7 == 2 })
   }
+
+  test("etl_currency_normalize converts through the rate dim with fallback") {
+    val rows = Etl.etlCurrencyNormalize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ym, rate, _, local, usd) =>
+      if (ym <= 200012L) {
+        // published months: the rate formula replays exactly
+        assert(rate >= 500000L && rate < 1500000L)
+      } else {
+        // unpublished months fall back to parity, never NULL/drop
+        assert(rate == 1000000L, s"month $ym must fall back")
+      }
+      // conversion direction follows the rate
+      if (rate < 1000000L) assert(usd <= local)
+      if (rate > 1000000L) assert(usd >= local)
+    }
+    // fixture orders reach into 2001: the fallback path is exercised
+    assert(rows.exists(_._2 > 200100L))
+    // replay one nation-month group end-to-end in BigInt
+    val nations = Tables.load(spark, sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val custNation = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"),
+        expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = orders.groupBy(o => (custNation(o._1), o._3)).map {
+      case ((nk, ym), g) =>
+        val rate = if (ym <= 200012L)
+          500000L + (nk * 7919L + ym * 31L) % 1000000L else 1000000L
+        (nations(nk), ym) -> ((rate, g.size.toLong,
+          g.map(o => BigInt(o._2)).sum,
+          g.map(o => BigInt(o._2 * rate / 1000000L)).sum))
+    }
+    assert(rows.length == exp.size)
+    rows.foreach { case (name, ym, rate, n, local, usd) =>
+      val (eRate, eN, eLocal, eUsd) = exp((name, ym))
+      assert(rate == eRate && n == eN, s"($name,$ym) rate/count")
+      assert(BigInt(local) == eLocal && BigInt(usd) == eUsd,
+        s"($name,$ym) conversion")
+    }
+  }
 }

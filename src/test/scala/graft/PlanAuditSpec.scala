@@ -301,6 +301,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mannwhitney" -> 3,
     // diversity: (source,lang) agg + source regroup + ordered output
     "q_diversity" -> 3,
+    // tax_brackets: ONE single-row aggregate of parallel bracket
+    // sums (discount_scenarios' shape); stack + 4-row sort add one
+    "q_tax_brackets" -> 2,
+    // window_ignore_nulls: ONE user-grain window exchange shared by
+    // the fill and the running count + ordered output
+    "q_window_ignore_nulls" -> 2,
+    // currency_normalize: the pinned orders⨝customer join (2) +
+    // the (nation,month) rollup + ordered output; nation and the
+    // derived rate grid broadcast
+    "etl_currency_normalize" -> 4,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,
@@ -653,6 +663,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
+      // currency_normalize crosses nation (25) × months (72) to
+      // DERIVE the rate dim — dimension-sized at any corpus size;
+      // the fact side joins it by broadcast hash, never BNL
+      "etl_currency_normalize",
       // recall composes sim_cosine_topk + sim_ivf_topk, inheriting
       // their intended query-side broadcast crosses
       "sim_recall",

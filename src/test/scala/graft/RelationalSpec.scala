@@ -552,4 +552,40 @@ class RelationalSpec extends AnyFunSuite {
     // the exclusion is observable: some group has real peers
     assert(got.exists(r => r._7 != r._8))
   }
+
+  test("q_window_ignore_nulls carries the last purchase forward exactly") {
+    val rows = graft.operators.Relational.qWindowIgnoreNulls(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver-side replay: walk each user's (ts, event_id) order
+    val raw = Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val exp = raw.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      var last: Option[Double] = None
+      var cnt = 0L
+      // micros-exact order: Timestamp.getTime is millis-truncated
+      g.sortBy(e => (e._2.getTime / 1000 * 1000000L +
+          e._2.getNanos / 1000, e._3)).map { e =>
+        if (e._4 == "purchase") { last = Some(e._5); cnt += 1 }
+        e._3 -> ((last, cnt))
+      }
+    }.toMap
+    assert(rows.length == raw.length)
+    rows.foreach { case (eid, _, typ, lastPaid, sofar) =>
+      val (expLast, expCnt) = exp(eid)
+      assert(lastPaid == expLast, s"event $eid fill")
+      assert(sofar == expCnt, s"event $eid running count")
+      // at a purchase the fill equals the event's own value
+      if (typ == "purchase") assert(lastPaid.isDefined)
+    }
+    // the fill is exercised: some user has events before any
+    // purchase (NULL fill) and some carry a value forward
+    assert(rows.exists(_._4.isEmpty) && rows.exists(r =>
+      r._3 != "purchase" && r._4.nonEmpty))
+  }
 }
