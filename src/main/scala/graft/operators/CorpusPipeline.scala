@@ -1130,7 +1130,46 @@ object CorpusPipeline {
        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Packing-efficiency audit over text_pack_sequences' output — the
+    * pre-training sanity report a curator reads before a run: per
+    * training sequence, how many documents start in it, the carry-in
+    * from a document spanning across its left boundary, tokens
+    * contributed by its starters, and the carry-out past its right
+    * boundary. Sequences fully swallowed by one long document have
+    * no starters and are ABSENT by construction — exactly the rows a
+    * truncation-policy review needs to notice.
+    *
+    * Exactness: pure integer token arithmetic over the already-green
+    * pack frame; the oracle recomposes the SAME pack SQL and
+    * aggregates it (the pipeline_train_corpus composition rule).
+    *
+    * Scale shape: the pack scan's cost dominates (audited at its own
+    * key); this adds ONE sequence-grain aggregate with map-side
+    * combine. */
+  def pipelinePackStats(s: SparkSession, dir: String): DataFrame = {
+    TextOps.textPackSequences(s, dir)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("seq_offset")).as("carry_in"),
+        sum(col("n_tokens")).as("tokens_started"),
+        greatest(max(col("seq_offset") + col("n_tokens")) -
+          lit(TextOps.packBudget.toLong), lit(0L)).as("carry_out"))
+      .orderBy("seq_id")
+  }
+
+  val pipelinePackStatsSql: String =
+    s"""WITH p AS (${TextOps.textPackSequencesSql})
+       |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS first_doc,
+       |  CAST(MIN(seq_offset) AS BIGINT) AS carry_in,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+       |  CAST(GREATEST(MAX(seq_offset + n_tokens)
+       |    - ${TextOps.packBudget}, 0) AS BIGINT) AS carry_out
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_stats" -> (pipelinePackStats _),
     "pipeline_span_corruption" -> (pipelineSpanCorruption _),
     "pipeline_annotator_agreement" -> (pipelineAnnotatorAgreement _),
     "pipeline_temp_sampling" -> (pipelineTempSampling _),
@@ -1150,6 +1189,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_stats" -> pipelinePackStatsSql,
     "pipeline_span_corruption" -> pipelineSpanCorruptionSql,
     "pipeline_annotator_agreement" -> pipelineAnnotatorAgreementSql,
     "pipeline_pref_pairs" -> pipelinePrefPairsSql,

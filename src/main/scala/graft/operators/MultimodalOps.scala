@@ -579,7 +579,83 @@ object MultimodalOps {
        |FROM documents GROUP BY doc_id // $mmDupFamily
        |ORDER BY rep_doc""".stripMargin
 
+  /** Target shard size in bytes — the WebDataset-style training-input
+    * dial; shard sizes vary around it by at most one blob. */
+  val shardBudget = 262144L
+
+  /** Size-budgeted media sharding with a manifest — how a multimodal
+    * corpus becomes sequential training input (WebDataset/tar-shard
+    * style): blobs stream in stable id order and cut into ~256 KB
+    * shards; blobs are ATOMIC (start-addressed: each blob lands in
+    * the shard its start offset addresses, so shard sizes vary by at
+    * most one blob around the budget — never a split payload). The
+    * manifest is what the training loader actually consumes: per
+    * shard, item count, real byte size, and the id span for random
+    * access.
+    *
+    * The Spark side measures REAL generated payload bytes (the mm_*
+    * round-trip discipline); byte sizes are formula-derived
+    * (2·samples(id)), so the oracle recomputes the whole sharding
+    * without touching a payload.
+    *
+    * Scale shape: the byte prefix-scan is packFrame's distributed
+    * discipline — range partition by id, per-partition window,
+    * O(partitions) driver offsets — never a single-partition window;
+    * integer `div` on longs (exact at any corpus size, unlike IEEE
+    * division); ONE shard-grain manifest aggregate. */
+  def mmPackShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sizes = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(nRange).as[Long]
+      .map(id => (id, audioPayloadFor(id).length.toLong))
+      .toDF("doc_id", "n_bytes")
+    val parts = sizes.repartitionByRange(nRange, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan see one layout
+    val totals = parts.groupBy("pid").agg(sum(col("n_bytes")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val offsets = new Array[Long](nParts + 1)
+    (1 to nParts).foreach(i =>
+      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("start", sum(col("n_bytes")).over(w) +
+        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1) -
+        col("n_bytes"))
+      .withColumn("shard_id", expr(s"start div $shardBudget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val mmPackShardsSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    2 * ($audioBase + (doc_id * 13) % $audioSpan) AS n_bytes
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_bytes,
+       |    SUM(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_bytes AS start
+       |  FROM b),
+       |s AS (
+       |  SELECT doc_id, n_bytes, start // $shardBudget AS shard_id
+       |  FROM c)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pack_shards" -> (mmPackShards _),
     "mm_dedup" -> (mmDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode" -> (mmDecode _),
@@ -588,6 +664,7 @@ object MultimodalOps {
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_pack_shards" -> mmPackShardsSql,
     "mm_dedup" -> mmDedupSql,
     "mm_decode" -> mmDecodeSql,
     "mm_audio_frames" -> mmAudioFramesSql,

@@ -311,6 +311,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the (nation,month) rollup + ordered output; nation and the
     // derived rate grid broadcast
     "etl_currency_normalize" -> 4,
+    // pack_stats: the pack scan's post-checkpoint window + its
+    // ordered output + the sequence-grain audit agg + ordered output
+    "pipeline_pack_stats" -> 4,
+    // pack_shards: generate-spread repartition runs pre-checkpoint;
+    // the pid window + shard manifest agg + ordered output
+    "mm_pack_shards" -> 3,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,

@@ -628,4 +628,43 @@ class StreamPipelineSpec extends AnyFunSuite {
       assert(r.getAs[Int]("peak") == win.map(math.abs).max)
     }
   }
+
+  test("mm_pack_shards manifest matches a sequential byte walk over real payloads") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.mmPackShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ids = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // the reference: ONE sequential pass measuring the REAL payloads
+    var cum = 0L
+    val assigned = ids.map { id =>
+      val n = MultimodalOps.audioPayloadFor(id).length.toLong
+      val shard = cum / MultimodalOps.shardBudget
+      cum += n
+      (shard, id, n)
+    }
+    val exp = assigned.groupBy(_._1).map { case (shard, g) =>
+      (shard, g.length.toLong, g.map(_._3).sum, g.map(_._2).min,
+        g.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == exp, "manifest must match the sequential walk")
+    // blobs are atomic: every byte lands in exactly one shard
+    assert(rows.map(_._3).sum == cum)
+    assert(rows.map(_._2).sum == ids.length.toLong)
+    // id spans are disjoint and ordered (the loader's random-access
+    // contract): each shard's first doc follows the previous last
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4)
+      case _ =>
+    }
+    // start-addressed sizes: a shard overflows the budget by less
+    // than one max blob and only the last shard may run short
+    val maxBlob = 2L * (MultimodalOps.audioBase + MultimodalOps.audioSpan)
+    rows.dropRight(1).foreach { r =>
+      assert(r._3 < MultimodalOps.shardBudget + maxBlob)
+      assert(r._3 >= MultimodalOps.shardBudget - maxBlob)
+    }
+  }
 }

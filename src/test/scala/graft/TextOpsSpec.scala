@@ -953,4 +953,27 @@ class TextOpsSpec extends AnyFunSuite {
     // the rubrics genuinely disagree somewhere AND agree beyond zero
     assert(po.toLong > 0 && po.toLong < 1000000)
   }
+
+  test("pipeline_pack_stats reconciles the packing audit per sequence") {
+    val got = graft.operators.CorpusPipeline.pipelinePackStats(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    // replay from the (already spec-verified) pack frame
+    val packed = TextOps.textPackSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val exp = packed.groupBy(_._3).map { case (seq, g) =>
+      seq -> ((g.length.toLong, g.map(_._1).min, g.map(_._4).min,
+        g.map(_._2.toLong).sum,
+        math.max(g.map(d => d._4 + d._2).max - TextOps.packBudget, 0L)))
+    }
+    assert(got == exp, "per-sequence audit must match the driver replay")
+    // conservation: every token is started exactly once
+    assert(got.values.map(_._4).sum == packed.map(_._2.toLong).sum)
+    // the first sequence opens at offset zero
+    assert(got(got.keySet.min)._3 == 0L)
+    // spanning docs exist on the fixture: some sequence carries out
+    assert(got.values.exists(_._5 > 0L), "no boundary-spanning doc seen")
+  }
 }
