@@ -500,7 +500,79 @@ object SeriesOps {
        |  CAST(detr_milli - seasonal_milli AS BIGINT) AS residual_milli
        |FROM t3 ORDER BY day""".stripMargin
 
+  /** Wald–Wolfowitz runs-up-and-down test on daily revenue — the
+    * trend-randomness screen (NIST's runs test, the same statistic
+    * randomness batteries use): too FEW monotone runs means trending
+    * /autocorrelated days, too MANY means oscillation — either way
+    * the i.i.d. assumption behind naive monitors is broken. Pairs
+    * with q_autocorr (which measures lag correlation; this tests the
+    * SIGN pattern, robust to magnitude).
+    *
+    * Exactness: daily revenue in exact cents (decimal sums), run
+    * boundaries are integer sign-change counts (cents sums of random
+    * prices never tie, and an exact tie would map deterministically
+    * to "down" in both engines); E[R]=(2n−1)/3, Var=(16n−29)/90
+    * enter once through a mirrored double tree.
+    *
+    * Scale shape: the corpus collapses to DAY grain in one map-side
+    * combined agg; the lag windows run over the model-sized day
+    * series (q_autocorr's documented single-partition series
+    * regime). */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .cast(DecimalType(38, 0))).cast(LongType).as("rev"))
+    val w = Window.orderBy("day")
+    val dirs = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("dir",
+        when(col("rev") > col("prev"), 1).otherwise(-1))
+    val runs = dirs
+      .withColumn("prev_dir", lag(col("dir"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_dir").isNotNull &&
+          col("dir") =!= col("prev_dir"), 1L).otherwise(0L))
+    runs.agg((count(lit(1)) + lit(1L)).as("n_days"),
+        (sum(col("chg")) + lit(1L)).as("runs"))
+      .withColumn("z", expr(runsZTree))
+  }
+
+  /** Runs-up-down z tree, parsed verbatim by both engines. */
+  private def runsZTree: String =
+    """(CAST(runs AS DOUBLE)
+      |  - (2.0 * CAST(n_days AS DOUBLE) - 1.0) / 3.0)
+      | / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)"""
+      .stripMargin
+
+  val qRunsTestSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |d2 AS (
+       |  SELECT day, rev, LAG(rev, 1) OVER (ORDER BY day) AS prev
+       |  FROM d),
+       |d3 AS (
+       |  SELECT day, CASE WHEN rev > prev THEN 1 ELSE -1 END AS dir
+       |  FROM d2 WHERE prev IS NOT NULL),
+       |d4 AS (
+       |  SELECT dir, LAG(dir, 1) OVER (ORDER BY day) AS prev_dir
+       |  FROM d3),
+       |a AS (
+       |  SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_days,
+       |    CAST(SUM(CASE WHEN prev_dir IS NOT NULL AND dir <> prev_dir
+       |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+       |  FROM d4)
+       |SELECT n_days, runs,
+       |  $runsZTree AS z
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs_test" -> (qRunsTest _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_trend_slope" -> (qTrendSlope _),
     "q_business_days" -> (qBusinessDays _),
@@ -509,6 +581,7 @@ object SeriesOps {
     "q_autocorr" -> (qAutocorr _))
 
   val oracles: Map[String, String] = Map(
+    "q_runs_test" -> qRunsTestSql,
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_trend_slope" -> qTrendSlopeSql,
     "q_business_days" -> qBusinessDaysSql,

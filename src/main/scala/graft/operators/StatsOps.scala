@@ -485,6 +485,79 @@ object StatsOps {
        |  $wilsonLowTree AS wilson_low_ppm
        |FROM g ORDER BY brand""".stripMargin
 
+  /** BFS source sampling: parts with key % 100 = 0 (a subset of the
+    * % [[triModulus]] sampled graph's id space; sources not present
+    * in any order are legitimately isolated at hop 0). */
+  val bfsSourceModulus = 100
+
+  /** Bounded reach horizon — the "within N hops" product question. */
+  val bfsMaxHops = 3
+
+  /** Bounded multi-hop reachability (BFS with min-hop labels) over
+    * the part co-purchase graph — the graph-traversal read beside
+    * q_triangle_count's motifs and q_pagerank's scores: "everything
+    * within 3 hops of these seed parts" is the recall/influence/
+    * recommendation-candidate set every graph product feature starts
+    * from (q_bom_explosion walks a DAG of containment; this walks a
+    * CYCLIC similarity graph, where min-hop + visited-set semantics
+    * are the point).
+    *
+    * Built as textbook distributed BFS: per round, frontier ⨝ edges
+    * (keyed shuffle joins, never cartesian) → dedup → anti-join the
+    * visited set → label with the round number; localCheckpoint pins
+    * each round (the dedup_clusters iterative discipline — lineage
+    * stays O(1) per round). The first label IS the minimal hop, so
+    * the result equals the oracle's recursive-CTE MIN(hop) exactly.
+    *
+    * Scale shape: every round's work is frontier-sized, the edge
+    * list shuffles once per round on the join key (at production
+    * scale the edge frame is partition-pinned once and reused);
+    * rounds are bounded by the hop horizon, not the graph. */
+  def qBfsReach(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % triModulus === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct().localCheckpoint()
+    val src = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") % bfsSourceModulus === 0)
+      .select(col("p_partkey").as("p")).withColumn("hop", lit(0))
+    var visited = src.localCheckpoint()
+    var frontier = visited.select("p")
+    (1 to bfsMaxHops).foreach { h =>
+      val next = frontier
+        .join(e.hint("shuffle_hash"), col("p") === col("a"))
+        .select(col("b").as("p")).distinct()
+        .join(visited.select("p").hint("shuffle_hash"), Seq("p"),
+          "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select("p")
+    }
+    visited.select(col("p").as("p_partkey"),
+      col("hop").cast(LongType).as("hops")).orderBy("p_partkey")
+  }
+
+  val qBfsReachSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey % $triModulus = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+       |walk(p, hop) AS (
+       |  SELECT p_partkey, 0 FROM part
+       |  WHERE p_partkey % $bfsSourceModulus = 0
+       |  UNION
+       |  SELECT e.b, w.hop + 1 FROM walk w JOIN e ON w.p = e.a
+       |  WHERE w.hop < $bfsMaxHops)
+       |SELECT p AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hops
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Spearman rank correlation of quantity vs extended price per
     * SUPPLIER — the monotone-association read Pearson (q_stats_funcs)
     * misses when the relation is nonlinear or outlier-laden; per
@@ -776,6 +849,7 @@ object StatsOps {
       |FROM a ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_reach" -> (qBfsReach _),
     "q_spearman" -> (qSpearman _),
     "q_ks_test" -> (qKsTest _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -789,6 +863,7 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_bfs_reach" -> qBfsReachSql,
     "q_spearman" -> qSpearmanSql,
     "q_ks_test" -> qKsTestSql,
     "q_mannwhitney" -> qMannWhitneySql,

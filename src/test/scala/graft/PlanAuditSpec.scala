@@ -317,6 +317,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // pack_shards: generate-spread repartition runs pre-checkpoint;
     // the pid window + shard manifest agg + ordered output
     "mm_pack_shards" -> 3,
+    // bfs_reach: per-round frontier joins run pre-checkpoint (the
+    // dedup_clusters iterative discipline); the final plan is the
+    // union of pinned rounds + ordered output
+    "q_bfs_reach" -> 1,
+    // runs_test: day-grain agg + the model-sized series windows +
+    // the 1-row final aggregate
+    "q_runs_test" -> 3,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,

@@ -200,4 +200,31 @@ class SeriesSpec extends AnyFunSuite {
     // drift is detected in both directions somewhere on the fixture
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0))
   }
+
+  test("q_runs_test counts monotone runs exactly and z replays bitwise") {
+    val r = SeriesOps.qRunsTest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // driver replay: day series in exact cents
+    val days = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
+          .as("c"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)))
+      .groupBy(_._1).map { case (d, g) => d -> g.map(x => BigInt(x._2)).sum }
+      .toSeq.sortBy(_._1).map(_._2)
+    val dirs = days.sliding(2).map { case Seq(a, b) =>
+      if (b > a) 1 else -1 }.toSeq
+    val runs = 1L + dirs.sliding(2).count {
+      case Seq(a, b) => a != b; case _ => false }
+    val n = days.length.toLong
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("runs") == runs)
+    val z = (runs.toDouble - (2.0 * n.toDouble - 1.0) / 3.0) /
+      math.sqrt((16.0 * n.toDouble - 29.0) / 90.0)
+    assert(row.getAs[Double]("z") == z, "z (bitwise)")
+    // a revenue series over random orders has MANY runs — the test
+    // statistic must see a non-degenerate sequence
+    assert(runs > 1L && runs <= n - 1L)
+  }
 }

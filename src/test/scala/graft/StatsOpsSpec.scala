@@ -239,6 +239,40 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bfs_reach labels minimal hops exactly like a driver-side BFS") {
+    val got = StatsOps.qBfsReach(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // driver-side graph + BFS replay
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") % StatsOps.triModulus === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val sources = Tables.load(spark, sf, "part")
+      .filter(col("p_partkey") % StatsOps.bfsSourceModulus === 0)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    var visited = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    (1 to StatsOps.bfsMaxHops).foreach { h =>
+      val next = frontier.flatMap(p => adj.getOrElse(p, Seq.empty))
+        .diff(visited.keySet)
+      visited = visited ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(got == visited, "min-hop labels must match the driver BFS")
+    // every source is present at hop 0 and the frontier advanced
+    assert(sources.forall(sp => got(sp) == 0L))
+    // the sf0.001 co-purchase graph is near-small-world: everything
+    // reachable is within 2 hops, so the horizon itself stays empty —
+    // require real multi-hop expansion, not the full horizon
+    assert(got.values.exists(_ >= 2L),
+      "the frontier must advance beyond direct neighbors")
+  }
+
   /** Driver-side doubled average ranks (2·avgrank) of a value
     * sequence — the exact-integer tie convention q_spearman and
     * q_mannwhitney are built on. */
