@@ -1342,13 +1342,14 @@ object Etl {
       |FROM customer""".stripMargin
 
   /** Order-independent polynomial row hash — text_fingerprint's
-    * exact-BIGINT rolling hash applied to a rendered row. */
+    * exact-BIGINT rolling hash applied to a rendered row, evaluated
+    * by the native codegen'd [[graft.functions.PolyHash]] expression
+    * (same fold, no per-char lambda frames — the checksum scans stay
+    * inside whole-stage codegen). */
   private def polyHash(c: Column): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => ch =!= ""),
-        ch => ascii(ch).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** Canonical cell rendering shared by the checksum's two engines:
     * exact decimals (never raw doubles — §4), ISO timestamps, an

@@ -243,11 +243,12 @@ object TextOps {
     * doc identity both engines compute with exact BIGINT arithmetic. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val chars = filter(split(col("text"), ""), c => c =!= "")
-    val fp = aggregate(
-      transform(chars, c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    // the native codegen'd PolyHash expression: the same codepoint
+    // fold as the declarative split/ascii/aggregate chain, without a
+    // lambda frame per character (etl_table_checksum's rationale)
+    val fp = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text"))))
     docs.select(col("doc_id"), fp.as("fingerprint"),
       substring(sha2(col("text"), 256), 1, 16).as("sha_prefix"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AsOfPick, DotProductD}
+import graft.functions.{AsOfPick, DotProductD, PolyHash}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the session's FunctionRegistry so SQL text can
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (children: Seq[Expression]) => PolyHash(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_asof_pick"),
       new ExpressionInfo(classOf[AsOfPick].getName, "graft_asof_pick"),
