@@ -848,7 +848,146 @@ object StatsOps {
       |    AS gini_simpson
       |FROM a ORDER BY source""".stripMargin
 
+  /** Cramér's V — the EFFECT SIZE q_chi2's per-cell terms don't
+    * summarize (χ² grows with n, so "is it big?" needs the
+    * normalized V ∈ [0,1]): one row for the lang × source grid with
+    * χ² in exact micro-units and V.
+    *
+    * Exactness: summing q_chi2's per-cell DOUBLE terms would be
+    * order-dependent across engines; instead each cell contributes
+    * an exact INTEGER — (dev²·10⁶) div (n·rowΣ·colΣ) in
+    * DECIMAL(38,0)/HUGEINT arithmetic (dev² reaches ~10²³ at sf1,
+    * far past long) — whose sum is order-free (the q_benford
+    * shipped-integer-ppm discipline applied to χ²); V is one
+    * mirrored sqrt tree over that integer. The grid is
+    * dimension-sized, so per-cell decimal math costs nothing (the
+    * q_discount_scenarios lesson is about CORPUS scans, not
+    * 20-row grids).
+    *
+    * Scale shape: identical to q_chi2 — three map-side aggregates,
+    * broadcast margin cross, corpus never crosses the grid join. */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("lang", "source")
+    val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val rt = d.groupBy("lang").agg(count(lit(1)).as("row_total"))
+    val ct = d.groupBy("source").agg(count(lit(1)).as("col_total"))
+    val n = d.count() // model-sized scalar, the q_chi2 rule
+    val cells = rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("dev",
+        col("obs") * lit(n) - col("row_total") * col("col_total"))
+      .withColumn("chi2_micro_cell", expr(
+        s"""cast((cast(dev as decimal(38,0)) * cast(dev as decimal(38,0))
+           | * 1000000)
+           | div (cast($n as decimal(38,0)) * row_total * col_total)
+           | as bigint)""".stripMargin))
+    cells.agg(
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("chi2_micro_cell")).as("chi2_micro"))
+      .select(lit(n).as("n"), col("n_langs"), col("n_sources"),
+        col("chi2_micro"),
+        expr(s"""sqrt(cast(chi2_micro as double) / (1000000.0
+          | * cast($n as double)
+          | * cast(least(n_langs - 1, n_sources - 1) as double)))"""
+          .stripMargin).as("cramers_v"))
+  }
+
+  val qCramersVSql: String =
+    """WITH d AS (SELECT lang, source FROM documents),
+      |o AS (SELECT lang, source, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, COUNT(*) AS row_total FROM d GROUP BY 1),
+      |c AS (SELECT source, COUNT(*) AS col_total FROM d GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |g AS (
+      |  SELECT r.lang, c.source, r.row_total, c.col_total,
+      |    CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs, nn.n
+      |  FROM r CROSS JOIN c CROSS JOIN nn
+      |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+      |g2 AS (
+      |  SELECT lang, source, n,
+      |    obs * n - row_total * col_total AS dev, row_total, col_total
+      |  FROM g),
+      |cells AS (
+      |  SELECT lang, source, n,
+      |    CAST((CAST(dev AS HUGEINT) * dev * 1000000)
+      |      // (CAST(n AS HUGEINT) * row_total * col_total) AS BIGINT)
+      |      AS chi2_micro_cell
+      |  FROM g2),
+      |a AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(SUM(chi2_micro_cell) AS BIGINT) AS chi2_micro
+      |  FROM cells)
+      |SELECT CAST(n AS BIGINT) AS n, n_langs, n_sources, chi2_micro,
+      |  sqrt(CAST(chi2_micro AS DOUBLE) / (1000000.0
+      | * CAST(n AS DOUBLE)
+      | * CAST(LEAST(n_langs - 1, n_sources - 1) AS DOUBLE)))
+      |    AS cramers_v
+      |FROM a""".stripMargin
+
+  /** Two-sample proportion z-test — "do discounted lines return
+    * more?": the return share of high-discount (>5%) vs low-discount
+    * lines, with the pooled-variance z every A/B dashboard computes
+    * before celebrating a delta (q_return_rates bounds ONE rate;
+    * this COMPARES two).
+    *
+    * Exactness: all four counts from ONE conditional-sum pass; the
+    * difference is exact ppm via long div; z is one mirrored double
+    * tree over exact-in-double counts.
+    *
+    * Scale shape: ONE map-side-combined single-row aggregate —
+    * q_discount_scenarios' shape; nothing downstream is data-sized. */
+  def qProportionTest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      (col("l_discount") > 0.05).cast("int").as("hi"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+    li.agg(
+        sum(when(col("hi") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("hi") === 1, col("ret")).otherwise(0L)).as("x1"),
+        sum(when(col("hi") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("hi") === 0, col("ret")).otherwise(0L)).as("x2"))
+      .withColumn("diff_ppm",
+        expr("(x1 * 1000000) div n1 - (x2 * 1000000) div n2"))
+      .withColumn("z", expr(proportionZTree))
+  }
+
+  /** Pooled two-proportion z tree, parsed verbatim by both engines:
+    * z = (p1 − p2) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)). */
+  private def proportionZTree: String =
+    """(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |  - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      | / sqrt((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+      |   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |   * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+      |     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"""
+      .stripMargin
+
+  val qProportionTestSql: String =
+    s"""WITH b AS (
+       |  SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS hi,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN hi = 1 THEN ret ELSE 0 END) AS BIGINT)
+       |      AS x1,
+       |    CAST(SUM(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN hi = 0 THEN ret ELSE 0 END) AS BIGINT)
+       |      AS x2
+       |  FROM b)
+       |SELECT n1, x1, n2, x2,
+       |  (x1 * 1000000) // n1 - (x2 * 1000000) // n2 AS diff_ppm,
+       |  $proportionZTree AS z
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cramers_v" -> (qCramersV _),
+    "q_proportion_test" -> (qProportionTest _),
     "q_bfs_reach" -> (qBfsReach _),
     "q_spearman" -> (qSpearman _),
     "q_ks_test" -> (qKsTest _),
@@ -863,6 +1002,8 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_cramers_v" -> qCramersVSql,
+    "q_proportion_test" -> qProportionTestSql,
     "q_bfs_reach" -> qBfsReachSql,
     "q_spearman" -> qSpearmanSql,
     "q_ks_test" -> qKsTestSql,

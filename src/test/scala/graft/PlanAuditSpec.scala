@@ -324,6 +324,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // runs_test: day-grain agg + the model-sized series windows +
     // the 1-row final aggregate
     "q_runs_test" -> 3,
+    // cramers_v: q_chi2's margin aggregates + the grid join + the
+    // 1-row summary aggregate over the dimension-sized grid
+    "q_cramers_v" -> 7,
+    // proportion_test: ONE single-row conditional-sum aggregate
+    "q_proportion_test" -> 1,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,
@@ -676,6 +681,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // chi2 crosses the two dimension-sized margin frames into the
       // full contingency grid — the corpus never crosses it
       "q_chi2",
+      // cramers_v inherits chi2's margin cross (same grid build)
+      "q_cramers_v",
       // currency_normalize crosses nation (25) × months (72) to
       // DERIVE the rate dim — dimension-sized at any corpus size;
       // the fact side joins it by broadcast hash, never BNL

@@ -239,6 +239,59 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cramers_v replays the integer chi2 and normalizes into [0,1]") {
+    val r = StatsOps.qCramersV(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val raw = Tables.load(spark, sf, "documents")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = raw.length.toLong
+    val rt = raw.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val ct = raw.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    val obs = raw.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    // keys.toSeq: a Set-typed comprehension would DEDUP equal cell
+    // values and silently undercount the sum
+    val chi2Micro = (for { l <- rt.keys.toSeq; s0 <- ct.keys.toSeq } yield {
+      val dev = BigInt(obs.getOrElse((l, s0), 0L)) * n -
+        BigInt(rt(l)) * ct(s0)
+      (dev * dev * 1000000 / (BigInt(n) * rt(l) * ct(s0))).toLong
+    }).sum
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("n_langs") == rt.size.toLong)
+    assert(row.getAs[Long]("n_sources") == ct.size.toLong)
+    assert(row.getAs[Long]("chi2_micro") == chi2Micro)
+    val v = math.sqrt(chi2Micro.toDouble / (1000000.0 * n.toDouble *
+      math.min(rt.size - 1, ct.size - 1).toDouble))
+    assert(row.getAs[Double]("cramers_v") == v, "V (bitwise)")
+    // near-independent synthetic mix: V must be small but nonzero
+    assert(v > 0.0 && v < 0.5)
+  }
+
+  test("q_proportion_test replays both proportions and the pooled z") {
+    val r = StatsOps.qProportionTest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val raw = Tables.load(spark, sf, "lineitem")
+      .select("l_discount", "l_returnflag").collect()
+      .map(x => (x.getDouble(0) > 0.05, x.getString(1) == "R"))
+    val n1 = raw.count(_._1).toLong
+    val x1 = raw.count(t => t._1 && t._2).toLong
+    val n2 = raw.length - n1
+    val x2 = raw.count(t => !t._1 && t._2).toLong
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("x1") == x1)
+    assert(row.getAs[Long]("n2") == n2 && row.getAs[Long]("x2") == x2)
+    assert(row.getAs[Long]("diff_ppm") ==
+      x1 * 1000000L / n1 - x2 * 1000000L / n2)
+    val p = (x1 + x2).toDouble / (n1 + n2).toDouble
+    val z = (x1.toDouble / n1.toDouble - x2.toDouble / n2.toDouble) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+    assert(row.getAs[Double]("z") == z, "z (bitwise)")
+    // both groups populated; return flags independent of discount on
+    // the fixture, so the diff is small relative to the rates
+    assert(n1 > 0 && n2 > 0 && x1 > 0 && x2 > 0)
+  }
+
   test("q_bfs_reach labels minimal hops exactly like a driver-side BFS") {
     val got = StatsOps.qBfsReach(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
