@@ -513,7 +513,14 @@ object SimOps {
   // selection, encoding, ADC ranking — is oracle-checked end to end
   // from the same doubles.
   // ---------------------------------------------------------------
-  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    ranked(graft.plans.TopKPerKey.topK(ivfpqScored(s, dir), Seq("q_id"),
+      Seq(col("cosine").desc, col("vec_id")), topK))
+
+  /** The ADC-scored candidate frame shared by sim_ivfpq_topk and
+    * sim_pq_rerank: every (query, probed-bucket vector) pair with its
+    * PQ-approximated cosine. */
+  private def ivfpqScored(s: SparkSession, dir: String): DataFrame = {
     val cents = publishedCentroids(s, dir)
     val books = publishedCodebooks(s, dir)
     val c = corpus(s, dir)
@@ -554,12 +561,48 @@ object SimOps {
         col(s"code$m") + 1)
     }
     val qnrmCol = element_at(typedlit(qnrms.toSeq), col("q_id").cast("int") + 1)
-    val scored = encoded.join(broadcast(probes), Seq("centroid"))
+    encoded.join(broadcast(probes), Seq("centroid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (parts.reduceLeft(_ + _) /
           (qnrmCol * sqrt(n2.reduceLeft(_ + _)))).as("cosine"))
-    ranked(graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+  }
+
+  /** ADC candidates per query carried into the exact rerank — the
+    * recall/cost dial of the two-stage pipeline (3×topK). */
+  val rerankN = 15
+
+  /** Two-stage ANN: ADC shortlist → EXACT rerank — the production
+    * recall-recovery pattern (FAISS's refine step): PQ compression
+    * misranks near-ties, so the top-[[rerankN]] ADC candidates are
+    * re-scored with TRUE cosine over the raw vectors and only then
+    * cut to top-k. Same index, same probes — precision recovered for
+    * the price of [[rerankN]] raw-vector reads per query.
+    *
+    * Scale shape: stage 1 is sim_ivfpq_topk's scan (codes-only, probed
+    * buckets); the candidate list (queries × rerankN) broadcasts into
+    * ONE keyed semi-join against the raw corpus — the only full-width
+    * vector reads in the pipeline are the rerank candidates
+    * themselves; exact scoring is the codegen'd DotProductD. */
+  def simPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val cand = graft.plans.TopKPerKey.topK(ivfpqScored(s, dir),
+        Seq("q_id"), Seq(col("cosine").desc, col("vec_id")), rerankN)
+      .select("q_id", "vec_id")
+    val c = corpus(s, dir)
+    val qRows = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("v")).as("qv"))
+      .collect().sortBy(_.getLong(0))
+    val qvs = qRows.map(_.getAs[Seq[Double]]("qv").toArray)
+    val qnrms = qvs.map(v => math.sqrt(dotDriver(v, v)))
+    val qvLit = element_at(typedlit(qvs.map(_.toSeq).toSeq),
+      col("q_id").cast("int") + 1)
+    val qnrmLit = element_at(typedlit(qnrms.toSeq),
+      col("q_id").cast("int") + 1)
+    val exact = c.join(broadcast(cand), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), qvLit) / (col("nrm") * qnrmLit)).as("cosine"))
+    ranked(graft.plans.TopKPerKey.topK(exact, Seq("q_id"),
       Seq(col("cosine").desc, col("vec_id")), topK))
   }
 
@@ -637,7 +680,9 @@ object SimOps {
   /** Oracle: IVF assignment + probe selection from the published
     * centroids, PQ codes + LUT scoring from the published codebooks —
     * the composed pipeline rebuilt end to end. */
-  val simIvfPqTopkSql: String =
+  /** The composed IVF-PQ CTE chain through the ADC ranking `r` —
+    * shared by the topk and rerank oracles. */
+  private val ivfpqCoreSql: String =
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -696,8 +741,26 @@ object SimOps {
        |r AS (SELECT q_id, vec_id, cosine,
        |  ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cosine DESC, vec_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val simIvfPqTopkSql: String =
+    s"""$ivfpqCoreSql
        |SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= $topK
+       |ORDER BY q_id, rank""".stripMargin
+
+  val simPqRerankSql: String =
+    s"""$ivfpqCoreSql,
+       |cand AS (SELECT q_id, vec_id FROM r WHERE rank <= $rerankN),
+       |ex AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    list_dot_product(cv.v, q.qv) / (cv.nrm * q.qnrm) AS cosine
+       |  FROM cand JOIN c cv ON cv.vec_id = cand.vec_id
+       |  JOIN q ON q.q_id = cand.q_id),
+       |rr AS (SELECT q_id, vec_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM ex)
+       |SELECT q_id, rank, vec_id, cosine FROM rr WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
   /** The oracle re-encodes every vector (L2 argmin per subspace, same
@@ -1088,6 +1151,7 @@ object SimOps {
     "embed_quantize" -> (embedQuantize _),
     "embed_pq" -> (embedPq _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
+    "sim_pq_rerank" -> (simPqRerank _),
     "sim_ivf_ingest" -> (simIvfIngest _),
     "sim_mips_topk" -> (simMipsTopk _))
 
@@ -1101,6 +1165,7 @@ object SimOps {
     "embed_quantize" -> embedQuantizeSql,
     "embed_pq" -> embedPqSql,
     "sim_ivfpq_topk" -> simIvfPqTopkSql,
+    "sim_pq_rerank" -> simPqRerankSql,
     "sim_ivf_ingest" -> simIvfIngestSql,
     "sim_knn_join" -> simKnnJoinSql,
     "sim_mips_topk" -> simMipsTopkSql)

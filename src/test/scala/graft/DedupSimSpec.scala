@@ -150,6 +150,37 @@ class DedupSimSpec extends AnyFunSuite {
       s"IVF-PQ recalled only $hit/${rows.length} of full-scan PQ's top-k")
   }
 
+  test("sim_pq_rerank rescoring is exact and beats-or-ties ADC precision") {
+    val rows = SimOps.simPqRerank(spark, sf).collect()
+    assert(rows.length == SimOps.nQueries * SimOps.topK)
+    // exact cosines: every returned score must equal the brute-force
+    // scorer's value for that pair (same dotD tree)
+    val exact = SimOps.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      exact.get(key).foreach(c =>
+        assert(c == r.getAs[Double]("cosine"),
+          s"rerank must carry the TRUE cosine for $key"))
+    }
+    // the rerank's whole point: within the shared candidate set, the
+    // exact ordering wins — rerank's top-k overlaps brute force's
+    // top-k at least as much as raw ADC's does
+    val adc = SimOps.simIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val rr = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = exact.keySet
+    assert((rr & truth).size >= (adc & truth).size,
+      "exact rerank lost recall vs raw ADC ranking")
+    // ranks are dense 1..k per query
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to SimOps.topK).toSeq)
+    }
+  }
+
   test("sim_ivf_ingest: index ADD from published models, no rebuild") {
     val cents = SimOps.publishedCentroids(spark, sf)
     val books = SimOps.publishedCodebooks(spark, sf)

@@ -587,6 +587,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // intersection joins and counts
     "sim_recall" -> 9,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
+    // pq_rerank: the ADC stage's exchanges (TopKPerKey candidate heap
+    // runs pre-broadcast) + the raw-corpus rerank join's heap + the
+    // bounded rank window + ordered output
+    "sim_pq_rerank" -> 4,
     "stream_dedup" -> 0, "stream_enrich" -> 0, "stream_events" -> 0,
     "stream_join" -> 0, "stream_funnel_timeout" -> 0,
     "stream_sessions" -> 0, "stream_user_state" -> 0,
