@@ -558,6 +558,76 @@ object StatsOps {
        |SELECT p AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hops
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Weighted cheapest-path labels (bounded Bellman-Ford) over the
+    * part co-purchase graph — the COST companion to q_bfs_reach's
+    * hop counts: with edge cost = the lightest co-purchase the pair
+    * was ever seen in (min of the two line quantities summed), the
+    * question becomes "what is the cheapest ≤3-edge route from any
+    * seed part to every reachable part" — the substitution-cost /
+    * routing read behind recommendation re-ranking, where hop count
+    * alone over-values heavily-bundled hub parts.
+    *
+    * Built as textbook distributed Bellman-Ford: per round,
+    * dist ⨝ edges relaxes every frontier label (keyed shuffle joins,
+    * never cartesian), then ONE min-agg collapses candidates; after
+    * round k every label is the exact minimum over ≤k-edge walks
+    * (the optimal ≤k+1-edge walk extends an optimal ≤k-edge walk, so
+    * per-round min-collapse loses nothing). localCheckpoint pins
+    * each round — the dedup_clusters iterative discipline, lineage
+    * O(1) per round.
+    *
+    * Scale shape: edge weights come from ONE map-side-combined
+    * min-agg over the co-purchase self-join (thin integer rows);
+    * every relaxation round shuffles only the label frame (nodes,
+    * not edges — the edge frame is checkpoint-pinned once and
+    * reused); rounds are bounded by the hop horizon, not the graph
+    * diameter. */
+  def qShortestPath(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % triModulus === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"))
+    val e = li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"),
+        (col("x.q") + col("y.q")).as("qq"))
+      .groupBy("a", "b").agg(min("qq").as("w"))
+      .localCheckpoint()
+    val src = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") % bfsSourceModulus === 0)
+      .select(col("p_partkey").as("p")).withColumn("cost", lit(0L))
+    var dist = src.localCheckpoint()
+    (1 to bfsMaxHops).foreach { _ =>
+      val relax = dist
+        .join(e.hint("shuffle_hash"), col("p") === col("a"))
+        .select(col("b").as("p"), (col("cost") + col("w")).as("cost"))
+      dist = dist.union(relax)
+        .groupBy("p").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    dist.select(col("p").as("p_partkey"), col("cost")).orderBy("p_partkey")
+  }
+
+  val qShortestPathSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p,
+       |    CAST(FLOOR(l_quantity) AS BIGINT) AS q
+       |  FROM lineitem WHERE l_partkey % $triModulus = 0),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b, MIN(x.q + y.q) AS w
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p
+       |  GROUP BY 1, 2),
+       |walk(p, hop, cost) AS (
+       |  SELECT p_partkey, 0, CAST(0 AS BIGINT) FROM part
+       |  WHERE p_partkey % $bfsSourceModulus = 0
+       |  UNION
+       |  SELECT e.b, w.hop + 1, w.cost + e.w
+       |  FROM walk w JOIN e ON w.p = e.a
+       |  WHERE w.hop < $bfsMaxHops)
+       |SELECT p AS p_partkey, CAST(MIN(cost) AS BIGINT) AS cost
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Spearman rank correlation of quantity vs extended price per
     * SUPPLIER — the monotone-association read Pearson (q_stats_funcs)
     * misses when the relation is nonlinear or outlier-laden; per
@@ -989,6 +1059,7 @@ object StatsOps {
     "q_cramers_v" -> (qCramersV _),
     "q_proportion_test" -> (qProportionTest _),
     "q_bfs_reach" -> (qBfsReach _),
+    "q_shortest_path" -> (qShortestPath _),
     "q_spearman" -> (qSpearman _),
     "q_ks_test" -> (qKsTest _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -1005,6 +1076,7 @@ object StatsOps {
     "q_cramers_v" -> qCramersVSql,
     "q_proportion_test" -> qProportionTestSql,
     "q_bfs_reach" -> qBfsReachSql,
+    "q_shortest_path" -> qShortestPathSql,
     "q_spearman" -> qSpearmanSql,
     "q_ks_test" -> qKsTestSql,
     "q_mannwhitney" -> qMannWhitneySql,

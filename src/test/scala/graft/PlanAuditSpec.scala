@@ -321,6 +321,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup_clusters iterative discipline); the final plan is the
     // union of pinned rounds + ordered output
     "q_bfs_reach" -> 1,
+    // shortest_path: relaxation rounds run pre-checkpoint (same
+    // discipline); final plan is the pinned label frame + ordered
+    // output
+    "q_shortest_path" -> 1,
     // runs_test: day-grain agg + the model-sized series windows +
     // the 1-row final aggregate
     "q_runs_test" -> 3,

@@ -326,6 +326,43 @@ class StatsOpsSpec extends AnyFunSuite {
       "the frontier must advance beyond direct neighbors")
   }
 
+  test("q_shortest_path labels match a driver-side Bellman-Ford replay") {
+    val got = StatsOps.qShortestPath(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // driver-side weighted graph + bounded relaxation replay
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") % StatsOps.triModulus === 0)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(t => (t._2, t._3)).toSeq
+      for ((a, qa) <- ps; (b, qb) <- ps if a != b) yield ((a, b), qa + qb)
+    }.groupBy(_._1).map { case (ab, es) => ab -> es.map(_._2).min }
+    val adj = w.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .groupBy(_._1).map { case (a, es) => a -> es.map(t => (t._2, t._3)) }
+    val sources = Tables.load(spark, sf, "part")
+      .filter(col("p_partkey") % StatsOps.bfsSourceModulus === 0)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    var dist = sources.map(_ -> 0L).toMap
+    (1 to StatsOps.bfsMaxHops).foreach { _ =>
+      val relaxed = dist.toSeq.flatMap { case (p, c) =>
+        adj.getOrElse(p, Seq.empty).map { case (b, ew) => b -> (c + ew) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (p, cs) => p -> cs.map(_._2).min }
+    }
+    assert(got == dist, "cost labels must match the driver Bellman-Ford")
+    assert(sources.forall(sp => got(sp) == 0L), "seeds label 0")
+    // non-vacuity: relaxation found real multi-edge routes (some node
+    // is cheapest via a path, not a direct edge from a seed)
+    val oneHop = sources.flatMap(p =>
+      adj.getOrElse(p, Seq.empty).map(_._1)) ++ sources
+    assert(got.keySet.diff(oneHop).nonEmpty,
+      "some node must be reached only through an intermediate")
+  }
+
   /** Driver-side doubled average ranks (2·avgrank) of a value
     * sequence — the exact-integer tie convention q_spearman and
     * q_mannwhitney are built on. */
