@@ -628,6 +628,109 @@ object StatsOps {
        |SELECT p AS p_partkey, CAST(MIN(cost) AS BIGINT) AS cost
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The tau-b combination tree, parsed by both engines verbatim:
+    * (C − D) / sqrt((n0 − n1)(n0 − n2)) over the exact integer pair
+    * counts. */
+  private val kendallTauTree: String =
+    """(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+      | / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+      |   * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))""".stripMargin
+
+  /** Kendall tau-b of quantity vs extended price per supplier — the
+    * third rank-association read beside Pearson (q_stats_funcs) and
+    * Spearman (q_spearman): tau counts pairwise ORDER AGREEMENTS, so
+    * it is the statistic with the direct probabilistic reading
+    * ("a randomly drawn pair of this supplier's lines is concordant
+    * with probability (1+tau)/2") and the standard robust check when
+    * Spearman and Pearson disagree.
+    *
+    * Exactness: every sufficient statistic is an exact integer pair
+    * count — concordant, discordant, x-only / y-only / both-tied —
+    * and tau-b's denominator uses n1 = pairs tied in x, n2 = pairs
+    * tied in y (each including both-tied); the single double
+    * combination is [[kendallTauTree]] shared textually with the
+    * oracle.
+    *
+    * Scale shape: pair counting is O(n²) per group, so the group is
+    * kept catalog-bound by sampling ONE line per order
+    * (l_linenumber = 1; per-supplier group size is a TPC-H constant
+    * ~60 independent of SF, suppliers GROW with SF) — total pair work
+    * is O(corpus × group), a keyed shuffle-hash self-join on the
+    * supplier key, never cartesian; counts collapse map-side. */
+  def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique on the fixture — only
+    // +partkey+suppkey is — so the strict pair order needs l_partkey
+    // as a tiebreaker or equal-orderkey pairs vanish silently.
+    val base = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("sk"), col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+          .as("p"))
+    val n = base.groupBy("sk").agg(count(lit(1)).as("n"))
+    val pairs = base.as("x")
+      .join(base.as("y").hint("shuffle_hash"),
+        col("x.sk") === col("y.sk") &&
+          (col("x.ok") < col("y.ok") ||
+            (col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))))
+      .select(col("x.sk").as("sk"),
+        ((col("x.q") - col("y.q")) * (col("x.p") - col("y.p"))).as("s"),
+        (col("x.q") === col("y.q")).as("tx"),
+        (col("x.p") === col("y.p")).as("ty"))
+      .groupBy("sk").agg(
+        sum(when(col("s") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("tx") && !col("ty"), 1L).otherwise(0L)).as("tie_x"),
+        sum(when(col("ty") && !col("tx"), 1L).otherwise(0L)).as("tie_y"),
+        sum(when(col("tx") && col("ty"), 1L).otherwise(0L)).as("tie_xy"))
+    n.filter(col("n") >= 2)
+      .join(pairs.hint("shuffle_hash"), Seq("sk"))
+      .withColumn("n0", expr("(n * (n - 1)) div 2"))
+      .withColumn("n1", col("tie_x") + col("tie_xy"))
+      .withColumn("n2", col("tie_y") + col("tie_xy"))
+      .select(col("sk").as("l_suppkey"), col("n"), col("conc"),
+        col("disc"), col("tie_x"), col("tie_y"), col("tie_xy"),
+        expr(kendallTauTree).as("tau"))
+      .orderBy("l_suppkey")
+  }
+
+  val qKendallTauSql: String =
+    s"""WITH b AS (
+       |  SELECT l_suppkey AS sk, l_orderkey AS ok, l_partkey AS pk,
+       |    CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS p
+       |  FROM lineitem WHERE l_linenumber = 1),
+       |cnt AS (
+       |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+       |pr AS (
+       |  SELECT x.sk,
+       |    CAST(SUM(CASE WHEN (x.q - y.q) * (x.p - y.p) > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+       |    CAST(SUM(CASE WHEN (x.q - y.q) * (x.p - y.p) < 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+       |    CAST(SUM(CASE WHEN x.q = y.q AND x.p <> y.p
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+       |    CAST(SUM(CASE WHEN x.p = y.p AND x.q <> y.q
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+       |    CAST(SUM(CASE WHEN x.q = y.q AND x.p = y.p
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy
+       |  FROM b x JOIN b y ON x.sk = y.sk
+       |    AND (x.ok < y.ok OR (x.ok = y.ok AND x.pk < y.pk))
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT cnt.sk, cnt.n, pr.conc, pr.disc,
+       |    pr.tie_x, pr.tie_y, pr.tie_xy,
+       |    (cnt.n * (cnt.n - 1)) // 2 AS n0,
+       |    pr.tie_x + pr.tie_xy AS n1,
+       |    pr.tie_y + pr.tie_xy AS n2
+       |  FROM cnt JOIN pr ON cnt.sk = pr.sk
+       |  WHERE cnt.n >= 2)
+       |SELECT sk AS l_suppkey, n, conc, disc, tie_x, tie_y, tie_xy,
+       |  $kendallTauTree AS tau
+       |FROM j ORDER BY 1""".stripMargin
+
   /** Spearman rank correlation of quantity vs extended price per
     * SUPPLIER — the monotone-association read Pearson (q_stats_funcs)
     * misses when the relation is nonlinear or outlier-laden; per
@@ -1061,6 +1164,7 @@ object StatsOps {
     "q_bfs_reach" -> (qBfsReach _),
     "q_shortest_path" -> (qShortestPath _),
     "q_spearman" -> (qSpearman _),
+    "q_kendall_tau" -> (qKendallTau _),
     "q_ks_test" -> (qKsTest _),
     "q_mannwhitney" -> (qMannWhitney _),
     "q_diversity" -> (qDiversity _),
@@ -1078,6 +1182,7 @@ object StatsOps {
     "q_bfs_reach" -> qBfsReachSql,
     "q_shortest_path" -> qShortestPathSql,
     "q_spearman" -> qSpearmanSql,
+    "q_kendall_tau" -> qKendallTauSql,
     "q_ks_test" -> qKsTestSql,
     "q_mannwhitney" -> qMannWhitneySql,
     "q_diversity" -> qDiversitySql,

@@ -291,6 +291,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // rank passes, the rank-sum agg reusing that partitioning +
     // ordered output
     "q_spearman" -> 2,
+    // kendall_tau: the sk-keyed pair self-join + the count agg + the
+    // pair-count agg + the n⨝pairs join + ordered output
+    "q_kendall_tau" -> 6,
     // ks_test: post-checkpoint only (the price-grain agg + range
     // repartition run before the pin): the pid window exchange +
     // the 1-row max aggregate's partial/final pair

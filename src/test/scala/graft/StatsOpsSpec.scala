@@ -363,6 +363,48 @@ class StatsOpsSpec extends AnyFunSuite {
       "some node must be reached only through an intermediate")
   }
 
+  test("q_kendall_tau pair counts conserve and replay bitwise") {
+    val rows = StatsOps.qKendallTau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val n0 = n * (n - 1) / 2
+      val counted = r.getAs[Long]("conc") + r.getAs[Long]("disc") +
+        r.getAs[Long]("tie_x") + r.getAs[Long]("tie_y") +
+        r.getAs[Long]("tie_xy")
+      assert(counted == n0, s"pair counts must cover all $n0 pairs")
+      val tau = r.getAs[Double]("tau")
+      assert(tau >= -1.0 && tau <= 1.0, s"tau out of range: $tau")
+    }
+    // driver-side replay of one supplier's counts + tau, bitwise
+    val skTarget = rows.head.getAs[Long]("l_suppkey")
+    val raw = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_linenumber") === 1 && col("l_suppkey") === skTarget)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ps = for {
+      x <- raw; y <- raw
+      if x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+    } yield ((x._3 - y._3) * (x._4 - y._4), x._3 == y._3, x._4 == y._4)
+    val conc = ps.count(_._1 > 0).toLong
+    val disc = ps.count(_._1 < 0).toLong
+    val n1 = ps.count(_._2).toLong
+    val n2 = ps.count(_._3).toLong
+    val n0 = raw.length.toLong * (raw.length - 1) / 2
+    val tau = (conc.toDouble - disc.toDouble) /
+      math.sqrt((n0.toDouble - n1.toDouble) * (n0.toDouble - n2.toDouble))
+    val r0 = rows.head
+    assert(r0.getAs[Long]("conc") == conc && r0.getAs[Long]("disc") == disc)
+    assert(r0.getAs[Long]("tie_x") + r0.getAs[Long]("tie_xy") == n1)
+    assert(r0.getAs[Long]("tie_y") + r0.getAs[Long]("tie_xy") == n2)
+    assert(r0.getAs[Double]("tau") == tau, "tau (bitwise)")
+    // non-vacuity: quantity ties exist on the fixture (50 levels)
+    assert(rows.exists(_.getAs[Long]("tie_x") > 0L))
+  }
+
   /** Driver-side doubled average ranks (2·avgrank) of a value
     * sequence — the exact-integer tie convention q_spearman and
     * q_mannwhitney are built on. */
