@@ -654,7 +654,120 @@ object MultimodalOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Images per training batch in the aspect bucketer. */
+  val aspectBatch = 16
+
+  /** Aspect-ratio ladder: per-mille width/height UPPER bounds and
+    * the bucket names they select (the SDXL-style resolution-bucket
+    * ladder every large-scale vision trainer runs: batches must be
+    * shape-homogeneous, so images group by nearest aspect class). */
+  val aspectBounds: Seq[Long] = Seq(625L, 875L, 1143L, 1600L)
+  val aspectNames: Seq[String] =
+    Seq("tall", "portrait", "square", "landscape", "wide")
+
+  /** Aspect-ratio bucketing + fixed-size batch assembly over the
+    * DECODED raster dims — the step between decode and the data
+    * loader in every large-scale vision-language trainer: batches
+    * must be shape-homogeneous, so images are classed by aspect
+    * ratio (integer per-mille thresholds — no float ratios), ordered
+    * stably by id within their class, and packed into
+    * [[aspectBatch]]-image batches, with the trailing partial batch
+    * flagged (the drop_last decision made explicit). Opaque
+    * (undecodable) payloads are excluded — exactly what a real
+    * loader does after a failed decode.
+    *
+    * The mm discipline: Spark classes REAL decoded dimensions (the
+    * full ImageIO parse), while dims are doc_id formulas, so the
+    * DuckDB oracle rebuilds every bucket, batch id and slot with no
+    * image library — a decoder that misreads dims lands in the
+    * wrong bucket and breaks parity loud.
+    *
+    * Scale shape: the per-bucket dense numbering is packFrame's
+    * distributed scan keyed by (partition, bucket) — range partition
+    * on (bucket, id), per-partition window, O(partitions × buckets)
+    * driver offsets added back — never a 5-reducer global window;
+    * batch arithmetic is integer `div`/`%` on longs. */
+  def mmAspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bidx = aspectBounds.zipWithIndex.foldRight(
+      lit(aspectBounds.length): org.apache.spark.sql.Column) {
+      case ((bound, i), rest) => when(col("r") < bound, i).otherwise(rest)
+    }
+    val dims = processed(s, dir).toDF()
+      .filter(col("width") > 0)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("r", expr("(width * 1000) div height"))
+      .withColumn("bidx", bidx)
+    val parts = dims.repartitionByRange(nRange, col("bidx"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan see one layout
+    val perPart = parts.groupBy("pid", "bidx").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nParts = (perPart.keySet.map(_._1) + (-1)).max + 1
+    val nB = aspectNames.length
+    // exclusive prefix per bucket across pid order, flattened to a
+    // lookup array indexed pid·nB + bidx
+    val offsets = new Array[Long](nParts * nB)
+    (0 until nB).foreach { b =>
+      var acc = 0L
+      (0 until nParts).foreach { p =>
+        offsets(p * nB + b) = acc
+        acc += perPart.getOrElse((p, b), 0L)
+      }
+    }
+    val bucketTotals = (0 until nB).map(b =>
+      perPart.collect { case ((_, bb), c) if bb == b => c }.sum)
+    val w = Window.partitionBy(col("pid"), col("bidx"))
+      .orderBy(col("doc_id"))
+    parts
+      .withColumn("rn",
+        row_number().over(w).cast("long") - 1L +
+          element_at(typedlit(offsets.toSeq),
+            col("pid") * nB + col("bidx") + 1))
+      .withColumn("cnt",
+        element_at(typedlit(bucketTotals), col("bidx") + 1))
+      .select(col("doc_id"), col("width"), col("height"),
+        element_at(typedlit(aspectNames), col("bidx") + 1).as("bucket"),
+        expr(s"rn div $aspectBatch").as("batch_id"),
+        (col("rn") % aspectBatch).as("slot"),
+        (expr(s"rn div $aspectBatch") <
+          expr(s"cnt div $aspectBatch")).as("is_full"))
+      .orderBy("doc_id")
+  }
+
+  val mmAspectBucketsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(8 + (doc_id * 7) % 56 AS INT) AS width,
+       |    CAST(8 + (doc_id * 11) % 40 AS INT) AS height
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |b AS (
+       |  SELECT doc_id, width, height,
+       |    CASE WHEN (width * 1000) // height < ${aspectBounds(0)}
+       |           THEN '${aspectNames(0)}'
+       |         WHEN (width * 1000) // height < ${aspectBounds(1)}
+       |           THEN '${aspectNames(1)}'
+       |         WHEN (width * 1000) // height < ${aspectBounds(2)}
+       |           THEN '${aspectNames(2)}'
+       |         WHEN (width * 1000) // height < ${aspectBounds(3)}
+       |           THEN '${aspectNames(3)}'
+       |         ELSE '${aspectNames(4)}' END AS bucket
+       |  FROM f),
+       |rn AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY bucket) AS cnt
+       |  FROM b)
+       |SELECT doc_id, width, height, bucket,
+       |  CAST(rn // $aspectBatch AS BIGINT) AS batch_id,
+       |  CAST(rn % $aspectBatch AS BIGINT) AS slot,
+       |  rn // $aspectBatch < cnt // $aspectBatch AS is_full
+       |FROM rn ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_buckets" -> (mmAspectBuckets _),
     "mm_pack_shards" -> (mmPackShards _),
     "mm_dedup" -> (mmDedup _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -664,6 +777,7 @@ object MultimodalOps {
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_aspect_buckets" -> mmAspectBucketsSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_dedup" -> mmDedupSql,
     "mm_decode" -> mmDecodeSql,

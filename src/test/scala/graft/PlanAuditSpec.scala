@@ -320,6 +320,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // pack_shards: generate-spread repartition runs pre-checkpoint;
     // the pid window + shard manifest agg + ordered output
     "mm_pack_shards" -> 3,
+    // aspect_buckets: decode-spread repartition + the (pid,bucket)
+    // scan window run pre-checkpoint; final plan = window exchange +
+    // ordered output
+    "mm_aspect_buckets" -> 2,
     // bfs_reach: per-round frontier joins run pre-checkpoint (the
     // dedup_clusters iterative discipline); the final plan is the
     // union of pinned rounds + ordered output

@@ -667,4 +667,53 @@ class StreamPipelineSpec extends AnyFunSuite {
       assert(r._3 >= MultimodalOps.shardBudget - maxBlob)
     }
   }
+
+  test("mm_aspect_buckets batches are shape-homogeneous, dense and replayed") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.mmAspectBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // opaque payloads excluded, everything else present exactly once
+    val ids = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).filterNot(_ % 10 == 7).sorted
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == ids.toSeq)
+    // driver replay: formula dims → bucket → stable-order batching
+    val bounds = MultimodalOps.aspectBounds
+    val names = MultimodalOps.aspectNames
+    def bucketOf(w: Int, h: Int): String = {
+      val r = w.toLong * 1000L / h
+      names(bounds.indexWhere(r < _) match {
+        case -1 => bounds.length
+        case i => i
+      })
+    }
+    val exp = ids.map { id =>
+      (id, MultimodalOps.widthFor(id), MultimodalOps.heightFor(id))
+    }.groupBy(t => bucketOf(t._2, t._3)).toSeq.flatMap { case (b, g) =>
+      val sorted = g.sortBy(_._1)
+      val full = sorted.length / MultimodalOps.aspectBatch
+      sorted.zipWithIndex.map { case ((id, w, h), i) =>
+        id -> ((w, h, b, i.toLong / MultimodalOps.aspectBatch,
+          i.toLong % MultimodalOps.aspectBatch,
+          i / MultimodalOps.aspectBatch < full))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val e = exp(r.getAs[Long]("doc_id"))
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[String]("bucket"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("slot"), r.getAs[Boolean]("is_full")) == e)
+    }
+    // non-vacuity: several buckets in play, full batches exist, and
+    // a trailing partial batch is actually flagged somewhere
+    assert(rows.map(_.getAs[String]("bucket")).distinct.length >= 3)
+    assert(rows.exists(_.getAs[Boolean]("is_full")))
+    assert(rows.exists(!_.getAs[Boolean]("is_full")))
+    // every full batch holds exactly aspectBatch distinct slots
+    rows.filter(_.getAs[Boolean]("is_full"))
+      .groupBy(r => (r.getAs[String]("bucket"), r.getAs[Long]("batch_id")))
+      .values.foreach { g =>
+        assert(g.map(_.getAs[Long]("slot")).sorted.toSeq ==
+          (0L until MultimodalOps.aspectBatch.toLong))
+      }
+  }
 }
