@@ -1352,7 +1352,64 @@ object TextOps {
       |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS hapax_ppm
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Head ranks profiled by the Zipf check. */
+  val zipfTopN = 100
+
+  /** Zipf rank-frequency profile of the corpus head vocabulary — the
+    * distribution sanity check run before trusting any corpus-level
+    * frequency signal (tfidf, vocab OOV, BPE merges): natural text
+    * keeps freq·rank roughly constant across the head; template spam
+    * or boilerplate floods break the constancy loud. Stays entirely
+    * in integers — no log-log regression (library log() is not
+    * correctly rounded, so a fitted slope could never be
+    * oracle-exact); freq·rank products and ppm shares carry the same
+    * diagnostic.
+    *
+    * Scale shape: term frequencies collapse map-side; the head cut
+    * is a global top-k through TopKPerKey bounded heaps (≤ N
+    * candidates per partition shuffle — never a full vocab sort);
+    * ranking + products then run on the N-row frame, and the corpus
+    * total joins in as a broadcast scalar. */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum(col("freq")).as("total"))
+    val top = graft.plans.TopKPerKey.topK(
+        tf.withColumn("g", lit(1)), Seq("g"),
+        Seq(col("freq").desc, col("token")), zipfTopN)
+      .select("token", "freq")
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("freq") * col("rank")).as("fr_product"),
+        expr("(freq * 1000000) div total").as("share_ppm"))
+      .orderBy("rank")
+  }
+
+  val textZipfSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS token
+       |  FROM documents),
+       |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+       |      FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+       |top AS (SELECT token, freq FROM f
+       |        ORDER BY freq DESC, token LIMIT $zipfTopN),
+       |r AS (SELECT token, freq,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+       |    AS rank
+       |  FROM top)
+       |SELECT rank, token, freq,
+       |  CAST(freq * rank AS BIGINT) AS fr_product,
+       |  CAST((freq * 1000000) // total AS BIGINT) AS share_ppm
+       |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf _),
     "text_ttr" -> (textTtr _),
     "text_concordance" -> (textConcordance _),
     "text_html_strip" -> (textHtmlStrip _),
@@ -1391,6 +1448,7 @@ object TextOps {
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,
+    "text_zipf" -> textZipfSql,
     "text_dup_spans" -> textDupSpansSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,

@@ -626,6 +626,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_pack_sequences" -> 3, "text_pii_scrub" -> 0, "text_quality" -> 0,
     // ttr: (source,type) grain agg + source rollup + ordered output
     "text_ttr" -> 3,
+    // zipf: term-frequency agg + the bounded top-k heap + the scalar
+    // total agg + the head-frame window + ordered output
+    "text_zipf" -> 6,
     "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0,
     // anonymize: pure projection, fuses with the scan
@@ -676,6 +679,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_dq_report",
       // collocations joins the 1-row token total like text_tfidf
       "text_collocations",
+      // zipf crosses the 1-row corpus total into the N-row head
+      "text_zipf",
       // fk_inference crosses each probe's two 1-row counts
       "etl_fk_inference",
       // gdpr_erase crosses each table's three 1-row ledger counts

@@ -893,6 +893,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 < v._1))
   }
 
+  test("text_zipf head ranks replay the exact frequency table") {
+    val rows = TextOps.textZipf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.zipfTopN)
+    val toks = Tables.load(spark, sf, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = toks.length.toLong
+    val expTop = freq.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(TextOps.zipfTopN)
+    val exp = expTop.zipWithIndex.map { case ((t, f), i) =>
+      (i + 1L, t, f, f * (i + 1L), f * 1000000L / total)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == exp)
+    // non-vacuity: frequencies strictly head-heavy at rank 1, and
+    // the head is deeper than a couple of stopwords
+    assert(rows.head.getLong(2) == freq.values.max)
+    assert(rows.length > 10)
+    // ranks dense from 1
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+  }
+
   test("pipeline_span_corruption masks the exact deterministic spans") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineSpanCorruption(spark, sf).collect()
