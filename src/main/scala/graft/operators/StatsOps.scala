@@ -1158,7 +1158,103 @@ object StatsOps {
        |  $proportionZTree AS z
        |FROM a""".stripMargin
 
+  /** Per-group sample mean and variance from the integer sums,
+    * shared verbatim by both engines (suffix picks the group). */
+  private def welchMean(i: Int): String =
+    s"CAST(sx$i AS DOUBLE) / CAST(n$i AS DOUBLE)"
+  private def welchVar(i: Int): String =
+    s"""(CAST(sxx$i AS DOUBLE)
+       |  - CAST(sx$i AS DOUBLE) * CAST(sx$i AS DOUBLE)
+       |    / CAST(n$i AS DOUBLE))
+       | / (CAST(n$i AS DOUBLE) - 1.0)""".stripMargin
+
+  /** Welch t from the materialized means/variances — no pooled
+    * variance, the unequal-variance form. */
+  private val welchTTree: String =
+    """(m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE)
+      |  + v2 / CAST(n2 AS DOUBLE))""".stripMargin
+
+  /** Welch–Satterthwaite effective degrees of freedom. */
+  private val welchDfTree: String =
+    """((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+      |  * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+      | / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+      |     / (CAST(n1 AS DOUBLE) - 1.0)
+      |   + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+      |     / (CAST(n2 AS DOUBLE) - 1.0))""".stripMargin
+
+  /** Welch two-sample t-test on line quantity, returned vs kept
+    * lines — the A/B read for MEANS beside q_proportion_test's rates
+    * ("do returned lines skew larger?"): Welch's unequal-variance
+    * form is the default every experimentation platform runs, with
+    * the Welch–Satterthwaite effective df reported alongside t.
+    *
+    * Exactness: sufficient statistics (n, Σx, Σx²) per group come
+    * from ONE map-side-combined conditional-sum pass in DECIMAL
+    * (per-row x² stays long — quantity is ≤ 50); the group means are
+    * also emitted as exact integer milli-units; t and df are double
+    * trees built from materialized m/v columns, every tree string
+    * shared verbatim with the oracle.
+    *
+    * Scale shape: q_proportion_test's — nothing downstream is
+    * data-sized; the single aggregate row carries the whole test. */
+  def qWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      (col("l_returnflag") === "R").as("ret"),
+      expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"))
+    li.agg(
+        sum(when(col("ret"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ret"), col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).cast(LongType).as("sx1"),
+        sum(when(col("ret"), col("q") * col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).cast(LongType).as("sxx1"),
+        sum(when(!col("ret"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("ret"), col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).cast(LongType).as("sx2"),
+        sum(when(!col("ret"), col("q") * col("q")).otherwise(0L)
+          .cast(DecimalType(38, 0))).cast(LongType).as("sxx2"))
+      .withColumn("mean1_milli", expr("(sx1 * 1000) div n1"))
+      .withColumn("mean2_milli", expr("(sx2 * 1000) div n2"))
+      .withColumn("m1", expr(welchMean(1)))
+      .withColumn("m2", expr(welchMean(2)))
+      .withColumn("v1", expr(welchVar(1)))
+      .withColumn("v2", expr(welchVar(2)))
+      .select(col("n1"), col("n2"), col("mean1_milli"),
+        col("mean2_milli"),
+        expr(welchTTree).as("t"), expr(welchDfTree).as("df"))
+  }
+
+  val qWelchTtestSql: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag = 'R' AS ret,
+       |    CAST(FLOOR(l_quantity) AS BIGINT) AS q
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN ret THEN q ELSE 0 END) AS BIGINT) AS sx1,
+       |    CAST(SUM(CASE WHEN ret THEN q * q ELSE 0 END) AS BIGINT)
+       |      AS sxx1,
+       |    CAST(SUM(CASE WHEN NOT ret THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(SUM(CASE WHEN NOT ret THEN q ELSE 0 END) AS BIGINT)
+       |      AS sx2,
+       |    CAST(SUM(CASE WHEN NOT ret THEN q * q ELSE 0 END) AS BIGINT)
+       |      AS sxx2
+       |  FROM b),
+       |m AS (
+       |  SELECT *,
+       |    ${welchMean(1)} AS m1, ${welchMean(2)} AS m2,
+       |    ${welchVar(1)} AS v1, ${welchVar(2)} AS v2
+       |  FROM a)
+       |SELECT n1, n2,
+       |  (sx1 * 1000) // n1 AS mean1_milli,
+       |  (sx2 * 1000) // n2 AS mean2_milli,
+       |  $welchTTree AS t, $welchDfTree AS df
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch_ttest" -> (qWelchTtest _),
     "q_cramers_v" -> (qCramersV _),
     "q_proportion_test" -> (qProportionTest _),
     "q_bfs_reach" -> (qBfsReach _),
@@ -1177,6 +1273,7 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_welch_ttest" -> qWelchTtestSql,
     "q_cramers_v" -> qCramersVSql,
     "q_proportion_test" -> qProportionTestSql,
     "q_bfs_reach" -> qBfsReachSql,

@@ -340,6 +340,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cramers_v" -> 7,
     // proportion_test: ONE single-row conditional-sum aggregate
     "q_proportion_test" -> 1,
+    // welch_ttest: ONE single-row conditional-sum aggregate
+    "q_welch_ttest" -> 1,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,

@@ -363,6 +363,38 @@ class StatsOpsSpec extends AnyFunSuite {
       "some node must be reached only through an intermediate")
   }
 
+  test("q_welch_ttest replays t and df bitwise from raw quantities") {
+    val row = StatsOps.qWelchTtest(spark, sf).collect().head
+    val raw = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag") === "R",
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    def stats(g: Array[Long]) =
+      (g.length.toLong, g.sum, g.map(x => x * x).sum)
+    val (n1, sx1, sxx1) = stats(raw.filter(_._1).map(_._2))
+    val (n2, sx2, sxx2) = stats(raw.filterNot(_._1).map(_._2))
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("mean1_milli") == sx1 * 1000 / n1)
+    assert(row.getAs[Long]("mean2_milli") == sx2 * 1000 / n2)
+    val m1 = sx1.toDouble / n1.toDouble
+    val m2 = sx2.toDouble / n2.toDouble
+    val v1 = (sxx1.toDouble - sx1.toDouble * sx1.toDouble / n1.toDouble) /
+      (n1.toDouble - 1.0)
+    val v2 = (sxx2.toDouble - sx2.toDouble * sx2.toDouble / n2.toDouble) /
+      (n2.toDouble - 1.0)
+    val se2 = v1 / n1.toDouble + v2 / n2.toDouble
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = (se2 * se2) /
+      ((v1 / n1.toDouble) * (v1 / n1.toDouble) / (n1.toDouble - 1.0) +
+        (v2 / n2.toDouble) * (v2 / n2.toDouble) / (n2.toDouble - 1.0))
+    assert(row.getAs[Double]("t") == t, "t (bitwise)")
+    assert(row.getAs[Double]("df") == df, "df (bitwise)")
+    // both groups populated; df between min(n)-1 and n1+n2-2
+    assert(n1 > 1 && n2 > 1)
+    assert(df >= math.min(n1, n2).toDouble - 1.0 - 1e-9 &&
+      df <= (n1 + n2).toDouble - 2.0 + 1e-9)
+  }
+
   test("q_kendall_tau pair counts conserve and replay bitwise") {
     val rows = StatsOps.qKendallTau(spark, sf).collect()
     assert(rows.nonEmpty)
