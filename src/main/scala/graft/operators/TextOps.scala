@@ -1408,7 +1408,72 @@ object TextOps {
        |  CAST((freq * 1000000) // total AS BIGINT) AS share_ppm
        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin
 
+  /** Cross-source vocabulary overlap matrix — the corpus-curation
+    * read behind mixture design and contamination triage: for every
+    * source pair, exact vocabulary Jaccard and containment ("is
+    * source B lexically a subset of A?"). High containment of a
+    * small source in a big one flags near-duplicate provenance
+    * BEFORE any per-document dedup runs; near-zero overlap flags a
+    * source that will stress the tokenizer/vocab.
+    *
+    * Scale shape: the (source, token) frame is DISTINCT (vocab-sized
+    * per source, sublinear in corpus); the intersection is a keyed
+    * shuffle-hash self-join on token producing thin pair rows that
+    * collapse map-side into one count per source pair — O(sources²)
+    * output; per-source vocab sizes broadcast back in. Integer ppm
+    * throughout — no doubles anywhere. */
+  def textSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .distinct()
+      .localCheckpoint() // one tokenize+distinct pass, reused 3×
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.as("x")
+      .join(st.as("y").hint("shuffle_hash"),
+        col("x.token") === col("y.token") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        expr("(inter * 1000000) div (n_a + n_b - inter)")
+          .as("jaccard_ppm"),
+        expr("(inter * 1000000) div least(n_a, n_b)")
+          .as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val textSourceOverlapSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, token FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS token
+      |    FROM documents)),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM st GROUP BY 1),
+      |iv AS (
+      |  SELECT x.source AS src_a, y.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM st x JOIN st y
+      |    ON x.token = y.token AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+      |  CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT)
+      |    AS jaccard_ppm,
+      |  CAST((inter * 1000000) // least(sa.n, sb.n) AS BIGINT)
+      |    AS containment_ppm
+      |FROM iv
+      |JOIN sz sa ON sa.source = iv.src_a
+      |JOIN sz sb ON sb.source = iv.src_b
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_overlap" -> (textSourceOverlap _),
     "text_zipf" -> (textZipf _),
     "text_ttr" -> (textTtr _),
     "text_concordance" -> (textConcordance _),
@@ -1449,6 +1514,7 @@ object TextOps {
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,
     "text_zipf" -> textZipfSql,
+    "text_source_overlap" -> textSourceOverlapSql,
     "text_dup_spans" -> textDupSpansSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_boilerplate" -> textBoilerplateSql,

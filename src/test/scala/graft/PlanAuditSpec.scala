@@ -631,6 +631,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // zipf: term-frequency agg + the bounded top-k heap + the scalar
     // total agg + the head-frame window + ordered output
     "text_zipf" -> 6,
+    // source_overlap: the (source,token) distinct + the token-keyed
+    // intersection self-join + the pair-count agg + ordered output
+    "text_source_overlap" -> 6,
     "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0,
     // anonymize: pure projection, fuses with the scan

@@ -916,6 +916,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
   }
 
+  test("text_source_overlap replays the exact pairwise vocab matrix") {
+    val rows = TextOps.textSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view.mapValues(ds =>
+      ds.flatMap(_._2.split(" ").filter(_.nonEmpty)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b, "pair order canonical")
+      val (va, vb) = (vocab(a), vocab(b))
+      val inter = (va & vb).size.toLong
+      assert(r.getAs[Long]("n_a") == va.size.toLong)
+      assert(r.getAs[Long]("n_b") == vb.size.toLong)
+      assert(r.getAs[Long]("inter") == inter)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        inter * 1000000L / (va.size + vb.size - inter))
+      assert(r.getAs[Long]("containment_ppm") ==
+        inter * 1000000L / math.min(va.size, vb.size))
+    }
+    // every intersecting pair is present exactly once
+    val srcs = vocab.keySet.toSeq.sorted
+    val expPairs = (for {
+      a <- srcs; b <- srcs if a < b && (vocab(a) & vocab(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).toSet == expPairs)
+    // non-vacuity: overlap varies across pairs
+    assert(rows.map(_.getAs[Long]("jaccard_ppm")).distinct.length > 1)
+  }
+
   test("pipeline_span_corruption masks the exact deterministic spans") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineSpanCorruption(spark, sf).collect()
