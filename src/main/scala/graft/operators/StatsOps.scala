@@ -628,6 +628,82 @@ object StatsOps {
        |SELECT p AS p_partkey, CAST(MIN(cost) AS BIGINT) AS cost
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Minimum shared neighbors for a predicted link — the candidate
+    * cut every production link predictor applies before scoring. */
+  val linkMinCommon = 2
+
+  /** Common-neighbor link prediction over the part co-purchase
+    * graph — the third graph read beside q_triangle_count's motif
+    * census and q_bfs_reach/q_shortest_path's traversals: score
+    * NON-adjacent part pairs by how many neighbors they share
+    * (plus neighborhood Jaccard), the classic "customers who bought
+    * these also bought..." candidate generator and the baseline
+    * every fancier graph-ML link model is benchmarked against.
+    *
+    * Scale shape: wedges enumerate via ONE keyed self-join on the
+    * shared endpoint (Σdeg² thin rows — the same budget as
+    * q_triangle_count; a production run caps hub degree first),
+    * collapse map-side into per-pair counts, then existing edges
+    * leave via an anti-join and degrees broadcast-join back in
+    * (degree frame is node-sized). The [[linkMinCommon]] cut bounds
+    * the output to genuinely-supported candidates. Integer ppm, no
+    * doubles. */
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % triModulus === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct().localCheckpoint() // symmetric edge list, reused 3×
+    val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = e.as("u")
+      .join(e.as("v").hint("shuffle_hash"), col("u.a") === col("v.a"))
+      .filter(col("u.b") < col("v.b"))
+      .groupBy(col("u.b").as("pa"), col("v.b").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= linkMinCommon)
+      .join(e.hint("shuffle_hash"),
+        col("pa") === col("a") && col("pb") === col("b"), "left_anti")
+    cn.join(deg.withColumnRenamed("node", "pa")
+        .withColumnRenamed("deg", "deg_a").hint("shuffle_hash"),
+        Seq("pa"))
+      .join(deg.withColumnRenamed("node", "pb")
+        .withColumnRenamed("deg", "deg_b").hint("shuffle_hash"),
+        Seq("pb"))
+      .select(col("pa"), col("pb"), col("cn"), col("deg_a"),
+        col("deg_b"),
+        expr("(cn * 1000000) div (deg_a + deg_b - cn)")
+          .as("jaccard_ppm"))
+      .orderBy("pa", "pb")
+  }
+
+  val qLinkPredictSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey % $triModulus = 0),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+       |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |cn AS (
+       |  SELECT u.b AS pa, v.b AS pb, CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM e u JOIN e v ON u.a = v.a AND u.b < v.b
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $linkMinCommon),
+       |cand AS (
+       |  SELECT cn.* FROM cn
+       |  ANTI JOIN e ON cn.pa = e.a AND cn.pb = e.b)
+       |SELECT pa, pb, cn, da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST((cn * 1000000) // (da.deg + db.deg - cn) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM cand
+       |JOIN deg da ON da.node = cand.pa
+       |JOIN deg db ON db.node = cand.pb
+       |ORDER BY 1, 2""".stripMargin
+
   /** The tau-b combination tree, parsed by both engines verbatim:
     * (C − D) / sqrt((n0 − n1)(n0 − n2)) over the exact integer pair
     * counts. */
@@ -1259,6 +1335,7 @@ object StatsOps {
     "q_proportion_test" -> (qProportionTest _),
     "q_bfs_reach" -> (qBfsReach _),
     "q_shortest_path" -> (qShortestPath _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_ks_test" -> (qKsTest _),
@@ -1278,6 +1355,7 @@ object StatsOps {
     "q_proportion_test" -> qProportionTestSql,
     "q_bfs_reach" -> qBfsReachSql,
     "q_shortest_path" -> qShortestPathSql,
+    "q_link_predict" -> qLinkPredictSql,
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
     "q_ks_test" -> qKsTestSql,

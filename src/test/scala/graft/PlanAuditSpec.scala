@@ -332,6 +332,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // discipline); final plan is the pinned label frame + ordered
     // output
     "q_shortest_path" -> 1,
+    // link_predict: edge list pinned pre-plan; the wedge self-join
+    // (2) + pair agg + the edge anti-join (2) + degree agg + the two
+    // node-keyed degree joins (kept shuffled, NOT broadcast — the
+    // degree frame is node-sized and unbounded at scale) + ordered
+    // output
+    "q_link_predict" -> 9,
     // runs_test: day-grain agg + the model-sized series windows +
     // the 1-row final aggregate
     "q_runs_test" -> 3,

@@ -363,6 +363,34 @@ class StatsOpsSpec extends AnyFunSuite {
       "some node must be reached only through an intermediate")
   }
 
+  test("q_link_predict scores exactly the non-adjacent shared-neighbor pairs") {
+    val rows = StatsOps.qLinkPredict(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side graph replay
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") % StatsOps.triModulus === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val nbr = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val exp = (for {
+      (a, na) <- nbr.toSeq; (b, nb) <- nbr.toSeq
+      if a < b && !edges((a, b))
+      cnv = (na & nb).size.toLong if cnv >= StatsOps.linkMinCommon
+    } yield (a, b) -> ((cnv, na.size.toLong, nb.size.toLong,
+      cnv * 1000000L / (na.size + nb.size - cnv)))).toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == exp, "candidate set + scores must replay exactly")
+    // non-vacuity: predictions exist and scores discriminate
+    assert(got.values.map(_._4).toSeq.distinct.length > 1)
+    // no predicted pair is an existing edge
+    assert(got.keys.forall { case (a, b) => !edges((a, b)) })
+  }
+
   test("q_welch_ttest replays t and df bitwise from raw quantities") {
     val row = StatsOps.qWelchTtest(spark, sf).collect().head
     val raw = Tables.load(spark, sf, "lineitem")
