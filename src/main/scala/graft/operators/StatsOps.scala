@@ -628,6 +628,128 @@ object StatsOps {
        |SELECT p AS p_partkey, CAST(MIN(cost) AS BIGINT) AS cost
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Centered second-moment trees for the 2-feature normal
+    * equations, shared verbatim by both engines. */
+  private val multiregMoments: Seq[(String, String)] = Seq(
+    "a11" -> """CAST(s11 AS DOUBLE)
+               | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               |   / CAST(n AS DOUBLE)""".stripMargin,
+    "a12" -> """CAST(s12 AS DOUBLE)
+               | - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               |   / CAST(n AS DOUBLE)""".stripMargin,
+    "a22" -> """CAST(s22 AS DOUBLE)
+               | - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               |   / CAST(n AS DOUBLE)""".stripMargin,
+    "b1v" -> """CAST(s1y AS DOUBLE)
+               | - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+               |   / CAST(n AS DOUBLE)""".stripMargin,
+    "b2v" -> """CAST(s2y AS DOUBLE)
+               | - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+               |   / CAST(n AS DOUBLE)""".stripMargin,
+    "det" -> "a11 * a22 - a12 * a12")
+
+  private val multiregBeta1 = "(a22 * b1v - a12 * b2v) / det"
+  private val multiregBeta2 = "(a11 * b2v - a12 * b1v) / det"
+  private val multiregIntercept: String =
+    """CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      | - ((a22 * b1v - a12 * b2v) / det)
+      |   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      | - ((a11 * b2v - a12 * b1v) / det)
+      |   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin
+  private val multiregR2: String =
+    """(((a22 * b1v - a12 * b2v) / det) * b1v
+      |  + ((a11 * b2v - a12 * b1v) / det) * b2v)
+      | / (CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE))""".stripMargin
+
+  /** Two-feature least squares in ONE pass — price explained by
+    * quantity AND discount per return-flag group: the closed-form
+    * normal equations (2×2 inverse) over exact sufficient statistics,
+    * i.e. the multivariate extension of q_trend_slope/q_stats_funcs'
+    * single-feature fits, and the workhorse "controlled-for" read
+    * ("does discount still predict price once quantity is held
+    * fixed?") every pricing/elasticity dashboard runs before a model
+    * is trained.
+    *
+    * Exactness: all nine sufficient statistics (n, Σx₁, Σx₂, Σy and
+    * the five second moments) are exact DECIMAL sums of bounded long
+    * per-row products; every double combination — centered moments,
+    * determinant, the two betas, intercept, R² — is a tree string
+    * shared verbatim with the oracle.
+    *
+    * Scale shape: q1_agg's — ONE map-side-combined aggregate per
+    * group, closed-form math on the group-count-sized frame; nothing
+    * downstream is data-sized and no iteration anywhere. */
+  def qMultireg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("x1"),
+      expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)")
+        .as("x2"),
+      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
+        .as("y"))
+    // sums exact in DECIMAL, surfaced as long for the bitwise-shared
+    // double trees (long→double is correctly rounded in both engines;
+    // hugeint/decimal→double is not guaranteed to be). The largest
+    // sum (Σy² in cents²) stays under 2^63 through sf0.1; a 100 TB
+    // deployment keeps the decimal sums and converts once on the
+    // group-sized frame — a 16th-digit ULP is immaterial to a fit,
+    // only to this oracle's bitwise gate.
+    def dsum(e: String) =
+      sum(expr(s"cast($e as decimal(38,0))")).cast(LongType)
+    val sums = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      dsum("x1").as("s1"), dsum("x2").as("s2"), dsum("y").as("sy"),
+      dsum("x1 * x1").as("s11"), dsum("x2 * x2").as("s22"),
+      dsum("x1 * x2").as("s12"), dsum("x1 * y").as("s1y"),
+      dsum("x2 * y").as("s2y"), dsum("y * y").as("syy"))
+    multiregMoments.foldLeft(sums) { case (df, (name, tree)) =>
+      df.withColumn(name, expr(tree))
+    }
+      .select(col("l_returnflag"), col("n"),
+        expr(multiregBeta1).as("beta_qty"),
+        expr(multiregBeta2).as("beta_disc"),
+        expr(multiregIntercept).as("intercept"),
+        expr(multiregR2).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val qMultiregSql: String = {
+    val moments = multiregMoments.map { case (n, t) => s"$t AS $n" }
+      .mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    CAST(FLOOR(l_quantity) AS BIGINT) AS x1,
+       |    CAST(CAST(l_discount AS DECIMAL(12,3)) * 1000 AS BIGINT)
+       |      AS x2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS y
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1,
+       |    CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM b GROUP BY 1),
+       |m AS (
+       |  SELECT *,
+       |    $moments
+       |  FROM a)
+       |SELECT l_returnflag, n,
+       |  $multiregBeta1 AS beta_qty,
+       |  $multiregBeta2 AS beta_disc,
+       |  $multiregIntercept AS intercept,
+       |  $multiregR2 AS r2
+       |FROM m ORDER BY 1""".stripMargin
+  }
+
   /** Minimum shared neighbors for a predicted link — the candidate
     * cut every production link predictor applies before scoring. */
   val linkMinCommon = 2
@@ -1336,6 +1458,7 @@ object StatsOps {
     "q_bfs_reach" -> (qBfsReach _),
     "q_shortest_path" -> (qShortestPath _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_multireg" -> (qMultireg _),
     "q_spearman" -> (qSpearman _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_ks_test" -> (qKsTest _),
@@ -1356,6 +1479,7 @@ object StatsOps {
     "q_bfs_reach" -> qBfsReachSql,
     "q_shortest_path" -> qShortestPathSql,
     "q_link_predict" -> qLinkPredictSql,
+    "q_multireg" -> qMultiregSql,
     "q_spearman" -> qSpearmanSql,
     "q_kendall_tau" -> qKendallTauSql,
     "q_ks_test" -> qKsTestSql,

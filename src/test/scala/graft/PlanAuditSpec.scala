@@ -348,6 +348,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_proportion_test" -> 1,
     // welch_ttest: ONE single-row conditional-sum aggregate
     "q_welch_ttest" -> 1,
+    // multireg: ONE map-side-combined per-group aggregate + ordered
+    // output
+    "q_multireg" -> 2,
     // cov_matrix: ONE single-row sum aggregate; the stack projection
     // and 10-row sort add no data-sized exchange
     "q_cov_matrix" -> 1,

@@ -363,6 +363,60 @@ class StatsOpsSpec extends AnyFunSuite {
       "some node must be reached only through an intermediate")
   }
 
+  test("q_multireg betas solve the normal equations bitwise per group") {
+    val rows = StatsOps.qMultireg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flag = rows.head.getString(0)
+    val raw = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === flag)
+      .select(
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)"),
+        expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)"),
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = raw.length.toLong
+    val (s1, s2, sy) = (raw.map(_._1).sum, raw.map(_._2).sum,
+      raw.map(_._3).sum)
+    val s11 = raw.map(t => t._1 * t._1).sum
+    val s22 = raw.map(t => t._2 * t._2).sum
+    val s12 = raw.map(t => t._1 * t._2).sum
+    val s1y = raw.map(t => t._1 * t._3).sum
+    val s2y = raw.map(t => t._2 * t._3).sum
+    val syy = raw.map(t => t._3 * t._3).sum
+    val a11 = s11.toDouble - s1.toDouble * s1.toDouble / n.toDouble
+    val a12 = s12.toDouble - s1.toDouble * s2.toDouble / n.toDouble
+    val a22 = s22.toDouble - s2.toDouble * s2.toDouble / n.toDouble
+    val b1v = s1y.toDouble - s1.toDouble * sy.toDouble / n.toDouble
+    val b2v = s2y.toDouble - s2.toDouble * sy.toDouble / n.toDouble
+    val det = a11 * a22 - a12 * a12
+    val beta1 = (a22 * b1v - a12 * b2v) / det
+    val beta2 = (a11 * b2v - a12 * b1v) / det
+    val icpt = sy.toDouble / n.toDouble -
+      ((a22 * b1v - a12 * b2v) / det) * (s1.toDouble / n.toDouble) -
+      ((a11 * b2v - a12 * b1v) / det) * (s2.toDouble / n.toDouble)
+    val r2 = (((a22 * b1v - a12 * b2v) / det) * b1v +
+      ((a11 * b2v - a12 * b1v) / det) * b2v) /
+      (syy.toDouble - sy.toDouble * sy.toDouble / n.toDouble)
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n") == n)
+    assert(r0.getAs[Double]("beta_qty") == beta1, "beta_qty (bitwise)")
+    assert(r0.getAs[Double]("beta_disc") == beta2, "beta_disc (bitwise)")
+    assert(r0.getAs[Double]("intercept") == icpt, "intercept (bitwise)")
+    assert(r0.getAs[Double]("r2") == r2, "r2 (bitwise)")
+    // sanity: a real (non-degenerate) system was solved — prices on
+    // the fixture are random draws, so only structure is asserted,
+    // not a direction
+    assert(det != 0.0 && !det.isNaN)
+    assert(!beta1.isNaN && !beta2.isNaN && (beta1 != 0.0 || beta2 != 0.0))
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // residual check: gradient of SSE at the solution is ~0 relative
+    // to its natural scale (the normal equations actually hold)
+    val g1 = a11 * beta1 + a12 * beta2 - b1v
+    val g2 = a12 * beta1 + a22 * beta2 - b2v
+    assert(math.abs(g1) / (math.abs(b1v) + 1.0) < 1e-9)
+    assert(math.abs(g2) / (math.abs(b2v) + 1.0) < 1e-9)
+  }
+
   test("q_link_predict scores exactly the non-adjacent shared-neighbor pairs") {
     val rows = StatsOps.qLinkPredict(spark, sf).collect()
     assert(rows.nonEmpty)
