@@ -1918,7 +1918,67 @@ object Relational {
       |    AS BIGINT) AS purchases_so_far
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** TPC-H Q21's multi-level EXISTS / NOT EXISTS shape — suppliers
+    * who alone held up a multi-supplier order: count each supplier's
+    * anomalous lines (shipped-before-ordered, the fixture's signed
+    * ship lag) in orders where ANOTHER supplier participated but NO
+    * other supplier's line was anomalous. q_semi_anti exercises one
+    * semi and one anti join in isolation; this is the correlated
+    * double-quantifier blame analysis — the hardest of the classic
+    * TPC-H decision-support patterns — run as two keyed joins.
+    *
+    * Scale shape: both quantifiers decorrelate into orderkey-keyed
+    * semi/anti self-joins (never per-row subqueries): participation
+    * is a DISTINCT (order, supplier) frame, the anomalous set is
+    * checkpoint-pinned and reused for both its own grain and the
+    * NOT-EXISTS side; the supplier dim joins shuffled (it GROWS with
+    * SF — not broadcast); counts collapse map-side. */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val f = li.join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .localCheckpoint() // anomalous lines, reused at two grains
+    val base = li.select(col("l_orderkey").as("bok"),
+      col("l_suppkey").as("bsk")).distinct()
+    val fd = f.select(col("ok").as("xok"), col("sk").as("xsk")).distinct()
+    val waited = f
+      .join(base.hint("shuffle_hash"),
+        col("ok") === col("bok") && col("sk") =!= col("bsk"),
+        "left_semi")
+      .join(fd.hint("shuffle_hash"),
+        col("ok") === col("xok") && col("sk") =!= col("xsk"),
+        "left_anti")
+    waited.groupBy("sk").agg(count(lit(1)).as("numwait"))
+      .join(Tables.load(s, dir, "supplier").hint("shuffle_hash"),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q21WaitingSql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate < o_orderdate),
+      |base AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |         FROM lineitem),
+      |fd AS (SELECT DISTINCT ok, sk FROM f),
+      |w AS (
+      |  SELECT f.sk FROM f
+      |  WHERE EXISTS (SELECT 1 FROM base b
+      |                WHERE b.ok = f.ok AND b.sk <> f.sk)
+      |    AND NOT EXISTS (SELECT 1 FROM fd x
+      |                    WHERE x.ok = f.ok AND x.sk <> f.sk))
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM w JOIN supplier ON s_suppkey = w.sk
+      |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting" -> (q21Waiting _),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls _),
     "q_mode" -> (qMode _),
     "q_penny_allocation" -> (qPennyAllocation _),
@@ -1989,6 +2049,7 @@ object Relational {
     "q_array_funcs" -> qArrayFuncsSql,
     "q_map_funcs" -> qMapFuncsSql,
     "q_json_funcs" -> qJsonFuncsSql,
+    "q21_waiting" -> q21WaitingSql,
     "q_json_table" -> qJsonTableSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_histogram" -> qHistogramSql,

@@ -568,6 +568,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // ZERO exchanges is the feature
     "q_mv_rewrite" -> 0,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
+    // q21: flagged frame pinned pre-plan; the participation distinct
+    // + orderkey-keyed semi (2) + flagged distinct + anti (2) + the
+    // count agg + the supplier join (2, dim NOT broadcast) + ordered
+    // output
+    "q21_waiting" -> 9,
     // interval_merge: ONE user-grain shuffle carries both window
     // passes and the aggregate (HashPartitioning(user_id) clusters
     // the (user_id, island) groups) + ordered output

@@ -588,4 +588,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(_._4.isEmpty) && rows.exists(r =>
       r._3 != "purchase" && r._4.nonEmpty))
   }
+
+  test("q21_waiting replays the double-quantifier blame analysis") {
+    import graft.operators.Relational
+    val got = Relational.q21Waiting(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val odate = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val flagged = li.filter(t => t._3.before(odate(t._1)))
+      .map(t => (t._1, t._2))
+    val suppsByOrder = li.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val flaggedByOrder = flagged.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val names = Tables.load(spark, sf, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = flagged.filter { case (ok, sk) =>
+      suppsByOrder(ok).exists(_ != sk) &&
+        !flaggedByOrder(ok).exists(_ != sk)
+    }.groupBy(t => names(t._2)).view.mapValues(_.length.toLong).toMap
+    assert(got == exp, "numwait per supplier must replay exactly")
+    // non-vacuity: the quantifiers actually prune — fewer waiting
+    // lines than flagged lines, and multiple suppliers implicated
+    assert(exp.values.sum < flagged.length)
+    assert(got.size > 1)
+  }
 }
