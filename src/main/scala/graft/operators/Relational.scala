@@ -1977,7 +1977,70 @@ object Relational {
       |FROM w JOIN supplier ON s_suppkey = w.sk
       |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** TPC-H Q22's shape — wealthy customers gone QUIET: a global
+    * aggregate threshold (above the positive-balance average) feeding
+    * an anti join against recent fact activity (every fixture
+    * customer has SOME order, so "never ordered" is vacuous here —
+    * "no order since [[q22Cutoff]]" is the honest lapse predicate),
+    * grouped by geography. The classic "win-back list" read combining
+    * three decorrelation problems in one query: a scalar aggregate
+    * subquery, a NOT EXISTS, and a post-filter aggregate.
+    *
+    * Exactness: the average threshold never divides — candidates
+    * satisfy bal·n > Σbal by integer cross-multiplication (exact
+    * cents, no double average anywhere); group balances are DECIMAL
+    * sums surfaced as exact cents.
+    *
+    * Scale shape: the threshold is ONE map-side-combined scalar
+    * aggregate broadcast as a 1-row frame; the NOT EXISTS is an
+    * orderkey-side DISTINCT + custkey-keyed anti join (never a
+    * per-row subquery); the final rollup collapses map-side. */
+  /** Recency cutoff for the lapse predicate (fixture orders span
+    * 1995-01..2001-08; ~9% of sf0.01 customers are quiet after it). */
+  val q22Cutoff = "2000-01-01"
+
+  def q22Prospects(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+        .as("bal"))
+    val thr = c.filter(col("bal") > 0).agg(
+      sum(col("bal").cast(DecimalType(38, 0))).cast(LongType).as("s"),
+      count(lit(1)).as("n"))
+    val buyers = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(q22Cutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(thr))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(buyers.hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal").cast(DecimalType(38, 0))).cast(LongType)
+          .as("totbal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22ProspectsSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+      |  FROM customer),
+      |t AS (SELECT CAST(SUM(bal) AS BIGINT) AS s,
+      |             CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM c WHERE bal > 0),
+      |cand AS (
+      |  SELECT c.* FROM c CROSS JOIN t
+      |  WHERE c.bal * t.n > t.s
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(bal) AS BIGINT) AS totbal_cents
+      |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_prospects" -> (q22Prospects _),
     "q21_waiting" -> (q21Waiting _),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls _),
     "q_mode" -> (qMode _),
@@ -2050,6 +2113,7 @@ object Relational {
     "q_map_funcs" -> qMapFuncsSql,
     "q_json_funcs" -> qJsonFuncsSql,
     "q21_waiting" -> q21WaitingSql,
+    "q22_prospects" -> q22ProspectsSql,
     "q_json_table" -> qJsonTableSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_histogram" -> qHistogramSql,

@@ -573,6 +573,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // count agg + the supplier join (2, dim NOT broadcast) + ordered
     // output
     "q21_waiting" -> 9,
+    // q22: threshold scalar agg + the recent-buyer distinct + the
+    // custkey anti join + the nation rollup + ordered output
+    "q22_prospects" -> 6,
     // interval_merge: ONE user-grain shuffle carries both window
     // passes and the aggregate (HashPartitioning(user_id) clusters
     // the (user_id, island) groups) + ordered output
@@ -700,6 +703,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_collocations",
       // zipf crosses the 1-row corpus total into the N-row head
       "text_zipf",
+      // q22 crosses the 1-row balance threshold into the customer scan
+      "q22_prospects",
       // fk_inference crosses each probe's two 1-row counts
       "etl_fk_inference",
       // gdpr_erase crosses each table's three 1-row ledger counts

@@ -619,4 +619,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(exp.values.sum < flagged.length)
     assert(got.size > 1)
   }
+
+  test("q22_prospects replays the lapsed-wealthy rollup exactly") {
+    import graft.operators.Relational
+    val got = Relational.q22Prospects(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (s0, n0) = (pos.sum, pos.length.toLong)
+    val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val recent = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(!_.getTimestamp(1).before(cutoff))
+      .map(_.getLong(0)).toSet
+    val cand = cust.filter(c => c._3 * n0 > s0 && !recent(c._1))
+    val exp = cand.groupBy(_._2).view.mapValues(g =>
+      (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(got == exp, "per-nation prospect rollup must replay")
+    // non-vacuity: the threshold AND the lapse filter each prune
+    assert(cand.nonEmpty && cand.length < cust.length)
+    assert(cust.count(c => c._3 * n0 > s0) > cand.length)
+  }
 }
