@@ -687,15 +687,18 @@ object StatsOps {
       expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("x1"),
       expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)")
         .as("x2"),
-      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
-        .as("y"))
+      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"
+        + " div 100").as("y"))
     // sums exact in DECIMAL, surfaced as long for the bitwise-shared
     // double trees (long→double is correctly rounded in both engines;
     // hugeint/decimal→double is not guaranteed to be). The largest
     // sum (Σy² in cents²) stays under 2^63 through sf0.1; a 100 TB
     // deployment keeps the decimal sums and converts once on the
     // group-sized frame — a 16th-digit ULP is immaterial to a fit,
-    // only to this oracle's bitwise gate.
+    // only to this oracle's bitwise gate. The response is priced in
+    // whole DOLLARS (truncated cents, mirrored in both engines):
+    // cents² sums overflow long at sf1, dollars² fit through sf100,
+    // and a regression is insensitive to sub-dollar quantization.
     def dsum(e: String) =
       sum(expr(s"cast($e as decimal(38,0))")).cast(LongType)
     val sums = li.groupBy("l_returnflag").agg(
@@ -724,7 +727,7 @@ object StatsOps {
        |    CAST(CAST(l_discount AS DECIMAL(12,3)) * 1000 AS BIGINT)
        |      AS x2,
        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
-       |      AS y
+       |      // 100 AS y
        |  FROM lineitem),
        |a AS (
        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

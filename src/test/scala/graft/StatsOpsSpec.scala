@@ -372,7 +372,8 @@ class StatsOpsSpec extends AnyFunSuite {
       .select(
         expr("cast(cast(l_quantity as decimal(12,2)) as bigint)"),
         expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)"),
-        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"))
+        expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"
+          + " div 100"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val n = raw.length.toLong
     val (s1, s2, sy) = (raw.map(_._1).sum, raw.map(_._2).sum,
