@@ -309,6 +309,56 @@ object Etl {
   val etlJdbcRoundtripSql: String =
     "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
 
+  private val orcByCorpus =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ORC round-trip of the customer dim — the second columnar
+    * interchange format beside parquet (warehouses that standardized
+    * on Hive/Trino hand over ORC): write once per corpus, then
+    * measure the recurring parallel READ, exactly the
+    * etl_jdbc_roundtrip discipline. Any type/precision drift through
+    * the ORC writer/reader (doubles, ints, strings) breaks parity
+    * with the oracle reading the original parquet. */
+  def etlOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val path = orcByCorpus.computeIfAbsent(
+      ScaleJoins.corpusTag(dir, Seq("customer")), { tag =>
+        val p = s"/tmp/graft_orc_$tag"
+        cust.write.mode("overwrite").orc(p)
+        p
+      })
+    s.read.orc(path).select(cust.columns.map(col): _*)
+  }
+
+  val etlOrcRoundtripSql: String =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+
+  private val jsonlByCorpus =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JSONL round-trip of the documents corpus — THE interchange
+    * format of LLM training data (every public corpus ships as
+    * newline-delimited JSON): export once per corpus, then measure
+    * the recurring parallel READ with an explicit schema (schema-less
+    * JSON inference would re-scan the corpus — never at scale). Long
+    * ids and UTF-8 text must survive the byte round-trip exactly or
+    * the oracle (reading the original parquet) breaks parity. */
+  def pipelineJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val path = jsonlByCorpus.computeIfAbsent(
+      ScaleJoins.corpusTag(dir, Seq("documents")), { tag =>
+        val p = s"/tmp/graft_jsonl_$tag"
+        docs.write.mode("overwrite").json(p)
+        p
+      })
+    s.read.schema(docs.schema).json(path)
+      .select(docs.columns.map(col): _*)
+  }
+
+  val pipelineJsonlRoundtripSql: String =
+    "SELECT doc_id, lang, source, text FROM documents"
+
   /** Rule-set for the end-to-end pipeline-dump key: table rename,
     * column rename, column skip, `_WHERE_` extraction filter, and a
     * nullable FK reference so the raw-dump conversion (0 -> NULL)
@@ -2709,6 +2759,8 @@ object Etl {
     "etl_seq_setval" -> (etlSeqSetval _),
     "etl_pg_escape" -> (etlPgEscape _),
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
+    "etl_orc_roundtrip" -> (etlOrcRoundtrip _),
+    "pipeline_jsonl_roundtrip" -> (pipelineJsonlRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
     "etl_cdc_deletes" -> (etlCdcDeletes _),
@@ -2759,6 +2811,8 @@ object Etl {
     "etl_seq_setval" -> etlSeqSetvalSql,
     "etl_pg_escape" -> etlPgEscapeSql,
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
+    "etl_orc_roundtrip" -> etlOrcRoundtripSql,
+    "pipeline_jsonl_roundtrip" -> pipelineJsonlRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,
     "etl_cdc_deletes" -> etlCdcDeletesSql,

@@ -1126,4 +1126,33 @@ class EtlSpec extends AnyFunSuite {
         s"($name,$ym) conversion")
     }
   }
+
+  test("etl_orc_roundtrip and pipeline_jsonl_roundtrip are byte-faithful") {
+    import graft.operators.Etl
+    val cust = Tables.load(spark, sf, "customer")
+    val orc = Etl.etlOrcRoundtrip(spark, sf)
+    assert(orc.schema == cust.select(cust.columns.map(col): _*).schema,
+      "ORC must round-trip the exact schema")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(orc.collect().sortBy(key).toSeq ==
+      cust.collect().sortBy(key).toSeq,
+      "ORC must round-trip every cell exactly (incl. doubles)")
+
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val jl = Etl.pipelineJsonlRoundtrip(spark, sf)
+    assert(jl.schema == docs.schema)
+    assert(jl.collect().sortBy(key).toSeq ==
+      docs.collect().sortBy(key).toSeq,
+      "JSONL must round-trip ids and UTF-8 text exactly")
+    // the export is genuinely newline-delimited JSON, one object per
+    // line — what an external loader expects
+    val dir = new java.io.File(s"/tmp").listFiles()
+      .filter(_.getName.startsWith("graft_jsonl_")).head
+    val part = dir.listFiles().filter(_.getName.endsWith(".json")).head
+    val line = scala.io.Source.fromFile(part, "UTF-8")
+      .getLines().next()
+    assert(line.startsWith("{") && line.endsWith("}") &&
+      line.contains("\"doc_id\""))
+  }
 }
