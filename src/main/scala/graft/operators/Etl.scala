@@ -309,6 +309,103 @@ object Etl {
   val etlJdbcRoundtripSql: String =
     "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
 
+  /** The idempotent per-database user/grant script as a printf
+    * template — byte-identical to PgSqlGen.generateSqlUser's output
+    * at its defaults (spec-enforced), so the driver-side generator
+    * and this distributed key can never drift. Placeholders are
+    * filled identically by Spark's format_string and DuckDB's
+    * printf. Reference: /root/reference/libs/PsqlParser.py:288-340. */
+  private val pgUserTmpl: String =
+    """-- Adding PG User
+      |DO $$DECLARE r record;
+      |BEGIN
+      |   IF NOT EXISTS (
+      |      SELECT *
+      |      FROM   pg_catalog.pg_user
+      |      WHERE  usename = '%s') THEN
+      |      CREATE USER %s WITH PASSWORD U&'%s';
+      |   ELSE
+      |      ALTER USER %s WITH PASSWORD U&'%s';
+      |   END IF;
+      |END$$;
+      |ALTER DATABASE %s OWNER TO %s;
+      |GRANT CONNECT ON DATABASE %s TO %s;
+      |GRANT b7group_user TO %s;
+      |GRANT USAGE ON SCHEMA public TO %s;
+      |GRANT ALL ON ALL SEQUENCES IN SCHEMA public TO %s;
+      |GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA public TO %s;
+      |GRANT USAGE ON SCHEMA v1 TO %s;
+      |GRANT ALL ON ALL SEQUENCES IN SCHEMA v1 TO %s;
+      |GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA v1 TO %s;
+      |ALTER DATABASE %s SET search_path TO public, v1;
+      |ALTER USER %s SET search_path TO public, v1;
+      |ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT ALL ON TABLES TO %s;
+      |ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT ALL ON SEQUENCES TO %s;
+      |ALTER DEFAULT PRIVILEGES IN SCHEMA v1 GRANT ALL ON TABLES TO %s;
+      |ALTER DEFAULT PRIVILEGES IN SCHEMA v1 GRANT ALL ON SEQUENCES TO %s;
+      |""".stripMargin
+
+  /** Per-database PG user + GRANT script generation — the last
+    * reference surface (generate_sql_user + get_user_user_pass,
+    * PsqlParser.py:43-48,288-340 / MysqlParser.py:262-275): one
+    * idempotent bootstrap script per migrated database, skipping
+    * root/empty credentials and unicode-escaping `$` in passwords
+    * (PG's U&'' literal, the reference's exact quirk).
+    *
+    * Credentials here derive deterministically from the nation dim
+    * as a fixture stand-in (nationkey 0 maps to 'root' so the skip
+    * rule is exercised); a real run feeds this exact frame from the
+    * config database via the JDBC source. Scale is trivial by
+    * construction (one row per database) — the value is the
+    * generated-SQL parity, which the oracle rebuilds byte-for-byte
+    * with printf. */
+  def etlPgUsers(s: SparkSession, dir: String): DataFrame = {
+    val creds = Tables.load(s, dir, "nation").select(
+      expr("replace(lower(n_name), ' ', '_')").as("opcode"),
+      expr("case when n_nationkey = 0 then 'root' " +
+        "else 'u_' || replace(lower(n_name), ' ', '_') end").as("usename"),
+      expr("replace(lower(n_name), ' ', '_') || '$' || n_nationkey")
+        .as("pass"))
+    val u = col("usename")
+    val db = concat(lit("client_"), col("opcode"))
+    val pw = expr(
+      """replace(replace(pass, "'", "''"), '$', '\\0024')""")
+    creds.filter(col("usename") =!= "root" && length(col("usename")) > 0)
+      .select(db.as("db_name"), u.as("usename"),
+        format_string(pgUserTmpl,
+          u, u, pw, u, pw,
+          db, u, db, u,
+          u,
+          u, u, u, u, u, u,
+          db, u, u, u, u, u).as("user_sql"))
+      .orderBy("db_name")
+  }
+
+  val etlPgUsersSql: String = {
+    val tmplLit = pgUserTmpl.replace("'", "''")
+    s"""WITH creds AS (
+       |  SELECT replace(lower(n_name), ' ', '_') AS opcode,
+       |    CASE WHEN n_nationkey = 0 THEN 'root'
+       |         ELSE 'u_' || replace(lower(n_name), ' ', '_') END
+       |      AS usename,
+       |    replace(lower(n_name), ' ', '_') || '$$' || n_nationkey
+       |      AS pass
+       |  FROM nation),
+       |f AS (
+       |  SELECT 'client_' || opcode AS db_name, usename,
+       |    replace(replace(pass, '''', ''''''), '$$', '\\0024') AS pw
+       |  FROM creds WHERE usename <> 'root' AND len(usename) > 0)
+       |SELECT db_name, usename,
+       |  printf('$tmplLit',
+       |    usename, usename, pw, usename, pw,
+       |    db_name, usename, db_name, usename,
+       |    usename,
+       |    usename, usename, usename, usename, usename, usename,
+       |    db_name, usename, usename, usename, usename, usename)
+       |    AS user_sql
+       |FROM f ORDER BY 1""".stripMargin
+  }
+
   private val orcByCorpus =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2760,6 +2857,7 @@ object Etl {
     "etl_pg_escape" -> (etlPgEscape _),
     "etl_jdbc_roundtrip" -> (etlJdbcRoundtrip _),
     "etl_orc_roundtrip" -> (etlOrcRoundtrip _),
+    "etl_pg_users" -> (etlPgUsers _),
     "pipeline_jsonl_roundtrip" -> (pipelineJsonlRoundtrip _),
     "etl_pipeline_dump" -> (etlPipelineDump _),
     "etl_cdc_upsert" -> (etlCdcUpsert _),
@@ -2812,6 +2910,7 @@ object Etl {
     "etl_pg_escape" -> etlPgEscapeSql,
     "etl_jdbc_roundtrip" -> etlJdbcRoundtripSql,
     "etl_orc_roundtrip" -> etlOrcRoundtripSql,
+    "etl_pg_users" -> etlPgUsersSql,
     "pipeline_jsonl_roundtrip" -> pipelineJsonlRoundtripSql,
     "etl_pipeline_dump" -> etlPipelineDumpSql,
     "etl_cdc_upsert" -> etlCdcUpsertSql,

@@ -1155,4 +1155,33 @@ class EtlSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}") &&
       line.contains("\"doc_id\""))
   }
+
+  test("etl_pg_users equals the driver-side PgSqlGen generator per row") {
+    import graft.operators.Etl
+    val rows = Etl.etlPgUsers(spark, sf).collect()
+    val nations = Tables.load(spark, sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    // root (nationkey 0) is skipped, everyone else gets a script
+    assert(rows.length == nations.length - 1)
+    assert(!rows.exists(_.getAs[String]("usename") == "root"))
+    // the distributed key and the driver-side generator can never
+    // drift: byte equality per database
+    val byDb = rows.map(r => r.getAs[String]("db_name") ->
+      (r.getAs[String]("usename"), r.getAs[String]("user_sql"))).toMap
+    nations.filter(_._1 != 0).foreach { case (k, name) =>
+      val opcode = name.toLowerCase.replace(' ', '_')
+      val exp = graft.sqlgen.PgSqlGen.generateSqlUser(
+        Some(s"u_$opcode"), Some(s"$opcode$$$k"), s"client_$opcode")
+      val (u, sql) = byDb(s"client_$opcode")
+      assert(u == s"u_$opcode")
+      assert(sql == exp, s"script for $opcode must equal PgSqlGen")
+    }
+    // the reference's $-escape quirk survived the distributed path
+    rows.foreach { r =>
+      val sql = r.getAs[String]("user_sql")
+      assert(sql.contains("\\0024"))
+      assert(sql.contains("CREATE USER ") && sql.contains("ALTER USER "))
+    }
+  }
 }

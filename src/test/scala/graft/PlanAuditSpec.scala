@@ -109,6 +109,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "etl_jdbc_roundtrip" -> 0, "etl_join_extract" -> 0, "etl_pg_escape" -> 0,
     // format roundtrips: plain scan + projection, no exchange
     "etl_orc_roundtrip" -> 0, "pipeline_jsonl_roundtrip" -> 0,
+    // pg_users: dim-sized script generation + ordered output
+    "etl_pg_users" -> 1,
     "etl_pipeline_dump" -> 0, "etl_pre_sql" -> 2, "etl_ref_nullable" -> 0,
     "etl_shard_export" -> 0, "etl_snapshot_diff" -> 3,
     // schema evolution: footer-level merge + ordered output range
