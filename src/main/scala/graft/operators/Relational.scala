@@ -1977,6 +1977,10 @@ object Relational {
       |FROM w JOIN supplier ON s_suppkey = w.sk
       |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** Recency cutoff for the lapse predicate (fixture orders span
+    * 1995-01..2001-08; ~9% of sf0.01 customers are quiet after it). */
+  val q22Cutoff = "2000-01-01"
+
   /** TPC-H Q22's shape — wealthy customers gone QUIET: a global
     * aggregate threshold (above the positive-balance average) feeding
     * an anti join against recent fact activity (every fixture
@@ -1995,10 +1999,6 @@ object Relational {
     * aggregate broadcast as a 1-row frame; the NOT EXISTS is an
     * orderkey-side DISTINCT + custkey-keyed anti join (never a
     * per-row subquery); the final rollup collapses map-side. */
-  /** Recency cutoff for the lapse predicate (fixture orders span
-    * 1995-01..2001-08; ~9% of sf0.01 customers are quiet after it). */
-  val q22Cutoff = "2000-01-01"
-
   def q22Prospects(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer").select(
       col("c_custkey"), col("c_nationkey"),
@@ -2022,7 +2022,7 @@ object Relational {
   }
 
   val q22ProspectsSql: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT c_custkey, c_nationkey,
       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
       |  FROM customer),
@@ -2034,7 +2034,7 @@ object Relational {
       |  WHERE c.bal * t.n > t.s
       |    AND NOT EXISTS (SELECT 1 FROM orders o
       |                    WHERE o.o_custkey = c.c_custkey
-      |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+      |                      AND o.o_orderdate >= TIMESTAMP '$q22Cutoff'))
       |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
       |  CAST(SUM(bal) AS BIGINT) AS totbal_cents
       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -139,6 +139,48 @@ object StatsOps {
     * way a production run would bound it (degree cap / sampling). */
   val triModulus = 10
 
+  /** Sampled co-purchase lines (order, part) — the shared base of
+    * every graph key (% [[triModulus]] keeps the fixture graph
+    * readable; production would sample or degree-cap instead). */
+  private def coPurchaseLines(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % triModulus === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+
+  private def edgeJoin(li: DataFrame, cond: Column => Column): DataFrame =
+    li.as("x")
+      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
+      .filter(cond(col("x.p")))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+
+  /** Symmetric distinct co-purchase edges (a,b), a ≠ b — shared by
+    * q_bfs_reach and q_link_predict (and, weighted, by
+    * q_shortest_path). One definition, one place to change. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgeJoin(coPurchaseLines(s, dir), _ =!= col("y.p"))
+
+  /** Oriented distinct edges a < b — q_triangle_count's variant. */
+  private def coPurchaseEdgesOriented(s: SparkSession,
+      dir: String): DataFrame =
+    edgeJoin(coPurchaseLines(s, dir), _ < col("y.p"))
+
+  /** The matching oracle CTE fragments, shared by the graph keys'
+    * SQL strings so the graph definition can never diverge between
+    * keys. */
+  private val liSampleSql: String =
+    s"""li AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_partkey % $triModulus = 0)""".stripMargin
+  private val symEdgeSql: String =
+    """e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p)""".stripMargin
+  private val oriEdgeSql: String =
+    """e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p)""".stripMargin
+
   /** Triangle counting over the part co-purchase graph (parts that
     * share an order are linked). Emits per-anchor wedge and triangle
     * counts — the local clustering signal.
@@ -153,14 +195,7 @@ object StatsOps {
     * graph's degrees are near-uniform so id-ordering is equivalent
     * here (noted, not needed). */
   def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .filter(col("l_partkey") % triModulus === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val e = li.as("x")
-      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
-      .filter(col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
+    val e = coPurchaseEdgesOriented(s, dir)
     val wedges = e.as("ab")
       .join(e.as("bc").hint("shuffle_hash"), col("ab.b") === col("bc.a"))
       .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
@@ -175,12 +210,8 @@ object StatsOps {
   }
 
   val qTriangleCountSql: String =
-    s"""WITH li AS (
-       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-       |  WHERE l_partkey % $triModulus = 0),
-       |e AS (
-       |  SELECT DISTINCT x.p AS a, y.p AS b
-       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+    s"""WITH $liSampleSql,
+       |$oriEdgeSql,
        |w AS (
        |  SELECT ab.a, ab.b, bc.b AS c
        |  FROM e ab JOIN e bc ON ab.b = bc.a),
@@ -514,14 +545,7 @@ object StatsOps {
     * scale the edge frame is partition-pinned once and reused);
     * rounds are bounded by the hop horizon, not the graph. */
   def qBfsReach(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .filter(col("l_partkey") % triModulus === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val e = li.as("x")
-      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
-      .filter(col("x.p") =!= col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct().localCheckpoint()
+    val e = coPurchaseEdges(s, dir).localCheckpoint()
     val src = Tables.load(s, dir, "part")
       .filter(col("p_partkey") % bfsSourceModulus === 0)
       .select(col("p_partkey").as("p")).withColumn("hop", lit(0))
@@ -543,12 +567,8 @@ object StatsOps {
   }
 
   val qBfsReachSql: String =
-    s"""WITH RECURSIVE li AS (
-       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-       |  WHERE l_partkey % $triModulus = 0),
-       |e AS (
-       |  SELECT DISTINCT x.p AS a, y.p AS b
-       |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+    s"""WITH RECURSIVE $liSampleSql,
+       |$symEdgeSql,
        |walk(p, hop) AS (
        |  SELECT p_partkey, 0 FROM part
        |  WHERE p_partkey % $bfsSourceModulus = 0
@@ -769,19 +789,14 @@ object StatsOps {
     * shared endpoint (Σdeg² thin rows — the same budget as
     * q_triangle_count; a production run caps hub degree first),
     * collapse map-side into per-pair counts, then existing edges
-    * leave via an anti-join and degrees broadcast-join back in
-    * (degree frame is node-sized). The [[linkMinCommon]] cut bounds
+    * leave via an anti-join and the node-sized degree frame joins
+    * back in SHUFFLED (node count is unbounded at scale — never a
+    * broadcast). The [[linkMinCommon]] cut bounds
     * the output to genuinely-supported candidates. Integer ppm, no
     * doubles. */
   def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .filter(col("l_partkey") % triModulus === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val e = li.as("x")
-      .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
-      .filter(col("x.p") =!= col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct().localCheckpoint() // symmetric edge list, reused 3×
+    val e = coPurchaseEdges(s, dir)
+      .localCheckpoint() // symmetric edge list, reused 3×
     val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val cn = e.as("u")
       .join(e.as("v").hint("shuffle_hash"), col("u.a") === col("v.a"))
@@ -805,12 +820,8 @@ object StatsOps {
   }
 
   val qLinkPredictSql: String =
-    s"""WITH li AS (
-       |  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-       |  WHERE l_partkey % $triModulus = 0),
-       |e AS (
-       |  SELECT DISTINCT x.p AS a, y.p AS b
-       |  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+    s"""WITH $liSampleSql,
+       |$symEdgeSql,
        |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |        FROM e GROUP BY 1),
        |cn AS (
@@ -850,7 +861,8 @@ object StatsOps {
     * and tau-b's denominator uses n1 = pairs tied in x, n2 = pairs
     * tied in y (each including both-tied); the single double
     * combination is [[kendallTauTree]] shared textually with the
-    * oracle.
+    * oracle. Groups where every pair ties in one variable (tau-b
+    * undefined, 0/0) are dropped in both engines.
     *
     * Scale shape: pair counting is O(n²) per group, so the group is
     * kept catalog-bound by sampling ONE line per order
@@ -890,6 +902,10 @@ object StatsOps {
       .withColumn("n0", expr("(n * (n - 1)) div 2"))
       .withColumn("n1", col("tie_x") + col("tie_xy"))
       .withColumn("n2", col("tie_y") + col("tie_xy"))
+      // tau-b is undefined when EVERY pair ties in one variable
+      // (n0 = n1 or n0 = n2 → 0/0); drop the degenerate groups in
+      // both engines rather than emit a NaN
+      .filter(col("n0") > col("n1") && col("n0") > col("n2"))
       .select(col("sk").as("l_suppkey"), col("n"), col("conc"),
         col("disc"), col("tie_x"), col("tie_y"), col("tie_xy"),
         expr(kendallTauTree).as("tau"))
@@ -930,7 +946,7 @@ object StatsOps {
        |  WHERE cnt.n >= 2)
        |SELECT sk AS l_suppkey, n, conc, disc, tie_x, tie_y, tie_xy,
        |  $kendallTauTree AS tau
-       |FROM j ORDER BY 1""".stripMargin
+       |FROM j WHERE n0 > n1 AND n0 > n2 ORDER BY 1""".stripMargin
 
   /** Spearman rank correlation of quantity vs extended price per
     * SUPPLIER — the monotone-association read Pearson (q_stats_funcs)

@@ -1146,9 +1146,10 @@ class EtlSpec extends AnyFunSuite {
       docs.collect().sortBy(key).toSeq,
       "JSONL must round-trip ids and UTF-8 text exactly")
     // the export is genuinely newline-delimited JSON, one object per
-    // line — what an external loader expects
-    val dir = new java.io.File(s"/tmp").listFiles()
-      .filter(_.getName.startsWith("graft_jsonl_")).head
+    // line — what an external loader expects (path derived from the
+    // corpus tag, not a /tmp scan that could hit another corpus)
+    val tag = graft.operators.ScaleJoins.corpusTag(sf, Seq("documents"))
+    val dir = new java.io.File(s"/tmp/graft_jsonl_$tag")
     val part = dir.listFiles().filter(_.getName.endsWith(".json")).head
     val line = scala.io.Source.fromFile(part, "UTF-8")
       .getLines().next()
