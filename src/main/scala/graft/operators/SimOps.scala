@@ -870,6 +870,64 @@ object SimOps {
     * the intersection join and count are model-sized. The oracle
     * composes both keys' published SQL — any drift in either pipeline
     * OR the published centroid artifact breaks parity here too. */
+  /** IVF bucket-balance audit — the index-operations read every
+    * vector store exposes (FAISS imbalance_factor, Milvus segment
+    * stats): per centroid, how many corpus vectors it owns, its ppm
+    * share, and whether it is overfull (> 2× the mean — the signal
+    * that the centroid set has drifted from the data distribution
+    * and the index should retrain before recall degrades). Empty
+    * buckets appear explicitly (wasted probes are the other half of
+    * the story).
+    *
+    * Scale shape: assignment is the zero-shuffle NearestCentroid
+    * projection; ONE map-side-combined count per centroid; the
+    * centroid id frame and the 1-row corpus total are model-sized
+    * broadcasts. Integer ppm, overfull by integer cross-multiply —
+    * no doubles. */
+  def simIndexStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = publishedCentroids(s, dir)
+    val c = corpus(s, dir)
+    val counts = assignTo(c, cents)
+      .groupBy("centroid").agg(count(lit(1)).as("n"))
+    val total = c.agg(count(lit(1)).as("total"))
+    val k = cents.ids.length
+    cents.ids.toSeq.toDF("centroid")
+      .join(counts, Seq("centroid"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("centroid"),
+        coalesce(col("n"), lit(0L)).as("n_vecs"),
+        expr("(coalesce(n, 0) * 1000000) div total").as("share_ppm"),
+        (coalesce(col("n"), lit(0L)) * k > lit(2L) * col("total"))
+          .as("overfull"))
+      .orderBy("centroid")
+  }
+
+  val simIndexStatsSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cents AS (SELECT c_id, cv, cnrm FROM
+       |  read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS centroid FROM (
+       |    SELECT c.vec_id, ct.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+       |cnt AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cents) AS k FROM c)
+       |SELECT ct.c_id AS centroid,
+       |  COALESCE(cnt.n, 0) AS n_vecs,
+       |  CAST((COALESCE(cnt.n, 0) * 1000000) // total AS BIGINT)
+       |    AS share_ppm,
+       |  COALESCE(cnt.n, 0) * k > 2 * total AS overfull
+       |FROM cents ct LEFT JOIN cnt ON cnt.centroid = ct.c_id
+       |CROSS JOIN tot ORDER BY 1""".stripMargin
+
   def simRecall(s: SparkSession, dir: String): DataFrame = {
     val bf = simCosineTopk(s, dir).select(col("q_id"), col("vec_id"))
     val iv = simIvfTopk(s, dir).select(col("q_id"), col("vec_id"))
@@ -1152,6 +1210,7 @@ object SimOps {
     "embed_pq" -> (embedPq _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_pq_rerank" -> (simPqRerank _),
+    "sim_index_stats" -> (simIndexStats _),
     "sim_ivf_ingest" -> (simIvfIngest _),
     "sim_mips_topk" -> (simMipsTopk _))
 
@@ -1166,6 +1225,7 @@ object SimOps {
     "embed_pq" -> embedPqSql,
     "sim_ivfpq_topk" -> simIvfPqTopkSql,
     "sim_pq_rerank" -> simPqRerankSql,
+    "sim_index_stats" -> simIndexStatsSql,
     "sim_ivf_ingest" -> simIvfIngestSql,
     "sim_knn_join" -> simKnnJoinSql,
     "sim_mips_topk" -> simMipsTopkSql)

@@ -181,6 +181,41 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_index_stats conserves the corpus and flags imbalance honestly") {
+    val rows = SimOps.simIndexStats(spark, sf).collect()
+    val cents = SimOps.publishedCentroids(spark, sf)
+    assert(rows.length == cents.ids.length,
+      "every centroid appears, empty buckets included")
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "bucket counts must conserve the corpus")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / total)
+      assert(r.getAs[Boolean]("overfull") ==
+        (n * cents.ids.length > 2L * total))
+    }
+    // replay one bucket against the driver-side argmax assignment
+    val c = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Seq[Float]](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double], nb: Double): Double = {
+      var d = 0.0; var na = 0.0
+      (a.indices).foreach { i => d += a(i) * b(i); na += a(i) * a(i) }
+      d / (math.sqrt(na) * nb)
+    }
+    val expCounts = c.map { case (_, v) =>
+      cents.ids.indices.minBy(i =>
+        (-cos(v, cents.vecs(i), cents.nrms(i)), cents.ids(i)))
+    }.groupBy(i => cents.ids(i)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") ==
+        expCounts.getOrElse(r.getAs[Int]("centroid"), 0L))
+    }
+    // non-vacuity: buckets are genuinely uneven
+    assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length > 1)
+  }
+
   test("sim_ivf_ingest: index ADD from published models, no rebuild") {
     val cents = SimOps.publishedCentroids(spark, sf)
     val books = SimOps.publishedCodebooks(spark, sf)

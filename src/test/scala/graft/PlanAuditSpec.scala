@@ -621,6 +621,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // intersection joins and counts
     "sim_recall" -> 9,
     "sim_ivf_ingest" -> 1, "sim_ivfpq_topk" -> 3,
+    // index_stats: zero-shuffle assignment + the per-centroid count
+    // agg + the 1-row total agg + the k-row ordered output
+    "sim_index_stats" -> 4,
     // pq_rerank: the ADC stage's exchanges (TopKPerKey candidate heap
     // runs pre-broadcast) + the raw-corpus rerank join's heap + the
     // bounded rank window + ordered output
@@ -709,6 +712,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_zipf",
       // q22 crosses the 1-row balance threshold into the customer scan
       "q22_prospects",
+      // index_stats crosses the 1-row corpus total into the k-row frame
+      "sim_index_stats",
       // fk_inference crosses each probe's two 1-row counts
       "etl_fk_inference",
       // gdpr_erase crosses each table's three 1-row ledger counts
