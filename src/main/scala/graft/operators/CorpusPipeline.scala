@@ -1168,7 +1168,69 @@ object CorpusPipeline {
        |    - ${TextOps.packBudget}, 0) AS BIGINT) AS carry_out
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Chat-template markers (ChatML-shaped, space-delimited so the
+    * whitespace tokenizer sees each marker as one token). */
+  private val chatSystem = "<|system|> You are a helpful assistant."
+  private val chatUser = "<|user|>"
+  private val chatAssistant = "<|assistant|>"
+  private val chatEnd = "<|end|>"
+
+  /** SFT chat-template rendering — the instruction-tuning assembly
+    * step between a cleaned corpus and the trainer: each document
+    * becomes one rendered conversation string (system + user +
+    * assistant turns under ChatML-style markers) plus the two
+    * numbers the training loop actually consumes — total token
+    * count and `mask_from`, the token offset where the assistant
+    * span begins (everything before it is loss-masked; an
+    * off-by-one here silently trains on the prompt). The
+    * instruction/response split point varies per document
+    * (4 + doc_id % 9 tokens) so the mask offset is a real column,
+    * not a constant.
+    *
+    * Exactness: rendering is pure string/array algebra (slice +
+    * array_join) mirrored in DuckDB list SQL; token counts are
+    * integers; the rendered STRING itself is hash-gated, so marker
+    * placement, spacing, and the split point can never drift.
+    *
+    * Scale shape: one narrow projection per document — no joins, no
+    * shuffle beyond the ordered output; the same per-row cost at
+    * any corpus size. */
+  def pipelineChatFormat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("tokens", TextOps.toks(col("text")))
+      .withColumn("n", size(col("tokens")))
+      .withColumn("instr_n", (lit(4) + col("doc_id") % 9).cast("int"))
+      .filter(col("n") > col("instr_n"))
+      .select(col("doc_id"),
+        concat(
+          lit(chatSystem + " " + chatUser + " "),
+          array_join(expr("slice(tokens, 1, instr_n)"), " "),
+          lit(" " + chatAssistant + " "),
+          array_join(expr("slice(tokens, instr_n + 1, n - instr_n)"), " "),
+          lit(" " + chatEnd)).as("rendered"),
+        (col("n").cast("long") + 9L).as("n_tokens"),
+        (col("instr_n").cast("long") + 8L).as("mask_from"))
+      .orderBy("doc_id")
+
+  val pipelineChatFormatSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
+       |    CAST(4 + doc_id % 9 AS INT) AS instr_n
+       |  FROM documents),
+       |f AS (SELECT *, len(l) AS n FROM t WHERE len(l) > instr_n)
+       |SELECT doc_id,
+       |  '$chatSystem $chatUser ' ||
+       |    array_to_string(l[1:instr_n], ' ') ||
+       |    ' $chatAssistant ' ||
+       |    array_to_string(l[instr_n + 1:n], ' ') ||
+       |    ' $chatEnd' AS rendered,
+       |  CAST(n + 9 AS BIGINT) AS n_tokens,
+       |  CAST(instr_n + 8 AS BIGINT) AS mask_from
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_chat_format" -> (pipelineChatFormat _),
     "pipeline_pack_stats" -> (pipelinePackStats _),
     "pipeline_span_corruption" -> (pipelineSpanCorruption _),
     "pipeline_annotator_agreement" -> (pipelineAnnotatorAgreement _),
@@ -1189,6 +1251,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_chat_format" -> pipelineChatFormatSql,
     "pipeline_pack_stats" -> pipelinePackStatsSql,
     "pipeline_span_corruption" -> pipelineSpanCorruptionSql,
     "pipeline_annotator_agreement" -> pipelineAnnotatorAgreementSql,

@@ -321,6 +321,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // pack_stats: the pack scan's post-checkpoint window + its
     // ordered output + the sequence-grain audit agg + ordered output
     "pipeline_pack_stats" -> 4,
+    // chat_format: one narrow projection + ordered output
+    "pipeline_chat_format" -> 1,
     // pack_shards: generate-spread repartition runs pre-checkpoint;
     // the pid window + shard manifest agg + ordered output
     "mm_pack_shards" -> 3,

@@ -948,6 +948,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("jaccard_ppm")).distinct.length > 1)
   }
 
+  test("pipeline_chat_format renders exact templates with correct mask offsets") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineChatFormat(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // only too-short docs are excluded
+    val expIds = docs.filter { case (id, tx) =>
+      tx.split(" ").count(_.nonEmpty) > 4 + id % 9
+    }.keySet
+    assert(rows.map(_.getLong(0)).toSet == expIds)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val rendered = r.getAs[String]("rendered")
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      val instrN = (4 + id % 9).toInt
+      val exp = ("<|system|> You are a helpful assistant. <|user|> " +
+        toks.take(instrN).mkString(" ") + " <|assistant|> " +
+        toks.drop(instrN).mkString(" ") + " <|end|>")
+      assert(rendered == exp, s"rendered template for doc $id")
+      val rt = rendered.split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") == rt.length.toLong,
+        "n_tokens counts the rendered string's whitespace tokens")
+      val maskFrom = r.getAs[Long]("mask_from").toInt
+      // everything before mask_from is prompt (loss-masked); the
+      // token AT mask_from is the first response token
+      assert(rt(maskFrom - 1) == "<|assistant|>",
+        "assistant marker sits immediately before the response span")
+      assert(rt(maskFrom) == toks(instrN),
+        "mask_from points at the first response token")
+    }
+    // the split point genuinely varies across docs
+    assert(rows.map(_.getAs[Long]("mask_from")).distinct.length > 3)
+  }
+
   test("pipeline_span_corruption masks the exact deterministic spans") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.pipelineSpanCorruption(spark, sf).collect()
