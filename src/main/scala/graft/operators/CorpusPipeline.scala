@@ -1229,7 +1229,55 @@ object CorpusPipeline {
        |  CAST(instr_n + 8 AS BIGINT) AS mask_from
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Per-sequence attention-reset spans for the packed corpus — the
+    * table a trainer actually consumes alongside text_pack_sequences:
+    * packing concatenates unrelated documents into one training
+    * sequence, so attention must be BLOCK-DIAGONAL (a token may not
+    * attend across a document boundary), and the trainer needs, per
+    * sequence, the (start, length) of every document span inside it —
+    * including the split spans of documents that straddle a sequence
+    * boundary (the carry-in/carry-out rows pipeline_pack_stats only
+    * counts). Span arithmetic is pure integer interval clipping on
+    * the pack scan's global offsets.
+    *
+    * Scale shape: reuses the audited distributed pack scan, then ONE
+    * narrow explode over the (tiny) per-doc sequence range — a doc
+    * adds O(its sequence count) thin rows; no joins, no extra
+    * corpus shuffle beyond the ordered output. */
+  def pipelineAttentionSpans(s: SparkSession, dir: String): DataFrame = {
+    val b = TextOps.packBudget
+    TextOps.textPackSequences(s, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("start", col("seq_id") * b + col("seq_offset"))
+      .withColumn("k",
+        explode(expr(s"sequence(seq_id, (start + n_tokens - 1) div $b)")))
+      .select(col("k").as("seq_id"), col("doc_id"),
+        greatest(col("start") - col("k") * b, lit(0L)).as("span_start"),
+        (least((col("k") + 1) * b, col("start") + col("n_tokens")) -
+          greatest(col("k") * b, col("start"))).as("span_len"))
+      .orderBy("seq_id", "span_start")
+  }
+
+  val pipelineAttentionSpansSql: String = {
+    val b = TextOps.packBudget
+    s"""WITH p AS (${TextOps.textPackSequencesSql}),
+       |e AS (
+       |  SELECT doc_id, n_tokens, seq_id * $b + seq_offset AS start
+       |  FROM p WHERE n_tokens > 0),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, start,
+       |    unnest(range(start // $b, (start + n_tokens - 1) // $b + 1))
+       |      AS k
+       |  FROM e)
+       |SELECT CAST(k AS BIGINT) AS seq_id, doc_id,
+       |  CAST(GREATEST(start - k * $b, 0) AS BIGINT) AS span_start,
+       |  CAST(LEAST((k + 1) * $b, start + n_tokens)
+       |    - GREATEST(k * $b, start) AS BIGINT) AS span_len
+       |FROM sp ORDER BY 1, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_attention_spans" -> (pipelineAttentionSpans _),
     "pipeline_chat_format" -> (pipelineChatFormat _),
     "pipeline_pack_stats" -> (pipelinePackStats _),
     "pipeline_span_corruption" -> (pipelineSpanCorruption _),
@@ -1251,6 +1299,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_attention_spans" -> pipelineAttentionSpansSql,
     "pipeline_chat_format" -> pipelineChatFormatSql,
     "pipeline_pack_stats" -> pipelinePackStatsSql,
     "pipeline_span_corruption" -> pipelineSpanCorruptionSql,

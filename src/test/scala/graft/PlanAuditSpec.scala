@@ -323,6 +323,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_pack_stats" -> 4,
     // chat_format: one narrow projection + ordered output
     "pipeline_chat_format" -> 1,
+    // attention_spans: the pack scan's range repartition + its pid
+    // window re-plan under the explode projection + ordered output
+    "pipeline_attention_spans" -> 3,
     // pack_shards: generate-spread repartition runs pre-checkpoint;
     // the pid window + shard manifest agg + ordered output
     "mm_pack_shards" -> 3,

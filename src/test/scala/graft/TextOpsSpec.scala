@@ -948,6 +948,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("jaccard_ppm")).distinct.length > 1)
   }
 
+  test("pipeline_attention_spans tile every sequence without overlap") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineAttentionSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // conservation: every doc's spans sum to its token count
+    val packed = TextOps.textPackSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.groupBy(_._2).foreach { case (doc, sp) =>
+      assert(sp.map(_._4).sum == packed(doc),
+        s"doc $doc spans must sum to its n_tokens")
+    }
+    // tiling: within each sequence, spans are contiguous from 0 with
+    // no overlap and no gap; full sequences end exactly at the budget
+    val b = TextOps.packBudget.toLong
+    val bySeq = rows.groupBy(_._1)
+    val maxSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, sp) =>
+      val sorted = sp.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, c) =>
+          assert(a._3 + a._4 == c._3, s"seq $seq has a gap or overlap")
+        case _ =>
+      }
+      val end = sorted.last._3 + sorted.last._4
+      if (seq < maxSeq) assert(end == b, s"seq $seq ends at $end, not $b")
+      else assert(end <= b)
+    }
+    // non-vacuity: straddling docs exist (a doc with spans in 2+ seqs)
+    assert(rows.groupBy(_._2).values.exists(_.length > 1),
+      "no document straddles a sequence boundary")
+    assert(rows.forall(t => t._4 > 0 && t._3 >= 0 && t._3 < b))
+  }
+
   test("pipeline_chat_format renders exact templates with correct mask offsets") {
     import graft.operators.CorpusPipeline
     val rows = CorpusPipeline.pipelineChatFormat(spark, sf).collect()
