@@ -1276,7 +1276,71 @@ object CorpusPipeline {
        |FROM sp ORDER BY 1, 3""".stripMargin
   }
 
+  /** Two-phase pretraining split by quality-ranked token budget —
+    * the midtraining/anneal recipe: rank the corpus by the shared
+    * quality score, and the top-quality quarter OF TOKENS (not of
+    * documents — budgets are token-denominated) becomes the anneal
+    * phase trained last at decayed LR; everything else is main-phase
+    * data. A document is anneal if its span STARTS before the cutoff
+    * (packing's boundary rule). Self-scaling: the cutoff is total/4,
+    * so both phases are populated at any corpus size.
+    *
+    * Scale shape: the quality-ranked global token cumsum is
+    * packFrame's distributed exclusive scan, range-partitioned on
+    * (quality DESC, doc_id) — never a single-partition window; the
+    * quality score and its ordering are the SAME double formula both
+    * engines compute bitwise, so the rank order can't diverge. */
+  def pipelineAnnealPhase(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.toks(col("text"))).as("n_tokens"),
+        TextOps.qualityExpr(col("text")).as("quality"))
+    val parts = counts
+      .repartitionByRange(nRange, col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan see one layout
+    val totals = parts.groupBy("pid")
+      .agg(sum(col("n_tokens").cast("long")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (totals.keySet + (-1)).max + 1
+    val offsets = new Array[Long](nParts + 1)
+    (1 to nParts).foreach(i =>
+      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val cut = offsets(nParts) / 4
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("start",
+        sum(col("n_tokens").cast("long")).over(w) +
+          element_at(typedlit(offsets.take(nParts).toSeq),
+            col("pid") + 1) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("start").as("start_token"),
+        when(col("start") < cut, "anneal").otherwise("main").as("phase"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineAnnealPhaseSql: String =
+    s"""WITH s AS (${TextOps.qualityStatsSql("documents")}),
+       |q AS (
+       |  SELECT doc_id, CAST(n_toks AS INT) AS n_tokens,
+       |    ${TextOps.qualityFormulaSql} AS quality
+       |  FROM s),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+       |  FROM q),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 4 AS cut FROM q)
+       |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start_token,
+       |  CASE WHEN start < cut THEN 'anneal' ELSE 'main' END AS phase
+       |FROM c CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_anneal_phase" -> (pipelineAnnealPhase _),
     "pipeline_attention_spans" -> (pipelineAttentionSpans _),
     "pipeline_chat_format" -> (pipelineChatFormat _),
     "pipeline_pack_stats" -> (pipelinePackStats _),
@@ -1299,6 +1363,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_anneal_phase" -> pipelineAnnealPhaseSql,
     "pipeline_attention_spans" -> pipelineAttentionSpansSql,
     "pipeline_chat_format" -> pipelineChatFormatSql,
     "pipeline_pack_stats" -> pipelinePackStatsSql,

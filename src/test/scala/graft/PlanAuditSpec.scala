@@ -326,6 +326,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // attention_spans: the pack scan's range repartition + its pid
     // window re-plan under the explode projection + ordered output
     "pipeline_attention_spans" -> 3,
+    // anneal_phase: quality-ranked scan pinned pre-plan; the pid
+    // window exchange + ordered output
+    "pipeline_anneal_phase" -> 2,
     // pack_shards: generate-spread repartition runs pre-checkpoint;
     // the pid window + shard manifest agg + ordered output
     "mm_pack_shards" -> 3,

@@ -948,6 +948,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("jaccard_ppm")).distinct.length > 1)
   }
 
+  test("pipeline_anneal_phase cuts the token budget at the quality rank") {
+    import graft.operators.CorpusPipeline
+    val rows = CorpusPipeline.pipelineAnnealPhase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // driver replay: quality-desc order, exclusive token scan, cut
+    val scored = TextOps.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val toks = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").count(_.nonEmpty)).toMap
+    val order = scored.toSeq.sortBy { case (id, q) => (-q, id) }.map(_._1)
+    var cum = 0L
+    val starts = order.map { id =>
+      val s0 = cum; cum += toks(id); id -> s0
+    }.toMap
+    val cut = cum / 4
+    rows.foreach { case (id, n, start, phase) =>
+      assert(n == toks(id))
+      assert(start == starts(id), s"start_token for doc $id")
+      assert(phase == (if (start < cut) "anneal" else "main"))
+    }
+    // both phases populated; anneal is the high-quality side
+    val phases = rows.groupBy(_._4)
+    assert(phases.keySet == Set("anneal", "main"))
+    val minAnnealQ = phases("anneal").map(t => scored(t._1)).min
+    val maxMainQ = phases("main").map(t => scored(t._1)).max
+    assert(minAnnealQ >= maxMainQ - 1e-12,
+      "anneal must hold the top-quality prefix")
+    // token-denominated: anneal token share is ~25%, not doc share
+    val annealToks = phases("anneal").map(_._2.toLong).sum
+    assert(annealToks >= cut && annealToks <= cut + rows.map(_._2).max,
+      "the cut lands inside the last anneal doc's span")
+  }
+
   test("pipeline_attention_spans tile every sequence without overlap") {
     import graft.operators.CorpusPipeline
     val rows = CorpusPipeline.pipelineAttentionSpans(spark, sf).collect()
