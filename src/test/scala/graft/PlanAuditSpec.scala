@@ -775,6 +775,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"budgets for removed keys: ${(shuffleBudget.keySet -- keys).toSeq.sorted}")
   }
 
+  /** Keys whose plan legitimately carries no WholeStageCodegen span.
+    * Keep this list SHORT and justified — the default contract is
+    * that every key's scan/project/filter pipeline runs in generated
+    * code. Under AQE the unexecuted plan hides codegen stages, so
+    * the audit applies Spark's own CollapseCodegenStages rule to the
+    * adaptive initial plan before counting. */
+  private val codegenExempt: Set[String] =
+    // stream_* return a drained in-memory result — the stateful plan
+    // executed INSIDE the operator (audited by StreamPipelineSpec);
+    // the drain is a LocalRelation/memory scan with nothing to
+    // generate. etl_wap and pipeline_jsonl_roundtrip end in a bare
+    // published-file scan with no projection to fuse. q_json_table's
+    // json_tuple lowers to Generate, which Spark does not codegen —
+    // the one interpreted operator on the board, inherent to the
+    // built-in, noted rather than hidden.
+    Set("etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
+      "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
+      "stream_enrich", "stream_events", "stream_funnel_timeout",
+      "stream_heavy_hitters", "stream_join", "stream_late_data",
+      "stream_ohlc", "stream_sessions", "stream_user_state")
+
+  test("every plan keeps a WholeStageCodegen span (hot path stays generated)") {
+    import org.apache.spark.sql.execution.{CollapseCodegenStages, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val bad = SparkEntry.queries.toSeq.filterNot(t => codegenExempt(t._1))
+      .filter { case (_, fn) =>
+        val p0 = fn(spark, sf).queryExecution.executedPlan
+        val inner = p0 match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case other => other
+        }
+        val collapsed = CollapseCodegenStages()(inner)
+        !(collapsed.toString.contains("*(") ||
+          collapsed.exists(_.isInstanceOf[WholeStageCodegenExec]))
+      }.map(_._1).sorted
+    assert(bad.isEmpty, s"no codegen span in: $bad")
+  }
+
   test("no plan contains a cartesian product") {
     val bad = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
     assert(bad.isEmpty, s"cartesian products in: $bad")
