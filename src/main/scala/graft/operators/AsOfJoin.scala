@@ -112,12 +112,7 @@ object AsOfJoin {
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select("event_id", "user_id", "ts")
-    val ord = Tables.load(s, dir, "orders")
-      .select((col("o_custkey") % 150).as("user_id"),
-        (col("o_orderdate") + expr("INTERVAL 29 YEARS")).as("o_ts"),
-        col("o_orderkey"))
-      .groupBy("user_id", "o_ts")
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ord = ordDim(s, dir)
     asOf(ev, ord, key = "user_id", leftTs = "ts", rightTs = "o_ts",
         payload = Seq("o_orderkey", "o_ts"))
       .orderBy("event_id")
@@ -139,22 +134,103 @@ object AsOfJoin {
   def qAsofBcast(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select("event_id", "user_id", "ts")
-    val ord = Tables.load(s, dir, "orders")
-      .select((col("o_custkey") % 150).as("user_id"),
-        (col("o_orderdate") + expr("INTERVAL 29 YEARS")).as("o_ts"),
-        col("o_orderkey"))
-      .groupBy("user_id", "o_ts")
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ord = ordDim(s, dir)
     asOfBroadcast(ev, ord, key = "user_id", leftTs = "ts", rightTs = "o_ts",
         payload = Seq("o_orderkey", "o_ts"))
       .orderBy("event_id")
   }
 
+  /** The shared (user, ts)-deduped order dim both nearest passes
+    * enrich from. */
+  private def ordDim(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select((col("o_custkey") % 150).as("user_id"),
+        (col("o_orderdate") + expr("INTERVAL 29 YEARS")).as("o_ts"),
+        col("o_orderkey"))
+      .groupBy("user_id", "o_ts")
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+
+  /** Nearest-in-time join — the third as-of mode beside backward
+    * (q_asof_join: last value BEFORE) and interpolation
+    * (q_asof_interpolate: blend around): match each event to the
+    * order CLOSEST in time in either direction, the sensor-fusion /
+    * record-linkage alignment where an observation may be logged
+    * just before or just after the fact it describes. Ties (equal
+    * distance, including an exact-timestamp hit) resolve backward —
+    * the same inclusive rule the other modes share.
+    *
+    * Built as TWO passes of the same asOf machinery: the backward
+    * pass as-is, the forward pass by negating both time axes to
+    * micros (forward-as-of(ts) ≡ backward-as-of(−ts) — no new
+    * operator, no new shuffle shape), then one row-local arbitration
+    * on the absolute micro lags. Cost = two sort-merge-shaped scans,
+    * each the audited asOf plan. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "ts")
+    val ord = ordDim(s, dir)
+    val bk = ord.select(col("user_id"), col("o_ts").as("bk_ts"),
+      col("o_orderkey").as("bk_key"))
+    val fw = ord.select(col("user_id"),
+      (-unix_micros(col("o_ts"))).as("o_neg"),
+      col("o_ts").as("fw_ts"), col("o_orderkey").as("fw_key"))
+    val pass1 = asOf(ev, bk, key = "user_id", leftTs = "ts",
+      rightTs = "bk_ts", payload = Seq("bk_key", "bk_ts"))
+    val pass2 = asOf(pass1.withColumn("ts_neg", -unix_micros(col("ts"))),
+      fw, key = "user_id", leftTs = "ts_neg", rightTs = "o_neg",
+      payload = Seq("fw_key", "fw_ts"))
+    val db = unix_micros(col("ts")) - unix_micros(col("bk_ts"))
+    val df = unix_micros(col("fw_ts")) - unix_micros(col("ts"))
+    val back = col("fw_ts").isNull || (col("bk_ts").isNotNull && db <= df)
+    pass2.select(col("event_id"), col("user_id"), col("ts"),
+        when(back, col("bk_key")).otherwise(col("fw_key")).as("o_orderkey"),
+        when(back, col("bk_ts")).otherwise(col("fw_ts")).as("o_ts"),
+        when(col("bk_ts").isNull && col("fw_ts").isNull, lit(null))
+          .when(back, "back").otherwise("fwd").as("direction"),
+        when(back, db).otherwise(df).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  val qAsofNearestSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey % 150 AS user_id,
+      |    o_orderdate + INTERVAL 29 YEAR AS o_ts,
+      |    max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (
+      |  SELECT e.event_id, r.o_orderkey AS bk_key, r.o_ts AS bk_ts
+      |  FROM events e ASOF LEFT JOIN r
+      |    ON e.user_id = r.user_id AND e.ts >= r.o_ts),
+      |f AS (
+      |  SELECT e.event_id, r.o_orderkey AS fw_key, r.o_ts AS fw_ts
+      |  FROM events e ASOF LEFT JOIN r
+      |    ON e.user_id = r.user_id AND e.ts <= r.o_ts),
+      |j AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    b.bk_key, b.bk_ts, f.fw_key, f.fw_ts,
+      |    epoch_us(e.ts) - epoch_us(b.bk_ts) AS db,
+      |    epoch_us(f.fw_ts) - epoch_us(e.ts) AS df,
+      |    (f.fw_ts IS NULL OR (b.bk_ts IS NOT NULL
+      |      AND epoch_us(e.ts) - epoch_us(b.bk_ts)
+      |        <= epoch_us(f.fw_ts) - epoch_us(e.ts))) AS back
+      |  FROM events e
+      |  JOIN b ON b.event_id = e.event_id
+      |  JOIN f ON f.event_id = e.event_id)
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN back THEN bk_key ELSE fw_key END AS o_orderkey,
+      |  CASE WHEN back THEN bk_ts ELSE fw_ts END AS o_ts,
+      |  CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+      |       WHEN back THEN 'back' ELSE 'fwd' END AS direction,
+      |  CAST(CASE WHEN back THEN db ELSE df END AS BIGINT) AS lag_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
-    "q_asof_bcast" -> (qAsofBcast _))
+    "q_asof_bcast" -> (qAsofBcast _),
+    "q_asof_nearest" -> (qAsofNearest _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
-    "q_asof_bcast" -> qAsofJoinSql)
+    "q_asof_bcast" -> qAsofJoinSql,
+    "q_asof_nearest" -> qAsofNearestSql)
 }

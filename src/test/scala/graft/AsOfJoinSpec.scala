@@ -126,4 +126,46 @@ class AsOfJoinSpec extends AnyFunSuite {
       .filter(col("o_ts").cast("timestamp") > col("ts")).count()
     assert(violations == 0, s"$violations matched orders after their event")
   }
+
+  test("q_asof_nearest picks the truly closest order in either direction") {
+    import graft.operators.AsOfJoin
+    val rows = AsOfJoin.qAsofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side replay: per user, the full order-ts list; for each
+    // event the nearest |diff| with back-on-tie. Timestamps compared
+    // at MICROsecond precision (getTime truncates to ms).
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    val ord = Tables.load(spark, sf, "orders")
+      .select(expr("o_custkey % 150"),
+        expr("o_orderdate + INTERVAL 29 YEARS"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((u, ts), g) =>
+        (u, us(ts), g.map(_._3).max)
+      }.toSeq.groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val tsMs = us(r.getAs[java.sql.Timestamp]("ts"))
+      ord.get(u) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("o_orderkey")))
+          assert(r.isNullAt(r.fieldIndex("direction")))
+        case Some(os) =>
+          val best = os.minBy { case (_, oMs, ok) =>
+            (math.abs(tsMs - oMs), // nearest wins
+              if (oMs <= tsMs) 0 else 1, // tie → backward
+              -ok) // never relevant given (user, ts) dedup, pinned anyway
+          }
+          assert(r.getAs[Long]("o_orderkey") == best._3,
+            s"event at $tsMs (user $u) picked the wrong order")
+          val oMs = us(r.getAs[java.sql.Timestamp]("o_ts"))
+          assert(r.getAs[Long]("lag_us") == math.abs(tsMs - oMs))
+          assert(r.getAs[String]("direction") ==
+            (if (oMs <= tsMs) "back" else "fwd"))
+      }
+    }
+    // non-vacuity: both directions genuinely occur
+    val dirs = rows.flatMap(r => Option(r.getAs[String]("direction")))
+    assert(dirs.contains("back") && dirs.contains("fwd"))
+  }
 }

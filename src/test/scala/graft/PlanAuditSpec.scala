@@ -443,6 +443,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_approx_distinct" -> 2, "q_approx_percentile" -> 2,
     "q_array_funcs" -> 1, "q_map_funcs" -> 1,
     "q_asof_bcast" -> 3, "q_asof_join" -> 3,
+    // nearest: two asOf passes (each the audited union+window
+    // exchange pair) + ordered output
+    "q_asof_nearest" -> 6,
     // q_bloom_join's 5: SMJ both sides + group + order, plus the
     // bloom-build subquery's own single-partition aggregate exchange
     // — the price of pruning the fact side before its shuffle
