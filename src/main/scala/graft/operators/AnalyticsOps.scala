@@ -1145,6 +1145,92 @@ object AnalyticsOps {
     * (the one join here where broadcast is right: the small side is
     * O(k), not data-sized). Boundary values are SELECTIONS of exact
     * cents; counts are pure integer rank arithmetic. */
+  /** Decile lift table — the standard ranked-model evaluation read
+    * (every churn/propensity/fraud dashboard ships one): rank the
+    * population by a score (here: line discount as the "propensity"
+    * signal, returns as the outcome), cut into 10 equal-depth
+    * deciles, and report per decile the outcome rate, the cumulative
+    * rate walking down the ranking, and lift vs the base rate. A
+    * score with no signal shows lift ≈ 1.000 everywhere — which is
+    * itself the finding.
+    *
+    * Exactness: the decile cut is pure integer rank arithmetic over
+    * [[GlobalRank]]'s exact distributed rank (total order: score
+    * DESC then the 4-column physical key — (orderkey, linenumber) is
+    * NOT unique on the fixture); rates are integer ppm, lift is
+    * milli computed from the ALREADY-truncated ppm rates (defined,
+    * mirrored truncation — and every value stays < 10⁹ at any SF,
+    * no overflow anywhere).
+    *
+    * Scale shape: the rank is the audited range-partition scan —
+    * never a single-partition window over the corpus; everything
+    * after the per-decile aggregate is a 10-row frame. */
+  def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)")
+        .as("score"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+    val n = e.count()
+    val ranked = GlobalRank.withRank(s, e,
+      Seq(col("score").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")), "rnk")
+    val dec = ranked
+      .withColumn("decile", expr(s"((rnk - 1) * 10) div $n + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("positives"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_pos", sum(col("positives")).over(w))
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("base_ppm", expr(
+        "(sum(positives) over (rows between unbounded preceding and " +
+          "unbounded following) * 1000000) div sum(n_rows) over " +
+          "(rows between unbounded preceding and unbounded following)"))
+      .withColumn("rate_ppm", expr("(positives * 1000000) div n_rows"))
+      .select(col("decile"), col("n_rows"), col("positives"),
+        col("rate_ppm"),
+        expr("(cum_pos * 1000000) div cum_rows").as("cum_rate_ppm"),
+        expr("(rate_ppm * 1000) div base_ppm").as("lift_milli"))
+      .orderBy("decile")
+  }
+
+  val qDecileLiftSql: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(l_discount AS DECIMAL(12,3)) * 1000 AS BIGINT)
+      |      AS score,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+      |    l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT score, label,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, l_orderkey,
+      |      l_linenumber, l_partkey, l_suppkey) AS rnk
+      |  FROM e),
+      |c AS (SELECT COUNT(*) AS n FROM e),
+      |d AS (
+      |  SELECT ((rnk - 1) * 10) // n + 1 AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(label) AS BIGINT) AS positives
+      |  FROM r CROSS JOIN c GROUP BY 1),
+      |x AS (
+      |  SELECT *,
+      |    CAST(SUM(positives) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+      |    CAST(SUM(n_rows) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+      |    CAST((SUM(positives) OVER () * 1000000)
+      |      // SUM(n_rows) OVER () AS BIGINT) AS base_ppm,
+      |    (positives * 1000000) // n_rows AS rate_ppm
+      |  FROM d)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_rows, positives,
+      |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+      |  CAST((cum_pos * 1000000) // cum_rows AS BIGINT) AS cum_rate_ppm,
+      |  CAST((rate_ppm * 1000) // base_ppm AS BIGINT) AS lift_milli
+      |FROM x ORDER BY 1""".stripMargin
+
   def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -3141,6 +3227,7 @@ object AnalyticsOps {
     "q_dau_mau" -> (qDauMau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_equidepth_hist" -> (qEquidepthHist _),
+    "q_decile_lift" -> (qDecileLift _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_mad" -> (qMad _),
     "q_streaks" -> (qStreaks _),
@@ -3188,6 +3275,7 @@ object AnalyticsOps {
     "q_mad" -> qMadSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_equidepth_hist" -> qEquidepthHistSql,
+    "q_decile_lift" -> qDecileLiftSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_dau_mau" -> qDauMauSql,
     "q_forecast_backtest" -> qForecastBacktestSql,

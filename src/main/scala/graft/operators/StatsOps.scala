@@ -398,8 +398,8 @@ object StatsOps {
   def qCovMatrix(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "lineitem").select(
       expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("q"),
-      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
-        .as("p"),
+      expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)"
+        + " div 100").as("p"),
       expr("cast(cast(l_discount as decimal(6,4)) * 10000 as bigint)")
         .as("d"),
       expr("cast(cast(l_tax as decimal(6,4)) * 10000 as bigint)").as("t"))
@@ -408,11 +408,18 @@ object StatsOps {
     // q_discount_scenarios lesson: per-row decimal multiplication
     // multiplies scan cost ~8×); only the corpus SUMs run in
     // DECIMAL(38,0), where overflow actually lives
+    // sums surface DECIMAL → LONG → DOUBLE: long→double is correctly
+    // rounded in BOTH engines, hugeint/decimal→double is not — at
+    // sf0.1 one pair sum crosses 2^53 and the direct conversions
+    // disagreed by 1 ulp. Price is priced in whole DOLLARS so the
+    // largest sum (Σp²) stays under 2^63 through sf100 (the
+    // q_multireg rule).
     val firstSums = covVars.map(v =>
-      sum(col(v).cast(DecimalType(38, 0))).cast(DoubleType).as(s"s_$v"))
+      sum(col(v).cast(DecimalType(38, 0))).cast(LongType)
+        .cast(DoubleType).as(s"s_$v"))
     val pairSums = covPairs.map { case (a, b) =>
-      sum(expr(s"cast($a * $b as decimal(38,0))")).cast(DoubleType)
-        .as(s"s_$a$b")
+      sum(expr(s"cast($a * $b as decimal(38,0))")).cast(LongType)
+        .cast(DoubleType).as(s"s_$a$b")
     }
     val sums = base.agg(count(lit(1)).as("n"),
       (firstSums ++ pairSums): _*)
@@ -432,10 +439,10 @@ object StatsOps {
 
   val qCovMatrixSql: String = {
     val pairSums = covPairs.map { case (a, b) =>
-      s"CAST(SUM(CAST($a AS HUGEINT) * $b) AS DOUBLE) AS s_$a$b"
+      s"CAST(CAST(SUM(CAST($a AS HUGEINT) * $b) AS BIGINT) AS DOUBLE) AS s_$a$b"
     }.mkString(",\n      |    ")
     val firstSums = covVars.map(v =>
-      s"CAST(SUM(CAST($v AS HUGEINT)) AS DOUBLE) AS s_$v")
+      s"CAST(CAST(SUM(CAST($v AS HUGEINT)) AS BIGINT) AS DOUBLE) AS s_$v")
       .mkString(",\n      |    ")
     val arms = covPairs.map { case (a, b) =>
       s"SELECT '$a' AS var_a, '$b' AS var_b, CAST(n AS BIGINT) AS n, " +
@@ -445,7 +452,7 @@ object StatsOps {
     s"""WITH b AS (
        |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
-       |      AS p,
+       |      // 100 AS p,
        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS d,
        |    CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT) AS t
        |  FROM lineitem),

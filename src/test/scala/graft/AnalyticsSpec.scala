@@ -1466,4 +1466,47 @@ class AnalyticsSpec extends AnyFunSuite {
     // participation shrinks up the schedule
     assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("q_decile_lift conserves the population and replays the ranking") {
+    import graft.operators.AnalyticsOps
+    val rows = AnalyticsOps.qDecileLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // population conservation + near-equal decile depths
+    val li = Tables.load(spark, sf, "lineitem").select(
+      expr("cast(cast(l_discount as decimal(12,3)) * 1000 as bigint)"),
+      expr("case when l_returnflag = 'R' then 1 else 0 end"),
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._2).sum == li.length.toLong)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1,
+      "equal-depth deciles differ by at most one row")
+    // driver replay: same total order, same integer cut
+    val sorted = li.sortBy(t => (-t._1, t._3, t._4, t._5, t._6))
+    val n = sorted.length.toLong
+    val exp = sorted.zipWithIndex.groupBy { case (_, i) =>
+      i.toLong * 10 / n + 1
+    }.view.mapValues { g =>
+      (g.length.toLong, g.map(_._1._2).sum)
+    }.toMap
+    val totPos = li.map(_._2).sum
+    val basePpm = totPos * 1000000L / n
+    var cumPos = 0L; var cumRows = 0L
+    rows.foreach { case (dec, nr, pos, rate, cumRate, lift) =>
+      val (en, ep) = exp(dec)
+      assert(nr == en && pos == ep, s"decile $dec census")
+      assert(rate == pos * 1000000L / nr)
+      cumPos += pos; cumRows += nr
+      assert(cumRate == cumPos * 1000000L / cumRows)
+      assert(lift == rate * 1000L / basePpm)
+    }
+    // a signal-free score shows lift ~1.000 — THAT is the finding on
+    // this fixture (discount does not predict returns); the statistic
+    // must be near-flat, not degenerate
+    assert(rows.forall(r => r._6 > 800 && r._6 < 1200),
+      "lift far from 1.0 would mean the replay or fixture changed")
+  }
 }

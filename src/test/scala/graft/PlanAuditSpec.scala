@@ -197,6 +197,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // equidepth: the checkpoint-pinned rank scan's pid window exchange
     // + two broadcast boundary joins (no shuffle) + ordered output
     "q_equidepth_hist" -> 3,
+    // decile_lift: the GlobalRank scan pinned pre-plan; decile agg +
+    // the 10-row window's single-partition exchange + ordered output
+    "q_decile_lift" -> 3,
     // cohort_ltv: first-order agg, the pinned cohort join, the
     // (cohort, offset)-grain agg (distinct forces two rounds), the
     // model-sized cum window + ordered output

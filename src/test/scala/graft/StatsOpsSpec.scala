@@ -167,7 +167,8 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.size == 10)
     val rows = spark.sql(
       s"""SELECT cast(cast(l_quantity as decimal(12,2)) as bigint),
-         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint),
+         |  cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)
+         |    div 100,
          |  cast(cast(l_discount as decimal(6,4)) * 10000 as bigint),
          |  cast(cast(l_tax as decimal(6,4)) * 10000 as bigint)
          |FROM parquet.`$sf/lineitem.parquet`""".stripMargin)
