@@ -8,6 +8,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables
 
@@ -766,7 +767,101 @@ object MultimodalOps {
        |  rn // $aspectBatch < cnt // $aspectBatch AS is_full
        |FROM rn ORDER BY doc_id""".stripMargin
 
+  /** Population std from the exact channel sums, shared verbatim by
+    * both engines: sqrt(E[x²] − E[x]²). */
+  private val channelStdTree: String =
+    """sqrt(CAST(c_sumsq AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+      |  - (CAST(c_sum AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |    * (CAST(c_sum AS DOUBLE) / CAST(n_pixels AS DOUBLE)))"""
+      .stripMargin
+
+  /** Per-channel normalization constants over the DECODED corpus —
+    * the dataset-statistics pass every vision trainer runs before
+    * epoch one (the mean/std triples baked into every preprocessing
+    * config, e.g. ImageNet's 0.485/0.456/0.406): global per-channel
+    * pixel mean and population std computed from exact integer sums
+    * over every decoded raster. Undecodable payloads are excluded —
+    * exactly what the real pass does.
+    *
+    * The mm discipline: Spark reads REAL rasters (the full ImageIO
+    * decode, per-pixel channel extraction in the same partition pass
+    * — the raster never crosses a stage boundary), while fills are
+    * doc_id formulas so the oracle recomputes every sum with no
+    * image library; a decoder that misreads a channel breaks parity.
+    *
+    * Scale shape: per-image channel sums are per-row codec work
+    * (CPU-bound, linear, embarrassingly parallel); ONE map-side-
+    * combined global aggregate of 8 DECIMAL sums; the 3-channel
+    * output is a stack projection of that single row. */
+  def mmChannelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perImage = mediaRows(s, dir)
+      .mapPartitions(it => decode(it).flatMap { d =>
+        d.img.map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var srr = 0L; var sgg = 0L; var sbb = 0L
+          var i = 0
+          while (i < px.length) {
+            val r = (px(i) >> 16) & 0xff
+            val g = (px(i) >> 8) & 0xff
+            val b = px(i) & 0xff
+            sr += r; sg += g; sb += b
+            srr += r.toLong * r; sgg += g.toLong * g; sbb += b.toLong * b
+            i += 1
+          }
+          (d.doc_id, px.length.toLong, sr, sg, sb, srr, sgg, sbb)
+        }
+      })
+      .toDF("doc_id", "n_px", "sr", "sg", "sb", "srr", "sgg", "sbb")
+    def dsum(c: String) =
+      sum(col(c).cast(DecimalType(38, 0))).cast(LongType).as(s"t_$c")
+    val agg = perImage.agg(count(lit(1)).as("n_images"),
+      dsum("n_px"), dsum("sr"), dsum("sg"), dsum("sb"),
+      dsum("srr"), dsum("sgg"), dsum("sbb"))
+    agg.select(col("n_images"), col("t_n_px").as("n_pixels"), expr(
+        "stack(3, 'r', t_sr, t_srr, 'g', t_sg, t_sgg, 'b', t_sb, t_sbb)" +
+          " as (channel, c_sum, c_sumsq)"))
+      .select(col("channel"), col("n_images"), col("n_pixels"),
+        col("c_sum"), col("c_sumsq"),
+        expr("(c_sum * 1000) div n_pixels").as("mean_milli"),
+        expr(channelStdTree).as("std"))
+      .orderBy("channel")
+  }
+
+  val mmChannelStatsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(8 + (doc_id * 7) % 56 AS BIGINT)
+       |      * CAST(8 + (doc_id * 11) % 40 AS BIGINT) AS npx,
+       |    (doc_id * 37) % 256 AS r,
+       |    (doc_id * 59) % 256 AS g,
+       |    (doc_id * 83) % 256 AS b
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       |    CAST(SUM(npx) AS BIGINT) AS n_pixels,
+       |    CAST(SUM(npx * r) AS BIGINT) AS sr,
+       |    CAST(SUM(npx * g) AS BIGINT) AS sg,
+       |    CAST(SUM(npx * b) AS BIGINT) AS sb,
+       |    CAST(SUM(npx * r * r) AS BIGINT) AS srr,
+       |    CAST(SUM(npx * g * g) AS BIGINT) AS sgg,
+       |    CAST(SUM(npx * b * b) AS BIGINT) AS sbb
+       |  FROM f),
+       |x AS (
+       |  SELECT 'r' AS channel, n_images, n_pixels,
+       |    sr AS c_sum, srr AS c_sumsq FROM a
+       |  UNION ALL SELECT 'g', n_images, n_pixels, sg, sgg FROM a
+       |  UNION ALL SELECT 'b', n_images, n_pixels, sb, sbb FROM a)
+       |SELECT channel, n_images, n_pixels, c_sum, c_sumsq,
+       |  (c_sum * 1000) // n_pixels AS mean_milli,
+       |  $channelStdTree AS std
+       |FROM x ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_channel_stats" -> (mmChannelStats _),
     "mm_aspect_buckets" -> (mmAspectBuckets _),
     "mm_pack_shards" -> (mmPackShards _),
     "mm_dedup" -> (mmDedup _),
@@ -777,6 +872,7 @@ object MultimodalOps {
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_channel_stats" -> mmChannelStatsSql,
     "mm_aspect_buckets" -> mmAspectBucketsSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_dedup" -> mmDedupSql,

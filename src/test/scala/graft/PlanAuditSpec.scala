@@ -339,6 +339,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // scan window run pre-checkpoint; final plan = window exchange +
     // ordered output
     "mm_aspect_buckets" -> 2,
+    // channel_stats: the decode-spread repartition + ONE global agg
+    // to a single row; the stack is a projection
+    "mm_channel_stats" -> 2,
     // bfs_reach: per-round frontier joins run pre-checkpoint (the
     // dedup_clusters iterative discipline); the final plan is the
     // union of pinned rounds + ordered output

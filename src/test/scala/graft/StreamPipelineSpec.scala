@@ -668,6 +668,37 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_channel_stats replays normalization constants from formulas") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.mmChannelStats(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("b", "g", "r"))
+    val ids = Tables.load(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).filterNot(MultimodalOps.isOpaque)
+    val npx = ids.map(id =>
+      MultimodalOps.widthFor(id).toLong * MultimodalOps.heightFor(id))
+    val chans = Map[String, Long => Int](
+      "r" -> (MultimodalOps.redFor _), "g" -> (MultimodalOps.greenFor _),
+      "b" -> (MultimodalOps.blueFor _))
+    val totPx = npx.sum
+    rows.foreach { r =>
+      val f = chans(r.getString(0))
+      val cs = ids.zip(npx).map { case (id, n) => n * f(id) }.sum
+      val css = ids.zip(npx).map { case (id, n) =>
+        n * f(id).toLong * f(id)
+      }.sum
+      assert(r.getAs[Long]("n_images") == ids.length.toLong)
+      assert(r.getAs[Long]("n_pixels") == totPx)
+      assert(r.getAs[Long]("c_sum") == cs, s"c_sum ${r.getString(0)}")
+      assert(r.getAs[Long]("c_sumsq") == css)
+      assert(r.getAs[Long]("mean_milli") == cs * 1000 / totPx)
+      val std = math.sqrt(css.toDouble / totPx.toDouble -
+        (cs.toDouble / totPx.toDouble) * (cs.toDouble / totPx.toDouble))
+      assert(r.getAs[Double]("std") == std, "std (bitwise)")
+      // a real spread: fills span 0..255, so std is substantial
+      assert(std > 30.0)
+    }
+  }
+
   test("mm_aspect_buckets batches are shape-homogeneous, dense and replayed") {
     import graft.operators.MultimodalOps
     val rows = MultimodalOps.mmAspectBuckets(spark, sf).collect()
