@@ -1172,8 +1172,7 @@ object AnalyticsOps {
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"),
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
       col("l_suppkey"))
-    val n = e.count()
-    val ranked = GlobalRank.withRank(s, e,
+    val (ranked, n) = GlobalRank.withRankAndTotal(s, e,
       Seq(col("score").desc, col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey")), "rnk")
     val dec = ranked
@@ -1239,8 +1238,7 @@ object AnalyticsOps {
         expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
           .as("cents"),
         col("o_orderkey"))
-    val n = e.count()
-    val ranked = GlobalRank.withRank(s, e,
+    val (ranked, n) = GlobalRank.withRankAndTotal(s, e,
       Seq(col("cents"), col("o_orderkey")), "rnk")
     val bdf = (1 to edhK)
       .map(i => (i, n * (i - 1) / edhK + 1, n * i / edhK))

@@ -1291,32 +1291,15 @@ object CorpusPipeline {
     * quality score and its ordering are the SAME double formula both
     * engines compute bitwise, so the rank order can't diverge. */
   def pipelineAnnealPhase(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
     val counts = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(TextOps.toks(col("text"))).as("n_tokens"),
         TextOps.qualityExpr(col("text")).as("quality"))
-    val parts = counts
-      .repartitionByRange(nRange, col("quality").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan see one layout
-    val totals = parts.groupBy("pid")
-      .agg(sum(col("n_tokens").cast("long")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
-    val cut = offsets(nParts) / 4
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
-      .withColumn("start",
-        sum(col("n_tokens").cast("long")).over(w) +
-          element_at(typedlit(offsets.take(nParts).toSeq),
-            col("pid") + 1) - col("n_tokens"))
+    val (scanned, total) = graft.plans.GlobalRank.withExclusiveSum(
+      s, counts, Seq(col("quality").desc, col("doc_id")),
+      col("n_tokens"), "start")
+    val cut = total / 4
+    scanned
       .select(col("doc_id"), col("n_tokens"),
         col("start").as("start_token"),
         when(col("start") < cut, "anneal").otherwise("main").as("phase"))

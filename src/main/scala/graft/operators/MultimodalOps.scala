@@ -606,27 +606,14 @@ object MultimodalOps {
     * division); ONE shard-grain manifest aggregate. */
   def mmPackShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sizes = Tables.load(s, dir, "documents").select(col("doc_id"))
       .repartition(nRange).as[Long]
       .map(id => (id, audioPayloadFor(id).length.toLong))
       .toDF("doc_id", "n_bytes")
-    val parts = sizes.repartitionByRange(nRange, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan see one layout
-    val totals = parts.groupBy("pid").agg(sum(col("n_bytes")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
-    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
-      .withColumn("start", sum(col("n_bytes")).over(w) +
-        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1) -
-        col("n_bytes"))
+    val (scanned, _) = graft.plans.GlobalRank.withExclusiveSum(
+      s, sizes, Seq(col("doc_id")), col("n_bytes"), "start")
+    scanned
       .withColumn("shard_id", expr(s"start div $shardBudget"))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_items"),

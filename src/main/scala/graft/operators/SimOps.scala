@@ -814,8 +814,12 @@ object SimOps {
     * centroids come from: same argmax tie-break (cosine DESC, c_id —
     * NearestCentroid's strict > keeps the lowest id on ties), same
     * probe and rank rules as the Spark side. */
-  private def ivfOracleSql(centsCte: String): String =
-    s"""WITH c AS (
+  /** The corpus + centroids + argmax-assignment CTE prefix shared by
+    * every IVF oracle (same tie-break as NearestCentroid's strict >:
+    * cosine DESC, c_id) — one definition so the assignment rule can
+    * never drift between keys. */
+  private def ivfAssignSql(centsCte: String): String =
+    s"""c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
@@ -825,7 +829,16 @@ object SimOps {
        |    SELECT c.vec_id, c.v, c.nrm, ct.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
        |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
-       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+       |    FROM c CROSS JOIN cents ct) WHERE rn = 1)""".stripMargin
+
+  /** The published-centroid parquet CTE body (resolved per corpus by
+    * Verify's __SFTAG__ substitution). */
+  private val publishedCentsCte: String =
+    "SELECT c_id, cv, cnrm FROM " +
+      "read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')"
+
+  private def ivfOracleSql(centsCte: String): String =
+    s"""WITH ${ivfAssignSql(centsCte)},
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT q_id, qv, qnrm, centroid FROM (
@@ -852,9 +865,7 @@ object SimOps {
     * the exact doubles the Spark query ranked against. `__SFTAG__`
     * resolves to the verified corpus's tag when Verify dumps the
     * oracle json. */
-  val simIvfTopkSql: String = ivfOracleSql(
-    "SELECT c_id, cv, cnrm FROM " +
-      "read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')")
+  val simIvfTopkSql: String = ivfOracleSql(publishedCentsCte)
 
   /** Recall@k of the Lloyd-refined IVF index against the exact scan —
     * ANN quality as a first-class QUERY instead of a test-suite
@@ -890,7 +901,10 @@ object SimOps {
     val c = corpus(s, dir)
     val counts = assignTo(c, cents)
       .groupBy("centroid").agg(count(lit(1)).as("n"))
-    val total = c.agg(count(lit(1)).as("total"))
+      .localCheckpoint() // k rows; feeds the total AND the join
+    // every corpus vector is assigned exactly once, so the corpus
+    // total is the sum of the k bucket counts — never a second scan
+    val total = counts.agg(sum(col("n")).as("total"))
     val k = cents.ids.length
     cents.ids.toSeq.toDF("centroid")
       .join(counts, Seq("centroid"), "left")
@@ -904,18 +918,7 @@ object SimOps {
   }
 
   val simIndexStatsSql: String =
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |cents AS (SELECT c_id, cv, cnrm FROM
-       |  read_parquet('/tmp/graft_ivf_centroids___SFTAG__.parquet/*.parquet')),
-       |assigned AS (
-       |  SELECT vec_id, c_id AS centroid FROM (
-       |    SELECT c.vec_id, ct.c_id,
-       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-       |        ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cnrm) DESC, ct.c_id) AS rn
-       |    FROM c CROSS JOIN cents ct) WHERE rn = 1),
+    s"""WITH ${ivfAssignSql(publishedCentsCte)},
        |cnt AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n
        |        FROM assigned GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,

@@ -427,26 +427,12 @@ object TextOps {
   /** The distributed packing scan over any (doc_id, n_tokens) frame —
     * shared with the corpus pipeline. */
   private[graft] def packFrame(counts: DataFrame): DataFrame = {
-    // contiguous id ranges; pid pinned by checkpoint so the offsets
-    // branch and the scan branch see the SAME partitioning
-    val nRange = counts.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val parts = counts.repartitionByRange(nRange, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = parts.groupBy("pid")
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
-    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = (sum(col("n_tokens")).over(w) +
-      element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
-    parts
-      .withColumn("start", cum - col("n_tokens"))
+    // the shared distributed exclusive scan (GlobalRank): contiguous
+    // id ranges, per-partition window, O(partitions) driver offsets
+    val (scanned, _) = graft.plans.GlobalRank.withExclusiveSum(
+      counts.sparkSession, counts, Seq(col("doc_id")),
+      col("n_tokens"), "start")
+    scanned
       .select(col("doc_id"), col("n_tokens"),
         // integer `div`, not `/`: IEEE double division is only exact
         // below 2^53 total tokens; a 100 TB corpus (~25T tokens) is

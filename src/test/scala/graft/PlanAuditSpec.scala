@@ -23,10 +23,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
-  private lazy val plans: Map[String, String] =
+  private lazy val physical
+      : Map[String, org.apache.spark.sql.execution.SparkPlan] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+      name -> fn(spark, sf).queryExecution.executedPlan
     }
+
+  private lazy val plans: Map[String, String] =
+    physical.view.mapValues(_.toString).toMap
 
   /** Shuffle exchanges only — BroadcastExchange is the cheap kind the
     * engine WANTS on small sides, so it never counts against a key. */
@@ -808,9 +812,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("every plan keeps a WholeStageCodegen span (hot path stays generated)") {
     import org.apache.spark.sql.execution.{CollapseCodegenStages, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val bad = SparkEntry.queries.toSeq.filterNot(t => codegenExempt(t._1))
-      .filter { case (_, fn) =>
-        val p0 = fn(spark, sf).queryExecution.executedPlan
+    // no stale exemptions: a removed/renamed key must not leave an
+    // entry behind that silently exempts a future key of that name
+    assert((codegenExempt -- SparkEntry.queries.keySet).isEmpty,
+      s"exemptions for removed keys: ${(codegenExempt -- SparkEntry.queries.keySet).toSeq.sorted}")
+    val bad = physical.toSeq.filterNot(t => codegenExempt(t._1))
+      .filter { case (_, p0) =>
         val inner = p0 match {
           case a: AdaptiveSparkPlanExec => a.initialPlan
           case other => other
