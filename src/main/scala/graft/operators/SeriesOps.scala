@@ -571,10 +571,110 @@ object SeriesOps {
        |  $runsZTree AS z
        |FROM a""".stripMargin
 
+
+  /** Trailing window width of the rolling correlation. */
+  val rollCorrW = 30
+
+  /** The windowed Pearson tree over the exact long-surfaced sums,
+    * shared verbatim by both engines (n = the full window width —
+    * partial head windows are filtered out). */
+  private val rollCorrTree: String =
+    s"""CASE WHEN CAST($rollCorrW AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+       |     OR CAST($rollCorrW AS DOUBLE) * CAST(syy AS DOUBLE)
+       |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+       |  THEN NULL
+       |  ELSE (CAST($rollCorrW AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |   / (sqrt(CAST($rollCorrW AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST($rollCorrW AS DOUBLE) * CAST(syy AS DOUBLE)
+       |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END""".stripMargin
+
+  /** Rolling cross-series correlation — order VOLUME vs order VALUE
+    * per nation over a trailing [[rollCorrW]]-day window: the decoupling
+    * detector beside q_autocorr's self-lag read (volume and value
+    * normally move together; a window where the correlation collapses
+    * means the basket composition changed — promos, mix shift, or a
+    * data fault — exactly when a volume-only monitor stays silent).
+    *
+    * Exactness: daily (count, revenue) collapse map-side; revenue is
+    * priced in whole DOLLARS so the windowed Σy² fits long through
+    * sf100 (the q_multireg rule); per-row products stay long
+    * (bounded by the day grain), the window sums run in
+    * DECIMAL(38,0) and surface as LONG (correctly-rounded long→double
+    * in both engines — the q_cov_matrix lesson); the single double
+    * combination is [[rollCorrTree]] shared verbatim, with a
+    * deterministic NULL when a window has zero variance on either
+    * side (a constant daily count makes r undefined). Partial head
+    * windows (< the full width) are dropped, so n is the constant
+    * window width on every emitted row.
+    *
+    * Scale shape: q_trend_slope's — the corpus collapses to the
+    * O(horizon) daily series at the FIRST aggregate; all five window
+    * sums share ONE nation-partitioned sort over that model-sized
+    * frame. */
+  def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100)" +
+          " as bigint) div 100").as("y"))
+    val wf = Window.partitionBy("nation").orderBy("day")
+      .rowsBetween(-(rollCorrW - 1), 0)
+    def wsum(e: String, out: String) =
+      sum(expr(s"cast($e as decimal(38,0))")).over(wf)
+        .cast(LongType).as(out)
+    daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy("nation").orderBy("day")))
+      .select(col("nation"), col("day"), col("x"), col("y"), col("i"),
+        wsum("x", "sx"), wsum("y", "sy"),
+        wsum("x * x", "sxx"), wsum("y * y", "syy"),
+        wsum("x * y", "sxy"))
+      .filter(col("i") >= rollCorrW)
+      .select(col("nation"), col("day"), col("x"), col("y"),
+        expr(rollCorrTree).as("corr_vol_val"))
+      .orderBy("nation", "day")
+  }
+
+  val qRollingCorrSql: String =
+    s"""WITH d AS (
+       |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+       |      AS BIGINT) // 100 AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT nation, day, x, y,
+       |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY day) AS i,
+       |    CAST(SUM(CAST(x AS HUGEINT)) OVER wf AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(y AS HUGEINT)) OVER wf AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) OVER wf AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) OVER wf AS BIGINT) AS syy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) OVER wf AS BIGINT) AS sxy
+       |  FROM d
+       |  WINDOW wf AS (PARTITION BY nation ORDER BY day
+       |    ROWS BETWEEN ${rollCorrW - 1} PRECEDING AND CURRENT ROW))
+       |SELECT nation, day, x, y,
+       |  $rollCorrTree AS corr_vol_val
+       |FROM r WHERE i >= $rollCorrW ORDER BY nation, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (qRunsTest _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_trend_slope" -> (qTrendSlope _),
+    "q_rolling_corr" -> (qRollingCorr _),
     "q_business_days" -> (qBusinessDays _),
     "q_seasonality" -> (qSeasonality _),
     "q_inventory_aging" -> (qInventoryAging _),
@@ -584,6 +684,7 @@ object SeriesOps {
     "q_runs_test" -> qRunsTestSql,
     "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_trend_slope" -> qTrendSlopeSql,
+    "q_rolling_corr" -> qRollingCorrSql,
     "q_business_days" -> qBusinessDaysSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_inventory_aging" -> qInventoryAgingSql,

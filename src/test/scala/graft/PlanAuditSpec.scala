@@ -382,6 +382,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // trend_slope: the pinned fact→customer join (2) + (nation,day)
     // agg + ONE shared nation-window exchange + ordered output
     "q_trend_slope" -> 5,
+    // rolling_corr: trend_slope's frame — fact⨝customer join + the
+    // day-grain agg + the shared nation-window sort + ordered output
+    "q_rolling_corr" -> 5,
     // seasonal_decompose: day-grain agg + the single-partition
     // series windows (centered MA + per-dow means share it)
     "q_seasonal_decompose" -> 2,

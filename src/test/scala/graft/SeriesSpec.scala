@@ -227,4 +227,49 @@ class SeriesSpec extends AnyFunSuite {
     // statistic must see a non-degenerate sequence
     assert(runs > 1L && runs <= n - 1L)
   }
+
+  test("q_rolling_corr replays windowed Pearson with the variance guard") {
+    import graft.operators.SeriesOps
+    val rows = SeriesOps.qRollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver replay over one nation's full series
+    val nation = rows.head.getString(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100)" +
+          " as bigint) div 100").as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val w = SeriesOps.rollCorrW
+    val exp = daily.sliding(w).map { win =>
+      val n = w.toDouble
+      val sx = win.map(_._2).sum.toDouble
+      val sy = win.map(_._3).sum.toDouble
+      val sxx = win.map(t => t._2 * t._2).sum.toDouble
+      val syy = win.map(t => t._3 * t._3).sum.toDouble
+      val sxy = win.map(t => t._2 * t._3).sum.toDouble
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      win.last._1 -> (if (vx == 0.0 || vy == 0.0) None
+        else Some((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))))
+    }.toMap
+    val got = rows.filter(_.getString(0) == nation).map(r =>
+      r.getDate(1).toString ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got == exp, "windowed r must replay bitwise incl. NULL guard")
+    // non-vacuity: across ALL nations real correlations exist and
+    // vary (a single tiny-sf nation can be all-NULL: constant daily
+    // counts make r undefined — the guard's own case)
+    val vals = rows.filterNot(_.isNullAt(4)).map(_.getDouble(4)).toSeq
+    assert(vals.nonEmpty && vals.forall(v => v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12))
+    assert(vals.distinct.length > 1)
+    assert(rows.exists(_.isNullAt(4)),
+      "the zero-variance guard should fire somewhere at this sf")
+  }
 }
