@@ -403,41 +403,26 @@ object AnalyticsOps {
     * ranked by revenue — that covers 80% of total revenue (the 80/20
     * cut behind "which SKUs matter", top-spender programs, capacity
     * planning). Needs a GLOBAL revenue-desc cumulative sum: the
-    * classic one-reducer trap, decomposed here exactly like the
-    * packing scan (SURVEY §2 text_pack_sequences): repartitionByRange
-    * on the rank key gives contiguous revenue ranges, each partition
-    * cumsums locally, per-partition totals (one row each) prefix-sum
-    * driver-side into offsets added back. Everything is exact integer
+    * classic one-reducer trap, delegated to
+    * [[graft.plans.GlobalRank.withExclusiveSum]] (range partition on
+    * the rank key, bucket-local cumsum, O(partitions) driver offsets)
+    * whose returned grand total also replaces the separate total
+    * aggregate this key used to pay. Everything is exact integer
     * cents; the 80% test is 5·cum_before < 4·total in pure longs —
     * no percentage float ever exists. Membership ties break by
     * (revenue desc, partkey), so the covering set is deterministic. */
   def qParetoShare(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
     val rev = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("p"),
         expr("cast(cast(l_extendedprice as decimal(14,2)) * 100 as bigint)")
           .as("cents"))
       .groupBy(col("p")).agg(sum(col("cents")).as("rev"))
-    val total = rev.agg(sum(col("rev"))).head().getLong(0)
-    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = rev.repartitionByRange(nRange, col("rev").desc, col("p"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan must see one layout
-    val totals = parts.groupBy("pid").agg(sum(col("rev")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("rev").desc, col("p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
-      .withColumn("cum", sum(col("rev")).over(w) +
-        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
-      .filter(lit(5L) * (col("cum") - col("rev")) < lit(4L) * lit(total))
+    val (scanned, total) = graft.plans.GlobalRank.withExclusiveSum(
+      s, rev, Seq(col("rev").desc, col("p")), col("rev"), "cum_before")
+    scanned
+      .filter(lit(5L) * col("cum_before") < lit(4L) * lit(total))
       .select(col("p").as("p_partkey"), col("rev").as("rev_cents"),
-        col("cum").as("cum_cents"))
+        (col("cum_before") + col("rev")).as("cum_cents"))
   }
 
   val qParetoShareSql: String =

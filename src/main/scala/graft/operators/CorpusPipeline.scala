@@ -392,34 +392,21 @@ object CorpusPipeline {
     * here is token count — integer, engine-shared; production plugs
     * any integer difficulty score in unchanged.
     *
-    * Scale shape: the global difficulty rank is the pack-scan
-    * discipline's third consumer (repartitionByRange on the rank key
-    * → bucket-local row_number → O(partitions) offsets driver-side);
-    * boundaries are pure integer arithmetic on the corpus count
-    * (b = n·pct div 100), so phases partition the corpus exactly at
-    * any size with no percentage float anywhere. */
+    * Scale shape: the global difficulty rank delegates to
+    * [[graft.plans.GlobalRank.withRankAndTotal]] (range partition on
+    * the rank key → bucket-local row_number → O(partitions) offsets
+    * driver-side), whose returned total replaces the separate
+    * docs.count() this key used to pay; boundaries are pure integer
+    * arithmetic on that count (b = n·pct div 100), so phases
+    * partition the corpus exactly at any size with no percentage
+    * float anywhere. */
   def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(TextOps.toks(col("text"))).cast("long").as("difficulty"))
-    val n = docs.count()
+    val (ranked, n) = graft.plans.GlobalRank.withRankAndTotal(
+      s, docs, Seq(col("difficulty"), col("doc_id")), "rnk")
     val cuts = curriculumCuts.map { case (p, pct) => (p, n * pct / 100) }
-    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = docs
-      .repartitionByRange(nRange, col("difficulty"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan see one layout
-    val totals = parts.groupBy("pid").agg(count(lit(1)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("difficulty"), col("doc_id"))
-    val ranked = parts.withColumn("rnk",
-      row_number().over(w).cast("long") +
-        element_at(typedlit(offsets.take(nParts).toSeq), col("pid") + 1))
     val phase = cuts.foldRight(lit("anneal")) { case ((p, b), e) =>
       when(col("rnk") <= b, p).otherwise(e)
     }

@@ -670,14 +670,12 @@ object MultimodalOps {
     * image library — a decoder that misreads dims lands in the
     * wrong bucket and breaks parity loud.
     *
-    * Scale shape: the per-bucket dense numbering is packFrame's
-    * distributed scan keyed by (partition, bucket) — range partition
+    * Scale shape: the per-bucket dense numbering delegates to
+    * [[graft.plans.GlobalRank.withSegmentedCount]] (range partition
     * on (bucket, id), per-partition window, O(partitions × buckets)
-    * driver offsets added back — never a 5-reducer global window;
+    * driver offsets added back — never a 5-reducer global window);
     * batch arithmetic is integer `div`/`%` on longs. */
   def mmAspectBuckets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
     val bidx = aspectBounds.zipWithIndex.foldRight(
       lit(aspectBounds.length): org.apache.spark.sql.Column) {
       case ((bound, i), rest) => when(col("r") < bound, i).otherwise(rest)
@@ -687,32 +685,10 @@ object MultimodalOps {
       .select(col("doc_id"), col("width"), col("height"))
       .withColumn("r", expr("(width * 1000) div height"))
       .withColumn("bidx", bidx)
-    val parts = dims.repartitionByRange(nRange, col("bidx"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan see one layout
-    val perPart = parts.groupBy("pid", "bidx").count().collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val nParts = (perPart.keySet.map(_._1) + (-1)).max + 1
-    val nB = aspectNames.length
-    // exclusive prefix per bucket across pid order, flattened to a
-    // lookup array indexed pid·nB + bidx
-    val offsets = new Array[Long](nParts * nB)
-    (0 until nB).foreach { b =>
-      var acc = 0L
-      (0 until nParts).foreach { p =>
-        offsets(p * nB + b) = acc
-        acc += perPart.getOrElse((p, b), 0L)
-      }
-    }
-    val bucketTotals = (0 until nB).map(b =>
-      perPart.collect { case ((_, bb), c) if bb == b => c }.sum)
-    val w = Window.partitionBy(col("pid"), col("bidx"))
-      .orderBy(col("doc_id"))
-    parts
-      .withColumn("rn",
-        row_number().over(w).cast("long") - 1L +
-          element_at(typedlit(offsets.toSeq),
-            col("pid") * nB + col("bidx") + 1))
+    val (numbered, bucketTotals) = graft.plans.GlobalRank
+      .withSegmentedCount(s, dims, col("bidx"), aspectNames.length,
+        Seq(col("doc_id")), "rn")
+    numbered
       .withColumn("cnt",
         element_at(typedlit(bucketTotals), col("bidx") + 1))
       .select(col("doc_id"), col("width"), col("height"),

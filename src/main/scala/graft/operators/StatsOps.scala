@@ -1037,14 +1037,14 @@ object StatsOps {
     * price is tie-broken to the smallest (struct-max on (gap, −v)).
     *
     * Scale shape: the corpus collapses to the price-grain frame
-    * first (one agg), then the ECDF prefix-sum runs as the pareto
-    * distributed scan — range partition by value, per-partition
-    * window, driver-side offsets (model-sized: one long pair per
-    * partition) — never a single-partition global window. The
-    * cross-products fit long up to ~3e9 orders per side; past that
-    * the numerator lifts to decimal unchanged. */
+    * first (one agg), then BOTH ECDF prefix-sums ride ONE
+    * [[graft.plans.GlobalRank.withExclusiveSums]] scan (range
+    * partition by value, per-partition window, driver-side offsets —
+    * model-sized: one long pair per partition), which also returns
+    * n1/n2 so no separate count pass exists. The cross-products fit
+    * long up to ~3e9 orders per side; past that the numerator lifts
+    * to decimal unchanged. */
   def qKsTest(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
     val o = Tables.load(s, dir, "orders").select(
       expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")
         .as("v"),
@@ -1052,30 +1052,13 @@ object StatsOps {
         .as("g1"))
     val per = o.groupBy("v").agg(sum(col("g1")).as("c1"),
       (count(lit(1)) - sum(col("g1"))).as("c2"))
-    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = per.repartitionByRange(nRange, col("v"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan must see one layout
-    val totals = parts.groupBy("pid")
-      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val nParts = (totals.keySet + (-1)).max + 1
-    val off1 = new Array[Long](nParts + 1)
-    val off2 = new Array[Long](nParts + 1)
-    (1 to nParts).foreach { i =>
-      off1(i) = off1(i - 1) + totals.get(i - 1).map(_._1).getOrElse(0L)
-      off2(i) = off2(i - 1) + totals.get(i - 1).map(_._2).getOrElse(0L)
-    }
-    val n1 = off1(nParts)
-    val n2 = off2(nParts)
-    val w = Window.partitionBy(col("pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = parts
-      .withColumn("f1", sum(col("c1")).over(w) +
-        element_at(typedlit(off1.take(nParts).toSeq), col("pid") + 1))
-      .withColumn("f2", sum(col("c2")).over(w) +
-        element_at(typedlit(off2.take(nParts).toSeq), col("pid") + 1))
+    val (scanned, ts) = graft.plans.GlobalRank.withExclusiveSums(
+      s, per, Seq(col("v")), Seq(col("c1"), col("c2")), Seq("e1", "e2"))
+    val n1 = ts(0)
+    val n2 = ts(1)
+    val cum = scanned
+      .withColumn("f1", col("e1") + col("c1"))
+      .withColumn("f2", col("e2") + col("c2"))
     cum.select(col("v"),
         abs(col("f1") * lit(n2) - col("f2") * lit(n1)).as("gap"))
       .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("b"))

@@ -1066,6 +1066,11 @@ object TextOps {
   def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val sh = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("w"))
+      // docs under 5 tokens have NO 5-gram shingles: without this
+      // guard sequence(0, size-5) would run DESCENDING and slice()
+      // would fault at runtime, where the oracle's range() correctly
+      // yields nothing — the guard makes the key total on any corpus
+      .filter(size(col("w")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 5)," +
           " i -> array_join(slice(w, i + 1, 5), ' '))")).as("sgl"))

@@ -30,30 +30,100 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** The shared scan core: `df` plus `out` = exclusive prefix sum of
-    * `value` in `keys` order, and the grand total. `value = 1` makes
-    * `out + 1` an exact global rank; a token/byte count makes it the
-    * packing scan. */
-  def withExclusiveSum(s: SparkSession, df: DataFrame, keys: Seq[Column],
-      value: Column, out: String): (DataFrame, Long) = {
+  /** The shared scan core, multi-value form: ONE range partition +
+    * ONE localCheckpoint + ONE pid-grain window yield the exclusive
+    * prefix sum of EVERY column in `values` simultaneously (in `keys`
+    * order), plus each value's grand total. The per-partition totals
+    * frame stays O(partitions) rows no matter how many values ride
+    * the scan, so a two-statistic consumer (the KS test's two ECDFs)
+    * pays exactly one corpus pass, like a one-statistic consumer —
+    * and the returned totals mean callers never pay a separate
+    * corpus count/sum the scan already holds. */
+  def withExclusiveSums(s: SparkSession, df: DataFrame, keys: Seq[Column],
+      values: Seq[Column], outs: Seq[String]): (DataFrame, Seq[Long]) = {
+    require(values.nonEmpty && values.length == outs.length,
+      "one output name per scanned value")
     val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = df.repartitionByRange(nRange, keys: _*)
-      .withColumn("__v", value.cast("long"))
+    val vCols = values.indices.map(i => s"__v$i")
+    val parts = values.indices.foldLeft(
+        df.repartitionByRange(nRange, keys: _*)) { (d, i) =>
+        d.withColumn(vCols(i), values(i).cast("long"))
+      }
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin pid: offsets + scan must see one layout
-    val totals = parts.groupBy("__pid").agg(sum(col("__v")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totals = parts.groupBy("__pid").agg(
+        sum(col(vCols.head)).as("t0"),
+        vCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).as(s"t${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)))
+      .toMap
     val nParts = (totals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (1 to nParts).foreach(i =>
-      offsets(i) = offsets(i - 1) + totals.getOrElse(i - 1, 0L))
+    val offsets = values.indices.map(_ => new Array[Long](nParts + 1))
+    (1 to nParts).foreach { p =>
+      val t = totals.get(p - 1)
+      values.indices.foreach(i =>
+        offsets(i)(p) = offsets(i)(p - 1) + t.map(_(i)).getOrElse(0L))
+    }
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = values.indices.foldLeft(parts) { (d, i) =>
+      d.withColumn(outs(i),
+        sum(col(vCols(i))).over(w) - col(vCols(i)) +
+          element_at(typedlit(offsets(i).take(nParts).toSeq),
+            col("__pid") + 1))
+    }.drop("__pid" +: vCols: _*)
+    (scanned, values.indices.map(i => offsets(i)(nParts)))
+  }
+
+  /** Single-value convenience over [[withExclusiveSums]]: `df` plus
+    * `out` = exclusive prefix sum of `value` in `keys` order, and the
+    * grand total. `value = 1` makes `out + 1` an exact global rank; a
+    * token/byte count makes it the packing scan. */
+  def withExclusiveSum(s: SparkSession, df: DataFrame, keys: Seq[Column],
+      value: Column, out: String): (DataFrame, Long) = {
+    val (scanned, ts) =
+      withExclusiveSums(s, df, keys, Seq(value), Seq(out))
+    (scanned, ts.head)
+  }
+
+  /** Segmented dense numbering: `out` = 0-based rank within `segment`
+    * (an INT column in [0, nSeg), small — aspect buckets, phases) in
+    * `keys` order, plus each segment's total count. Same decomposition
+    * with the segment joined into both the range key and the window
+    * key; the driver-side offset table is O(partitions × nSeg) longs —
+    * model-sized, never data. */
+  def withSegmentedCount(s: SparkSession, df: DataFrame, segment: Column,
+      nSeg: Int, keys: Seq[Column], out: String): (DataFrame, Seq[Long]) = {
+    require(nSeg > 0, "at least one segment")
+    val nRange = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = df.repartitionByRange(nRange, segment +: keys: _*)
+      .withColumn("__seg", segment.cast("int"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin pid: offsets + scan must see one layout
+    val perPart = parts.groupBy("__pid", "__seg").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nParts = (perPart.keySet.map(_._1) + 0).max + 1
+    // exclusive prefix per segment across pid order, flattened to a
+    // lookup array indexed pid·nSeg + seg
+    val offsets = new Array[Long](nParts * nSeg)
+    (0 until nSeg).foreach { b =>
+      var acc = 0L
+      (0 until nParts).foreach { p =>
+        offsets(p * nSeg + b) = acc
+        acc += perPart.getOrElse((p, b), 0L)
+      }
+    }
+    val segTotals = (0 until nSeg).map(b =>
+      perPart.collect { case ((_, bb), c) if bb == b => c }.sum)
+    val w = Window.partitionBy(col("__pid"), col("__seg"))
+      .orderBy(keys: _*)
     val scanned = parts.withColumn(out,
-        sum(col("__v")).over(w) - col("__v") +
-          element_at(typedlit(offsets.take(nParts).toSeq), col("__pid") + 1))
-      .drop("__pid", "__v")
-    (scanned, offsets(nParts))
+        row_number().over(w).cast("long") - 1L +
+          element_at(typedlit(offsets.toSeq),
+            col("__pid") * nSeg + col("__seg") + 1))
+      .drop("__pid", "__seg")
+    (scanned, segTotals)
   }
 
   /** `df` plus a 1-based exact global rank over `keys`, named `out`,
