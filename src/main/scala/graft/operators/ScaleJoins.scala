@@ -349,8 +349,76 @@ object ScaleJoins {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** ONE formula string fed to both engines (§4 mirrored-tree
+    * discipline) for the rollup MV's exact-cents measure. */
+  private val centsExpr =
+    "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+
+  /** The FINER-grain registered MV — exact-cents revenue per
+    * (year, month): the summary a real warehouse materializes daily
+    * or monthly, from which every coarser dashboard grain should be
+    * answered without touching the corpus again. */
+  private[graft] def mvMonthDefinition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(centsExpr)).as("min_cents"),
+        max(expr(centsExpr)).as("max_cents"))
+
+  /** One-time (year, month) MV build per corpus fingerprint +
+    * catalog registration — same contract as [[ensureMv]]. */
+  private[graft] def ensureMonthMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders"))
+    val path = s"/tmp/graft_mv_orders_month_$tag.parquet"
+    if (!new java.io.File(path).exists)
+      mvMonthDefinition(s, dir).write.mode("overwrite").parquet(path)
+    mvMonthDefinition(s, dir).queryExecution.analyzed match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        graft.plans.MvCatalog.register(a, path)
+      case _ => () // already rewritten -> already registered
+    }
+    path
+  }
+
+  /** Grain-rollup MV rewrite (plans/MvRewrite.scala MvRollup): the
+    * query asks for the YEAR grain over the raw corpus — a grain
+    * nobody registered — and the rule answers it by re-aggregating
+    * the (year, month) MV, because {year} ⊂ {year, month} and
+    * SUM/COUNT re-aggregate from partials (COUNT becomes SUM of the
+    * partial counts). The executed plan must scan the MV parquet and
+    * NEVER the fact table (spec-asserted, with a non-subset-grain
+    * control that must run untouched); the oracle is the raw
+    * year-grain SQL over orders — the rollup must be invisible in
+    * the answer. Exact integer cents end to end: SUM of partial long
+    * sums is associative, so the rollup is bit-identical at any
+    * grouping. */
+  def qMvRollup(s: SparkSession, dir: String): DataFrame = {
+    ensureMonthMv(s, dir)
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(centsExpr)).as("min_cents"),
+        max(expr(centsExpr)).as("max_cents"))
+      .orderBy("yr")
+  }
+
+  val qMvRollupSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders,
+      |  MIN(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS min_cents,
+      |  MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS max_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> (qMvRewrite _),
+    "q_mv_rollup" -> (qMvRollup _),
     "q_skew_join" -> (qSkewJoin _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -359,6 +427,7 @@ object ScaleJoins {
 
   val oracles: Map[String, String] = Map(
     "q_mv_rewrite" -> qMvRewriteSql,
+    "q_mv_rollup" -> qMvRollupSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -50,13 +51,45 @@ object MvCatalog {
     plan.canonicalized.toString + "|" + paths.mkString(",")
   }
 
-  def register(definition: LogicalPlan, mvPath: String): Unit =
+  /** Registered Aggregate definitions for grain-rollup matching,
+    * keyed like [[keyOf]] but by the definition's CHILD (the shared
+    * pre-aggregate subtree a coarser query must also sit on), each
+    * carrying the definition and its MV path. */
+  private val defs = new java.util.concurrent.ConcurrentHashMap[
+    String, List[(Aggregate, String)]]()
+
+  private[plans] def childKeyOf(agg: Aggregate): String = {
+    val paths = agg.child.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _: LeafNode => Nil
+    }
+    agg.child.canonicalized.toString + "|" + paths.mkString(",")
+  }
+
+  def register(definition: LogicalPlan, mvPath: String): Unit = {
     views.put(keyOf(definition), mvPath)
+    definition match {
+      case a: Aggregate =>
+        defs.compute(childKeyOf(a), (_, old) =>
+          (a, mvPath) :: Option(old).getOrElse(Nil)
+            .filterNot(_._2 == mvPath))
+      case _ => ()
+    }
+  }
 
   def lookup(plan: LogicalPlan): Option[String] =
     Option(views.get(keyOf(plan)))
 
-  def clear(): Unit = views.clear()
+  /** Definitions sharing `agg`'s pre-aggregate subtree — rollup
+    * candidates. */
+  def candidates(agg: Aggregate): List[(Aggregate, String)] =
+    Option(defs.get(childKeyOf(agg))).getOrElse(Nil)
+
+  def clear(): Unit = { views.clear(); defs.clear() }
 }
 
 /** Analyzer rule: replace a registered aggregate with a scan of its
@@ -67,14 +100,109 @@ object MvCatalog {
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case agg: Aggregate =>
+      // the resolved guard matters: canonicalizing an aggregate whose
+      // resolution FAILED (e.g. a typo'd column) throws INTERNAL_ERROR
+      // from inside this rule and masks the real unresolved-column
+      // error the checker would have raised
+      case agg: Aggregate if agg.resolved =>
         MvCatalog.lookup(agg) match {
           case Some(path) =>
             val mv = spark.read.parquet(path).queryExecution.analyzed
             val proj: Seq[NamedExpression] = agg.output.zip(mv.output)
               .map { case (o, m) => Alias(m, o.name)(exprId = o.exprId) }
             Project(proj, mv)
-          case None => agg
+          case None =>
+            MvRollup.rewrite(spark, agg).getOrElse(agg)
         }
     }
+}
+
+/** Grain-rollup rewrite — the half of MV matching that makes ONE
+  * materialized summary serve a whole dashboard family: a query
+  * whose GROUP BY keys are a SUBSET of a registered MV's keys and
+  * whose aggregates are re-aggregable from the MV's outputs
+  * (SUM → SUM of partial sums, COUNT → SUM of partial counts,
+  * MIN/MAX → MIN/MAX of partial extrema) is answered by
+  * re-aggregating the k-row MV instead of re-scanning the corpus —
+  * at 100 TB, a daily/monthly MV answers the year rollup for the
+  * cost of reading the summary. AVG and DISTINCT aggregates are NOT
+  * re-aggregable from these partials and deliberately never match.
+  *
+  * Matching stays catalog-driven (the exact-match discipline): the
+  * query's pre-aggregate subtree must equal the definition's
+  * CANONICALIZED child (same source, same projections, same paths —
+  * [[MvCatalog.childKeyOf]]), and expressions are compared on the
+  * canonicalized plans, where attribute ids are position-normalized
+  * against that shared child, so textual equality is semantic
+  * equality. Any unmapped output, grouping key outside the MV's key
+  * set, FILTER clause, or DISTINCT flag vetoes the rewrite and the
+  * query runs untouched. */
+object MvRollup {
+
+  private def unalias(e: Expression): Expression = e match {
+    case a: Alias => unalias(a.child)
+    case x => x
+  }
+
+  def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    val cands = MvCatalog.candidates(agg)
+    if (cands.isEmpty) return None
+    val qCanon = agg.canonicalized match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    cands.view.flatMap { case (d, path) =>
+      tryRollup(spark, agg, qCanon, d, path) }.headOption
+  }
+
+  private def tryRollup(spark: SparkSession, agg: Aggregate,
+      qCanon: Aggregate, d: Aggregate, path: String): Option[LogicalPlan] = {
+    val dCanon = d.canonicalized match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    // def output position by canonical text: both plans canonicalize
+    // over the SAME child, so position-normalized attribute ids make
+    // text equality semantic equality
+    val dGroup = dCanon.groupingExpressions.map(_.toString).toSet
+    val dOutPos = dCanon.aggregateExpressions.zipWithIndex.map {
+      case (ne, i) => unalias(ne).toString -> i }.toMap
+    // every query grouping key must be one of the MV's grouping keys
+    // AND be carried as an MV output column
+    val qGroups = qCanon.groupingExpressions.map(_.toString)
+    if (!qGroups.forall(g => dGroup.contains(g) && dOutPos.contains(g)))
+      return None
+    val mv = spark.read.parquet(path).queryExecution.analyzed
+    val mvOut = mv.output // positionally aligned with d's output
+    // map every query output; any miss vetoes the whole rewrite
+    val outs = agg.aggregateExpressions.zip(qCanon.aggregateExpressions)
+      .map { case (orig, canonNe) =>
+        unalias(canonNe) match {
+          case ae: AggregateExpression =>
+            if (ae.isDistinct || ae.filter.isDefined) None
+            else dOutPos.get(ae.toString).flatMap { i =>
+              val partial = mvOut(i)
+              val reAgg = ae.aggregateFunction match {
+                case _: Sum   => Some(Sum(partial).toAggregateExpression())
+                case _: Count => Some(Sum(partial).toAggregateExpression())
+                case _: Min   => Some(Min(partial).toAggregateExpression())
+                case _: Max   => Some(Max(partial).toAggregateExpression())
+                case _ => None
+              }
+              reAgg.map { r =>
+                val typed = if (r.dataType == orig.dataType) r
+                  else Cast(r, orig.dataType)
+                Alias(typed, orig.name)(exprId = orig.exprId)
+              }
+            }
+          case g => // grouping-key passthrough
+            dOutPos.get(g.toString)
+              .map(i => Alias(mvOut(i), orig.name)(exprId = orig.exprId))
+        }
+      }
+    if (outs.exists(_.isEmpty)) return None
+    val newGroup: Seq[Expression] =
+      qGroups.map(g => mvOut(dOutPos(g)))
+    Some(Aggregate(newGroup, outs.map(_.get), mv))
+  }
 }

@@ -595,6 +595,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // mv_rewrite: the rewritten plan is a k-row MV scan + projection —
     // ZERO exchanges is the feature
     "q_mv_rewrite" -> 0,
+    // mv_rollup: re-aggregation of the k-row month MV at year grain —
+    // both exchanges (agg + ordered output) are model-sized, the
+    // corpus is never scanned
+    "q_mv_rollup" -> 2,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     // q21: flagged frame pinned pre-plan; the participation distinct
     // + orderkey-keyed semi (2) + flagged distinct + anti (2) + the

@@ -423,4 +423,55 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(again.contains("graft_mv_orders_year"))
   }
+
+  test("q_mv_rollup re-aggregates the month MV; non-rollable shapes run untouched") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val df = ScaleJoins.qMvRollup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "the unregistered YEAR grain must be answered from the (year, month) MV")
+    assert(!plan.contains("orders.parquet"),
+      "zero base scans: the fact table must not be scanned after the rollup")
+    // the re-aggregation runs at the coarser grain over the k-row MV —
+    // its exchanges are model-sized (agg + ordered output), never corpus
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange")) <= 2)
+    // a grouping key OUTSIDE the MV's key set must NOT rewrite
+    val offGrain = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!offGrain.contains("graft_mv_orders_month"),
+      "a non-subset grain must run against the base table")
+    // a DISTINCT aggregate is not re-aggregable from partials — veto
+    val distinctAgg = Tables.load(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .queryExecution.executedPlan.toString
+    assert(!distinctAgg.contains("graft_mv_orders_month"),
+      "COUNT DISTINCT must not be served by SUM/COUNT partials")
+    // an aggregate the MV does not carry (different measure) — veto
+    val offMeasure = Tables.load(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum((col("o_custkey") % 7).cast("long")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!offMeasure.contains("graft_mv_orders_month"))
+    // the rollup is invisible in the answer: ground truth forced to the
+    // base table by a below-aggregate filter (a different definition)
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"),
+        min(expr(cents)).as("min_cents"), max(expr(cents)).as("max_cents"))
+      .orderBy("yr")
+    assert(!truth.queryExecution.executedPlan.toString
+      .contains("graft_mv_orders_month"))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = truth.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "SUM/COUNT/MIN/MAX re-aggregated from partials must equal the raw answer")
+  }
 }
