@@ -993,6 +993,111 @@ object TextOps {
       |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
       |FROM p GROUP BY 1""".stripMargin
 
+  /** Merge rounds trained by text_bpe_train — 8 reaches the first
+    * merge that CONSUMES a learned symbol even on the smallest
+    * fixture (sf0.001: round 8 merges p+ar), which is the iterative
+    * signal the spec's non-vacuity gate demands. */
+  private[graft] val bpeTrainRounds = 8
+
+  /** BPE tokenizer TRAINING — the full iterative merge loop
+    * text_bpe_pairs only counts round one of (Sennrich et al. 2016):
+    * K rounds of [count adjacent symbol pairs over the weighted
+    * vocabulary → argmax pair → greedy left-to-right merge in every
+    * word], emitting each round's learned merge rule — the actual
+    * tokenizer artifact a training pipeline ships.
+    *
+    * Determinism discipline: the argmax tie-breaks (count DESC, left
+    * ASC, right ASC) so every round's choice is total-ordered;
+    * symbol sequences are rendered as "(a)(b)(c)" strings whose
+    * single-pass replace('(a)(b)' → '(ab)') IS BPE's greedy
+    * non-overlapping merge in BOTH engines (verified: "(a)(a)(a)"
+    * merges to "(aa)(a)"), and a merged symbol can never re-form the
+    * same round's pattern, so the rewrite is engine-exact. The
+    * oracle replays ALL K rounds as unrolled CTEs from scratch — a
+    * diverged argmax in any round cascades into every later row.
+    *
+    * Scale shape: BPE's own trick — the corpus collapses ONCE to the
+    * distinct-word vocabulary (map-side combined; Zipf ⇒ heavy
+    * collapse), and every round's pair count + rewrite runs over the
+    * vocabulary, never the corpus; the per-round argmax is a 1-row
+    * TakeOrdered collect (model-sized, the lloydCentroids rule) and
+    * the rewritten vocab is localCheckpoint'd per round — the
+    * q_pagerank iterative discipline applied to tokenizer training.
+    * Output is the K-row merge table: the trained model. */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("repr"),
+        col("wc"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= bpeTrainRounds && !exhausted) {
+      val best = vocab
+        .select(expr("split(substring(repr, 2, length(repr) - 2)," +
+          " '\\\\)\\\\(')").as("ss"), col("wc"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> named_struct(" +
+            "'a', element_at(ss, i), 'b', element_at(ss, i + 1)))"))
+          .as("p"), col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        vocab = vocab
+          .withColumn("repr", expr(s"replace(repr, '($a)($b)', '($a$b)')"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+      .select(col("step"), col("lhs"), col("rhs"), col("cnt"),
+        concat(col("lhs"), col("rhs")).as("merged"))
+      .orderBy("step")
+  }
+
+  val textBpeTrainSql: String = {
+    val rounds = (1 to bpeTrainRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s.ss[z.i] AS a, s.ss[z.i + 1] AS b, SUM(s.wc) AS cnt
+         |  FROM (SELECT string_split(substring(repr, 2,
+         |      length(repr) - 2), ')(') AS ss, wc FROM v${r - 1}) s,
+         |    unnest(range(1, len(s.ss))) AS z(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(v.repr, '(' || b.a || ')(' || b.b || ')',
+         |      '(' || b.a || b.b || ')') AS repr, v.wc
+         |  FROM v${r - 1} v, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeTrainRounds).map(r =>
+      s"SELECT $r AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt," +
+        s" a || b AS merged FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH w AS (
+       |  SELECT t.x AS w, COUNT(*) AS wc
+       |  FROM documents,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(x)
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, wc
+       |  FROM w),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** Readability scoring — the document-difficulty feature
     * (Gunning-Fog / Flesch family) quality pipelines use to route
     * text to grade bands and to filter degenerate prose. Per doc:
@@ -1473,6 +1578,7 @@ object TextOps {
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "text_bpe_train" -> (textBpeTrain _),
     "text_dup_spans" -> (textDupSpans _),
     "text_collocations" -> (textCollocations _),
     "text_ngram_lm" -> (textNgramLm _),
@@ -1501,6 +1607,7 @@ object TextOps {
     "text_ttr" -> textTtrSql,
     "text_concordance" -> textConcordanceSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,

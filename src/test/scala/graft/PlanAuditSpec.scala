@@ -674,6 +674,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // and every corpus-derived side is pinned to shuffle
     "text_boilerplate" -> 11,
     "text_bpe_pairs" -> 2,
+    // bpe_train: the returned frame is the K-row trained merge table
+    // (a local relation) + its ordered output; the training rounds
+    // run as separate vocabulary-sized jobs before the plan exists
+    "text_bpe_train" -> 1,
     "text_chunk" -> 1,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,

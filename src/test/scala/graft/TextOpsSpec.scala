@@ -428,6 +428,57 @@ class TextOpsSpec extends AnyFunSuite {
       p.forall(ch => ch >= 'a' && ch <= 'z')))
   }
 
+  test("text_bpe_train equals a pure-Scala BPE training replay") {
+    val got = TextOps.textBpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    // independent replay: symbol sequences as vectors, greedy
+    // left-to-right merge, argmax on (count desc, lhs asc, rhs asc)
+    val wordRe = "[a-z]+".r
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.load(spark, sf, "documents").select("text").collect()
+      .foreach { r =>
+        wordRe.findAllIn(r.getString(0).toLowerCase)
+          .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+      }
+    var vocab: Seq[(Vector[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val want = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, Long, String)]()
+    (1 to TextOps.bpeTrainRounds).foreach { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (ss, c) =>
+        ss.zip(ss.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), c) = pairs.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        want += ((r, a, b, c, a + b))
+        vocab = vocab.map { case (ss, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+              out += a + b; i += 2 // greedy: consumed symbols can't re-pair
+            } else { out += ss(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+      }
+    }
+    assert(got.toSeq == want.toSeq,
+      s"merge tables differ:\n got=${got.toSeq}\n want=${want.toSeq}")
+    // non-vacuity: training must run long enough that a LEARNED
+    // symbol participates in a later merge (the iterative signal a
+    // single pair-count round cannot produce)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no merge consumed a learned multi-char symbol — rounds too few" +
+        " or the rewrite is not feeding later rounds")
+    // counts are monotone non-increasing ONLY per symbol pool change —
+    // but every chosen count must be positive and ranks deterministic
+    assert(got.forall(_._4 > 0))
+  }
+
   test("text_lang_confusion reconciles with per-doc predictions") {
     val cells = TextOps.textLangConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
