@@ -39,7 +39,7 @@ object DedupOps {
     * both engines compute bit-identically): the planted near-dups
     * exercise banded LSH recall on non-identical high-cosine pairs,
     * not just the trivial same-bucket-always case. */
-  private def dupVecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupVecs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     e.unionAll(e.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
@@ -50,7 +50,7 @@ object DedupOps {
             (x, i) => when(i === 0, x + lit(0.25f)).otherwise(x))))
   }
 
-  private val dupVecsSql =
+  private[graft] val dupVecsSql =
     """SELECT * FROM embeddings
       |UNION ALL
       |SELECT vec_id + 1000000 AS vec_id, embedding, label

@@ -818,11 +818,12 @@ object SimOps {
     * every IVF oracle (same tie-break as NearestCentroid's strict >:
     * cosine DESC, c_id) — one definition so the assignment rule can
     * never drift between keys. */
-  private def ivfAssignSql(centsCte: String): String =
+  private def ivfAssignSql(centsCte: String,
+      corpusSql: String = "SELECT * FROM embeddings"): String =
     s"""c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
+       |  FROM ($corpusSql)),
        |cents AS ($centsCte),
        |assigned AS (
        |  SELECT vec_id, v, nrm, c_id AS centroid FROM (
@@ -1201,7 +1202,78 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Near-dup cosine floor for sim_semdedup — the dedup family's 0.9
+    * (planted exact copies sit at 1.0, the perturbed copies ≥0.9,
+    * the fixture's natural pair max is ~0.51: clean margin both
+    * ways). */
+  val semDedupTau = 0.9
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    * 2303.09540) — the missing link between dedup_embed_cosine's
+    * global LSH bands and the IVF cluster machinery: assign every
+    * vector to its nearest published centroid, then verify exact
+    * cosine ONLY within each cell and emit per-vector prune
+    * decisions. Pair volume is Σcell² (never n²) by construction —
+    * no cross-cell pair is ever materialized (spec-asserted), which
+    * is also SemDeDup's documented recall tradeoff: a near-dup split
+    * across cells is missed, a cost the paper accepts for corpus-
+    * scale tractability (k ≈ √n cells at deploy, the IVF contract).
+    *
+    * Survivorship is the dedup family's deterministic min-id rule: a
+    * vector is pruned iff an EARLIER-id near-dup (cos ≥ 0.9) shares
+    * its cell, keeping exactly the lowest id of every cell-local dup
+    * chain (the keep-"best" variant is dedup_keep_best's separate
+    * key). Corpus is the planted-duplicate twin the whole dedup
+    * family audits against. Cosines are the mirrored IEEE tree
+    * (DotProductD ↔ list_dot_product), so the ≥ τ cut is
+    * bit-deterministic in both engines.
+    *
+    * Scale shape: assignment is the zero-shuffle NearestCentroid
+    * projection; the cell-local self-join shuffles on centroid
+    * (shuffle_hash pinned — both sides corpus-sized); the prune
+    * aggregate collapses to one row per pruned vector before the
+    * id-keyed join back. Output is integer ids + booleans only. */
+  def simSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = DedupOps.dupVecs(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    val assigned = assignTo(vecs, publishedCentroids(s, dir))
+    val a = assigned.select(col("centroid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("anrm"))
+    val b = assigned.select(col("centroid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bnrm"))
+    val dups = a.hint("shuffle_hash").join(b, Seq("centroid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dotD(col("av"), col("bv")) / (col("anrm") * col("bnrm"))
+        >= semDedupTau)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    assigned.select(col("vec_id"), col("centroid"))
+      .join(dups.hint("shuffle_hash"),
+        col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("centroid"),
+        col("dup_of").isNotNull.as("is_pruned"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("vec_id")
+  }
+
+  val simSemdedupSql: String =
+    s"""WITH ${ivfAssignSql(publishedCentsCte, DedupOps.dupVecsSql)},
+       |dups AS (
+       |  SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of,
+       |    COUNT(*) AS n_dups
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+       |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+       |      >= $semDedupTau
+       |  GROUP BY 1)
+       |SELECT s.vec_id, s.centroid, d.b_id IS NOT NULL AS is_pruned,
+       |  d.dup_of, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.b_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semdedup" -> (simSemdedup _),
     "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_recall" -> (simRecall _),
@@ -1218,6 +1290,7 @@ object SimOps {
     "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
+    "sim_semdedup" -> simSemdedupSql,
     "sim_maxsim" -> simMaxsimSql,
     "sim_recall" -> simRecallSql,
     "sim_cosine_topk" -> simCosineTopkSql,

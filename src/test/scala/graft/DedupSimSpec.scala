@@ -638,4 +638,58 @@ class DedupSimSpec extends AnyFunSuite {
     // 0.5 — recall below 90% would mean the banding regressed
     assert(r.getLong(6) >= 900000L)
   }
+
+  test("sim_semdedup equals the cell-local replay; no cross-cell pair exists") {
+    val df = SimOps.simSemdedup(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0),
+      (r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    // the cell-verify join must shuffle BOTH corpus-sized sides on
+    // the centroid key — never broadcast, never cross-cell
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin [centroid"),
+      "the pair join must be centroid-keyed (cell-local by key)")
+    // driver replay: same centroids, same argmax tie-break (strict >,
+    // lowest c_id), pairwise cosine WITHIN cells only
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = SimOps.publishedCentroids(spark, sf)
+    val vecs = DedupOps.dupVecs(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), v, math.sqrt(dot(v, v)))
+    }
+    val assigned = vecs.map { case (id, v, nrm) =>
+      var bi = 0; var bc = Double.NegativeInfinity
+      cents.ids.indices.foreach { i =>
+        val c = dot(v, cents.vecs(i)) / (nrm * cents.nrms(i))
+        if (c > bc) { bc = c; bi = i }
+      }
+      (id, v, nrm, cents.ids(bi))
+    }
+    val want = assigned.map { case (id, v, nrm, cell) =>
+      val earlier = assigned.filter { case (i2, v2, n2, c2) =>
+        c2 == cell && i2 < id &&
+          dot(v, v2) / (nrm * n2) >= SimOps.semDedupTau
+      }
+      val dupOf = if (earlier.isEmpty) -1L else earlier.map(_._1).min
+      id -> ((cell, earlier.nonEmpty, dupOf, earlier.length.toLong))
+    }.toMap
+    assert(got == want, "prune frame diverged from the replay")
+    // non-vacuity: every planted EXACT copy shares its original's
+    // cell (identical vector, identical argmax) and must be pruned
+    val exact = got.filter { case (id, _) => id >= 1000000L && id < 2000000L }
+    assert(exact.nonEmpty && exact.values.forall(_._2),
+      "an exact planted copy escaped pruning")
+    // perturbed copies: most land in the original's cell and prune —
+    // the cross-cell misses are SemDeDup's documented tradeoff
+    val pert = got.filter { case (id, _) => id >= 2000000L }
+    assert(pert.count(_._2._2) * 5 >= pert.size * 3,
+      "perturbed-copy recall fell below 60%")
+    // no natural vector is a near-dup (fixture margin: max natural
+    // cosine ~0.5) — pruning them would mean the threshold leaked
+    assert(got.filter(_._1 < 1000000L).values.forall(!_._2),
+      "a natural vector was pruned")
+  }
 }

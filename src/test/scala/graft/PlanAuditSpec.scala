@@ -599,6 +599,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // both exchanges (agg + ordered output) are model-sized, the
     // corpus is never scanned
     "q_mv_rollup" -> 2,
+    // semdedup: assignment is a zero-shuffle projection; exchanges are
+    // the centroid-keyed cell self-join (2), the prune aggregate, the
+    // id-keyed join back (2) and ordered output
+    "sim_semdedup" -> 7,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     // q21: flagged frame pinned pre-plan; the participation distinct
     // + orderkey-keyed semi (2) + flagged distinct + anti (2) + the
