@@ -693,6 +693,131 @@ object StreamOps {
         .map(f => col(s"m.$f").as(f)): _*)
   }
 
+  /** One-time SCD2 change-wave log (per corpus fingerprint): the SAME
+    * two deterministic update waves etl_scd2 derives in batch, one
+    * directory per wave so maxFilesPerTrigger=1 replays them as two
+    * real micro-batches. */
+  private def scd2LogDir(sfDir: String): String =
+    s"/tmp/graft_scd2_log_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer"))}"
+
+  private val scd2LogSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("ver", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def writeScd2Log(s: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = scd2LogDir(sfDir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer"))
+    graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val base = graft.Tables.load(s, sfDir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val w1 = base.filter(col("c_custkey") % 10 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .withColumn("ver", lit(1))
+        val w2 = base.filter(col("c_custkey") % 5 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") +
+            when(col("c_custkey") % 10 === 1, 350.0).otherwise(250.0))
+          .withColumn("c_mktsegment", lit("MACHINERY"))
+          .withColumn("ver", lit(2))
+        val cols = Seq("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+        w1.select(cols.map(col): _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/b1")
+        w2.select(cols.map(col): _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/b2")
+        Files.writeString(tagPath, tag)
+      }
+    }
+  }
+
+  /** The per-micro-batch SCD2 MERGE: version-aware per-key interval
+    * REBUILD. Affected keys (left-semi on the batch's key set) have
+    * their stored rows folded back to change images, unioned with the
+    * batch's images, deduped at (key, ver) grain by struct-max (the
+    * image of a version is deterministic, so redelivery collapses),
+    * and re-intervaled with one lead() over (key, ver); untouched
+    * keys pass through by anti-join. Order-INSENSITIVE and IDEMPOTENT
+    * by construction — waves applied in any order, or twice, converge
+    * to the same history (spec-asserted), which is what lets a 100 TB
+    * consumer run change-topic partitions in parallel with no
+    * cross-partition ordering; per-batch cost is O(batch + affected
+    * history), and affected-history depth is bounded by change waves,
+    * never corpus size. */
+  private[graft] def scd2Merge(prev: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = batch.select("c_custkey").distinct()
+    val affected = prev
+      .join(keys.hint("shuffle_hash"), Seq("c_custkey"), "left_semi")
+    val untouched = prev
+      .join(keys.hint("shuffle_hash"), Seq("c_custkey"), "left_anti")
+    val imgs = affected
+      .select(col("c_custkey"), col("eff_from_ver").as("ver"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .unionByName(batch.select(col("c_custkey"), col("ver"),
+        col("c_acctbal"), col("c_mktsegment")))
+      .groupBy(col("c_custkey"), col("ver"))
+      .agg(max(struct(col("c_acctbal"), col("c_mktsegment"))).as("m"))
+      .select(col("c_custkey"), col("ver"),
+        col("m.c_acctbal").as("c_acctbal"),
+        col("m.c_mktsegment").as("c_mktsegment"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("ver"))
+    val rebuilt = imgs.select(col("c_custkey"),
+      col("ver").as("eff_from_ver"),
+      lead(col("ver"), 1).over(byKey).as("eff_to_ver"),
+      when(lead(col("ver"), 1).over(byKey).isNull, 1).otherwise(0)
+        .as("is_current"),
+      col("c_acctbal"), col("c_mktsegment"))
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Streaming SCD2 — the composition the warehouse-ingest loop
+    * actually runs: stream_cdc_apply maintains CURRENT state and
+    * etl_scd2 builds history in one batch; here a CDC feed maintains
+    * the type-2 dimension WITH validity intervals incrementally, one
+    * MERGE per micro-batch over an initialized current-dimension
+    * store (maxFilesPerTrigger=1 keeps each change wave a real
+    * micro-batch). No watermark is needed because the merge is
+    * version-aware rather than arrival-aware — a strictly stronger
+    * ordering discipline (the stream_cdc_apply contract, proven
+    * out-of-order-safe in the spec). The drained history must
+    * hash-match etl_scd2 over the same rows — that equality IS the
+    * oracle. */
+  def streamScd2(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeScd2Log(spark, sfDir)
+    val run = s"/tmp/graft_scd2_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+      .write.parquet(s"$run/store_0")
+    val cur = new AtomicInteger(0)
+    val changes = spark.readStream.schema(scd2LogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${scd2LogDir(sfDir)}/b*")
+    runAvailableNow(changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val i = cur.get()
+        val prev = spark.read.parquet(s"$run/store_$i")
+        scd2Merge(prev, batch).write.parquet(s"$run/store_${i + 1}")
+        cur.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    val fin = spark.read.parquet(s"$run/store_${cur.get()}")
+      .orderBy("c_custkey", "eff_from_ver")
+    // materialize before the run dir is deleted, then return a local
+    // relation (history is O(keys·waves) — the drained-sink contract)
+    val rows = fin.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+  }
+
   def streamCdcApply(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     writeCdcLog(spark, sfDir)
@@ -1100,7 +1225,8 @@ object StreamOps {
     "stream_enrich" -> (streamEnrich _),
     "stream_join" -> (streamJoin _),
     "stream_funnel_timeout" -> (streamFunnelTimeout _),
-    "stream_cdc_apply" -> (streamCdcApply _))
+    "stream_cdc_apply" -> (streamCdcApply _),
+    "stream_scd2" -> (streamScd2 _))
 
   val oracles: Map[String, String] = Map(
     // stream/batch parity: the batch key's SQL covers the stream twin
@@ -1118,5 +1244,8 @@ object StreamOps {
     "stream_funnel_timeout" -> streamFunnelSql,
     // the streamed, incrementally-merged store must equal the
     // one-shot batch MERGE of the same change set
-    "stream_cdc_apply" -> graft.operators.Etl.etlCdcUpsertSql)
+    "stream_cdc_apply" -> graft.operators.Etl.etlCdcUpsertSql,
+    // the incrementally-maintained type-2 history must equal the
+    // one-shot batch SCD2 build over the same change images
+    "stream_scd2" -> graft.operators.Etl.etlScd2Sql)
 }

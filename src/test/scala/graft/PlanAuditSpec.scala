@@ -665,7 +665,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_sessions" -> 0, "stream_user_state" -> 0,
     // cdc_apply merges inside foreachBatch micro-batch jobs; the
     // returned frame is the drained O(keys) local relation
-    "stream_cdc_apply" -> 0, "stream_ohlc" -> 0,
+    "stream_cdc_apply" -> 0, "stream_scd2" -> 0, "stream_ohlc" -> 0,
     // heavy_hitters: merged shard sketches return as a local relation
     "stream_heavy_hitters" -> 0,
     // bitmap_distinct: popcount rollup over the drained word state
@@ -820,6 +820,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // built-in, noted rather than hidden.
     Set("etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
+      "stream_scd2",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",
       "stream_ohlc", "stream_sessions", "stream_user_state")

@@ -203,6 +203,57 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_scd2's incremental history equals the one-shot batch SCD2") {
+    val streamed = StreamOps.streamScd2(spark, sf).collect()
+    val batch = graft.operators.Etl.etlScd2(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    // the history must really be type-2: multi-version keys exist,
+    // every key has exactly one open (is_current=1, eff_to_ver null)
+    // row, and closed intervals chain eff_to_ver -> next eff_from_ver
+    val byKey = streamed.groupBy(_.getLong(0))
+    assert(byKey.values.exists(_.length == 3), "no 3-version key")
+    byKey.foreach { case (k, rs) =>
+      val open = rs.filter(r => r.getInt(3) == 1)
+      assert(open.length == 1 && open.head.isNullAt(2),
+        s"key $k must have exactly one open interval")
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getInt(2) == b.getInt(1),
+            s"key $k: interval chain broken at ver ${a.getInt(1)}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
+    import org.apache.spark.sql.functions.lit
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast("int").as("eff_to_ver"), lit(1).as("is_current"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val w1 = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey"), lit(1).as("ver"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+    val w2 = Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 5 === 1)
+      .select(col("c_custkey"), lit(2).as("ver"),
+        (col("c_acctbal") + when(col("c_custkey") % 10 === 1, 350.0)
+          .otherwise(250.0)).as("c_acctbal"),
+        lit("MACHINERY").as("c_mktsegment"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val once = StreamOps.scd2Merge(StreamOps.scd2Merge(base, w1), w2)
+    // replaying an applied wave (checkpoint recovery) is a no-op
+    assert(rows(StreamOps.scd2Merge(once, w1)) == rows(once))
+    // waves applied in REVERSE order converge to the same history:
+    // versions, not arrival, decide the intervals
+    val swapped = StreamOps.scd2Merge(StreamOps.scd2Merge(base, w2), w1)
+    assert(rows(swapped) == rows(once))
+  }
+
   test("stream_join (stream-stream interval join) equals its batch twin") {
     val streamed = StreamOps.streamJoin(spark, sf).collect()
     val batch = StreamOps.batchJoin(spark, sf).collect()
