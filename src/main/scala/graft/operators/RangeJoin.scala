@@ -28,8 +28,15 @@ object RangeJoin {
     val binned = ranges.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth),
         floor(col(hiCol) / binWidth))))
-    points.withColumn("__bin", floor(col(ptCol) / binWidth))
-      .join(binned, Seq("__bin"))
+    // both sides are corpus-sized at deploy (points = the fact
+    // stream, ranges = the validity windows): pin the bin-keyed
+    // shuffle join — without the hint Spark broadcast the POINTS
+    // side at fixture scale (a driver-side hashed-relation build of
+    // the bigger table: the r8→r9 0.32→0.79 s drift, and a plan that
+    // dies outright at 100 TB)
+    binned.hint("shuffle_hash")
+      .join(points.withColumn("__bin", floor(col(ptCol) / binWidth)),
+        Seq("__bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }

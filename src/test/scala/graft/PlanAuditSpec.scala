@@ -590,7 +590,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_json_funcs" -> 2, "q_outer_join" -> 2, "q_percentile" -> 2,
     // latest_per_key/histogram: one agg-grain shuffle + ordered output
     "q_latest_per_key" -> 2, "q_histogram" -> 2,
-    "q_pivot" -> 3, "q_range_join" -> 2, "q_rollup" -> 2,
+    "q_pivot" -> 3,
+    // range_join: the bin-keyed shuffle join's two exchanges (pinned
+    // r9 — Spark had been broadcasting the fact side) + agg + output
+    "q_range_join" -> 5, "q_rollup" -> 2,
     "q_partition_prune" -> 2, "q_zorder_prune" -> 2,
     // mv_rewrite: the rewritten plan is a k-row MV scan + projection —
     // ZERO exchanges is the feature
