@@ -1024,50 +1024,116 @@ object TextOps {
     * the rewritten vocab is localCheckpoint'd per round — the
     * q_pagerank iterative discipline applied to tokenizer training.
     * Output is the K-row merge table: the trained model. */
-  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    var vocab = Tables.load(s, dir, "documents")
+  /** The learned merge list, cached per corpus fingerprint (a few
+    * dozen strings on the driver — the trained model, exactly like
+    * SimOps' centroidCache): text_bpe_apply must encode with the
+    * SAME rules text_bpe_train learned without re-paying the
+    * per-round argmax loop. */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+
+  /** Symbol-char representation of the distinct-word vocabulary:
+    * (w, "(a)(b)(c)", wc). */
+  private def bpeVocab0(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .select(explode(expr(
         "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(regexp_replace(col("w"), "(.)", "($1)").as("repr"),
+      .select(col("w"), regexp_replace(col("w"), "(.)", "($1)").as("repr"),
         col("wc"))
-      .localCheckpoint()
-    val merges =
-      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var r = 1
-    var exhausted = false
-    while (r <= bpeTrainRounds && !exhausted) {
-      val best = vocab
-        .select(expr("split(substring(repr, 2, length(repr) - 2)," +
-          " '\\\\)\\\\(')").as("ss"), col("wc"))
-        .filter(size(col("ss")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(ss) - 1), i -> named_struct(" +
-            "'a', element_at(ss, i), 'b', element_at(ss, i + 1)))"))
-          .as("p"), col("wc"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, a, b, c))
-        vocab = vocab
-          .withColumn("repr", expr(s"replace(repr, '($a)($b)', '($a$b)')"))
-          .localCheckpoint()
-        r += 1
-      }
-    }
-    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+
+  /** Run (or recall) the K-round training loop; returns the merge
+    * table. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent(
+      ScaleJoins.corpusTag(dir, Seq("documents")), _ => {
+        var vocab = bpeVocab0(s, dir).localCheckpoint()
+        val merges =
+          scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+        var r = 1
+        var exhausted = false
+        while (r <= bpeTrainRounds && !exhausted) {
+          val best = vocab
+            .select(expr("split(substring(repr, 2, length(repr) - 2)," +
+              " '\\\\)\\\\(')").as("ss"), col("wc"))
+            .filter(size(col("ss")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(ss) - 1), i -> named_struct(" +
+                "'a', element_at(ss, i), 'b', element_at(ss, i + 1)))"))
+              .as("p"), col("wc"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wc")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (a, b, c) =
+              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((r, a, b, c))
+            vocab = vocab
+              .withColumn("repr",
+                expr(s"replace(repr, '($a)($b)', '($a$b)')"))
+              .localCheckpoint()
+            r += 1
+          }
+        }
+        merges.toSeq
+      })
+
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF("step", "lhs", "rhs", "cnt")
       .select(col("step"), col("lhs"), col("rhs"), col("cnt"),
         concat(col("lhs"), col("rhs")).as("merged"))
       .orderBy("step")
   }
 
-  val textBpeTrainSql: String = {
+  /** BPE tokenizer APPLICATION — the encode step every training
+    * pipeline runs after text_bpe_train's loop: the learned merges
+    * apply IN ORDER to the vocabulary (one distributed pass of K
+    * successive replaces — the merge list is model-sized and rides
+    * in the expression, the production broadcast shape), then every
+    * document's token count is the sum of its words' symbol counts.
+    * Per doc: word count, letter count, BPE token count, and the
+    * tokens-per-kilochar compression integer — the fertility metric
+    * that decides tokenizer budgets.
+    *
+    * Scale shape: the K replaces run over the VOCABULARY (BPE's own
+    * trick, one pass, no per-round argmax — training already paid
+    * that and the cached merge list is the model); the corpus joins
+    * its exploded words to the token-count lookup shuffle-pinned
+    * (both word frames corpus-sized at 100 TB) and collapses to doc
+    * grain in the same aggregate. */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir)
+    // fold the K merges into one nested replace expression over repr
+    val tokExpr = merges.foldLeft("repr") { case (e, (_, a, b, _)) =>
+      s"replace($e, '($a)($b)', '($a$b)')"
+    }
+    // splitting the full "(a)(ab)" render on ")(" yields exactly one
+    // piece per symbol — the merge chain is referenced ONCE
+    val tok = bpeVocab0(s, dir)
+      .select(col("w"), expr(
+        s"size(split($tokExpr, '\\\\)\\\\('))").cast("long").as("n_tok"),
+        length(col("w")).cast("long").as("n_chr"))
+    val words = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    words.join(tok.hint("shuffle_hash"), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_letters"))
+      .withColumn("tokens_per_kchar",
+        expr("cast((n_tokens * 1000) div n_letters as bigint)"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled K-round training replay as a CTE prefix (vocab v0
+    * through v<K> with the argmax b1..bK), shared by the train and
+    * apply oracles so the learned rules can never drift between
+    * them. */
+  private val bpeTrainCtePrefix: String = {
     val rounds = (1 to bpeTrainRounds).map { r =>
       s"""p$r AS (
          |  SELECT s.ss[z.i] AS a, s.ss[z.i + 1] AS b, SUM(s.wc) AS cnt
@@ -1078,25 +1144,47 @@ object TextOps {
          |b$r AS (SELECT a, b, cnt FROM p$r
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |v$r AS (
-         |  SELECT replace(v.repr, '(' || b.a || ')(' || b.b || ')',
+         |  SELECT v.w, replace(v.repr, '(' || b.a || ')(' || b.b || ')',
          |      '(' || b.a || b.b || ')') AS repr, v.wc
          |  FROM v${r - 1} v, b$r b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to bpeTrainRounds).map(r =>
-      s"SELECT $r AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt," +
-        s" a || b AS merged FROM b$r").mkString("\nUNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT t.x AS w, COUNT(*) AS wc
        |  FROM documents,
        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(x)
        |  GROUP BY 1),
        |v0 AS (
-       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, wc
+       |  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, wc
        |  FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val textBpeTrainSql: String = {
+    val out = (1 to bpeTrainRounds).map(r =>
+      s"SELECT $r AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt," +
+        s" a || b AS merged FROM b$r").mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainCtePrefix
        |$out
        |ORDER BY step""".stripMargin
   }
+
+  val textBpeApplySql: String =
+    s"""WITH $bpeTrainCtePrefix,
+       |tk AS (
+       |  SELECT w, len(string_split(repr, ')(')) AS n_tok,
+       |    length(w) AS n_chr
+       |  FROM v$bpeTrainRounds),
+       |d AS (
+       |  SELECT doc_id, t.x AS w
+       |  FROM documents,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(x))
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chr) AS BIGINT) AS n_letters,
+       |  CAST(SUM(n_tok) * 1000 // SUM(n_chr) AS BIGINT)
+       |    AS tokens_per_kchar
+       |FROM d JOIN tk USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Readability scoring — the document-difficulty feature
     * (Gunning-Fog / Flesch family) quality pipelines use to route
@@ -1579,6 +1667,7 @@ object TextOps {
     "text_readability" -> (textReadability _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
     "text_dup_spans" -> (textDupSpans _),
     "text_collocations" -> (textCollocations _),
     "text_ngram_lm" -> (textNgramLm _),
@@ -1608,6 +1697,7 @@ object TextOps {
     "text_concordance" -> textConcordanceSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_apply" -> textBpeApplySql,
     "text_collocations" -> textCollocationsSql,
     "text_ngram_lm" -> textNgramLmSql,
     "text_vocab_oov" -> textVocabOovSql,

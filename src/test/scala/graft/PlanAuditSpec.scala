@@ -685,6 +685,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (a local relation) + its ordered output; the training rounds
     // run as separate vocabulary-sized jobs before the plan exists
     "text_bpe_train" -> 1,
+    // bpe_apply: the word-keyed vocab join's two exchanges + the
+    // doc-grain aggregate + ordered output; the K merge replaces run
+    // inside the vocab-side projection, no extra pass
+    "text_bpe_apply" -> 5,
     "text_chunk" -> 1,
     "text_domain_mix" -> 1, "text_fingerprint" -> 0, "text_langid" -> 0,
     "text_normalize" -> 0,

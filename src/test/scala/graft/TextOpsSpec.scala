@@ -479,6 +479,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.forall(_._4 > 0))
   }
 
+  test("text_bpe_apply equals a pure-Scala encode with the trained merges") {
+    val got = TextOps.textBpeApply(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val merges = TextOps.textBpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var ss = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        ss = out.result()
+      }
+      ss.length
+    }
+    val wordRe = "[a-z]+".r
+    val want = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = wordRe.findAllIn(r.getString(1).toLowerCase).toSeq
+        val nTok = ws.map(encode(_).toLong).sum
+        val nChr = ws.map(_.length.toLong).sum
+        r.getLong(0) -> ((ws.size.toLong, nTok, nChr, nTok * 1000 / nChr))
+      }.toMap
+    assert(got == want, "encode diverged from the merge-order replay")
+    // non-vacuity: the merges must actually compress — every doc in
+    // this word-salad fixture contains at least one learned pair
+    assert(got.values.forall { case (_, t, c, _) => t < c },
+      "no compression anywhere — the merge rules never fired")
+  }
+
   test("text_lang_confusion reconciles with per-doc predictions") {
     val cells = TextOps.textLangConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
