@@ -1202,6 +1202,88 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Matryoshka prefix width: retrieval re-ranked with only the
+    * first 16 of 64 dimensions. */
+  val matryoshkaDim = 16
+
+  /** Matryoshka-representation retrieval eval (Kusupati et al. 2022,
+    * arXiv 2205.13147) — the question every MRL deployment asks
+    * before cutting serving cost 4×: how much of exact full-dim
+    * top-k does the PREFIX of the embedding recover? Per query: the
+    * overlap between the exact 64-dim top-k and the exact top-k
+    * ranked by the first 16 dims only, as integer recall ppm. On
+    * random fixture vectors the prefix carries ~1/4 of the signal,
+    * so recall lands strictly between floor and ceiling — the spec
+    * pins both bounds so a slice/indexing bug (off-by-one, wrong
+    * axis) that collapses recall to 0 or inflates it to 1 fails
+    * loud.
+    *
+    * Scale shape: two brute-force rankings through the bounded-heap
+    * TopKPerKey operator (queries broadcast, corpus streams once per
+    * ranking, nothing corpus-sized sorts or shuffles); the overlap
+    * join runs on the O(queries·k) winner frames. Output is pure
+    * integers — cosines only gate the rankings. */
+  def embedMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    def topkOf(cc: DataFrame): DataFrame = {
+      val q = cc.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val scored = cc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+            .as("cosine"))
+      graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+        Seq(col("cosine").desc, col("vec_id")), topK)
+    }
+    val pre = corpus(s, dir)
+      .select(col("vec_id"), expr(s"slice(v, 1, $matryoshkaDim)").as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dotD(col("v"), col("v"))).as("nrm"))
+    val full = topkOf(corpus(s, dir)).select(col("q_id"), col("vec_id"))
+    val prefix = topkOf(pre)
+      .select(col("q_id").as("pq"), col("vec_id").as("pv"))
+    full.join(prefix,
+        col("q_id") === col("pq") && col("vec_id") === col("pv"), "left")
+      .groupBy("q_id")
+      .agg(count(col("pv")).as("n_common"))
+      .withColumn("recall_ppm",
+        expr(s"cast((n_common * 1000000) div $topK as bigint)"))
+      .orderBy("q_id")
+  }
+
+  val embedMatryoshkaSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cp AS (
+       |  SELECT vec_id, v[1:$matryoshkaDim] AS v,
+       |    sqrt(list_dot_product(v[1:$matryoshkaDim], v[1:$matryoshkaDim])) AS nrm
+       |  FROM c),
+       |qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c
+       |  WHERE vec_id < $nQueries),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM cp
+       |  WHERE vec_id < $nQueries),
+       |fr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, vec_id) AS rank
+       |    FROM c CROSS JOIN qf q WHERE c.vec_id <> q.q_id)
+       |  WHERE rank <= $topK),
+       |pr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY list_dot_product(cp.v, q.qv) / (cp.nrm * q.qnrm) DESC, vec_id) AS rank
+       |    FROM cp CROSS JOIN qp q WHERE cp.vec_id <> q.q_id)
+       |  WHERE rank <= $topK)
+       |SELECT f.q_id, COUNT(p.vec_id) AS n_common,
+       |  CAST(COUNT(p.vec_id) * 1000000 // $topK AS BIGINT)
+       |    AS recall_ppm
+       |FROM fr f LEFT JOIN pr p ON f.q_id = p.q_id AND f.vec_id = p.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Near-dup cosine floor for sim_semdedup — the dedup family's 0.9
     * (planted exact copies sit at 1.0, the perturbed copies ≥0.9,
     * the fixture's natural pair max is ~0.51: clean margin both
@@ -1274,6 +1356,7 @@ object SimOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_semdedup" -> (simSemdedup _),
+    "embed_matryoshka" -> (embedMatryoshka _),
     "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_recall" -> (simRecall _),
@@ -1291,6 +1374,7 @@ object SimOps {
 
   val oracles: Map[String, String] = Map(
     "sim_semdedup" -> simSemdedupSql,
+    "embed_matryoshka" -> embedMatryoshkaSql,
     "sim_maxsim" -> simMaxsimSql,
     "sim_recall" -> simRecallSql,
     "sim_cosine_topk" -> simCosineTopkSql,

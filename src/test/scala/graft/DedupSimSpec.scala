@@ -639,6 +639,43 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r.getLong(6) >= 900000L)
   }
 
+  test("embed_matryoshka equals a driver replay of both rankings") {
+    val got = SimOps.embedMatryoshka(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vecs = Tables.load(spark, sf, "embeddings").collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.sortBy(_._1)
+    def topkWith(dim: Int): Map[Long, Seq[Long]] = {
+      val cut = vecs.map { case (id, v) => (id, v.take(dim)) }
+      val nrm = cut.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+      cut.filter(_._1 < SimOps.nQueries).map { case (qid, qv) =>
+        qid -> cut.filter(_._1 != qid)
+          .map { case (id, v) =>
+            (id, dot(v, qv) / (nrm(id) * nrm(qid))) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(SimOps.topK).map(_._1).toSeq
+      }.toMap
+    }
+    val full = topkWith(64)
+    val pre = topkWith(SimOps.matryoshkaDim)
+    val want = full.map { case (q, ids) =>
+      val n = ids.count(pre(q).toSet).toLong
+      q -> ((n, n * 1000000L / SimOps.topK))
+    }
+    assert(got == want, "overlap diverged from the replay")
+    // the prefix must carry SOME signal but not all of it — a slice
+    // bug collapsing recall to 0 or copying the full ranking to 1.0
+    // both fail here
+    val total = got.values.map(_._1).sum
+    assert(total > 0, "prefix ranking recovered nothing")
+    assert(total < SimOps.nQueries.toLong * SimOps.topK,
+      "prefix ranking identical to full — slice not applied")
+  }
+
   test("sim_semdedup equals the cell-local replay; no cross-cell pair exists") {
     val df = SimOps.simSemdedup(spark, sf)
     val got = df.collect().map(r => (r.getLong(0),

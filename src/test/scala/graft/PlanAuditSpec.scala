@@ -606,6 +606,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the centroid-keyed cell self-join (2), the prune aggregate, the
     // id-keyed join back (2) and ordered output
     "sim_semdedup" -> 7,
+    // matryoshka: two TopKPerKey winner shuffles (one per ranking) +
+    // the O(queries·k) overlap join/agg + ordered output — the corpus
+    // itself streams map-side through both rankings
+    "embed_matryoshka" -> 7,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     // q21: flagged frame pinned pre-plan; the participation distinct
     // + orderkey-keyed semi (2) + flagged distinct + anti (2) + the
@@ -745,6 +749,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnlAllowed =
     Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk", "sim_maxsim",
       "sim_mips_topk",
+      // matryoshka runs sim_cosine_topk's exhaustive contract twice
+      // (full-dim and prefix-dim): the broadcast-queries =!= join IS
+      // the brute-force scan, corpus streaming map-side
+      "embed_matryoshka",
       "etl_cdc_upsert", "text_tfidf",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
