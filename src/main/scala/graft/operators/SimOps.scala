@@ -1202,6 +1202,70 @@ object SimOps {
        |WHERE rank <= $topK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Radius floor for sim_range_search (fixture-calibrated: ~43
+    * full-corpus matches for the 10 queries, so the probed subset
+    * stays non-empty without saturating). */
+  val rangeTau = 0.3
+
+  /** IVF RADIUS search — the other retrieval mode every vector store
+    * ships beside top-k (find ALL sufficiently-similar items:
+    * near-dup candidates for one document, recall sets for
+    * evaluation, "more like this" feeds with a quality floor rather
+    * than a count): every corpus vector within cosine ≥ τ of each
+    * query, scanned through the SAME published-centroid probe
+    * machinery as sim_ivf_topk (nProbe cells per query), exact
+    * cosine on probed cells only. Unlike top-k, result size is
+    * data-dependent — which is exactly why the radius form needs the
+    * IVF bound: an unprobed brute-force radius scan is the full
+    * cross product at 100 TB.
+    *
+    * Scale shape: probe selection ranks nQueries×k rows (bounded);
+    * the bucket scan joins probes to the assigned corpus by centroid
+    * (probes broadcast — O(queries·nProbe) rows); matches stream out
+    * with no top-k heap at all (the threshold IS the cut, no sort
+    * until the model-sized ordered output). */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val cents = publishedCentroids(s, dir)
+    val c = corpus(s, dir)
+    val assigned = assignTo(c, cents)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents.toDF(s)))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id"),
+        (dotD(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("c_id").as("centroid"))
+    assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= rangeTau)
+      .orderBy("q_id", "vec_id")
+  }
+
+  val simRangeSearchSql: String =
+    s"""WITH ${ivfAssignSql(publishedCentsCte)},
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c
+       |  WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qnrm, centroid FROM (
+       |    SELECT q.q_id, q.qv, q.qnrm, ct.c_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qv, ct.cv) / (q.qnrm * ct.cnrm) DESC, ct.c_id) AS rn
+       |    FROM q CROSS JOIN cents ct) WHERE rn <= $nProbe)
+       |SELECT p.q_id, a.vec_id,
+       |  list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) AS cosine
+       |FROM assigned a JOIN probes p USING (centroid)
+       |WHERE a.vec_id <> p.q_id
+       |  AND list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) >= $rangeTau
+       |ORDER BY q_id, vec_id""".stripMargin
+
   /** Matryoshka prefix width: retrieval re-ranked with only the
     * first 16 of 64 dimensions. */
   val matryoshkaDim = 16
@@ -1357,6 +1421,7 @@ object SimOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_semdedup" -> (simSemdedup _),
     "embed_matryoshka" -> (embedMatryoshka _),
+    "sim_range_search" -> (simRangeSearch _),
     "sim_maxsim" -> (simMaxsim _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_recall" -> (simRecall _),
@@ -1375,6 +1440,7 @@ object SimOps {
   val oracles: Map[String, String] = Map(
     "sim_semdedup" -> simSemdedupSql,
     "embed_matryoshka" -> embedMatryoshkaSql,
+    "sim_range_search" -> simRangeSearchSql,
     "sim_maxsim" -> simMaxsimSql,
     "sim_recall" -> simRecallSql,
     "sim_cosine_topk" -> simCosineTopkSql,

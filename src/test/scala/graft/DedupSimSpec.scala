@@ -639,6 +639,41 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r.getLong(6) >= 900000L)
   }
 
+  test("sim_range_search equals the probed-radius replay; radius is the cut") {
+    val got = SimOps.simRangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = SimOps.publishedCentroids(spark, sf)
+    val vecs = Tables.load(spark, sf, "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), v, math.sqrt(dot(v, v)))
+    }
+    def centRank(v: Array[Double], nrm: Double): Seq[Int] =
+      cents.ids.indices.sortBy(i =>
+        (-(dot(v, cents.vecs(i)) / (nrm * cents.nrms(i))), cents.ids(i)))
+        .map(cents.ids)
+    val cellOf = vecs.map { case (id, v, n) => id -> centRank(v, n).head }.toMap
+    val want = vecs.filter(_._1 < SimOps.nQueries).flatMap {
+      case (qid, qv, qn) =>
+        val probed = centRank(qv, qn).take(SimOps.nProbe).toSet
+        vecs.filter { case (id, v, n) =>
+          id != qid && probed(cellOf(id)) &&
+            dot(v, qv) / (n * qn) >= SimOps.rangeTau
+        }.map { case (id, v, n) => (qid, id, dot(v, qv) / (n * qn)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "radius search found nothing — tau too high")
+    // result size is data-dependent and unbounded by k: at least one
+    // query must return MORE than topK matches or the radius
+    // semantics are indistinguishable from top-k on this fixture
+    val byQ = got.groupBy(_._1)
+    assert(byQ.values.exists(_.length > SimOps.topK),
+      "no query exceeded k matches — fixture cannot distinguish radius from top-k")
+  }
+
   test("embed_matryoshka equals a driver replay of both rankings") {
     val got = SimOps.embedMatryoshka(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -610,6 +610,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the O(queries·k) overlap join/agg + ordered output — the corpus
     // itself streams map-side through both rankings
     "embed_matryoshka" -> 7,
+    // range_search: sim_ivf_topk's probe machinery minus the top-k
+    // heap — probe-rank window + ordered output; matches stream out
+    // against the broadcast probe frame
+    "sim_range_search" -> 3,
     "q_scalar_subquery" -> 2, "q_semi_anti" -> 2, "q_session_window" -> 2,
     // q21: flagged frame pinned pre-plan; the participation distinct
     // + orderkey-keyed semi (2) + flagged distinct + anti (2) + the
@@ -749,6 +753,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnlAllowed =
     Set("sim_cosine_topk", "sim_ivf_topk", "sim_ivf0_topk", "sim_maxsim",
       "sim_mips_topk",
+      // range_search shares sim_ivf_topk's probe-selection cross of
+      // the model-sized centroid frame
+      "sim_range_search",
       // matryoshka runs sim_cosine_topk's exhaustive contract twice
       // (full-dim and prefix-dim): the broadcast-queries =!= join IS
       // the brute-force scan, corpus streaming map-side
