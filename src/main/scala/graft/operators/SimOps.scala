@@ -1418,7 +1418,130 @@ object SimOps {
        |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.b_id
        |ORDER BY s.vec_id""".stripMargin
 
+  /** MMR shortlist size and selection count. λ is fixed at 1/2
+    * (relevance and redundancy weighted equally — the published
+    * default); the `0.5 *` factors are spelled identically in both
+    * engines so the greedy argmax compares bit-identical doubles. */
+  val mmrShortlist = 20
+  val mmrK = 5
+
+  /** Maximal-Marginal-Relevance reranking (Carbonell & Goldstein
+    * 1998) — the diversity pass every retrieval stack runs between
+    * ANN and the context window: from each query's top-$mmrShortlist
+    * shortlist, greedily pick $mmrK items maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), so near-duplicate
+    * hits don't crowd out coverage (RAG context assembly, search
+    * result diversification, eval-set curation).
+    *
+    * Scale shape: candidate generation is the expensive half and
+    * reuses the bounded-heap TopKPerKey scan (corpus streams once,
+    * never sorts); everything after operates on O(queries·m) winner
+    * frames and their O(queries·m²) pairwise-cosine table — model-
+    * sized at any corpus scale, exactly how production MMR runs
+    * (rerank the shortlist, never the corpus). The k−1 greedy rounds
+    * are unrolled joins over those bounded frames (the text_bpe_train
+    * iterative discipline), each round localCheckpoint'd so lineage
+    * stays flat. Ties break on vec_id; all cosine trees are the
+    * mirrored IEEE form, so the argmax is bit-deterministic. */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("rel"))
+    val candV = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("rel").desc, col("vec_id")), mmrShortlist).localCheckpoint()
+    val cand = candV.select("q_id", "vec_id", "rel")
+    val pairs = candV
+      .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+      .join(candV.select(col("q_id"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bnrm")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        (dotD(col("av"), col("bv")) / (col("anrm") * col("bnrm"))).as("pc"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    var selected = cand
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("q_id"), lit(1).as("rnd"), col("vec_id"), col("rel"),
+        lit(null).cast("double").as("red"))
+      .localCheckpoint()
+    for (t <- 2 to mmrK) {
+      val selKeys = selected.select(col("q_id"), col("vec_id"))
+      val remaining = cand.join(selKeys, Seq("q_id", "vec_id"), "left_anti")
+      // redundancy of each candidate vs the picked set: max pairwise
+      // cosine (every candidate pairs with every picked item, so the
+      // join is total over `remaining`)
+      val red = pairs
+        .join(selKeys.withColumnRenamed("vec_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("pc")).as("red"))
+        .withColumnRenamed("a_id", "vec_id")
+      val wt = Window.partitionBy(col("q_id"))
+        .orderBy((lit(0.5) * col("rel") - lit(0.5) * col("red")).desc,
+          col("vec_id"))
+      val selT = remaining.join(red, Seq("q_id", "vec_id"))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
+        .select(col("q_id"), lit(t).as("rnd"), col("vec_id"), col("rel"),
+          col("red"))
+      selected = selected.unionByName(selT).localCheckpoint()
+    }
+    selected.orderBy("q_id", "rnd")
+  }
+
+  val simMmrRerankSql: String = {
+    val base =
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT q_id, vec_id, rel FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |      list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, c.vec_id) AS rn
+         |    FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+         |  WHERE rn <= $mmrShortlist),
+         |pairs AS (
+         |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_dot_product(av.v, bv.v) / (av.nrm * bv.nrm) AS pc
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |  JOIN c av ON av.vec_id = a.vec_id
+         |  JOIN c bv ON bv.vec_id = b.vec_id),
+         |sel1 AS (
+         |  SELECT q_id, 1 AS rnd, vec_id, rel, CAST(NULL AS DOUBLE) AS red FROM (
+         |    SELECT q_id, vec_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to mmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT q_id, vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$t AS (
+         |  SELECT q_id, $t AS rnd, vec_id, rel, red FROM (
+         |    SELECT r.q_id, r.vec_id, r.rel, rd.red,
+         |      ROW_NUMBER() OVER (PARTITION BY r.q_id
+         |        ORDER BY 0.5 * r.rel - 0.5 * rd.red DESC, r.vec_id) AS rn
+         |    FROM cand r
+         |    JOIN (SELECT p.q_id, p.a_id, MAX(p.pc) AS red FROM pairs p
+         |          JOIN ($prev) s ON p.q_id = s.q_id AND p.b_id = s.vec_id
+         |          GROUP BY p.q_id, p.a_id) rd
+         |      ON rd.q_id = r.q_id AND rd.a_id = r.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+         |      WHERE s2.q_id = r.q_id AND s2.vec_id = r.vec_id))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val union = (1 to mmrK).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    (base +: rounds).mkString(",\n") + s"\n$union ORDER BY q_id, rnd"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_semdedup" -> (simSemdedup _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "sim_range_search" -> (simRangeSearch _),
@@ -1438,6 +1561,7 @@ object SimOps {
     "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr_rerank" -> simMmrRerankSql,
     "sim_semdedup" -> simSemdedupSql,
     "embed_matryoshka" -> embedMatryoshkaSql,
     "sim_range_search" -> simRangeSearchSql,

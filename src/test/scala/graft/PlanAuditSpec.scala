@@ -59,6 +59,10 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val shuffleBudget: Map[String, Int] = Map(
     "dedup_clusters" -> 1,
+    // mmr_rerank: the greedy rounds run eagerly over localCheckpoint'd
+    // O(queries·m) frames (the dedup_clusters pattern); the audited
+    // plan is the checkpointed selection + ordered output
+    "sim_mmr_rerank" -> 1,
     // cluster_stats: the two aggs over the checkpoint-pinned
     // assignment frame + ordered output
     "dedup_cluster_stats" -> 5,
