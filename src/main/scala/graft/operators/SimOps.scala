@@ -1540,7 +1540,119 @@ object SimOps {
     (base +: rounds).mkString(",\n") + s"\n$union ORDER BY q_id, rnd"
   }
 
+  /** Hybrid-retrieval shortlist depth, fused cut, and the RRF
+    * damping constant (60 — the value from Cormack/Clarke/Buettcher
+    * 2009 that every production fusion ships). */
+  val hybridM = 20
+  val hybridK = 10
+  val rrfK0 = 60
+
+  /** Hybrid lexical+vector retrieval with Reciprocal-Rank Fusion
+    * (Cormack et al. 2009) — the retrieval shape RAG stacks actually
+    * deploy: BM25-family lexical candidates and ANN vector candidates
+    * fused by 1/(k₀+rank), so exact-term matches and semantic matches
+    * both surface without score-scale calibration. Lexical score is
+    * the term-frequency histogram intersection Σ_w min(tf_q, tf_d);
+    * vector score is exact cosine; each side ranks its own top-m and
+    * fusion is PURE INTEGER arithmetic — rank-contribution
+    * 1000000 div (k₀+rank) with both engines' truncating integer
+    * division, so the fused order is exact, no float anywhere.
+    * documents.doc_id ≡ embeddings.vec_id (the doc's embedding).
+    *
+    * Scale shape: the lexical side is an inverted-index join — tf
+    * tables shuffle on the TOKEN key (the posting-list layout),
+    * query tf broadcast (O(queries·doclen)); the vector side is the
+    * sim_cosine_topk broadcast scan; BOTH sides cut to m per query
+    * through bounded-heap TopKPerKey before anything sorts, and
+    * fusion runs on O(queries·m) frames. At 100 TB each side is the
+    * already-audited retrieval plan; fusion cost never grows. */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs.select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')"))
+          .as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val qtf = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("w"), col("tf").as("qtf"))
+    val lexScored = tf.join(broadcast(qtf), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(least(col("tf"), col("qtf"))).as("lscore"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("lscore").desc, col("doc_id"))
+    val lex = graft.plans.TopKPerKey.topK(lexScored, Seq("q_id"),
+        Seq(col("lscore").desc, col("doc_id")), hybridM)
+      .withColumn("lex_rank", row_number().over(wl))
+      .select("q_id", "doc_id", "lex_rank")
+    val c = corpus(s, dir)
+    val qv = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val vecScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vec = graft.plans.TopKPerKey.topK(vecScored, Seq("q_id"),
+        Seq(col("cosine").desc, col("doc_id")), hybridM)
+      .withColumn("vec_rank", row_number().over(wv))
+      .select("q_id", "doc_id", "vec_rank")
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"CAST(coalesce(1000000 div ($rrfK0 + lex_rank), 0)" +
+          s" + coalesce(1000000 div ($rrfK0 + vec_rank), 0) AS BIGINT)"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= hybridK)
+      .select("q_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val simHybridRrfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |        x -> x <> '')) AS w
+       |    FROM documents) GROUP BY doc_id, w),
+       |lexs AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id,
+       |    CAST(SUM(LEAST(q.tf, d.tf)) AS BIGINT) AS lscore
+       |  FROM tf q JOIN tf d ON q.w = d.w AND d.doc_id <> q.doc_id
+       |  WHERE q.doc_id < $nQueries GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY lscore DESC, doc_id) AS INT) AS lex_rank
+       |    FROM lexs) WHERE lex_rank <= $hybridM),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT q.q_id, c.vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, c.vec_id) AS INT) AS vec_rank
+       |    FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id) WHERE vec_rank <= $hybridM),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    CAST(COALESCE(1000000 // ($rrfK0 + l.lex_rank), 0)
+       |      + COALESCE(1000000 // ($rrfK0 + v.vec_rank), 0) AS BIGINT) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |    doc_id, rrf, lex_rank, vec_rank
+       |  FROM fused) WHERE rank <= $hybridK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_semdedup" -> (simSemdedup _),
     "embed_matryoshka" -> (embedMatryoshka _),
@@ -1561,6 +1673,7 @@ object SimOps {
     "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
+    "sim_hybrid_rrf" -> simHybridRrfSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
     "sim_semdedup" -> simSemdedupSql,
     "embed_matryoshka" -> embedMatryoshkaSql,

@@ -816,4 +816,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.toSeq != relOrder.toSeq,
       "MMR output equals pure relevance order — redundancy never traded off")
   }
+
+  test("sim_hybrid_rrf fuses two real lists with exact integer scores") {
+    val rows = SimOps.simHybridRrf(spark, sf).collect()
+    assert(rows.length == SimOps.nQueries * SimOps.hybridK)
+    // integer RRF reconstruction: the published score must equal the
+    // contribution formula applied to the published ranks
+    rows.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val vec = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+      val want = lex.map(x => 1000000L / (SimOps.rrfK0 + x)).getOrElse(0L) +
+        vec.map(x => 1000000L / (SimOps.rrfK0 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf") == want, s"RRF score drifted: $r")
+      assert(lex.nonEmpty || vec.nonEmpty, s"fused row from neither list: $r")
+    }
+    // fusion must be non-trivial on the fixture: some winners carry
+    // BOTH ranks (the lists agree somewhere) and some exactly one
+    // (each modality surfaces candidates the other missed) — if
+    // either side collapses the key degenerates to a single ranking
+    val both = rows.count(r => r.getAs[Integer]("lex_rank") != null &&
+      r.getAs[Integer]("vec_rank") != null)
+    val single = rows.count(r => r.getAs[Integer]("lex_rank") == null ||
+      r.getAs[Integer]("vec_rank") == null)
+    assert(both > 0, "no winner appears in both lists — fusion vacuous")
+    assert(single > 0,
+      "every winner appears in both lists — modalities indistinguishable")
+    // per query the fused order is rrf desc, doc_id asc
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { qr =>
+      val sorted = qr.sortBy(_.getAs[Int]("rank"))
+      val pairs = sorted.map(r => (-r.getAs[Long]("rrf"), r.getAs[Long]("doc_id")))
+      assert(pairs.sameElements(pairs.sorted), "fused order violates RRF sort")
+    }
+  }
 }

@@ -63,6 +63,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // O(queries·m) frames (the dedup_clusters pattern); the audited
     // plan is the checkpointed selection + ordered output
     "sim_mmr_rerank" -> 1,
+    // hybrid_rrf: tf posting-list agg (reused by query+corpus sides),
+    // lexical (q,doc) agg, two TopKPerKey family exchanges + their
+    // rank windows, the (q_id, doc_id) fusion join, fused-rank
+    // window + ordered output — every exchange on token-key or
+    // O(queries·m) frames
+    "sim_hybrid_rrf" -> 9,
     // cluster_stats: the two aggs over the checkpoint-pinned
     // assignment frame + ordered output
     "dedup_cluster_stats" -> 5,
@@ -764,6 +770,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // (full-dim and prefix-dim): the broadcast-queries =!= join IS
       // the brute-force scan, corpus streaming map-side
       "embed_matryoshka",
+      // hybrid_rrf's vector side is sim_cosine_topk's broadcast
+      // =!= scan (the lexical side joins on the token key, hash)
+      "sim_hybrid_rrf",
       "etl_cdc_upsert", "text_tfidf",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
