@@ -1212,7 +1212,92 @@ object StreamOps {
       spark.table(name).orderBy("event_type", "bar_id"))
   }
 
+  /** Streaming volume-anomaly flags — the live ops-dashboard loop
+    * (error-rate spike, traffic drop, abuse burst): day-grain counts
+    * per event type maintained by an actual watermarked streaming
+    * aggregation; each drained day is then flagged against its type's
+    * own day-count distribution with an EXACT INTEGER 2σ test —
+    * (n·c − S)² > 4·(n·Q − S²), the z²>4 inequality cleared of
+    * division and square root, so the flag is bit-deterministic in
+    * both engines with no float anywhere (the q_welch_ttest
+    * discipline applied to monitoring).
+    *
+    * Scale shape: the streaming agg keeps one count per open
+    * (type, day) window — O(types·days of lateness) state, never
+    * O(stream); scoring runs on the drained day-grain frame
+    * (types×days rows — model-sized at any event volume), where the
+    * per-row DECIMAL(38,0) squares cost nothing. At 100 TB/day the
+    * same query shape holds: state is still one long per window. */
+  def streamAnomaly(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    val name = s"stream_anomaly_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runAvailableNow(agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    val counts = collectAndDrop(spark, name,
+      spark.table(name).select(col("event_type"),
+        to_date(col("w.start")).as("day"), col("n_events")))
+    // scoring over the drained day-grain frame: per-type moments then
+    // the division-free z² inequality (products in DECIMAL(38,0) so
+    // nothing wraps at any scale factor; n·c and S stay long-safe)
+    val stats = counts.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+      sum(expr("n_events * n_events")).as("q"))
+    counts.join(stats, Seq("event_type"))
+      .withColumn("is_anomaly", expr(
+        "CAST(n * n_events - s AS DECIMAL(38,0))" +
+          " * CAST(n * n_events - s AS DECIMAL(38,0))" +
+          " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
+          " - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select("event_type", "day", "n_events", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  /** Batch twin of stream_anomaly (same counts, same integer z² flag
+    * over a static read) for the parity spec. */
+  def batchAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+      sum(expr("n_events * n_events")).as("q"))
+    counts.join(stats, Seq("event_type"))
+      .withColumn("is_anomaly", expr(
+        "CAST(n * n_events - s AS DECIMAL(38,0))" +
+          " * CAST(n * n_events - s AS DECIMAL(38,0))" +
+          " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
+          " - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select("event_type", "day", "n_events", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  val streamAnomalySql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(n_events) AS BIGINT) AS sm,
+      |    CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS q
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, d.day, d.n_events,
+      |  (CAST(s.n AS HUGEINT) * d.n_events - s.sm)
+      |    * (CAST(s.n AS HUGEINT) * d.n_events - s.sm)
+      |    > 4 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.sm AS HUGEINT) * s.sm)
+      |    AS is_anomaly
+      |FROM d JOIN s USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_ohlc" -> (streamOhlc _),
     "stream_late_data" -> (streamLateData _),
     "stream_bitmap_distinct" -> (streamBitmapDistinct _),
@@ -1229,6 +1314,7 @@ object StreamOps {
     "stream_scd2" -> (streamScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "stream_anomaly" -> streamAnomalySql,
     // stream/batch parity: the batch key's SQL covers the stream twin
     "stream_ohlc" -> graft.operators.Relational.qOhlcBarsSql,
     "stream_late_data" -> streamLateDataSql,

@@ -687,6 +687,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // cdc_apply merges inside foreachBatch micro-batch jobs; the
     // returned frame is the drained O(keys) local relation
     "stream_cdc_apply" -> 0, "stream_scd2" -> 0, "stream_ohlc" -> 0,
+    // anomaly: drained day-grain local relation -> moments agg + flag
+    // join + ordered output, all on the types×days model frame
+    "stream_anomaly" -> 4,
     // heavy_hitters: merged shard sketches return as a local relation
     "stream_heavy_hitters" -> 0,
     // bitmap_distinct: popcount rollup over the drained word state

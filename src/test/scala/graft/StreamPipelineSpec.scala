@@ -203,6 +203,32 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_anomaly equals its batch twin and both flag classes exist") {
+    val streamed = StreamOps.streamAnomaly(spark, sf).collect()
+    val batch = StreamOps.batchAnomaly(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    // the 2σ cut must bite but not saturate on the fixture — a sign
+    // error in the division-free inequality would flip one class away
+    val flags = streamed.map(_.getAs[Boolean]("is_anomaly"))
+    assert(flags.contains(true), "no day flagged — threshold vacuous")
+    assert(flags.contains(false), "every day flagged — inequality inverted")
+    // integer replay of the z² test on one type, from raw day counts
+    val byType = streamed.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val cs = rs.map(_.getLong(2))
+      val n = cs.length.toLong
+      val sm = cs.sum
+      val q = cs.map(c => c * c).sum
+      rs.foreach { r =>
+        val lhs = BigInt(n * r.getLong(2) - sm).pow(2)
+        val rhs = 4 * (BigInt(n) * q - BigInt(sm) * sm)
+        assert(r.getAs[Boolean]("is_anomaly") == (lhs > rhs),
+          s"flag drifted from the integer replay: $r")
+      }
+    }
+  }
+
   test("stream_scd2's incremental history equals the one-shot batch SCD2") {
     val streamed = StreamOps.streamScd2(spark, sf).collect()
     val batch = graft.operators.Etl.etlScd2(spark, sf).collect()
