@@ -416,9 +416,118 @@ object ScaleJoins {
       |    AS max_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Selection-subsumption MV rewrite (plans/MvRewrite.scala r9):
+    * the query slices a 1996-1998 window BEFORE aggregating to the
+    * year grain — the everyday "this period, by sub-period"
+    * dashboard — and the rule answers it from the (year, month) MV
+    * because the predicate's only grouping-key subtree,
+    * `year(o_orderdate)`, maps onto the MV's `yr` output: the WHERE
+    * becomes `yr BETWEEN 1996 AND 1998` against the k-row summary
+    * and pushes into the MV's parquet scan (spec-asserted via
+    * PushedFilters), composing with the rollup re-aggregation in the
+    * same rewrite. At 100 TB the query reads a few hundred summary
+    * rows; without the filter path it would re-scan every order in
+    * the window. A predicate on any non-key column (the spec's
+    * o_orderpriority control) leaves residual base attributes after
+    * the mapping and runs untouched against the corpus. */
+  def qMvFilter(s: SparkSession, dir: String): DataFrame = {
+    ensureMonthMv(s, dir)
+    Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        max(expr(centsExpr)).as("max_cents"))
+      .orderBy("yr")
+  }
+
+  val qMvFilterSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders,
+      |  MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS max_cents
+      |FROM orders
+      |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The incremental-maintenance cutoff — deliberately MID-month
+    * (1998-03-15), so the cutoff month's partials exist on BOTH
+    * sides and the refresh provably MERGES overlapping groups
+    * rather than just concatenating disjoint ones. */
+  private[graft] val mvRefreshCutoff = "1998-03-15"
+
+  private def monthPartials(df: DataFrame): DataFrame =
+    df.groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(centsExpr)).as("min_cents"),
+        max(expr(centsExpr)).as("max_cents"))
+
+  /** The STALE summary — the (year, month) MV as it stood before the
+    * newest arrivals landed, published once per corpus fingerprint
+    * like every layout artifact. */
+  private[graft] def ensureStaleMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders"))
+    val path = s"/tmp/graft_mv_stale_month_$tag.parquet"
+    if (!new java.io.File(path).exists)
+      monthPartials(Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType)))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Incremental MV maintenance — the missing half of the MV story
+    * (q_mv_rewrite/q_mv_rollup/q_mv_filter ANSWER from a summary;
+    * this key keeps the summary TRUE as the base grows): the stale
+    * (year, month) MV is refreshed against the newest arrivals by
+    * aggregating ONLY the delta to the same partial layout and
+    * re-aggregating the union on the MV keys — SUM partials add,
+    * COUNT partials add, MIN/MAX partials combine, all associative,
+    * so refresh(stale, delta) is bit-identical to a full recompute
+    * (the oracle IS the full recompute over all of orders).
+    *
+    * Scale shape: cost is O(delta + k), never O(base) — the delta
+    * scan prunes on the pushed `o_orderdate >= cutoff` predicate
+    * (spec-asserted PushedFilters; on a date-partitioned 100 TB lake
+    * that is partition pruning, reading only the new days), the
+    * stale MV contributes k summary rows, and the merge shuffles
+    * only model-sized frames. Insert-only deltas keep MIN/MAX
+    * refreshable; with retractions, SUM/COUNT refresh by signed
+    * multiplicity but extrema need their groups recomputed — the
+    * standard view-maintenance boundary, documented not hidden. */
+  def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val stale = s.read.parquet(ensureStaleMv(s, dir))
+    val delta = monthPartials(Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(mvRefreshCutoff).cast(TimestampType)))
+    stale.unionByName(delta)
+      .groupBy("yr", "mo")
+      .agg(sum(col("rev_cents")).as("rev_cents"),
+        sum(col("n_orders")).as("n_orders"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .orderBy("yr", "mo")
+  }
+
+  val qMvRefreshSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders,
+      |  MIN(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS min_cents,
+      |  MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS max_cents
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
+    "q_mv_filter" -> (qMvFilter _),
+    "q_mv_refresh" -> (qMvRefresh _),
     "q_skew_join" -> (qSkewJoin _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -428,6 +537,8 @@ object ScaleJoins {
   val oracles: Map[String, String] = Map(
     "q_mv_rewrite" -> qMvRewriteSql,
     "q_mv_rollup" -> qMvRollupSql,
+    "q_mv_filter" -> qMvFilterSql,
+    "q_mv_refresh" -> qMvRefreshSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -58,8 +58,11 @@ object MvCatalog {
   private val defs = new java.util.concurrent.ConcurrentHashMap[
     String, List[(Aggregate, String)]]()
 
-  private[plans] def childKeyOf(agg: Aggregate): String = {
-    val paths = agg.child.collectLeaves().flatMap {
+  private[plans] def childKeyOf(agg: Aggregate): String =
+    planKeyOf(agg.child)
+
+  private[plans] def planKeyOf(plan: LogicalPlan): String = {
+    val paths = plan.collectLeaves().flatMap {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.map(_.toString)
@@ -67,7 +70,7 @@ object MvCatalog {
       }
       case _: LeafNode => Nil
     }
-    agg.child.canonicalized.toString + "|" + paths.mkString(",")
+    plan.canonicalized.toString + "|" + paths.mkString(",")
   }
 
   def register(definition: LogicalPlan, mvPath: String): Unit = {
@@ -88,6 +91,12 @@ object MvCatalog {
     * candidates. */
   def candidates(agg: Aggregate): List[(Aggregate, String)] =
     Option(defs.get(childKeyOf(agg))).getOrElse(Nil)
+
+  /** Definitions whose pre-aggregate subtree is exactly `plan` —
+    * used by the selection-subsumption path, where the query's
+    * Filter sits between its Aggregate and the shared subtree. */
+  def candidatesFor(plan: LogicalPlan): List[(Aggregate, String)] =
+    Option(defs.get(planKeyOf(plan))).getOrElse(Nil)
 
   def clear(): Unit = { views.clear(); defs.clear() }
 }
@@ -135,8 +144,19 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   * canonicalized plans, where attribute ids are position-normalized
   * against that shared child, so textual equality is semantic
   * equality. Any unmapped output, grouping key outside the MV's key
-  * set, FILTER clause, or DISTINCT flag vetoes the rewrite and the
-  * query runs untouched. */
+  * set, aggregate FILTER clause, or DISTINCT flag vetoes the rewrite
+  * and the query runs untouched.
+  *
+  * r9 adds SELECTION SUBSUMPTION, the third classic rewrite beside
+  * exact match and rollup: a WHERE between the query's aggregate and
+  * the shared subtree is accepted when every grouping-key subtree of
+  * the predicate (e.g. `year(o_orderdate)`, not just bare columns)
+  * maps onto an MV output — the filter then runs against the k-row
+  * MV (and pushes into its parquet scan) instead of the corpus, so
+  * "this quarter, by month" dashboards ride the same daily summary.
+  * A predicate touching any non-key column leaves residual base
+  * attributes after the mapping and vetoes — only key-grain slices
+  * are answerable from key-grain partials. */
 object MvRollup {
 
   private def unalias(e: Expression): Expression = e match {
@@ -145,18 +165,34 @@ object MvRollup {
   }
 
   def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
-    val cands = MvCatalog.candidates(agg)
+    // selection subsumption: a Filter between the query's Aggregate
+    // and the definition's pre-aggregate subtree is fine as long as
+    // its predicate is deterministic and rewrites ENTIRELY onto MV
+    // grouping-key outputs (checked per-candidate below) — the
+    // filter then runs against the k-row MV instead of the corpus
+    val (baseChild, hasFilter) = agg.child match {
+      case f: Filter if f.condition.deterministic => (f.child, true)
+      case f: Filter => return None
+      case c => (c, false)
+    }
+    val cands = MvCatalog.candidatesFor(baseChild)
     if (cands.isEmpty) return None
     val qCanon = agg.canonicalized match {
       case a: Aggregate => a
       case _ => return None
     }
+    val condCanon = (hasFilter, qCanon.child) match {
+      case (true, f: Filter) => Some(f.condition)
+      case (true, _) => return None
+      case _ => None
+    }
     cands.view.flatMap { case (d, path) =>
-      tryRollup(spark, agg, qCanon, d, path) }.headOption
+      tryRollup(spark, agg, qCanon, condCanon, d, path) }.headOption
   }
 
   private def tryRollup(spark: SparkSession, agg: Aggregate,
-      qCanon: Aggregate, d: Aggregate, path: String): Option[LogicalPlan] = {
+      qCanon: Aggregate, condCanon: Option[Expression],
+      d: Aggregate, path: String): Option[LogicalPlan] = {
     val dCanon = d.canonicalized match {
       case a: Aggregate => a
       case _ => return None
@@ -174,6 +210,23 @@ object MvRollup {
       return None
     val mv = spark.read.parquet(path).queryExecution.analyzed
     val mvOut = mv.output // positionally aligned with d's output
+    // selection subsumption: every grouping-key SUBTREE of the
+    // predicate (e.g. year(o_orderdate), not just bare columns) maps
+    // to its MV output column; any residual base-attribute reference
+    // after the mapping vetoes the rewrite — a predicate over a
+    // non-key column can't be answered at MV grain
+    val mvChild: Option[LogicalPlan] = condCanon match {
+      case None => Some(mv)
+      case Some(c) =>
+        val mapped = c.transform {
+          case e if dGroup.contains(e.toString) &&
+            dOutPos.contains(e.toString) => mvOut(dOutPos(e.toString))
+        }
+        if (mapped.references.subsetOf(mv.outputSet))
+          Some(Filter(mapped, mv))
+        else None
+    }
+    if (mvChild.isEmpty) return None
     // map every query output; any miss vetoes the whole rewrite
     val outs = agg.aggregateExpressions.zip(qCanon.aggregateExpressions)
       .map { case (orig, canonNe) =>
@@ -203,6 +256,6 @@ object MvRollup {
     if (outs.exists(_.isEmpty)) return None
     val newGroup: Seq[Expression] =
       qGroups.map(g => mvOut(dOutPos(g)))
-    Some(Aggregate(newGroup, outs.map(_.get), mv))
+    Some(Aggregate(newGroup, outs.map(_.get), mvChild.get))
   }
 }

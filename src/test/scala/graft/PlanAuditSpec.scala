@@ -612,6 +612,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // both exchanges (agg + ordered output) are model-sized, the
     // corpus is never scanned
     "q_mv_rollup" -> 2,
+    // mv_filter: selection-subsumption rewrite — filter pushed into
+    // the k-row MV scan, then the same model-sized rollup exchanges
+    "q_mv_filter" -> 2,
+    // mv_refresh: delta partial-agg exchange, merge re-agg exchange,
+    // ordered output — O(delta + k) frames, the base never rescans
+    "q_mv_refresh" -> 3,
     // semdedup: assignment is a zero-shuffle projection; exchanges are
     // the centroid-keyed cell self-join (2), the prune aggregate, the
     // id-keyed join back (2) and ordered output

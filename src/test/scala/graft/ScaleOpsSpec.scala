@@ -474,4 +474,109 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want),
       "SUM/COUNT/MIN/MAX re-aggregated from partials must equal the raw answer")
   }
+
+  test("q_mv_filter: key-grain predicates rewrite onto the MV and push into its scan") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val df = ScaleJoins.qMvFilter(spark, sf)
+    val planF = df.queryExecution.executedPlan.toString
+    assert(planF.contains("graft_mv_orders_month"),
+      "the filtered year rollup must be answered from the (year, month) MV")
+    assert(!planF.contains("orders.parquet"),
+      "zero base scans after the selection-subsumption rewrite")
+    // the remapped predicate must reach the MV's parquet reader: the
+    // k-row scan prunes too (on a partitioned summary this is
+    // partition pruning on the summary itself)
+    assert(planF.contains("GreaterThanOrEqual(yr,1996)") &&
+      planF.contains("LessThanOrEqual(yr,1998)"),
+      "the year-window predicate must push into the MV scan")
+    // a predicate over a NON-key column leaves residual base
+    // attributes after the grouping-key mapping — veto, corpus runs
+    val offKey = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!offKey.contains("graft_mv_orders_month"),
+      "a non-key predicate cannot be answered at MV grain")
+    assert(offKey.contains("orders"), "the veto must scan the fact table")
+    // a MIXED predicate (key AND non-key conjunct) must veto too —
+    // partial subsumption would silently drop the non-key conjunct
+    val mixed = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) >= 1996 &&
+        col("o_orderpriority") === "1-URGENT")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!mixed.contains("graft_mv_orders_month"),
+      "a half-mappable predicate must not half-rewrite")
+    // a non-deterministic predicate must veto before any matching
+    val nondet = Tables.load(spark, sf, "orders")
+      .filter(rand(7) >= -1.0)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!nondet.contains("graft_mv_orders_month"))
+    // invisible in the answer: ground truth forced to the base table
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L &&
+        year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"),
+        max(expr(cents)).as("max_cents"))
+      .orderBy("yr")
+    assert(!truth.queryExecution.executedPlan.toString
+      .contains("graft_mv_orders_month"))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = truth.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "the filtered rollup must equal the raw filtered answer")
+  }
+
+  test("q_mv_refresh: O(delta + k) refresh equals the full recompute") {
+    import graft.operators.ScaleJoins
+    val df = ScaleJoins.qMvRefresh(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_stale_month"),
+      "the refresh must read the stale summary, not rebuild it")
+    // the only base-table touch is the DELTA scan, and its cutoff
+    // predicate reaches the parquet reader — on a date-partitioned
+    // lake that is partition pruning down to the new days
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,"),
+      "the delta scan must push its cutoff predicate")
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("orders.parquet") && l.contains("FileScan"))
+    assert(ordersScans <= 1, s"one delta scan expected, saw $ordersScans")
+    // the refresh provably MERGES: the mid-month cutoff puts the
+    // cutoff month's partials on BOTH sides
+    val cutoffYr = 1998
+    val stale = spark.read.parquet(ScaleJoins.ensureStaleMv(spark, sf))
+    val staleRow = stale.filter(col("yr") === cutoffYr && col("mo") === 3)
+      .collect()
+    assert(staleRow.length == 1, "cutoff month must exist in the stale MV")
+    val merged = df.filter(col("yr") === cutoffYr && col("mo") === 3).collect()
+    assert(merged.length == 1)
+    assert(merged(0).getLong(3) > staleRow(0).getLong(3),
+      "the cutoff month's refreshed count must grow past its stale partial")
+    // refresh(stale, delta) == full recompute, bit for bit (the
+    // below-aggregate non-key filter forces a genuine base recompute
+    // instead of the month MV answering its own equality check)
+    val full = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")).as("min_cents"),
+        max(expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)")).as("max_cents"))
+      .orderBy("yr", "mo")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    val want = full.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "incremental refresh must be bit-identical to the full recompute")
+  }
 }
