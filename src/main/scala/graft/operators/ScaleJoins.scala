@@ -351,7 +351,7 @@ object ScaleJoins {
 
   /** ONE formula string fed to both engines (§4 mirrored-tree
     * discipline) for the rollup MV's exact-cents measure. */
-  private val centsExpr =
+  private[graft] val centsExpr =
     "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
 
   /** The FINER-grain registered MV — exact-cents revenue per

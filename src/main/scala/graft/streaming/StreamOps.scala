@@ -1296,7 +1296,130 @@ object StreamOps {
       |FROM d JOIN s USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** One-time arrival log for streaming MV maintenance: the
+    * post-cutoff orders (the same delta q_mv_refresh folds in one
+    * shot) split into three chronological waves, one file per wave so
+    * maxFilesPerTrigger=1 replays them as three real micro-batches.
+    * Each row carries its WAVE id — the load-id discipline that makes
+    * the additive merge idempotent under redelivery. */
+  private def mvLogDir(sfDir: String): String =
+    s"/tmp/graft_mvlog_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))}"
+
+  private val mvLogSchema: StructType = StructType(Seq(
+    StructField("wave", IntegerType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def writeMvLog(s: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = mvLogDir(sfDir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))
+    graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val delta = graft.Tables.load(s, sfDir, "orders")
+          .filter(col("o_orderdate") >=
+            lit(graft.operators.ScaleJoins.mvRefreshCutoff).cast(TimestampType))
+          .withColumn("wave",
+            when(col("o_orderdate") < lit("1999-06-01").cast(TimestampType), 0)
+              .when(col("o_orderdate") < lit("2000-06-01").cast(TimestampType), 1)
+              .otherwise(2))
+          .select("wave", "o_orderdate", "o_totalprice")
+        (0 to 2).foreach { w =>
+          delta.filter(col("wave") === w)
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/b$w")
+        }
+        Files.writeString(tagPath, tag)
+      }
+    }
+  }
+
+  /** Per-micro-batch MV maintenance MERGE. The store holds PER-WAVE
+    * partials at (yr, mo, wave) grain — the load-id layout that buys
+    * exactly-once semantics from at-least-once delivery: a redelivered
+    * wave re-derives the IDENTICAL partial rows, and the struct-max
+    * dedupe at (yr, mo, wave) collapses them instead of double
+    * counting (a naive additive merge is NOT idempotent — summing a
+    * replayed batch twice corrupts the summary silently, the classic
+    * streaming-MV bug). Cost per batch is O(batch + k·waves); the
+    * read side rolls waves up to (yr, mo) — merge-on-read at
+    * model-frame size. */
+  private[graft] def mvMaintainMerge(prev: DataFrame, batch: DataFrame): DataFrame = {
+    val cents = graft.operators.ScaleJoins.centsExpr
+    val bp = batch
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("wave"))
+      .agg(sum(expr(cents)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(cents)).as("min_cents"),
+        max(expr(cents)).as("max_cents"))
+    prev.unionByName(bp)
+      .groupBy("yr", "mo", "wave")
+      .agg(max(struct(col("rev_cents"), col("n_orders"),
+        col("min_cents"), col("max_cents"))).as("m"))
+      .select(col("yr"), col("mo"), col("wave"),
+        col("m.rev_cents").as("rev_cents"),
+        col("m.n_orders").as("n_orders"),
+        col("m.min_cents").as("min_cents"),
+        col("m.max_cents").as("max_cents"))
+  }
+
+  /** Rollup of the per-wave store to the served (yr, mo) summary. */
+  private[graft] def mvMaintainRollup(store: DataFrame): DataFrame =
+    store.groupBy("yr", "mo")
+      .agg(sum(col("rev_cents")).as("rev_cents"),
+        sum(col("n_orders")).as("n_orders"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .orderBy("yr", "mo")
+
+  /** Streaming MV maintenance — the third leg of the MV story
+    * (q_mv_rewrite/rollup/filter ANSWER from the summary,
+    * q_mv_refresh repairs it in one batch; this keeps it
+    * CONTINUOUSLY true as arrivals land): each micro-batch of new
+    * orders folds its month-grain partials into the summary store,
+    * initialized from the same stale MV q_mv_refresh starts from.
+    * The drained, rolled-up store must equal the full recompute over
+    * ALL of orders — the same oracle as q_mv_refresh, which is the
+    * claim: batch refresh and streaming maintenance converge.
+    *
+    * Scale shape: per batch O(batch + k·waves), never O(base); store
+    * is the model-sized summary. The wave-id partial layout makes
+    * redelivery exactly-once (spec re-applies a wave and reverses
+    * arrival order — same summary either way). */
+  def streamMvMaintain(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeMvLog(spark, sfDir)
+    val run = s"/tmp/graft_mv_maintain_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(
+        graft.operators.ScaleJoins.ensureStaleMv(spark, sfDir))
+      .withColumn("wave", lit(-1))
+      .select("yr", "mo", "wave", "rev_cents", "n_orders",
+        "min_cents", "max_cents")
+      .write.parquet(s"$run/store_0")
+    val cur = new AtomicInteger(0)
+    val arrivals = spark.readStream.schema(mvLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${mvLogDir(sfDir)}/b*")
+    runAvailableNow(arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val i = cur.get()
+        val prev = spark.read.parquet(s"$run/store_$i")
+        mvMaintainMerge(prev, batch).write.parquet(s"$run/store_${i + 1}")
+        cur.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    val fin = mvMaintainRollup(spark.read.parquet(s"$run/store_${cur.get()}"))
+    val rows = fin.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mv_maintain" -> (streamMvMaintain _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_ohlc" -> (streamOhlc _),
     "stream_late_data" -> (streamLateData _),
@@ -1314,6 +1437,10 @@ object StreamOps {
     "stream_scd2" -> (streamScd2 _))
 
   val oracles: Map[String, String] = Map(
+    // stream/batch convergence: streaming maintenance must land on
+    // the same summary q_mv_refresh's one-shot repair lands on — the
+    // full-recompute SQL covers both
+    "stream_mv_maintain" -> graft.operators.ScaleJoins.qMvRefreshSql,
     "stream_anomaly" -> streamAnomalySql,
     // stream/batch parity: the batch key's SQL covers the stream twin
     "stream_ohlc" -> graft.operators.Relational.qOhlcBarsSql,

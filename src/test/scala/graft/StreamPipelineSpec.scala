@@ -229,6 +229,50 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_mv_maintain converges to the batch refresh; redelivery and reorder are safe") {
+    val streamed = StreamOps.streamMvMaintain(spark, sf).collect()
+    val batch = graft.operators.ScaleJoins.qMvRefresh(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    // three real waves, each non-empty (a single-wave log would make
+    // the incremental loop vacuous)
+    val sfDir = sf
+    val log = spark.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wave",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("o_orderdate",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"/tmp/graft_mvlog_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))}/b*")
+      .cache()
+    val waves = (0 to 2).map(w => log.filter(col("wave") === w))
+    assert(waves.forall(_.count() > 0), "every arrival wave must be non-empty")
+    // at-least-once safety: re-merging an already-applied wave is a
+    // no-op (the wave-id struct-max dedupe, NOT additive double count)
+    val stale = spark.read.parquet(
+        graft.operators.ScaleJoins.ensureStaleMv(spark, sfDir))
+      .withColumn("wave", lit(-1))
+      .select("yr", "mo", "wave", "rev_cents", "n_orders",
+        "min_cents", "max_cents")
+    val once = StreamOps.mvMaintainMerge(stale, waves(0))
+    val twice = StreamOps.mvMaintainMerge(once, waves(0))
+    val a = once.orderBy("yr", "mo", "wave").collect()
+    val b = twice.orderBy("yr", "mo", "wave").collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "redelivered wave must collapse, not double count")
+    // order-insensitivity: waves applied in reverse land on the same
+    // served summary (change-topic partitions need no global order)
+    val fwd = waves.foldLeft(stale)(StreamOps.mvMaintainMerge)
+    val rev = waves.reverse.foldLeft(stale)(StreamOps.mvMaintainMerge)
+    val f = StreamOps.mvMaintainRollup(fwd).collect()
+    val r = StreamOps.mvMaintainRollup(rev).collect()
+    assert(f.length == r.length && f.zip(r).forall { case (x, y) => x == y },
+      "wave order must not change the summary")
+    log.unpersist()
+  }
+
   test("stream_scd2's incremental history equals the one-shot batch SCD2") {
     val streamed = StreamOps.streamScd2(spark, sf).collect()
     val batch = graft.operators.Etl.etlScd2(spark, sf).collect()
