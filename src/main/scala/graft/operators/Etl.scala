@@ -2824,7 +2824,77 @@ object Etl {
        |  CAST(SUM((cents * rate) // 1000000) AS BIGINT) AS usd_cents
        |FROM j GROUP BY 1, 2, 3 ORDER BY n_name, ym""".stripMargin
 
+  /** Rendezvous (highest-random-weight) re-shard plan — the
+    * consistent-placement question every growing 100 TB store hits:
+    * adding one shard to a modulo-hashed layout moves (k-1)/k of all
+    * objects; rendezvous hashing moves EXACTLY the 1/(k+1) that land
+    * on the new shard and nothing else (Thaler & Ravishankar 1996 —
+    * the scheme inside Riak/Ceph-style placement). Every doc scores
+    * each candidate shard with the exact PolyHash fold over
+    * "shard|doc_id" (shard FIRST: a trailing single digit would be
+    * the hash's last fold step, making w(s) = w+s and the argmax
+    * degenerate to the highest shard — placement must mix the shard
+    * through the whole fold, and the fold SQUARES mod p before the
+    * argmax — on short renders the raw polynomial never wraps the
+    * modulus, leaving the hash LINEAR in any one character with a
+    * degenerate everything-on-the-last-shard placement; (h·h) mod p
+    * avalanches it) and places on the argmax; the key emits the
+    * k=8 → k=9 movement matrix, where minimal movement is VISIBLE
+    * STRUCTURE: every off-diagonal row must have shard_k9 = 8 (the
+    * spec asserts it row-by-row, plus the ~1/9 moved fraction).
+    *
+    * Determinism discipline: weight and shard pack into ONE integer
+    * (w·16 + shard, w < 2³⁰ so the pack fits long) and the argmax is
+    * a plain MAX — no float, no tie ambiguity, the same formula text
+    * in both engines. Scale shape: one corpus pass exploded k+1
+    * ways, two map-side-combined aggregates (doc grain, then the
+    * ≤(k+1)² matrix); at large k switch the explode to jump
+    * consistent hash (O(ln k) per object, same minimal-movement
+    * guarantee) — the k-way explode is the exact-oracle teaching
+    * shape, not the 1000-shard deploy shape. */
+  def etlReshardPlan(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("sequence(0, 8)")).as("shard"))
+      .select(col("doc_id"), col("shard"),
+        polyHash(expr("concat(cast(shard as string), '|'," +
+          " cast(doc_id as string))")).as("h"))
+      .select(col("doc_id"), col("shard"),
+        ((col("h") * col("h")) % 1000000007L * 16 + col("shard")).as("p"))
+    scored.groupBy("doc_id")
+      .agg(max(when(col("shard") < 8, col("p"))).as("m8"),
+        max(col("p")).as("m9"))
+      .select((col("m8") % 16).cast("int").as("shard_k8"),
+        (col("m9") % 16).cast("int").as("shard_k9"))
+      .groupBy("shard_k8", "shard_k9")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard_k8", "shard_k9")
+  }
+
+  val etlReshardPlanSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, u.shard,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(
+      |        CAST(u.shard AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR),
+      |        ''), c -> ascii(c)::BIGINT)),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS h
+      |  FROM documents, unnest(range(0, 9)) AS u(shard)),
+      |ww AS (
+      |  SELECT doc_id, shard, ((h*h) % 1000000007) * 16 + shard AS p
+      |  FROM w),
+      |m AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN shard < 8 THEN p END) AS m8,
+      |    MAX(p) AS m9
+      |  FROM ww GROUP BY 1)
+      |SELECT CAST(m8 % 16 AS INT) AS shard_k8,
+      |  CAST(m9 % 16 AS INT) AS shard_k9,
+      |  COUNT(*) AS n_docs
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_reshard_plan" -> (etlReshardPlan _),
     "etl_currency_normalize" -> (etlCurrencyNormalize _),
     "etl_pk_discovery" -> (etlPkDiscovery _),
     "etl_backfill_plan" -> (etlBackfillPlan _),
@@ -2878,6 +2948,7 @@ object Etl {
     "etl_snapshot_diff" -> (etlSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "etl_reshard_plan" -> etlReshardPlanSql,
     "etl_currency_normalize" -> etlCurrencyNormalizeSql,
     "etl_late_dim" -> etlLateArrivingDimSql,
     "etl_gdpr_erase" -> etlGdprEraseSql,

@@ -1185,4 +1185,29 @@ class EtlSpec extends AnyFunSuite {
       assert(sql.contains("CREATE USER ") && sql.contains("ALTER USER "))
     }
   }
+
+  test("etl_reshard_plan: movers land ONLY on the new shard, at ~1/(k+1) volume") {
+    import graft.operators.Etl
+    val m = Etl.etlReshardPlan(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = m.map(_._3).sum
+    assert(total == Tables.load(spark, sf, "documents").count(),
+      "every document must be placed exactly once")
+    // the rendezvous guarantee, structurally: adding shard 8 moves a
+    // doc ONLY if the new shard wins — no reshuffling among old shards
+    val movers = m.filter { case (a, b, _) => a != b }
+    assert(movers.nonEmpty, "a no-move plan means the hash degenerated")
+    movers.foreach { case (a, b, n) =>
+      assert(b == 8, s"doc moved between OLD shards ($a -> $b, $n docs)")
+    }
+    // moved volume ~ 1/9 of the corpus (wide tolerance — the fixture
+    // is small; a modulo-hash layout would move ~7/8 instead)
+    val moved = movers.map(_._3).sum
+    assert(moved * 100 >= total * 3 && moved * 100 <= total * 25,
+      s"moved $moved of $total — outside the rendezvous band")
+    // placement actually spreads: every old shard holds stayers
+    val stayShards = m.filter { case (a, b, _) => a == b }.map(_._1).toSet
+    assert(stayShards == (0 to 7).toSet,
+      s"old shards with stayers: $stayShards — placement collapsed")
+  }
 }

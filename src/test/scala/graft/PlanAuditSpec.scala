@@ -738,6 +738,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // table_checksum: per table one partial/final 1-row agg merge —
     // scan + fold is shuffle-free by design
     "etl_table_checksum" -> 3,
+    // reshard: doc-grain argmax exchange, movement-matrix aggregate,
+    // ordered output — the k-way explode never shuffles raw
+    "etl_reshard_plan" -> 3,
     // fk_inference: 4 probes × (child distinct + parent distinct +
     // anti-join + two 1-row agg merges) — all key-grain frames; the
     // child side collapses to DISTINCT before any join
