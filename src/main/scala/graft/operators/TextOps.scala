@@ -1656,7 +1656,142 @@ object TextOps {
       |JOIN sz sb ON sb.source = iv.src_b
       |ORDER BY 1, 2""".stripMargin
 
+  /** BM25 parameters (Robertson & Zaragoza 2009 defaults). The score
+    * formula lives in ONE body string per engine pair below — the §4
+    * mirrored-tree discipline; 0.75 and 2.2 are the same decimal
+    * literals in both texts, so both engines parse identical binary
+    * doubles. */
+  private val bm25Queries = 5
+  private val bm25TopK = 3
+
+  private def bm25StatsPath(dir: String): String =
+    s"/tmp/graft_bm25_${Integer.toHexString(dir.hashCode)}.parquet"
+
+  /** Publish the per-term IDF table once per corpus: idf =
+    * ln(1 + (N − df + ½)/(df + ½)) is computed ONE time in ONE
+    * engine and both sides READ the same doubles thereafter —
+    * ln is not correctly rounded (§4: log-free statistics), so it
+    * must never be evaluated independently per engine (the
+    * published-centroids discipline applied to lexical stats). */
+  private def ensureBm25Stats(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val path = bm25StatsPath(dir)
+    Etl.withPathLock(Paths.get(path + ".lock")) {
+      if (!Files.exists(Paths.get(path))) {
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val n = docs.count().toDouble
+        docs.select(explode(array_distinct(col("w"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .select(col("term"), log(lit(1.0) +
+            (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** BM25 retrieval — THE lexical ranking baseline every search and
+    * RAG stack measures against (sim_hybrid_rrf's lexical arm is raw
+    * histogram intersection; BM25 adds the two corrections that made
+    * it the 30-year default: IDF term weighting and document-LENGTH
+    * normalization, so a term-stuffed long doc stops winning on bulk).
+    * Queries are the first 5 documents' distinct token sets; output =
+    * exact top-3 docs per query with the BM25 score.
+    *
+    * Exactness: the per-(query, doc) score is a LEFT FOLD over the
+    * term-sorted match list — never a SUM(double) aggregate, whose
+    * order is nondeterministic (§4); idf doubles come from the
+    * published table so ln never evaluates twice; dl/avgdl is spelled
+    * dl·N/Σdl with the long products inside the division. Scale
+    * shape: the posting join shuffles on the TERM key (the inverted-
+    * index layout, query terms broadcast at O(queries·vocab)); the
+    * fold runs on O(matches) rows; ranking is the bounded-heap
+    * TopKPerKey — the corpus never sorts. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val statsPath = ensureBm25Stats(s, dir)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("w"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("w")).as("term"),
+        size(col("w")).cast("long").as("dl"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val tot = docs.agg(
+      sum(size(col("w")).cast("long")).as("tot_dl"),
+      count(lit(1)).as("n_docs"))
+    val idf = s.read.parquet(statsPath)
+    val qterms = docs.filter(col("doc_id") < bm25Queries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("w"))).as("term"))
+    val matches = tf
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(idf.hint("shuffle_hash"), "term")
+    val scored = matches
+      .groupBy("q_id", "doc_id", "dl")
+      .agg(collect_list(struct(col("term"), col("idf"), col("tf")))
+        .as("ts"))
+      .crossJoin(broadcast(tot))
+      .select(col("q_id"), col("doc_id"), expr(
+        "aggregate(sort_array(ts), cast(0.0 as double), (acc, t) -> " +
+          "acc + t.idf * (t.tf * 2.2d) / " +
+          "(t.tf + 1.2d * (0.25d + 0.75d * dl * n_docs / tot_dl)))")
+        .as("score"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
+      Seq(col("score").desc, col("doc_id")), bm25TopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select("q_id", "rank", "doc_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  val textBm25Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, u.term, CAST(len(w) AS BIGINT) AS dl,
+      |    COUNT(*) AS tf
+      |  FROM d, unnest(w) AS u(term) GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT CAST(SUM(len(w)) AS BIGINT) AS tot_dl,
+      |    COUNT(*) AS n_docs FROM d),
+      |idf AS (
+      |  SELECT term, idf
+      |  FROM read_parquet('/tmp/graft_bm25___SFTAG__.parquet/*.parquet')),
+      |q AS (
+      |  SELECT DISTINCT doc_id AS q_id, u.term
+      |  FROM d, unnest(w) AS u(term) WHERE doc_id < $bm25Queries),
+      |agg AS (
+      |  SELECT q.q_id, tf.doc_id, tf.dl,
+      |    list_sort(list(struct_pack(term := tf.term, idf := idf.idf,
+      |      tf := tf.tf))) AS ts
+      |  FROM tf JOIN q USING (term) JOIN idf USING (term)
+      |  WHERE tf.doc_id <> q.q_id
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT q_id, doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(ts, t ->
+      |        t.idf * (t.tf * 2.2::DOUBLE) /
+      |        (t.tf + 1.2::DOUBLE * (0.25::DOUBLE
+      |          + 0.75::DOUBLE * dl * n_docs / tot_dl)))),
+      |      (acc, x) -> acc + x) AS score
+      |  FROM agg CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT q_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, doc_id, score FROM ranked
+      |WHERE rank <= $bm25TopK
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
     "text_source_overlap" -> (textSourceOverlap _),
     "text_zipf" -> (textZipf _),
     "text_ttr" -> (textTtr _),
@@ -1689,6 +1824,7 @@ object TextOps {
     "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
     "text_readability" -> textReadabilitySql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_url_canon" -> textUrlCanonSql,

@@ -741,6 +741,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // reshard: doc-grain argmax exchange, movement-matrix aggregate,
     // ordered output — the k-way explode never shuffles raw
     "etl_reshard_plan" -> 3,
+    // bm25: tf posting agg, the term-keyed idf join (both sides
+    // pinned — vocab grows with the corpus), the (q,doc) fold agg,
+    // TopKPerKey family exchange, bounded rank window + ordered
+    // output — the corpus never sorts
+    "text_bm25" -> 7,
     // fk_inference: 4 probes × (child distinct + parent distinct +
     // anti-join + two 1-row agg merges) — all key-grain frames; the
     // child side collapses to DISTINCT before any join
@@ -789,6 +794,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // =!= scan (the lexical side joins on the token key, hash)
       "sim_hybrid_rrf",
       "etl_cdc_upsert", "text_tfidf",
+      // bm25 crosses the 1-row (tot_dl, n_docs) corpus-moment frame
+      // into the (q,doc) fold — 1-row broadcast by construction
+      "text_bm25",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
       "etl_dq_report",

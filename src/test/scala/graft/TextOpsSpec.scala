@@ -1224,4 +1224,46 @@ class TextOpsSpec extends AnyFunSuite {
     // spanning docs exist on the fixture: some sequence carries out
     assert(got.values.exists(_._5 > 0L), "no boundary-spanning doc seen")
   }
+
+  test("text_bm25: top-3 replay matches a pure-Scala fold bitwise") {
+    val got = TextOps.textBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // shape: ranks are 1..k per query, scores non-increasing
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length), s"ranks of $q")
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)), s"scores of $q not sorted")
+    }
+    // full driver-side replay with the EXACT double tree: tokens +
+    // published idf in, every (query, doc) fold recomputed in Scala,
+    // top-3 per query compared bitwise
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val idf = spark.read.parquet(
+        s"/tmp/graft_bm25_${Integer.toHexString(sf.hashCode)}.parquet")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nDocs = docs.length.toLong
+    val totDl = docs.map(_._2.length.toLong).sum
+    val exp = docs.filter(_._1 < 5).flatMap { case (qid, qw) =>
+      val qset = qw.toSet
+      docs.filter(_._1 != qid).flatMap { case (did, dw) =>
+        val dl = dw.length.toLong
+        val tfs = dw.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+        val terms = tfs.keys.filter(qset.contains).toSeq.sorted
+        if (terms.isEmpty) None else {
+          val score = terms.foldLeft(0.0) { (acc, t) =>
+            acc + idf(t) * (tfs(t) * 2.2) /
+              (tfs(t) + 1.2 * (0.25 + 0.75 * dl * nDocs / totDl))
+          }
+          Some((qid, did, score))
+        }
+      }.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+        .map { case ((q, d, sc), i) => (q, i + 1, d, sc) }
+    }
+    assert(got.sortBy(x => (x._1, x._2)).sameElements(
+      exp.sortBy(x => (x._1, x._2))),
+      "Spark top-3 must equal the Scala replay bit for bit")
+  }
 }
