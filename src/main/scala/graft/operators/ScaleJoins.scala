@@ -523,7 +523,68 @@ object ScaleJoins {
       |    AS max_cents
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The STAR-JOIN registered MV — revenue partials per
+    * (nation, year) over orders ⨝ customer: the shape real warehouse
+    * summaries actually take (a fact joined to its dimensions, then
+    * aggregated). The catalog keys on the canonicalized pre-aggregate
+    * CHILD, and a join subtree canonicalizes like any other plan —
+    * so the whole rewrite family (exact, rollup, selection) extends
+    * to star summaries with NO new matching code; this definition
+    * exists to prove that and to carry the q_mv_star key. */
+  private[graft] def mvStarDefinition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+
+  private[graft] def ensureStarMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders", "customer"))
+    val path = s"/tmp/graft_mv_star_nation_year_$tag.parquet"
+    if (!new java.io.File(path).exists)
+      mvStarDefinition(s, dir).write.mode("overwrite").parquet(path)
+    mvStarDefinition(s, dir).queryExecution.analyzed match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        graft.plans.MvCatalog.register(a, path)
+      case _ => () // already rewritten -> already registered
+    }
+    path
+  }
+
+  /** Star-schema MV rewrite — all three rewrites composed over a
+    * JOIN subtree: the query asks for 1996-1998 revenue per NATION
+    * over the raw orders ⨝ customer star, and the rule answers from
+    * the (nation, year) summary because the join child canonicalizes
+    * and matches like any subtree, {nation} ⊂ {nation, year}, and
+    * the year-window predicate maps onto the MV's `yr` output. The
+    * executed plan scans NEITHER base table (spec-asserted) — at
+    * 100 TB that is the fact-dimension join AND both scans traded
+    * for a few hundred summary rows. The oracle is the raw star-join
+    * SQL: the whole stack must be invisible in the answer. */
+  def qMvStar(s: SparkSession, dir: String): DataFrame = {
+    ensureStarMv(s, dir)
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  val qMvStarSql: String =
+    """SELECT c_nationkey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_star" -> (qMvStar _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
     "q_mv_filter" -> (qMvFilter _),
@@ -535,6 +596,7 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_star" -> qMvStarSql,
     "q_mv_rewrite" -> qMvRewriteSql,
     "q_mv_rollup" -> qMvRollupSql,
     "q_mv_filter" -> qMvFilterSql,

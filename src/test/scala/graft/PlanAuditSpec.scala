@@ -615,6 +615,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // mv_filter: selection-subsumption rewrite — filter pushed into
     // the k-row MV scan, then the same model-sized rollup exchanges
     "q_mv_filter" -> 2,
+    // mv_star: the same model-sized rollup exchanges over the
+    // star summary — neither base table is ever scanned
+    "q_mv_star" -> 2,
     // mv_refresh: delta partial-agg exchange, merge re-agg exchange,
     // ordered output — O(delta + k) frames, the base never rescans
     "q_mv_refresh" -> 3,

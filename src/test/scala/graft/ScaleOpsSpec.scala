@@ -535,6 +535,53 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the filtered rollup must equal the raw filtered answer")
   }
 
+  test("q_mv_star: the star-join summary answers with ZERO base scans") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val df = ScaleJoins.qMvStar(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_star_nation_year"),
+      "the star aggregate must be answered from the (nation, year) MV")
+    assert(!plan.contains("orders.parquet") &&
+      !plan.contains("customer.parquet"),
+      "NEITHER star table may be scanned after the rewrite")
+    assert(plan.contains("GreaterThanOrEqual(yr,1996)"),
+      "the year window must push into the summary scan")
+    // a DIFFERENT join (orders x supplier-keyed frame) shares no
+    // canonical child and must run untouched
+    val otherJoin = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey") + 1)
+      .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!otherJoin.contains("graft_mv_star_nation_year"),
+      "a different join condition must not match the star MV")
+    // grouping by a column the MV does not key (c_mktsegment) — veto
+    val offKey = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(expr(cents)).as("rev_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!offKey.contains("graft_mv_star_nation_year"))
+    // invisible in the answer: ground truth forced to the raw star
+    val truth = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderkey") > -1L &&
+        year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+    assert(!truth.queryExecution.executedPlan.toString
+      .contains("graft_mv_star_nation_year"))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = truth.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "the star rewrite must equal the raw star answer")
+  }
+
   test("q_mv_refresh: O(delta + k) refresh equals the full recompute") {
     import graft.operators.ScaleJoins
     val df = ScaleJoins.qMvRefresh(spark, sf)
