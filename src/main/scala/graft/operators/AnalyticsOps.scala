@@ -2961,7 +2961,14 @@ object AnalyticsOps {
     val qgrams = trigramPattern.sliding(3).toSeq
     val parts = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_name"))
-    val grams = parts.select(col("p_partkey"),
+    val grams = parts
+      // names under 3 chars have no trigrams: without the guard,
+      // sequence(1, len-2) runs DESCENDING and substring emits
+      // sub-3-char fragments — harmless here (they can never equal a
+      // trigram) but not total; the guard matches the oracle's LIKE
+      // semantics exactly (a <3-char name cannot contain the pattern)
+      .filter(length(col("p_name")) >= 3)
+      .select(col("p_partkey"),
         explode(expr(
           """array_distinct(transform(
             |  sequence(1, length(p_name) - 2),
