@@ -104,4 +104,62 @@ object GraftProps extends Properties("graft") {
       val complete = exact.filter(_._2 > bound).keySet.subsetOf(merged.keySet)
       noOver && bounded && complete && merged.size <= k
     }
+
+  // pure model of etl_reshard_plan's placement: the exact PolyHash
+  // fold over "shard|id", squared mod p, packed with the shard id
+  private def hrwWinner(id: Long, shards: Range): Int = {
+    val p = 1000000007L
+    def h(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % p)
+    (shards.map { sh =>
+      val hh = h(s"$sh|$id")
+      (hh * hh % p) * 16 + sh
+    }.max % 16).toInt
+  }
+
+  property("rendezvous placement: growing the shard set only moves docs TO the new shard") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)),
+      Gen.choose(2, 12)) { (ids, k) =>
+      ids.forall { id =>
+        val before = hrwWinner(id, 0 until k)
+        val after = hrwWinner(id, 0 until (k + 1))
+        // the HRW law: adding a candidate never reshuffles among the
+        // old ones — a doc keeps its winner unless the NEW shard wins
+        after == before || after == k
+      }
+    }
+
+  private val waveRows: Gen[List[(Int, Int, Long)]] =
+    Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0, 5)
+      wave <- Gen.choose(0, 3)
+      v <- Gen.choose(0L, 1000L)
+    } yield (key, wave, v))
+
+  property("stream_mv_maintain's wave-partial merge: any delivery order + redelivery = one-shot aggregate") =
+    forAll(waveRows, Gen.choose(0L, 999L)) { (rows, seed) =>
+      type P = (Long, Long, Long, Long) // sum, cnt, min, max
+      def partials(ws: List[(Int, Int, Long)]): Map[(Int, Int), P] =
+        ws.groupBy(r => (r._1, r._2)).map { case (kw, g) =>
+          kw -> ((g.map(_._3).sum, g.length.toLong,
+            g.map(_._3).min, g.map(_._3).max))
+        }
+      // a wave's partial rows are a pure function of the wave's data,
+      // so redelivery re-derives IDENTICAL rows and the (key, wave)
+      // struct-max dedupe is an overwrite — model merge as map union
+      val waves = rows.groupBy(_._2).values.toList
+      val rnd = new scala.util.Random(seed)
+      val delivery = rnd.shuffle(waves ++ waves.take(1 + (seed % 2).toInt))
+      val store = delivery.foldLeft(Map.empty[(Int, Int), P])(
+        (st, w) => st ++ partials(w))
+      val rollup = store.groupBy(_._1._1).map { case (k, g) =>
+        val ps = g.values
+        k -> ((ps.map(_._1).sum, ps.map(_._2).sum,
+          ps.map(_._3).min, ps.map(_._4).max))
+      }
+      val direct = rows.groupBy(_._1).map { case (k, g) =>
+        k -> ((g.map(_._3).sum, g.length.toLong,
+          g.map(_._3).min, g.map(_._3).max))
+      }
+      rollup == direct
+    }
 }
