@@ -315,8 +315,10 @@ object ScaleJoins {
   private[graft] def ensureMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_orders_year_$tag.parquet"
-    if (!new java.io.File(path).exists)
-      mvDefinition(s, dir).write.mode("overwrite").parquet(path)
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (!new java.io.File(path).exists)
+        mvDefinition(s, dir).write.mode("overwrite").parquet(path)
+    }
     val defPlan = mvDefinition(s, dir).queryExecution.analyzed
     defPlan match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
@@ -372,8 +374,10 @@ object ScaleJoins {
   private[graft] def ensureMonthMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_orders_month_$tag.parquet"
-    if (!new java.io.File(path).exists)
-      mvMonthDefinition(s, dir).write.mode("overwrite").parquet(path)
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (!new java.io.File(path).exists)
+        mvMonthDefinition(s, dir).write.mode("overwrite").parquet(path)
+    }
     mvMonthDefinition(s, dir).queryExecution.analyzed match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         graft.plans.MvCatalog.register(a, path)
@@ -472,10 +476,12 @@ object ScaleJoins {
   private[graft] def ensureStaleMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_stale_month_$tag.parquet"
-    if (!new java.io.File(path).exists)
-      monthPartials(Tables.load(s, dir, "orders")
-        .filter(col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType)))
-        .write.mode("overwrite").parquet(path)
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (!new java.io.File(path).exists)
+        monthPartials(Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType)))
+          .write.mode("overwrite").parquet(path)
+    }
     path
   }
 
@@ -542,8 +548,10 @@ object ScaleJoins {
   private[graft] def ensureStarMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders", "customer"))
     val path = s"/tmp/graft_mv_star_nation_year_$tag.parquet"
-    if (!new java.io.File(path).exists)
-      mvStarDefinition(s, dir).write.mode("overwrite").parquet(path)
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (!new java.io.File(path).exists)
+        mvStarDefinition(s, dir).write.mode("overwrite").parquet(path)
+    }
     mvStarDefinition(s, dir).queryExecution.analyzed match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         graft.plans.MvCatalog.register(a, path)

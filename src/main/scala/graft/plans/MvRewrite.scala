@@ -39,17 +39,7 @@ object MvCatalog {
     * normalized by Catalyst) + the leaf scan paths — the pair that is
     * stable across separate constructions of the same definition and
     * distinct across corpora. */
-  private[plans] def keyOf(plan: LogicalPlan): String = {
-    val paths = plan.collectLeaves().flatMap {
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-      case _: LeafNode => Nil
-    }
-    plan.canonicalized.toString + "|" + paths.mkString(",")
-  }
+  private[plans] def keyOf(plan: LogicalPlan): String = planKeyOf(plan)
 
   /** Registered Aggregate definitions for grain-rollup matching,
     * keyed like [[keyOf]] but by the definition's CHILD (the shared
@@ -61,6 +51,9 @@ object MvCatalog {
   private[plans] def childKeyOf(agg: Aggregate): String =
     planKeyOf(agg.child)
 
+  /** The ONE key-derivation function — canonicalized plan text plus
+    * leaf scan paths; keyOf/childKeyOf/candidatesFor all route here
+    * so the exact-match and rollup keyspaces can never drift. */
   private[plans] def planKeyOf(plan: LogicalPlan): String = {
     val paths = plan.collectLeaves().flatMap {
       case l: LogicalRelation => l.relation match {
@@ -170,24 +163,28 @@ object MvRollup {
     // its predicate is deterministic and rewrites ENTIRELY onto MV
     // grouping-key outputs (checked per-candidate below) — the
     // filter then runs against the k-row MV instead of the corpus
-    val (baseChild, hasFilter) = agg.child match {
-      case f: Filter if f.condition.deterministic => (f.child, true)
-      case f: Filter => return None
-      case c => (c, false)
-    }
-    val cands = MvCatalog.candidatesFor(baseChild)
-    if (cands.isEmpty) return None
     val qCanon = agg.canonicalized match {
       case a: Aggregate => a
       case _ => return None
     }
-    val condCanon = (hasFilter, qCanon.child) match {
-      case (true, f: Filter) => Some(f.condition)
-      case (true, _) => return None
-      case _ => None
+    // a definition whose OWN child contains the query's Filter (the
+    // whole filtered subtree is the shared child) rolls up with no
+    // predicate mapping at all — try that key first, then the
+    // stripped-Filter selection-subsumption key
+    val whole = MvCatalog.candidatesFor(agg.child).view.flatMap {
+      case (d, path) => tryRollup(spark, agg, qCanon, None, d, path) }
+    val stripped = agg.child match {
+      case f: Filter if f.condition.deterministic =>
+        val condCanon = qCanon.child match {
+          case fc: Filter => Some(fc.condition)
+          case _ => return whole.headOption
+        }
+        MvCatalog.candidatesFor(f.child).view.flatMap { case (d, path) =>
+          tryRollup(spark, agg, qCanon, condCanon, d, path) }
+      case _: Filter => Seq.empty.view // non-deterministic: veto
+      case _ => Seq.empty.view // no Filter: `whole` already covers it
     }
-    cands.view.flatMap { case (d, path) =>
-      tryRollup(spark, agg, qCanon, condCanon, d, path) }.headOption
+    (whole ++ stripped).headOption
   }
 
   private def tryRollup(spark: SparkSession, agg: Aggregate,

@@ -794,22 +794,28 @@ object StreamOps {
         lit(null).cast(IntegerType).as("eff_to_ver"),
         lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
       .write.parquet(s"$run/store_0")
-    val cur = new AtomicInteger(0)
+    val last = new AtomicInteger(0)
     val changes = spark.readStream.schema(scd2LogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${scd2LogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val i = cur.get()
-        val prev = spark.read.parquet(s"$run/store_$i")
-        scd2Merge(prev, batch).write.parquet(s"$run/store_${i + 1}")
-        cur.incrementAndGet()
+      // retry-safe generations: the store index is Spark's batchId
+      // (stable across at-least-once replays) and the write is
+      // overwrite-mode, so a replayed micro-batch REBUILDS
+      // store_(b+1) from the intact store_b instead of dying on an
+      // existing path or merging against the wrong generation — the
+      // loop survives the redelivery its merge is designed for
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = spark.read.parquet(s"$run/store_$batchId")
+        scd2Merge(prev, batch).write.mode("overwrite")
+          .parquet(s"$run/store_${batchId + 1}")
+        last.getAndAccumulate(batchId.toInt + 1, math.max)
         ()
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(s"$run/store_${cur.get()}")
+    val fin = spark.read.parquet(s"$run/store_${last.get()}")
       .orderBy("c_custkey", "eff_from_ver")
     // materialize before the run dir is deleted, then return a local
     // relation (history is O(keys·waves) — the drained-sink contract)
@@ -825,22 +831,28 @@ object StreamOps {
     graft.Tables.load(spark, sfDir, "customer")
       .withColumn("op", lit("I")).withColumn("version", lit(0))
       .write.parquet(s"$run/store_0")
-    val cur = new AtomicInteger(0)
+    val last = new AtomicInteger(0)
     val changes = spark.readStream.schema(cdcLogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val i = cur.get()
-        val prev = spark.read.parquet(s"$run/store_$i")
-        cdcMerge(prev, batch).write.parquet(s"$run/store_${i + 1}")
-        cur.incrementAndGet()
+      // retry-safe generations: the store index is Spark's batchId
+      // (stable across at-least-once replays) and the write is
+      // overwrite-mode, so a replayed micro-batch REBUILDS
+      // store_(b+1) from the intact store_b instead of dying on an
+      // existing path or merging against the wrong generation — the
+      // loop survives the redelivery its merge is designed for
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = spark.read.parquet(s"$run/store_$batchId")
+        cdcMerge(prev, batch).write.mode("overwrite")
+          .parquet(s"$run/store_${batchId + 1}")
+        last.getAndAccumulate(batchId.toInt + 1, math.max)
         ()
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(s"$run/store_${cur.get()}")
+    val fin = spark.read.parquet(s"$run/store_${last.get()}")
       .filter(col("op") =!= "D").drop("op", "version")
       .orderBy("c_custkey")
     // materialize before the run dir is deleted, then return a local
@@ -1244,16 +1256,24 @@ object StreamOps {
     val counts = collectAndDrop(spark, name,
       spark.table(name).select(col("event_type"),
         to_date(col("w.start")).as("day"), col("n_events")))
-    // scoring over the drained day-grain frame: per-type moments then
-    // the division-free z² inequality (products in DECIMAL(38,0) so
-    // nothing wraps at any scale factor; n·c and S stay long-safe)
+    anomalyFlags(counts)
+  }
+
+  /** The shared scoring half of stream/batch anomaly (ONE copy — the
+    * z² inequality is the key's exactness contract and must not fork):
+    * per-type moments over the day-grain frame, then the division-free
+    * 2σ test with every product promoted to DECIMAL(38,0) BEFORE the
+    * multiply — a long×long product wraps first (§4), and day counts
+    * at 100 TB/day cross 2^31.5 where n·c² would wrap silently while
+    * the DuckDB oracle computes exactly in HUGEINT. */
+  private def anomalyFlags(counts: DataFrame): DataFrame = {
     val stats = counts.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("n_events")).as("s"),
-      sum(expr("n_events * n_events")).as("q"))
+      sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).as("q"))
     counts.join(stats, Seq("event_type"))
       .withColumn("is_anomaly", expr(
-        "CAST(n * n_events - s AS DECIMAL(38,0))" +
-          " * CAST(n * n_events - s AS DECIMAL(38,0))" +
+        "(CAST(n AS DECIMAL(38,0)) * n_events - s)" +
+          " * (CAST(n AS DECIMAL(38,0)) * n_events - s)" +
           " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
           " - CAST(s AS DECIMAL(38,0)) * s)"))
       .select("event_type", "day", "n_events", "is_anomaly")
@@ -1262,22 +1282,10 @@ object StreamOps {
 
   /** Batch twin of stream_anomaly (same counts, same integer z² flag
     * over a static read) for the parity spec. */
-  def batchAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = graft.Tables.load(spark, sfDir, "events")
+  def batchAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyFlags(graft.Tables.load(spark, sfDir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
-    val stats = counts.groupBy("event_type").agg(
-      count(lit(1)).as("n"), sum(col("n_events")).as("s"),
-      sum(expr("n_events * n_events")).as("q"))
-    counts.join(stats, Seq("event_type"))
-      .withColumn("is_anomaly", expr(
-        "CAST(n * n_events - s AS DECIMAL(38,0))" +
-          " * CAST(n * n_events - s AS DECIMAL(38,0))" +
-          " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
-          " - CAST(s AS DECIMAL(38,0)) * s)"))
-      .select("event_type", "day", "n_events", "is_anomaly")
-      .orderBy("event_type", "day")
-  }
+      .agg(count(lit(1)).as("n_events")))
 
   val streamAnomalySql: String =
     """WITH d AS (
@@ -1305,7 +1313,7 @@ object StreamOps {
   private def mvLogDir(sfDir: String): String =
     s"/tmp/graft_mvlog_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))}"
 
-  private val mvLogSchema: StructType = StructType(Seq(
+  private[graft] val mvLogSchema: StructType = StructType(Seq(
     StructField("wave", IntegerType),
     StructField("o_orderdate", TimestampType),
     StructField("o_totalprice", DoubleType)))
@@ -1325,10 +1333,11 @@ object StreamOps {
               .when(col("o_orderdate") < lit("2000-06-01").cast(TimestampType), 1)
               .otherwise(2))
           .select("wave", "o_orderdate", "o_totalprice")
-        (0 to 2).foreach { w =>
+        delta.cache()
+        try (0 to 2).foreach { w =>
           delta.filter(col("wave") === w)
             .coalesce(1).write.mode("overwrite").parquet(s"$root/b$w")
-        }
+        } finally delta.unpersist()
         Files.writeString(tagPath, tag)
       }
     }
@@ -1397,22 +1406,28 @@ object StreamOps {
       .select("yr", "mo", "wave", "rev_cents", "n_orders",
         "min_cents", "max_cents")
       .write.parquet(s"$run/store_0")
-    val cur = new AtomicInteger(0)
+    val last = new AtomicInteger(0)
     val arrivals = spark.readStream.schema(mvLogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${mvLogDir(sfDir)}/b*")
     runAvailableNow(arrivals.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val i = cur.get()
-        val prev = spark.read.parquet(s"$run/store_$i")
-        mvMaintainMerge(prev, batch).write.parquet(s"$run/store_${i + 1}")
-        cur.incrementAndGet()
+      // retry-safe generations: the store index is Spark's batchId
+      // (stable across at-least-once replays) and the write is
+      // overwrite-mode, so a replayed micro-batch REBUILDS
+      // store_(b+1) from the intact store_b instead of dying on an
+      // existing path or merging against the wrong generation — the
+      // loop survives the redelivery its merge is designed for
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = spark.read.parquet(s"$run/store_$batchId")
+        mvMaintainMerge(prev, batch).write.mode("overwrite")
+          .parquet(s"$run/store_${batchId + 1}")
+        last.getAndAccumulate(batchId.toInt + 1, math.max)
         ()
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = mvMaintainRollup(spark.read.parquet(s"$run/store_${cur.get()}"))
+    val fin = mvMaintainRollup(spark.read.parquet(s"$run/store_${last.get()}"))
     val rows = fin.collect()
     scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)

@@ -582,6 +582,45 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the star rewrite must equal the raw star answer")
   }
 
+  test("a definition that ITSELF contains a Filter still rollup-matches") {
+    // regression lock for the r9 selection-subsumption refactor: the
+    // rollup path must try the WHOLE child (filter included) before
+    // the stripped-filter key, or filtered definitions silently stop
+    // matching and their queries rescan the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    def filtered = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "5-LOW")
+    val defDf = filtered
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mv_filtered_def").toString
+    val path = s"$dir/mv.parquet"
+    defDf.write.mode("overwrite").parquet(path)
+    defDf.queryExecution.analyzed match {
+      case a: Aggregate => graft.plans.MvCatalog.register(a, path)
+      case other => fail(s"definition did not analyze to Aggregate: $other")
+    }
+    val q = filtered
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("yr")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_filtered_def"),
+      "the coarser grain over the SAME filtered child must answer from the MV")
+    assert(!plan.contains("orders.parquet"))
+    // and the rewrite is invisible: compare against a forced base run
+    val truth = filtered.filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("yr")
+    val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = truth.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("q_mv_refresh: O(delta + k) refresh equals the full recompute") {
     import graft.operators.ScaleJoins
     val df = ScaleJoins.qMvRefresh(spark, sf)

@@ -237,14 +237,7 @@ class StreamPipelineSpec extends AnyFunSuite {
     // three real waves, each non-empty (a single-wave log would make
     // the incremental loop vacuous)
     val sfDir = sf
-    val log = spark.read.schema(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("wave",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("o_orderdate",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("o_totalprice",
-            org.apache.spark.sql.types.DoubleType))))
+    val log = spark.read.schema(StreamOps.mvLogSchema)
       .parquet(s"/tmp/graft_mvlog_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))}/b*")
       .cache()
     val waves = (0 to 2).map(w => log.filter(col("wave") === w))
