@@ -591,7 +591,75 @@ object ScaleJoins {
       |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MV maintenance under RETRACTIONS — the other side of the
+    * q_mv_refresh boundary its scaladoc documents: deletions refresh
+    * SUM/COUNT by SIGNED multiplicity (subtract the retracted
+    * partials — O(retractions)), but MIN/MAX are not groups — a
+    * retracted extremum leaves no way to know the runner-up from the
+    * partial alone, so extrema recompute from surviving rows for the
+    * AFFECTED groups only (on a date-partitioned lake the affected
+    * (yr, mo) list IS the partition filter — the recompute never
+    * touches untouched months). Groups retracted to zero rows drop
+    * entirely. Oracle = full recompute over the surviving rows, so
+    * subtract-and-patch must be bit-identical to rebuild. */
+  def qMvRetract(s: SparkSession, dir: String): DataFrame = {
+    ensureMonthMv(s, dir)
+    val tag = corpusTag(dir, Seq("orders"))
+    val mv = s.read.parquet(s"/tmp/graft_mv_orders_month_$tag.parquet")
+      .withColumnRenamed("min_cents", "mv_min")
+      .withColumnRenamed("max_cents", "mv_max")
+    val orders = Tables.load(s, dir, "orders")
+    val retracted = orders.filter(col("o_orderkey") % 101 === 0)
+    // localCheckpoint: the month-grain retraction partials feed BOTH
+    // the subtract join and the affected-group list — without the pin
+    // each consumer would rescan orders to rebuild them
+    val rAgg = retracted
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(centsExpr)).as("r_cents"), count(lit(1)).as("r_n"))
+      .localCheckpoint()
+    val affected = rAgg.select("yr", "mo")
+    // survivors' extrema, computed ONLY over affected groups (the
+    // broadcast against the model-sized month list is the fixture
+    // stand-in for partition pruning on the affected months)
+    val patched = orders
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .join(broadcast(affected),
+        year(col("o_orderdate")) === col("yr") &&
+          month(col("o_orderdate")) === col("mo"))
+      .groupBy("yr", "mo")
+      .agg(min(expr(centsExpr)).as("p_min"), max(expr(centsExpr)).as("p_max"))
+    mv.join(rAgg.hint("shuffle_hash"), Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"),
+        (col("rev_cents") - coalesce(col("r_cents"), lit(0L)))
+          .as("rev_cents"),
+        (col("n_orders") - coalesce(col("r_n"), lit(0L))).as("n_orders"),
+        col("mv_min"), col("mv_max"), col("r_n"))
+      .filter(col("n_orders") > 0)
+      .join(patched.hint("shuffle_hash"), Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"), col("rev_cents"), col("n_orders"),
+        when(col("r_n").isNotNull, col("p_min")).otherwise(col("mv_min"))
+          .as("min_cents"),
+        when(col("r_n").isNotNull, col("p_max")).otherwise(col("mv_max"))
+          .as("max_cents"))
+      .orderBy("yr", "mo")
+  }
+
+  val qMvRetractSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders,
+      |  MIN(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS min_cents,
+      |  MAX(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+      |    AS max_cents
+      |FROM orders WHERE NOT (o_orderkey % 101 = 0)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_retract" -> (qMvRetract _),
     "q_mv_star" -> (qMvStar _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
@@ -604,6 +672,7 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_retract" -> qMvRetractSql,
     "q_mv_star" -> qMvStarSql,
     "q_mv_rewrite" -> qMvRewriteSql,
     "q_mv_rollup" -> qMvRollupSql,

@@ -618,6 +618,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // mv_star: the same model-sized rollup exchanges over the
     // star summary — neither base table is ever scanned
     "q_mv_star" -> 2,
+    // mv_retract: retraction partial agg, survivors-extrema agg
+    // (affected months only), the two k-row patch joins pinned to
+    // shuffle, ordered output — the summary is never rebuilt whole
+    "q_mv_retract" -> 4,
     // mv_refresh: delta partial-agg exchange, merge re-agg exchange,
     // ordered output — O(delta + k) frames, the base never rescans
     "q_mv_refresh" -> 3,

@@ -582,6 +582,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the star rewrite must equal the raw star answer")
   }
 
+  test("q_mv_retract: signed subtract + affected-only extrema patch equals rebuild") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val df = ScaleJoins.qMvRetract(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "the retraction refresh must start from the stored summary")
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("orders.parquet") && l.contains("FileScan"))
+    assert(ordersScans <= 2,
+      s"retraction agg + survivors extrema only, saw $ordersScans scans")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    // the patch must actually BITE: at least one group's extremum was
+    // retracted and changed (otherwise the recompute path is vacuous)
+    val mvRows = ScaleJoins.mvMonthDefinition(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(4), r.getLong(5)))
+      .toMap
+    val changed = got.count { case (yr, mo, _, _, mn, mx) =>
+      mvRows.get((yr, mo)).exists { case (m0, m1) => mn != m0 || mx != m1 } }
+    assert(changed > 0, "no group's extremum changed — the patch is vacuous")
+    // and some groups must keep their MV extrema (the affected-only
+    // claim needs unaffected-or-unchanged survivors to contrast)
+    assert(changed < got.length, "every extremum changed — suspicious")
+    // bit-identical to a rebuild over survivors
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") % 101 =!= 0 && col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"),
+        min(expr(cents)).as("min_cents"), max(expr(cents)).as("max_cents"))
+      .orderBy("yr", "mo")
+    val want = truth.collect().map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "subtract-and-patch must equal the full rebuild")
+  }
+
   test("a definition that ITSELF contains a Filter still rollup-matches") {
     // regression lock for the r9 selection-subsumption refactor: the
     // rollup path must try the WHOLE child (filter included) before
