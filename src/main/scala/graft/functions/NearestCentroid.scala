@@ -117,10 +117,17 @@ case class NearestCentroid(
     val fl = isFloatVec
     var best = idsArr(0)
     var bestCos = Double.NegativeInfinity
+    // strict dimension check (the DotProductD contract): silently
+    // truncating to min(n, dim) would turn a caller's slicing bug
+    // into plausible-but-wrong assignments with no error
+    if (v.numElements() != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: vector dim ${v.numElements()} != " +
+          s"centroid dim ${matrix(0).length}")
     var c = 0
     while (c < matrix.length) {
       val cv = matrix(c)
-      val n = math.min(v.numElements(), cv.length)
+      val n = cv.length
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -153,11 +160,16 @@ case class NearestCentroid(
       val score =
         if (l2) s"$acc - $nr[$c] / 2" else s"$acc / ($nrm * $nr[$c])"
       s"""
+         |if ($v.numElements() != $m[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_centroid: vector dim " + $v.numElements() +
+         |    " != centroid dim " + $m[0].length);
+         |}
          |int $best = $idRef[0];
          |double $bestCos = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $m.length; $c++) {
          |  double[] $cv = $m[$c];
-         |  int $n = java.lang.Math.min($v.numElements(), $cv.length);
+         |  int $n = $cv.length;
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $get * $cv[$i];

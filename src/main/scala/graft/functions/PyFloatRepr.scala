@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Python-3 `str(float)` rendering of a double.
@@ -72,6 +73,15 @@ object PyFloat {
   * whole-stage codegen, so the dump projection stays fused (the same
   * native-Expression-over-UDF preference as DotProductD). */
 case class PyFloatRepr(child: Expression) extends UnaryExpression {
+
+  // strict DoubleType only (the package's validation discipline): an
+  // int or float child would render with silently different text
+  // under codegen's implicit widening and ClassCastException in the
+  // interpreted path
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_py_float expects double, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = StringType
 

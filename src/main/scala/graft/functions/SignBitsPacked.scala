@@ -46,11 +46,15 @@ case class SignBitsPacked(child: Expression, planes: DoubleMatrix)
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val fl = isFloatVec
+    if (v.numElements() != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"graft_sign_bits: vector dim ${v.numElements()} != " +
+          s"plane dim ${matrix(0).length}")
     var sig = 0L
     var p = 0
     while (p < matrix.length) {
       val plane = matrix(p)
-      val n = math.min(v.numElements(), plane.length)
+      val n = plane.length
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -76,10 +80,15 @@ case class SignBitsPacked(child: Expression, planes: DoubleMatrix)
       val get =
         if (isFloatVec) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
+         |if ($v.numElements() != $m[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_sign_bits: vector dim " + $v.numElements() +
+         |    " != plane dim " + $m[0].length);
+         |}
          |long $sig = 0L;
          |for (int $p = 0; $p < $m.length; $p++) {
          |  double[] $plane = $m[$p];
-         |  int $n = java.lang.Math.min($v.numElements(), $plane.length);
+         |  int $n = $plane.length;
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $get * $plane[$i];

@@ -49,6 +49,10 @@ object VectorFunctions {
     * multi-probe LSH (OR of several independent bucket tables) can
     * derive band k's bucket from planes [k*nBits, (k+1)*nBits). */
   def lshBucket(v: Column, dim: Int, nBits: Int, planeOffset: Int = 0): Column = {
+    // the fold packs bits into an Int column: 31+ bits would wrap
+    // silently (SignBitsPacked's 64-bit pack guards its own range)
+    require(nBits >= 1 && nBits <= 30,
+      s"lshBucket packs into an int column: nBits must be 1..30, got $nBits")
     val bits = (0 until nBits).map { jj =>
       val j = jj + planeOffset
       // typedlit ships the plane as ONE constant ArrayData literal —
@@ -78,6 +82,10 @@ object VectorFunctions {
   /** The same bucket expression as DuckDB SQL text, for oracles. */
   def lshBucketSql(vExpr: String, dim: Int, nBits: Int,
       planeOffset: Int = 0): String = {
+    // (1 << shift) is a Scala Int: 31+ bits would emit a negative
+    // multiplier into the oracle text and break engine parity
+    require(nBits >= 1 && nBits <= 30,
+      s"lshBucketSql emits int multipliers: nBits must be 1..30, got $nBits")
     val bits = (0 until nBits).map { jj =>
       val j = jj + planeOffset
       val plane = (0 until dim).map(i =>

@@ -56,7 +56,10 @@ object GlobalRank {
         vCols.tail.zipWithIndex.map { case (c, i) =>
           sum(col(c)).as(s"t${i + 1}") }: _*)
       .collect()
-      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)))
+      // an all-NULL partition sums to NULL — treat as contributing 0
+      // to the running offsets instead of NPE-ing the driver
+      .map(r => r.getInt(0) -> values.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
       .toMap
     val nParts = (totals.keySet + (-1)).max + 1
     val offsets = values.indices.map(_ => new Array[Long](nParts + 1))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -171,7 +171,7 @@ object MvRollup {
     // whole filtered subtree is the shared child) rolls up with no
     // predicate mapping at all — try that key first, then the
     // stripped-Filter selection-subsumption key
-    val whole = MvCatalog.candidatesFor(agg.child).view.flatMap {
+    val whole = MvCatalog.candidates(agg).view.flatMap {
       case (d, path) => tryRollup(spark, agg, qCanon, None, d, path) }
     val stripped = agg.child match {
       case f: Filter if f.condition.deterministic =>
@@ -205,6 +205,22 @@ object MvRollup {
     val qGroups = qCanon.groupingExpressions.map(_.toString)
     if (!qGroups.forall(g => dGroup.contains(g) && dOutPos.contains(g)))
       return None
+    // text-only mappability pre-check BEFORE any MV I/O: every query
+    // output must be a re-aggregable SUM/COUNT/MIN/MAX carried by the
+    // definition, or a carried grouping key — near-miss queries veto
+    // here without paying the parquet footer read below
+    val mappable = qCanon.aggregateExpressions.forall { canonNe =>
+      unalias(canonNe) match {
+        case ae: AggregateExpression =>
+          !ae.isDistinct && ae.filter.isEmpty &&
+            dOutPos.contains(ae.toString) && (ae.aggregateFunction match {
+              case _: Sum | _: Count | _: Min | _: Max => true
+              case _ => false
+            })
+        case g => dOutPos.contains(g.toString)
+      }
+    }
+    if (!mappable) return None
     val mv = spark.read.parquet(path).queryExecution.analyzed
     val mvOut = mv.output // positionally aligned with d's output
     // selection subsumption: every grouping-key SUBTREE of the
@@ -234,7 +250,13 @@ object MvRollup {
               val partial = mvOut(i)
               val reAgg = ae.aggregateFunction match {
                 case _: Sum   => Some(Sum(partial).toAggregateExpression())
-                case _: Count => Some(Sum(partial).toAggregateExpression())
+                // COUNT must stay 0 (never NULL) when a GLOBAL
+                // rewrite aggregates zero MV rows — a bare
+                // SUM(partials) over empty input is NULL, which
+                // would silently change count(*) WHERE <no match>
+                case _: Count => Some(Coalesce(Seq(
+                  Sum(partial).toAggregateExpression(),
+                  Literal(0L))))
                 case _: Min   => Some(Min(partial).toAggregateExpression())
                 case _: Max   => Some(Max(partial).toAggregateExpression())
                 case _ => None

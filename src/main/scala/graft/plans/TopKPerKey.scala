@@ -97,6 +97,9 @@ object TopKPerKey {
     * does) so TopKStrategy can plan the node. */
   def topK(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
       k: Int): DataFrame = {
+    // k = 0 would dereference an empty heap inside every task (an
+    // opaque executor NoSuchElementException); fail at plan time
+    require(k > 0, s"topK requires k > 0, got $k")
     // route the ordering through the analyzer (a throwaway
     // sortWithinPartitions) so the SortOrder expressions arrive fully
     // resolved against the child's attributes
@@ -105,9 +108,19 @@ object TopKPerKey {
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val child = sortPlan.child
     val order = sortPlan.order
-    val keys: Seq[Expression] = keyCols.map(n =>
-      child.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n in ${child.output}")))
+    // resolve keys with the session's resolver (case-insensitive by
+    // default, like every other column lookup in Spark) and reject
+    // ambiguity instead of silently binding the first match
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val keys: Seq[Expression] = keyCols.map { n =>
+      child.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column $n in ${child.output}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous key $n: ${many.mkString(", ")}")
+      }
+    }
     GraftSqlBridge.ofRows(df.sparkSession,
       TopKPerKeyPlan(k, keys, order, child))
   }

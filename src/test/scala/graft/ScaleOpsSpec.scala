@@ -620,6 +620,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       "subtract-and-patch must equal the full rebuild")
   }
 
+  test("a rewritten GLOBAL COUNT over zero matching MV rows is 0, not NULL") {
+    // regression lock: COUNT rewrites to SUM(partial counts), and a
+    // bare SUM over an empty (fully filtered) MV is NULL — the
+    // Coalesce keeps the global count at 0, matching the raw query
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    ScaleJoins.ensureMonthMv(spark, sf)
+    val df = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1890) // matches no year
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "the global aggregate with a key-grain predicate must rewrite")
+    val row = df.collect()(0)
+    assert(row.isNullAt(0), "SUM over no rows is NULL in raw SQL too")
+    assert(!row.isNullAt(1) && row.getLong(1) == 0L,
+      "COUNT over no rows must be 0, never NULL")
+    // and the raw plan agrees (mixed predicate forces the base run)
+    val raw = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1890 && col("o_orderkey") > -1L)
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .collect()(0)
+    assert(raw.isNullAt(0) && raw.getLong(1) == 0L)
+  }
+
   test("a definition that ITSELF contains a Filter still rollup-matches") {
     // regression lock for the r9 selection-subsumption refactor: the
     // rollup path must try the WHOLE child (filter included) before
