@@ -85,6 +85,22 @@ object ScaleJoins {
     java.lang.Long.toHexString((dir + "|" + sig).hashCode.toLong & 0xffffffffL)
   }
 
+  /** One-time parquet artifact publish under a cross-process lock,
+    * via write-to-temp + ATOMIC RENAME (the SimOps.publishLocked
+    * discipline): a JVM killed mid-write must never leave a partial
+    * directory a later run's exists() check trusts forever — for a
+    * shared summary that would silently skew every query answering
+    * from it, in BOTH engines, invisible to the parity gate. */
+  private[graft] def publishParquet(path: String)(build: => DataFrame): Unit =
+    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
+      if (!new java.io.File(path).exists()) {
+        val tmp = path + ".tmp"
+        build.write.mode("overwrite").parquet(tmp)
+        require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+          s"atomic publish rename failed: $tmp -> $path")
+      }
+    }
+
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     // layout is ONE-TIME per corpus: table names carry the corpus
     // fingerprint, and an already-laid-out table is reused — repeated
@@ -315,10 +331,7 @@ object ScaleJoins {
   private[graft] def ensureMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_orders_year_$tag.parquet"
-    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
-      if (!new java.io.File(path).exists)
-        mvDefinition(s, dir).write.mode("overwrite").parquet(path)
-    }
+    publishParquet(path)(mvDefinition(s, dir))
     val defPlan = mvDefinition(s, dir).queryExecution.analyzed
     defPlan match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
@@ -374,10 +387,7 @@ object ScaleJoins {
   private[graft] def ensureMonthMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_orders_month_$tag.parquet"
-    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
-      if (!new java.io.File(path).exists)
-        mvMonthDefinition(s, dir).write.mode("overwrite").parquet(path)
-    }
+    publishParquet(path)(mvMonthDefinition(s, dir))
     mvMonthDefinition(s, dir).queryExecution.analyzed match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         graft.plans.MvCatalog.register(a, path)
@@ -476,12 +486,9 @@ object ScaleJoins {
   private[graft] def ensureStaleMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders"))
     val path = s"/tmp/graft_mv_stale_month_$tag.parquet"
-    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
-      if (!new java.io.File(path).exists)
-        monthPartials(Tables.load(s, dir, "orders")
-          .filter(col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType)))
-          .write.mode("overwrite").parquet(path)
-    }
+    publishParquet(path)(
+      monthPartials(Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType))))
     path
   }
 
@@ -548,10 +555,7 @@ object ScaleJoins {
   private[graft] def ensureStarMv(s: SparkSession, dir: String): String = {
     val tag = corpusTag(dir, Seq("orders", "customer"))
     val path = s"/tmp/graft_mv_star_nation_year_$tag.parquet"
-    Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
-      if (!new java.io.File(path).exists)
-        mvStarDefinition(s, dir).write.mode("overwrite").parquet(path)
-    }
+    publishParquet(path)(mvStarDefinition(s, dir))
     mvStarDefinition(s, dir).queryExecution.analyzed match {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         graft.plans.MvCatalog.register(a, path)
@@ -658,7 +662,59 @@ object ScaleJoins {
       |FROM orders WHERE NOT (o_orderkey % 101 = 0)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The FINEST-grain registered MV — the same exact-cents measures
+    * at (year, month, day): exists so that TWO summaries over the
+    * same child can match one query and the rewrite has a real
+    * cost decision to make (q_mv_choice). */
+  private[graft] def mvDayDefinition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(centsExpr)).as("min_cents"),
+        max(expr(centsExpr)).as("max_cents"))
+
+  private[graft] def ensureDayMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders"))
+    val path = s"/tmp/graft_mv_orders_day_$tag.parquet"
+    publishParquet(path)(mvDayDefinition(s, dir))
+    mvDayDefinition(s, dir).queryExecution.analyzed match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        graft.plans.MvCatalog.register(a, path)
+      case _ => () // already rewritten -> already registered
+    }
+    path
+  }
+
+  /** Cost-based MV candidate choice (plans/MvRewrite.scala MvRollup):
+    * with BOTH the (year, month) and the (year, month, day) summary
+    * registered over the same child, the year-grain query matches
+    * both rollup candidates and the rule must answer from the
+    * SMALLEST — the month MV, ~30× fewer rows than the day MV and at
+    * 100 TB the difference between reading hundreds and tens of
+    * thousands of summary rows for the same exact answer. The day MV
+    * is registered LAST (the catalog prepends, so a naive
+    * registration-order pick would choose it) — the spec asserts the
+    * executed plan scans the MONTH path anyway, plus a (year, day)
+    * control only the day MV can serve. The oracle is the raw
+    * year-grain SQL: whichever summary answers, the choice must be
+    * invisible in the result. */
+  def qMvChoice(s: SparkSession, dir: String): DataFrame = {
+    ensureMonthMv(s, dir)
+    ensureDayMv(s, dir)
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"),
+        min(expr(centsExpr)).as("min_cents"),
+        max(expr(centsExpr)).as("max_cents"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_choice" -> (qMvChoice _),
     "q_mv_retract" -> (qMvRetract _),
     "q_mv_star" -> (qMvStar _),
     "q_mv_rewrite" -> (qMvRewrite _),
@@ -672,6 +728,10 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    // whichever registered summary the cost choice answers from, the
+    // result must equal the raw year-grain aggregate — q_mv_rollup's
+    // oracle covers it by design
+    "q_mv_choice" -> qMvRollupSql,
     "q_mv_retract" -> qMvRetractSql,
     "q_mv_star" -> qMvStarSql,
     "q_mv_rewrite" -> qMvRewriteSql,

@@ -91,6 +91,13 @@ object MvCatalog {
   def candidatesFor(plan: LogicalPlan): List[(Aggregate, String)] =
     Option(defs.get(planKeyOf(plan))).getOrElse(Nil)
 
+  /** True when nothing is registered — the analyzer rule's fast path.
+    * Until the first `register`, every query of every session pays
+    * ZERO MV overhead (no canonicalization, no leaf walk); after
+    * registration the per-Aggregate keyOf cost is the price of
+    * having views to match, as in any MV-capable optimizer. */
+  def isEmpty: Boolean = views.isEmpty && defs.isEmpty
+
   def clear(): Unit = { views.clear(); defs.clear() }
 }
 
@@ -101,7 +108,10 @@ object MvCatalog {
   * operator resolves unchanged. */
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
+    // empty-catalog fast path: with no registered views there is
+    // nothing to match — skip the tree walk entirely so sessions
+    // that never register an MV pay zero analysis overhead
+    if (MvCatalog.isEmpty) plan else plan.transformUp {
       // the resolved guard matters: canonicalizing an aggregate whose
       // resolution FAILED (e.g. a typo'd column) throws INTERNAL_ERROR
       // from inside this rule and masks the real unresolved-column
@@ -157,6 +167,21 @@ object MvRollup {
     case x => x
   }
 
+  /** MV size cache — on-disk bytes per registered path. A published
+    * MV never mutates (one build per corpus fingerprint), so one FS
+    * walk per path amortizes over every later analysis; an
+    * unreadable path sorts last instead of failing the rule. */
+  private val sizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[plans] def mvBytes(spark: SparkSession, path: String): Long =
+    sizes.computeIfAbsent(path, p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(hp).getLength
+      } catch { case _: java.io.IOException => java.lang.Long.MAX_VALUE })
+
   def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     // selection subsumption: a Filter between the query's Aggregate
     // and the definition's pre-aggregate subtree is fine as long as
@@ -168,23 +193,35 @@ object MvRollup {
       case _ => return None
     }
     // a definition whose OWN child contains the query's Filter (the
-    // whole filtered subtree is the shared child) rolls up with no
-    // predicate mapping at all — try that key first, then the
-    // stripped-Filter selection-subsumption key
-    val whole = MvCatalog.candidates(agg).view.flatMap {
-      case (d, path) => tryRollup(spark, agg, qCanon, None, d, path) }
+    // whole filtered subtree is the shared child) needs no predicate
+    // mapping at all; the stripped-Filter key adds the
+    // selection-subsumption candidates
+    val whole = MvCatalog.candidates(agg)
+      .map { case (d, path) => (d, path, None: Option[Expression]) }
     val stripped = agg.child match {
       case f: Filter if f.condition.deterministic =>
-        val condCanon = qCanon.child match {
-          case fc: Filter => Some(fc.condition)
-          case _ => return whole.headOption
+        qCanon.child match {
+          case fc: Filter =>
+            MvCatalog.candidatesFor(f.child).map { case (d, path) =>
+              (d, path, Some(fc.condition): Option[Expression]) }
+          case _ => Nil
         }
-        MvCatalog.candidatesFor(f.child).view.flatMap { case (d, path) =>
-          tryRollup(spark, agg, qCanon, condCanon, d, path) }
-      case _: Filter => Seq.empty.view // non-deterministic: veto
-      case _ => Seq.empty.view // no Filter: `whole` already covers it
+      case _: Filter => Nil // non-deterministic: veto
+      case _ => Nil // no Filter: `whole` already covers it
     }
-    (whole ++ stripped).headOption
+    // COST-BASED choice: when several registered MVs match (a day
+    // and a month summary over the same child both serve the year
+    // grain), answer from the SMALLEST by on-disk bytes — at 100 TB
+    // the coarser summary is orders of magnitude fewer rows to scan
+    // and re-aggregate. Candidates are tried cheapest-first and the
+    // first that actually rewrites wins, so a small-but-unmappable
+    // MV (missing a measure) never blocks a larger match.
+    (whole ++ stripped)
+      .sortBy { case (_, path, _) => mvBytes(spark, path) }
+      .view
+      .flatMap { case (d, path, cond) =>
+        tryRollup(spark, agg, qCanon, cond, d, path) }
+      .headOption
   }
 
   private def tryRollup(spark: SparkSession, agg: Aggregate,

@@ -618,6 +618,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // mv_star: the same model-sized rollup exchanges over the
     // star summary — neither base table is ever scanned
     "q_mv_star" -> 2,
+    // mv_choice: cost-picked month MV re-aggregated at year grain —
+    // identical plan shape (and budget) to q_mv_rollup; the day MV
+    // and the corpus are never scanned
+    "q_mv_choice" -> 2,
     // mv_retract: retraction partial agg, survivors-extrema agg
     // (affected months only), the two k-row patch joins pinned to
     // shuffle, ordered output — the summary is never rebuilt whole

@@ -620,6 +620,76 @@ class ScaleOpsSpec extends AnyFunSuite {
       "subtract-and-patch must equal the full rebuild")
   }
 
+  test("q_mv_choice: with two matching MVs the rewrite answers from the SMALLEST") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    // qMvChoice registers month THEN day — the catalog prepends, so a
+    // registration-order headOption would pick the DAY MV; the cost
+    // choice must pick the month MV (~30x fewer rows) anyway
+    val df = ScaleJoins.qMvChoice(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "the year grain must be answered from the SMALLEST matching MV")
+    assert(!plan.contains("graft_mv_orders_day"),
+      "the larger day MV must lose the cost comparison")
+    assert(!plan.contains("orders.parquet"),
+      "zero base scans: the corpus is never touched")
+    // control: a (year, day-of-month) grain only the day MV can serve
+    // — the cost choice must not STARVE the finer summary
+    val dayOnly = Tables.load(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        dayofmonth(col("o_orderdate")).as("dy"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"),
+        min(expr(cents)).as("min_cents"), max(expr(cents)).as("max_cents"))
+      .queryExecution.executedPlan.toString
+    assert(dayOnly.contains("graft_mv_orders_day"),
+      "a grain only the day MV carries must answer from the day MV")
+    assert(!dayOnly.contains("orders.parquet"))
+    // the choice is invisible in the answer (below-aggregate non-key
+    // filter forces a genuine base run for the truth side)
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"),
+        min(expr(cents)).as("min_cents"), max(expr(cents)).as("max_cents"))
+      .orderBy("yr")
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = truth.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "whichever MV answers, the result must equal the raw aggregate")
+  }
+
+  test("a HAVING above a rollup-matched aggregate rewrites and answers correctly") {
+    // the post-aggregate Filter (HAVING) sits ABOVE the Aggregate the
+    // rule rewrites; transformUp must rewrite the inner aggregate via
+    // the ROLLUP path and leave the HAVING stacked on the re-aggregated
+    // MV scan — pinning the claim for rollup matches, not just exact
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    ScaleJoins.ensureMonthMv(spark, sf)
+    val agg = Tables.load(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val median = agg.collect().map(_.getLong(1)).sorted.apply(3)
+    val having = agg.filter(col("rev_cents") > median).orderBy("yr")
+    val plan = having.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "the aggregate under the HAVING must rollup-rewrite onto the MV")
+    assert(!plan.contains("orders.parquet"),
+      "zero base scans under the HAVING")
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .filter(col("rev_cents") > median).orderBy("yr")
+    val got = having.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = truth.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length < 7 && got.sameElements(want),
+      "the HAVING must filter the re-aggregated MV rows exactly")
+  }
+
   test("a rewritten GLOBAL COUNT over zero matching MV rows is 0, not NULL") {
     // regression lock: COUNT rewrites to SUM(partial counts), and a
     // bare SUM over an empty (fully filtered) MV is NULL — the
