@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1406,22 +1406,28 @@ object StreamOps {
       .select("yr", "mo", "wave", "rev_cents", "n_orders",
         "min_cents", "max_cents")
       .write.parquet(s"$run/store_0")
-    val last = new AtomicInteger(0)
+    val last = new AtomicLong(0L)
     val arrivals = spark.readStream.schema(mvLogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${mvLogDir(sfDir)}/b*")
     runAvailableNow(arrivals.writeStream
       // retry-safe generations: the store index is Spark's batchId
-      // (stable across at-least-once replays) and the write is
-      // overwrite-mode, so a replayed micro-batch REBUILDS
-      // store_(b+1) from the intact store_b instead of dying on an
-      // existing path or merging against the wrong generation — the
-      // loop survives the redelivery its merge is designed for
+      // (Long end to end — never truncated; stable across
+      // at-least-once replays) and the write is overwrite-mode, so a
+      // replayed micro-batch REBUILDS store_(b+1) from the intact
+      // store_b instead of dying on an existing path or merging
+      // against the wrong generation. Generation = batchId assumes a
+      // FRESH checkpoint (true by construction: the run dir is
+      // UUID-fresh per call) — the require makes a violated
+      // assumption loud instead of a nonexistent-path stack trace
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(new java.io.File(s"$run/store_$batchId").exists,
+          s"generation store_$batchId missing: the batchId-indexed " +
+            "store assumes a fresh checkpoint per run")
         val prev = spark.read.parquet(s"$run/store_$batchId")
         mvMaintainMerge(prev, batch).write.mode("overwrite")
           .parquet(s"$run/store_${batchId + 1}")
-        last.getAndAccumulate(batchId.toInt + 1, math.max)
+        last.getAndAccumulate(batchId + 1, (a, b) => math.max(a, b))
         ()
       }
       .option("checkpointLocation", s"$run/ckpt")
@@ -1433,7 +1439,177 @@ object StreamOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
   }
 
+  /** One-time CDC-delete log for streaming retraction maintenance:
+    * the SAME retracted set q_mv_retract subtracts in one shot
+    * (o_orderkey % 101 = 0) split into three chronological waves, one
+    * file per wave so maxFilesPerTrigger=1 replays them as three real
+    * micro-batches. Each row carries its WAVE id (the load-id
+    * discipline) and the full before-image (key, date, price) — the
+    * Debezium delete shape: the consumer needs the image to know
+    * which partials to subtract. */
+  private def retractLogDir(sfDir: String): String =
+    s"/tmp/graft_retractlog_${graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))}"
+
+  private[graft] val retractLogSchema: StructType = StructType(Seq(
+    StructField("wave", IntegerType),
+    StructField("o_orderkey", LongType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def writeRetractLog(s: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = retractLogDir(sfDir)
+    val tagPath = Paths.get(root, "_GRAFT_TAG")
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("orders"))
+    graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        val dels = graft.Tables.load(s, sfDir, "orders")
+          .filter(col("o_orderkey") % 101 === 0)
+          .withColumn("wave",
+            when(col("o_orderdate") < lit("1997-01-01").cast(TimestampType), 0)
+              .when(col("o_orderdate") < lit("1999-01-01").cast(TimestampType), 1)
+              .otherwise(2))
+          .select("wave", "o_orderkey", "o_orderdate", "o_totalprice")
+        dels.cache()
+        try (0 to 2).foreach { w =>
+          dels.filter(col("wave") === w)
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/b$w")
+        } finally dels.unpersist()
+        Files.writeString(tagPath, tag)
+      }
+    }
+  }
+
+  /** Per-micro-batch retraction MERGE — q_mv_retract's
+    * subtract-and-patch, re-expressed for the wave-partial store.
+    * SUM/COUNT maintain by SIGNED multiplicity: the batch's partials
+    * enter NEGATED at (yr, mo, wave) grain, so the struct-max dedupe
+    * collapses a redelivered wave instead of double-subtracting (the
+    * exactly-once-from-at-least-once discipline stream_mv_maintain
+    * established for inserts). An extremum is NOT a group — a
+    * retracted max leaves no runner-up in any partial — so MIN/MAX
+    * recompute from SURVIVING base rows for the batch's affected
+    * groups only, against the keys retracted SO FAR; the key log is
+    * the store's O(retractions) state, exactly the CDC delete log any
+    * extrema-maintaining view must keep (on a date-partitioned lake
+    * the affected-month list IS the partition filter for the
+    * recompute — the broadcast join against the model-sized group
+    * list is that pruning's fixture stand-in). Groups retracted to
+    * zero rows roll up to n_orders = 0 and drop at serve time.
+    * Deterministic given (store, batch) and IDEMPOTENT under wave
+    * redelivery (spec-asserted). */
+  private[graft] def mvRetractApply(orders: DataFrame, prevPart: DataFrame,
+      prevKeys: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val cents = graft.operators.ScaleJoins.centsExpr
+    // localCheckpoint: the negated wave partials feed BOTH the dedupe
+    // union and the affected-group list (the q_mv_retract pin)
+    val bp = batch
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("wave"))
+      .agg((-sum(expr(cents))).as("rev_cents"),
+        (-count(lit(1))).as("n_orders"))
+      .withColumn("min_cents", lit(null).cast("long"))
+      .withColumn("max_cents", lit(null).cast("long"))
+      .localCheckpoint()
+    val merged = prevPart.unionByName(bp)
+      .groupBy("yr", "mo", "wave")
+      .agg(max(struct(col("rev_cents"), col("n_orders"),
+        col("min_cents"), col("max_cents"))).as("m"))
+      .select(col("yr"), col("mo"), col("wave"),
+        col("m.rev_cents").as("rev_cents"),
+        col("m.n_orders").as("n_orders"),
+        col("m.min_cents").as("min_cents"),
+        col("m.max_cents").as("max_cents"))
+    // the delete log so far — distinct makes redelivery a no-op
+    val newKeys = prevKeys.unionByName(batch.select("o_orderkey"))
+      .distinct().localCheckpoint()
+    val affected = bp.select("yr", "mo")
+    val survExt = orders
+      .join(broadcast(affected),
+        year(col("o_orderdate")) === col("yr") &&
+          month(col("o_orderdate")) === col("mo"))
+      .join(newKeys.hint("shuffle_hash"), Seq("o_orderkey"), "left_anti")
+      .groupBy("yr", "mo")
+      .agg(min(expr(cents)).as("s_min"), max(expr(cents)).as("s_max"))
+    // extrema live on the base (wave -1) row; affected groups take the
+    // recomputed survivor extrema, everyone else keeps theirs (a group
+    // with zero survivors keeps stale extrema and drops at rollup)
+    val part = merged
+      .join(survExt.hint("shuffle_hash"), Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"), col("wave"),
+        col("rev_cents"), col("n_orders"),
+        when(col("wave") === -1 && col("s_min").isNotNull, col("s_min"))
+          .otherwise(col("min_cents")).as("min_cents"),
+        when(col("wave") === -1 && col("s_max").isNotNull, col("s_max"))
+          .otherwise(col("max_cents")).as("max_cents"))
+    (part, newKeys)
+  }
+
+  /** Streaming MV maintenance under RETRACTIONS — the fourth cell of
+    * the batch/stream × insert/retract matrix (q_mv_refresh,
+    * q_mv_retract, stream_mv_maintain hold the other three), and
+    * exactly the CDC-fed continuous-summary loop a warehouse ingest
+    * runs when the change topic carries deletes: each micro-batch of
+    * delete images folds into the summary store initialized from the
+    * full month MV, via [[mvRetractApply]]'s signed subtract +
+    * affected-group extrema recompute. The drained, rolled-up store
+    * must equal the full recompute over SURVIVORS — q_mv_retract's
+    * oracle, shared deliberately: one-shot batch retraction and
+    * streamed retraction must converge.
+    *
+    * Scale shape: per batch O(batch + affected-group base rows + k);
+    * store state is the summary plus the O(retractions) delete log.
+    * Generations are batchId-indexed (Long, fresh checkpoint by
+    * construction) so a replayed micro-batch rebuilds from the intact
+    * previous store. */
+  def streamMvRetract(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeRetractLog(spark, sfDir)
+    val run = s"/tmp/graft_mv_retract_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(
+        graft.operators.ScaleJoins.ensureMonthMv(spark, sfDir))
+      .withColumn("wave", lit(-1))
+      .select("yr", "mo", "wave", "rev_cents", "n_orders",
+        "min_cents", "max_cents")
+      .write.parquet(s"$run/store_0/part")
+    spark.range(0).select(col("id").as("o_orderkey"))
+      .write.parquet(s"$run/store_0/keys")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val last = new AtomicLong(0L)
+    val deletes = spark.readStream.schema(retractLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${retractLogDir(sfDir)}/b*")
+    runAvailableNow(deletes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(new java.io.File(s"$run/store_$batchId").exists,
+          s"generation store_$batchId missing: the batchId-indexed " +
+            "store assumes a fresh checkpoint per run")
+        val prevPart = spark.read.parquet(s"$run/store_$batchId/part")
+        val prevKeys = spark.read.parquet(s"$run/store_$batchId/keys")
+        val (part, keys) = mvRetractApply(orders, prevPart, prevKeys, batch)
+        part.write.mode("overwrite").parquet(s"$run/store_${batchId + 1}/part")
+        keys.write.mode("overwrite").parquet(s"$run/store_${batchId + 1}/keys")
+        last.getAndAccumulate(batchId + 1, (a, b) => math.max(a, b))
+        ()
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    val fin = spark.read.parquet(s"$run/store_${last.get()}/part")
+      .groupBy("yr", "mo")
+      .agg(sum(col("rev_cents")).as("rev_cents"),
+        sum(col("n_orders")).as("n_orders"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("yr", "mo")
+    val rows = fin.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mv_retract" -> (streamMvRetract _),
     "stream_mv_maintain" -> (streamMvMaintain _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_ohlc" -> (streamOhlc _),
@@ -1456,6 +1632,11 @@ object StreamOps {
     // the same summary q_mv_refresh's one-shot repair lands on — the
     // full-recompute SQL covers both
     "stream_mv_maintain" -> graft.operators.ScaleJoins.qMvRefreshSql,
+    // stream/batch convergence under deletes: streamed retraction
+    // maintenance must land on the same survivors-summary
+    // q_mv_retract's one-shot subtract-and-patch lands on — the
+    // full-recompute-over-survivors SQL covers both, deliberately
+    "stream_mv_retract" -> graft.operators.ScaleJoins.qMvRetractSql,
     "stream_anomaly" -> streamAnomalySql,
     // stream/batch parity: the batch key's SQL covers the stream twin
     "stream_ohlc" -> graft.operators.Relational.qOhlcBarsSql,

@@ -707,6 +707,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // mv_maintain: drained store rolls up before collect; the
     // returned frame is the O(months) local relation
     "stream_mv_maintain" -> 0,
+    // mv_retract: subtract-and-patch runs inside foreachBatch jobs;
+    // the returned frame is the drained O(months) local relation
+    "stream_mv_retract" -> 0,
     // anomaly: drained day-grain local relation -> moments agg + flag
     // join + ordered output, all on the types×days model frame
     "stream_anomaly" -> 4,
@@ -889,7 +892,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // built-in, noted rather than hidden.
     Set("etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
-      "stream_scd2", "stream_mv_maintain",
+      "stream_scd2", "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",
       "stream_ohlc", "stream_sessions", "stream_user_state")

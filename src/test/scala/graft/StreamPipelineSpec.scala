@@ -266,6 +266,54 @@ class StreamPipelineSpec extends AnyFunSuite {
     log.unpersist()
   }
 
+  test("stream_mv_retract converges to the batch retraction; redelivery is a no-op") {
+    // the streamed signed-subtract + extrema-patch loop must land on
+    // q_mv_retract's one-shot answer (both equal the full recompute
+    // over survivors — the shared oracle)
+    val streamed = StreamOps.streamMvRetract(spark, sf).collect()
+    val batch = graft.operators.ScaleJoins.qMvRetract(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    // three real delete waves (a single-wave log would make the
+    // incremental loop vacuous)
+    val log = spark.read.schema(StreamOps.retractLogSchema)
+      .parquet(s"/tmp/graft_retractlog_${graft.operators.ScaleJoins.corpusTag(sf, Seq("orders"))}/b*")
+      .cache()
+    val waves = (0 to 2).map(w => log.filter(col("wave") === w))
+    assert(waves.forall(_.count() > 0), "every delete wave must be non-empty")
+    // at-least-once safety: REDELIVERING a retraction wave is a no-op —
+    // the negated partials dedupe at (yr, mo, wave), the key log is
+    // distinct, and the extrema recompute is deterministic, so the
+    // store after the replay is row-identical (never double-subtracted)
+    val orders = Tables.load(spark, sf, "orders")
+    val base = spark.read.parquet(
+        graft.operators.ScaleJoins.ensureMonthMv(spark, sf))
+      .withColumn("wave", lit(-1))
+      .select("yr", "mo", "wave", "rev_cents", "n_orders",
+        "min_cents", "max_cents")
+    val keys0 = spark.range(0).select(col("id").as("o_orderkey"))
+    val (p1, k1) = StreamOps.mvRetractApply(orders, base, keys0, waves(0))
+    val (p2, k2) = StreamOps.mvRetractApply(orders, p1, k1, waves(0))
+    val a = p1.orderBy("yr", "mo", "wave").collect()
+    val b = p2.orderBy("yr", "mo", "wave").collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "a redelivered retraction must collapse, not double-subtract")
+    assert(k1.count() == k2.count(),
+      "the delete log must dedupe redelivered keys")
+    // the subtraction must BITE: wave 0's groups lost rows vs the base
+    val w0Groups = waves(0).select(year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val baseN = base.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    val rolled = p1.groupBy("yr", "mo")
+      .agg(sum(col("n_orders")).as("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w0Groups.nonEmpty && w0Groups.forall(g => rolled(g) < baseN(g)),
+      "every wave-0 group must have fewer rows after the subtract")
+    log.unpersist()
+  }
+
   test("stream_scd2's incremental history equals the one-shot batch SCD2") {
     val streamed = StreamOps.streamScd2(spark, sf).collect()
     val batch = graft.operators.Etl.etlScd2(spark, sf).collect()
