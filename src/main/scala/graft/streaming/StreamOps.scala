@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -785,37 +785,71 @@ object StreamOps {
     * out-of-order-safe in the spec). The drained history must
     * hash-match etl_scd2 over the same rows — that equality IS the
     * oracle. */
+  /** Bucket count for the hive-partitioned dimension stores. */
+  private[graft] val dimBuckets = 16
+
+  private[graft] def dimBucketOf: Column =
+    pmod(hash(col("c_custkey")), lit(dimBuckets))
+
+  /** Initialize a dimension store hive-partitioned by key bucket —
+    * the layout that makes incremental maintenance write
+    * O(affected buckets), not O(dimension), per micro-batch. */
+  private[graft] def writeDimStore(df: DataFrame, store: String): Unit =
+    df.withColumn("bkt", dimBucketOf)
+      .write.partitionBy("bkt").parquet(store)
+
+  /** AFFECTED-BUCKET merge write — the per-micro-batch store rewrite,
+    * bounded on BOTH sides: the merge COMPUTE was always O(batch +
+    * affected keys) (left-semi/anti in the merge fns), and the WRITE
+    * is now O(affected buckets) too — the batch's key buckets are
+    * partition-pruned on read, merged, and dynamically overwritten;
+    * every other bucket's files are untouched on disk
+    * (spec-asserted byte-identical). At 100 TB this is the difference
+    * between rewriting a full dimension per batch and rewriting only
+    * the partitions containing changed keys.
+    *
+    * Retry-safety no longer needs store generations: both merges are
+    * IDEMPOTENT (spec-asserted), so a checkpoint-replayed batch
+    * re-merges against the already-merged buckets and writes back
+    * identical content — which also heals a kill mid-commit that
+    * left some partitions swapped and some not. The localCheckpoint
+    * pins the pruned read BEFORE the overwrite of the same path (and
+    * is model-sized: affected buckets only). */
+  private[graft] def applyDimBatch(spark: SparkSession, store: String,
+      batch: DataFrame, merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val bkts = batch.select(dimBucketOf.as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prev = spark.read.parquet(store)
+      .filter(col("bkt").isin(bkts: _*)).drop("bkt")
+      .localCheckpoint()
+    merge(prev, batch)
+      .withColumn("bkt", dimBucketOf)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bkt").parquet(store)
+  }
+
   def streamScd2(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     writeScd2Log(spark, sfDir)
     val run = s"/tmp/graft_scd2_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.Tables.load(spark, sfDir, "customer")
+    val store = s"$run/store"
+    writeDimStore(graft.Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), lit(0).as("eff_from_ver"),
         lit(null).cast(IntegerType).as("eff_to_ver"),
-        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
-      .write.parquet(s"$run/store_0")
-    val last = new AtomicInteger(0)
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment")),
+      store)
     val changes = spark.readStream.schema(scd2LogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${scd2LogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      // retry-safe generations: the store index is Spark's batchId
-      // (stable across at-least-once replays) and the write is
-      // overwrite-mode, so a replayed micro-batch REBUILDS
-      // store_(b+1) from the intact store_b instead of dying on an
-      // existing path or merging against the wrong generation — the
-      // loop survives the redelivery its merge is designed for
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = spark.read.parquet(s"$run/store_$batchId")
-        scd2Merge(prev, batch).write.mode("overwrite")
-          .parquet(s"$run/store_${batchId + 1}")
-        last.getAndAccumulate(batchId.toInt + 1, math.max)
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDimBatch(spark, store, batch, scd2Merge)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(s"$run/store_${last.get()}")
+    val fin = spark.read.parquet(store).drop("bkt")
       .orderBy("c_custkey", "eff_from_ver")
     // materialize before the run dir is deleted, then return a local
     // relation (history is O(keys·waves) — the drained-sink contract)
@@ -828,31 +862,20 @@ object StreamOps {
     val spark = streamingSession(parent)
     writeCdcLog(spark, sfDir)
     val run = s"/tmp/graft_cdc_apply_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.Tables.load(spark, sfDir, "customer")
-      .withColumn("op", lit("I")).withColumn("version", lit(0))
-      .write.parquet(s"$run/store_0")
-    val last = new AtomicInteger(0)
+    val store = s"$run/store"
+    writeDimStore(graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0)), store)
     val changes = spark.readStream.schema(cdcLogSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      // retry-safe generations: the store index is Spark's batchId
-      // (stable across at-least-once replays) and the write is
-      // overwrite-mode, so a replayed micro-batch REBUILDS
-      // store_(b+1) from the intact store_b instead of dying on an
-      // existing path or merging against the wrong generation — the
-      // loop survives the redelivery its merge is designed for
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = spark.read.parquet(s"$run/store_$batchId")
-        cdcMerge(prev, batch).write.mode("overwrite")
-          .parquet(s"$run/store_${batchId + 1}")
-        last.getAndAccumulate(batchId.toInt + 1, math.max)
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDimBatch(spark, store, batch, cdcMerge)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(s"$run/store_${last.get()}")
+    val fin = spark.read.parquet(store).drop("bkt")
       .filter(col("op") =!= "D").drop("op", "version")
       .orderBy("c_custkey")
     // materialize before the run dir is deleted, then return a local

@@ -338,6 +338,60 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dimension-store maintenance rewrites ONLY affected buckets") {
+    // the store is hive-partitioned by key bucket and a micro-batch
+    // dynamically overwrites just the partitions containing its keys —
+    // every other bucket's files must be BYTE-IDENTICAL afterwards
+    // (at 100 TB: O(affected buckets) written per batch, not O(dim))
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_bucket_store").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    // a SINGLE-key change wave: exactly one bucket may be rewritten
+    val key = base.agg(min(col("c_custkey"))).collect()(0).getLong(0)
+    val w = base.filter(col("c_custkey") === key)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("ver", lit(1))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    def snap(): Map[String, String] = {
+      val root = Paths.get(store)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          root.relativize(p).toString ->
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = snap()
+    StreamOps.applyDimBatch(spark, store, w, StreamOps.scd2Merge)
+    val after = snap()
+    val delta = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    val deltaBkts = delta.flatMap(p =>
+      "bkt=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(deltaBkts.size == 1,
+      s"one key changed, so exactly one bucket may be rewritten: $deltaBkts")
+    val untouched = before.keySet.filter(p =>
+      !deltaBkts.exists(b => p.contains(s"bkt=$b/")) && p.contains("bkt="))
+    assert(untouched.nonEmpty &&
+      untouched.forall(p => after.get(p).contains(before(p))),
+      "unaffected buckets' files must be byte-identical across the batch")
+    // and the history is exactly the one-shot merge (hash unchanged)
+    val got = spark.read.parquet(store).drop("bkt")
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    val want = StreamOps.scd2Merge(base, w)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.nonEmpty && got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "the affected-bucket write must produce the same history as a full merge")
+  }
+
   test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
     import org.apache.spark.sql.functions.lit
     val base = Tables.load(spark, sf, "customer")
