@@ -1651,7 +1651,90 @@ object SimOps {
        |  FROM fused) WHERE rank <= $hybridK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Hybrid retrieval with BM25 as the lexical arm — the fusion
+    * production RAG stacks actually deploy (sim_hybrid_rrf's raw
+    * histogram intersection is the calibration-free baseline; real
+    * rankers run BM25 + vector): TextOps' published-IDF, fold-scored
+    * BM25 frame ranks the lexical side, exact cosine ranks the
+    * vector side, and the two rank lists fuse by pure-integer
+    * Reciprocal-Rank Fusion — 1000000 div (k₀+rank) — so the fused
+    * order is exact with no cross-engine float drift (BM25 scores
+    * are bit-identical by the text_bm25 disciplines; only their
+    * RANKS enter the fusion).
+    *
+    * Scale shape: the lexical arm is the inverted-index posting join
+    * (term-keyed shuffle, query terms broadcast), the vector arm the
+    * broadcast cosine scan; both cut to m per query through
+    * bounded-heap TopKPerKey before anything sorts, fusion runs on
+    * O(queries·m) frames. */
+  def simHybridBm25(s: SparkSession, dir: String): DataFrame = {
+    val lexScored = TextOps.bm25Scored(s, dir)
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.plans.TopKPerKey.topK(lexScored, Seq("q_id"),
+        Seq(col("score").desc, col("doc_id")), hybridM)
+      .withColumn("lex_rank", row_number().over(wl))
+      .select("q_id", "doc_id", "lex_rank")
+    val c = corpus(s, dir)
+    val qv = c.filter(col("vec_id") < TextOps.bm25Queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val vecScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vec = graft.plans.TopKPerKey.topK(vecScored, Seq("q_id"),
+        Seq(col("cosine").desc, col("doc_id")), hybridM)
+      .withColumn("vec_rank", row_number().over(wv))
+      .select("q_id", "doc_id", "vec_rank")
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"CAST(coalesce(1000000 div ($rrfK0 + lex_rank), 0)" +
+          s" + coalesce(1000000 div ($rrfK0 + vec_rank), 0) AS BIGINT)"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= hybridK)
+      .select("q_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val simHybridBm25Sql: String =
+    s"""WITH ${TextOps.bm25ScoredCtes},
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |    FROM scored) WHERE lex_rank <= $hybridM),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |vq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c
+       |  WHERE vec_id < ${TextOps.bm25Queries}),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT vq.q_id, c.vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY vq.q_id
+       |        ORDER BY list_dot_product(c.v, vq.qv) / (c.nrm * vq.qnrm) DESC, c.vec_id) AS INT) AS vec_rank
+       |    FROM c CROSS JOIN vq WHERE c.vec_id <> vq.q_id) WHERE vec_rank <= $hybridM),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    CAST(COALESCE(1000000 // ($rrfK0 + l.lex_rank), 0)
+       |      + COALESCE(1000000 // ($rrfK0 + v.vec_rank), 0) AS BIGINT) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |    doc_id, rrf, lex_rank, vec_rank
+       |  FROM fused) WHERE rank <= $hybridK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_bm25" -> (simHybridBm25 _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "sim_semdedup" -> (simSemdedup _),
@@ -1673,6 +1756,7 @@ object SimOps {
     "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
+    "sim_hybrid_bm25" -> simHybridBm25Sql,
     "sim_hybrid_rrf" -> simHybridRrfSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
     "sim_semdedup" -> simSemdedupSql,

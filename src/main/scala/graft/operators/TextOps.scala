@@ -1661,7 +1661,7 @@ object TextOps {
     * mirrored-tree discipline; 0.75 and 2.2 are the same decimal
     * literals in both texts, so both engines parse identical binary
     * doubles. */
-  private val bm25Queries = 5
+  private[graft] val bm25Queries = 5
   private val bm25TopK = 3
 
   private def bm25StatsPath(dir: String): String =
@@ -1728,7 +1728,12 @@ object TextOps {
     * index layout, query terms broadcast at O(queries·vocab)); the
     * fold runs on O(matches) rows; ranking is the bounded-heap
     * TopKPerKey — the corpus never sorts. */
-  def textBm25(s: SparkSession, dir: String): DataFrame = {
+  /** The (q_id, doc_id, score) BM25 frame — shared verbatim by
+    * text_bm25 (exact top-3 ranking) and sim_hybrid_bm25 (the fused
+    * retrieval's lexical arm), so both keys rank the SAME doubles:
+    * published-IDF weights, fold-not-SUM scoring, dl·N/Σdl length
+    * normalization with the long products inside the division. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val statsPath = ensureBm25Stats(s, dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("w"))
@@ -1747,7 +1752,7 @@ object TextOps {
       .join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(idf.hint("shuffle_hash"), "term")
-    val scored = matches
+    matches
       .groupBy("q_id", "doc_id", "dl")
       .agg(collect_list(struct(col("term"), col("idf"), col("tf")))
         .as("ts"))
@@ -1757,6 +1762,10 @@ object TextOps {
           "acc + t.idf * (t.tf * 2.2d) / " +
           "(t.tf + 1.2d * (0.25d + 0.75d * dl * n_docs / tot_dl)))")
         .as("score"))
+  }
+
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Scored(s, dir)
     val top = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
       Seq(col("score").desc, col("doc_id")), bm25TopK)
     val w = org.apache.spark.sql.expressions.Window
@@ -1766,8 +1775,13 @@ object TextOps {
       .orderBy("q_id", "rank")
   }
 
-  val textBm25Sql: String =
-    s"""WITH d AS (
+  /** Shared DuckDB CTE chain ending in scored(q_id, doc_id, score) —
+    * the ONE oracle-side BM25 formula text (§4 mirrored-tree
+    * discipline), consumed by text_bm25's ranking and reused verbatim
+    * as sim_hybrid_bm25's lexical arm so the two keys' oracles can
+    * never drift apart. */
+  private[operators] val bm25ScoredCtes: String =
+    s"""d AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
       |    AS w
       |  FROM documents),
@@ -1799,7 +1813,10 @@ object TextOps {
       |        (t.tf + 1.2::DOUBLE * (0.25::DOUBLE
       |          + 0.75::DOUBLE * dl * n_docs / tot_dl)))),
       |      (acc, x) -> acc + x) AS score
-      |  FROM agg CROSS JOIN tot),
+      |  FROM agg CROSS JOIN tot)""".stripMargin
+
+  val textBm25Sql: String =
+    s"""WITH $bm25ScoredCtes,
       |ranked AS (
       |  SELECT q_id, doc_id, score,
       |    ROW_NUMBER() OVER (PARTITION BY q_id

@@ -848,4 +848,42 @@ class DedupSimSpec extends AnyFunSuite {
       assert(pairs.sameElements(pairs.sorted), "fused order violates RRF sort")
     }
   }
+
+  test("sim_hybrid_bm25 ranks its lexical arm by the SAME scores text_bm25 publishes") {
+    val rows = SimOps.simHybridBm25(spark, sf).collect()
+    assert(rows.length == graft.operators.TextOps.bm25Queries * SimOps.hybridK)
+    // the RRF reconstruction discipline holds here too
+    rows.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val vec = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+      val want = lex.map(x => 1000000L / (SimOps.rrfK0 + x)).getOrElse(0L) +
+        vec.map(x => 1000000L / (SimOps.rrfK0 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf") == want, s"RRF score drifted: $r")
+    }
+    // the lexical arm IS BM25: for every query, the hybrid's lex_rank
+    // order must agree with text_bm25's published top-3 (the shared
+    // bm25Scored frame makes this structural, the spec pins it)
+    val bm25Top = graft.operators.TextOps.textBm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    val hybLex = rows.filter(_.getAs[Integer]("lex_rank") != null)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Integer]("lex_rank").toInt) ->
+        r.getAs[Long]("doc_id")).toMap
+    val overlap = bm25Top.keys.toSeq.filter(hybLex.contains)
+    assert(overlap.nonEmpty, "no BM25 top-3 winner survived the fused cut")
+    overlap.foreach { k =>
+      assert(hybLex(k) == bm25Top(k),
+        s"lex_rank disagrees with text_bm25 at $k: ${hybLex(k)} != ${bm25Top(k)}")
+    }
+    // BM25 must actually CHANGE the lexical ranking vs the histogram
+    // intersection (IDF + length normalization bite) — otherwise the
+    // sibling key adds nothing over sim_hybrid_rrf
+    val rrfRows = SimOps.simHybridRrf(spark, sf).collect()
+    val rrfLex = rrfRows.filter(_.getAs[Integer]("lex_rank") != null)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Integer]("lex_rank").toInt) ->
+        r.getAs[Long]("doc_id")).toMap
+    val common = hybLex.keys.toSeq.filter(rrfLex.contains)
+    assert(common.exists(k => hybLex(k) != rrfLex(k)),
+      "BM25 lexical order identical to histogram intersection — weighting vacuous")
+  }
 }

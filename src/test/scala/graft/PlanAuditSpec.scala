@@ -69,6 +69,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // window + ordered output — every exchange on token-key or
     // O(queries·m) frames
     "sim_hybrid_rrf" -> 9,
+    // hybrid_bm25: text_bm25's lexical exchanges (tf agg, pinned idf
+    // posting join, fold agg) + the two TopKPerKey/rank-window pairs,
+    // fusion join, fused window and ordered output — every exchange
+    // on the term key or O(queries·m) frames
+    "sim_hybrid_bm25" -> 11,
     // cluster_stats: the two aggs over the checkpoint-pinned
     // assignment frame + ordered output
     "dedup_cluster_stats" -> 5,
@@ -811,6 +816,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // bm25 crosses the 1-row (tot_dl, n_docs) corpus-moment frame
       // into the (q,doc) fold — 1-row broadcast by construction
       "text_bm25",
+      // hybrid_bm25 inherits BOTH: text_bm25's 1-row corpus-moment
+      // cross in its lexical arm and hybrid_rrf's broadcast =!=
+      // cosine scan in its vector arm
+      "sim_hybrid_bm25",
       // dq_report crosses six 1-row stat aggregates into the single
       // report row — 1-row × 1-row by construction
       "etl_dq_report",
