@@ -1286,19 +1286,32 @@ object StreamOps {
     * z² inequality is the key's exactness contract and must not fork):
     * per-type moments over the day-grain frame, then the division-free
     * 2σ test with every product promoted to DECIMAL(38,0) BEFORE the
-    * multiply — a long×long product wraps first (§4), and day counts
-    * at 100 TB/day cross 2^31.5 where n·c² would wrap silently while
-    * the DuckDB oracle computes exactly in HUGEINT. */
-  private def anomalyFlags(counts: DataFrame): DataFrame = {
+    * multiply — a long×long product wraps first (§4).
+    *
+    * HONEST BOUND: DECIMAL(38,0) keeps the products exact through 38
+    * digits — (n·c − S)² stays inside that for day counts up to
+    * ~10^18/(type, day), far past any real event volume, but it is a
+    * bound, not infinity. Past it the failure is LOUD on every path:
+    * under ANSI (the Spark 4 default) the decimal multiply itself
+    * throws NUMERIC_VALUE_OUT_OF_RANGE; in a non-ANSI user session
+    * the multiply returns NULL and the raise_error guard fires —
+    * is_anomaly can never silently degrade to NULL while the oracle
+    * keeps computing (DuckDB's own CAST(q AS BIGINT) throws at its
+    * 2^63 bound, so both engines fail loud rather than diverge). */
+  private[graft] def anomalyFlags(counts: DataFrame): DataFrame = {
     val stats = counts.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("n_events")).as("s"),
       sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).as("q"))
+    // the z² predicate, ONE formula text
+    val pred =
+      "(CAST(n AS DECIMAL(38,0)) * n_events - s)" +
+        " * (CAST(n AS DECIMAL(38,0)) * n_events - s)" +
+        " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
+        " - CAST(s AS DECIMAL(38,0)) * s)"
     counts.join(stats, Seq("event_type"))
       .withColumn("is_anomaly", expr(
-        "(CAST(n AS DECIMAL(38,0)) * n_events - s)" +
-          " * (CAST(n AS DECIMAL(38,0)) * n_events - s)" +
-          " > 4 * (CAST(n AS DECIMAL(38,0)) * q" +
-          " - CAST(s AS DECIMAL(38,0)) * s)"))
+        s"if(isnull($pred), raise_error('anomaly z-squared product " +
+          s"overflowed DECIMAL(38,0) — widen the scoring type'), $pred)"))
       .select("event_type", "day", "n_events", "is_anomaly")
       .orderBy("event_type", "day")
   }

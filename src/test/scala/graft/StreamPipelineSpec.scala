@@ -338,6 +338,38 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly z² overflow past DECIMAL(38,0) fails LOUDLY, never NULL") {
+    // counts near long-max push (n·c − S)² past 38 digits; Spark's
+    // non-ANSI decimal multiply would return NULL and silently
+    // degrade is_anomaly — the raise_error turns that into a failure
+    import spark.implicits._
+    val huge = Seq(
+      ("t", java.sql.Date.valueOf("2020-01-01"), 9000000000000000000L),
+      ("t", java.sql.Date.valueOf("2020-01-02"), 0L),
+      ("t", java.sql.Date.valueOf("2020-01-03"), 0L))
+      .toDF("event_type", "day", "n_events")
+    val e = intercept[Exception] {
+      StreamOps.anomalyFlags(huge).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // two loud paths, both acceptable: under ANSI (the Spark 4
+    // default) the decimal multiply itself throws OUT_OF_RANGE;
+    // in a non-ANSI user session the multiply returns NULL and the
+    // raise_error guard fires — silent NULL is the only failure mode
+    assert(msgs(e).exists(m => m != null &&
+      (m.contains("overflowed") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))),
+      s"expected a loud overflow error, got: $e")
+    // and a frame just INSIDE the bound still scores without error
+    val fine = Seq(
+      ("t", java.sql.Date.valueOf("2020-01-01"), 1000000000000000000L),
+      ("t", java.sql.Date.valueOf("2020-01-02"), 0L),
+      ("t", java.sql.Date.valueOf("2020-01-03"), 0L))
+      .toDF("event_type", "day", "n_events")
+    val rows = StreamOps.anomalyFlags(fine).collect()
+    assert(rows.length == 3 && rows.forall(!_.isNullAt(3)))
+  }
+
   test("dimension-store maintenance rewrites ONLY affected buckets") {
     // the store is hive-partitioned by key bucket and a micro-batch
     // dynamically overwrites just the partitions containing its keys —
