@@ -51,11 +51,8 @@ object MvCatalog {
   private[plans] def childKeyOf(agg: Aggregate): String =
     planKeyOf(agg.child)
 
-  /** The ONE key-derivation function — canonicalized plan text plus
-    * leaf scan paths; keyOf/childKeyOf/candidatesFor all route here
-    * so the exact-match and rollup keyspaces can never drift. */
-  private[plans] def planKeyOf(plan: LogicalPlan): String = {
-    val paths = plan.collectLeaves().flatMap {
+  private def leafPaths(plan: LogicalPlan): Seq[String] =
+    plan.collectLeaves().flatMap {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.map(_.toString)
@@ -63,10 +60,27 @@ object MvCatalog {
       }
       case _: LeafNode => Nil
     }
-    plan.canonicalized.toString + "|" + paths.mkString(",")
-  }
+
+  /** The ONE key-derivation function — canonicalized plan text plus
+    * leaf scan paths; keyOf/childKeyOf/candidatesFor all route here
+    * so the exact-match and rollup keyspaces can never drift. */
+  private[plans] def planKeyOf(plan: LogicalPlan): String =
+    plan.canonicalized.toString + "|" + leafPaths(plan).mkString(",")
+
+  /** Every source path any registered definition scans — the CHEAP
+    * pre-filter: a query whose leaves touch none of these paths can
+    * never match any view, so the rule skips canonicalization (the
+    * expensive half of keyOf — a full subtree rewrite + text render
+    * PER Aggregate, which every unrelated query in a view-registering
+    * session would otherwise pay). */
+  private val srcPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[plans] def mightMatch(plan: LogicalPlan): Boolean =
+    leafPaths(plan).exists(srcPaths.contains)
 
   def register(definition: LogicalPlan, mvPath: String): Unit = {
+    leafPaths(definition).foreach(srcPaths.add)
     views.put(keyOf(definition), mvPath)
     definition match {
       case a: Aggregate =>
@@ -98,7 +112,7 @@ object MvCatalog {
     * having views to match, as in any MV-capable optimizer. */
   def isEmpty: Boolean = views.isEmpty && defs.isEmpty
 
-  def clear(): Unit = { views.clear(); defs.clear() }
+  def clear(): Unit = { views.clear(); defs.clear(); srcPaths.clear() }
 }
 
 /** Analyzer rule: replace a registered aggregate with a scan of its
@@ -115,8 +129,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // the resolved guard matters: canonicalizing an aggregate whose
       // resolution FAILED (e.g. a typo'd column) throws INTERNAL_ERROR
       // from inside this rule and masks the real unresolved-column
-      // error the checker would have raised
-      case agg: Aggregate if agg.resolved =>
+      // error the checker would have raised. mightMatch is the cheap
+      // per-Aggregate gate: only queries actually scanning a
+      // registered definition's source pay canonicalization
+      case agg: Aggregate if agg.resolved && MvCatalog.mightMatch(agg) =>
         MvCatalog.lookup(agg) match {
           case Some(path) =>
             val mv = spark.read.parquet(path).queryExecution.analyzed
