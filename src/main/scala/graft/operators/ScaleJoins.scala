@@ -713,7 +713,100 @@ object ScaleJoins {
       .orderBy("yr")
   }
 
+  /** The star-summary partials at (nation, year) grain over a slice
+    * of the fact side — ONE derivation for the stale build, the
+    * delta, and the oracle's mental model. */
+  private def starPartials(s: SparkSession, dir: String, pred: Column): DataFrame =
+    Tables.load(s, dir, "orders").filter(pred)
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+
+  /** The STALE star summary — the (nation, year) MV as it stood
+    * before the newest fact arrivals, published once per corpus
+    * fingerprint. */
+  private[graft] def ensureStaleStarMv(s: SparkSession, dir: String): String = {
+    val tag = corpusTag(dir, Seq("orders", "customer"))
+    val path = s"/tmp/graft_mv_stale_star_$tag.parquet"
+    publishParquet(path)(starPartials(s, dir,
+      col("o_orderdate") < lit(mvRefreshCutoff).cast(TimestampType)))
+    path
+  }
+
+  /** Incremental maintenance of a JOIN (star) MV — q_mv_refresh's
+    * O(delta + k) loop extended through the fact-dimension join, the
+    * shape real warehouse summaries refresh nightly: only the NEW
+    * fact rows join the dimension (the delta scan prunes on the
+    * pushed cutoff predicate — partition pruning to the new days on
+    * a date-partitioned lake), aggregate to the same (nation, year)
+    * partial layout, and merge with the stale summary on the MV
+    * keys. The base fact table is NEVER rescanned and the dimension
+    * is joined only against the delta — at 100 TB that is the
+    * difference between a nightly full star recompute and a
+    * new-days-only join. Insert-only deltas keep SUM/COUNT partials
+    * associative, so refresh(stale, delta) is bit-identical to the
+    * full star recompute — which IS the oracle. (Dimension-side
+    * changes are a different maintenance problem — they touch every
+    * group the changed dim rows feed — and stay out of scope here,
+    * documented not hidden.) */
+  def qMvStarRefresh(s: SparkSession, dir: String): DataFrame = {
+    val stale = s.read.parquet(ensureStaleStarMv(s, dir))
+    val delta = starPartials(s, dir,
+      col("o_orderdate") >= lit(mvRefreshCutoff).cast(TimestampType))
+    stale.unionByName(delta)
+      .groupBy("c_nationkey", "yr")
+      .agg(sum(col("rev_cents")).as("rev_cents"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy("c_nationkey", "yr")
+  }
+
+  val qMvStarRefreshSql: String =
+    """SELECT c_nationkey, CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** MV rewrite under a HAVING — the post-aggregate filter served
+    * entirely from summaries: the year-grain aggregate rollup-matches
+    * the month MV, the global order count (the HAVING's comparison
+    * side) ALSO answers from the MV (a global COUNT(*) is the empty
+    * grouping set — still a subset of the MV keys), and the HAVING
+    * itself filters the re-aggregated k rows. The executed plan scans
+    * NOTHING but the summary — the oracle runs the raw HAVING SQL.
+    * The threshold is structural, not tuned: n_orders·8 > total keeps
+    * exactly the full calendar years and drops the partial final year
+    * at every scale factor (a full year is ~1/6.55 of the corpus, the
+    * partial year ~0.55 of that). */
+  def qMvHaving(s: SparkSession, dir: String): DataFrame = {
+    ensureMonthMv(s, dir)
+    val total = Tables.load(s, dir, "orders")
+      .agg(count(lit(1)).as("total"))
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_orders") * 8 > col("total"))
+      .select("yr", "rev_cents", "n_orders")
+      .orderBy("yr")
+  }
+
+  val qMvHavingSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1
+      |HAVING COUNT(*) * 8 > (SELECT COUNT(*) FROM orders)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_star_refresh" -> (qMvStarRefresh _),
+    "q_mv_having" -> (qMvHaving _),
     "q_mv_choice" -> (qMvChoice _),
     "q_mv_retract" -> (qMvRetract _),
     "q_mv_star" -> (qMvStar _),
@@ -728,6 +821,8 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_star_refresh" -> qMvStarRefreshSql,
+    "q_mv_having" -> qMvHavingSql,
     // whichever registered summary the cost choice answers from, the
     // result must equal the raw year-grain aggregate — q_mv_rollup's
     // oracle covers it by design

@@ -627,6 +627,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // identical plan shape (and budget) to q_mv_rollup; the day MV
     // and the corpus are never scanned
     "q_mv_choice" -> 2,
+    // mv_having: the two MV-served re-aggregations (year grain +
+    // global total) and ordered output — all model-sized exchanges,
+    // the corpus never scanned
+    "q_mv_having" -> 3,
+    // mv_star_refresh: the delta-side partial agg, the k-row merge
+    // re-agg, ordered output — O(delta + k) exchanges, the fact
+    // table scanned once (delta only), the summary never rebuilt
+    "q_mv_star_refresh" -> 3,
     // mv_retract: retraction partial agg, survivors-extrema agg
     // (affected months only), the two k-row patch joins pinned to
     // shuffle, ordered output — the summary is never rebuilt whole
@@ -829,6 +837,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_zipf",
       // q22 crosses the 1-row balance threshold into the customer scan
       "q22_prospects",
+      // mv_having crosses the 1-row MV-served global total into the
+      // k-row year frame — 1-row broadcast by construction
+      "q_mv_having",
       // index_stats crosses the 1-row corpus total into the k-row frame
       "sim_index_stats",
       // fk_inference crosses each probe's two 1-row counts

@@ -690,6 +690,66 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the HAVING must filter the re-aggregated MV rows exactly")
   }
 
+  test("q_mv_having: the HAVING query runs ENTIRELY from summaries") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val df = ScaleJoins.qMvHaving(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_orders_month"),
+      "both the year grain and the global total must answer from the MV")
+    assert(!plan.contains("orders.parquet"),
+      "zero base scans: the HAVING and its comparison side ride the summary")
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // the threshold is structural: exactly the six full calendar years
+    // survive, the partial 2001 drops — at every scale factor
+    assert(got.map(_._1).toSeq == (1995 to 2000).toSeq,
+      s"expected the six full years, got ${got.map(_._1).toSeq}")
+    val truth = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") > -1L)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .filter(col("yr") <= 2000).orderBy("yr")
+    val want = truth.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want), "the HAVING answer must equal the raw plan")
+  }
+
+  test("q_mv_star_refresh: O(delta-join + k) refresh equals the full star recompute") {
+    import graft.operators.ScaleJoins
+    val df = ScaleJoins.qMvStarRefresh(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_stale_star"),
+      "the refresh must read the stale star summary, not rebuild it")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,"),
+      "the fact delta scan must push its cutoff predicate")
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("orders.parquet") && l.contains("FileScan"))
+    assert(ordersScans <= 1, s"one delta fact scan expected, saw $ordersScans")
+    // the refresh provably MERGES through the join: the cutoff year's
+    // (nation, 1998) groups exist on BOTH sides and their counts grow
+    val stale = spark.read.parquet(ScaleJoins.ensureStaleStarMv(spark, sf))
+      .filter(col("yr") === 1998)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val merged = df.filter(col("yr") === 1998)
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(merged.nonEmpty && merged.forall { case (nk, n) =>
+      stale.get(nk).forall(n > _) },
+      "every cutoff-year nation group must grow past its stale partial")
+    // bit-identical to the full star recompute (the oracle's claim)
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val truth = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey", "yr")
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = truth.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "refresh(stale, delta-join) must equal the full star recompute")
+  }
+
   test("a rewritten GLOBAL COUNT over zero matching MV rows is 0, not NULL") {
     // regression lock: COUNT rewrites to SUM(partial counts), and a
     // bare SUM over an empty (fully filtered) MV is NULL — the
