@@ -804,7 +804,53 @@ object ScaleJoins {
       |HAVING COUNT(*) * 8 > (SELECT COUNT(*) FROM orders)
       |ORDER BY 1""".stripMargin
 
+  /** Summary-advisor run over the signature dashboard workload — the
+    * step BEFORE anyone registers an MV (plans/MvAdvisor.scala): the
+    * year-grain, month-grain and filtered-year dashboards yield two
+    * candidate grains; {year} serves two of the three queries (the
+    * filtered year rides selection subsumption), {year, month}
+    * serves all three and is recommended as the smallest
+    * full-coverage summary. The oracle replays the derivation rule:
+    * grain cardinalities and compression from raw SQL, served/
+    * recommended from the same subset logic stated as literals (the
+    * etl_wap audit-decision pattern). The spec closes the loop:
+    * registering the recommendation makes every workload plan
+    * answer from it. */
+  def qMvAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+    val w1 = base.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val w2 = base.groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val w3 = base.filter(year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr(centsExpr)).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    graft.plans.MvAdvisor.advise(base, Seq(w1, w2, w3))
+  }
+
+  val qMvAdvisorSql: String =
+    """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS base_rows FROM orders),
+      |g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS mv_rows FROM
+      |  (SELECT DISTINCT year(o_orderdate) FROM orders)),
+      |g2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS mv_rows FROM
+      |  (SELECT DISTINCT year(o_orderdate), month(o_orderdate) FROM orders))
+      |SELECT 1 AS grain_keys, b.base_rows, g1.mv_rows,
+      |  2 AS queries_served, 0 AS recommended,
+      |  CAST(g1.mv_rows * 1000000 // b.base_rows AS BIGINT)
+      |    AS compression_ppm
+      |FROM b, g1
+      |UNION ALL
+      |SELECT 2, b.base_rows, g2.mv_rows, 3, 1,
+      |  CAST(g2.mv_rows * 1000000 // b.base_rows AS BIGINT)
+      |FROM b, g2
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_advisor" -> (qMvAdvisor _),
     "q_mv_star_refresh" -> (qMvStarRefresh _),
     "q_mv_having" -> (qMvHaving _),
     "q_mv_choice" -> (qMvChoice _),
@@ -821,6 +867,7 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_advisor" -> qMvAdvisorSql,
     "q_mv_star_refresh" -> qMvStarRefreshSql,
     "q_mv_having" -> qMvHavingSql,
     // whichever registered summary the cost choice answers from, the

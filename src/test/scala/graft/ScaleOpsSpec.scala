@@ -750,6 +750,45 @@ class ScaleOpsSpec extends AnyFunSuite {
       "refresh(stale, delta-join) must equal the full star recompute")
   }
 
+  test("q_mv_advisor: the recommendation, registered, serves the whole workload") {
+    import graft.operators.ScaleJoins
+    val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
+    val rows = ScaleJoins.qMvAdvisor(spark, sf).collect()
+    assert(rows.length == 2)
+    val byGrain = rows.map(r => r.getInt(0) -> r).toMap
+    // {year} serves the year dashboard and the filtered-year dashboard
+    // (selection subsumption) but not the month grain
+    assert(byGrain(1).getInt(3) == 2 && byGrain(1).getInt(4) == 0)
+    // {year, month} serves all three and is the recommendation
+    assert(byGrain(2).getInt(3) == 3 && byGrain(2).getInt(4) == 1)
+    // the finer grain is genuinely bigger — the cost the advisor trades
+    assert(byGrain(2).getLong(2) > byGrain(1).getLong(2))
+    assert(rows.forall(r => r.getLong(2) < r.getLong(1)),
+      "every candidate summary must be smaller than the base")
+    // CLOSE THE LOOP: materialize + register the recommended grain
+    // (the month MV carries the workload's SUM/COUNT partials) and
+    // every workload query now answers from it — the advisor's
+    // servedness claim is the rewrite rule's behavior, verbatim
+    ScaleJoins.ensureMonthMv(spark, sf)
+    val base = Tables.load(spark, sf, "orders")
+    val plans = Seq(
+      base.groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders")),
+      base.groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders")),
+      base.filter(year(col("o_orderdate")).between(1996, 1998))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr(cents)).as("rev_cents"), count(lit(1)).as("n_orders")))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.zipWithIndex.foreach { case (p, i) =>
+      assert(p.contains("graft_mv_orders_month"),
+        s"workload query $i must answer from the registered recommendation")
+      assert(!p.contains("orders.parquet"),
+        s"workload query $i must not scan the base after registration")
+    }
+  }
+
   test("a rewritten GLOBAL COUNT over zero matching MV rows is 0, not NULL") {
     // regression lock: COUNT rewrites to SUM(partial counts), and a
     // bare SUM over an empty (fully filtered) MV is NULL — the
