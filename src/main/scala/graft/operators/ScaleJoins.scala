@@ -90,14 +90,30 @@ object ScaleJoins {
     * discipline): a JVM killed mid-write must never leave a partial
     * directory a later run's exists() check trusts forever — for a
     * shared summary that would silently skew every query answering
-    * from it, in BOTH engines, invisible to the parity gate. */
-  private[graft] def publishParquet(path: String)(build: => DataFrame): Unit =
+    * from it, in BOTH engines, invisible to the parity gate.
+    *
+    * With `tag` set the artifact also carries a freshness token
+    * beside it (path + ".tag") and REBUILDS on mismatch — for
+    * deterministic artifacts (IDF tables, summaries) that must track
+    * a regenerated fixture at the same path. The tag is written
+    * LAST: a kill anywhere earlier leaves either the intact old
+    * artifact or none, both rebuild-safe states. Tagless artifacts
+    * are build-once-forever (the frozen-model convention — IVF
+    * centroids — where rebuilding is the bug, not the fix). */
+  private[graft] def publishParquet(path: String,
+      tag: Option[String] = None)(build: => DataFrame): Unit =
     Etl.withPathLock(java.nio.file.Paths.get(path + ".lock")) {
-      if (!new java.io.File(path).exists()) {
+      import java.nio.file.{Files, Paths}
+      val tagPath = Paths.get(path + ".tag")
+      val fresh = new java.io.File(path).exists() && tag.forall(t =>
+        Files.exists(tagPath) && Files.readString(tagPath) == t)
+      if (!fresh) {
         val tmp = path + ".tmp"
         build.write.mode("overwrite").parquet(tmp)
+        scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
         require(new java.io.File(tmp).renameTo(new java.io.File(path)),
           s"atomic publish rename failed: $tmp -> $path")
+        tag.foreach(t => Files.writeString(tagPath, t))
       }
     }
 

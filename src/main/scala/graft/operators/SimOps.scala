@@ -1566,6 +1566,41 @@ object SimOps {
     * through bounded-heap TopKPerKey before anything sorts, and
     * fusion runs on O(queries·m) frames. At 100 TB each side is the
     * already-audited retrieval plan; fusion cost never grows. */
+  /** The vector arm shared by BOTH hybrid keys: exact-cosine ranks
+    * of the corpus against the first nQ vectors, cut to hybridM
+    * through the bounded heap — ONE copy of the §4-mirrored cosine
+    * tree so the two fusions can never drift. */
+  private def vecRanks(s: SparkSession, dir: String, nQ: Int): DataFrame = {
+    val c = corpus(s, dir)
+    val qv = c.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val vecScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    graft.plans.TopKPerKey.topK(vecScored, Seq("q_id"),
+        Seq(col("cosine").desc, col("doc_id")), hybridM)
+      .withColumn("vec_rank", row_number().over(wv))
+      .select("q_id", "doc_id", "vec_rank")
+  }
+
+  /** Pure-integer RRF fusion of two rank lists, cut to hybridK —
+    * ONE copy of the fusion arithmetic for both hybrid keys. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"CAST(coalesce(1000000 div ($rrfK0 + lex_rank), 0)" +
+          s" + coalesce(1000000 div ($rrfK0 + vec_rank), 0) AS BIGINT)"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= hybridK)
+      .select("q_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+      .orderBy("q_id", "rank")
+  }
+
   def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val tf = docs.select(col("doc_id"),
@@ -1584,30 +1619,41 @@ object SimOps {
         Seq(col("lscore").desc, col("doc_id")), hybridM)
       .withColumn("lex_rank", row_number().over(wl))
       .select("q_id", "doc_id", "lex_rank")
-    val c = corpus(s, dir)
-    val qv = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    val vecScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("doc_id"),
-        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
-    val wv = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("doc_id"))
-    val vec = graft.plans.TopKPerKey.topK(vecScored, Seq("q_id"),
-        Seq(col("cosine").desc, col("doc_id")), hybridM)
-      .withColumn("vec_rank", row_number().over(wv))
-      .select("q_id", "doc_id", "vec_rank")
-    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf", expr(
-        s"CAST(coalesce(1000000 div ($rrfK0 + lex_rank), 0)" +
-          s" + coalesce(1000000 div ($rrfK0 + vec_rank), 0) AS BIGINT)"))
-    val wf = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(wf))
-      .filter(col("rank") <= hybridK)
-      .select("q_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
-      .orderBy("q_id", "rank")
+    rrfFuse(lex, vecRanks(s, dir, nQueries))
   }
+
+  /** Shared oracle CTE text for the vector arm (c, vq, vec) — ONE
+    * copy of the cosine/rank formula for both hybrid keys (§4). */
+  private def vecCtesSql(nQ: Int): String =
+    s"""c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |vq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c
+       |  WHERE vec_id < $nQ),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT vq.q_id, c.vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY vq.q_id
+       |        ORDER BY list_dot_product(c.v, vq.qv) / (c.nrm * vq.qnrm) DESC, c.vec_id) AS INT) AS vec_rank
+       |    FROM c CROSS JOIN vq WHERE c.vec_id <> vq.q_id) WHERE vec_rank <= $hybridM)""".stripMargin
+
+  /** Shared oracle fusion tail (fused + final cut) — ONE copy of the
+    * integer-RRF arithmetic for both hybrid keys. */
+  private val rrfFuseTailSql: String =
+    s"""fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    CAST(COALESCE(1000000 // ($rrfK0 + l.lex_rank), 0)
+       |      + COALESCE(1000000 // ($rrfK0 + v.vec_rank), 0) AS BIGINT) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |    doc_id, rrf, lex_rank, vec_rank
+       |  FROM fused) WHERE rank <= $hybridK
+       |ORDER BY q_id, rank""".stripMargin
 
   val simHybridRrfSql: String =
     s"""WITH tf AS (
@@ -1626,30 +1672,8 @@ object SimOps {
        |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY lscore DESC, doc_id) AS INT) AS lex_rank
        |    FROM lexs) WHERE lex_rank <= $hybridM),
-       |c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c WHERE vec_id < $nQueries),
-       |vec AS (
-       |  SELECT q_id, doc_id, vec_rank FROM (
-       |    SELECT q.q_id, c.vec_id AS doc_id,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
-       |        ORDER BY list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) DESC, c.vec_id) AS INT) AS vec_rank
-       |    FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id) WHERE vec_rank <= $hybridM),
-       |fused AS (
-       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
-       |    CAST(COALESCE(1000000 // ($rrfK0 + l.lex_rank), 0)
-       |      + COALESCE(1000000 // ($rrfK0 + v.vec_rank), 0) AS BIGINT) AS rrf
-       |  FROM lex l FULL OUTER JOIN vec v
-       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
-       |SELECT q_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
-       |  SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-       |      ORDER BY rrf DESC, doc_id) AS INT) AS rank,
-       |    doc_id, rrf, lex_rank, vec_rank
-       |  FROM fused) WHERE rank <= $hybridK
-       |ORDER BY q_id, rank""".stripMargin
+       |${vecCtesSql(nQueries)},
+       |$rrfFuseTailSql""".stripMargin
 
   /** Hybrid retrieval with BM25 as the lexical arm — the fusion
     * production RAG stacks actually deploy (sim_hybrid_rrf's raw
@@ -1675,29 +1699,7 @@ object SimOps {
         Seq(col("score").desc, col("doc_id")), hybridM)
       .withColumn("lex_rank", row_number().over(wl))
       .select("q_id", "doc_id", "lex_rank")
-    val c = corpus(s, dir)
-    val qv = c.filter(col("vec_id") < TextOps.bm25Queries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    val vecScored = c.join(broadcast(qv), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("doc_id"),
-        (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
-    val wv = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("doc_id"))
-    val vec = graft.plans.TopKPerKey.topK(vecScored, Seq("q_id"),
-        Seq(col("cosine").desc, col("doc_id")), hybridM)
-      .withColumn("vec_rank", row_number().over(wv))
-      .select("q_id", "doc_id", "vec_rank")
-    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf", expr(
-        s"CAST(coalesce(1000000 div ($rrfK0 + lex_rank), 0)" +
-          s" + coalesce(1000000 div ($rrfK0 + vec_rank), 0) AS BIGINT)"))
-    val wf = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(wf))
-      .filter(col("rank") <= hybridK)
-      .select("q_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
-      .orderBy("q_id", "rank")
+    rrfFuse(lex, vecRanks(s, dir, TextOps.bm25Queries))
   }
 
   val simHybridBm25Sql: String =
@@ -1707,31 +1709,8 @@ object SimOps {
        |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
        |    FROM scored) WHERE lex_rank <= $hybridM),
-       |c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |vq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM c
-       |  WHERE vec_id < ${TextOps.bm25Queries}),
-       |vec AS (
-       |  SELECT q_id, doc_id, vec_rank FROM (
-       |    SELECT vq.q_id, c.vec_id AS doc_id,
-       |      CAST(ROW_NUMBER() OVER (PARTITION BY vq.q_id
-       |        ORDER BY list_dot_product(c.v, vq.qv) / (c.nrm * vq.qnrm) DESC, c.vec_id) AS INT) AS vec_rank
-       |    FROM c CROSS JOIN vq WHERE c.vec_id <> vq.q_id) WHERE vec_rank <= $hybridM),
-       |fused AS (
-       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
-       |    CAST(COALESCE(1000000 // ($rrfK0 + l.lex_rank), 0)
-       |      + COALESCE(1000000 // ($rrfK0 + v.vec_rank), 0) AS BIGINT) AS rrf
-       |  FROM lex l FULL OUTER JOIN vec v
-       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
-       |SELECT q_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
-       |  SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-       |      ORDER BY rrf DESC, doc_id) AS INT) AS rank,
-       |    doc_id, rrf, lex_rank, vec_rank
-       |  FROM fused) WHERE rank <= $hybridK
-       |ORDER BY q_id, rank""".stripMargin
+       |${vecCtesSql(TextOps.bm25Queries)},
+       |$rrfFuseTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hybrid_bm25" -> (simHybridBm25 _),

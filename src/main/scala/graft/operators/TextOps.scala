@@ -1683,30 +1683,17 @@ object TextOps {
     * killed mid-write can never leave a partial table that
     * exists() trusts forever. */
   private def ensureBm25Stats(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
     val path = bm25StatsPath(dir)
-    val tag = graft.operators.ScaleJoins.corpusTag(dir, Seq("documents"))
-    val tagPath = Paths.get(path + ".tag")
-    Etl.withPathLock(Paths.get(path + ".lock")) {
-      if (!Files.exists(Paths.get(path)) || !Files.exists(tagPath) ||
-          Files.readString(tagPath) != tag) {
-        val docs = graft.Tables.load(s, dir, "documents")
-          .select(col("doc_id"), toks(col("text")).as("w"))
-        val n = docs.count().toDouble
-        val tmp = path + ".tmp"
-        docs.select(explode(array_distinct(col("w"))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-          .select(col("term"), log(lit(1.0) +
-            (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            .as("idf"))
-          .write.mode("overwrite").parquet(tmp)
-        // tag is written LAST: a kill anywhere before it leaves either
-        // the intact old table or no table — both rebuild-safe states
-        scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
-        require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-          s"atomic publish rename failed: $tmp -> $path")
-        Files.writeString(tagPath, tag)
-      }
+    graft.operators.ScaleJoins.publishParquet(path,
+      Some(graft.operators.ScaleJoins.corpusTag(dir, Seq("documents")))) {
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("w"))
+      val n = docs.count().toDouble
+      docs.select(explode(array_distinct(col("w"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("term"), log(lit(1.0) +
+          (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
     }
     path
   }

@@ -43,29 +43,70 @@ object MvAdvisor {
 
   /** One workload query, statically analyzed: the shared pre-filter
     * child's key, canonical grouping texts, canonical aggregate
-    * texts (re-aggregable ones only — a query with any non-partial
-    * aggregate can never be served), and the stripped predicate. */
+    * texts (re-aggregable ones only — a query with any output the
+    * rewrite cannot map to an MV column gets aggs = None and is
+    * served by NOTHING, so the advisor's servedness can never
+    * overclaim what [[MvRewrite]] will actually do), and the
+    * stripped predicate. A query that does not analyze to an
+    * Aggregate at all returns None and still counts in the coverage
+    * denominator — silently ignoring part of the workload would let
+    * a partial candidate masquerade as full-coverage. */
   private case class Q(childKey: String, groups: Set[String],
       aggs: Option[Set[String]], cond: Option[Expression],
       grainSize: Int, unfiltered: Boolean, idx: Int)
 
-  private def analyze(df: DataFrame, idx: Int): Option[Q] =
-    df.queryExecution.analyzed match {
+  /** The workload plan as the USER wrote it: in a session where MVs
+    * are already registered, df.queryExecution.analyzed has been
+    * rewritten onto a summary scan — the advisor must examine the
+    * raw dashboard, so it re-analyzes the pre-analysis plan with the
+    * rewrite suspended for this thread. */
+  private def rawAnalyzed(df: DataFrame): LogicalPlan = {
+    MvRewrite.suspended.set(true)
+    try df.sparkSession.sessionState
+      .executePlan(df.queryExecution.logical).analyzed
+    finally MvRewrite.suspended.set(false)
+  }
+
+  private def analyze(df: DataFrame, idx: Int): Option[Q] = {
+    // dashboards end in .orderBy — a top-level Sort does not change
+    // what summary serves the aggregate under it (MvRewrite rewrites
+    // inner Aggregates through any parent), so unwrap it
+    val plan = rawAnalyzed(df) match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    plan match {
       case agg: Aggregate =>
         val qCanon = agg.canonicalized match {
           case a: Aggregate => a
           case _ => return None
         }
-        val (child, condCanon) = agg.child match {
-          case f: Filter if f.condition.deterministic =>
+        // a NON-deterministic filter can never be part of a stable
+        // summary definition nor rewrite onto one (MvRollup vetoes
+        // the same shape): the query stays in the denominator,
+        // served by nothing, and is no candidate
+        agg.child match {
+          case f: Filter if !f.condition.deterministic =>
+            return Some(Q(MvCatalog.planKeyOf(agg.child),
+              qCanon.groupingExpressions.map(_.toString).toSet,
+              None, None, qCanon.groupingExpressions.length,
+              unfiltered = false, idx))
+          case _ => ()
+        }
+        val condCanon = agg.child match {
+          case _: Filter =>
             qCanon.child match {
-              case fc: Filter => (f.child, Some(fc.condition))
-              case _ => (agg.child, None)
+              case fc: Filter => Some(fc.condition)
+              case _ => None
             }
-          case c => (c, None)
+          case _ => None
+        }
+        val child = agg.child match {
+          case f: Filter => f.child
+          case c => c
         }
         val groups = qCanon.groupingExpressions.map(_.toString).toSet
-        val aggTexts = qCanon.aggregateExpressions.flatMap { ne =>
+        val aggTexts = qCanon.aggregateExpressions.map { ne =>
           unalias(ne) match {
             case ae: AggregateExpression =>
               if (!ae.isDistinct && ae.filter.isEmpty &&
@@ -74,15 +115,22 @@ object MvAdvisor {
                   case _ => false
                 })) Some(Some(ae.toString))
               else Some(None) // non-re-aggregable: poison the query
-            case _ => None // grouping-key passthrough
+            case g if groups.contains(g.toString) =>
+              None // carried grouping key: always mappable
+            case _ =>
+              // a derived output (sum(x)+1, yr+1, …) has no MV column
+              // to map onto — MvRollup's output mapping would veto,
+              // so the advisor must too
+              Some(None)
           }
         }
-        val aggs = if (aggTexts.contains(None)) None
-          else Some(aggTexts.flatten.toSet)
+        val aggs = if (aggTexts.contains(Some(None))) None
+          else Some(aggTexts.flatten.flatten.toSet)
         Some(Q(MvCatalog.planKeyOf(child), groups, aggs, condCanon,
           qCanon.groupingExpressions.length, condCanon.isEmpty, idx))
       case _ => None
     }
+  }
 
   /** True iff a summary at `cand`'s grain (carrying `cand`'s
     * aggregates) answers `q` under the engine's rewrite rules. */
@@ -126,7 +174,11 @@ object MvAdvisor {
       val served = qs.count(q => serves(c, q))
       (c.grainSize, baseRows, mvRows, served)
     }.sortBy(r => (r._1, r._3))
-    val full = rows.filter(_._4 == qs.length)
+    // full coverage is measured against the WHOLE workload, including
+    // entries that did not analyze to a servable Aggregate — a query
+    // the advisor could not examine must block the recommendation,
+    // never silently shrink the denominator
+    val full = rows.filter(_._4 == workload.length)
     val rec: Option[(Int, Long)] =
       full.sortBy(r => (r._3, r._1)).headOption.map(r => (r._1, r._3))
     val out = rows.map { case (gk, br, mr, sv) =>

@@ -112,7 +112,9 @@ object MvCatalog {
     * having views to match, as in any MV-capable optimizer. */
   def isEmpty: Boolean = views.isEmpty && defs.isEmpty
 
-  def clear(): Unit = { views.clear(); defs.clear(); srcPaths.clear() }
+  def clear(): Unit = {
+    views.clear(); defs.clear(); srcPaths.clear(); MvRollup.sizes.clear()
+  }
 }
 
 /** Analyzer rule: replace a registered aggregate with a scan of its
@@ -120,12 +122,21 @@ object MvCatalog {
   * output attribute ids (by position — the MV was written from the
   * same definition, so orders and types line up) so every parent
   * operator resolves unchanged. */
+object MvRewrite {
+  /** Per-thread suspension — [[MvAdvisor]] re-analyzes workload
+    * plans with the rewrite off so it examines the DASHBOARD, not
+    * whatever summary a shared session already answers it from. */
+  private[plans] val suspended: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+}
+
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     // empty-catalog fast path: with no registered views there is
     // nothing to match — skip the tree walk entirely so sessions
     // that never register an MV pay zero analysis overhead
-    if (MvCatalog.isEmpty) plan else plan.transformUp {
+    if (MvCatalog.isEmpty || MvRewrite.suspended.get) plan
+    else plan.transformUp {
       // the resolved guard matters: canonicalizing an aggregate whose
       // resolution FAILED (e.g. a typo'd column) throws INTERNAL_ERROR
       // from inside this rule and masks the real unresolved-column
@@ -185,18 +196,22 @@ object MvRollup {
 
   /** MV size cache — on-disk bytes per registered path. A published
     * MV never mutates (one build per corpus fingerprint), so one FS
-    * walk per path amortizes over every later analysis; an
-    * unreadable path sorts last instead of failing the rule. */
-  private val sizes =
+    * walk per path amortizes over every later analysis. An unreadable
+    * path sorts last for THIS lookup but is NOT cached — a transient
+    * FS error must not permanently invert the cost choice (the next
+    * analysis re-walks and recovers). */
+  private[plans] val sizes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[plans] def mvBytes(spark: SparkSession, path: String): Long =
-    sizes.computeIfAbsent(path, p =>
+    Option(sizes.computeIfAbsent(path, p =>
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sessionState.newHadoopConf())
-          .getContentSummary(hp).getLength
-      } catch { case _: java.io.IOException => java.lang.Long.MAX_VALUE })
+        java.lang.Long.valueOf(
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(hp).getLength)
+      } catch { case _: java.io.IOException => null }))
+      .map(_.longValue).getOrElse(Long.MaxValue)
 
   def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     // selection subsumption: a Filter between the query's Aggregate

@@ -791,43 +791,82 @@ object StreamOps {
   private[graft] def dimBucketOf: Column =
     pmod(hash(col("c_custkey")), lit(dimBuckets))
 
-  /** Initialize a dimension store hive-partitioned by key bucket —
-    * the layout that makes incremental maintenance write
-    * O(affected buckets), not O(dimension), per micro-batch. */
+  /** Initialize the dimension store: generation g0 holds the full
+    * dimension hive-partitioned by key bucket — the layout that makes
+    * incremental maintenance write O(affected buckets), not
+    * O(dimension), per micro-batch. */
   private[graft] def writeDimStore(df: DataFrame, store: String): Unit =
     df.withColumn("bkt", dimBucketOf)
-      .write.partitionBy("bkt").parquet(store)
+      .write.partitionBy("bkt").parquet(s"$store/g0")
+
+  /** Resolve the store's current state as of generation `bound`:
+    * per bucket, the LATEST COMMITTED generation (its dir carries
+    * Spark's _SUCCESS marker) containing that bucket wins — the
+    * LSM-style read side of the append-only layout. Returns the
+    * winning bucket directories; the bkt value itself is derivable
+    * from the key, so readers never need the partition column. */
+  private[graft] def resolveDimStore(store: String, bound: Long): Seq[(String, String)] = {
+    val gens = Option(new java.io.File(store).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("g") &&
+        d.getName.drop(1).nonEmpty && d.getName.drop(1).forall(_.isDigit) &&
+        d.getName.drop(1).toLong <= bound &&
+        new java.io.File(d, "_SUCCESS").exists)
+      .sortBy(_.getName.drop(1).toLong)
+    val latest = scala.collection.mutable.LinkedHashMap[String, String]()
+    gens.foreach { g =>
+      Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(b => b.isDirectory && b.getName.startsWith("bkt="))
+        .foreach(b => latest(b.getName) = b.getAbsolutePath)
+    }
+    latest.toSeq
+  }
 
   /** AFFECTED-BUCKET merge write — the per-micro-batch store rewrite,
     * bounded on BOTH sides: the merge COMPUTE was always O(batch +
     * affected keys) (left-semi/anti in the merge fns), and the WRITE
-    * is now O(affected buckets) too — the batch's key buckets are
-    * partition-pruned on read, merged, and dynamically overwritten;
-    * every other bucket's files are untouched on disk
-    * (spec-asserted byte-identical). At 100 TB this is the difference
-    * between rewriting a full dimension per batch and rewriting only
-    * the partitions containing changed keys.
+    * is O(affected buckets) — the batch's key buckets resolve to
+    * their latest committed generation, merge, and land as a NEW
+    * generation g(batchId+1) holding only those buckets; every other
+    * bucket's files are untouched on disk (spec-asserted
+    * byte-identical). At 100 TB this is the difference between
+    * rewriting a full dimension per batch and writing only the
+    * partitions containing changed keys.
     *
-    * Retry-safety no longer needs store generations: both merges are
-    * IDEMPOTENT (spec-asserted), so a checkpoint-replayed batch
-    * re-merges against the already-merged buckets and writes back
-    * identical content — which also heals a kill mid-commit that
-    * left some partitions swapped and some not. The localCheckpoint
-    * pins the pruned read BEFORE the overwrite of the same path (and
-    * is model-sized: affected buckets only). */
+    * Retry-safety is APPEND-ONLY, no delete window anywhere: a
+    * replayed micro-batch re-reads the SAME resolved state (only
+    * generations ≤ its batchId — a committed g(b+1) from a
+    * die-after-write is deliberately ignored on replay) and
+    * overwrite-rebuilds g(b+1); a generation dir without _SUCCESS
+    * (killed mid-write) is invisible to every reader. Compare the
+    * dynamic-partition-overwrite alternative, whose commit DELETES
+    * the old partition dir before renaming the staged one in — a
+    * kill in that window empties the bucket and no idempotent merge
+    * can resurrect its untouched keys. Old generations retire via
+    * retention (the etl_vacuum story), never in the hot path. */
   private[graft] def applyDimBatch(spark: SparkSession, store: String,
-      batch: DataFrame, merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val bkts = batch.select(dimBucketOf.as("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val prev = spark.read.parquet(store)
-      .filter(col("bkt").isin(bkts: _*)).drop("bkt")
-      .localCheckpoint()
+      batchId: Long, batch: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val affected = batch.select(dimBucketOf.as("bkt")).distinct()
+      .collect().map(r => s"bkt=${r.getInt(0)}").toSet
+    val resolved = resolveDimStore(store, batchId)
+    val prevDirs = resolved.collect {
+      case (name, path) if affected(name) => path
+    }
+    val prev =
+      if (prevDirs.nonEmpty) spark.read.parquet(prevDirs: _*)
+      else spark.read.parquet(resolved.head._2).limit(0)
     merge(prev, batch)
       .withColumn("bkt", dimBucketOf)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bkt").parquet(store)
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$store/g${batchId + 1}")
   }
+
+  /** The served dimension: every bucket at its latest committed
+    * generation. */
+  private[graft] def readDimStore(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(
+      resolveDimStore(store, Long.MaxValue).map(_._2): _*)
 
   def streamScd2(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
@@ -843,13 +882,13 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${scd2LogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyDimBatch(spark, store, batch, scd2Merge)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDimBatch(spark, store, batchId, batch, scd2Merge)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(store).drop("bkt")
+    val fin = readDimStore(spark, store)
       .orderBy("c_custkey", "eff_from_ver")
     // materialize before the run dir is deleted, then return a local
     // relation (history is O(keys·waves) — the drained-sink contract)
@@ -869,13 +908,13 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyDimBatch(spark, store, batch, cdcMerge)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDimBatch(spark, store, batchId, batch, cdcMerge)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start())
-    val fin = spark.read.parquet(store).drop("bkt")
+    val fin = readDimStore(spark, store)
       .filter(col("op") =!= "D").drop("op", "version")
       .orderBy("c_custkey")
     // materialize before the run dir is deleted, then return a local

@@ -370,11 +370,13 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(!_.isNullAt(3)))
   }
 
-  test("dimension-store maintenance rewrites ONLY affected buckets") {
-    // the store is hive-partitioned by key bucket and a micro-batch
-    // dynamically overwrites just the partitions containing its keys —
-    // every other bucket's files must be BYTE-IDENTICAL afterwards
-    // (at 100 TB: O(affected buckets) written per batch, not O(dim))
+  test("dimension-store maintenance writes ONLY affected buckets, append-only") {
+    // the store is generation-per-batch, hive-partitioned by key
+    // bucket: a micro-batch lands a NEW generation holding just the
+    // buckets containing its keys — every pre-existing file must be
+    // BYTE-IDENTICAL afterwards (nothing is ever deleted in the hot
+    // path, so there is no commit window where a kill can empty a
+    // bucket; at 100 TB: O(affected buckets) written per batch)
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.IntegerType
     val dir = Files.createTempDirectory("graft_bucket_store").toString
@@ -384,7 +386,7 @@ class StreamPipelineSpec extends AnyFunSuite {
         lit(null).cast(IntegerType).as("eff_to_ver"),
         lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
     StreamOps.writeDimStore(base, store)
-    // a SINGLE-key change wave: exactly one bucket may be rewritten
+    // a SINGLE-key change wave: exactly one bucket may be written
     val key = base.agg(min(col("c_custkey"))).collect()(0).getLong(0)
     val w = base.filter(col("c_custkey") === key)
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
@@ -401,27 +403,37 @@ class StreamPipelineSpec extends AnyFunSuite {
         }.toMap
     }
     val before = snap()
-    StreamOps.applyDimBatch(spark, store, w, StreamOps.scd2Merge)
+    StreamOps.applyDimBatch(spark, store, 0L, w, StreamOps.scd2Merge)
     val after = snap()
-    val delta = (before.keySet ++ after.keySet)
-      .filter(p => before.get(p) != after.get(p))
-    val deltaBkts = delta.flatMap(p =>
+    // APPEND-ONLY: every pre-existing file survives byte-identical
+    assert(before.forall { case (p, h) => after.get(p).contains(h) },
+      "no pre-existing file may change or disappear")
+    // the new generation holds exactly the one affected bucket
+    val added = after.keySet -- before.keySet
+    val addedBkts = added.flatMap(p =>
       "bkt=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
-    assert(deltaBkts.size == 1,
-      s"one key changed, so exactly one bucket may be rewritten: $deltaBkts")
-    val untouched = before.keySet.filter(p =>
-      !deltaBkts.exists(b => p.contains(s"bkt=$b/")) && p.contains("bkt="))
-    assert(untouched.nonEmpty &&
-      untouched.forall(p => after.get(p).contains(before(p))),
-      "unaffected buckets' files must be byte-identical across the batch")
-    // and the history is exactly the one-shot merge (hash unchanged)
-    val got = spark.read.parquet(store).drop("bkt")
+    assert(added.forall(_.startsWith("g1/")),
+      s"all new files must land in generation g1: $added")
+    assert(addedBkts.size == 1,
+      s"one key changed, so exactly one bucket may be written: $addedBkts")
+    // the resolved history is exactly the one-shot merge
+    val got = StreamOps.readDimStore(spark, store)
       .orderBy("c_custkey", "eff_from_ver").collect()
     val want = StreamOps.scd2Merge(base, w)
       .orderBy("c_custkey", "eff_from_ver").collect()
     assert(got.nonEmpty && got.length == want.length &&
       got.zip(want).forall { case (x, y) => x == y },
       "the affected-bucket write must produce the same history as a full merge")
+    // and an UNCOMMITTED generation (no _SUCCESS — a mid-write kill)
+    // is invisible: readers resolve past it, replay rebuilds it
+    val g2 = new java.io.File(s"$store/g2/bkt=99")
+    assert(g2.mkdirs())
+    Files.writeString(Paths.get(s"$store/g2/bkt=99/junk"), "partial")
+    val still = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(still.length == got.length &&
+      still.zip(got).forall { case (x, y) => x == y },
+      "a generation without _SUCCESS must be invisible to readers")
   }
 
   test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
