@@ -360,6 +360,92 @@ class RandomizedOpsSpec extends AnyFunSuite {
       "some random part must be fully consumed")
   }
 
+  test("MV rewrite equivalence on randomized grains, measures and filters") {
+    // the MV core's contract, fuzzed: for ANY registered grain G and
+    // measure set M over a parquet base, ANY query at a subgrain
+    // Q ⊆ G with measures ⊆ M — bare, or filtered on a retained key —
+    // must (a) answer from the MV scan and (b) equal the forced base
+    // run bit-for-bit; grains/measures OUTSIDE the definition must
+    // run untouched. Eight random trials per run, seeded.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.{Column, DataFrame}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_prop").toString
+    val rows = (1 to 5000).map { _ =>
+      (rnd.nextInt(7), rnd.nextInt(13), s"s${rnd.nextInt(5)}",
+        rnd.nextInt(1000000).toLong)
+    }
+    rows.toDF("k1", "k2", "k3", "v").write.parquet(s"$dir/base.parquet")
+    val base = spark.read.parquet(s"$dir/base.parquet")
+    val keys = Seq("k1", "k2", "k3")
+    val measureNames = Seq("s", "c", "mn", "mx")
+    def aggCols(names: Seq[String]): Seq[Column] = names.map {
+      case "s" => sum(col("v")).as("s")
+      case "c" => count(lit(1)).as("c")
+      case "mn" => min(col("v")).as("mn")
+      case "mx" => max(col("v")).as("mx")
+    }
+    def aggOf(src: DataFrame, grain: Seq[String], ms: Seq[String]): DataFrame = {
+      val a = aggCols(ms)
+      src.groupBy(grain.map(col): _*).agg(a.head, a.tail: _*)
+    }
+    def rowsOf(df: DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    (1 to 8).foreach { trial =>
+      graft.plans.MvCatalog.clear()
+      val g = rnd.shuffle(keys).take(1 + rnd.nextInt(3))
+      val ms = rnd.shuffle(measureNames).take(1 + rnd.nextInt(4))
+      val mvPath = s"$dir/mv_$trial.parquet"
+      aggOf(base, g, ms).write.mode("overwrite").parquet(mvPath)
+      aggOf(base, g, ms).queryExecution.analyzed match {
+        case a: Aggregate => graft.plans.MvCatalog.register(a, mvPath)
+        case other => fail(s"definition did not analyze to Aggregate: $other")
+      }
+      val q = rnd.shuffle(g).take(1 + rnd.nextInt(g.length))
+      val qm = rnd.shuffle(ms).take(1 + rnd.nextInt(ms.length))
+      // (a) the subgrain answers from the MV and equals the base run
+      val qDf = aggOf(base, q, qm)
+      val plan = qDf.queryExecution.executedPlan.toString
+      assert(plan.contains(s"mv_$trial"),
+        s"trial $trial: grain $q of $g (measures $qm of $ms) must rewrite")
+      assert(!plan.contains("base.parquet"),
+        s"trial $trial: the base must not be scanned")
+      val truth = aggOf(base.filter(col("v") > Long.MinValue), q, qm)
+      assert(!truth.queryExecution.executedPlan.toString.contains(s"mv_$trial"))
+      assert(rowsOf(qDf) == rowsOf(truth),
+        s"trial $trial: rewritten answer diverged at grain $q measures $qm")
+      // (b) selection subsumption on a retained key — still MV-served
+      val fk = q(rnd.nextInt(q.length))
+      val fv: Column = fk match {
+        case "k1" => lit(rnd.nextInt(7))
+        case "k2" => lit(rnd.nextInt(13))
+        case _ => lit(s"s${rnd.nextInt(5)}")
+      }
+      val fDf = aggOf(base.filter(col(fk) === fv), q, qm)
+      assert(fDf.queryExecution.executedPlan.toString.contains(s"mv_$trial"),
+        s"trial $trial: key-grain slice on $fk must ride the MV")
+      val fTruth = aggOf(
+        base.filter(col(fk) === fv && col("v") > Long.MinValue), q, qm)
+      assert(rowsOf(fDf) == rowsOf(fTruth),
+        s"trial $trial: filtered rewrite diverged on $fk")
+      // (c) a grain with a key OUTSIDE the definition runs untouched
+      keys.filterNot(g.contains).headOption.foreach { outKey =>
+        val nPlan = aggOf(base, q :+ outKey, qm)
+          .queryExecution.executedPlan.toString
+        assert(!nPlan.contains(s"mv_$trial"),
+          s"trial $trial: off-grain key $outKey must veto")
+      }
+      // (d) a measure the MV does not carry runs untouched
+      measureNames.filterNot(ms.contains).headOption.foreach { outM =>
+        val nPlan = aggOf(base, q, qm :+ outM)
+          .queryExecution.executedPlan.toString
+        assert(!nPlan.contains(s"mv_$trial"),
+          s"trial $trial: uncarried measure $outM must veto")
+      }
+    }
+    graft.plans.MvCatalog.clear()
+  }
+
   test("rolling-OLS position-sum identity holds on random windows") {
     // 30·(T − (i−29)·S) − 435·S == 30·Σ(x·y) − 435·Σy for x = 0..29
     val w = operators.SeriesOps.trendW
