@@ -45,50 +45,64 @@ object StatsOps {
     * statistics are the textbook distributed-statistics design
     * (they merge associatively, so partial combine does the work).
     */
+  /** Sufficient statistics in INTEGER CENTS with exact product sums
+    * (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT), each cast to double
+    * ONCE — r10 hardening: the old scale-2 decimal sums hit DuckDB's
+    * scaled-decimal→double cast, which double-rounds (int128→double,
+    * then ÷10^scale) once the unscaled value passes 2^53, while
+    * Spark's BigDecimal→double is correctly rounded — a last-ulp
+    * engine fork the sf0.001 sweep caught on the product sums.
+    * Scale-0 integers have no division step, so both engines'
+    * casts are single correctly-rounded conversions of the same
+    * exact integer at ANY scale factor. */
   def qStatsFuncs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val q = col("l_quantity").cast(DecimalType(12, 2))
-    val p = col("l_extendedprice").cast(DecimalType(12, 2))
     val sums = li
-      .select(col("l_returnflag"), q.as("q"), p.as("p"))
+      .select(col("l_returnflag"),
+        expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)")
+          .as("qc"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+          .as("pc"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("q")).cast(DoubleType).as("sq"),
-        sum(col("p")).cast(DoubleType).as("sp"),
-        sum(col("q") * col("q")).cast(DoubleType).as("sqq"),
-        sum(col("p") * col("p")).cast(DoubleType).as("spp"),
-        sum(col("q") * col("p")).cast(DoubleType).as("sqp"))
+        sum(col("qc")).cast(DoubleType).as("sq"),
+        sum(col("pc")).cast(DoubleType).as("sp"),
+        // promote BEFORE the multiply: pc² sums pass 2^63 at sf1
+        sum(expr("cast(qc as decimal(38,0)) * qc")).cast(DoubleType).as("sqq"),
+        sum(expr("cast(pc as decimal(38,0)) * pc")).cast(DoubleType).as("spp"),
+        sum(expr("cast(qc as decimal(38,0)) * pc")).cast(DoubleType).as("sqp"))
     // the double expression trees below are textually mirrored in the
-    // oracle SQL — do not re-associate them
+    // oracle SQL — do not re-associate them; the /100.0d rescales the
+    // cents-domain statistics back to unit-domain outputs
     sums.select(
       col("l_returnflag"),
       col("n"),
-      expr("sqrt((cast(n as double) * sqq - sq * sq) / (cast(n as double) * (cast(n as double) - 1.0)))").as("std_qty"),
-      expr("sqrt((cast(n as double) * spp - sp * sp) / (cast(n as double) * (cast(n as double) - 1.0)))").as("std_price"),
+      expr("sqrt((cast(n as double) * sqq - sq * sq) / (cast(n as double) * (cast(n as double) - 1.0))) / 100.0d").as("std_qty"),
+      expr("sqrt((cast(n as double) * spp - sp * sp) / (cast(n as double) * (cast(n as double) - 1.0))) / 100.0d").as("std_price"),
       expr("(cast(n as double) * sqp - sq * sp) / (sqrt(cast(n as double) * sqq - sq * sq) * sqrt(cast(n as double) * spp - sp * sp))").as("corr_qp"),
       expr("(cast(n as double) * sqp - sq * sp) / (cast(n as double) * sqq - sq * sq)").as("slope_pq"),
-      expr("(sp - ((cast(n as double) * sqp - sq * sp) / (cast(n as double) * sqq - sq * sq)) * sq) / cast(n as double)").as("icept_pq"))
+      expr("((sp - ((cast(n as double) * sqp - sq * sp) / (cast(n as double) * sqq - sq * sq)) * sq) / cast(n as double)) / 100.0d").as("icept_pq"))
   }
 
   val qStatsFuncsSql: String =
     """WITH s AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
-      |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
-      |    CAST(SUM(p * p) AS DOUBLE) AS spp,
-      |    CAST(SUM(q * p) AS DOUBLE) AS sqp
+      |    CAST(SUM(qc) AS DOUBLE) AS sq, CAST(SUM(pc) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(qc AS HUGEINT) * qc) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(qc AS HUGEINT) * pc) AS DOUBLE) AS sqp
       |  FROM (SELECT l_returnflag,
-      |          CAST(l_quantity AS DECIMAL(12,2)) AS q,
-      |          CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+      |          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
       |        FROM lineitem)
       |  GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  sqrt((CAST(n AS DOUBLE) * sqq - sq * sq) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
-      |  sqrt((CAST(n AS DOUBLE) * spp - sp * sp) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_price,
+      |  sqrt((CAST(n AS DOUBLE) * sqq - sq * sq) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0::DOUBLE AS std_qty,
+      |  sqrt((CAST(n AS DOUBLE) * spp - sp * sp) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0::DOUBLE AS std_price,
       |  (CAST(n AS DOUBLE) * sqp - sq * sp) / (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * spp - sp * sp)) AS corr_qp,
       |  (CAST(n AS DOUBLE) * sqp - sq * sp) / (CAST(n AS DOUBLE) * sqq - sq * sq) AS slope_pq,
-      |  (sp - ((CAST(n AS DOUBLE) * sqp - sq * sp) / (CAST(n AS DOUBLE) * sqq - sq * sq)) * sq) / CAST(n AS DOUBLE) AS icept_pq
+      |  ((sp - ((CAST(n AS DOUBLE) * sqp - sq * sp) / (CAST(n AS DOUBLE) * sqq - sq * sq)) * sq) / CAST(n AS DOUBLE)) / 100.0::DOUBLE AS icept_pq
       |FROM s""".stripMargin
 
   /** Edit-distance threshold for q_fuzzy_join: the fixture's

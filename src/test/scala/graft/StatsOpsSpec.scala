@@ -17,14 +17,17 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("std_qty") > 0.0)
       assert(r.getAs[Double]("std_price") > 0.0)
     }
-    // replay one group's correlation from raw rows with exact decimal
-    // sums — the operator must agree bitwise, not approximately
+    // replay one group's correlation from raw rows with exact INTEGER
+    // CENT sums (the operator's r10 domain — every conversion to
+    // double is a single correctly-rounded cast of an exact integer)
+    // — the operator must agree bitwise, not approximately
     val flag = rows.head.getString(0)
     val raw = Tables.load(spark, sf, "lineitem")
       .filter(col("l_returnflag") === flag)
       .select(col("l_quantity"), col("l_extendedprice")).collect()
-      .map(r => (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
-        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .map(r => (
+        (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt,
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
     val n = raw.length.toDouble
     val sq = raw.map(_._1).sum.toDouble
     val sp = raw.map(_._2).sum.toDouble
