@@ -553,7 +553,14 @@ object MultimodalOps {
     * WITHOUT decoding bytes (mm_decode's formula-oracle discipline),
     * while the Spark side proves real bytes hash into exactly those
     * families (an encoder nondeterminism or hash collision breaks
-    * parity loud).
+    * parity loud). The blob carries an 8-byte family-id trailer (the
+    * metadata tag a real upload carries in EXIF/ID3): the synthetic
+    * pixel formulas are PERIODIC (lcm 3840 in the family id), so
+    * past ~27k docs two far-apart families would alias byte-for-byte
+    * and the hash dedup would — correctly! — merge what the id
+    * oracle counts apart (the sf1 sweep caught exactly that); real
+    * corpora get global distinctness from content, the fixture gets
+    * it from the tag.
     *
     * Scale shape: payload generation spreads across the session's
     * parallelism; sha256 is per-row scan-side work; ONE hash
@@ -565,7 +572,11 @@ object MultimodalOps {
       .select(col("doc_id"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .as[Long]
-      .map(id => (id, payloadFor(id / mmDupFamily)))
+      .map { id =>
+        val fam = id / mmDupFamily
+        (id, payloadFor(fam) ++
+          java.nio.ByteBuffer.allocate(8).putLong(fam).array())
+      }
       .toDF("doc_id", "payload")
       .select(col("doc_id"), sha2(col("payload"), 256).as("h"))
       .groupBy("h")

@@ -23,35 +23,67 @@ object Relational {
   private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
   private val one = lit(1).cast(DecimalType(4, 2))
 
+  /** TPC-H Q1 in exact integer units (r10 — the §4 scale-0 rule): each
+    * decimal product is exact at its natural scale (price in cents,
+    * disc-price in 1e-4 units, charge in 1e-6 units), sums run in
+    * DECIMAL(38,0) ↔ HUGEINT, and the ONLY float steps are one
+    * correctly-rounded int→double cast plus mirrored rescale/average
+    * divisions. The former scale-4/6 decimal sums crossed 2^53
+    * UNSCALED at sf1, where DuckDB's scaled-decimal→double cast
+    * double-rounds while Spark's BigDecimal→double rounds once — a
+    * last-ulp engine fork the sf1 sweep caught on sum_charge. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val discPrice = d2(col("l_extendedprice")) * (one - pct(col("l_discount")))
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)")
+          .as("qc"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+          .as("pc"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 100 as bigint)")
+          .as("dc"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2))) * 10000 as bigint)")
+          .as("dp4"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2))) * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2))) * 1000000 as bigint)")
+          .as("ch6"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(d2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
-        sum(discPrice * (one + pct(col("l_tax")))).cast(DoubleType).as("sum_charge"),
-        (sum(d2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-        (sum(d2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
-        (sum(pct(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        expr("cast(sum(cast(qc as decimal(38,0))) as double) / 100.0d")
+          .as("sum_qty"),
+        expr("cast(sum(cast(pc as decimal(38,0))) as double) / 100.0d")
+          .as("sum_base_price"),
+        expr("cast(sum(cast(dp4 as decimal(38,0))) as double) / 10000.0d")
+          .as("sum_disc_price"),
+        expr("cast(sum(cast(ch6 as decimal(38,0))) as double) / 1000000.0d")
+          .as("sum_charge"),
+        expr("cast(sum(cast(qc as decimal(38,0))) as double) / 100.0d / count(1)")
+          .as("avg_qty"),
+        expr("cast(sum(cast(pc as decimal(38,0))) as double) / 100.0d / count(1)")
+          .as("avg_price"),
+        expr("cast(sum(cast(dc as decimal(38,0))) as double) / 100.0d / count(1)")
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE AS sum_qty,
+      |  CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE AS sum_base_price,
+      |  CAST(SUM(CAST(dp4 AS HUGEINT)) AS DOUBLE) / 10000.0::DOUBLE AS sum_disc_price,
+      |  CAST(SUM(CAST(ch6 AS HUGEINT)) AS DOUBLE) / 1000000.0::DOUBLE AS sum_charge,
+      |  CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(dc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dc,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS dp4,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT) AS ch6
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -1550,9 +1582,14 @@ object Relational {
     * balance. Largest-remainder method in pure integer cents:
     * base = (total_cents · qty) div qty_sum, then the leftover cents
     * go one each to the largest remainders (ties → lowest line
-    * number). The reference's value-conversion layer rounds per cell
-    * (dumperAuxFuncs.py) and would hit exactly this drift on any
-    * derived allocation.
+    * number, then lowest qty — the fixture's duplicate line numbers
+    * can collide on remainder with DIFFERENT quantities, and an
+    * under-specified tie there hands the penny to an engine-arbitrary
+    * row with a different base: the sf1 sweep caught exactly that;
+    * rows still tied after qty have identical bases, so the output
+    * multiset is deterministic). The reference's value-conversion
+    * layer rounds per cell (dumperAuxFuncs.py) and would hit exactly
+    * this drift on any derived allocation.
     *
     * Scale shape: ONE order-grain shuffle carries the qty-sum window,
     * the base-sum window, and the remainder rank (all share the
@@ -1560,7 +1597,7 @@ object Relational {
     * operation anywhere; integer arithmetic end to end. */
   def qPennyAllocation(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey"))
-    val rankW = w.orderBy(col("rem").desc, col("l_linenumber"))
+    val rankW = w.orderBy(col("rem").desc, col("l_linenumber"), col("qty"))
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(LongType).as("qty"))
@@ -1601,7 +1638,7 @@ object Relational {
       |    total_cents - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
       |      AS BIGINT) AS leftover,
       |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
-      |      ORDER BY rem DESC, l_linenumber) AS rnk
+      |      ORDER BY rem DESC, l_linenumber, qty) AS rnk
       |  FROM y)
       |SELECT l_orderkey, l_linenumber,
       |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)

@@ -237,17 +237,23 @@ object StreamOps {
 
   /** DuckDB has no session_window: the oracle rebuilds the same
     * sessions via lag + running sum, with the >= gap boundary matching
-    * Spark's half-open merge rule, and end = last event + gap. */
+    * Spark's half-open merge rule, and end = last event + gap. Both
+    * windows order by (ts, event_id) — a TOTAL order: with duplicate
+    * timestamps (GenScale corpora replicate events 10×), ordering by
+    * ts alone lets the lag pass and the running-sum pass disagree on
+    * tie order, splitting an equal-ts run across the island boundary
+    * (the sf1 sweep caught exactly that; Spark's session_window is
+    * set-based and has no such ordering dependence). */
   val qSessionWindowSql: String =
     """WITH d AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
-      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM d)
       |SELECT user_id,
@@ -940,17 +946,18 @@ object StreamOps {
       |ORDER BY 1, 2""".stripMargin
 
   /** Same session rebuild as qSessionWindowSql, minus the value sum
-    * (the streaming key emits counts only). */
+    * (the streaming key emits counts only) — (ts, event_id) total
+    * order in both windows for the same duplicate-ts reason. */
   val streamSessionsSql: String =
     """WITH d AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, event_id, ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
-      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM d)
       |SELECT user_id,

@@ -12,6 +12,7 @@ SPARK_GRAFT_ONLY iteration flow)
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -48,8 +49,11 @@ def cells_equal(a, b):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures ship single parquet FILES; GenScale'd corpora
+        # (sf1) write Spark directory layouts — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         unknown = only - set(oracle)
