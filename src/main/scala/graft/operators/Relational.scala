@@ -23,17 +23,23 @@ object Relational {
   private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
   private val one = lit(1).cast(DecimalType(4, 2))
 
-  /** TPC-H Q1 in exact integer units (r10 — the §4 scale-0 rule): each
+  /** TPC-H Q1 in exact integer units (r10, twice-hardened): each
     * decimal product is exact at its natural scale (price in cents,
-    * disc-price in 1e-4 units, charge in 1e-6 units), sums run in
-    * DECIMAL(38,0) ↔ HUGEINT, and the ONLY float steps are one
-    * correctly-rounded int→double cast plus mirrored rescale/average
-    * divisions. The former scale-4/6 decimal sums crossed 2^53
-    * UNSCALED at sf1, where DuckDB's scaled-decimal→double cast
-    * double-rounds while Spark's BigDecimal→double rounds once — a
-    * last-ulp engine fork the sf1 sweep caught on sum_charge. */
+    * disc-price in 1e-4 units, charge in 1e-6 units); the big unit
+    * sums surface via the SPLIT Σ(x div 10⁹)·10⁹ + Σ(x mod 10⁹), so
+    * every surfaced sum stays below 2⁶³ by construction through
+    * ~sf1000 — the regime where BOTH engines' int→double casts are
+    * correctly rounded. History: the original scale-4/6 decimal sums
+    * crossed 2^53 unscaled at sf1, where DuckDB's
+    * scaled-decimal→double cast double-rounds (sf1-sweep catch);
+    * the intermediate DECIMAL(38,0)↔HUGEINT fix would itself
+    * mis-round past 2^64 (DuckDB's hugeint→double, ~5% of values —
+    * second-review catch), a line sum_charge crosses near sf80. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
+    def splitSum(u: String): String =
+      s"(cast(sum($u div 1000000000) as double) * 1000000000.0d" +
+        s" + cast(sum($u % 1000000000) as double))"
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .select(col("l_returnflag"), col("l_linestatus"),
         expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)")
@@ -48,33 +54,28 @@ object Relational {
           .as("ch6"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        expr("cast(sum(cast(qc as decimal(38,0))) as double) / 100.0d")
-          .as("sum_qty"),
-        expr("cast(sum(cast(pc as decimal(38,0))) as double) / 100.0d")
-          .as("sum_base_price"),
-        expr("cast(sum(cast(dp4 as decimal(38,0))) as double) / 10000.0d")
-          .as("sum_disc_price"),
-        expr("cast(sum(cast(ch6 as decimal(38,0))) as double) / 1000000.0d")
-          .as("sum_charge"),
-        expr("cast(sum(cast(qc as decimal(38,0))) as double) / 100.0d / count(1)")
-          .as("avg_qty"),
-        expr("cast(sum(cast(pc as decimal(38,0))) as double) / 100.0d / count(1)")
-          .as("avg_price"),
-        expr("cast(sum(cast(dc as decimal(38,0))) as double) / 100.0d / count(1)")
-          .as("avg_disc"),
+        expr("cast(sum(qc) as double) / 100.0d").as("sum_qty"),
+        expr("cast(sum(pc) as double) / 100.0d").as("sum_base_price"),
+        expr(s"${splitSum("dp4")} / 10000.0d").as("sum_disc_price"),
+        expr(s"${splitSum("ch6")} / 1000000.0d").as("sum_charge"),
+        expr("cast(sum(qc) as double) / 100.0d / count(1)").as("avg_qty"),
+        expr("cast(sum(pc) as double) / 100.0d / count(1)").as("avg_price"),
+        expr("cast(sum(dc) as double) / 100.0d / count(1)").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE AS sum_qty,
-      |  CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE AS sum_base_price,
-      |  CAST(SUM(CAST(dp4 AS HUGEINT)) AS DOUBLE) / 10000.0::DOUBLE AS sum_disc_price,
-      |  CAST(SUM(CAST(ch6 AS HUGEINT)) AS DOUBLE) / 1000000.0::DOUBLE AS sum_charge,
-      |  CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(dc AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_disc,
+      |  CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) / 100.0::DOUBLE AS sum_qty,
+      |  CAST(CAST(SUM(pc) AS BIGINT) AS DOUBLE) / 100.0::DOUBLE AS sum_base_price,
+      |  (CAST(CAST(SUM(dp4 // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0::DOUBLE
+      |    + CAST(CAST(SUM(dp4 % 1000000000) AS BIGINT) AS DOUBLE)) / 10000.0::DOUBLE AS sum_disc_price,
+      |  (CAST(CAST(SUM(ch6 // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0::DOUBLE
+      |    + CAST(CAST(SUM(ch6 % 1000000000) AS BIGINT) AS DOUBLE)) / 1000000.0::DOUBLE AS sum_charge,
+      |  CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(pc) AS BIGINT) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(dc) AS BIGINT) AS DOUBLE) / 100.0::DOUBLE / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM (SELECT l_returnflag, l_linestatus,
       |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,

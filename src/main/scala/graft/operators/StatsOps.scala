@@ -36,27 +36,32 @@ object StatsOps {
 
   /** Per-group bivariate statistics over lineitem (quantity vs
     * extended price): sample stddevs, Pearson correlation, and the
-    * least-squares slope/intercept of price on quantity.
+    * least-squares slope/intercept of price on quantity. ONE pass,
+    * map-side partial aggregation of the sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) per group; the closed-form
+    * combination runs on the 4-row aggregate — the textbook
+    * distributed-statistics design at any table size.
     *
-    * Scale shape: ONE pass, map-side partial aggregation of six
-    * decimal sums per group — the same shape as q1_agg regardless of
-    * table size. The closed-form combination runs on the 4-row
-    * aggregate. At 100 TB nothing here changes: sufficient
-    * statistics are the textbook distributed-statistics design
-    * (they merge associatively, so partial combine does the work).
-    */
-  /** Sufficient statistics in INTEGER CENTS with exact product sums
-    * (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT), each cast to double
-    * ONCE — r10 hardening: the old scale-2 decimal sums hit DuckDB's
-    * scaled-decimal→double cast, which double-rounds (int128→double,
-    * then ÷10^scale) once the unscaled value passes 2^53, while
-    * Spark's BigDecimal→double is correctly rounded — a last-ulp
-    * engine fork the sf0.001 sweep caught on the product sums.
-    * Scale-0 integers have no division step, so both engines'
-    * casts are single correctly-rounded conversions of the same
-    * exact integer at ANY scale factor. */
+    * Exactness (r10, twice-hardened): statistics accumulate in
+    * INTEGER CENTS, and each product sum is SPLIT as
+    * Σ(x div 10⁹) and Σ(x mod 10⁹) so that every surfaced sum stays
+    * below 2⁶³ by construction through ~sf1000 — the regime where
+    * BOTH engines' int→double casts are correctly rounded. The two
+    * failed alternatives are documented history: scale-2 decimal
+    * sums hit DuckDB's scaled-decimal→double double-rounding past
+    * 2^53 unscaled (caught at sf0.001), and DECIMAL(38,0)↔HUGEINT
+    * sums hit DuckDB's hugeint→double mis-rounding past 2^64
+    * (~5% of values off by 1 ulp — caught by the second review
+    * pass; the sf1 green was luck of three group values). The split
+    * recombines as hi·10⁹ + lo in mirrored double text — identical
+    * inputs, identical IEEE ops, bitwise-equal outputs. */
   def qStatsFuncs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
+    // mirrored split-sum surfacing: both partial sums fit BIGINT, so
+    // the casts are correctly rounded in both engines
+    def splitSum(u: String): String =
+      s"(cast(sum($u div 1000000000) as double) * 1000000000.0d" +
+        s" + cast(sum($u % 1000000000) as double))"
     val sums = li
       .select(col("l_returnflag"),
         expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)")
@@ -68,10 +73,11 @@ object StatsOps {
         count(lit(1)).as("n"),
         sum(col("qc")).cast(DoubleType).as("sq"),
         sum(col("pc")).cast(DoubleType).as("sp"),
-        // promote BEFORE the multiply: pc² sums pass 2^63 at sf1
-        sum(expr("cast(qc as decimal(38,0)) * qc")).cast(DoubleType).as("sqq"),
-        sum(expr("cast(pc as decimal(38,0)) * pc")).cast(DoubleType).as("spp"),
-        sum(expr("cast(qc as decimal(38,0)) * pc")).cast(DoubleType).as("sqp"))
+        // per-row products fit long (pc² ≤ 1.3e14); the split keeps
+        // the surfaced SUMS under 2^63 through ~sf1000
+        expr(splitSum("qc * qc")).as("sqq"),
+        expr(splitSum("pc * pc")).as("spp"),
+        expr(splitSum("qc * pc")).as("sqp"))
     // the double expression trees below are textually mirrored in the
     // oracle SQL — do not re-associate them; the /100.0d rescales the
     // cents-domain statistics back to unit-domain outputs
@@ -88,10 +94,14 @@ object StatsOps {
   val qStatsFuncsSql: String =
     """WITH s AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(qc) AS DOUBLE) AS sq, CAST(SUM(pc) AS DOUBLE) AS sp,
-      |    CAST(SUM(CAST(qc AS HUGEINT) * qc) AS DOUBLE) AS sqq,
-      |    CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DOUBLE) AS spp,
-      |    CAST(SUM(CAST(qc AS HUGEINT) * pc) AS DOUBLE) AS sqp
+      |    CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) AS sq,
+      |    CAST(CAST(SUM(pc) AS BIGINT) AS DOUBLE) AS sp,
+      |    (CAST(CAST(SUM((qc * qc) // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0::DOUBLE
+      |      + CAST(CAST(SUM((qc * qc) % 1000000000) AS BIGINT) AS DOUBLE)) AS sqq,
+      |    (CAST(CAST(SUM((pc * pc) // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0::DOUBLE
+      |      + CAST(CAST(SUM((pc * pc) % 1000000000) AS BIGINT) AS DOUBLE)) AS spp,
+      |    (CAST(CAST(SUM((qc * pc) // 1000000000) AS BIGINT) AS DOUBLE) * 1000000000.0::DOUBLE
+      |      + CAST(CAST(SUM((qc * pc) % 1000000000) AS BIGINT) AS DOUBLE)) AS sqp
       |  FROM (SELECT l_returnflag,
       |          CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
       |          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc

@@ -29,11 +29,15 @@ class StatsOpsSpec extends AnyFunSuite {
         (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt,
         (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
     val n = raw.length.toDouble
+    // product sums surface via the split hi·1e9 + lo (the operator's
+    // sub-2^63 discipline) — the replay mirrors it exactly
+    def split(x: BigInt): Double =
+      (x / 1000000000).toDouble * 1e9 + (x % 1000000000).toDouble
     val sq = raw.map(_._1).sum.toDouble
     val sp = raw.map(_._2).sum.toDouble
-    val sqq = raw.map(t => t._1 * t._1).sum.toDouble
-    val spp = raw.map(t => t._2 * t._2).sum.toDouble
-    val sqp = raw.map(t => t._1 * t._2).sum.toDouble
+    val sqq = split(raw.map(t => t._1 * t._1).sum)
+    val spp = split(raw.map(t => t._2 * t._2).sum)
+    val sqp = split(raw.map(t => t._1 * t._2).sum)
     val expected = (n * sqp - sq * sp) /
       (math.sqrt(n * sqq - sq * sq) * math.sqrt(n * spp - sp * sp))
     assert(rows.head.getAs[Double]("corr_qp") == expected,
