@@ -12,7 +12,8 @@ object SparkEntry {
       DedupOps.queries ++ SimOps.queries ++ MultimodalOps.queries ++
       AsOfJoin.queries ++ RangeJoin.queries ++ ScaleJoins.queries ++
       CorpusPipeline.queries ++ graft.streaming.StreamOps.queries ++
-      StatsOps.queries ++ AnalyticsOps.queries ++ SeriesOps.queries
+      StatsOps.queries ++ AnalyticsOps.queries ++ SeriesOps.queries ++
+      SketchOps.queries ++ MatchRecognize.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       DedupOps.oracles ++ SimOps.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ ScaleJoins.oracles ++ CorpusPipeline.oracles ++
       graft.streaming.StreamOps.oracles ++ MultimodalOps.oracles ++
-      StatsOps.oracles ++ AnalyticsOps.oracles ++ SeriesOps.oracles
+      StatsOps.oracles ++ AnalyticsOps.oracles ++ SeriesOps.oracles ++
+      SketchOps.oracles ++ MatchRecognize.oracles
 }

@@ -964,7 +964,87 @@ object DedupOps {
        |FROM j WHERE rk <= $softCapN
        |ORDER BY canonical_id, prio DESC, n_chars DESC, doc_id""".stripMargin
 
+  /** URL-keyed dedup — the FIRST pass of every web-corpus pipeline
+    * (CommonCrawl-style curation dedups on canonical URL before any
+    * content hashing touches bytes: refreshes, mirrors and tracking
+    * variants of one page collapse for free). Fixture docs carry no
+    * URLs, so each doc gets one CONSTRUCTED deterministically from
+    * doc_id in the same four case/port/slash/tracking raw variants
+    * text_url_canon normalizes, but keyed to a shared page id
+    * (doc_id mod 97) so distinct raw spellings genuinely collide —
+    * the canonicalization chain is TextOps' single-copy fragments,
+    * so this key and text_url_canon cannot drift.
+    *
+    * Survivorship is q_latest_per_key's lexicographic struct max
+    * (longest text wins, ties to the smallest doc_id): ONE map-side
+    * combining HashAggregate at canonical-URL grain — O(urls) state,
+    * never a per-group sort. The oracle states the window form;
+    * parity proves the agg equivalent.
+    *
+    * Scale shape: per-row codegen'd canonicalization fused with the
+    * scan, then a single (canonical-url)-keyed exchange; nothing
+    * downstream is corpus-sized. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val raw = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("url_raw", expr(
+        "case cast(doc_id % 4 as int)" +
+          " when 0 then concat('https://w', doc_id % 97 % 7," +
+          "   '.example.com/p/page-', doc_id % 97," +
+          "   '?utm_source=feed&id=', doc_id % 97)" +
+          " when 1 then concat('HTTPS://W', doc_id % 97 % 7," +
+          "   '.Example.COM/p/page-', doc_id % 97, '?id=', doc_id % 97," +
+          "   '&utm_medium=rss')" +
+          " when 2 then concat('https://w', doc_id % 97 % 7," +
+          "   '.example.com:443/p/page-', doc_id % 97," +
+          "   '?ref=home&id=', doc_id % 97)" +
+          " else concat('https://w', doc_id % 97 % 7," +
+          "   '.example.com/p/page-', doc_id % 97, '/?id=', doc_id % 97," +
+          "   '&utm_campaign=x&ref=nav') end"))
+    TextOps.withUrlCanonical(raw)
+      .groupBy("url_canonical")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_raw")).as("n_variants"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nd"),
+          col("doc_id"))).as("b"))
+      .select(col("url_canonical"), col("n_docs"), col("n_variants"),
+        col("b.doc_id").as("keep_id"), col("b.n_chars").as("keep_chars"))
+  }
+
+  val dedupUrlSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'https://w' || (doc_id % 97 % 7)
+       |        || '.example.com/p/page-' || (doc_id % 97)
+       |        || '?utm_source=feed&id=' || (doc_id % 97)
+       |      WHEN 1 THEN 'HTTPS://W' || (doc_id % 97 % 7)
+       |        || '.Example.COM/p/page-' || (doc_id % 97)
+       |        || '?id=' || (doc_id % 97) || '&utm_medium=rss'
+       |      WHEN 2 THEN 'https://w' || (doc_id % 97 % 7)
+       |        || '.example.com:443/p/page-' || (doc_id % 97)
+       |        || '?ref=home&id=' || (doc_id % 97)
+       |      ELSE 'https://w' || (doc_id % 97 % 7)
+       |        || '.example.com/p/page-' || (doc_id % 97)
+       |        || '/?id=' || (doc_id % 97) || '&utm_campaign=x&ref=nav'
+       |    END AS url_raw
+       |  FROM documents),
+       |${TextOps.urlCanonSqlCtes("d")},
+       |g AS (
+       |  SELECT url_canonical, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT url_raw) AS n_variants
+       |  FROM canon GROUP BY 1),
+       |k AS (
+       |  SELECT url_canonical, doc_id AS keep_id, n_chars AS keep_chars
+       |  FROM (SELECT url_canonical, doc_id, n_chars,
+       |          ROW_NUMBER() OVER (PARTITION BY url_canonical
+       |            ORDER BY n_chars DESC, doc_id) AS rk
+       |        FROM canon) WHERE rk = 1)
+       |SELECT g.url_canonical, g.n_docs, g.n_variants, k.keep_id, k.keep_chars
+       |FROM g JOIN k USING (url_canonical)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_soft_cap" -> (dedupSoftCap _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
@@ -978,6 +1058,7 @@ object DedupOps {
     "dedup_embed_cosine" -> (dedupEmbedCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" -> dedupUrlSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_soft_cap" -> dedupSoftCapSql,
     "dedup_keep_best" -> dedupKeepBestSql,

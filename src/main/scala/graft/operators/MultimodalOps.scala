@@ -834,7 +834,136 @@ object MultimodalOps {
        |  $channelStdTree AS std
        |FROM x ORDER BY channel""".stripMargin
 
+  // ---- mm_scene_cuts: video scene segmentation over real frames ----
+
+  /** Video-payload formulas (shared by the generator, the spec, and
+    * the DuckDB oracle — the payloadFor discipline applied to a
+    * frame SEQUENCE with scene structure): every doc is a small
+    * multi-frame TIFF whose fill color changes only at scene
+    * boundaries. */
+  def vWidthFor(id: Long): Int = (8 + (id * 5) % 24).toInt
+  def vHeightFor(id: Long): Int = (8 + (id * 3) % 16).toInt
+  def vFramesFor(id: Long): Int = (4 + id % 3).toInt
+  def vSceneLenFor(id: Long): Int = (2 + id % 2).toInt
+  def vSceneOf(id: Long, frame: Int): Int = frame / vSceneLenFor(id)
+
+  /** Real multi-frame TIFF "video": frame f is a solid fill of
+    * frameChan(base, scene(f)) per channel — constant within a scene,
+    * stepped at scene boundaries. */
+  def videoPayloadFor(id: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      (0 until vFramesFor(id)).foreach { f =>
+        val sc = vSceneOf(id, f)
+        val img = new BufferedImage(vWidthFor(id), vHeightFor(id),
+          BufferedImage.TYPE_INT_RGB)
+        val rgb = (frameChan(redFor(id), sc) << 16) |
+          (frameChan(greenFor(id), sc) << 8) | frameChan(blueFor(id), sc)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  case class SceneCutRow(doc_id: Long, frame_idx: Long, score: Long,
+      n_frames: Long)
+
+  /** Scene-cut detection — the video curation primitive (shot
+    * segmentation before frame sampling: training pipelines sample
+    * per SCENE, not per fixed stride, or motion-less footage floods
+    * the batch): decode every frame of a real multi-frame container,
+    * compute exact per-frame mean color, and emit a cut wherever the
+    * mean steps (score = Σ_channel |Δmean|, solid scenes make the
+    * means exact integers so the threshold is crisp in both engines).
+    *
+    * The decode is REAL (ImageIO TIFF reader walks every frame's
+    * raster); the scene structure is formula-derived, so the DuckDB
+    * oracle recomputes every cut and score with no video library —
+    * a decoder that skipped frames, re-read frame 0, or averaged
+    * rasters wrongly breaks parity (mm_decode's design, applied to
+    * the temporal axis).
+    *
+    * Scale shape: generate + decode + cut-detect in ONE partition
+    * pass over the id-spread frame (the mm_* spread rule); per-doc
+    * state is one previous frame's means — frames of one video are
+    * always partition-local, so scene detection needs NO shuffle at
+    * any corpus size (contrast a window over exploded frame rows:
+    * a doc-keyed exchange of every frame's stats). Output is
+    * cuts-per-doc rows only. */
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[Long]
+      .map(id => (id, videoPayloadFor(id)))
+      .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val rd = ImageIO.getImageReaders(iis).next()
+          rd.setInput(iis)
+          val n = rd.getNumImages(true)
+          var prev: (Long, Long, Long) = null
+          val cuts = (0 until n).flatMap { f =>
+            val img = rd.read(f)
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+              null, 0, img.getWidth)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            val np = px.length.toLong
+            val cur = (sr / np, sg / np, sb / np)
+            val out = if (prev != null) {
+              val score = math.abs(cur._1 - prev._1) +
+                math.abs(cur._2 - prev._2) + math.abs(cur._3 - prev._3)
+              if (score > 0) Some(SceneCutRow(id, f.toLong, score, n.toLong))
+              else None
+            } else None
+            prev = cur
+            out
+          }
+          rd.dispose()
+          cuts
+        } finally iis.close()
+      }
+      .toDF()
+  }
+
+  val mmSceneCutsSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, gs.g AS frame_idx, 2 + doc_id % 2 AS s,
+      |    (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g2,
+      |    (doc_id * 83) % 256 AS b, 4 + doc_id % 3 AS n_frames
+      |  FROM documents CROSS JOIN generate_series(1, 5) AS gs(g)
+      |  WHERE gs.g < 4 + doc_id % 3)
+      |SELECT doc_id, frame_idx,
+      |  abs((r + 29 * (frame_idx // s)) % 256
+      |      - (r + 29 * (frame_idx // s - 1)) % 256)
+      |  + abs((g2 + 29 * (frame_idx // s)) % 256
+      |      - (g2 + 29 * (frame_idx // s - 1)) % 256)
+      |  + abs((b + 29 * (frame_idx // s)) % 256
+      |      - (b + 29 * (frame_idx // s - 1)) % 256) AS score,
+      |  n_frames
+      |FROM f WHERE frame_idx % s = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_channel_stats" -> (mmChannelStats _),
     "mm_aspect_buckets" -> (mmAspectBuckets _),
     "mm_pack_shards" -> (mmPackShards _),
@@ -846,6 +975,7 @@ object MultimodalOps {
     "mm_embed_fusion" -> (mmEmbedFusion _))
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cuts" -> mmSceneCutsSql,
     "mm_channel_stats" -> mmChannelStatsSql,
     "mm_aspect_buckets" -> mmAspectBucketsSql,
     "mm_pack_shards" -> mmPackShardsSql,

@@ -1712,7 +1712,93 @@ object SimOps {
        |${vecCtesSql(TextOps.bm25Queries)},
        |$rrfFuseTailSql""".stripMargin
 
+  /** Coreset size for sim_kcenter. */
+  val kcenterK = 8
+
+  /** Greedy k-center / farthest-point coreset selection (Gonzalez
+    * 1985) over the embedding corpus — the diversity-first data
+    * SELECTION primitive (pick k maximally-spread exemplars for
+    * labeling, eval-set seeding, or diverse fine-tuning mixtures;
+    * sim_mmr_rerank diversifies a per-query shortlist, this selects
+    * from the WHOLE corpus). The greedy rule is the classic
+    * 2-approximation for the k-center objective.
+    *
+    * Round i picks the vector FARTHEST (cosine distance) from its
+    * nearest already-picked center, ties to the smallest vec_id; the
+    * seed is the minimum vec_id. Output: (step, center_id, dist)
+    * with dist the selected vector's distance-to-nearest-center at
+    * pick time — the monotone non-increasing radius sequence (the
+    * spec asserts monotonicity; dist at step k bounds the full
+    * corpus cover radius within 2×).
+    *
+    * Scale shape: k scans of the corpus, each a zero-shuffle
+    * codegen'd projection (the ≤ k candidate dot products fold into
+    * one `least`) topped by TakeOrdered — the corpus never shuffles,
+    * never sorts, and only ONE row crosses to the driver per round.
+    * dmin is recomputed from the (tiny, broadcast-as-literals) center
+    * set each round rather than checkpointing a corpus-sized running
+    * minimum: O(k²) dot products per row total, zero lineage state —
+    * the right trade until k is large enough that an incremental
+    * (vec_id, dmin) sidecar beats 8 extra multiplies per row.
+    *
+    * Oracle: the same rounds unrolled as CTEs (the q_pagerank
+    * discipline) — DuckDB re-derives every center and radius
+    * independently, so parity pins the full greedy trajectory, not
+    * just the final set. The oracle's dmin chains incrementally
+    * (`LEAST(prev, new)`) while Spark folds the candidate list fresh;
+    * min over doubles is associative, so the bits agree. */
+  def simKcenter(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    def ctr(r: org.apache.spark.sql.Row): (Long, Seq[Float], Double) =
+      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+    val seed = ctr(c.orderBy(col("vec_id")).limit(1).collect()(0))
+    var centers = Vector(seed)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, seed._1, 0.0))
+    (1 until kcenterK).foreach { step =>
+      val dists = centers.map { case (_, cv, cnrm) =>
+        lit(1.0) - dotD(col("v"), typedlit(cv)) / (col("nrm") * lit(cnrm))
+      }
+      val dmin = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = c.select(col("vec_id"), col("v"), col("nrm"),
+          dmin.as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+      picks += ((step, pick.getLong(0), pick.getDouble(3)))
+      centers = centers :+ ctr(pick)
+    }
+    import s.implicits._
+    picks.toSeq.toDF("step", "center_id", "dist")
+  }
+
+  val simKcenterSql: String = {
+    val rounds = (2 until kcenterK).map { i =>
+      s"""d$i AS (SELECT x.vec_id,
+         |  LEAST(p.dmin, 1.0 - list_dot_product(x.v, c${i - 1}.v) / (x.nrm * c${i - 1}.nrm)) AS dmin
+         |  FROM c x JOIN d${i - 1} p USING (vec_id), c${i - 1}),
+         |s$i AS (SELECT vec_id, dmin FROM d$i ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$i AS (SELECT c.vec_id, c.v, c.nrm FROM c JOIN s$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 until kcenterK).map(i =>
+      s"UNION ALL SELECT $i AS step, vec_id AS center_id, dmin AS dist FROM s$i")
+      .mkString("\n")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, v, nrm FROM c
+       |       WHERE vec_id = (SELECT MIN(vec_id) FROM c)),
+       |d1 AS (SELECT x.vec_id,
+       |  1.0 - list_dot_product(x.v, c0.v) / (x.nrm * c0.nrm) AS dmin
+       |  FROM c x, c0),
+       |s1 AS (SELECT vec_id, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+       |c1 AS (SELECT c.vec_id, c.v, c.nrm FROM c JOIN s1 USING (vec_id)),
+       |$rounds
+       |SELECT 0 AS step, vec_id AS center_id, CAST(0 AS DOUBLE) AS dist FROM c0
+       |$tail""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kcenter" -> (simKcenter _),
     "sim_hybrid_bm25" -> (simHybridBm25 _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_mmr_rerank" -> (simMmrRerank _),
@@ -1735,6 +1821,7 @@ object SimOps {
     "sim_mips_topk" -> (simMipsTopk _))
 
   val oracles: Map[String, String] = Map(
+    "sim_kcenter" -> simKcenterSql,
     "sim_hybrid_bm25" -> simHybridBm25Sql,
     "sim_hybrid_rrf" -> simHybridRrfSql,
     "sim_mmr_rerank" -> simMmrRerankSql,

@@ -1311,8 +1311,41 @@ object TextOps {
     * (split_part / regexp / higher-order filter + sort over the
     * param array — the array never leaves its row); no shuffle
     * beyond the ordered output. */
+  /** Single-copy URL canonicalization chain (Spark dialect), applied
+    * over a `url_raw` column: shared verbatim by text_url_canon and
+    * dedup_url so the two keys cannot drift. Host/path text is also
+    * valid DuckDB SQL (shared below); only the array pipeline differs
+    * per dialect. */
+  private[operators] val urlRestExpr = "split_part(url_raw, '://', 2)"
+  private[operators] val urlHostExpr =
+    "regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '')"
+  private[operators] val urlPathExpr =
+    "regexp_replace(split_part(substr(rest," +
+      " length(split_part(rest, '/', 1)) + 1), '?', 1), '/+$', '')"
+  private[operators] val urlQueryKeptExpr =
+    "array_join(array_sort(filter(split(split_part(rest, '?', 2)," +
+      " '&'), p -> NOT (p like 'utm_%' OR p like 'ref=%'))), '&')"
+  private[operators] val urlCanonicalExpr =
+    "concat('https://', host, path, '?', query_kept)"
+
+  /** The same chain in DuckDB's dialect (list_* names; host/path/canon
+    * text identical to the Spark strings above). */
+  private[operators] val urlQueryKeptSql =
+    """array_to_string(list_sort(list_filter(
+      |      string_split(split_part(rest, '?', 2), '&'),
+      |      q -> NOT (q LIKE 'utm_%' OR q LIKE 'ref=%'))), '&')""".stripMargin
+
+  /** Canonicalize a url_raw column: withUrlCanonical(df) adds rest /
+    * host / path / query_kept / url_canonical. */
+  private[operators] def withUrlCanonical(df: DataFrame): DataFrame = df
+    .withColumn("rest", expr(urlRestExpr))
+    .withColumn("host", expr(urlHostExpr))
+    .withColumn("path", expr(urlPathExpr))
+    .withColumn("query_kept", expr(urlQueryKeptExpr))
+    .withColumn("url_canonical", expr(urlCanonicalExpr))
+
   def textUrlCanon(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.load(s, dir, "documents")
+    withUrlCanonical(graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"))
       .withColumn("url_raw", expr(
         "case cast(doc_id % 4 as int)" +
@@ -1325,60 +1358,51 @@ object TextOps {
           "   lang, '/doc-', doc_id, '?ref=home&id=', doc_id)" +
           " else concat('https://', source, '.example.com/', lang," +
           "   '/doc-', doc_id, '/?id=', doc_id, '&utm_campaign=x&ref=nav')" +
-          " end"))
-      .withColumn("rest", expr("split_part(url_raw, '://', 2)"))
-      .withColumn("host", expr(
-        "regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '')"))
-      .withColumn("path", expr(
-        "regexp_replace(split_part(substr(rest," +
-          " length(split_part(rest, '/', 1)) + 1), '?', 1), '/+$', '')"))
-      .withColumn("query_kept", expr(
-        "array_join(array_sort(filter(split(split_part(rest, '?', 2)," +
-          " '&'), p -> NOT (p like 'utm_%' OR p like 'ref=%'))), '&')"))
+          " end")))
       .withColumn("registered_domain",
         expr("regexp_extract(host, '[^.]+\\\\.[^.]+$', 0)"))
-      .withColumn("url_canonical",
-        expr("concat('https://', host, path, '?', query_kept)"))
       .select(col("doc_id"), col("url_raw"), col("host"),
         col("registered_domain"), col("path"), col("query_kept"),
         col("url_canonical"))
       .orderBy("doc_id")
 
+  /** Shared oracle CTE chain: url_raw (from a caller-supplied CTE) →
+    * rest/host/path/query_kept — single copy for text_url_canon and
+    * dedup_url. Host/path strings are the very Spark expressions
+    * (valid in both dialects); query_kept is the DuckDB list form. */
+  private[operators] def urlCanonSqlCtes(rawCte: String): String =
+    s"""p AS (
+       |  SELECT *, $urlRestExpr AS rest
+       |  FROM $rawCte),
+       |h AS (
+       |  SELECT *,
+       |    $urlHostExpr AS host,
+       |    $urlPathExpr AS path,
+       |    $urlQueryKeptSql AS query_kept
+       |  FROM p),
+       |canon AS (
+       |  SELECT *, $urlCanonicalExpr AS url_canonical FROM h)""".stripMargin
+
   val textUrlCanonSql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 4 AS INT)
-      |      WHEN 0 THEN 'https://' || source || '.example.com/' || lang
-      |        || '/doc-' || doc_id || '?utm_source=feed&id=' || doc_id
-      |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM/'
-      |        || lang || '/doc-' || doc_id || '?id=' || doc_id
-      |        || '&utm_medium=rss'
-      |      WHEN 2 THEN 'https://' || source || '.example.com:443/'
-      |        || lang || '/doc-' || doc_id || '?ref=home&id=' || doc_id
-      |      ELSE 'https://' || source || '.example.com/' || lang
-      |        || '/doc-' || doc_id || '/?id=' || doc_id
-      |        || '&utm_campaign=x&ref=nav' END AS url_raw
-      |  FROM documents),
-      |p AS (
-      |  SELECT doc_id, url_raw, split_part(url_raw, '://', 2) AS rest
-      |  FROM d),
-      |h AS (
-      |  SELECT doc_id, url_raw, rest,
-      |    regexp_replace(lower(split_part(rest, '/', 1)), ':443$', '')
-      |      AS host,
-      |    regexp_replace(split_part(substr(rest,
-      |      length(split_part(rest, '/', 1)) + 1), '?', 1), '/+$', '')
-      |      AS path,
-      |    array_to_string(list_sort(list_filter(
-      |      string_split(split_part(rest, '?', 2), '&'),
-      |      q -> NOT (q LIKE 'utm_%' OR q LIKE 'ref=%'))), '&')
-      |      AS query_kept
-      |  FROM p)
-      |SELECT doc_id, url_raw, host,
-      |  regexp_extract(host, '[^.]+\.[^.]+$', 0) AS registered_domain,
-      |  path, query_kept,
-      |  'https://' || host || path || '?' || query_kept AS url_canonical
-      |FROM h ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'https://' || source || '.example.com/' || lang
+       |        || '/doc-' || doc_id || '?utm_source=feed&id=' || doc_id
+       |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM/'
+       |        || lang || '/doc-' || doc_id || '?id=' || doc_id
+       |        || '&utm_medium=rss'
+       |      WHEN 2 THEN 'https://' || source || '.example.com:443/'
+       |        || lang || '/doc-' || doc_id || '?ref=home&id=' || doc_id
+       |      ELSE 'https://' || source || '.example.com/' || lang
+       |        || '/doc-' || doc_id || '/?id=' || doc_id
+       |        || '&utm_campaign=x&ref=nav' END AS url_raw
+       |  FROM documents),
+       |${urlCanonSqlCtes("d")}
+       |SELECT doc_id, url_raw, host,
+       |  regexp_extract(host, '[^.]+\\.[^.]+$$', 0) AS registered_domain,
+       |  path, query_kept, url_canonical
+       |FROM canon ORDER BY doc_id""".stripMargin
 
   /** HTML→text extraction — the first transform every web-crawl
     * pipeline runs (tags stripped, entities decoded, whitespace

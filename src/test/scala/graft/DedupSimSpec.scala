@@ -886,4 +886,81 @@ class DedupSimSpec extends AnyFunSuite {
     assert(common.exists(k => hybLex(k) != rrfLex(k)),
       "BM25 lexical order identical to histogram intersection — weighting vacuous")
   }
+
+  test("sim_kcenter replays the greedy farthest-point loop bitwise " +
+    "and the radius sequence is monotone") {
+    val got = SimOps.simKcenter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length == SimOps.kcenterK)
+    assert(got.map(_._2).distinct.length == SimOps.kcenterK,
+      "centers must be distinct")
+    // radius-at-pick is non-increasing after the seed (greedy picks
+    // the farthest remaining point; covering more centers only
+    // shrinks every dmin)
+    got.drop(1).map(_._3).toSeq.sliding(2).filter(_.size == 2).foreach {
+      case Seq(a, b) => assert(b <= a, s"radius grew: $a -> $b")
+    }
+    // pure-Scala replay with the operator's exact arithmetic
+    // (left-to-right double dot, least-fold min)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    var centers = Vector(vecs.head._1)
+    val replay = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, vecs.head._1, 0.0))
+    (1 until SimOps.kcenterK).foreach { step =>
+      val pick = vecs.map { case (id, v) =>
+        val dmin = centers.map(c =>
+          1.0 - dot(v, byId(c)) / (nrm(id) * nrm(c))).min
+        (id, dmin)
+      }.maxBy { case (id, d) => (d, -id) }
+      replay += ((step, pick._1, pick._2))
+      centers = centers :+ pick._1
+    }
+    assert(got.toSeq == replay.toSeq,
+      "greedy trajectory must replay bitwise")
+  }
+
+  test("dedup_url collapses raw spellings onto canonical pages and " +
+    "keeps the longest doc") {
+    val rows = DedupOps.dedupUrl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // canonical URLs are actually canonical: lowercase host, no
+    // default port, no tracking params, no trailing slash
+    rows.map(_._1).foreach { u =>
+      assert(u.startsWith("https://w"))
+      assert(!u.contains(":443") && !u.contains("utm_") &&
+        !u.contains("ref=") && !u.contains("/?"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every doc lands in exactly one canonical group
+    assert(rows.map(_._2).sum == docs.length)
+    // page key is doc_id % 97: group sizes and survivors replay
+    val byPage = docs.groupBy(_._1 % 97)
+    assert(rows.length == byPage.size)
+    val gotByPage = rows.map { t =>
+      t._1.split("page-")(1).split("\\?")(0).toLong -> t
+    }.toMap
+    byPage.foreach { case (page, members) =>
+      val (_, nDocs, nVariants, keepId, keepChars) = gotByPage(page)
+      assert(nDocs == members.length)
+      // raw variants distinct by doc_id % 4 among members
+      assert(nVariants == members.map(_._1 % 4).distinct.length)
+      val best = members.maxBy { case (id, nc) => (nc, -id) }
+      assert((keepId, keepChars) == best,
+        s"page $page survivor diverged")
+    }
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.MatchRecognize
+
+class MatchRecognizeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Row-automaton replay of PATTERN (DOWN{3,} UP{3,}) over one
+    * ordered series: walk the rows once, tracking maximal runs, and
+    * emit every (down-run, up-run) adjacency meeting the quantifiers
+    * — the semantics the set-based compilation must equal. */
+  private def nfaMatches(series: Seq[(Date, Long)])
+      : Seq[(Date, Date, Date, Long, Long, Long, Long)] = {
+    case class Run(dir: Int, d0: Date, d1: Date, n: Int,
+      startPrevV: Long, endV: Long)
+    val runs = scala.collection.mutable.ArrayBuffer[Run]()
+    series.sliding(2).filter(_.size == 2).foreach { case Seq((_, pv), (d, v)) =>
+      val dir = java.lang.Long.compare(v, pv)
+      if (runs.nonEmpty && runs.last.dir == dir) {
+        val l = runs.last
+        runs(runs.size - 1) = l.copy(d1 = d, n = l.n + 1, endV = v)
+      } else runs += Run(dir, d, d, 1, pv, v)
+    }
+    runs.toSeq.sliding(2).collect {
+      case Seq(a, b) if a.dir == -1 && b.dir == 1 &&
+          a.n >= MatchRecognize.minRun && b.n >= MatchRecognize.minRun =>
+        (a.d0, a.d1, b.d1, a.n.toLong, b.n.toLong,
+          a.startPrevV - a.endV, b.endV - a.endV)
+    }.toSeq
+  }
+
+  test("q_match_recognize equals the row-automaton replay per series") {
+    val got = MatchRecognize.qMatchRecognize(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // rebuild every daily series driver-side, exact cents
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("grp"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (grp, rows) =>
+      grp -> nfaMatches(rows.sortBy(_._2.getTime).map(t => (t._2, t._3)).toSeq)
+        .toSet
+    }
+    assert(got.values.map(_.size).sum > 0, "fixture must produce matches")
+    expected.foreach { case (grp, exp) =>
+      assert(got.getOrElse(grp, Set.empty) == exp, s"series $grp diverged")
+    }
+    // pattern invariants: strict quantifiers, positive drawdown and
+    // recovery, trough strictly inside the match
+    got.values.flatten.foreach { case (d0, dt, d1, dn, un, depth, rec) =>
+      assert(dn >= 3 && un >= 3)
+      assert(depth > 0 && rec > 0)
+      assert(!d0.after(dt) && dt.before(d1))
+    }
+    // matches never overlap within a series (maximal runs can't)
+    got.foreach { case (_, ms) =>
+      val sorted = ms.toSeq.sortBy(_._1.getTime)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3.getTime <= b._1.getTime,
+          "overlapping matches")
+        case _ =>
+      }
+    }
+  }
+}

@@ -58,6 +58,22 @@ class PlanAuditSpec extends AnyFunSuite {
     * fixture scale too.
     */
   private val shuffleBudget: Map[String, Int] = Map(
+    // kmv: the (grp,key) distinct is the ONE corpus-sized exchange;
+    // everything after it (per-group bottom-K, the two count aggs,
+    // the 5-row join, the sketch-union merge + its aggregates) rides
+    // O(groups·K) or O(distinct-keys) frames
+    "q_kmv_distinct" -> 9,
+    // match_recognize: corpus collapses to daily grain (1), the
+    // window passes + run collapse + run-pair join ride the
+    // model-sized daily/run frames
+    "q_match_recognize" -> 4,
+    // kcenter: result is the collected pick trajectory (k rows);
+    // every round's corpus scan is zero-shuffle by design
+    "sim_kcenter" -> 0,
+    // url dedup: one canonical-url exchange + countDistinct's expand
+    "dedup_url" -> 2,
+    // scene_cuts: the mm_* id-spread repartition only
+    "mm_scene_cuts" -> 1,
     "dedup_clusters" -> 1,
     // mmr_rerank: the greedy rounds run eagerly over localCheckpoint'd
     // O(queries·m) frames (the dedup_clusters pattern); the audited
@@ -888,7 +904,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_backfill_plan",
       // dataset_drift crosses the 1-row base-year pick into the
       // model-sized (year, priority) share frame
-      "q_dataset_drift")
+      "q_dataset_drift",
+      // kmv crosses the 1-row global-exact count into the 1-row
+      // merged-sketch row to build the ALL row — 1×1 by construction
+      "q_kmv_distinct")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
@@ -915,7 +934,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // built-in, noted rather than hidden.
     // q_mv_advisor returns the candidates×1 local relation (its
     // grain-count jobs execute eagerly inside advise())
-    Set("q_mv_advisor",
+    // sim_kcenter returns the collected k-row pick trajectory (each
+    // greedy round's zero-shuffle corpus scan executes eagerly inside
+    // the loop; the scans themselves are codegen'd projections)
+    Set("q_mv_advisor", "sim_kcenter",
       "etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
       "stream_scd2", "stream_mv_maintain", "stream_mv_retract",

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+
+class SketchOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def hash(x: Long): Long = (742938285L * x + 11213L) % SketchOps.kmvP
+
+  test("q_kmv_distinct: sketch replays driver-side, exact-when-small, " +
+    "estimate bounded, union row merges exactly") {
+    val rows = SketchOps.qKmvDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows.nonEmpty)
+    val byGrp = rows.map(t => t._1 -> t).toMap
+    assert(byGrp.contains("ALL"))
+
+    // ground truth per group from the raw table
+    val raw = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perGrp = raw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val globalKeys = raw.map(_._2).toSet
+
+    rows.foreach { case (grp, nExact, nKept, kth, est) =>
+      val keys = if (grp == "ALL") globalKeys else perGrp(grp)
+      assert(nExact == keys.size, s"$grp n_exact")
+      // replay the sketch: bottom-K distinct hashes
+      val hs = keys.toSeq.map(hash).distinct.sorted
+      val kept = hs.take(SketchOps.kmvK)
+      assert(nKept == kept.size, s"$grp n_kept")
+      assert(kth == kept.max, s"$grp kth_hash must replay exactly")
+      if (nKept < SketchOps.kmvK)
+        assert(est == nKept.toDouble, s"$grp small sketches are exact")
+      else {
+        // replay the estimator bitwise and bound its error
+        val expected =
+          (SketchOps.kmvK - 1).toDouble * SketchOps.kmvP.toDouble /
+            (kth.toDouble + 1.0)
+        assert(est == expected, s"$grp estimate must replay bitwise")
+        assert(math.abs(est - nExact) <= 0.3 * nExact,
+          s"$grp estimate off by >30%: est=$est exact=$nExact")
+      }
+    }
+
+    // mergeability: the ALL row (computed from the per-group sketches
+    // alone) must equal the DIRECT global bottom-K sketch
+    val directKth = globalKeys.toSeq.map(hash).distinct.sorted
+      .take(SketchOps.kmvK).max
+    assert(byGrp("ALL")._4 == directKth,
+      "union-of-sketches must equal the direct global sketch")
+  }
+}

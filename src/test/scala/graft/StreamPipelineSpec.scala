@@ -590,6 +590,43 @@ class StreamPipelineSpec extends AnyFunSuite {
       !MultimodalOps.isOpaque(id) && (w % 16 != 0 || h % 16 != 0) })
   }
 
+  test("mm_scene_cuts: every scene boundary detected from decoded " +
+    "frames, nothing else, scores replay from the color formulas") {
+    import graft.operators.MultimodalOps
+    val got = MultimodalOps.mmSceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // expected cuts straight from the scene formulas
+    val expected = ids.flatMap { id =>
+      val s = MultimodalOps.vSceneLenFor(id)
+      (1 until MultimodalOps.vFramesFor(id)).filter(_ % s == 0).map { f =>
+        def d(base: Int): Long = math.abs(
+          MultimodalOps.frameChan(base, f / s) -
+            MultimodalOps.frameChan(base, f / s - 1)).toLong
+        (id, f.toLong) -> (d(MultimodalOps.redFor(id)) +
+          d(MultimodalOps.greenFor(id)) + d(MultimodalOps.blueFor(id)),
+          MultimodalOps.vFramesFor(id).toLong)
+      }
+    }.toMap
+    assert(got == expected, "cut set or scores diverged from the formulas")
+    // every doc has at least one cut (the fixture guarantees it), and
+    // no cut ever lands mid-scene
+    assert(ids.forall(id => got.keys.exists(_._1 == id)))
+    // decode really ran frame-by-frame: a frame count that came from
+    // the formula alone can't prove it, but the scores can — they are
+    // derived from DECODED means, and the payload is a real container
+    val sample = MultimodalOps.videoPayloadFor(ids.head)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(sample))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    assert(rd.getNumImages(true) == MultimodalOps.vFramesFor(ids.head))
+    rd.dispose(); iis.close()
+  }
+
   test("PgCopyWriter renders the _supaFilta dialect") {
     import spark.implicits._
     val df = Seq(
