@@ -63,7 +63,25 @@ object SketchOps {
   /** Mersenne prime 2^31−1: the hash universe. */
   val kmvP = 2147483647L
 
-  private val hashSql = s"(742938285 * k + 11213) % $kmvP"
+  /** The portable hash over an arbitrary column — a string valid in
+    * BOTH dialects, shared by every KMV key (and the streaming
+    * sketch's driver-side twin below). */
+  def kmvHashSqlOn(c: String): String = s"(742938285 * $c + 11213) % $kmvP"
+
+  val kmvHashSql: String = kmvHashSqlOn("k")
+
+  /** Driver/executor-side twin of [[kmvHashSql]]. */
+  def kmvHash(x: Long): Long = (742938285L * x + 11213L) % kmvP
+
+  /** The estimator over (n_kept, kth_hash) columns — exact when the
+    * sketch is unsaturated, (K−1)·p/(h₍K₎+1) otherwise. Valid in both
+    * dialects (single copy: Spark keys and DuckDB oracles share it). */
+  val kmvEstSql: String =
+    s"case when n_kept < $kmvK then cast(n_kept as double)" +
+      s" else cast(${kmvK - 1} as double) * cast($kmvP as double)" +
+      " / (cast(kth_hash as double) + cast(1 as double)) end"
+
+  private val hashSql = kmvHashSql
 
   /** Per-priority distinct-customer KMV sketches plus the mergeable
     * ALL union row: (grp, n_exact, n_kept, kth_hash, est_distinct).
@@ -93,10 +111,7 @@ object SketchOps {
     val allRow = ga.crossJoin(merged)
       .select(lit("ALL").as("grp"), col("n_exact"), col("n_kept"),
         col("kth_hash"))
-    per.union(allRow).withColumn("est_distinct", expr(
-      s"case when n_kept < $kmvK then cast(n_kept as double)" +
-        s" else cast(${kmvK - 1} as double) * cast($kmvP as double)" +
-        " / (cast(kth_hash as double) + 1.0d) end"))
+    per.union(allRow).withColumn("est_distinct", expr(kmvEstSql))
   }
 
   val qKmvDistinctSql: String =
@@ -116,14 +131,121 @@ object SketchOps {
        |      UNION ALL
        |      SELECT 'ALL' AS grp, ga.n_exact, mk.n_kept, mk.kth_hash FROM ga, mk)
        |SELECT grp, n_exact, n_kept, kth_hash,
-       |  CASE WHEN n_kept < $kmvK THEN CAST(n_kept AS DOUBLE)
-       |       ELSE CAST(${kmvK - 1} AS DOUBLE) * CAST($kmvP AS DOUBLE)
-       |            / (CAST(kth_hash AS DOUBLE) + 1.0) END AS est_distinct
+       |  $kmvEstSql AS est_distinct
        |FROM u""".stripMargin
 
+  /** Pairwise set similarity from KMV sketches — the payoff HLL
+    * registers structurally cannot deliver (Beyer et al., SIGMOD'07
+    * §4): for groups A and B, the bottom-K of A∪B is computable from
+    * the two kept sets alone, the intersection indicator inside that
+    * merged sketch estimates Jaccard as k∩/K, and |A∩B| ≈ Ĵ·|A∪B|̂.
+    * Audience overlap / segment-similarity matrices at 100 TB run on
+    * exactly this: O(groups·K) sketch rows cross the wire, never the
+    * corpus.
+    *
+    * Exact counterparts (n_a, n_b, n_int_exact, jaccard_exact) ride
+    * along so the artifact shows its own error — the exact
+    * intersection is the one corpus-keyed self-join in the plan, and
+    * it exists here only as the error column; a production run drops
+    * it and touches nothing corpus-sized past the first distinct.
+    *
+    * Estimator notes: when the merged sketch is unsaturated
+    * (n_kept < K) it holds ALL of A∪B, so every estimate collapses to
+    * exact by construction. */
+  def qKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_custkey").as("k"))
+      .distinct()
+    val kept = graft.plans.TopKPerKey.topK(
+      d.withColumn("h", expr(hashSql)).select(col("grp"), col("h")),
+      Seq("grp"), Seq(col("h")), kmvK)
+    val grps = d.select("grp").distinct()
+    val pairs = grps.toDF("grp_a")
+      .crossJoin(grps.toDF("grp_b"))
+      .filter(col("grp_a") < col("grp_b"))
+    val memA = pairs.join(kept, kept("grp") === col("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val memB = pairs.join(kept, kept("grp") === col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val dd = memA.unionByName(memB)
+      .groupBy("grp_a", "grp_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    val sk = dd.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kmvK)
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("k_int"))
+    val na = d.groupBy("grp").agg(count(lit(1)).as("n"))
+    val ni = d.toDF("xg", "xk").join(d.toDF("yg", "yk"),
+        col("xk") === col("yk") && col("xg") < col("yg"))
+      .groupBy(col("xg").as("grp_a"), col("yg").as("grp_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val j = sk
+      .join(na.toDF("grp_a", "n_a"), "grp_a")
+      .join(na.toDF("grp_b", "n_b"), "grp_b")
+      .join(ni, Seq("grp_a", "grp_b"), "left")
+      .withColumn("n_int_exact", coalesce(col("n_int"), lit(0L)))
+      .withColumn("jaccard_est",
+        expr("cast(k_int as double) / cast(n_kept as double)"))
+      .withColumn("union_est", expr(kmvEstSql))
+    j.select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+      col("n_int_exact"), col("k_int"), col("jaccard_est"),
+      expr("cast(n_int_exact as double)" +
+        " / cast(n_a + n_b - n_int_exact as double)").as("jaccard_exact"),
+      col("union_est"),
+      (col("jaccard_est") * col("union_est")).as("inter_est"))
+  }
+
+  val qKmvJaccardSql: String =
+    s"""WITH d AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k FROM orders),
+       |hh AS (SELECT grp, $hashSql AS h FROM d),
+       |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh),
+       |kept AS (SELECT grp, h FROM r WHERE rn <= $kmvK),
+       |g AS (SELECT DISTINCT grp FROM d),
+       |pairs AS (SELECT ga.grp AS grp_a, gb.grp AS grp_b
+       |          FROM g ga, g gb WHERE ga.grp < gb.grp),
+       |mem AS (
+       |  SELECT p.grp_a, p.grp_b, k.h, 1 AS in_a, 0 AS in_b
+       |  FROM pairs p JOIN kept k ON k.grp = p.grp_a
+       |  UNION ALL
+       |  SELECT p.grp_a, p.grp_b, k.h, 0 AS in_a, 1 AS in_b
+       |  FROM pairs p JOIN kept k ON k.grp = p.grp_b),
+       |dd AS (SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+       |       FROM mem GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b
+       |         ORDER BY h) AS rn FROM dd),
+       |sk AS (SELECT grp_a, grp_b, COUNT(*) AS n_kept, MAX(h) AS kth_hash,
+       |         CAST(SUM(in_a * in_b) AS BIGINT) AS k_int
+       |       FROM rk WHERE rn <= $kmvK GROUP BY 1, 2),
+       |na AS (SELECT grp, COUNT(*) AS n FROM d GROUP BY 1),
+       |ni AS (SELECT x.grp AS grp_a, y.grp AS grp_b, COUNT(*) AS n_int
+       |       FROM d x JOIN d y ON x.k = y.k AND x.grp < y.grp
+       |       GROUP BY 1, 2),
+       |j AS (SELECT sk.grp_a, sk.grp_b, a.n AS n_a, b.n AS n_b,
+       |        COALESCE(ni.n_int, 0) AS n_int_exact,
+       |        sk.n_kept, sk.kth_hash, sk.k_int
+       |      FROM sk JOIN na a ON a.grp = sk.grp_a
+       |        JOIN na b ON b.grp = sk.grp_b
+       |        LEFT JOIN ni ON ni.grp_a = sk.grp_a AND ni.grp_b = sk.grp_b),
+       |e AS (SELECT *,
+       |        cast(k_int as double) / cast(n_kept as double) AS jaccard_est,
+       |        $kmvEstSql AS union_est
+       |      FROM j)
+       |SELECT grp_a, grp_b, n_a, n_b, n_int_exact, k_int, jaccard_est,
+       |  cast(n_int_exact as double)
+       |    / cast(n_a + n_b - n_int_exact as double) AS jaccard_exact,
+       |  union_est, jaccard_est * union_est AS inter_est
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kmv_distinct" -> (qKmvDistinct _))
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_kmv_jaccard" -> (qKmvJaccard _))
 
   val oracles: Map[String, String] = Map(
-    "q_kmv_distinct" -> qKmvDistinctSql)
+    "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_kmv_jaccard" -> qKmvJaccardSql)
 }

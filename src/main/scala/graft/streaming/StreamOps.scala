@@ -1690,7 +1690,86 @@ object StreamOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
   }
 
+  /** Streaming KMV bottom-K merge: fold a batch's hashes into the
+    * kept set, truncating to K. Pure and ORDER-INSENSITIVE — the
+    * bottom-K of a set is invariant under arrival order, batching,
+    * and redelivery (re-adding a seen hash is a no-op), which is what
+    * makes the final state oracle-EXACT where the Misra-Gries
+    * streaming sketch can only be bound-checked. */
+  private[graft] def kmvMerge(kept: Seq[Long], hs: Iterator[Long]): Seq[Long] = {
+    val set = scala.collection.mutable.TreeSet.empty[Long] ++ kept
+    hs.foreach { h =>
+      set += h
+      if (set.size > graft.operators.SketchOps.kmvK) set -= set.last
+    }
+    set.toSeq
+  }
+
+  case class KmvSketchRow(event_type: String, n_kept: Long, kth_hash: Long)
+
+  /** Streaming distinct-user KMV sketch per event type — the
+    * constant-memory distinct counter maintained AS STREAMING STATE
+    * (per-key state = K longs, O(types·K) total, never O(stream)),
+    * with the portable-hash design of q_kmv_distinct: because the
+    * bottom-K of a set is arrival-order invariant, the drained final
+    * state is hash-exact against the batch DuckDB oracle — the first
+    * [O] streaming sketch on the board (stream_heavy_hitters stays
+    * [T] by its merge-order-dependent internals).
+    *
+    * The hash is computed codegen-side BEFORE the state operator, so
+    * the stateful stage only ever sees (type, long) pairs. At scale
+    * the same plan holds: state is keyed by event type, batches fold
+    * in one pass, and a checkpoint restart replays into the identical
+    * set. */
+  def streamKmv(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val name = s"stream_kmv_${runId.incrementAndGet()}"
+    val evs = eventsStream(spark, sfDir)
+      .select(col("event_type"),
+        expr(graft.operators.SketchOps.kmvHashSqlOn("user_id")).as("h"))
+      .as[(String, Long)]
+    val sk = evs.groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], KmvSketchRow] {
+        (et: String, batch: Iterator[(String, Long)],
+            state: GroupState[Seq[Long]]) =>
+          val kept = kmvMerge(state.getOption.getOrElse(Nil),
+            batch.map(_._2))
+          state.update(kept)
+          KmvSketchRow(et, kept.size.toLong, kept.last)
+      }
+    runAvailableNow(sk.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    // n_kept only grows and kth_hash only shrinks as batches fold in,
+    // so the final update per key is (max, min)
+    collectAndDrop(spark, name, spark.table(name)
+      .groupBy("event_type")
+      .agg(max(col("n_kept")).as("n_kept"),
+        min(col("kth_hash")).as("kth_hash"))
+      .withColumn("est_distinct",
+        expr(graft.operators.SketchOps.kmvEstSql))
+      .orderBy("event_type"))
+  }
+
+  val streamKmvSql: String = {
+    import graft.operators.SketchOps.{kmvHashSql, kmvEstSql, kmvK}
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id AS k FROM events),
+       |hh AS (SELECT event_type, $kmvHashSql AS h FROM d),
+       |r AS (SELECT event_type, h, ROW_NUMBER() OVER (
+       |        PARTITION BY event_type ORDER BY h) AS rn FROM hh),
+       |sk AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+       |       FROM r WHERE rn <= $kmvK GROUP BY 1)
+       |SELECT event_type, n_kept, kth_hash, $kmvEstSql AS est_distinct
+       |FROM sk ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kmv" -> (streamKmv _),
     "stream_mv_retract" -> (streamMvRetract _),
     "stream_mv_maintain" -> (streamMvMaintain _),
     "stream_anomaly" -> (streamAnomaly _),
@@ -1710,6 +1789,7 @@ object StreamOps {
     "stream_scd2" -> (streamScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "stream_kmv" -> streamKmvSql,
     // stream/batch convergence: streaming maintenance must land on
     // the same summary q_mv_refresh's one-shot repair lands on — the
     // full-recompute SQL covers both

@@ -63,6 +63,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 5-row join, the sketch-union merge + its aggregates) rides
     // O(groups·K) or O(distinct-keys) frames
     "q_kmv_distinct" -> 9,
+    // kmv_jaccard: the (grp,key) distinct and the exact-error
+    // intersection self-join are the two corpus-keyed exchanges;
+    // the other 14 ride O(groups·K) sketch frames and O(pairs) rows
+    // (drop the error columns and nothing corpus-sized remains past
+    // the first distinct)
+    "q_kmv_jaccard" -> 16,
+    // stream_kmv: the drained final-state aggregate only (the
+    // stateful plan executes inside the operator)
+    "stream_kmv" -> 1,
     // match_recognize: corpus collapses to daily grain (1), the
     // window passes + run collapse + run-pair join ride the
     // model-sized daily/run frames
@@ -907,7 +916,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_dataset_drift",
       // kmv crosses the 1-row global-exact count into the 1-row
       // merged-sketch row to build the ALL row — 1×1 by construction
-      "q_kmv_distinct")
+      "q_kmv_distinct",
+      // kmv_jaccard crosses the groups dimension with itself (5×5)
+      // to enumerate pairs — dimension-sized at any corpus size
+      "q_kmv_jaccard")
 
   test("every query key declares a shuffle budget") {
     val keys = SparkEntry.queries.keySet
@@ -940,6 +952,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q_mv_advisor", "sim_kcenter",
       "etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
+      "stream_kmv",
       "stream_scd2", "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",

@@ -54,4 +54,40 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(byGrp("ALL")._4 == directKth,
       "union-of-sketches must equal the direct global sketch")
   }
+
+  test("q_kmv_jaccard: pairwise estimates replay from the kept sets " +
+    "alone and track the exact overlap") {
+    val rows = SketchOps.qKmvJaccard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9)))
+    val raw = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = raw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val grps = sets.keys.toSeq.sorted
+    // the full upper-triangle pair grid is present
+    assert(rows.length == grps.size * (grps.size - 1) / 2)
+    rows.foreach { case (a, b, nA, nB, nInt, kInt, jEst, jExact, uEst, iEst) =>
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      assert(nA == sa.size && nB == sb.size)
+      assert(nInt == (sa & sb).size)
+      assert(jExact ==
+        nInt.toDouble / (nA + nB - nInt).toDouble)
+      // replay the sketch path: merged bottom-K of the union from the
+      // two groups' kept sets ALONE (the mergeability contract)
+      val keptA = sa.toSeq.map(hash).distinct.sorted.take(SketchOps.kmvK)
+      val keptB = sb.toSeq.map(hash).distinct.sorted.take(SketchOps.kmvK)
+      val merged = (keptA ++ keptB).distinct.sorted.take(SketchOps.kmvK)
+      val expInt = merged.count(h => keptA.contains(h) && keptB.contains(h))
+      assert(kInt == expInt, s"($a,$b) k_int")
+      assert(jEst == kInt.toDouble / merged.size.toDouble)
+      assert(iEst == jEst * uEst)
+      // accuracy: the K=64 Jaccard estimator should land within 0.25
+      // absolute of truth on the fixture (3 sigma is ~0.19 at J=0.5)
+      assert(math.abs(jEst - jExact) <= 0.25,
+        s"($a,$b) jaccard est $jEst vs exact $jExact")
+    }
+  }
 }

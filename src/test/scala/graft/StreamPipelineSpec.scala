@@ -898,6 +898,47 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(got.keys.exists(_.startsWith("hot_")))
   }
 
+  test("stream_kmv: final state is arrival-order invariant and equals " +
+    "the batch sketch exactly") {
+    import graft.streaming.StreamOps
+    import graft.operators.SketchOps
+    val got = StreamOps.streamKmv(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    // batch ground truth: bottom-K distinct hashes per event type
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).foreach { case (et, evs) =>
+      val kept = evs.map(e => SketchOps.kmvHash(e._2)).distinct
+        .sorted.take(SketchOps.kmvK).toSeq
+      val (nKept, kth, est) = got(et)
+      assert(nKept == kept.size, s"$et n_kept")
+      assert(kth == kept.max, s"$et kth_hash must equal the batch sketch")
+      val expEst = if (kept.size < SketchOps.kmvK) kept.size.toDouble
+        else (SketchOps.kmvK - 1).toDouble * SketchOps.kmvP.toDouble /
+          (kept.max.toDouble + 1.0)
+      assert(est == expEst, s"$et estimate")
+    }
+    // the merge fold itself is permutation/batching/redelivery
+    // invariant — the property that makes the streaming sketch [O]
+    val hs = raw.take(500).map(e => SketchOps.kmvHash(e._2)).toSeq
+    val direct = StreamOps.kmvMerge(Nil, hs.iterator)
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val shuffled = rnd.shuffle(hs)
+      val nChunks = 1 + rnd.nextInt(6)
+      val folded = shuffled.grouped(
+        math.max(1, shuffled.size / nChunks)).foldLeft(Seq.empty[Long]) {
+        (st, chunk) => StreamOps.kmvMerge(st, chunk.iterator)
+      }
+      assert(folded == direct, "bottom-K merge must be order-invariant")
+      // redelivering the whole stream into the final state is a no-op
+      assert(StreamOps.kmvMerge(folded, shuffled.iterator) == direct)
+    }
+  }
+
   test("mm_audio_frames round-trips PCM bytes and matches the formulas") {
     import graft.operators.MultimodalOps
     val rows = MultimodalOps.mmAudioFrames(spark, sf).collect()
