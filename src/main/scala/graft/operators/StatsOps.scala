@@ -1484,7 +1484,149 @@ object StatsOps {
        |  $welchTTree AS t, $welchDfTree AS df
        |FROM m""".stripMargin
 
+  // ---- q_dbscan_grid: density-based clustering, grid-bucketed ----
+
+  /** DBSCAN parameters: eps-ball radius (squared, exact integers) and
+    * the core-point density threshold (neighbor count INCLUDING the
+    * point itself, the textbook |N_eps(p)| ≥ minPts). */
+  val dbscanEps = 120L
+  val dbscanEps2: Long = dbscanEps * dbscanEps
+  val dbscanMinPts = 4L
+
+  /** Planted 2-D point cloud over the customer id domain (all-integer
+    * coordinates, shared verbatim with the oracle): consecutive ids
+    * form 20-point blobs around deterministic centers; every 20th id
+    * scatters 50× wider (the noise material) and one more sits at 3×
+    * the blob radius (the edge material — close enough to reach some
+    * blob points, usually too sparse to be core itself: the border
+    * class). Fixed blob SIZE
+    * (not count) keeps density, and the oracle's reachability-flood
+    * row volume, SF-invariant: corpus growth adds blobs, it never
+    * inflates one component. Coordinates are strictly positive so
+    * integer division (grid cells) agrees across engines' negative
+    * semantics. */
+  private def dbscanOffset(mult: String): String =
+    s"(case when pid % 20 = 13 then ($mult) * 50" +
+      s" when pid % 20 = 7 then ($mult) * 3 else $mult end)"
+
+  private val dbscanPointSql: Seq[String] = Seq(
+    "10000 + ((pid div 20) * 9176) % 100000 + " +
+      dbscanOffset("(pid * 37) % 101 - 50"),
+    "10000 + ((pid div 20) * 5351) % 100000 + " +
+      dbscanOffset("(pid * 53) % 101 - 50"))
+
+  /** Grid-bucketed DBSCAN (Ester et al., KDD'96) — density clustering
+    * with the quadratic eps-join REPLACED by the 9-cell grid join
+    * every spatial engine uses: each point probes its own and the 8
+    * adjacent eps-sized cells, so candidate pairs are O(points ×
+    * local density) and the corpus is never crossed with itself (the
+    * blocking-key discipline of q_fuzzy_join applied to geometry; at
+    * 100 TB the cell id is the shuffle key and skewed cells salt like
+    * any other hot key).
+    *
+    * Pipeline: exact integer eps²-filter → per-point neighbor count →
+    * core points → connected components over core-core edges via the
+    * pointer-jumping min-label machinery (DedupOps.clusterLabels —
+    * O(log diameter) rounds) → border points adopt the smallest
+    * neighboring core's cluster; everything else is noise. Output is
+    * the full per-point classification.
+    *
+    * Oracle: same grid join in SQL, components re-derived by a
+    * recursive reachability flood (bounded because blob size is
+    * fixed), border/noise by the same deterministic min rules —
+    * hash-exact end to end, label propagation included. */
+  def qDbscanGrid(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("pid"))
+      .withColumn("x", expr(dbscanPointSql(0)))
+      .withColumn("y", expr(dbscanPointSql(1)))
+      .withColumn("cx", expr(s"x div $dbscanEps"))
+      .withColumn("cy", expr(s"y div $dbscanEps"))
+    val probes = pts.select(col("pid"), col("x"), col("y"),
+        explode(expr("array(-1, 0, 1)")).as("dx"), col("cx"), col("cy"))
+      .select(col("pid"), col("x"), col("y"),
+        (col("cx") + col("dx")).as("px"),
+        explode(expr("array(-1, 0, 1)")).as("dy"), col("cy"))
+      .select(col("pid"), col("x"), col("y"), col("px"),
+        (col("cy") + col("dy")).as("py"))
+    val nbr = probes.toDF("a", "ax", "ay", "px", "py")
+      .join(pts.select(col("pid").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")),
+        col("px") === col("cx") && col("py") === col("cy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= dbscanEps2)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // feeds counts, core edges AND border adoption
+    val cnt = nbr.groupBy(col("a").as("pid"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val cores = cnt.filter(col("n_neighbors") >= dbscanMinPts)
+      .select("pid").localCheckpoint()
+    val coreEdges = nbr
+      .join(cores.toDF("a"), "a").join(cores.toDF("b"), "b")
+      .filter(col("a") < col("b"))
+    val labels = DedupOps.clusterLabels(
+        cores.toDF("doc_id"), coreEdges.select("a", "b"))
+      .toDF("pid", "cluster")
+    val border = nbr.filter(col("a") =!= col("b"))
+      .join(cores.toDF("b"), "b")
+      .join(labels.toDF("b", "bcluster"), "b")
+      .join(cores.toDF("a"), Seq("a"), "left_anti")
+      .groupBy(col("a").as("pid"))
+      .agg(min(col("bcluster")).as("cluster"))
+    val roles = cnt
+      .join(labels.withColumn("role", lit("core")), Seq("pid"), "left")
+      .join(border.toDF("pid", "bc"), Seq("pid"), "left")
+      .select(col("pid"), col("n_neighbors"),
+        coalesce(col("role"),
+          when(col("bc").isNotNull, lit("border")).otherwise(lit("noise")))
+          .as("role"),
+        coalesce(col("cluster"), col("bc")).as("cluster"))
+    pts.select(col("pid"), col("x"), col("y")).join(roles, "pid")
+  }
+
+  val qDbscanGridSql: String = {
+    val xSql = dbscanPointSql(0).replace(" div ", " // ")
+    val ySql = dbscanPointSql(1).replace(" div ", " // ")
+    s"""WITH RECURSIVE
+       |ids AS (SELECT c_custkey AS pid FROM customer),
+       |pts AS (SELECT pid, $xSql AS x, $ySql AS y FROM ids),
+       |cells AS (SELECT pid, x, y, x // $dbscanEps AS cx,
+       |          y // $dbscanEps AS cy FROM pts),
+       |probe AS (SELECT pid, x, y, cx + dx.d AS px, cy + dy.d AS py
+       |          FROM cells, (VALUES (-1), (0), (1)) dx(d),
+       |               (VALUES (-1), (0), (1)) dy(d)),
+       |nbr AS (SELECT p.pid AS a, c.pid AS b
+       |        FROM probe p JOIN cells c ON p.px = c.cx AND p.py = c.cy
+       |        WHERE (p.x - c.x) * (p.x - c.x)
+       |            + (p.y - c.y) * (p.y - c.y) <= $dbscanEps2),
+       |cnt AS (SELECT a AS pid, COUNT(*) AS n_neighbors FROM nbr GROUP BY 1),
+       |cores AS (SELECT pid FROM cnt WHERE n_neighbors >= $dbscanMinPts),
+       |ce AS (SELECT n.a AS u, n.b AS v FROM nbr n
+       |       JOIN cores ca ON ca.pid = n.a JOIN cores cb ON cb.pid = n.b
+       |       WHERE n.a <> n.b),
+       |reach(u, lbl) AS (
+       |  SELECT pid, pid FROM cores
+       |  UNION
+       |  SELECT e.u, r.lbl FROM ce e JOIN reach r ON r.u = e.v),
+       |lab AS (SELECT u AS pid, MIN(lbl) AS cluster FROM reach GROUP BY 1),
+       |brd AS (SELECT n.a AS pid, MIN(lab.cluster) AS cluster
+       |        FROM nbr n JOIN cores c ON c.pid = n.b
+       |        JOIN lab ON lab.pid = n.b
+       |        WHERE n.a <> n.b
+       |          AND n.a NOT IN (SELECT pid FROM cores)
+       |        GROUP BY 1)
+       |SELECT p.pid, p.x, p.y, cnt.n_neighbors,
+       |  CASE WHEN lab.pid IS NOT NULL THEN 'core'
+       |       WHEN brd.pid IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(lab.cluster, brd.cluster) AS cluster
+       |FROM pts p JOIN cnt ON cnt.pid = p.pid
+       |LEFT JOIN lab ON lab.pid = p.pid
+       |LEFT JOIN brd ON brd.pid = p.pid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan_grid" -> (qDbscanGrid _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_cramers_v" -> (qCramersV _),
     "q_proportion_test" -> (qProportionTest _),
@@ -1506,6 +1648,7 @@ object StatsOps {
     "q_chi2" -> (qChi2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_dbscan_grid" -> qDbscanGridSql,
     "q_welch_ttest" -> qWelchTtestSql,
     "q_cramers_v" -> qCramersVSql,
     "q_proportion_test" -> qProportionTestSql,

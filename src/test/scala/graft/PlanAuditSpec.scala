@@ -63,6 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 5-row join, the sketch-union merge + its aggregates) rides
     // O(groups·K) or O(distinct-keys) frames
     "q_kmv_distinct" -> 9,
+    // dbscan: the 9-cell neighbor join (cell-keyed) feeds a
+    // localCheckpoint; counts, core filter, border adoption and the
+    // final classification joins ride (pid)-keyed exchanges over the
+    // checkpointed pair frame — density-local volumes, never n²
+    "q_dbscan_grid" -> 6,
     // kmv_jaccard: the (grp,key) distinct and the exact-error
     // intersection self-join are the two corpus-keyed exchanges;
     // the other 14 ride O(groups·K) sketch frames and O(pairs) rows

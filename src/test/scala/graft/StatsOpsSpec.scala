@@ -664,4 +664,62 @@ class StatsOpsSpec extends AnyFunSuite {
         1.0 - r.getAs[Double]("simpson"))
     }
   }
+
+  test("q_dbscan_grid equals a brute-force O(n²) DBSCAN replay — the " +
+    "grid join is blocking-complete and labels are exact") {
+    val got = StatsOps.qDbscanGrid(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    assert(got.nonEmpty)
+    // replay the planted cloud from the formulas
+    def off(pid: Long, m: Long): Long =
+      if (pid % 20 == 13) m * 50 else if (pid % 20 == 7) m * 3 else m
+    val pts = got.keys.toSeq.sorted.map { pid =>
+      val x = 10000 + ((pid / 20) * 9176) % 100000 +
+        off(pid, (pid * 37) % 101 - 50)
+      val y = 10000 + ((pid / 20) * 5351) % 100000 +
+        off(pid, (pid * 53) % 101 - 50)
+      (pid, x, y)
+    }
+    pts.foreach { case (pid, x, y) =>
+      assert((got(pid)._1, got(pid)._2) == ((x, y)), s"point $pid moved") }
+    // brute-force neighbors (NO grid): proves the 9-cell join missed
+    // no pair — the blocking-completeness claim
+    val nbrs = pts.map { case (pid, x, y) =>
+      pid -> pts.filter { case (_, bx, by) =>
+        (x - bx) * (x - bx) + (y - by) * (y - by) <= StatsOps.dbscanEps2
+      }.map(_._1)
+    }.toMap
+    val cores = nbrs.filter(_._2.size >= StatsOps.dbscanMinPts).keySet
+    // union-find over core-core eps-edges
+    val parent = scala.collection.mutable.Map(
+      cores.toSeq.map(c => c -> c): _*)
+    def find(p: Long): Long = {
+      var r = p; while (parent(r) != r) r = parent(r)
+      r
+    }
+    cores.foreach(c => nbrs(c).filter(b => b != c && cores(b)).foreach { b =>
+      val (ra, rb) = (find(c), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    })
+    val cluster = cores.map(c => c -> cores.filter(o => find(o) == find(c)).min)
+      .toMap
+    pts.foreach { case (pid, _, _) =>
+      val (_, _, nN, role, cl) = got(pid)
+      assert(nN == nbrs(pid).size, s"$pid neighbor count")
+      if (cores(pid)) {
+        assert(role == "core" && cl.contains(cluster(pid)), s"$pid core")
+      } else {
+        val coreNbrs = nbrs(pid).filter(b => b != pid && cores(b))
+        if (coreNbrs.nonEmpty)
+          assert(role == "border" &&
+            cl.contains(coreNbrs.map(cluster).min), s"$pid border")
+        else assert(role == "noise" && cl.isEmpty, s"$pid noise")
+      }
+    }
+    // every classification branch is really exercised by the fixture
+    Seq("core", "border", "noise").foreach(r =>
+      assert(got.values.exists(_._4 == r), s"no $r points in fixture"))
+  }
 }
