@@ -1309,7 +1309,70 @@ object CorpusPipeline {
        |  CASE WHEN start < cut THEN 'anneal' ELSE 'main' END AS phase
        |FROM c CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  /** Randomized-response coin threshold, per mille: p = 750/1000
+    * means each unit reports its true bit with probability 3/4 and
+    * the flipped bit otherwise — ε = ln(p/(1−p)) = ln 3 local DP. */
+  val dpCoinPerMille = 750
+
+  /** Differentially-private counting via randomized response (Warner
+    * 1965; the local-DP mechanism RAPPOR-class telemetry uses) — the
+    * privacy-preserving statistics step a training-data pipeline runs
+    * when the per-document bit is sensitive (licensing/PII flags,
+    * opt-out markers): each doc reports its true bit only with
+    * probability p, the per-group observed count is then DEBIASED by
+    * est = (obs − n(1−p))/(2p−1), and the exact truth rides along as
+    * the error column.
+    *
+    * Determinism note, stated honestly: production draws real
+    * randomness per report; here the coin is the portable KMV hash of
+    * doc_id taken per mille, so BOTH engines flip identical coins and
+    * the whole mechanism — flips, observed counts, debiasing — is
+    * hash-exact [O]. What the key proves is the pipeline's arithmetic
+    * (the estimator is kept integer until ONE final division:
+    * est = (4·obs − n)/2 at p = 3/4), not the entropy source.
+    *
+    * Scale shape: per-row codegen'd coin + flip fused into the scan,
+    * ONE map-side-combined aggregate at group grain; nothing else. */
+  def pipelineDpCount(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("truth", expr("case when n_chars >= 400 then 1 else 0 end"))
+      .withColumn("coin",
+        expr(s"(${SketchOps.kmvHashSqlOn("doc_id")}) % 1000"))
+      .withColumn("reported", expr(
+        s"case when coin < $dpCoinPerMille then truth else 1 - truth end"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("truth")).as("true_count"),
+        sum(col("reported")).as("observed"))
+      .withColumn("est", expr(
+        "cast(4 * observed - n_docs as double) / cast(2 as double)"))
+      .withColumn("err", expr("est - cast(true_count as double)"))
+
+  val pipelineDpCountSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS truth,
+       |    (${SketchOps.kmvHashSqlOn("doc_id")}) % 1000 AS coin
+       |  FROM documents),
+       |f AS (
+       |  SELECT lang, truth,
+       |    CASE WHEN coin < $dpCoinPerMille THEN truth
+       |         ELSE 1 - truth END AS reported
+       |  FROM r),
+       |g AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(truth) AS BIGINT) AS true_count,
+       |    CAST(SUM(reported) AS BIGINT) AS observed
+       |  FROM f GROUP BY 1)
+       |SELECT lang, n_docs, true_count, observed,
+       |  cast(4 * observed - n_docs as double) / cast(2 as double) AS est,
+       |  cast(4 * observed - n_docs as double) / cast(2 as double)
+       |    - cast(true_count as double) AS err
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dp_count" -> (pipelineDpCount _),
     "pipeline_anneal_phase" -> (pipelineAnnealPhase _),
     "pipeline_attention_spans" -> (pipelineAttentionSpans _),
     "pipeline_chat_format" -> (pipelineChatFormat _),
@@ -1333,6 +1396,7 @@ object CorpusPipeline {
     "pipeline_safety_filter" -> (pipelineSafetyFilter _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dp_count" -> pipelineDpCountSql,
     "pipeline_anneal_phase" -> pipelineAnnealPhaseSql,
     "pipeline_attention_spans" -> pipelineAttentionSpansSql,
     "pipeline_chat_format" -> pipelineChatFormatSql,

@@ -2077,7 +2077,57 @@ object Relational {
       |  CAST(SUM(bal) AS BIGINT) AS totbal_cents
       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The five quantifier variants over a NULL-bearing subquery —
+    * single SQL text for both engines (table names substituted), so
+    * parity pins Spark's null-aware anti join to ANSI three-valued
+    * logic. */
+  private def nullSemanticsBody(c: String, o: String): String =
+    s"""WITH sub AS (
+       |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+       |              ELSE o_custkey END AS k
+       |  FROM $o WHERE o_orderstatus = 'F'),
+       |v AS (
+       |  SELECT 'not_in' AS variant, COUNT(*) AS n FROM $c
+       |  WHERE c_custkey NOT IN (SELECT k FROM sub)
+       |  UNION ALL
+       |  SELECT 'not_exists' AS variant, COUNT(*) AS n FROM $c
+       |  WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c_custkey)
+       |  UNION ALL
+       |  SELECT 'not_in_null_filtered' AS variant, COUNT(*) AS n FROM $c
+       |  WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+       |  UNION ALL
+       |  SELECT 'in' AS variant, COUNT(*) AS n FROM $c
+       |  WHERE c_custkey IN (SELECT k FROM sub)
+       |  UNION ALL
+       |  SELECT 'exists' AS variant, COUNT(*) AS n FROM $c
+       |  WHERE EXISTS (SELECT 1 FROM sub WHERE sub.k = c_custkey))
+       |SELECT variant, n FROM v""".stripMargin
+
+  /** Three-valued logic at the quantifier boundary — the classic
+    * production data-loss trap: `NOT IN` against a subquery holding
+    * even ONE NULL returns ZERO rows (x <> NULL is UNKNOWN, and the
+    * conjunction over the list never becomes TRUE), while the
+    * intuitive-equivalent `NOT EXISTS` returns the real complement.
+    * All five quantifier forms run side by side so the artifact IS
+    * the lesson: not_in = 0, not_exists = not_in_null_filtered,
+    * in = exists, and in + not_exists partitions the table.
+    *
+    * Engine note: ANSI NOT IN forces a NULL-AWARE anti join, which
+    * Spark can only execute broadcast-side (every row must see the
+    * whole list to decide UNKNOWN) — the plan this key pins is WHY
+    * NOT IN is the 100 TB anti-pattern and the null-filtered/EXISTS
+    * forms (plain shuffled anti joins) are the rewrite every
+    * production query should run. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_ns")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_ns")
+    s.sql(nullSemanticsBody("customer_ns", "orders_ns"))
+  }
+
+  val qNullSemanticsSql: String = nullSemanticsBody("customer", "orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_semantics" -> (qNullSemantics _),
     "q22_prospects" -> (q22Prospects _),
     "q21_waiting" -> (q21Waiting _),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls _),
@@ -2133,6 +2183,7 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q_null_semantics" -> qNullSemanticsSql,
     "q_window_ignore_nulls" -> qWindowIgnoreNullsSql,
     "q_penny_allocation" -> qPennyAllocationSql,
     "q_funnel_steps" -> qFunnelStepsSql,

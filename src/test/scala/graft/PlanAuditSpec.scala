@@ -63,6 +63,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 5-row join, the sketch-union merge + its aggregates) rides
     // O(groups·K) or O(distinct-keys) frames
     "q_kmv_distinct" -> 9,
+    // null_semantics: five quantifier branches over the same two
+    // tables — each IN/EXISTS variant decorrelates to its own
+    // (anti/semi) join + 1-row count; the NOT IN branch is the
+    // broadcast null-aware anti join the key exists to pin
+    "q_null_semantics" -> 5,
+    // dp_count: coin+flip fuse into the scan; ONE group aggregate
+    "pipeline_dp_count" -> 1,
     // dbscan: the 9-cell neighbor join (cell-keyed) feeds a
     // localCheckpoint; counts, core filter, border adoption and the
     // final classification joins ride (pid)-keyed exchanges over the

@@ -644,4 +644,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(cand.nonEmpty && cand.length < cust.length)
     assert(cust.count(c => c._3 * n0 > s0) > cand.length)
   }
+
+  test("q_null_semantics: the NOT IN null trap fires, EXISTS forms " +
+    "agree, and the quantifiers partition the table") {
+    import graft.operators.Relational
+    val got = Relational.qNullSemantics(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("not_in", "not_exists",
+      "not_in_null_filtered", "in", "exists"))
+    // the fixture really injects a NULL into the subquery (otherwise
+    // the trap assertion below would be vacuous)
+    val sub = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(expr("case when o_orderkey % 97 = 0 then null " +
+        "else o_custkey end").as("k")).collect()
+    assert(sub.exists(_.isNullAt(0)), "no NULL in the subquery fixture")
+    // ANSI: one NULL in the list makes NOT IN universally UNKNOWN
+    assert(got("not_in") == 0L, "NOT IN over a NULL-bearing list")
+    // the two correct complements agree
+    assert(got("not_exists") == got("not_in_null_filtered"))
+    // IN ignores the NULL entries entirely
+    assert(got("in") == got("exists"))
+    val nCust = Tables.load(spark, sf, "customer").count()
+    assert(got("in") + got("not_exists") == nCust,
+      "IN and NOT EXISTS must partition the table")
+    assert(got("in") > 0 && got("not_exists") > 0, "both sides non-trivial")
+  }
 }

@@ -1266,4 +1266,39 @@ class TextOpsSpec extends AnyFunSuite {
       exp.sortBy(x => (x._1, x._2))),
       "Spark top-3 must equal the Scala replay bit for bit")
   }
+
+  test("pipeline_dp_count: flips replay from the hash coin and the " +
+    "debiased estimate tracks the truth") {
+    import graft.operators.{CorpusPipeline, SketchOps}
+    val got = CorpusPipeline.pipelineDpCount(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val truth = rows.count(_._3 >= 400).toLong
+      val obs = rows.count { case (_, id, nc) =>
+        val t = nc >= 400
+        val honest = SketchOps.kmvHash(id) % 1000 < CorpusPipeline.dpCoinPerMille
+        if (honest) t else !t
+      }.toLong
+      val (n, gTruth, gObs, est, err) = got(lang)
+      assert(n == rows.length && gTruth == truth && gObs == obs,
+        s"$lang counts replay")
+      val expEst = (4 * obs - n).toDouble / 2.0
+      assert(est == expEst && err == expEst - truth.toDouble, s"$lang est")
+      // debiasing works: the estimate lands near the truth (hash-coin
+      // noise is binomial-scale, sd = 2*sqrt(n*p*(1-p)) ~ 2*sqrt(0.19n))
+      assert(math.abs(err) <= 6.0 * math.sqrt(0.1875 * n) + 3.0,
+        s"$lang est too far: err=$err n=$n")
+      // the mechanism actually flipped reports (privacy is non-vacuous)
+      assert(rows.exists { case (_, id, _) =>
+        SketchOps.kmvHash(id) % 1000 >= CorpusPipeline.dpCoinPerMille
+      }, s"$lang nothing flipped")
+    }
+    // the truth predicate splits the fixture (both classes exist)
+    assert(docs.exists(_._3 >= 400) && docs.exists(_._3 < 400))
+  }
 }
