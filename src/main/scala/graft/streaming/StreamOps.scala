@@ -1724,12 +1724,22 @@ object StreamOps {
   def streamKmv(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupState
-    val name = s"stream_kmv_${runId.incrementAndGet()}"
     val evs = eventsStream(spark, sfDir)
       .select(col("event_type"),
         expr(graft.operators.SketchOps.kmvHashSqlOn("user_id")).as("h"))
       .as[(String, Long)]
+    kmvQuery(spark, evs)
+  }
+
+  /** The stateful query + final-state drain over an already-hashed
+    * (type, hash) stream — factored so the spec can drive it with a
+    * FORCED multi-batch source (maxFilesPerTrigger over a split log),
+    * the regime the single-file fixture never exercises. */
+  private[graft] def kmvQuery(spark: SparkSession,
+      evs: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val name = s"stream_kmv_${runId.incrementAndGet()}"
     val sk = evs.groupByKey(_._1)
       .mapGroupsWithState[Seq[Long], KmvSketchRow] {
         (et: String, batch: Iterator[(String, Long)],
@@ -1745,12 +1755,20 @@ object StreamOps {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start())
-    // n_kept only grows and kth_hash only shrinks as batches fold in,
-    // so the final update per key is (max, min)
+    // Final emission per key: n_kept only grows as batches fold in,
+    // and AMONG EQUAL n_kept emissions kth_hash only shrinks
+    // (pre-saturation, equal n_kept means identical kept sets;
+    // post-saturation n_kept is pinned at K and new smaller hashes
+    // evict the kth). A bare min(kth_hash) would be WRONG: while the
+    // sketch is still filling, kth_hash GROWS with n_kept, so an
+    // early small batch's kth could shadow the true final one. The
+    // lexicographic struct max picks the saturated row first, then
+    // the smallest kth within it.
     collectAndDrop(spark, name, spark.table(name)
       .groupBy("event_type")
-      .agg(max(col("n_kept")).as("n_kept"),
-        min(col("kth_hash")).as("kth_hash"))
+      .agg(max(struct(col("n_kept"), (-col("kth_hash")).as("nk"))).as("b"))
+      .select(col("event_type"), col("b.n_kept").as("n_kept"),
+        (-col("b.nk")).as("kth_hash"))
       .withColumn("est_distinct",
         expr(graft.operators.SketchOps.kmvEstSql))
       .orderBy("event_type"))

@@ -939,6 +939,62 @@ class StreamPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_kmv drain survives a FORCED multi-batch fill (an early " +
+    "unsaturated emission must not shadow the final sketch)") {
+    import graft.streaming.StreamOps
+    import graft.operators.SketchOps
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+    // the single-file fixture always drains in ONE micro-batch, so the
+    // end-to-end multi-batch regime needs a split replay log:
+    // wave 0 carries the 10 SMALLEST hashes of the biggest event type
+    // (an unsaturated sketch whose kth is provably below the final
+    // kth — exactly the shadowing trap), wave 1 redelivers everything.
+    // sf0.01 (not the suite default) so at least one type SATURATES
+    // the sketch — the regime where the buggy min-kth drain diverges
+    val kmvSf = "/root/testdata/sf0.01"
+    val evs = Tables.load(spark, kmvSf, "events")
+      .select(col("event_type"),
+        expr(SketchOps.kmvHashSqlOn("user_id")).as("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = evs.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.toSeq).toMap
+    val (bigType, bigHashes) = byType.maxBy(_._2.length)
+    assert(bigHashes.length > SketchOps.kmvK + 1, "fixture too small")
+    val wave0 = bigHashes.take(10).map(h => (bigType, h))
+    val finalKth = bigHashes.take(SketchOps.kmvK).max
+    assert(wave0.map(_._2).max < finalKth,
+      "trap precondition: early kth strictly below the final kth")
+    val logDir = java.nio.file.Files.createTempDirectory("kmvlog")
+    import spark.implicits._
+    Seq(wave0.toSeq, evs.toSeq).zipWithIndex.foreach { case (w, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"kmvw$i").toString
+      spark.createDataset(w).toDF("event_type", "h")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = logDir.resolve(s"w$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // mod times pin the file source's processing order (oldest first)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val child = StreamOps.streamingSessionForTest(spark)
+    val src = child.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("h", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(logDir.toString)
+      .as[(String, Long)]
+    val got = StreamOps.kmvQuery(child, src).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // final state must equal the batch sketch for EVERY type — in
+    // particular bigType's kth must be the saturated one, not wave 0's
+    byType.foreach { case (et, hashes) =>
+      val kept = hashes.take(SketchOps.kmvK)
+      assert(got(et) == ((kept.size.toLong, kept.max)),
+        s"$et multi-batch final sketch diverged")
+    }
+  }
+
   test("mm_audio_frames round-trips PCM bytes and matches the formulas") {
     import graft.operators.MultimodalOps
     val rows = MultimodalOps.mmAudioFrames(spark, sf).collect()
