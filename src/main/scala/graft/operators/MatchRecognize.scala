@@ -49,12 +49,18 @@ object MatchRecognize {
   /** Minimum run length for each quantifier (DOWN{3,} UP{3,}). */
   val minRun = 3
 
-  def qMatchRecognize(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.load(s, dir, "orders")
+  def qMatchRecognize(s: SparkSession, dir: String): DataFrame =
+    matchRuns(Tables.load(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("grp"),
         col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
-        .as("v"))
+        .as("v")))
+
+  /** The pattern compilation over ANY (grp, day, v) series frame —
+    * factored from the query key so the randomized spec can drive it
+    * with arbitrary synthetic series (flat runs, single points,
+    * alternating saw-tooths) against the row-automaton replay. */
+  private[graft] def matchRuns(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("grp").orderBy("day")
     val cls = daily
       .withColumn("pv", lag(col("v"), 1).over(w))

@@ -71,4 +71,41 @@ class MatchRecognizeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("randomized series: the compilation equals the NFA replay on " +
+    "adversarial shapes (flats, saw-tooths, singletons, long runs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = Date.valueOf("2020-01-01")
+    def day(i: Int): Date = new Date(base.getTime + i * 86400000L)
+    (1 to 8).foreach { trial =>
+      // mixed generators: pure random walks produce few flats or long
+      // runs, so bias half the steps toward repeats and monotone runs
+      val series = (0 until 4).map { g =>
+        val n = 2 + rnd.nextInt(40)
+        var v = 1000L
+        s"g$g" -> (0 until n).map { i =>
+          v += (rnd.nextInt(4) match {
+            case 0 => 0 // flat step: dir = 0 must break runs
+            case 1 => rnd.nextInt(5).toLong + 1
+            case 2 => -(rnd.nextInt(5).toLong + 1)
+            case _ => if (i % 7 < 4) 3L else -3L // long-ish runs
+          })
+          (day(i), v)
+        }
+      }
+      val df = series.flatMap { case (g, pts) =>
+        pts.map(p => (g, p._1, p._2))
+      }.toDF("grp", "day", "v")
+      val got = graft.operators.MatchRecognize.matchRuns(df).collect()
+        .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      series.foreach { case (g, pts) =>
+        val exp = nfaMatches(pts).toSet
+        assert(got.getOrElse(g, Set.empty) == exp,
+          s"trial $trial series $g diverged from the NFA replay")
+      }
+    }
+  }
 }
