@@ -669,5 +669,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("in") + got("not_exists") == nCust,
       "IN and NOT EXISTS must partition the table")
     assert(got("in") > 0 && got("not_exists") > 0, "both sides non-trivial")
+    // the engine note is load-bearing: the NOT IN branch must plan a
+    // null-aware anti join, which Spark can only execute broadcast
+    // (BHJ with the null-aware flag, or the BNLJ fallback) — if a
+    // future optimizer change silently planned a plain shuffled anti
+    // join here, ANSI NOT IN semantics would be broken, not improved
+    val df = Relational.qNullSemantics(spark, sf)
+    df.collect()
+    val nodes = TestSpark.allNodes(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val naaj = nodes.exists {
+      case b: BroadcastHashJoinExec => b.isNullAwareAntiJoin
+      case b: BroadcastNestedLoopJoinExec =>
+        b.joinType.sql.toUpperCase.contains("ANTI")
+      case _ => false
+    }
+    assert(naaj, "NOT IN lost its null-aware anti join plan")
   }
 }
