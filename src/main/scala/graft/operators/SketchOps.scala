@@ -254,7 +254,9 @@ object SketchOps {
     * polynomial over Z_p (Horner form, every intermediate provably
     * < 2^63 for keys up to ~4.3e9·k ≤ 2^63, i.e. key < ~2.1e9 —
     * document and pre-fold wider keys), parity of the residue gives
-    * the ±1. One string, both dialects. */
+    * the ±1. This is the ORACLE's rendering; the engine evaluates
+    * the same polynomial digit-for-digit in the JVM
+    * (functions/AmsSketch.sign). */
   private def amsSignSql(j: Int): String = {
     val c = (0 until 4).map(i =>
       ((j.toLong * 4 + i) * 2654435761L + 777 + i * 7919) % kmvP)
@@ -278,21 +280,31 @@ object SketchOps {
     * exists here only as the error row — production drops it and
     * keeps the single O(counters) pass.
     *
-    * Scale shape: the 128 sign projections fuse into the scan and
-    * fold in ONE map-side-combined aggregate — the sketch is 128
-    * longs regardless of corpus size, and it is MERGEABLE (signed
-    * sums add across partitions/partial sketches, which is exactly
-    * how the partial-aggregation tree combines them). */
+    * Scale shape: ONE corpus pass through the typed AmsSketch
+    * Aggregator — the sketch is 128 longs regardless of corpus size,
+    * partials MERGE BY VECTOR ADDITION (the partial-aggregation tree
+    * is literally the sketch merge), and the finished counters
+    * collect to the driver as the planner statistic they are; the
+    * summary rows are model-sized arithmetic over them. */
   def qJoinCardest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val keyed = Tables.load(s, dir, "orders")
       .select(col("o_custkey").as("k"))
-    val sums = (0 until amsEstimators).map(j =>
-      sum(expr(amsSignSql(j))).as(s"z$j"))
-    val zRow = keyed.agg(sums.head, sums.tail: _*)
-    val perEst = zRow.select(explode(array((0 until amsEstimators).map(j =>
-        struct(lit(j).as("est_id"), col(s"z$j").as("z"))): _*)).as("s"))
-      .select(col("s.est_id"), col("s.z"),
-        (col("s.z") * col("s.z")).cast("double").as("est"))
+    // ONE corpus pass through the typed AmsSketch Aggregator: the
+    // 128 counters are the aggregation buffer, partials merge by
+    // vector addition (map-side combined), and the finished 128-long
+    // sketch collects to the driver — it IS a driver-side planner
+    // statistic. A column-per-estimator aggregate was measured paying
+    // seconds of janino codegen per plan for the same values
+    // (functions/AmsSketch.scala); the JVM-loop Aggregator removes
+    // that while keeping the identical mirrored polynomial.
+    val zs = keyed.as[Long]
+      .select(graft.functions.AmsSketch.sketch(amsEstimators).toColumn)
+      .head()
+    val perEst = zs.zipWithIndex
+      .map { case (z, j) => (j, z) }.toDF("est_id", "z")
+      .select(col("est_id"), col("z"),
+        (col("z") * col("z")).cast("double").as("est"))
     val perGroup = amsEstimators / amsGroups
     val med = perEst
       .groupBy(expr(s"est_id div $perGroup").as("g"))
