@@ -1,9 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The driver's row hash is ORDER-SENSITIVE, and r10's one red row
+  * (q_match_recognize) proved that any key lacking a deterministic
+  * total output order is one engine-plan change away from a spurious
+  * mismatch. Rather than hand-pinning a trailing sort into ~80 query
+  * keys AND ~80 oracle strings (and paying a sort exchange in every
+  * production plan), determinism is pinned HERE, symmetrically, at the
+  * verification boundary: the Spark dump is canonically sorted by
+  * every orderable output column (nulls first), and the dumped oracle
+  * SQL is wrapped with the IDENTICAL `ORDER BY "c" ASC NULLS FIRST,
+  * ...` list. Ties left by unorderable columns (none today — MapType
+  * outputs carry an orderable key prefix) would surface as a hash
+  * mismatch, not silent corruption. Engine operators keep their
+  * natural, scale-shaped plans; a result-sized presentation sort at
+  * the dump boundary is the only cost. */
 object Verify {
+  /** Orderable output columns, in schema order — the canonical sort
+    * key shared verbatim by both engines. */
+  private def pinCols(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq
+      .filter(f => RowOrdering.isOrderable(f.dataType))
+      .map(_.name)
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,15 +41,33 @@ object Verify {
     // optional comma-separated subset, for iterating on one key
     // locally (the driver runs the full map)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // per-key canonical sort columns, recorded as each key runs so the
+    // oracle wrap below uses the exact same list
+    val pinned = scala.collection.mutable.Map[String, Seq[String]]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val ord = pinCols(df)
+        pinned(name) = ord
+        val out =
+          if (ord.isEmpty) df
+          else df.orderBy(ord.map(c => col(c).asc_nulls_first): _*)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // mirror the canonical sort onto the oracle side: wrap each
+    // single-statement oracle as a subquery with the same column list
+    // (all oracle strings are single statements; semicolons appear
+    // only inside string literals)
+    def pinSql(name: String, sql: String): String =
+      pinned.get(name).filter(_.nonEmpty).fold(sql) { ord =>
+        s"SELECT * FROM (\n$sql\n) graft_pin ORDER BY " +
+          ord.map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,7 +85,8 @@ object Verify {
     // without cross-run clobbering — substituted with this run's tag
     val sfTag = Integer.toHexString(sfDir.hashCode)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFTAG__", sfTag))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(pinSql(k, v.replace("__SFTAG__", sfTag)))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -90,6 +90,11 @@ object MatchRecognize {
         col("a.n").as("down_len"), col("b.n").as("up_len"),
         (col("a.start_prev_v") - col("a.end_v")).as("depth_cents"),
         (col("b.end_v") - col("a.end_v")).as("recovery_cents"))
+      // (grp, start_day) is a match key (maximal runs cannot share a
+      // start), so this is a TOTAL order — pinned because the driver's
+      // correctness hash is row-order-sensitive and the runs-to-runs
+      // join is the one place the two engines' output orders diverge.
+      .orderBy("grp", "start_day")
   }
 
   val qMatchRecognizeSql: String =
@@ -125,7 +130,8 @@ object MatchRecognize {
        |  b.end_v - a.end_v AS recovery_cents
        |FROM runs a JOIN runs b ON a.grp = b.grp AND b.seg = a.seg + 1
        |WHERE a.dir = -1 AND b.dir = 1
-       |  AND a.n >= $minRun AND b.n >= $minRun""".stripMargin
+       |  AND a.n >= $minRun AND b.n >= $minRun
+       |ORDER BY a.grp, start_day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_match_recognize" -> (qMatchRecognize _))

@@ -3,8 +3,16 @@
 
 Runs each SparkEntry query result (parquet dumped by graft.Verify)
 against its DuckDB oracle on the same sf dir and compares values
-exactly: columns sorted by name, rows sorted canonically, cell-wise
-equality (bitwise for floats — the engine is built for exact parity).
+exactly: columns sorted by name, cell-wise equality (bitwise for
+floats — the engine is built for exact parity).
+
+Rows are compared IN ORDER first — the driver's hash is
+order-sensitive, and r10's q_match_recognize proved canonical-sort
+compare passes locally while the driver fails on row order alone.
+Since r11, Verify pins a canonical total sort on both sides, so
+in-order equality is the contract; a multiset-equal-but-misordered
+result is reported as its own failure class (ORDER-ONLY) so the
+order bug is never mistaken for a value bug.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [key1,key2,...]
 (the optional key list checks a subset, matching Verify's
@@ -82,23 +90,32 @@ def main(sf_dir, out_dir, only=None):
             continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        got_s = canon([[r[i] for i in gi] for r in got])
-        exp_s = canon([[r[i] for i in ei] for r in exp])
-        if len(got_s) != len(exp_s):
-            print(f"FAIL {name}: rows {len(got_s)} != {len(exp_s)}")
+        got_r = [[r[i] for i in gi] for r in got]
+        exp_r = [[r[i] for i in ei] for r in exp]
+        if len(got_r) != len(exp_r):
+            print(f"FAIL {name}: rows {len(got_r)} != {len(exp_r)}")
             n_fail += 1
             continue
-        bad = None
-        for i, (g, e) in enumerate(zip(got_s, exp_s)):
-            if not all(cells_equal(x, y) for x, y in zip(g, e)):
-                bad = (i, g, e)
-                break
-        if bad:
-            print(f"FAIL {name}: first diff row {bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(got_s)} rows)")
+
+        def first_diff(gs, es):
+            for i, (g, e) in enumerate(zip(gs, es)):
+                if not all(cells_equal(x, y) for x, y in zip(g, e)):
+                    return (i, g, e)
+            return None
+
+        bad = first_diff(got_r, exp_r)
+        if bad is None:
+            print(f"PASS {name} ({len(got_r)} rows)")
             n_pass += 1
+            continue
+        # disambiguate: value bug vs order-only bug
+        if first_diff(canon(got_r), canon(exp_r)) is None:
+            print(f"FAIL {name}: ORDER-ONLY diff (multiset equal) at row "
+                  f"{bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
+        else:
+            bad = first_diff(canon(got_r), canon(exp_r))
+            print(f"FAIL {name}: first diff row {bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
+        n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
