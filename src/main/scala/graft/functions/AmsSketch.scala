@@ -30,10 +30,18 @@ object AmsSketch {
   def coeff(j: Int, i: Int): Long =
     ((j.toLong * 4 + i) * 2654435761L + 777 + i * 7919) % P
 
-  /** ±1 sign of key k under estimator j. */
+  /** ±1 sign of key k under estimator j. floorMod (not %) at every
+    * reduction keeps residues in [0, P) for NEGATIVE keys too — JVM %
+    * yields negative residues whose parity term would leave {-1,+1}
+    * (1−2·(−1) = 3) and silently corrupt the F2 estimate. Identical
+    * to % on the non-negative keys fed today; mirrored step-for-step
+    * in SketchOps.amsSignSql. The < ~2.1e9 magnitude bound above now
+    * applies to |key|. */
   def sign(j: Int, k: Long): Long = {
-    val t = ((((coeff(j, 3) * k) % P + coeff(j, 2)) * k % P +
-      coeff(j, 1)) * k % P + coeff(j, 0)) % P
+    val t1 = Math.floorMod(coeff(j, 3) * k, P)
+    val t2 = Math.floorMod((t1 + coeff(j, 2)) * k, P)
+    val t3 = Math.floorMod((t2 + coeff(j, 1)) * k, P)
+    val t = Math.floorMod(t3 + coeff(j, 0), P)
     1L - 2L * (t % 2L)
   }
 

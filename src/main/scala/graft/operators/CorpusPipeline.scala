@@ -1314,6 +1314,18 @@ object CorpusPipeline {
     * the flipped bit otherwise — ε = ln(p/(1−p)) = ln 3 local DP. */
   val dpCoinPerMille = 750
 
+  /** The debias estimator est = (obs − n(1−p))/(2p−1) rendered in
+    * per-mille integers — DERIVED from [[dpCoinPerMille]] (not a
+    * hard-coded p=3/4 simplification) so retuning the coin cannot
+    * silently mis-debias every estimate; one shared copy valid in
+    * both dialects, integer numerator, single final double division.
+    * At m=750 this is numerically identical to the old (4·obs − n)/2:
+    * the numerator is 250·(4·obs − n) and IEEE division by 500 is
+    * exact for it. */
+  val dpEstSql: String =
+    s"cast(1000 * observed - ${1000 - dpCoinPerMille} * n_docs as double)" +
+      s" / cast(${2 * dpCoinPerMille - 1000} as double)"
+
   /** Differentially-private counting via randomized response (Warner
     * 1965; the local-DP mechanism RAPPOR-class telemetry uses) — the
     * privacy-preserving statistics step a training-data pipeline runs
@@ -1328,8 +1340,8 @@ object CorpusPipeline {
     * doc_id taken per mille, so BOTH engines flip identical coins and
     * the whole mechanism — flips, observed counts, debiasing — is
     * hash-exact [O]. What the key proves is the pipeline's arithmetic
-    * (the estimator is kept integer until ONE final division:
-    * est = (4·obs − n)/2 at p = 3/4), not the entropy source.
+    * (the estimator is kept integer until ONE final division — see
+    * [[dpEstSql]]), not the entropy source.
     *
     * Scale shape: per-row codegen'd coin + flip fused into the scan,
     * ONE map-side-combined aggregate at group grain; nothing else. */
@@ -1345,8 +1357,7 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("truth")).as("true_count"),
         sum(col("reported")).as("observed"))
-      .withColumn("est", expr(
-        "cast(4 * observed - n_docs as double) / cast(2 as double)"))
+      .withColumn("est", expr(dpEstSql))
       .withColumn("err", expr("est - cast(true_count as double)"))
 
   val pipelineDpCountSql: String =
@@ -1366,8 +1377,8 @@ object CorpusPipeline {
        |    CAST(SUM(reported) AS BIGINT) AS observed
        |  FROM f GROUP BY 1)
        |SELECT lang, n_docs, true_count, observed,
-       |  cast(4 * observed - n_docs as double) / cast(2 as double) AS est,
-       |  cast(4 * observed - n_docs as double) / cast(2 as double)
+       |  $dpEstSql AS est,
+       |  $dpEstSql
        |    - cast(true_count as double) AS err
        |FROM g""".stripMargin
 

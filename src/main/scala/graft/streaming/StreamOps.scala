@@ -811,19 +811,28 @@ object StreamOps {
     * LSM-style read side of the append-only layout. Returns the
     * winning bucket directories; the bkt value itself is derivable
     * from the key, so readers never need the partition column. */
-  private[graft] def resolveDimStore(store: String, bound: Long): Seq[(String, String)] = {
-    val gens = Option(new java.io.File(store).listFiles())
+  /** One walk of the store: committed generations ≤ bound in
+    * ascending order, each with its bucket-dir map — shared by the
+    * per-bucket resolver and the compaction trigger. */
+  private[graft] def scanDimStore(store: String, bound: Long): Seq[(Long, Map[String, String])] =
+    Option(new java.io.File(store).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(d => d.isDirectory && d.getName.startsWith("g") &&
         d.getName.drop(1).nonEmpty && d.getName.drop(1).forall(_.isDigit) &&
         d.getName.drop(1).toLong <= bound &&
         new java.io.File(d, "_SUCCESS").exists)
       .sortBy(_.getName.drop(1).toLong)
+      .map { g =>
+        g.getName.drop(1).toLong ->
+          Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(b => b.isDirectory && b.getName.startsWith("bkt="))
+            .map(b => b.getName -> b.getAbsolutePath).toMap
+      }.toSeq
+
+  private[graft] def resolveDimStore(store: String, bound: Long): Seq[(String, String)] = {
     val latest = scala.collection.mutable.LinkedHashMap[String, String]()
-    gens.foreach { g =>
-      Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(b => b.isDirectory && b.getName.startsWith("bkt="))
-        .foreach(b => latest(b.getName) = b.getAbsolutePath)
+    scanDimStore(store, bound).foreach { case (_, bkts) =>
+      bkts.foreach { case (name, path) => latest(name) = path }
     }
     latest.toSeq
   }
@@ -850,18 +859,44 @@ object StreamOps {
     * kill in that window empties the bucket and no idempotent merge
     * can resurrect its untouched keys. Old generations retire via
     * retention (the etl_vacuum story), never in the hot path. */
+  /** Compaction cadence: once a read would have to stitch state from
+    * more than this many partial generations past the last full
+    * snapshot, the next batch folds EVERYTHING into its new
+    * generation (an LSM major compaction). Amortized write cost is
+    * O(dimension / dimCompactEvery) per batch; read stitching stays
+    * bounded at ≤ dimCompactEvery + 1 generation dirs instead of
+    * growing with batch count — the r10-adjudicated
+    * stream_cdc_apply/stream_scd2 store cost. */
+  private[graft] val dimCompactEvery = 8
+
   private[graft] def applyDimBatch(spark: SparkSession, store: String,
       batchId: Long, batch: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val affected = batch.select(dimBucketOf.as("bkt")).distinct()
       .collect().map(r => s"bkt=${r.getInt(0)}").toSet
-    val resolved = resolveDimStore(store, batchId)
-    val prevDirs = resolved.collect {
-      case (name, path) if affected(name) => path
+    val scan = scanDimStore(store, batchId)
+    val latest = scala.collection.mutable.LinkedHashMap[String, String]()
+    scan.foreach { case (_, bkts) =>
+      bkts.foreach { case (name, path) => latest(name) = path }
     }
+    val resolved = latest.toSeq
+    // partial generations since the last FULL snapshot (a generation
+    // holding every bucket — g0 and prior compactions qualify); the
+    // decision reads only generations ≤ batchId, so a replayed batch
+    // sees the identical scan and makes the identical choice —
+    // compaction keeps the append-only, replay-idempotent contract
+    val lastFull = scan.lastIndexWhere(_._2.size == dimBuckets)
+    val sinceFull = if (lastFull < 0) scan.size else scan.size - 1 - lastFull
+    val compact = sinceFull >= dimCompactEvery
+    val prevDirs =
+      if (compact) resolved.map(_._2)
+      else resolved.collect { case (name, path) if affected(name) => path }
     val prev =
       if (prevDirs.nonEmpty) spark.read.parquet(prevDirs: _*)
       else spark.read.parquet(resolved.head._2).limit(0)
+    // merge fns carry untouched keys through, so feeding the FULL
+    // resolved state makes g(batchId+1) a full snapshot with no extra
+    // merge logic; the partial path feeds only affected buckets
     merge(prev, batch)
       .withColumn("bkt", dimBucketOf)
       .write.mode("overwrite").partitionBy("bkt")
@@ -1777,7 +1812,7 @@ object StreamOps {
   val streamKmvSql: String = {
     import graft.operators.SketchOps.{kmvHashSql, kmvEstSql, kmvK}
     s"""WITH d AS (SELECT DISTINCT event_type, user_id AS k FROM events),
-       |hh AS (SELECT event_type, $kmvHashSql AS h FROM d),
+       |hh AS (SELECT DISTINCT event_type, $kmvHashSql AS h FROM d),
        |r AS (SELECT event_type, h, ROW_NUMBER() OVER (
        |        PARTITION BY event_type ORDER BY h) AS rn FROM hh),
        |sk AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_hash
