@@ -65,13 +65,19 @@ object SketchOps {
 
   /** The portable hash over an arbitrary column — a string valid in
     * BOTH dialects, shared by every KMV key (and the streaming
-    * sketch's driver-side twin below). */
-  def kmvHashSqlOn(c: String): String = s"(742938285 * $c + 11213) % $kmvP"
+    * sketch's driver-side twin below). The `(x % p + p) % p` double
+    * reduction is SQL floorMod: plain % in both dialects (and the JVM)
+    * keeps the dividend's sign, so a negative key would land OUTSIDE
+    * [0, p) and break the bottom-K order statistics the estimator
+    * reads. Identity for the non-negative keys fed today; |key| must
+    * stay < ~1.2e10 so the multiply fits in a BIGINT. */
+  def kmvHashSqlOn(c: String): String =
+    s"((742938285 * $c + 11213) % $kmvP + $kmvP) % $kmvP"
 
   val kmvHashSql: String = kmvHashSqlOn("k")
 
   /** Driver/executor-side twin of [[kmvHashSql]]. */
-  def kmvHash(x: Long): Long = (742938285L * x + 11213L) % kmvP
+  def kmvHash(x: Long): Long = Math.floorMod(742938285L * x + 11213L, kmvP)
 
   /** The estimator over (n_kept, kth_hash) columns — exact when the
     * sketch is unsaturated, (K−1)·p/(h₍K₎+1) otherwise. Valid in both
@@ -90,11 +96,18 @@ object SketchOps {
     val d = Tables.load(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"), col("o_custkey").as("k"))
       .distinct()
+    // distinct HASHES, not distinct keys: two keys colliding to one
+    // hash inside a group's bottom-K would otherwise make kth_hash the
+    // (K−1)-th distinct order statistic and evict a globally-bottom-K
+    // hash, breaking the union-merge == direct-global invariant the
+    // spec replays (the estimator is defined over the distinct-hash
+    // set). Mirrored by SELECT DISTINCT in the oracle.
     val withH = d.withColumn("h", expr(hashSql))
+      .select(col("grp"), col("h")).dropDuplicates("grp", "h")
     // bottom-K per group: the bounded-heap operator — only K rows per
     // group survive into the final aggregate
     val kept = graft.plans.TopKPerKey.topK(
-      withH.select(col("grp"), col("h")), Seq("grp"), Seq(col("h")), kmvK)
+      withH, Seq("grp"), Seq(col("h")), kmvK)
     val sk = kept.groupBy("grp")
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
     val ne = d.groupBy("grp").agg(count(lit(1)).as("n_exact"))
@@ -116,7 +129,7 @@ object SketchOps {
 
   val qKmvDistinctSql: String =
     s"""WITH d AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k FROM orders),
-       |h AS (SELECT grp, k, $hashSql AS h FROM d),
+       |h AS (SELECT DISTINCT grp, $hashSql AS h FROM d),
        |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
        |kept AS (SELECT grp, h FROM r WHERE rn <= $kmvK),
        |sk AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_hash FROM kept GROUP BY grp),
@@ -157,8 +170,11 @@ object SketchOps {
     val d = Tables.load(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"), col("o_custkey").as("k"))
       .distinct()
+    // distinct hashes before the bottom-K — same discipline (and same
+    // rationale) as qKmvDistinct above
     val kept = graft.plans.TopKPerKey.topK(
-      d.withColumn("h", expr(hashSql)).select(col("grp"), col("h")),
+      d.withColumn("h", expr(hashSql)).select(col("grp"), col("h"))
+        .dropDuplicates("grp", "h"),
       Seq("grp"), Seq(col("h")), kmvK)
     val grps = d.select("grp").distinct()
     val pairs = grps.toDF("grp_a")
@@ -202,7 +218,7 @@ object SketchOps {
 
   val qKmvJaccardSql: String =
     s"""WITH d AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k FROM orders),
-       |hh AS (SELECT grp, $hashSql AS h FROM d),
+       |hh AS (SELECT DISTINCT grp, $hashSql AS h FROM d),
        |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh),
        |kept AS (SELECT grp, h FROM r WHERE rn <= $kmvK),
        |g AS (SELECT DISTINCT grp FROM d),
@@ -260,8 +276,16 @@ object SketchOps {
   private def amsSignSql(j: Int): String = {
     val c = (0 until 4).map(i =>
       ((j.toLong * 4 + i) * 2654435761L + 777 + i * 7919) % kmvP)
-    s"(1 - 2 * (((((${c(3)} * k) % $kmvP + ${c(2)}) * k % $kmvP" +
-      s" + ${c(1)}) * k % $kmvP + ${c(0)}) % $kmvP % 2))"
+    // (x % p + p) % p at every Horner step = SQL floorMod, keeping
+    // residues in [0, p) for negative keys exactly as the engine's
+    // Math.floorMod does (functions/AmsSketch.sign) — identity on the
+    // non-negative keys fed today
+    def fm(x: String): String = s"(($x) % $kmvP + $kmvP) % $kmvP"
+    val t1 = fm(s"${c(3)} * k")
+    val t2 = fm(s"(($t1) + ${c(2)}) * k")
+    val t3 = fm(s"(($t2) + ${c(1)}) * k")
+    val t = fm(s"($t3) + ${c(0)}")
+    s"(1 - 2 * (($t) % 2))"
   }
 
   /** Join-cardinality estimation from ONE streaming pass — the
@@ -344,13 +368,132 @@ object SketchOps {
        |UNION ALL SELECT * FROM ex""".stripMargin
   }
 
+  // ---- q_kmv_quantile: bottom-k-by-hash quantile sketch ----
+
+  /** Sample size for the quantile sketch: 256 keeps the expected
+    * rank error near 1/√K ≈ 6% of the group while the summary stays
+    * 256 (hash, value) pairs per group. */
+  val quantK = 256
+
+  /** The quantiles published, in per-mille (p50/p90/p99). */
+  val quantMilles = Seq(500, 900, 990)
+
+  /** Rank ceil(m·n/1000) in 1-based order statistics, pure integer —
+    * the ONE shared expression string both dialects evaluate (Spark
+    * `div` ↔ DuckDB `//` is the single textual substitution). */
+  private def rankSql(m: Int, cnt: String, divOp: String): String =
+    s"($m * $cnt + 999) $divOp 1000"
+
+  private def quantCaseSql(m: Int, divOp: String): String =
+    s"case when rn = ${rankSql(m, "cnt", divOp)} then v end"
+
+  /** Quantile estimation from a BOTTOM-K-BY-HASH uniform sample — the
+    * same discipline that made q_kmv_distinct the board's first
+    * oracle-exact sketch, applied to rank statistics (VERDICT r10 #5):
+    * the bottom-[[quantK]] hashes of a group form a fixed-size,
+    * arrival-order-invariant, MERGEABLE uniform sample (the bottom-K
+    * of a union is computable from the operands' bottom-Ks), and the
+    * value at rank ⌈q·k⌉ of the sample estimates the group's
+    * q-quantile (Bar-Yossef et al. 2002 sampling; classical
+    * order-statistics estimator). Because the hash is the portable
+    * MLCG and the selection is EXACT integer rank selection, every
+    * output cell — the estimates included — is DuckDB-hash-exact [O],
+    * which the [T] q_approx_percentile (engine-internal t-digest-like
+    * summary) structurally cannot be; it stays on the board beside
+    * this as the production-default estimator.
+    *
+    * Exact per-group quantiles ride along as the error columns, the
+    * self-auditing-artifact pattern of q_kmv_jaccard: the full-group
+    * rank selection is the one corpus-grain window in the plan and
+    * exists ONLY as the error column — a production run drops it and
+    * touches nothing corpus-sized past the (grp, h) dedup.
+    *
+    * Scale shape: one corpus pass computes the hash scan-side; one
+    * shuffle at (grp, h) grain dedups collisions (MIN value makes the
+    * collision resolution deterministic in both engines); the
+    * bounded-heap TopKPerKey operator keeps quantK rows per group, so
+    * only O(groups·K) rows reach the window/aggregate. All arithmetic
+    * is exact BIGINT cents — no float crosses an engine boundary. */
+  def qKmvQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+          .as("v"),
+        expr(kmvHashSqlOn("o_orderkey")).as("h"))
+    val dd = rows.groupBy("grp", "h").agg(min(col("v")).as("v"))
+    val kept = graft.plans.TopKPerKey.topK(dd, Seq("grp"), Seq(col("h")),
+      quantK)
+    // sample-side rank selection: rn by (v, h) is a TOTAL order, so
+    // both engines select the identical row; the v at any rank is the
+    // sorted multiset position either way
+    val sr = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("v", "h")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+    val samp = sr.groupBy("grp").agg(
+      max(col("cnt")).as("n_sample"),
+      quantMilles.map(m =>
+        max(expr(quantCaseSql(m, "div"))).as(s"p${m}_est")): _*)
+    // exact side — the error columns; rank over the raw value
+    // multiset (ties permute rows, never the value at a rank)
+    val er = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("v")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+    val ex = er.groupBy("grp").agg(
+      max(col("cnt")).as("n_rows"),
+      quantMilles.map(m =>
+        max(expr(quantCaseSql(m, "div"))).as(s"p${m}_exact")): _*)
+    ex.join(samp, "grp")
+      .select((Seq(col("grp"), col("n_rows"), col("n_sample")) ++
+        quantMilles.map(m => col(s"p${m}_est")) ++
+        quantMilles.map(m => col(s"p${m}_exact"))): _*)
+  }
+
+  val qKmvQuantileSql: String = {
+    val sampAggs = quantMilles.map(m =>
+      s"MAX(${quantCaseSql(m, "//")}) AS p${m}_est").mkString(",\n       ")
+    val exAggs = quantMilles.map(m =>
+      s"MAX(${quantCaseSql(m, "//")}) AS p${m}_exact").mkString(",\n       ")
+    val outCols = (quantMilles.map(m => s"p${m}_est") ++
+      quantMilles.map(m => s"p${m}_exact")).mkString(", ")
+    s"""WITH rows_ AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+       |    ${kmvHashSqlOn("o_orderkey")} AS h
+       |  FROM orders),
+       |dd AS (SELECT grp, h, MIN(v) AS v FROM rows_ GROUP BY 1, 2),
+       |hk AS (SELECT grp, h, v, ROW_NUMBER() OVER (
+       |         PARTITION BY grp ORDER BY h) AS hr FROM dd),
+       |kept AS (SELECT grp, h, v FROM hk WHERE hr <= $quantK),
+       |sr AS (SELECT grp, v,
+       |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, h) AS rn,
+       |         COUNT(*) OVER (PARTITION BY grp) AS cnt
+       |       FROM kept),
+       |samp AS (SELECT grp, MAX(cnt) AS n_sample,
+       |       $sampAggs
+       |     FROM sr GROUP BY 1),
+       |er AS (SELECT grp, v,
+       |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+       |         COUNT(*) OVER (PARTITION BY grp) AS cnt
+       |       FROM rows_),
+       |ex AS (SELECT grp, MAX(cnt) AS n_rows,
+       |       $exAggs
+       |     FROM er GROUP BY 1)
+       |SELECT grp, n_rows, n_sample, $outCols
+       |FROM ex JOIN samp USING (grp)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_jaccard" -> (qKmvJaccard _),
+    "q_kmv_quantile" -> (qKmvQuantile _),
     "q_join_cardest" -> (qJoinCardest _))
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_kmv_jaccard" -> qKmvJaccardSql,
+    "q_kmv_quantile" -> qKmvQuantileSql,
     "q_join_cardest" -> qJoinCardestSql)
 }

@@ -10,6 +10,23 @@ class SketchOpsSpec extends AnyFunSuite {
 
   private def hash(x: Long): Long = (742938285L * x + 11213L) % SketchOps.kmvP
 
+  test("portable hashes stay in range for NEGATIVE keys (floorMod contract)") {
+    // r10 ADVICE: plain % keeps the dividend's sign, so a negative key
+    // would land outside [0, p) (KMV) / outside {-1,+1} (AMS sign) —
+    // guard the floorMod fix on both families
+    Seq(-1L, -12345L, -2100000000L, 0L, 7L).foreach { k =>
+      val h = SketchOps.kmvHash(k)
+      assert(h >= 0 && h < SketchOps.kmvP, s"kmvHash($k) = $h out of range")
+      (0 until 4).foreach { j =>
+        val s = graft.functions.AmsSketch.sign(j, k)
+        assert(s == 1L || s == -1L, s"sign($j, $k) = $s not in {-1,+1}")
+      }
+    }
+    // and the positive-key values are UNCHANGED by the floorMod switch
+    // (the oracle parity the board already proved)
+    assert(SketchOps.kmvHash(7L) == hash(7L))
+  }
+
   test("q_kmv_distinct: sketch replays driver-side, exact-when-small, " +
     "estimate bounded, union row merges exactly") {
     val rows = SketchOps.qKmvDistinct(spark, sf).collect()
@@ -88,6 +105,44 @@ class SketchOpsSpec extends AnyFunSuite {
       // absolute of truth on the fixture (3 sigma is ~0.19 at J=0.5)
       assert(math.abs(jEst - jExact) <= 0.25,
         s"($a,$b) jaccard est $jEst vs exact $jExact")
+    }
+  }
+
+  test("q_kmv_quantile: sample is the bottom-K distinct hashes, every " +
+    "estimate replays by exact rank selection, and tracks the exact quantile") {
+    val out = SketchOps.qKmvQuantile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        (3 to 8).map(i => r.getLong(i)))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def rank(m: Int, n: Long): Int = ((m * n + 999) / 1000).toInt
+    raw.groupBy(_._1).foreach { case (grp, rows) =>
+      val (nRows, nSample, cells) = out(grp)
+      assert(nRows == rows.length, s"$grp n_rows")
+      // replay the sketch: hash each key, resolve collisions by MIN
+      // value, keep the bottom-K hashes, rank-select on (v, h)
+      val byH = rows.groupBy(t => SketchOps.kmvHash(t._2))
+        .view.mapValues(_.map(_._3).min).toSeq
+      val kept = byH.sortBy(_._1).take(SketchOps.quantK)
+      assert(nSample == kept.size, s"$grp n_sample")
+      val sampleSorted = kept.map { case (h, v) => (v, h) }.sorted.map(_._1)
+      val exactSorted = rows.map(_._3).sorted
+      SketchOps.quantMilles.zipWithIndex.foreach { case (m, i) =>
+        val est = cells(i)
+        val exact = cells(i + SketchOps.quantMilles.size)
+        assert(est == sampleSorted(rank(m, nSample) - 1),
+          s"$grp p$m est must replay by rank selection")
+        assert(exact == exactSorted(rank(m, nRows) - 1),
+          s"$grp p$m exact must replay by rank selection")
+        // accuracy: a K=256 uniform sample's rank error is ~1/√K of
+        // the group — on the smooth totalprice distribution the VALUE
+        // at the estimated rank stays within 25% of the true quantile
+        assert(math.abs(est - exact).toDouble <= 0.25 * exact,
+          s"$grp p$m est $est vs exact $exact out of band")
+      }
     }
   }
 
