@@ -832,21 +832,71 @@ object ScaleJoins {
     * etl_wap audit-decision pattern). The spec closes the loop:
     * registering the recommendation makes every workload plan
     * answer from it. */
-  def qMvAdvisor(s: SparkSession, dir: String): DataFrame = {
+  /** The signature dashboard workload the advisor examines — shared
+    * verbatim by q_mv_advisor (the recommendation artifact) and
+    * q_mv_auto (the recommendation ACTED ON): the year dashboard, the
+    * month dashboard, and the filtered-year dashboard. */
+  private[graft] def advisorWorkload(s: SparkSession, dir: String): Seq[DataFrame] = {
     val base = Tables.load(s, dir, "orders")
-    val w1 = base.groupBy(year(col("o_orderdate")).as("yr"))
-      .agg(sum(expr(centsExpr)).as("rev_cents"),
-        count(lit(1)).as("n_orders"))
-    val w2 = base.groupBy(year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"))
-      .agg(sum(expr(centsExpr)).as("rev_cents"),
-        count(lit(1)).as("n_orders"))
-    val w3 = base.filter(year(col("o_orderdate")).between(1996, 1998))
-      .groupBy(year(col("o_orderdate")).as("yr"))
-      .agg(sum(expr(centsExpr)).as("rev_cents"),
-        count(lit(1)).as("n_orders"))
-    graft.plans.MvAdvisor.advise(base, Seq(w1, w2, w3))
+    Seq(
+      base.groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr(centsExpr)).as("rev_cents"),
+          count(lit(1)).as("n_orders")),
+      base.groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(expr(centsExpr)).as("rev_cents"),
+          count(lit(1)).as("n_orders")),
+      base.filter(year(col("o_orderdate")).between(1996, 1998))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr(centsExpr)).as("rev_cents"),
+          count(lit(1)).as("n_orders")))
   }
+
+  def qMvAdvisor(s: SparkSession, dir: String): DataFrame =
+    graft.plans.MvAdvisor.advise(Tables.load(s, dir, "orders"),
+      advisorWorkload(s, dir))
+
+  /** AutoMV — advise → materialize → register, MACHINE-driven end to
+    * end (VERDICT r10 #8; Redshift AutoMV's loop): the advisor's
+    * recommendIndex picks the smallest full-coverage workload grain,
+    * the loop publishes it once per corpus fingerprint and registers
+    * the RAW (rewrite-suspended) definition, and from that point the
+    * whole workload re-plans onto the summary with no human in the
+    * loop. Returns the published path. */
+  private[graft] def ensureAutoMv(s: SparkSession, dir: String): String = {
+    val wl = advisorWorkload(s, dir)
+    val i = graft.plans.MvAdvisor.recommendIndex(wl).getOrElse(
+      throw new IllegalStateException(
+        "AutoMV: no full-coverage candidate — refusing to materialize a partial summary"))
+    val tag = corpusTag(dir, Seq("orders"))
+    val path = s"/tmp/graft_mv_auto_$tag.parquet"
+    // publishing the (possibly already-rewritten) frame is fine — its
+    // ROWS are the summary either way; the catalog key must come from
+    // the raw definition
+    publishParquet(path)(wl(i))
+    graft.plans.MvAdvisor.definitionOf(wl(i)).foreach(a =>
+      graft.plans.MvCatalog.register(a, path))
+    path
+  }
+
+  /** The AutoMV loop observed from the outside: after ensureAutoMv,
+    * the YEAR dashboard (a grain nobody materialized by hand) is
+    * answered from the auto-registered (year, month) summary by grain
+    * rollup — the oracle runs the raw year SQL over orders, so the
+    * machine-chosen summary must be invisible in the answer, and the
+    * spec asserts the executed plan scans the graft_mv_auto parquet
+    * and never the fact table. */
+  def qMvAuto(s: SparkSession, dir: String): DataFrame = {
+    ensureAutoMv(s, dir)
+    advisorWorkload(s, dir).head.orderBy("yr")
+  }
+
+  val qMvAutoSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   val qMvAdvisorSql: String =
     """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS base_rows FROM orders),
@@ -866,6 +916,7 @@ object ScaleJoins {
       |ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_auto" -> (qMvAuto _),
     "q_mv_advisor" -> (qMvAdvisor _),
     "q_mv_star_refresh" -> (qMvStarRefresh _),
     "q_mv_having" -> (qMvHaving _),
@@ -883,6 +934,7 @@ object ScaleJoins {
     "q_bloom_join" -> (qBloomJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_mv_auto" -> qMvAutoSql,
     "q_mv_advisor" -> qMvAdvisorSql,
     "q_mv_star_refresh" -> qMvStarRefreshSql,
     "q_mv_having" -> qMvHavingSql,

@@ -154,6 +154,36 @@ object MvAdvisor {
     }
   }
 
+  /** The advise() `recommended` flag as an ACTIONABLE index — which
+    * workload query to materialize (the AutoMV loop's deciding half,
+    * VERDICT r10 #8). Mirrors advise()'s rule exactly: the smallest
+    * full-coverage candidate by (mv_rows, grain_keys); None when no
+    * candidate serves the whole workload, so the loop materializes
+    * nothing rather than something partial. */
+  def recommendIndex(workload: Seq[DataFrame]): Option[Int] = {
+    val qs = workload.zipWithIndex.flatMap { case (df, i) => analyze(df, i) }
+    val cands = qs.filter(_.unfiltered)
+      .groupBy(q => (q.childKey, q.groups)).map(_._2.head).toSeq
+    cands.map(c => (c, workload(c.idx).count(),
+        qs.count(q => serves(c, q))))
+      .filter(_._3 == workload.length)
+      .sortBy { case (c, mvRows, _) => (mvRows, c.grainSize) }
+      .headOption.map(_._1.idx)
+  }
+
+  /** The raw (rewrite-suspended) analyzed Aggregate of a workload
+    * query — what the AutoMV loop REGISTERS as the MV definition: in
+    * a session with summaries already live, plain
+    * queryExecution.analyzed may itself be a summary scan, and
+    * registering that would key the catalog on the wrong subtree. */
+  def definitionOf(df: DataFrame): Option[Aggregate] =
+    rawAnalyzed(df) match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        s.child match { case a: Aggregate => Some(a); case _ => None }
+      case a: Aggregate => Some(a)
+      case _ => None
+    }
+
   /** Advise over a workload of aggregate DataFrames sharing a base.
     * Output: one row per candidate grain —
     * (grain_keys, base_rows, mv_rows, queries_served, recommended,

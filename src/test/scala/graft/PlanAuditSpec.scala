@@ -91,8 +91,22 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_kmv" -> 1,
     // match_recognize: corpus collapses to daily grain (1), the
     // window passes + run collapse + run-pair join ride the
-    // model-sized daily/run frames
-    "q_match_recognize" -> 4,
+    // model-sized daily/run frames; +1 in r11 for the deterministic
+    // final sort (range exchange over the match-sized output) that
+    // closed the board's one red hash row
+    "q_match_recognize" -> 5,
+    // mv_auto: the advise/publish/register jobs run inside the call
+    // (etl_wap's rule); the returned year dashboard re-plans onto the
+    // auto summary — one rollup aggregate over the k-row MV scan + the
+    // ordered output
+    "q_mv_auto" -> 2,
+    // kmv_quantile: the (grp,h) collision dedup is the ONE
+    // corpus-sized exchange on the sketch path (1); TopKPerKey's
+    // final lands on the dedup's (grp,…) clustering and the sample
+    // window re-uses the grp exchange (2); the exact-error columns'
+    // full-group rank window is the one corpus-grain sort (3 —
+    // production drops it); the 5-row join broadcasts
+    "q_kmv_quantile" -> 3,
     // kcenter: result is the collected pick trajectory (k rows);
     // every round's corpus scan is zero-shuffle by design
     "sim_kcenter" -> 0,

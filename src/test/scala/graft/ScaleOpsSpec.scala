@@ -789,6 +789,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mv_auto: advise → materialize → register → re-plan with no human step") {
+    import graft.operators.ScaleJoins
+    // start from an EMPTY catalog: the loop itself must produce the
+    // only registration the re-plan can ride
+    graft.plans.MvCatalog.clear()
+    val df = ScaleJoins.qMvAuto(spark, sf)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_auto"),
+      "the year dashboard must answer from the auto-registered summary")
+    assert(!plan.contains("orders.parquet"),
+      "the fact table must not be scanned after auto-registration")
+    // the WHOLE workload re-plans onto the machine's choice — the
+    // advisor's full-coverage claim, observed in executed plans
+    ScaleJoins.advisorWorkload(spark, sf).zipWithIndex.foreach { case (w, i) =>
+      val p = w.queryExecution.executedPlan.toString
+      assert(p.contains("graft_mv_auto") && !p.contains("orders.parquet"),
+        s"workload query $i must answer from the auto summary")
+    }
+    // and the loop is invisible in the answer: same rows as the raw
+    // aggregate with the catalog empty again
+    graft.plans.MvCatalog.clear()
+    val want = ScaleJoins.advisorWorkload(spark, sf).head.orderBy("yr")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      "auto-rewritten workload must equal the raw aggregate")
+  }
+
   test("a rewritten GLOBAL COUNT over zero matching MV rows is 0, not NULL") {
     // regression lock: COUNT rewrites to SUM(partial counts), and a
     // bare SUM over an empty (fully filtered) MV is NULL — the

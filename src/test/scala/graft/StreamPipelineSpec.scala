@@ -436,6 +436,74 @@ class StreamPipelineSpec extends AnyFunSuite {
       "a generation without _SUCCESS must be invisible to readers")
   }
 
+  test("dimension-store compaction folds a full snapshot after dimCompactEvery partial generations") {
+    // LSM major compaction: after dimCompactEvery partial generations
+    // past the last full snapshot, the next batch's generation holds
+    // EVERY bucket, so reads resolve from a bounded set of dirs
+    // instead of stitching state from an ever-growing generation
+    // chain — while the append-only contract (no pre-existing file
+    // ever changes) holds through the compacting write too
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_compact_store").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(StreamOps.dimCompactEvery + 1).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    def snap(): Map[String, String] = {
+      val root = Paths.get(store)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          root.relativize(p).toString ->
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+    // batchIds 0..dimCompactEvery-1 land partial generations; the scan
+    // at batchId = dimCompactEvery sees that many partials past g0 and
+    // must compact
+    (0 until StreamOps.dimCompactEvery).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge)
+    }
+    val resolvedBefore = StreamOps.resolveDimStore(store, Long.MaxValue)
+    val before = snap()
+    StreamOps.applyDimBatch(spark, store, StreamOps.dimCompactEvery.toLong,
+      wave(keys(StreamOps.dimCompactEvery), 1), StreamOps.scd2Merge)
+    val after = snap()
+    assert(before.forall { case (p, h) => after.get(p).contains(h) },
+      "append-only must hold through compaction: no pre-existing file may change")
+    val gN = s"g${StreamOps.dimCompactEvery + 1}"
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty && added.forall(_.startsWith(s"$gN/")),
+      s"compacting batch must write only into $gN: $added")
+    // the compacted generation covers every bucket the store had
+    val resolvedAfter = StreamOps.resolveDimStore(store, Long.MaxValue)
+    assert(resolvedAfter.map(_._1).toSet == resolvedBefore.map(_._1).toSet,
+      "compaction must not lose buckets")
+    assert(resolvedAfter.forall(_._2.contains(s"/$gN/")),
+      s"after compaction every bucket must resolve to $gN: $resolvedAfter")
+    // and the history equals the same merges applied one-shot
+    val want = (0 to StreamOps.dimCompactEvery).foldLeft(base) { (acc, b) =>
+      StreamOps.scd2Merge(acc,
+        wave(keys(b), if (b < StreamOps.dimCompactEvery) b + 1 else 1))
+    }.orderBy("c_custkey", "eff_from_ver").collect()
+    val got = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "compacted store must serve the same history as one-shot merges")
+  }
+
   test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
     import org.apache.spark.sql.functions.lit
     val base = Tables.load(spark, sf, "customer")
