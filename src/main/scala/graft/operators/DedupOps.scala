@@ -257,9 +257,13 @@ object DedupOps {
     * 16×16 configuration — a signature or banding change that dents
     * recall fails loud in the board, not in a notebook.
     *
-    * No oracle by design ([T]): the candidate side is xxhash64
-    * banding DuckDB cannot recompute; the truth side alone is
-    * oracle-checked via dedup_ngram_jaccard. The spec cross-checks
+    * [O] since r11 (was [T]): the oracle needs neither side
+    * recomputed from scratch — the candidate pairs are rebuilt from
+    * the PUBLISHED band-bucket index exactly as dedup_minhash's
+    * oracle already does (xxhash64 banding lives in the artifact, not
+    * the query), and the truth side is the dedup_ngram_jaccard
+    * counting-join SQL; the five counts and two ppm ratios then
+    * replay as scalar subqueries. The spec additionally cross-checks
     * every count against driver-side set algebra.
     *
     * Scale shape: both pair frames are corpus-sized — the full-outer
@@ -281,6 +285,39 @@ object DedupOps {
       .withColumn("precision_ppm", expr("(tp * 1000000) div n_candidates"))
       .withColumn("recall_ppm", expr("(tp * 1000000) div n_truth"))
   }
+
+  /** The recall/precision audit replayed by DuckDB: truth from the
+    * ngram-Jaccard counting join, candidates from the published band
+    * buckets, counts as scalar subqueries. */
+  val dedupLshEvalSql: String =
+    s"""WITH corpus AS ($dupDocsSql),
+       |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM tok),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y USING (shingle)
+       |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT a, b FROM pr
+       |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+       |    >= $jaccardTau),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM read_parquet('/tmp/graft_minhash___SFTAG__/buckets/*.parquet') x
+       |  JOIN read_parquet('/tmp/graft_minhash___SFTAG__/buckets/*.parquet') y
+       |    USING (band, bucket)
+       |  WHERE x.doc_id < y.doc_id),
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |  (SELECT COUNT(*) FROM truth t JOIN cand cd USING (a, b)) AS tp)
+       |SELECT n_truth, n_candidates, tp,
+       |  n_truth - tp AS fn, n_candidates - tp AS fp,
+       |  (tp * 1000000) // n_candidates AS precision_ppm,
+       |  (tp * 1000000) // n_truth AS recall_ppm
+       |FROM c""".stripMargin
 
   /** Candidates and Jaccard rebuilt entirely from the published
     * signature index — same contract as dedupIncrementalSql. */
@@ -1067,6 +1104,7 @@ object DedupOps {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_lsh_eval" -> dedupLshEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql)
 }
