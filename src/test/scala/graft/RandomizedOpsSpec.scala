@@ -33,6 +33,26 @@ class RandomizedOpsSpec extends AnyFunSuite {
     assert(ours.toSeq == expected)
   }
 
+  test("kmv hash mirror agrees between the SQL string and the JVM twin on SIGNED keys") {
+    import spark.implicits._
+    // r10 ADVICE regression net: the engine-side expression string
+    // (kmvHashSqlOn, the same text the DuckDB oracle runs) and the
+    // executor/driver twin (kmvHash) must agree in [0, p) across the
+    // FULL signed key range the multiply bound admits — plain % broke
+    // this for any negative key before the floorMod fix
+    val keys = (1 to 5000).map(_ => rnd.nextLong() % 12000000000L)
+    val got = keys.toDF("k")
+      .select(col("k"),
+        expr(graft.operators.SketchOps.kmvHashSqlOn("k")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val h = graft.operators.SketchOps.kmvHash(k)
+      assert(h >= 0 && h < graft.operators.SketchOps.kmvP,
+        s"kmvHash($k) = $h out of [0, p)")
+      assert(got(k) == h, s"SQL/JVM hash mirror diverged at key $k")
+    }
+  }
+
   test("jaccardPairs equals all-pairs brute force on random near-dup docs") {
     import spark.implicits._
     // small vocab + mutated copies so real near-dups occur at tau=0.5
