@@ -23,10 +23,22 @@ import java.nio.file.{Files, Paths}
 object Verify {
   /** Orderable output columns, in schema order — the canonical sort
     * key shared verbatim by both engines. */
-  private def pinCols(df: DataFrame): Seq[String] =
+  private[graft] def pinCols(df: DataFrame): Seq[String] =
     df.schema.fields.toSeq
       .filter(f => RowOrdering.isOrderable(f.dataType))
       .map(_.name)
+
+  /** The two halves of the canonical pin, factored for the spec:
+    * apply the sort to the dump side, wrap the oracle side with the
+    * identical column list. */
+  private[graft] def pinFrame(df: DataFrame, ord: Seq[String]): DataFrame =
+    if (ord.isEmpty) df
+    else df.orderBy(ord.map(c => col(c).asc_nulls_first): _*)
+
+  private[graft] def pinSqlFor(sql: String, ord: Seq[String]): String =
+    if (ord.isEmpty) sql
+    else s"SELECT * FROM (\n$sql\n) graft_pin ORDER BY " +
+      ord.map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -51,10 +63,8 @@ object Verify {
         val df = fn(spark, sfDir)
         val ord = pinCols(df)
         pinned(name) = ord
-        val out =
-          if (ord.isEmpty) df
-          else df.orderBy(ord.map(c => col(c).asc_nulls_first): _*)
-        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        pinFrame(df, ord).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -64,10 +74,7 @@ object Verify {
     // (all oracle strings are single statements; semicolons appear
     // only inside string literals)
     def pinSql(name: String, sql: String): String =
-      pinned.get(name).filter(_.nonEmpty).fold(sql) { ord =>
-        s"SELECT * FROM (\n$sql\n) graft_pin ORDER BY " +
-          ord.map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")
-      }
+      pinSqlFor(sql, pinned.getOrElse(name, Nil))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -39,6 +39,32 @@ class BoardSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted}")
   }
 
+  test("the verify-boundary pin: orderable columns only, identical list on both sides") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a frame with an unorderable MapType column: the pin must sort by
+    // the orderable columns only, in schema order, and the oracle wrap
+    // must carry exactly that list with explicit NULLS FIRST (Spark's
+    // asc default vs DuckDB's NULLS LAST default is a live divergence)
+    val df = Seq((2, "b"), (1, "a"), (1, null: String))
+      .toDF("k", "s")
+      .withColumn("m", map(lit("x"), col("k")))
+      .select(col("k"), col("m"), col("s"))
+    val ord = Verify.pinCols(df)
+    assert(ord == Seq("k", "s"), s"orderable columns drifted: $ord")
+    val rows = Verify.pinFrame(df, ord)
+      .select("k", "s").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, null), (1, "a"), (2, "b")),
+      "nulls-first total sort on orderable columns")
+    val sql = Verify.pinSqlFor("SELECT 1 AS k", ord)
+    assert(sql ==
+      "SELECT * FROM (\nSELECT 1 AS k\n) graft_pin ORDER BY " +
+        "\"k\" ASC NULLS FIRST, \"s\" ASC NULLS FIRST")
+    // empty list = no wrap (all-unorderable outputs dump as-is)
+    assert(Verify.pinSqlFor("SELECT 1", Nil) == "SELECT 1")
+  }
+
   test("keys without an oracle are the declared [T]-by-design set") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch internals (HLL, quantile digest) are engine-specific by
