@@ -869,6 +869,12 @@ object StreamOps {
     * stream_cdc_apply/stream_scd2 store cost. */
   private[graft] val dimCompactEvery = 8
 
+  /** CONTRACT on `merge`: it must never delete a key's last row
+    * physically (deletes are tombstones filtered at read, as
+    * cdcMerge/scd2Merge do). A merge that emptied a bucket would omit
+    * that bkt= dir from the new generation, and the per-bucket
+    * latest-generation resolver would silently RESURRECT the bucket's
+    * previous state — in both the partial and the compacting path. */
   private[graft] def applyDimBatch(spark: SparkSession, store: String,
       batchId: Long, batch: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
