@@ -504,6 +504,61 @@ class StreamPipelineSpec extends AnyFunSuite {
       "compacted store must serve the same history as one-shot merges")
   }
 
+  test("a replayed COMPACTING batch rebuilds its generation identically (at-least-once)") {
+    // the compaction decision reads only generations <= batchId, so a
+    // redelivered batch must see the identical scan, make the
+    // identical fold-everything choice, and overwrite-rebuild its
+    // generation to the same ROWS — with every older generation
+    // byte-identical (the append-only contract through replay)
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_compact_replay").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(StreamOps.dimCompactEvery + 1).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    (0 until StreamOps.dimCompactEvery).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge)
+    }
+    val cb = StreamOps.dimCompactEvery.toLong // the compacting batchId
+    StreamOps.applyDimBatch(spark, store, cb,
+      wave(keys(StreamOps.dimCompactEvery), 1), StreamOps.scd2Merge)
+    val served1 = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    def olderGenFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(store)
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString -> Files.size(p))
+        .filter { case (rel, _) => !rel.startsWith(s"g${cb + 1}/") }
+        .toMap
+    }
+    val olderBefore = olderGenFiles()
+    // redelivery: the SAME batch id and payload applied again
+    StreamOps.applyDimBatch(spark, store, cb,
+      wave(keys(StreamOps.dimCompactEvery), 1), StreamOps.scd2Merge)
+    assert(olderGenFiles() == olderBefore,
+      "replay must not touch any generation below its own")
+    val served2 = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(served1.length == served2.length &&
+      served1.zip(served2).forall { case (x, y) => x == y },
+      "replayed compaction must serve the identical history")
+    // and it still compacted: every bucket resolves to g(cb+1)
+    assert(StreamOps.resolveDimStore(store, Long.MaxValue)
+      .forall(_._2.contains(s"/g${cb + 1}/")),
+      "the replayed generation must still be the full snapshot")
+  }
+
   test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
     import org.apache.spark.sql.functions.lit
     val base = Tables.load(spark, sf, "customer")
