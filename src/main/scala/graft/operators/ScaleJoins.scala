@@ -868,14 +868,23 @@ object ScaleJoins {
     val i = graft.plans.MvAdvisor.recommendIndex(wl).getOrElse(
       throw new IllegalStateException(
         "AutoMV: no full-coverage candidate — refusing to materialize a partial summary"))
+    val defn = graft.plans.MvAdvisor.definitionOf(wl(i)).getOrElse(
+      throw new IllegalStateException(
+        "AutoMV: recommended workload query is not an Aggregate"))
+    // the publish path is keyed by CORPUS fingerprint AND definition
+    // canonical-text hash: the recommendation is DERIVED from the
+    // workload, so unlike the fixed named definitions (ensureMv…), a
+    // workload edit can change it within one corpus — without the
+    // definition key, publishParquet would skip on the existing file
+    // and register the new definition against the STALE summary
     val tag = corpusTag(dir, Seq("orders"))
-    val path = s"/tmp/graft_mv_auto_$tag.parquet"
+    val defTag = Integer.toHexString(defn.canonicalized.toString.hashCode)
+    val path = s"/tmp/graft_mv_auto_${defTag}_$tag.parquet"
     // publishing the (possibly already-rewritten) frame is fine — its
     // ROWS are the summary either way; the catalog key must come from
     // the raw definition
     publishParquet(path)(wl(i))
-    graft.plans.MvAdvisor.definitionOf(wl(i)).foreach(a =>
-      graft.plans.MvCatalog.register(a, path))
+    graft.plans.MvCatalog.register(defn, path)
     path
   }
 
