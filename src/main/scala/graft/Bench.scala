@@ -79,6 +79,28 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // UNTIMED warm-up execution first (r11 verdict #4): the first
+        // sample of a key otherwise pays one-time JIT + codegen-cache
+        // compilation that no later sample repays — q1_agg measured
+        // 3.1 s first-sample vs 0.68 s converged when run solo. The
+        // warm-up's wall time is recorded in the detail record (it is
+        // real information about compile cost) but never competes for
+        // best. SPARK_GRAFT_WARM=0 restores the raw protocol.
+        val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1").toInt > 0
+        val warmSec = if (!warm) -1.0 else {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] $name warm-up (untimed): $sec%.2f s")
+            sec
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name warm-up FAILED: $e")
+            -1.0
+          }
+        }
         // a throwing run poisons the whole query with a -1 sentinel —
         // a crash's fast failure time must never rank as a best time
         val times = (1 to runs).map { i =>
@@ -110,14 +132,15 @@ object Bench {
               -1.0
           }
         }
-        (name, times, if (times.contains(-1.0)) -1.0 else times.min)
+        (name, times, if (times.contains(-1.0)) -1.0 else times.min,
+          warmSec)
       }
     val loadAfter = loadavg
     val calibAfter = calibrate()
     val stealAfter = stealTicks
     val calib = math.min(calibBefore, calibAfter)
-    val best = results.map { case (n, _, b) => n -> b }.toMap
-    val qs = results.map { case (n, _, b) => jstr(n) + ":" + b }
+    val best = results.map { case (n, _, b, _) => n -> b }.toMap
+    val qs = results.map { case (n, _, b, _) => jstr(n) + ":" + b }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total rather
     // than subtracting from it
@@ -130,9 +153,9 @@ object Bench {
     // artifact itself instead of masquerading as the round's number —
     // and a truncated log tail can never silently drop keys again
     // (r6's official artifact lost 8 keys to a tail scrape).
-    val fullQs = results.map { case (n, samples, b) =>
+    val fullQs = results.map { case (n, samples, b, w) =>
       jstr(n) + ":{\"samples\":[" + samples.mkString(",") +
-        s"],\"best\":$b}"
+        s"],\"best\":$b,\"warm_sec\":$w}"
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},

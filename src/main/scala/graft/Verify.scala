@@ -91,7 +91,13 @@ object Verify {
     // side-channel files (e.g. the published IVF centroid model)
     // without cross-run clobbering — substituted with this run's tag
     val sfTag = Integer.toHexString(sfDir.hashCode)
+    // under SPARK_GRAFT_ONLY, emit oracle entries ONLY for keys that
+    // ran: an entry for a key outside the subset would lack its
+    // canonical ORDER BY wrap (pinned has no row for it), and running
+    // check.py over previously-dumped parquet against it would report
+    // spurious ORDER-ONLY failures under the strict in-order compare
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) =>
         s"${q(k)}: ${q(pinSql(k, v.replace("__SFTAG__", sfTag)))}" }
       .mkString("{", ",", "}")

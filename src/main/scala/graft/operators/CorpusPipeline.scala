@@ -213,7 +213,7 @@ object CorpusPipeline {
        |  FROM sh JOIN train_sh USING (shingle)
        |  WHERE ${TextOps.hashBucketSql} >= 925
        |  GROUP BY doc_id)
-       |SELECT d.doc_id, len(d.shs) AS n_shingles,
+       |SELECT d.doc_id, CAST(len(d.shs) AS INTEGER) AS n_shingles,
        |  COALESCE(s.n_shared, 0) AS n_shared,
        |  CASE WHEN len(d.shs) > 0
        |       THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(d.shs)

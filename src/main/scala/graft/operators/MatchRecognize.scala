@@ -49,18 +49,29 @@ object MatchRecognize {
   /** Minimum run length for each quantifier (DOWN{3,} UP{3,}). */
   val minRun = 3
 
-  def qMatchRecognize(s: SparkSession, dir: String): DataFrame =
-    matchRuns(Tables.load(s, dir, "orders")
+  /** Minimum run length for the W-pattern's quantifiers
+    * (DOWN{2,} UP{2,} DOWN{2,} UP{2,}) — looser than the V so the
+    * 4-run shape still occurs in the fixture series. */
+  val wMinRun = 2
+
+  private def dailyFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("grp"),
         col("o_orderdate").cast("date").as("day"))
       .agg(sum(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
-        .as("v")))
+        .as("v"))
 
-  /** The pattern compilation over ANY (grp, day, v) series frame —
-    * factored from the query key so the randomized spec can drive it
-    * with arbitrary synthetic series (flat runs, single points,
-    * alternating saw-tooths) against the row-automaton replay. */
-  private[graft] def matchRuns(daily: DataFrame): DataFrame = {
+  def qMatchRecognize(s: SparkSession, dir: String): DataFrame =
+    matchRuns(dailyFrame(s, dir))
+
+  def qMatchW(s: SparkSession, dir: String): DataFrame =
+    wRuns(dailyFrame(s, dir), wMinRun, wMinRun)
+
+  /** Steps 1–3 of the compilation: classify, segment, collapse to the
+    * run grain — shared by every pattern over the same series. Segs
+    * are CONSECUTIVE integers per grp (a cumsum of change flags), so
+    * run adjacency is seg+1 / window-lead positional adjacency. */
+  private[graft] def runGrain(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("grp").orderBy("day")
     val cls = daily
       .withColumn("pv", lag(col("v"), 1).over(w))
@@ -73,11 +84,19 @@ object MatchRecognize {
         "(partition by grp order by day) then 1 else 0 end"))
       .withColumn("seg", sum(col("chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val runs = seg.groupBy("grp", "seg")
+    seg.groupBy("grp", "seg")
       .agg(min(col("dir")).as("dir"), min(col("day")).as("d0"),
         max(col("day")).as("d1"), count(lit(1)).as("n"),
         min_by(col("pv"), col("day")).as("start_prev_v"),
         max_by(col("v"), col("day")).as("end_v"))
+  }
+
+  /** The V-pattern compilation over ANY (grp, day, v) series frame —
+    * factored from the query key so the randomized spec can drive it
+    * with arbitrary synthetic series (flat runs, single points,
+    * alternating saw-tooths) against the row-automaton replay. */
+  private[graft] def matchRuns(daily: DataFrame): DataFrame = {
+    val runs = runGrain(daily)
     val a = runs.as("a")
     val b = runs.as("b")
     a.join(b, col("a.grp") === col("b.grp") &&
@@ -97,33 +116,87 @@ object MatchRecognize {
       .orderBy("grp", "start_day")
   }
 
+  /** The W-pattern (double-V) compilation:
+    * `PATTERN (D1 U1 D2 U2)` with D: v < PREV(v) {m,}, U: v > PREV(v)
+    * {n,}, and — the semantics the V key cannot show — `AFTER MATCH
+    * SKIP TO FIRST D2`: consecutive W's OVERLAP, sharing their middle
+    * V. Under maximal-run classification that skip rule equals
+    * "emit every aligned run quadruple (down,up,down,up) meeting the
+    * quantifiers": matches can only start at run starts (a mid-run
+    * start has the same following runs and a shorter D1, so it
+    * matches only where the aligned start already matched and the
+    * greedy scan emits the aligned one first), and the resume point
+    * (first row of D2) IS the next aligned quadruple's start, so the
+    * greedy chain skips nothing. The spec replays the automaton
+    * with exactly that skip rule and asserts equality.
+    *
+    * Compilation: window-lead over the run grain (one exchange on
+    * grp, model-sized frame) instead of a 4-way self-join. */
+  private[graft] def wRuns(daily: DataFrame, m: Int, n: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("seg")
+    runGrain(daily)
+      .withColumn("dir1", lead(col("dir"), 1).over(w))
+      .withColumn("n1", lead(col("n"), 1).over(w))
+      .withColumn("mid_d1", lead(col("d1"), 1).over(w))
+      .withColumn("mid_v", lead(col("end_v"), 1).over(w))
+      .withColumn("dir2", lead(col("dir"), 2).over(w))
+      .withColumn("n2", lead(col("n"), 2).over(w))
+      .withColumn("t2_d1", lead(col("d1"), 2).over(w))
+      .withColumn("t2_v", lead(col("end_v"), 2).over(w))
+      .withColumn("dir3", lead(col("dir"), 3).over(w))
+      .withColumn("n3", lead(col("n"), 3).over(w))
+      .withColumn("e_d1", lead(col("d1"), 3).over(w))
+      .withColumn("e_v", lead(col("end_v"), 3).over(w))
+      .filter(col("dir") === -1 && col("dir1") === 1 &&
+        col("dir2") === -1 && col("dir3") === 1 &&
+        col("n") >= m && col("n1") >= n &&
+        col("n2") >= m && col("n3") >= n)
+      .select(col("grp"), col("d0").as("start_day"),
+        col("d1").as("trough1_day"), col("mid_d1").as("mid_day"),
+        col("t2_d1").as("trough2_day"), col("e_d1").as("end_day"),
+        col("n").as("down1_len"), col("n1").as("up1_len"),
+        col("n2").as("down2_len"), col("n3").as("up2_len"),
+        (col("start_prev_v") - col("end_v")).as("depth1_cents"),
+        (col("mid_v") - col("t2_v")).as("depth2_cents"),
+        (col("e_v") - col("t2_v")).as("recovery_cents"))
+      // (grp, start_day) is a match key: aligned quadruples share a
+      // start only if they share the whole first run — total order
+      .orderBy("grp", "start_day")
+  }
+
+  /** The shared CTE chain down to the run grain — ONE copy of the
+    * classification text so the V and W oracles can never diverge on
+    * what a run is (the §4 mirrored-tree discipline). */
+  private val runsCte: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |cls AS (
+      |  SELECT grp, day, v,
+      |    LAG(v) OVER w AS pv,
+      |    CASE WHEN v > LAG(v) OVER w THEN 1
+      |         WHEN v < LAG(v) OVER w THEN -1 ELSE 0 END AS dir
+      |  FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+      |marked AS (
+      |  SELECT grp, day, v, pv, dir,
+      |    CASE WHEN LAG(dir) OVER w IS NULL OR dir <> LAG(dir) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM cls WHERE pv IS NOT NULL
+      |  WINDOW w AS (PARTITION BY grp ORDER BY day)),
+      |seg AS (
+      |  SELECT grp, day, v, pv, dir,
+      |    SUM(chg) OVER (PARTITION BY grp ORDER BY day
+      |                   ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM marked),
+      |runs AS (
+      |  SELECT grp, seg, MIN(dir) AS dir, MIN(day) AS d0, MAX(day) AS d1,
+      |    COUNT(*) AS n, MIN_BY(pv, day) AS start_prev_v,
+      |    MAX_BY(v, day) AS end_v
+      |  FROM seg GROUP BY grp, seg)""".stripMargin
+
   val qMatchRecognizeSql: String =
-    s"""WITH daily AS (
-       |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
-       |         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS v
-       |  FROM orders GROUP BY 1, 2),
-       |cls AS (
-       |  SELECT grp, day, v,
-       |    LAG(v) OVER w AS pv,
-       |    CASE WHEN v > LAG(v) OVER w THEN 1
-       |         WHEN v < LAG(v) OVER w THEN -1 ELSE 0 END AS dir
-       |  FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
-       |marked AS (
-       |  SELECT grp, day, v, pv, dir,
-       |    CASE WHEN LAG(dir) OVER w IS NULL OR dir <> LAG(dir) OVER w
-       |         THEN 1 ELSE 0 END AS chg
-       |  FROM cls WHERE pv IS NOT NULL
-       |  WINDOW w AS (PARTITION BY grp ORDER BY day)),
-       |seg AS (
-       |  SELECT grp, day, v, pv, dir,
-       |    SUM(chg) OVER (PARTITION BY grp ORDER BY day
-       |                   ROWS UNBOUNDED PRECEDING) AS seg
-       |  FROM marked),
-       |runs AS (
-       |  SELECT grp, seg, MIN(dir) AS dir, MIN(day) AS d0, MAX(day) AS d1,
-       |    COUNT(*) AS n, MIN_BY(pv, day) AS start_prev_v,
-       |    MAX_BY(v, day) AS end_v
-       |  FROM seg GROUP BY grp, seg)
+    s"""$runsCte
        |SELECT a.grp, a.d0 AS start_day, a.d1 AS trough_day, b.d1 AS end_day,
        |  a.n AS down_len, b.n AS up_len,
        |  a.start_prev_v - a.end_v AS depth_cents,
@@ -133,9 +206,34 @@ object MatchRecognize {
        |  AND a.n >= $minRun AND b.n >= $minRun
        |ORDER BY a.grp, start_day""".stripMargin
 
+  val qMatchWSql: String =
+    s"""$runsCte,
+       |sel AS (
+       |  SELECT grp, seg, dir, d0, d1, n, start_prev_v, end_v,
+       |    LEAD(dir, 1) OVER w AS dir1, LEAD(n, 1) OVER w AS n1,
+       |    LEAD(d1, 1) OVER w AS mid_d1, LEAD(end_v, 1) OVER w AS mid_v,
+       |    LEAD(dir, 2) OVER w AS dir2, LEAD(n, 2) OVER w AS n2,
+       |    LEAD(d1, 2) OVER w AS t2_d1, LEAD(end_v, 2) OVER w AS t2_v,
+       |    LEAD(dir, 3) OVER w AS dir3, LEAD(n, 3) OVER w AS n3,
+       |    LEAD(d1, 3) OVER w AS e_d1, LEAD(end_v, 3) OVER w AS e_v
+       |  FROM runs WINDOW w AS (PARTITION BY grp ORDER BY seg))
+       |SELECT grp, d0 AS start_day, d1 AS trough1_day, mid_d1 AS mid_day,
+       |  t2_d1 AS trough2_day, e_d1 AS end_day,
+       |  n AS down1_len, n1 AS up1_len, n2 AS down2_len, n3 AS up2_len,
+       |  start_prev_v - end_v AS depth1_cents,
+       |  mid_v - t2_v AS depth2_cents,
+       |  e_v - t2_v AS recovery_cents
+       |FROM sel
+       |WHERE dir = -1 AND dir1 = 1 AND dir2 = -1 AND dir3 = 1
+       |  AND n >= $wMinRun AND n1 >= $wMinRun
+       |  AND n2 >= $wMinRun AND n3 >= $wMinRun
+       |ORDER BY grp, start_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_match_recognize" -> (qMatchRecognize _))
+    "q_match_recognize" -> (qMatchRecognize _),
+    "q_match_w" -> (qMatchW _))
 
   val oracles: Map[String, String] = Map(
-    "q_match_recognize" -> qMatchRecognizeSql)
+    "q_match_recognize" -> qMatchRecognizeSql,
+    "q_match_w" -> qMatchWSql)
 }

@@ -407,8 +407,8 @@ object MultimodalOps {
       |             THEN (fr + 87) % 256 + (fg + 87) % 256 + (fb + 87) % 256
       |             ELSE 0 END)
       |       ELSE w * h * rgb END AS sampled_px_sum,
-      |  CASE WHEN opaque THEN -1 ELSE ow END AS out_width,
-      |  CASE WHEN opaque THEN -1 ELSE oh END AS out_height,
+      |  CAST(CASE WHEN opaque THEN -1 ELSE ow END AS INTEGER) AS out_width,
+      |  CAST(CASE WHEN opaque THEN -1 ELSE oh END AS INTEGER) AS out_height,
       |  CASE WHEN opaque THEN -1 ELSE ow * oh * rgb END AS out_px_sum
       |FROM r ORDER BY doc_id""".stripMargin
 
@@ -440,9 +440,9 @@ object MultimodalOps {
     * equal because the fixture corpus is pure ASCII (asserted: zero
     * rows with octet_length(encode(text)) <> length(text)). */
   val mmEmbedFusionSql: String =
-    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
       |  hex(encode(substr(text, 1, 4))) AS magic_hex,
-      |  len(embedding) AS dim,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |FROM documents JOIN embeddings ON vec_id = doc_id
       |ORDER BY doc_id""".stripMargin

@@ -194,7 +194,7 @@ object Relational {
   val qWindowRunningSql: String =
     """SELECT * FROM (
       |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-      |    ROW_NUMBER() OVER w AS rn,
+      |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
       |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
@@ -236,12 +236,12 @@ object Relational {
     """SELECT o_orderkey, o_custkey,
       |  LAG(o_totalprice, 1) OVER wc AS prev_price,
       |  LEAD(o_totalprice, 1) OVER wc AS next_price,
-      |  NTILE(4) OVER wc AS quartile,
+      |  CAST(NTILE(4) OVER wc AS INTEGER) AS quartile,
       |  FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
-      |  RANK() OVER wp AS rnk,
-      |  DENSE_RANK() OVER wp AS drnk
+      |  CAST(RANK() OVER wp AS INTEGER) AS rnk,
+      |  CAST(DENSE_RANK() OVER wp AS INTEGER) AS drnk
       |FROM orders
       |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
       |       wp AS (PARTITION BY o_orderpriority, YEAR(o_orderdate)
@@ -292,10 +292,10 @@ object Relational {
       |  FROM orders)
       |SELECT o_orderkey,
       |  array_to_string(list_sort(arr), ',') AS sorted,
-      |  len(list_distinct(arr)) AS n_uniq,
+      |  CAST(len(list_distinct(arr)) AS INTEGER) AS n_uniq,
       |  list_contains(arr, 2) AS has2,
       |  list_max(arr) AS mx,
-      |  list_position(arr, list_max(arr)) AS mx_pos,
+      |  CAST(list_position(arr, list_max(arr)) AS BIGINT) AS mx_pos,
       |  array_to_string(arr[1:2], ',') AS first2
       |FROM t ORDER BY o_orderkey""".stripMargin
 
@@ -747,8 +747,8 @@ object Relational {
       |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
       |  replace(c_name, '#', '-') AS repl,
       |  reverse(c_mktsegment) AS rev,
-      |  length(c_name) AS len,
-      |  instr(c_name, '00') AS pos,
+      |  CAST(length(c_name) AS INTEGER) AS len,
+      |  CAST(instr(c_name, '00') AS INTEGER) AS pos,
       |  concat_ws('|', c_mktsegment, c_name) AS joined
       |FROM customer""".stripMargin
 
@@ -767,11 +767,11 @@ object Relational {
 
   val qDateFuncsSql: String =
     """SELECT o_orderkey,
-      |  year(CAST(o_orderdate AS DATE)) AS y,
-      |  month(CAST(o_orderdate AS DATE)) AS m,
-      |  day(CAST(o_orderdate AS DATE)) AS d,
+      |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y,
+      |  CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m,
+      |  CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS d,
       |  CAST(o_orderdate AS DATE) + 31 AS plus31,
-      |  date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS dd,
+      |  CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
       |  last_day(CAST(o_orderdate AS DATE)) AS eom
       |FROM orders""".stripMargin

@@ -184,7 +184,7 @@ object ScaleJoins {
   }
 
   val qPartitionPruneSql: String =
-    """SELECT MONTH(o_orderdate) AS o_month, COUNT(*) AS n,
+    """SELECT CAST(MONTH(o_orderdate) AS INTEGER) AS o_month, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |WHERE YEAR(o_orderdate) = 1996
@@ -878,7 +878,13 @@ object ScaleJoins {
     // definition key, publishParquet would skip on the existing file
     // and register the new definition against the STALE summary
     val tag = corpusTag(dir, Seq("orders"))
-    val defTag = Integer.toHexString(defn.canonicalized.toString.hashCode)
+    // cryptographic digest, not String.hashCode: a 32-bit collision
+    // between two recommended definitions on the same corpus would
+    // recreate exactly the stale-summary registration this key exists
+    // to prevent
+    val defTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(defn.canonicalized.toString.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val path = s"/tmp/graft_mv_auto_${defTag}_$tag.parquet"
     // publishing the (possibly already-rewritten) frame is fine — its
     // ROWS are the summary either way; the catalog key must come from

@@ -36,7 +36,10 @@ object SimOps {
   private def ranked(top: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    top.withColumn("rank", row_number().over(w))
+    // BIGINT rank on both sides (r11 verdict #2 width sweep): DuckDB's
+    // ROW_NUMBER is BIGINT; the free output-layer cast beats casting
+    // ten oracle strings down to INTEGER
+    top.withColumn("rank", row_number().over(w).cast(LongType))
       .select("q_id", "rank", "vec_id", "cosine")
       .orderBy("q_id", "rank")
   }
@@ -1064,7 +1067,7 @@ object SimOps {
       Seq(col("score").desc, col("c_doc")), topK)
     val w = Window.partitionBy(col("q_doc"))
       .orderBy(col("score").desc, col("c_doc"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
       .select("q_doc", "rank", "c_doc", "score")
       .orderBy("q_doc", "rank")
   }
@@ -1154,7 +1157,7 @@ object SimOps {
       Seq(col("ip").desc, col("vec_id")), topK)
     top.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
-          .orderBy(col("ip").desc, col("vec_id"))))
+          .orderBy(col("ip").desc, col("vec_id"))).cast(LongType))
       .select("q_id", "rank", "vec_id", "ip")
       .orderBy("q_id", "rank")
   }

@@ -148,9 +148,9 @@ object StatsOps {
   }
 
   val qFuzzyJoinSql: String =
-    s"""SELECT a.p_brand, a.p_size // 10 AS size_band,
+    s"""SELECT a.p_brand, CAST(a.p_size // 10 AS BIGINT) AS size_band,
        |  a.p_partkey AS a_key, b.p_partkey AS b_key,
-       |  levenshtein(a.p_name, b.p_name) AS dist
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
        |FROM part a JOIN part b
        |  ON a.p_brand = b.p_brand AND a.p_size // 10 = b.p_size // 10
        |  AND a.p_partkey < b.p_partkey

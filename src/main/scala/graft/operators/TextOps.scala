@@ -108,11 +108,11 @@ object TextOps {
   }
 
   val textTokensSql: String =
-    s"""SELECT doc_id, length(text) AS n_chars,
-       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-       |  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq_tokens,
-       |  len(string_split(text, chr(10))) AS n_lines,
-       |  len(regexp_extract_all(text, '$bpeIshPattern')) AS n_bpe_pieces
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_uniq_tokens,
+       |  CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+       |  CAST(len(regexp_extract_all(text, '$bpeIshPattern')) AS INTEGER) AS n_bpe_pieces
        |FROM documents""".stripMargin
 
   /** Heuristic quality score: length saturation, stopword density,
@@ -233,7 +233,9 @@ object TextOps {
     val caseChain = langOrder.map(l =>
       s"WHEN ${l}_hits = $maxE AND $maxE > 0 THEN '$l'").mkString("\n    ")
     s"""WITH t AS (SELECT doc_id,\n  $cols\nFROM documents)
-       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |SELECT doc_id, CAST(en_hits AS INTEGER) AS en_hits,
+       |  CAST(de_hits AS INTEGER) AS de_hits, CAST(fr_hits AS INTEGER) AS fr_hits,
+       |  CAST(es_hits AS INTEGER) AS es_hits, CAST(zh_hits AS INTEGER) AS zh_hits,
        |  CASE $caseChain ELSE 'und' END AS lang_pred
        |FROM t""".stripMargin
   }
@@ -288,7 +290,7 @@ object TextOps {
       |SELECT doc_id, norm_text,
       |  trim(regexp_replace(regexp_replace(norm_text, '[^a-z0-9 ]', '', 'g'),
       |    ' +', ' ', 'g')) AS alnum_text,
-      |  length(norm_text) AS n_chars_norm
+      |  CAST(length(norm_text) AS INTEGER) AS n_chars_norm
       |FROM n""".stripMargin
 
   /** PII scrubbing: mask emails and URLs before training (every
@@ -321,8 +323,8 @@ object TextOps {
        |         ELSE text END AS text
        |  FROM documents)
        |SELECT doc_id,
-       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
-       |  len(regexp_extract_all(text, '$urlRe')) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$urlRe')) AS INTEGER) AS n_urls,
        |  regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
        |    '$emailRe', '<EMAIL>', 'g') AS scrubbed
        |FROM t""".stripMargin
@@ -1781,7 +1783,7 @@ object TextOps {
       Seq(col("score").desc, col("doc_id")), bm25TopK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
       .select("q_id", "rank", "doc_id", "score")
       .orderBy("q_id", "rank")
   }

@@ -875,9 +875,31 @@ object StreamOps {
     * that bkt= dir from the new generation, and the per-bucket
     * latest-generation resolver would silently RESURRECT the bucket's
     * previous state — in both the partial and the compacting path. */
+  /** Index (into an ascending scan) of the newest FULL snapshot — a
+    * generation covering every bucket observed in the store up to and
+    * including itself. Judged against the prefix-union of bucket
+    * names, NOT the fixed dimBuckets count: a small or skewed
+    * dimension may never populate all 16 hash buckets, and a
+    * count-based test would never see a full generation, majoring-
+    * compacting every batch past the cadence forever. g0 always
+    * qualifies (the initial write is the whole dimension), so this is
+    * ≥ 0 for any committed store. Shared by the compaction trigger
+    * and the retention vacuum so "garbage" means the same thing to
+    * both. */
+  private[graft] def lastFullIdx(scan: Seq[(Long, Map[String, String])]): Int = {
+    var seen = Set.empty[String]
+    var idx = -1
+    scan.zipWithIndex.foreach { case ((_, bkts), i) =>
+      seen ++= bkts.keySet
+      if (bkts.keySet == seen) idx = i
+    }
+    idx
+  }
+
   private[graft] def applyDimBatch(spark: SparkSession, store: String,
       batchId: Long, batch: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      compactEvery: Int = dimCompactEvery): Unit = {
     val affected = batch.select(dimBucketOf.as("bkt")).distinct()
       .collect().map(r => s"bkt=${r.getInt(0)}").toSet
     val scan = scanDimStore(store, batchId)
@@ -886,14 +908,14 @@ object StreamOps {
       bkts.foreach { case (name, path) => latest(name) = path }
     }
     val resolved = latest.toSeq
-    // partial generations since the last FULL snapshot (a generation
-    // holding every bucket — g0 and prior compactions qualify); the
-    // decision reads only generations ≤ batchId, so a replayed batch
-    // sees the identical scan and makes the identical choice —
-    // compaction keeps the append-only, replay-idempotent contract
-    val lastFull = scan.lastIndexWhere(_._2.size == dimBuckets)
+    // partial generations since the last FULL snapshot (see
+    // lastFullIdx for why fullness is prefix-union, not bucket-count).
+    // The decision reads only generations ≤ batchId, so a replayed
+    // batch sees the identical scan and makes the identical choice —
+    // compaction keeps the append-only, replay-idempotent contract.
+    val lastFull = lastFullIdx(scan)
     val sinceFull = if (lastFull < 0) scan.size else scan.size - 1 - lastFull
-    val compact = sinceFull >= dimCompactEvery
+    val compact = sinceFull >= compactEvery
     val prevDirs =
       if (compact) resolved.map(_._2)
       else resolved.collect { case (name, path) if affected(name) => path }
@@ -914,6 +936,36 @@ object StreamOps {
   private[graft] def readDimStore(spark: SparkSession, store: String): DataFrame =
     spark.read.parquet(
       resolveDimStore(store, Long.MaxValue).map(_._2): _*)
+
+  /** Retention vacuum: every committed generation BELOW the newest
+    * full snapshot is garbage — the full snapshot contains every
+    * bucket, so the per-bucket latest-generation resolver can never
+    * pick a path below it (latest-per-bucket ≥ lastFull for all
+    * buckets). Physically deletes the garbage generation dirs and
+    * returns the per-generation retention decision as data.
+    *
+    * READER-RACE SAFETY is structural, not locked: because no
+    * resolve — before, during, or after the vacuum — ever returns a
+    * garbage path, a reader that resolved its paths BEFORE the vacuum
+    * and reads them after still reads live dirs (spec-asserted,
+    * StreamPipelineSpec GC-vs-reader case). Compare Delta/Iceberg
+    * VACUUM, which needs a retention horizon precisely because their
+    * readers CAN hold references below the newest snapshot. Uncommitted
+    * dirs (no _SUCCESS: a writer killed mid-flight) are left alone —
+    * deleting a dir a live writer is mid-write into is the one real
+    * race, and skipping it costs only bytes until that batch replays. */
+  private[graft] def vacuumDimStore(store: String): Seq[(Long, Boolean)] = {
+    val scan = scanDimStore(store, Long.MaxValue)
+    val lastFull = lastFullIdx(scan)
+    val lastFullGen = if (lastFull < 0) -1L else scan(lastFull)._1
+    scan.map { case (g, _) =>
+      val keep = g >= lastFullGen
+      if (!keep)
+        scala.reflect.io.Directory(new java.io.File(s"$store/g$g"))
+          .deleteRecursively()
+      (g, keep)
+    }
+  }
 
   def streamScd2(parent: SparkSession, sfDir: String): DataFrame = {
     val spark = streamingSession(parent)
@@ -966,6 +1018,55 @@ object StreamOps {
       .orderBy("c_custkey")
     // materialize before the run dir is deleted, then return a local
     // relation (final store is O(keys) — the drained-sink contract)
+    val rows = fin.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+  }
+
+  /** The dim-store RETENTION lifecycle end-to-end — the third member
+    * of the generation-store story (applyDimBatch writes generations,
+    * compaction bounds read stitching, THIS key reclaims the garbage
+    * compaction creates): the CDC feed is applied with an aggressive
+    * compaction cadence (compactEvery=2, so the 3-wave log provably
+    * majors inside the run — the cadence the 8-batch default can't
+    * show on this fixture), then vacuumDimStore physically drops
+    * every generation below the newest full snapshot, and the answer
+    * is read from the VACUUMED store. The oracle is the one-shot
+    * batch MERGE of the same change set: compaction, vacuum, and the
+    * generation machinery must all be invisible in the answer —
+    * survivors re-merged equal one-shot state. At 100 TB this is the
+    * Delta VACUUM / Iceberg expire_snapshots job: without it the
+    * store grows a full dimension copy per compaction forever.
+    * Reader-race safety is structural (see vacuumDimStore) and
+    * spec-asserted with a GC-racing-a-reader case. */
+  def streamDimVacuum(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeCdcLog(spark, sfDir)
+    val run = s"/tmp/graft_dim_vacuum_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = s"$run/store"
+    writeDimStore(graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0)), store)
+    val changes = spark.readStream.schema(cdcLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcLogDir(sfDir)}/b*")
+    runAvailableNow(changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDimBatch(spark, store, batchId, batch, cdcMerge,
+          compactEvery = 2)
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    // the retention decision as data: with 3 waves at cadence 2 some
+    // generation ≥ g1 is always full (either a wave covered every
+    // bucket or batch 2 compacted), so the vacuum must both keep and
+    // reclaim — a no-op vacuum here means the lifecycle is broken
+    val decisions = vacuumDimStore(store)
+    require(decisions.exists(_._2) && decisions.exists(!_._2),
+      s"dim vacuum reclaimed nothing (decisions=$decisions)")
+    val fin = readDimStore(spark, store)
+      .filter(col("op") =!= "D").drop("op", "version")
+      .orderBy("c_custkey")
     val rows = fin.collect()
     scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
@@ -1845,7 +1946,8 @@ object StreamOps {
     "stream_join" -> (streamJoin _),
     "stream_funnel_timeout" -> (streamFunnelTimeout _),
     "stream_cdc_apply" -> (streamCdcApply _),
-    "stream_scd2" -> (streamScd2 _))
+    "stream_scd2" -> (streamScd2 _),
+    "stream_dim_vacuum" -> (streamDimVacuum _))
 
   val oracles: Map[String, String] = Map(
     "stream_kmv" -> streamKmvSql,
@@ -1877,5 +1979,8 @@ object StreamOps {
     "stream_cdc_apply" -> graft.operators.Etl.etlCdcUpsertSql,
     // the incrementally-maintained type-2 history must equal the
     // one-shot batch SCD2 build over the same change images
-    "stream_scd2" -> graft.operators.Etl.etlScd2Sql)
+    "stream_scd2" -> graft.operators.Etl.etlScd2Sql,
+    // the VACUUMED generation store must still equal the one-shot
+    // batch MERGE: compaction + retention GC invisible in the answer
+    "stream_dim_vacuum" -> graft.operators.Etl.etlCdcUpsertSql)
 }

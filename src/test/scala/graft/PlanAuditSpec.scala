@@ -95,6 +95,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // final sort (range exchange over the match-sized output) that
     // closed the board's one red hash row
     "q_match_recognize" -> 5,
+    // match_w: same daily collapse (1) + the grp-keyed window chain
+    // over daily then run grain + the run-grain LEAD window + final
+    // sort — all model-sized exchanges past the first aggregate
+    "q_match_w" -> 5,
     // mv_auto: the advise/publish/register jobs run inside the call
     // (etl_wap's rule); the returned year dashboard re-plans onto the
     // auto summary — one rollup aggregate over the k-row MV scan + the
@@ -776,6 +780,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // cdc_apply merges inside foreachBatch micro-batch jobs; the
     // returned frame is the drained O(keys) local relation
     "stream_cdc_apply" -> 0, "stream_scd2" -> 0, "stream_ohlc" -> 0,
+    // dim_vacuum: merge + compaction + GC run inside foreachBatch /
+    // driver-side dir ops; the returned frame is the drained O(keys)
+    // local relation
+    "stream_dim_vacuum" -> 0,
     // mv_maintain: drained store rolls up before collect; the
     // returned frame is the O(months) local relation
     "stream_mv_maintain" -> 0,
@@ -984,7 +992,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
       "stream_kmv",
-      "stream_scd2", "stream_mv_maintain", "stream_mv_retract",
+      "stream_scd2", "stream_dim_vacuum",
+      "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",
       "stream_ohlc", "stream_sessions", "stream_user_state")

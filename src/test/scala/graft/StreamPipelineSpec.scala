@@ -559,6 +559,130 @@ class StreamPipelineSpec extends AnyFunSuite {
       "the replayed generation must still be the full snapshot")
   }
 
+  test("retention vacuum reclaims garbage generations and never races a reader") {
+    // the GC-vs-reader kill window: a reader that RESOLVED its paths
+    // before the vacuum and reads them after must be unaffected. The
+    // safety is structural — latest-per-bucket is always ≥ the newest
+    // full snapshot, so no resolve (before, during, or after GC) ever
+    // returns a path the vacuum deletes — which is why no retention
+    // horizon is needed, unlike Delta/Iceberg VACUUM
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_vacuum_store").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(3).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    // cadence 2 over 3 single-key batches: g1, g2 partial, batch 2
+    // compacts into full g3 — g0..g2 become garbage
+    (0 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    // an uncommitted dir (mid-write kill) must survive the vacuum:
+    // deleting a live writer's target is the one REAL race
+    assert(new java.io.File(s"$store/g9/bkt=99").mkdirs())
+    Files.writeString(Paths.get(s"$store/g9/bkt=99/junk"), "partial")
+    // the racing reader: resolve BEFORE the vacuum...
+    val resolvedBefore = StreamOps.resolveDimStore(store, Long.MaxValue)
+    val servedBefore = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    val decisions = StreamOps.vacuumDimStore(store)
+    // the retention decision as data: keep g3, reclaim g0..g2
+    assert(decisions.toMap == Map(0L -> false, 1L -> false,
+      2L -> false, 3L -> true), s"unexpected decisions: $decisions")
+    assert(!new java.io.File(s"$store/g0").exists() &&
+      !new java.io.File(s"$store/g1").exists() &&
+      !new java.io.File(s"$store/g2").exists(),
+      "reclaimed generations must be physically gone")
+    assert(Files.exists(Paths.get(s"$store/g9/bkt=99/junk")),
+      "an uncommitted generation must never be vacuumed")
+    // ...and READ AFTER it: every pre-resolved path is still live,
+    // resolves identically, and serves the identical history
+    assert(resolvedBefore.forall(p => new java.io.File(p._2).exists()),
+      "vacuum deleted a path a pre-GC reader had resolved")
+    assert(StreamOps.resolveDimStore(store, Long.MaxValue) == resolvedBefore,
+      "resolution must be identical across the vacuum")
+    val servedAfter = spark.read
+      .parquet(resolvedBefore.map(_._2): _*)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(servedAfter.length == servedBefore.length &&
+      servedAfter.zip(servedBefore).forall { case (x, y) => x == y },
+      "the racing reader must serve the identical history")
+    // survivors re-merged equal one-shot state
+    val want = (0 until 3).foldLeft(base) { (acc, b) =>
+      StreamOps.scd2Merge(acc, wave(keys(b), b + 1))
+    }.orderBy("c_custkey", "eff_from_ver").collect()
+    assert(servedAfter.length == want.length &&
+      servedAfter.zip(want).forall { case (x, y) => x == y },
+      "the vacuumed store must equal the one-shot merge")
+  }
+
+  test("a sparse-bucket dimension still detects full snapshots (compaction stays amortized)") {
+    // regression for the count-based fullness test: a dimension whose
+    // keys never hash into all 16 buckets would never produce a
+    // "full" generation by count, so once the cadence was exceeded
+    // EVERY batch would major-compact, rewriting the whole dimension
+    // per micro-batch forever. Fullness is prefix-union coverage, so
+    // a compaction over a 3-bucket dimension counts as full and the
+    // next batch goes back to a bounded partial write.
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_sparse_store").toString
+    val store = s"$dir/store"
+    val all = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    val keys = all.select("c_custkey").orderBy("c_custkey")
+      .limit(4).collect().map(_.getLong(0))
+    val base = all.filter(col("c_custkey").isin(keys: _*))
+    StreamOps.writeDimStore(base, store)
+    // the premise: this dimension occupies FEWER buckets than the
+    // bucket count, so count-based fullness can never trigger
+    val g0Buckets = StreamOps.resolveDimStore(store, Long.MaxValue).size
+    assert(g0Buckets < StreamOps.dimBuckets,
+      s"fixture must be sparse: $g0Buckets buckets")
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    // batches 0,1 partial; batch 2 compacts (cadence 2) into full g3
+    (0 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    assert(StreamOps.resolveDimStore(store, Long.MaxValue)
+      .forall(_._2.contains("/g3/")),
+      "batch 2 must have compacted the sparse dimension into g3")
+    // the regression: batch 3 must see g3 as FULL and write a
+    // bounded single-bucket partial, not another major compaction
+    StreamOps.applyDimBatch(spark, store, 3L,
+      wave(keys(3), 1), StreamOps.scd2Merge, compactEvery = 2)
+    val g4 = new java.io.File(s"$store/g4").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(g4.length == 1,
+      s"post-compaction batch must write one affected bucket, " +
+        s"not re-compact: ${g4.map(_.getName).toSeq}")
+    // and the served history still equals the one-shot fold
+    val want = (0 until 4).foldLeft(base) { (acc, b) =>
+      StreamOps.scd2Merge(acc, wave(keys(b), if (b < 3) b + 1 else 1))
+    }.orderBy("c_custkey", "eff_from_ver").collect()
+    val got = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "sparse-bucket store must serve the one-shot history")
+  }
+
   test("scd2Merge is idempotent and order-insensitive (at-least-once safety)") {
     import org.apache.spark.sql.functions.lit
     val base = Tables.load(spark, sf, "customer")

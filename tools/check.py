@@ -88,6 +88,22 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # Physical-type parity: the driver's hash is type-aware through
+        # non-fetchall client paths (r11's q_match_recognize failed on
+        # HUGEINT vs BIGINT while fetchall-based value compare passed).
+        # fetchall() coerces HUGEINT->int and DECIMAL->Decimal, hiding
+        # the class — so compare DuckDB logical types per column and
+        # fail on ANY mismatch before the value compare.
+        got_t = dict(zip(got_cols, [str(t) for t in got_rel.types]))
+        exp_t = dict(zip(exp_cols, [str(t) for t in exp_rel.types]))
+        type_bad = [(c, got_t[c], exp_t[c]) for c in sorted(got_cols)
+                    if got_t[c] != exp_t[c]]
+        if type_bad:
+            print(f"FAIL {name}: TYPE mismatch " +
+                  "; ".join(f"{c}: spark={g} oracle={e}"
+                            for c, g, e in type_bad))
+            n_fail += 1
+            continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         got_r = [[r[i] for i in gi] for r in got]
@@ -109,12 +125,13 @@ def main(sf_dir, out_dir, only=None):
             n_pass += 1
             continue
         # disambiguate: value bug vs order-only bug
-        if first_diff(canon(got_r), canon(exp_r)) is None:
+        canon_bad = first_diff(canon(got_r), canon(exp_r))
+        if canon_bad is None:
             print(f"FAIL {name}: ORDER-ONLY diff (multiset equal) at row "
                   f"{bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
         else:
-            bad = first_diff(canon(got_r), canon(exp_r))
-            print(f"FAIL {name}: first diff row {bad[0]}:\n  got {bad[1]}\n  exp {bad[2]}")
+            print(f"FAIL {name}: first diff row {canon_bad[0]}:\n"
+                  f"  got {canon_bad[1]}\n  exp {canon_bad[2]}")
         n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
