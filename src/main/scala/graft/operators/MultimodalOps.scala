@@ -345,14 +345,97 @@ object MultimodalOps {
        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
        |FROM v GROUP BY doc_id, n_samples, frame_idx""".stripMargin
 
+  private[graft] def mediaMetaDir(dir: String): String =
+    s"/tmp/graft_media_meta_${Integer.toHexString(dir.hashCode)}"
+
+  /** Publish the binary payloads once per corpus fingerprint (the
+    * dedup_lsh_eval / minhashPublish discipline): the codec bytes are
+    * the one thing no SQL engine can re-derive, so they become a
+    * durable artifact the ORACLE reads back — byte length and format
+    * magic are then recomputed by DuckDB from the published BLOBs
+    * (octet_length / hex-prefix), turning the codec-product columns
+    * into independently measured values instead of trusted ones.
+    * payload_crc rides in the artifact (DuckDB has no CRC32); the
+    * suite closes that last column by recomputing CRC32 from the
+    * published bytes driver-side (MultimodalSpec). */
+  private[graft] def mediaMetaPublish(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val outDir = mediaMetaDir(dir)
+    val tag = graft.operators.ScaleJoins.corpusTag(dir, Seq("documents"))
+    val tagPath = Paths.get(outDir, "_GRAFT_TAG")
+    Etl.withPathLock(Paths.get(outDir + ".lock")) {
+      if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
+        mediaRows(s, dir).toDF()
+          .select("doc_id", "payload", "payload_crc")
+          .write.mode("overwrite").parquet(s"$outDir/payloads")
+        Files.writeString(tagPath, tag)
+      }
+    }
+    outDir
+  }
+
   /** Binary payload + metadata extraction + partition-batched decode
-    * — the [T] key (payload byte counts/CRCs are codec products, not
-    * SQL-derivable; the suite asserts the decode round-trip). */
-  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    * — [T]→[O] in r12: the payloads publish once per corpus and the
+    * oracle replays the meta audit FROM the artifact (byte counts and
+    * magic measured by DuckDB on the published BLOBs, geometry and
+    * sampling recomputed from the id formulas); the suite still
+    * asserts the decode round-trip and re-verifies the carried CRC. */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    mediaMetaPublish(s, dir)
     processed(s, dir).toDF()
       .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
         "width", "height", "n_frames", "out_width", "out_height",
         "sampled_frames", "decoder")
+  }
+
+  /** Shared formula-geometry CTE chain (f: dims/frames/format from
+    * the id formulas; r: the 224-box resize) — ONE copy of the text
+    * so mm_decode and mm_binary_meta can never drift on what the
+    * generator produces (§4 mirrored-tree discipline). */
+  private val geomCte: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    doc_id % 10 = 7 AS opaque,
+      |    CAST(8 + (doc_id * 7) % 56 AS INT) AS w,
+      |    CAST(8 + (doc_id * 11) % 40 AS INT) AS h,
+      |    (doc_id * 37) % 256 AS fr,
+      |    (doc_id * 59) % 256 AS fg,
+      |    (doc_id * 83) % 256 AS fb,
+      |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS rgb,
+      |    CASE WHEN doc_id % 10 = 7 THEN 0
+      |         WHEN doc_id % 5 = 4 THEN CAST(2 + doc_id % 3 AS INT)
+      |         ELSE 1 END AS nf,
+      |    CASE WHEN doc_id % 10 = 7 THEN 'opaque'
+      |         WHEN doc_id % 5 = 4 THEN 'tiff'
+      |         WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    greatest(1, CAST(floor(w * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS ow,
+      |    greatest(1, CAST(floor(h * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS oh
+      |  FROM f)""".stripMargin
+
+  val mmBinaryMetaSql: String =
+    s"""$geomCte,
+       |p AS (
+       |  SELECT doc_id, payload, payload_crc
+       |  FROM read_parquet('/tmp/graft_media_meta___SFTAG__/payloads/*.parquet'))
+       |SELECT r.doc_id,
+       |  CAST(octet_length(p.payload) AS INTEGER) AS n_bytes,
+       |  hex(p.payload)[1:8] AS magic_hex,
+       |  p.payload_crc,
+       |  CAST(CASE WHEN opaque THEN -1 ELSE w END AS INTEGER) AS width,
+       |  CAST(CASE WHEN opaque THEN -1 ELSE h END AS INTEGER) AS height,
+       |  nf AS n_frames,
+       |  CAST(CASE WHEN opaque THEN -1 ELSE ow END AS INTEGER) AS out_width,
+       |  CAST(CASE WHEN opaque THEN -1 ELSE oh END AS INTEGER) AS out_height,
+       |  CASE WHEN opaque THEN ''
+       |       ELSE array_to_string(list_transform(range(0, least(nf, 4)),
+       |              i -> CAST((i * nf) // least(nf, 4) AS VARCHAR)), ',')
+       |  END AS sampled_frames,
+       |  CASE WHEN opaque THEN 'opaque'
+       |       ELSE 'imageio:' || fmt || '+resize224+sample4' END AS decoder
+       |FROM r JOIN p USING (doc_id)""".stripMargin
 
   /** Oracle-checked decode: every emitted value is recomputed by
     * DuckDB from the payload formulas — real ImageIO decode + real
@@ -370,31 +453,12 @@ object MultimodalOps {
         "px_sum", "sampled_px_sum", "out_width", "out_height", "out_px_sum")
 
   val mmDecodeSql: String =
-    """WITH f AS (
-      |  SELECT doc_id,
-      |    doc_id % 10 = 7 AS opaque,
-      |    CAST(8 + (doc_id * 7) % 56 AS INT) AS w,
-      |    CAST(8 + (doc_id * 11) % 40 AS INT) AS h,
-      |    (doc_id * 37) % 256 AS fr,
-      |    (doc_id * 59) % 256 AS fg,
-      |    (doc_id * 83) % 256 AS fb,
-      |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS rgb
-      |  FROM documents),
-      |r AS (
-      |  SELECT *,
-      |    224.0 / greatest(w, h) AS scale,
-      |    greatest(1, CAST(floor(w * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS ow,
-      |    greatest(1, CAST(floor(h * (224.0 / greatest(w, h)) + 0.5) AS INT)) AS oh
-      |  FROM f)
+    s"""$geomCte
       |SELECT doc_id,
       |  CASE WHEN opaque THEN -1 ELSE w END AS width,
       |  CASE WHEN opaque THEN -1 ELSE h END AS height,
-      |  CASE WHEN opaque THEN 0
-      |       WHEN doc_id % 5 = 4 THEN CAST(2 + doc_id % 3 AS INT)
-      |       ELSE 1 END AS n_frames,
-      |  CASE WHEN opaque THEN 'opaque'
-      |       WHEN doc_id % 5 = 4 THEN 'tiff'
-      |       WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |  nf AS n_frames,
+      |  fmt,
       |  CASE WHEN opaque THEN -1 ELSE w * h * rgb END AS px_sum,
       |  CASE WHEN opaque THEN -1
       |       WHEN doc_id % 5 = 4 THEN w * h * (
@@ -983,5 +1047,8 @@ object MultimodalOps {
     "mm_decode" -> mmDecodeSql,
     "mm_audio_frames" -> mmAudioFramesSql,
     "mm_patches" -> mmPatchesSql,
-    "mm_embed_fusion" -> mmEmbedFusionSql)
+    "mm_embed_fusion" -> mmEmbedFusionSql,
+    // [T]→[O] r12: the meta audit replays from the published payload
+    // artifact (octet_length/hex measured on the BLOBs by DuckDB)
+    "mm_binary_meta" -> mmBinaryMetaSql)
 }

@@ -68,17 +68,16 @@ class BoardSpec extends AnyFunSuite {
   test("keys without an oracle are the declared [T]-by-design set") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch internals (HLL, quantile digest) are engine-specific by
-    // contract; mm_binary_meta decodes real media bytes no SQL engine
-    // can recompute (mm_decode is its formula-derived [O] twin)
-    // q_heavy_hitters joins the sketch family: Misra-Gries counters
-    // are merge-order-dependent within the guaranteed error bound
-    // stream_heavy_hitters carries the same Misra-Gries contract as
-    // q_heavy_hitters, maintained as streaming state
-    // (dedup_lsh_eval left this set in r11: its candidates rebuild
-    // from the PUBLISHED band-bucket artifact, so the whole audit is
-    // DuckDB-replayable)
+    // contract; q_heavy_hitters joins the sketch family: Misra-Gries
+    // counters are merge-order-dependent within the guaranteed error
+    // bound; stream_heavy_hitters carries the same Misra-Gries
+    // contract as q_heavy_hitters, maintained as streaming state
+    // (dedup_lsh_eval left this set in r11, mm_binary_meta in r12:
+    // both rebuild from a PUBLISHED artifact, making the whole audit
+    // DuckDB-replayable — the four genuinely engine-internal sketch
+    // keys are what remains)
     val declared = Set("q_approx_distinct", "q_approx_percentile",
-      "mm_binary_meta", "q_heavy_hitters", "stream_heavy_hitters")
+      "q_heavy_hitters", "stream_heavy_hitters")
     assert(noOracle == declared,
       s"oracle-free keys drifted from the declared [T] set: " +
         s"extra=${(noOracle -- declared).toSeq.sorted} " +

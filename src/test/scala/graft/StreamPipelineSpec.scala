@@ -804,6 +804,26 @@ class StreamPipelineSpec extends AnyFunSuite {
     // deterministic across runs
     val again = MultimodalOps.mmBinaryMeta(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // payload_crc is the one column the DuckDB oracle CARRIES from
+    // the published artifact instead of recomputing (no CRC32 in
+    // DuckDB) — close it here: recompute CRC32 from the published
+    // BYTES independently and match it against the key's output
+    val crcOut = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("payload_crc")).toMap
+    val published = spark.read
+      .parquet(s"${MultimodalOps.mediaMetaDir(sf)}/payloads")
+      .collect().map { r =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(r.getAs[Array[Byte]]("payload"))
+        (r.getAs[Long]("doc_id"), crc.getValue,
+          r.getAs[Long]("payload_crc"))
+      }
+    assert(published.length == rows.length)
+    published.foreach { case (id, recomputed, carried) =>
+      assert(recomputed == carried && crcOut(id) == recomputed,
+        s"doc $id: CRC32 of published bytes $recomputed != " +
+          s"artifact $carried / output ${crcOut(id)}")
+    }
   }
 
   test("mm_patches tiles the decoded raster into an index-pinned grid") {
