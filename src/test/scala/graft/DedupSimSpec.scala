@@ -176,7 +176,7 @@ class DedupSimSpec extends AnyFunSuite {
       "exact rerank lost recall vs raw ADC ranking")
     // ranks are dense 1..k per query
     rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
-      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      assert(g.map(_.getAs[Long]("rank").toInt).sorted.toSeq ==
         (1 to SimOps.topK).toSeq)
     }
   }
@@ -389,7 +389,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("sim_knn_join ranks every vector's bucket-mates exactly") {
     val got = SimOps.simKnnJoin(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
     // driver-side reference over the SAME published model's
     // assignments: per bucket, all-pairs cosine with the widening
     // left-to-right fold DotProductD uses, top-knnK per vector with
@@ -440,7 +440,7 @@ class DedupSimSpec extends AnyFunSuite {
         .zipWithIndex.map { case ((cd, sc), i) => (qd, i + 1, cd, sc) }
     }
     val got = SimOps.simMaxsim(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got == want, "maxsim ranking must match the driver replay")
     // late interaction differs from pooled scoring: ranking is real
@@ -542,7 +542,7 @@ class DedupSimSpec extends AnyFunSuite {
   test("sim_filtered_topk retrieves same-label top-k and the filter bites") {
     import graft.operators.SimOps
     val got = SimOps.simFilteredTopk(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -577,7 +577,7 @@ class DedupSimSpec extends AnyFunSuite {
   test("sim_mips_topk replays the norm-augmented IVF-MIPS pipeline") {
     import graft.operators.SimOps
     val got = SimOps.simMipsTopk(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -864,7 +864,7 @@ class DedupSimSpec extends AnyFunSuite {
     // order must agree with text_bm25's published top-3 (the shared
     // bm25Scored frame makes this structural, the spec pins it)
     val bm25Top = graft.operators.TextOps.textBm25(spark, sf).collect()
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank").toInt) ->
         r.getAs[Long]("doc_id")).toMap
     val hybLex = rows.filter(_.getAs[Integer]("lex_rank") != null)
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Integer]("lex_rank").toInt) ->

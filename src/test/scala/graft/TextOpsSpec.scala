@@ -1227,7 +1227,7 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("text_bm25: top-3 replay matches a pure-Scala fold bitwise") {
     val got = TextOps.textBm25(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
     assert(got.nonEmpty)
     // shape: ranks are 1..k per query, scores non-increasing
     got.groupBy(_._1).foreach { case (q, rs) =>
