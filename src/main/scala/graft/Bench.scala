@@ -70,6 +70,10 @@ object Bench {
     // full materialization (a bare count() would let Catalyst prune
     // the projections being benched).
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // parsed ONCE, boolean-tolerant: "0"/"false"/"off" disable the
+    // warm-up; a typo'd value must not abort a 327-key measurement run
+    val warm = !Set("0", "false", "off").contains(
+      sys.env.getOrElse("SPARK_GRAFT_WARM", "1").trim.toLowerCase)
     // optional comma-separated subset, for iterating on one query warm
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val loadBefore = loadavg
@@ -86,8 +90,10 @@ object Bench {
         // warm-up's wall time is recorded in the detail record (it is
         // real information about compile cost) but never competes for
         // best. SPARK_GRAFT_WARM=0 restores the raw protocol.
-        val warm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1").toInt > 0
-        val warmSec = if (!warm) -1.0 else {
+        // warm_sec in the artifact: null = warm-up disabled, -1.0 =
+        // the warm-up execution CRASHED (a real signal, distinct from
+        // off), positive = its wall seconds.
+        val warmSec: Option[Double] = if (!warm) None else Some {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           val t0 = System.nanoTime()
@@ -155,7 +161,7 @@ object Bench {
     // (r6's official artifact lost 8 keys to a tail scrape).
     val fullQs = results.map { case (n, samples, b, w) =>
       jstr(n) + ":{\"samples\":[" + samples.mkString(",") +
-        s"],\"best\":$b,\"warm_sec\":$w}"
+        s"],\"best\":$b,\"warm_sec\":${w.fold("null")(_.toString)}}"
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},

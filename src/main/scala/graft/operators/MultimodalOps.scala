@@ -379,10 +379,28 @@ object MultimodalOps {
     * oracle replays the meta audit FROM the artifact (byte counts and
     * magic measured by DuckDB on the published BLOBs, geometry and
     * sampling recomputed from the id formulas); the suite still
-    * asserts the decode round-trip and re-verifies the carried CRC. */
+    * asserts the decode round-trip and re-verifies the carried CRC.
+    *
+    * The decode CONSUMES the published artifact rather than
+    * re-generating payloads: per-document codec encode dominates this
+    * key's cost, so generating once for the publish and again for the
+    * decode would double the cold-path wall time — and reading the
+    * artifact back means the bytes the engine decodes are literally
+    * the bytes the oracle measures. Repartition before the decode:
+    * the artifact is small enough to coalesce into one split, which
+    * would single-thread the CPU-bound codec stage. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
-    mediaMetaPublish(s, dir)
-    processed(s, dir).toDF()
+    import s.implicits._
+    val published = mediaMetaPublish(s, dir)
+    s.read.parquet(s"$published/payloads")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic_hex"),
+        col("payload_crc"))
+      .as[MediaRow]
+      .mapPartitions(it => resizeAndSample(decode(it)))
+      .toDF()
       .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
         "width", "height", "n_frames", "out_width", "out_height",
         "sampled_frames", "decoder")

@@ -950,18 +950,38 @@ object StreamOps {
     * and reads them after still reads live dirs (spec-asserted,
     * StreamPipelineSpec GC-vs-reader case). Compare Delta/Iceberg
     * VACUUM, which needs a retention horizon precisely because their
-    * readers CAN hold references below the newest snapshot. Uncommitted
-    * dirs (no _SUCCESS: a writer killed mid-flight) are left alone —
-    * deleting a dir a live writer is mid-write into is the one real
-    * race, and skipping it costs only bytes until that batch replays. */
-  private[graft] def vacuumDimStore(store: String): Seq[(Long, Boolean)] = {
+    * readers CAN hold references below the newest snapshot.
+    *
+    * REPLAY SAFETY bounds the horizon `replayDepth` epochs higher
+    * than readers alone need: the newest generation's producing batch
+    * may not have committed to the streaming checkpoint yet, and its
+    * at-least-once replay re-reads only generations BELOW it
+    * (scanDimStore bound = its batchId). So fullness is judged over
+    * the scan EXCLUDING the newest replayDepth generations — the
+    * newest full snapshot a replaying batch can still see — at the
+    * cost of at most that many extra retained epochs. Without this, a
+    * vacuum landing in the write-to-checkpoint-commit window would
+    * delete every input of the replaying batch and wedge the stream
+    * (spec-asserted: replay-after-vacuum case). The default 1 covers
+    * foreachBatch's one in-flight batch; pass 0 ONLY for a drained
+    * pipeline (checkpoint committed, nothing can replay — the
+    * stream_dim_vacuum key's case).
+    *
+    * Uncommitted dirs (no _SUCCESS: a writer killed mid-flight) are
+    * left alone — deleting a dir a live writer is mid-write into is
+    * the remaining real race, and skipping it costs only bytes until
+    * that batch replays. A generation whose physical delete FAILS is
+    * reported kept (its decision is what actually happened on disk,
+    * not what was intended), so a broken GC surfaces in the decision
+    * data instead of masquerading as reclamation. */
+  private[graft] def vacuumDimStore(store: String,
+      replayDepth: Int = 1): Seq[(Long, Boolean)] = {
     val scan = scanDimStore(store, Long.MaxValue)
-    val lastFull = lastFullIdx(scan)
+    val lastFull = lastFullIdx(scan.dropRight(replayDepth))
     val lastFullGen = if (lastFull < 0) -1L else scan(lastFull)._1
     scan.map { case (g, _) =>
-      val keep = g >= lastFullGen
-      if (!keep)
-        scala.reflect.io.Directory(new java.io.File(s"$store/g$g"))
+      val keep = g >= lastFullGen ||
+        !scala.reflect.io.Directory(new java.io.File(s"$store/g$g"))
           .deleteRecursively()
       (g, keep)
     }
@@ -1060,8 +1080,10 @@ object StreamOps {
     // the retention decision as data: with 3 waves at cadence 2 some
     // generation ≥ g1 is always full (either a wave covered every
     // bucket or batch 2 compacted), so the vacuum must both keep and
-    // reclaim — a no-op vacuum here means the lifecycle is broken
-    val decisions = vacuumDimStore(store)
+    // reclaim — a no-op vacuum here means the lifecycle is broken.
+    // replayDepth=0: the stream is DRAINED (runAvailableNow returned,
+    // checkpoint committed), so no batch can replay
+    val decisions = vacuumDimStore(store, replayDepth = 0)
     require(decisions.exists(_._2) && decisions.exists(!_._2),
       s"dim vacuum reclaimed nothing (decisions=$decisions)")
     val fin = readDimStore(spark, store)

@@ -595,7 +595,8 @@ class StreamPipelineSpec extends AnyFunSuite {
     val resolvedBefore = StreamOps.resolveDimStore(store, Long.MaxValue)
     val servedBefore = StreamOps.readDimStore(spark, store)
       .orderBy("c_custkey", "eff_from_ver").collect()
-    val decisions = StreamOps.vacuumDimStore(store)
+    // replayDepth=0 = the drained-pipeline contract this test models
+    val decisions = StreamOps.vacuumDimStore(store, replayDepth = 0)
     // the retention decision as data: keep g3, reclaim g0..g2
     assert(decisions.toMap == Map(0L -> false, 1L -> false,
       2L -> false, 3L -> true), s"unexpected decisions: $decisions")
@@ -624,6 +625,60 @@ class StreamPipelineSpec extends AnyFunSuite {
     assert(servedAfter.length == want.length &&
       servedAfter.zip(want).forall { case (x, y) => x == y },
       "the vacuumed store must equal the one-shot merge")
+  }
+
+  test("vacuum at the default replay horizon keeps the in-flight batch's inputs (replay survives GC)") {
+    // the kill window the default replayDepth=1 exists for: batch b
+    // major-compacts and COMMITS full generation g(b+1), the process
+    // dies before the streaming checkpoint commits b, and the GC job
+    // runs before restart. The replay of b reads only generations
+    // ≤ b — a vacuum that reclaimed up to g(b+1) would have deleted
+    // every one of them and wedged the stream permanently
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_vacuum_replay").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(3).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    (0 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    // g3 (batch 2's compaction) is full, but batch 2 may replay:
+    // default-horizon vacuum must judge fullness BELOW g3 and keep
+    // everything a replay of batch 2 reads (here: all of g0..g2)
+    val decisions = StreamOps.vacuumDimStore(store)
+    assert(decisions.toMap == Map(0L -> true, 1L -> true,
+      2L -> true, 3L -> true), s"unexpected decisions: $decisions")
+    // the replay itself: same batchId, same payload, post-GC store
+    StreamOps.applyDimBatch(spark, store, 2L,
+      wave(keys(2), 3), StreamOps.scd2Merge, compactEvery = 2)
+    val want = (0 until 3).foldLeft(base) { (acc, b) =>
+      StreamOps.scd2Merge(acc, wave(keys(b), b + 1))
+    }.orderBy("c_custkey", "eff_from_ver").collect()
+    val got = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "replayed batch after a default-horizon vacuum must serve the one-shot history")
+    // and once the full snapshot g3 drops BELOW the horizon (a later
+    // generation exists above it), the default-horizon vacuum does
+    // reclaim the garbage under g3
+    StreamOps.applyDimBatch(spark, store, 3L,
+      wave(keys(0), 9), StreamOps.scd2Merge, compactEvery = 2)
+    val d2 = StreamOps.vacuumDimStore(store)
+    // fullness judged below g4: newest full there is g3 → g0..g2 go
+    assert(d2.toMap == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> true, 4L -> true), s"unexpected decisions: $d2")
   }
 
   test("a sparse-bucket dimension still detects full snapshots (compaction stays amortized)") {
