@@ -1094,6 +1094,89 @@ object StreamOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
   }
 
+  /** Snapshot reads over the generation store — the third leg of the
+    * lakehouse lifecycle (applyDimBatch writes, compaction bounds
+    * stitching, vacuum reclaims, THIS key reads AS OF any retained
+    * generation): resolveDimStore's bound parameter IS time travel,
+    * because generations are append-only and a scan bounded at b sees
+    * exactly the state after batch b — INCLUDING below a later major
+    * compaction, which only adds a new generation and never rewrites
+    * history. Run at compactEvery=2: at small SFs the single-digit
+    * waves are bucket-partial and batch 2 major-compacts, so as-of
+    * 1/2 read BELOW a compaction; at larger SFs the 10%-of-keys waves
+    * cover every bucket and each generation is naturally a full
+    * snapshot — either way some full snapshot sits above the early
+    * bounds (required below), and the below-compaction read is
+    * deterministically exercised by the spec's single-key-wave
+    * fixture, where partiality is guaranteed. The oracle is the
+    * progressive one-shot fold of the same change waves at every
+    * bound — four exact snapshots from one store, no copies. Delta/
+    * Iceberg VERSION AS OF is this read path; vacuumDimStore is what
+    * retires it (history below the newest full snapshot dies at GC,
+    * same tradeoff as Delta VACUUM vs time travel). */
+  def streamDimAsof(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeCdcLog(spark, sfDir)
+    val run = s"/tmp/graft_dim_asof_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = s"$run/store"
+    writeDimStore(graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0)), store)
+    val changes = spark.readStream.schema(cdcLogSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcLogDir(sfDir)}/b*")
+    runAvailableNow(changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDimBatch(spark, store, batchId, batch, cdcMerge,
+          compactEvery = 2)
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    // all four generations must exist and some full snapshot must sit
+    // ABOVE the early bounds (a compaction at small SFs, a bucket-
+    // covering wave at larger ones) — otherwise the as-of reads are
+    // not exercising history-below-a-snapshot at all
+    val scan = scanDimStore(store, Long.MaxValue)
+    require(scan.map(_._1) == Seq(0L, 1L, 2L, 3L) &&
+      lastFullIdx(scan) >= 1,
+      s"fixture must retain g0..g3 with a full snapshot past g0: " +
+        s"${scan.map(t => t._1 -> t._2.size)}")
+    val asOf = (0 to 3).map { b =>
+      spark.read.parquet(resolveDimStore(store, b.toLong).map(_._2): _*)
+        .filter(col("op") =!= "D").drop("op", "version")
+        .withColumn("as_of", lit(b))
+    }.reduce(_ unionByName _)
+      .select("as_of", "c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .orderBy("as_of", "c_custkey")
+    val rows = asOf.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), asOf.schema)
+  }
+
+  /** Progressive one-shot folds of the CDC waves — the as-of oracle:
+    * bound 0 = the initial dimension, 1 = update wave applied, 2 =
+    * deletes applied, 3 = inserts applied (same derivations as
+    * writeCdcLog / etl_cdc_upsert). */
+  val streamDimAsofSql: String =
+    """WITH s1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer),
+      |s2 AS (SELECT * FROM s1 WHERE c_custkey % 10 <> 3),
+      |ins AS (
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) AS c_custkey,
+      |         c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 7),
+      |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM ins)
+      |SELECT 0 AS as_of, c_custkey, c_name, c_nationkey, c_acctbal,
+      |       c_mktsegment FROM customer
+      |UNION ALL SELECT 1, * FROM s1
+      |UNION ALL SELECT 2, * FROM s2
+      |UNION ALL SELECT 3, * FROM s3""".stripMargin
+
   // ---- DuckDB oracles for the streaming keys -------------------
   // A drained bounded stream's final state equals the batch
   // aggregation by Structured Streaming's semantics (the parity
@@ -1969,7 +2052,8 @@ object StreamOps {
     "stream_funnel_timeout" -> (streamFunnelTimeout _),
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_scd2" -> (streamScd2 _),
-    "stream_dim_vacuum" -> (streamDimVacuum _))
+    "stream_dim_vacuum" -> (streamDimVacuum _),
+    "stream_dim_asof" -> (streamDimAsof _))
 
   val oracles: Map[String, String] = Map(
     "stream_kmv" -> streamKmvSql,
@@ -2004,5 +2088,8 @@ object StreamOps {
     "stream_scd2" -> graft.operators.Etl.etlScd2Sql,
     // the VACUUMED generation store must still equal the one-shot
     // batch MERGE: compaction + retention GC invisible in the answer
-    "stream_dim_vacuum" -> graft.operators.Etl.etlCdcUpsertSql)
+    "stream_dim_vacuum" -> graft.operators.Etl.etlCdcUpsertSql,
+    // every retained generation bound must read as the progressive
+    // one-shot fold at that bound — including below the compaction
+    "stream_dim_asof" -> streamDimAsofSql)
 }

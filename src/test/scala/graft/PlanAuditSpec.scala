@@ -784,6 +784,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // driver-side dir ops; the returned frame is the drained O(keys)
     // local relation
     "stream_dim_vacuum" -> 0,
+    // dim_asof: the four bounded reads execute inside the call; the
+    // returned frame is the O(keys·bounds) local relation
+    "stream_dim_asof" -> 0,
     // mv_maintain: drained store rolls up before collect; the
     // returned frame is the O(months) local relation
     "stream_mv_maintain" -> 0,
@@ -992,7 +995,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "etl_wap", "pipeline_jsonl_roundtrip", "q_json_table",
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
       "stream_kmv",
-      "stream_scd2", "stream_dim_vacuum",
+      "stream_scd2", "stream_dim_vacuum", "stream_dim_asof",
       "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",

@@ -681,6 +681,50 @@ class StreamPipelineSpec extends AnyFunSuite {
       3L -> true, 4L -> true), s"unexpected decisions: $d2")
   }
 
+  test("as-of reads below a major compaction return the exact historical state") {
+    // time travel through the append-only layout: a scan bounded at
+    // generation b sees exactly the post-batch-b state even after a
+    // LATER major compaction folded everything — compaction adds a
+    // generation, it never rewrites history. Single-key waves make
+    // g1/g2 deterministically partial, so batch 2 compacts at
+    // cadence 2 and bounds 0..2 all read below the compaction.
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_asof_store").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(3).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    (0 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    // the compaction really happened: every bucket resolves to g3
+    assert(StreamOps.resolveDimStore(store, Long.MaxValue)
+      .forall(_._2.contains("/g3/")), "batch 2 must have compacted")
+    // every bound reads the exact progressive fold — bounds 0..2 sit
+    // strictly below the compaction
+    (0 to 3).foreach { bound =>
+      val got = spark.read
+        .parquet(StreamOps.resolveDimStore(store, bound.toLong).map(_._2): _*)
+        .orderBy("c_custkey", "eff_from_ver").collect()
+      val want = (0 until bound).foldLeft(base) { (acc, b) =>
+        StreamOps.scd2Merge(acc, wave(keys(b), b + 1))
+      }.orderBy("c_custkey", "eff_from_ver").collect()
+      assert(got.length == want.length &&
+        got.zip(want).forall { case (x, y) => x == y },
+        s"as-of bound $bound diverged from the progressive fold")
+    }
+  }
+
   test("a sparse-bucket dimension still detects full snapshots (compaction stays amortized)") {
     // regression for the count-based fullness test: a dimension whose
     // keys never hash into all 16 buckets would never produce a
