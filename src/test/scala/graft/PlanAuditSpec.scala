@@ -95,10 +95,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // final sort (range exchange over the match-sized output) that
     // closed the board's one red hash row
     "q_match_recognize" -> 5,
-    // match_w: same daily collapse (1) + the grp-keyed window chain
-    // over daily then run grain + the run-grain LEAD window + final
-    // sort — all model-sized exchanges past the first aggregate
-    "q_match_w" -> 5,
+    // match_w: measured TIGHT at 3 — the daily collapse (1), ONE
+    // grp-keyed hash exchange reused by the classify/segment windows,
+    // the run collapse AND the run-grain LEAD window (this is why the
+    // window-lead compile beats a 4-way self-join: no extra
+    // exchanges), and the final range sort (1)
+    "q_match_w" -> 3,
     // mv_auto: the advise/publish/register jobs run inside the call
     // (etl_wap's rule); the returned year dashboard re-plans onto the
     // auto summary — one rollup aggregate over the k-row MV scan + the
