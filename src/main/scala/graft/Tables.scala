@@ -45,6 +45,20 @@ object Tables {
     else df
   }
 
+  /** Corpus-dir tag for one-time /tmp artifact paths AND the oracle
+    * side's `__SFTAG__` substitution (Verify) — the two must agree
+    * byte-for-byte, so this is the ONLY derivation. Truncated SHA-256
+    * of the dir string, not 32-bit String.hashCode: two colliding dir
+    * strings would share one artifact directory, and a concurrent
+    * Verify on corpus A could clobber published payloads between
+    * corpus B's publish and its oracle's read_parquet — the same
+    * collision/stale-artifact hazard the mv_auto defTag already moved
+    * off hashCode for (ScaleJoins.scala). 64 digest bits put an
+    * accidental cross-corpus collision past any realistic dir count. */
+  def sfTag(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Redistribute a LOW-SPLIT source before per-row CPU-heavy work
     * (JSON parsing, media decode): parquet cannot split inside a row
     * group, so a single-row-group file scans as ONE task and

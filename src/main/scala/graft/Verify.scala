@@ -90,7 +90,9 @@ object Verify {
     // __SFTAG__ lets a static oracle string reference per-corpus
     // side-channel files (e.g. the published IVF centroid model)
     // without cross-run clobbering — substituted with this run's tag
-    val sfTag = Integer.toHexString(sfDir.hashCode)
+    // (the SAME truncated-SHA-256 derivation every publisher uses;
+    // see Tables.sfTag for why not 32-bit String.hashCode)
+    val sfTag = Tables.sfTag(sfDir)
     // under SPARK_GRAFT_ONLY, emit oracle entries ONLY for keys that
     // ran: an entry for a key outside the subset would lack its
     // canonical ORDER BY wrap (pinned has no row for it), and running

@@ -194,7 +194,7 @@ object DedupOps {
   val minhashBands = 4
 
   private[graft] def minhashIdxDir(dir: String): String =
-    s"/tmp/graft_minhash_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_minhash_${graft.Tables.sfTag(dir)}"
 
   /** Signature index published once per corpus fingerprint (the same
     * discipline as dedup_incremental's corpus index); the pair search
@@ -422,7 +422,7 @@ object DedupOps {
   // hamming distance <= 3 (bit_count of xor).
   // ---------------------------------------------------------------
   private[graft] def simhashIdxDir(dir: String): String =
-    s"/tmp/graft_simhash_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_simhash_${graft.Tables.sfTag(dir)}"
 
   /** Published-signature variant (the dedup_minhash discipline): the
     * 64-bit signatures and their 16-bit band buckets publish once per
@@ -631,7 +631,7 @@ object DedupOps {
   }
 
   private[graft] def labelsDir(dir: String): String =
-    s"/tmp/graft_labels_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_labels_${graft.Tables.sfTag(dir)}"
 
   /** The near-dup cluster labels as a PUBLISHED artifact (once per
     * corpus fingerprint): dedup_clusters stays the computation key —
@@ -774,7 +774,7 @@ object DedupOps {
   // layout, the bucket join, or the verify math breaks parity.
   // ---------------------------------------------------------------
   private[graft] def dedupIndexDir(dir: String): String =
-    s"/tmp/graft_dedup_idx_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_dedup_idx_${graft.Tables.sfTag(dir)}"
 
   /** The "corpus" is documents; the "batch" replays every 10th doc
     * under a shifted id (dupDocs' planted clones) — a nightly crawl

@@ -477,7 +477,7 @@ object Etl {
     * a regenerated fixture at the same path re-runs the migration
     * instead of letting the oracle read a stale dump. */
   private[graft] def pipelineDumpDir(dir: String): String =
-    s"/tmp/graft_pipeline_dump_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_pipeline_dump_${graft.Tables.sfTag(dir)}"
 
   /** End-to-end migration dump parity — the whole orchestrated path
     * (Pipeline.migrate: rules -> extract -> value convert ->
@@ -869,7 +869,7 @@ object Etl {
     * against the source table. Export is one-time per corpus
     * fingerprint, like the bucket layout and the Derby db. */
   private[graft] def shardExportDir(dir: String): String =
-    s"/tmp/graft_shard_export_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_shard_export_${graft.Tables.sfTag(dir)}"
 
   /** Shard count is a deployment parameter (graft.shard.export.count;
     * fixture default 8): at 100 TB it is sized to downstream reader
@@ -909,7 +909,7 @@ object Etl {
     * corpus fingerprint; path keyed by the same dir hash the oracle's
     * __SFTAG__ substitutes). */
   private[graft] def schemaEvoDir(dir: String): String =
-    s"/tmp/graft_schema_evo_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_schema_evo_${graft.Tables.sfTag(dir)}"
 
   /** Schema evolution — the lake-ingest reality the reference's
     * drop-and-recreate never faces: batches written MONTHS apart carry
@@ -958,7 +958,7 @@ object Etl {
   /** Root for the compaction fixture layouts (one-time per corpus
     * fingerprint). */
   private[graft] def compactDir(dir: String): String =
-    s"/tmp/graft_compact_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_compact_${graft.Tables.sfTag(dir)}"
 
   /** Small-file compaction — the maintenance job every streaming or
     * incremental ingest forces on a lake: thousands of tiny
@@ -1694,7 +1694,7 @@ object Etl {
     * lexicographic via one struct-ordered min_by, so every output
     * cell is engine-exact. */
   private[graft] def partLabelsDir(dir: String): String =
-    s"/tmp/graft_part_labels_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_part_labels_${graft.Tables.sfTag(dir)}"
 
   /** Part entity-resolution labels as a PUBLISHED artifact (once per
     * corpus fingerprint) — the same split publishedLabels makes for

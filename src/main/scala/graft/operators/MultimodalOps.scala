@@ -346,7 +346,7 @@ object MultimodalOps {
        |FROM v GROUP BY doc_id, n_samples, frame_idx""".stripMargin
 
   private[graft] def mediaMetaDir(dir: String): String =
-    s"/tmp/graft_media_meta_${Integer.toHexString(dir.hashCode)}"
+    s"/tmp/graft_media_meta_${graft.Tables.sfTag(dir)}"
 
   /** Publish the binary payloads once per corpus fingerprint (the
     * dedup_lsh_eval / minhashPublish discipline): the codec bytes are

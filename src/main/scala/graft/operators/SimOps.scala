@@ -246,7 +246,7 @@ object SimOps {
     * oracle SQL references); the static SQL carries Verify's
     * `__SFTAG__` placeholder, substituted at dump time. */
   def centroidDumpPath(dir: String): String =
-    s"/tmp/graft_ivf_centroids_${Integer.toHexString(dir.hashCode)}.parquet"
+    s"/tmp/graft_ivf_centroids_${graft.Tables.sfTag(dir)}.parquet"
 
   /** The published model is build-once-then-load: if the per-corpus
     * parquet already exists, the centroids are READ BACK from it and
@@ -401,7 +401,7 @@ object SimOps {
   val pqK = 16
 
   def pqCodebookPath(dir: String): String =
-    s"/tmp/graft_pq_codebooks_${Integer.toHexString(dir.hashCode)}.parquet"
+    s"/tmp/graft_pq_codebooks_${graft.Tables.sfTag(dir)}.parquet"
 
   /** Published per-subspace codebooks (m, c_id, cv, cnrm2),
     * build-once-then-load exactly like publishedCentroids: Lloyd

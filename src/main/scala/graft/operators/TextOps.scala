@@ -1690,8 +1690,8 @@ object TextOps {
   private[graft] val bm25Queries = 5
   private val bm25TopK = 3
 
-  private def bm25StatsPath(dir: String): String =
-    s"/tmp/graft_bm25_${Integer.toHexString(dir.hashCode)}.parquet"
+  private[graft] def bm25StatsPath(dir: String): String =
+    s"/tmp/graft_bm25_${graft.Tables.sfTag(dir)}.parquet"
 
   /** Publish the per-term IDF table once per corpus: idf =
     * ln(1 + (N − df + ½)/(df + ½)) is computed ONE time in ONE
