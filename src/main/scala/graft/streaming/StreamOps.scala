@@ -631,16 +631,34 @@ object StreamOps {
     StructField("op", StringType),
     StructField("version", IntegerType)))
 
+  /** Event-time anchor for the CDC waves: version v carries
+    * change_ts = T0 + v hours (v=0 is the initial dimension load).
+    * Micros of 2024-06-01T00:00:00Z — fixed, so the AS OF TIMESTAMP
+    * oracle can carry the probe instants as literals. */
+  private[graft] val cdcT0Micros: Long = 1717200000000000L
+
+  /** The CDC log WITH its event-time column — only the AS OF
+    * TIMESTAMP key reads it; every other consumer keeps the narrower
+    * cdcLogSchema and parquet prunes the column away unread. */
+  private val cdcLogTsSchema: StructType =
+    StructType(cdcLogSchema.fields :+ StructField("change_ts", TimestampType))
+
   private def writeCdcLog(s: SparkSession, sfDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val root = cdcLogDir(sfDir)
     val tagPath = Paths.get(root, "_GRAFT_TAG")
-    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer"))
+    // layout suffix: the r13 change_ts column must force a republish
+    // of logs published by older binaries (content check only — the
+    // DIR name stays keyed on corpus identity alone)
+    val tag = graft.operators.ScaleJoins.corpusTag(sfDir, Seq("customer")) +
+      "|layout=ts1"
     graft.operators.Etl.withPathLock(Paths.get(root + ".lock")) {
       if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
         val base = graft.Tables.load(s, sfDir, "customer")
         def stamp(df: DataFrame, op: String, v: Int): DataFrame =
           df.withColumn("op", lit(op)).withColumn("version", lit(v))
+            .withColumn("change_ts",
+              expr(s"timestamp_micros(${cdcT0Micros}L + version * 3600000000L)"))
         val b1 = stamp(base.filter(col("c_custkey") % 10 === 1)
           .withColumn("c_acctbal", col("c_acctbal") + 100.0), "U", 1)
         // deletes ride with their last payload (Debezium 'before'
@@ -651,9 +669,16 @@ object StreamOps {
           .crossJoin(broadcast(shift))
           .withColumn("c_custkey", col("c_custkey") + col("key_shift"))
           .drop("key_shift"), "I", 3)
-        // sequential writes give the file source its mtime order —
-        // but the merge is version-aware, so ordering is a
-        // convenience, not a correctness dependency
+        // sequential writes give the file source its mtime order. For
+        // the MERGE consumers (stream_cdc_apply, stream_scd2,
+        // stream_dim_vacuum) that order is a convenience — the merge
+        // is version-aware and converges under any delivery order —
+        // but the SNAPSHOT keys (stream_dim_asof, stream_dim_asof_ts)
+        // DEPEND on wave v landing as batchId v-1: their as-of bounds
+        // index batch positions. An mtime tie reordering the waves
+        // would silently desynchronize every snapshot from the
+        // progressive oracle, so those keys' foreachBatch REQUIREs
+        // version == batchId+1 and fails fast instead.
         b1.coalesce(1).write.mode("overwrite").parquet(s"$root/b1")
         b2.coalesce(1).write.mode("overwrite").parquet(s"$root/b2")
         b3.coalesce(1).write.mode("overwrite").parquet(s"$root/b3")
@@ -800,10 +825,56 @@ object StreamOps {
   /** Initialize the dimension store: generation g0 holds the full
     * dimension hive-partitioned by key bucket — the layout that makes
     * incremental maintenance write O(affected buckets), not
-    * O(dimension), per micro-batch. */
-  private[graft] def writeDimStore(df: DataFrame, store: String): Unit =
+    * O(dimension), per micro-batch. `eventTimeMicros` stamps g0's
+    * event-time manifest (the AS OF TIMESTAMP epoch of the initial
+    * load); None keeps the store generation-addressable only. */
+  private[graft] def writeDimStore(df: DataFrame, store: String,
+      eventTimeMicros: Option[Long] = None): Unit = {
     df.withColumn("bkt", dimBucketOf)
       .write.partitionBy("bkt").parquet(s"$store/g0")
+    eventTimeMicros.foreach(writeGenEventTime(store, 0L, _))
+  }
+
+  /** The per-generation event-time manifest — ONE number beside each
+    * commit: the maximum event time observed in the store up to and
+    * including that generation (cumulative, so late data keeps the
+    * generation→time mapping MONOTONE and AS OF resolution
+    * well-defined). Written after the parquet _SUCCESS; a crash in
+    * between leaves a committed generation without a manifest, which
+    * the producing batch's at-least-once replay repairs (overwrite
+    * rewrites both) and timestamp resolution skips rather than
+    * misreads. */
+  private[graft] def writeGenEventTime(store: String, gen: Long,
+      micros: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/g$gen/_EVENT_TIME"), micros.toString)
+
+  private[graft] def readGenEventTime(store: String, gen: Long): Option[Long] = {
+    val p = java.nio.file.Paths.get(s"$store/g$gen/_EVENT_TIME")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** AS OF TIMESTAMP → generation bound, resolved through the
+    * event-time manifests: the LARGEST committed generation whose
+    * manifest time ≤ ts. A timestamp BETWEEN two commits therefore
+    * reads the EARLIER generation — the state that actually existed
+    * at that instant (the Delta/Iceberg TIMESTAMP AS OF contract) —
+    * and a timestamp BEFORE the first commit is an error: no state
+    * existed to serve. Generations without a manifest (pre-event-time
+    * stores, or the write-crash window documented on
+    * writeGenEventTime) are skipped, never guessed at. */
+  private[graft] def resolveAsOfTimestamp(store: String, micros: Long): Long = {
+    val times = scanDimStore(store, Long.MaxValue)
+      .flatMap { case (g, _) => readGenEventTime(store, g).map(g -> _) }
+    require(times.nonEmpty,
+      s"store $store has no event-time manifests to resolve AS OF against")
+    require(micros >= times.head._2,
+      s"AS OF timestamp_micros=$micros precedes the first commit " +
+        s"(timestamp_micros=${times.head._2})")
+    times.filter(_._2 <= micros).map(_._1).max
+  }
 
   /** Resolve the store's current state as of generation `bound`:
     * per bucket, the LATEST COMMITTED generation (its dir carries
@@ -929,6 +1000,18 @@ object StreamOps {
       .withColumn("bkt", dimBucketOf)
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$store/g${batchId + 1}")
+    // event-time manifest beside the commit (see writeGenEventTime):
+    // cumulative max over prior manifests ∪ this batch — one tiny agg
+    // on the already-in-hand batch, only when the feed carries event
+    // time at all; an empty replayed batch inherits the running max
+    if (batch.columns.contains("change_ts")) {
+      val r = batch.agg(max(unix_micros(col("change_ts")))).head
+      val batchMax = if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      val prevMax = scan.map(_._1).flatMap(readGenEventTime(store, _))
+        .foldLeft(Long.MinValue)(math.max)
+      val m = math.max(batchMax, prevMax)
+      if (m > Long.MinValue) writeGenEventTime(store, batchId + 1, m)
+    }
   }
 
   /** The served dimension: every bucket at its latest committed
@@ -952,20 +1035,22 @@ object StreamOps {
     * VACUUM, which needs a retention horizon precisely because their
     * readers CAN hold references below the newest snapshot.
     *
-    * REPLAY SAFETY bounds the horizon `replayDepth` epochs higher
-    * than readers alone need: the newest generation's producing batch
-    * may not have committed to the streaming checkpoint yet, and its
-    * at-least-once replay re-reads only generations BELOW it
-    * (scanDimStore bound = its batchId). So fullness is judged over
-    * the scan EXCLUDING the newest replayDepth generations — the
-    * newest full snapshot a replaying batch can still see — at the
-    * cost of at most that many extra retained epochs. Without this, a
-    * vacuum landing in the write-to-checkpoint-commit window would
-    * delete every input of the replaying batch and wedge the stream
-    * (spec-asserted: replay-after-vacuum case). The default 1 covers
-    * foreachBatch's one in-flight batch; pass 0 ONLY for a drained
-    * pipeline (checkpoint committed, nothing can replay — the
-    * stream_dim_vacuum key's case).
+    * REPLAY SAFETY is MEASURED, not argued: a generation whose
+    * producing batch has not yet committed to the streaming
+    * checkpoint may replay, and its replay re-reads only generations
+    * BELOW it (scanDimStore bound = its batchId). The horizon
+    * therefore comes from the checkpoint's own commits/ log —
+    * generation g is replay-safe iff its producing batch g−1 is
+    * durably committed — and fullness is judged only over the
+    * replay-safe prefix: the newest full snapshot any replaying batch
+    * can still see, at the cost of retaining at most the in-flight
+    * epochs. Without this, a vacuum landing in the
+    * write-to-checkpoint-commit window would delete every input of
+    * the replaying batch and wedge the stream (spec-asserted:
+    * replay-after-vacuum case, plus a commit-log-trailing-by->1
+    * case). A drained pipeline's commit log covers every batch, so
+    * the whole scan is judged — no caller-supplied depth constant
+    * anywhere (the r12 replayDepth parameter this replaces).
     *
     * Uncommitted dirs (no _SUCCESS: a writer killed mid-flight) are
     * left alone — deleting a dir a live writer is mid-write into is
@@ -975,10 +1060,30 @@ object StreamOps {
     * not what was intended), so a broken GC surfaces in the decision
     * data instead of masquerading as reclamation. */
   private[graft] def vacuumDimStore(store: String,
-      replayDepth: Int = 1): Seq[(Long, Boolean)] = {
+      checkpoint: String): Seq[(Long, Boolean)] =
+    vacuumDimStoreAt(store, maxCommittedBatch(checkpoint) + 1)
+
+  /** Newest batch id durably recorded in a Structured Streaming
+    * checkpoint's commits/ log, or -1 when none has committed —
+    * the measured replay horizon vacuumDimStore resolves through.
+    * Batch ids are the plain-digit file names; .compact and .tmp
+    * siblings are not commit records. */
+  private[graft] def maxCommittedBatch(checkpoint: String): Long =
+    Option(new java.io.File(checkpoint, "commits").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.nonEmpty &&
+        f.getName.forall(_.isDigit))
+      .map(_.getName.toLong).foldLeft(-1L)(math.max)
+
+  /** Core with an explicit replay-safe bound: fullness is judged only
+    * over committed generations ≤ safeGen (every generation a
+    * still-replayable batch might read is above the reclaim line). */
+  private[graft] def vacuumDimStoreAt(store: String,
+      safeGen: Long): Seq[(Long, Boolean)] = {
     val scan = scanDimStore(store, Long.MaxValue)
-    val lastFull = lastFullIdx(scan.dropRight(replayDepth))
-    val lastFullGen = if (lastFull < 0) -1L else scan(lastFull)._1
+    val lastFull = lastFullIdx(scan.filter(_._1 <= safeGen))
+    val lastFullGen =
+      if (lastFull < 0) -1L else scan.filter(_._1 <= safeGen)(lastFull)._1
     scan.map { case (g, _) =>
       val keep = g >= lastFullGen ||
         !scala.reflect.io.Directory(new java.io.File(s"$store/g$g"))
@@ -1081,9 +1186,10 @@ object StreamOps {
     // generation ≥ g1 is always full (either a wave covered every
     // bucket or batch 2 compacted), so the vacuum must both keep and
     // reclaim — a no-op vacuum here means the lifecycle is broken.
-    // replayDepth=0: the stream is DRAINED (runAvailableNow returned,
-    // checkpoint committed), so no batch can replay
-    val decisions = vacuumDimStore(store, replayDepth = 0)
+    // The replay horizon is READ from the checkpoint's commit log:
+    // the drained stream has every batch committed, so the whole
+    // scan is judged — no hand-passed depth
+    val decisions = vacuumDimStore(store, s"$run/ckpt")
     require(decisions.exists(_._2) && decisions.exists(!_._2),
       s"dim vacuum reclaimed nothing (decisions=$decisions)")
     val fin = readDimStore(spark, store)
@@ -1126,6 +1232,7 @@ object StreamOps {
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        requireWaveOrder(batch, batchId)
         applyDimBatch(spark, store, batchId, batch, cdcMerge,
           compactEvery = 2)
       }
@@ -1153,6 +1260,105 @@ object StreamOps {
     scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), asOf.schema)
   }
+
+  /** Fail-fast guard for the SNAPSHOT keys' hidden coupling: their
+    * as-of bounds assume wave v landed as batchId v−1, which the file
+    * source only guarantees through mtime order (see writeCdcLog). A
+    * tie or clock anomaly reordering the waves must abort the run
+    * with a diagnosis, not let every snapshot silently diverge from
+    * the progressive oracle. One limit-2 probe on the in-hand
+    * single-file batch — cheap, and min==max also catches a batch
+    * that coalesced two waves. */
+  private def requireWaveOrder(batch: DataFrame, batchId: Long): Unit = {
+    val r = batch.agg(min(col("version")), max(col("version"))).head
+    require(!r.isNullAt(0) && r.getInt(0) == batchId + 1 &&
+      r.getInt(1) == batchId + 1,
+      s"CDC wave order broke: batchId=$batchId carries versions " +
+        s"[${r.get(0)}, ${r.get(1)}] (expected ${batchId + 1}) — " +
+        "mtime ordering of the published wave files was violated")
+  }
+
+  /** AS OF TIMESTAMP over the generation store — the API users
+    * actually call (Delta/Iceberg TIMESTAMP AS OF), closing the
+    * lifecycle stream_dim_asof opened with generation numbers: each
+    * commit writes a ONE-NUMBER event-time manifest beside its
+    * _SUCCESS (cumulative max change_ts — see writeGenEventTime), and
+    * a timestamp resolves through the manifests to a generation bound
+    * (largest commit time ≤ probe; BETWEEN two commits → the earlier
+    * generation; BEFORE the first commit → error — both
+    * spec-asserted), then reuses the exact snapshot machinery
+    * (resolveDimStore at that bound). Probes: the initial load
+    * instant, a mid-gap instant between waves 1 and 2, wave 2's exact
+    * commit time, and an instant past the last wave — resolving to
+    * generations 0..3, so the oracle is the SAME progressive fold as
+    * stream_dim_asof keyed by probe micros instead of generation
+    * number. Scale shape: resolution is O(generations) manifest reads
+    * on the driver (tiny), the snapshot read is the same
+    * latest-per-bucket parquet scan — timestamps add metadata, never
+    * data movement. */
+  def streamDimAsofTs(parent: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamingSession(parent)
+    writeCdcLog(spark, sfDir)
+    val run = s"/tmp/graft_dim_asof_ts_run_${runId.incrementAndGet()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = s"$run/store"
+    writeDimStore(graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("op", lit("I")).withColumn("version", lit(0)), store,
+      eventTimeMicros = Some(cdcT0Micros))
+    val changes = spark.readStream.schema(cdcLogTsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcLogDir(sfDir)}/b*")
+    runAvailableNow(changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        requireWaveOrder(batch, batchId)
+        applyDimBatch(spark, store, batchId, batch, cdcMerge,
+          compactEvery = 2)
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    // probe instants (micros past T0): 0 = the initial load, +90 min
+    // = strictly between wave 1 (+1 h) and wave 2 (+2 h) — must read
+    // the EARLIER state, +2 h = exactly wave 2's commit, +10 h = past
+    // the last wave
+    val probes = Seq(0L, 5400000000L, 7200000000L, 36000000000L)
+      .map(cdcT0Micros + _)
+    val asOf = probes.map { t =>
+      val g = resolveAsOfTimestamp(store, t)
+      spark.read.parquet(resolveDimStore(store, g).map(_._2): _*)
+        .filter(col("op") =!= "D").drop("op", "version")
+        .withColumn("as_of_us", lit(t))
+    }.reduce(_ unionByName _)
+      .select("as_of_us", "c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .orderBy("as_of_us", "c_custkey")
+    val rows = asOf.collect()
+    scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), asOf.schema)
+  }
+
+  /** Progressive folds keyed by PROBE INSTANT — stream_dim_asof_ts's
+    * oracle: the same four snapshots as streamDimAsofSql, labeled
+    * with the probe's epoch micros (T0=2024-06-01T00:00:00Z; waves at
+    * +1h/+2h/+3h; probes at +0/+90min/+2h/+10h resolve to generations
+    * 0/1/2/3 by the largest-commit-≤-probe rule). */
+  val streamDimAsofTsSql: String =
+    """WITH s1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer),
+      |s2 AS (SELECT * FROM s1 WHERE c_custkey % 10 <> 3),
+      |ins AS (
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer) AS c_custkey,
+      |         c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 7),
+      |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM ins)
+      |SELECT CAST(1717200000000000 AS BIGINT) AS as_of_us, c_custkey,
+      |       c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |UNION ALL SELECT CAST(1717205400000000 AS BIGINT), * FROM s1
+      |UNION ALL SELECT CAST(1717207200000000 AS BIGINT), * FROM s2
+      |UNION ALL SELECT CAST(1717236000000000 AS BIGINT), * FROM s3""".stripMargin
 
   /** Progressive one-shot folds of the CDC waves — the as-of oracle:
     * bound 0 = the initial dimension, 1 = update wave applied, 2 =
@@ -2053,7 +2259,8 @@ object StreamOps {
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_scd2" -> (streamScd2 _),
     "stream_dim_vacuum" -> (streamDimVacuum _),
-    "stream_dim_asof" -> (streamDimAsof _))
+    "stream_dim_asof" -> (streamDimAsof _),
+    "stream_dim_asof_ts" -> (streamDimAsofTs _))
 
   val oracles: Map[String, String] = Map(
     "stream_kmv" -> streamKmvSql,
@@ -2091,5 +2298,6 @@ object StreamOps {
     "stream_dim_vacuum" -> graft.operators.Etl.etlCdcUpsertSql,
     // every retained generation bound must read as the progressive
     // one-shot fold at that bound — including below the compaction
-    "stream_dim_asof" -> streamDimAsofSql)
+    "stream_dim_asof" -> streamDimAsofSql,
+    "stream_dim_asof_ts" -> streamDimAsofTsSql)
 }

@@ -89,18 +89,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // stream_kmv: the drained final-state aggregate only (the
     // stateful plan executes inside the operator)
     "stream_kmv" -> 1,
-    // match_recognize: corpus collapses to daily grain (1), the
-    // window passes + run collapse + run-pair join ride the
-    // model-sized daily/run frames; +1 in r11 for the deterministic
-    // final sort (range exchange over the match-sized output) that
-    // closed the board's one red hash row
-    "q_match_recognize" -> 5,
+    // match_recognize: measured TIGHT at 3 since the r13 pattern-table
+    // compiler — the daily collapse (1), ONE grp-keyed exchange reused
+    // by the classify/segment/LEAD windows and the run collapse, and
+    // the final range sort (1). The r11-r12 run-pair SELF-JOIN plan
+    // cost 5; compiling the V as a 2-step window-lead pattern (same
+    // compiler as W/HS) dropped both join-side exchanges while keeping
+    // the oracle text and hash identical
+    "q_match_recognize" -> 3,
     // match_w: measured TIGHT at 3 — the daily collapse (1), ONE
     // grp-keyed hash exchange reused by the classify/segment windows,
     // the run collapse AND the run-grain LEAD window (this is why the
     // window-lead compile beats a 4-way self-join: no extra
     // exchanges), and the final range sort (1)
     "q_match_w" -> 3,
+    // match_hs: the W lead plan (3) + the greedy SKIP PAST LAST ROW
+    // selection — the candidate⋉orbit left-semi join adds the
+    // orbit-side exchange and the candidate re-key (2); the
+    // pointer-doubling rounds themselves run eagerly over
+    // localCheckpoint'd candidate-sized frames (the dedup_clusters
+    // discipline) and are not part of the audited plan
+    "q_match_hs" -> 5,
     // mv_auto: the advise/publish/register jobs run inside the call
     // (etl_wap's rule); the returned year dashboard re-plans onto the
     // auto summary — one rollup aggregate over the k-row MV scan + the
@@ -789,6 +798,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // dim_asof: the four bounded reads execute inside the call; the
     // returned frame is the O(keys·bounds) local relation
     "stream_dim_asof" -> 0,
+    // dim_asof_ts: same drained-snapshot shape, bounds resolved
+    // through the event-time manifests instead of generation numbers
+    "stream_dim_asof_ts" -> 0,
     // mv_maintain: drained store rolls up before collect; the
     // returned frame is the O(months) local relation
     "stream_mv_maintain" -> 0,
@@ -998,6 +1010,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "stream_bitmap_distinct", "stream_cdc_apply", "stream_dedup",
       "stream_kmv",
       "stream_scd2", "stream_dim_vacuum", "stream_dim_asof",
+      "stream_dim_asof_ts",
       "stream_mv_maintain", "stream_mv_retract",
       "stream_enrich", "stream_events", "stream_funnel_timeout",
       "stream_heavy_hitters", "stream_join", "stream_late_data",

@@ -595,8 +595,10 @@ class StreamPipelineSpec extends AnyFunSuite {
     val resolvedBefore = StreamOps.resolveDimStore(store, Long.MaxValue)
     val servedBefore = StreamOps.readDimStore(spark, store)
       .orderBy("c_custkey", "eff_from_ver").collect()
-    // replayDepth=0 = the drained-pipeline contract this test models
-    val decisions = StreamOps.vacuumDimStore(store, replayDepth = 0)
+    // drained-pipeline model: every batch committed to the checkpoint,
+    // and the vacuum READS that horizon from the commit log itself
+    val decisions = StreamOps.vacuumDimStore(store,
+      writeCommits(s"$dir/ckpt", 0 to 2))
     // the retention decision as data: keep g3, reclaim g0..g2
     assert(decisions.toMap == Map(0L -> false, 1L -> false,
       2L -> false, 3L -> true), s"unexpected decisions: $decisions")
@@ -627,13 +629,15 @@ class StreamPipelineSpec extends AnyFunSuite {
       "the vacuumed store must equal the one-shot merge")
   }
 
-  test("vacuum at the default replay horizon keeps the in-flight batch's inputs (replay survives GC)") {
-    // the kill window the default replayDepth=1 exists for: batch b
+  test("vacuum at the measured replay horizon keeps the in-flight batch's inputs (replay survives GC)") {
+    // the kill window the commit-log horizon exists for: batch b
     // major-compacts and COMMITS full generation g(b+1), the process
     // dies before the streaming checkpoint commits b, and the GC job
     // runs before restart. The replay of b reads only generations
     // ≤ b — a vacuum that reclaimed up to g(b+1) would have deleted
-    // every one of them and wedged the stream permanently
+    // every one of them and wedged the stream permanently. The
+    // horizon is READ from the checkpoint's commits/ log: batch b's
+    // commit record is absent, so fullness is judged below g(b+1)
     import java.nio.file.Files
     import org.apache.spark.sql.types.IntegerType
     val dir = Files.createTempDirectory("graft_vacuum_replay").toString
@@ -653,10 +657,12 @@ class StreamPipelineSpec extends AnyFunSuite {
       StreamOps.applyDimBatch(spark, store, b.toLong,
         wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
     }
-    // g3 (batch 2's compaction) is full, but batch 2 may replay:
-    // default-horizon vacuum must judge fullness BELOW g3 and keep
-    // everything a replay of batch 2 reads (here: all of g0..g2)
-    val decisions = StreamOps.vacuumDimStore(store)
+    // g3 (batch 2's compaction) is full, but batch 2's commit record
+    // is missing from the checkpoint — it may replay. The measured
+    // horizon must judge fullness BELOW g3 and keep everything a
+    // replay of batch 2 reads (here: all of g0..g2)
+    val decisions = StreamOps.vacuumDimStore(store,
+      writeCommits(s"$dir/ckpt", 0 to 1))
     assert(decisions.toMap == Map(0L -> true, 1L -> true,
       2L -> true, 3L -> true), s"unexpected decisions: $decisions")
     // the replay itself: same batchId, same payload, post-GC store
@@ -675,10 +681,132 @@ class StreamPipelineSpec extends AnyFunSuite {
     // reclaim the garbage under g3
     StreamOps.applyDimBatch(spark, store, 3L,
       wave(keys(0), 9), StreamOps.scd2Merge, compactEvery = 2)
-    val d2 = StreamOps.vacuumDimStore(store)
-    // fullness judged below g4: newest full there is g3 → g0..g2 go
+    val d2 = StreamOps.vacuumDimStore(store,
+      writeCommits(s"$dir/ckpt", 0 to 2))
+    // batch 3 uncommitted → fullness judged below g4: newest full
+    // there is g3 → g0..g2 go
     assert(d2.toMap == Map(0L -> false, 1L -> false, 2L -> false,
       3L -> true, 4L -> true), s"unexpected decisions: $d2")
+  }
+
+  /** Fabricated Structured Streaming commit log: one plain-digit file
+    * per committed batch id, the exact on-disk shape
+    * StreamOps.maxCommittedBatch reads. Returns the checkpoint dir. */
+  private def writeCommits(ckpt: String, batchIds: Range): String = {
+    val dir = new java.io.File(ckpt, "commits")
+    dir.mkdirs()
+    batchIds.foreach(b => java.nio.file.Files.writeString(
+      new java.io.File(dir, b.toString).toPath, "v1\n{}"))
+    ckpt
+  }
+
+  test("vacuum with a commit log trailing by more than one batch keeps every replayable input") {
+    // a checkpoint whose commits/ log trails the generation store by
+    // >1 batch (two die-after-write windows back to back, or a copied
+    // checkpoint behind the store): batches 1 and 2 both lack commit
+    // records, so BOTH may replay — the measured horizon must judge
+    // fullness at g1 and reclaim nothing, where the old fixed
+    // depth=1 constant would have judged at g2 and, had g2 been full,
+    // deleted batch 1's inputs
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_vacuum_trail").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    StreamOps.writeDimStore(base, store)
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(3).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int) = base.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+      .withColumn("ver", lit(ver))
+      .select("c_custkey", "ver", "c_acctbal", "c_mktsegment")
+    (0 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    // only batch 0 committed; g3 (batch 2's compaction) is full but
+    // sits TWO batches above the horizon
+    val decisions = StreamOps.vacuumDimStore(store,
+      writeCommits(s"$dir/ckpt", 0 to 0))
+    assert(decisions.toMap == Map(0L -> true, 1L -> true,
+      2L -> true, 3L -> true), s"unexpected decisions: $decisions")
+    // both uncommitted batches replay against the post-GC store and
+    // still serve the one-shot history
+    (1 until 3).foreach { b =>
+      StreamOps.applyDimBatch(spark, store, b.toLong,
+        wave(keys(b), b + 1), StreamOps.scd2Merge, compactEvery = 2)
+    }
+    val want = (0 until 3).foldLeft(base) { (acc, b) =>
+      StreamOps.scd2Merge(acc, wave(keys(b), b + 1))
+    }.orderBy("c_custkey", "eff_from_ver").collect()
+    val got = StreamOps.readDimStore(spark, store)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "replays after a trailing-commit-log vacuum must serve the one-shot history")
+  }
+
+  test("AS OF TIMESTAMP resolves between/at/before commits through the event-time manifests") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.IntegerType
+    val dir = Files.createTempDirectory("graft_asof_ts").toString
+    val store = s"$dir/store"
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), lit(0).as("eff_from_ver"),
+        lit(null).cast(IntegerType).as("eff_to_ver"),
+        lit(1).as("is_current"), col("c_acctbal"), col("c_mktsegment"))
+    // g0 committed at event-time 1000
+    StreamOps.writeDimStore(base, store, eventTimeMicros = Some(1000L))
+    val keys = base.select("c_custkey").orderBy("c_custkey")
+      .limit(3).collect().map(_.getLong(0))
+    def wave(k: Long, ver: Int, tsMicros: Long) =
+      base.filter(col("c_custkey") === k)
+        .withColumn("c_acctbal", col("c_acctbal") + ver * 100.0)
+        .withColumn("ver", lit(ver))
+        .withColumn("change_ts", expr(s"timestamp_micros(${tsMicros}L)"))
+        .select("c_custkey", "ver", "c_acctbal", "c_mktsegment",
+          "change_ts")
+    // waves at event times 2000 and 3000, then a LATE wave at 2500
+    StreamOps.applyDimBatch(spark, store, 0L, wave(keys(0), 1, 2000L),
+      StreamOps.scd2Merge)
+    StreamOps.applyDimBatch(spark, store, 1L, wave(keys(1), 2, 3000L),
+      StreamOps.scd2Merge)
+    StreamOps.applyDimBatch(spark, store, 2L, wave(keys(2), 3, 2500L),
+      StreamOps.scd2Merge)
+    // manifests: cumulative max → g0=1000, g1=2000, g2=3000, g3=3000
+    assert((0 to 3).map(g => StreamOps.readGenEventTime(store, g.toLong))
+      == Seq(Some(1000L), Some(2000L), Some(3000L), Some(3000L)))
+    // BETWEEN two commits → the EARLIER generation
+    assert(StreamOps.resolveAsOfTimestamp(store, 2500L) == 1L)
+    assert(StreamOps.resolveAsOfTimestamp(store, 2999L) == 1L)
+    // exactly AT a commit → that generation
+    assert(StreamOps.resolveAsOfTimestamp(store, 2000L) == 1L)
+    assert(StreamOps.resolveAsOfTimestamp(store, 1000L) == 0L)
+    // at/after the newest manifest time → the NEWEST such generation
+    // (g3, not g2): the late wave's rows live only in g3, and AS OF
+    // 3000 must see every event ≤ 3000 — why the manifest is a
+    // cumulative max, not a per-batch max
+    assert(StreamOps.resolveAsOfTimestamp(store, 3000L) == 3L)
+    assert(StreamOps.resolveAsOfTimestamp(store, 9999L) == 3L)
+    // BEFORE the first commit → error, not an empty guess
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.resolveAsOfTimestamp(store, 999L)
+    }
+    assert(e.getMessage.contains("precedes the first commit"))
+    // the resolved snapshot is the exact historical state: AS OF 2500
+    // serves g1 = base + wave 1 only
+    val got = spark.read.parquet(StreamOps.resolveDimStore(store,
+        StreamOps.resolveAsOfTimestamp(store, 2500L)).map(_._2): _*)
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    val want = StreamOps.scd2Merge(base, wave(keys(0), 1, 2000L)
+        .drop("change_ts"))
+      .orderBy("c_custkey", "eff_from_ver").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (x, y) => x == y },
+      "AS OF between commits must serve the earlier generation's exact state")
   }
 
   test("as-of reads below a major compaction return the exact historical state") {
