@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,35 +9,63 @@ import graft.Tables
 /** Row-pattern matching — the SQL:2016 MATCH_RECOGNIZE capability
   * Spark has no native operator for (and DuckDB doesn't either, so
   * the oracle is the same relational compilation executed by an
-  * independent engine, with the semantics replayed row-by-row in the
-  * spec).
+  * independent engine, with the semantics replayed by a genuine
+  * row-level greedy automaton in the spec).
   *
-  * The pattern here is the classic V-shape over an ordered series —
-  * `PATTERN (DOWN{3,} UP{3,})` with DOWN: v < PREV(v), UP:
-  * v > PREV(v) — over per-priority daily revenue: a maximal run of
-  * ≥3 strictly-falling days immediately followed by a maximal run of
-  * ≥3 strictly-rising days (a flat day breaks both quantifiers, as
-  * the strict definitions demand). Measures are MATCH_RECOGNIZE's
-  * FIRST/LAST idiom: match start/trough/end days, run lengths, and
-  * the exact drawdown/recovery in cents. `AFTER MATCH SKIP PAST LAST
-  * ROW` is vacuous for this pattern (maximal runs cannot overlap),
-  * which is what makes the set-based compilation below EQUAL to the
-  * row-automaton semantics — the spec proves it against a driver-side
-  * NFA-style replay.
+  * r13: ONE compiler over a DECLARED pattern table. A pattern is pure
+  * data — `(direction, minRun)` steps, a skip mode, and MEASURES as
+  * column functions over step accessors — and every key below is a
+  * table entry; adding a fourth pattern is a declaration, not code.
+  * The three shipped patterns:
+  *
+  *   - q_match_recognize: `PATTERN (DOWN{3,} UP{3,})` — the V-shape
+  *     (drawdown and recovery). AFTER MATCH SKIP PAST LAST ROW is
+  *     PROVABLY VACUOUS here: a second candidate inside a 2-run span
+  *     would need run 1's direction to equal run 0's, which the
+  *     alternating declaration forbids — the compiler detects that
+  *     from the declared dirs (conflictsPossible) and emits the pure
+  *     window plan with no selection pass.
+  *   - q_match_w: `PATTERN (D1 U1 D2 U2)`, {2,} each, AFTER MATCH
+  *     SKIP TO FIRST D2 — consecutive W's OVERLAP, sharing their
+  *     middle V. Under maximal-run classification that skip rule
+  *     equals "emit every aligned run quadruple": mid-run starts have
+  *     the same following runs and a shorter first step, so they
+  *     match only where the aligned start already matched and the
+  *     greedy scan emits the aligned one first; and the resume point
+  *     (first row of D2) IS the next aligned candidate's start, so
+  *     the chain skips nothing. The spec now checks this claim
+  *     against an INDEPENDENT row-level automaton instead of
+  *     embedding it (r12 ADVICE).
+  *   - q_match_hs: `PATTERN (DOWN{2,} UP{1,} DOWN{1,} UP{2,})` with
+  *     AFTER MATCH SKIP PAST LAST ROW — the skip mode the other two
+  *     cannot show doing real work: aligned candidates CAN overlap
+  *     (two runs apart), and the greedy left-to-right scan must keep
+  *     a candidate only if it starts past the last kept match's end.
+  *     That selection is sequential by definition, so it is computed
+  *     as the ORBIT of each group's first candidate under the jump
+  *     pointer jump(c) = min candidate ≥ c.seg + k (one RANGE-frame
+  *     window), materialized by pointer DOUBLING — O(log matches)
+  *     keyed self-joins on the run-grain-sized candidate frame, the
+  *     same discipline as DedupOps.clusterLabels, never a per-row
+  *     driver loop. The DuckDB oracle walks the identical jump
+  *     pointers with a recursive CTE.
   *
   * Compilation (the standard run-length encoding):
   *   1. classify each row against its predecessor: dir ∈ {-1, 0, +1},
   *   2. number maximal constant-dir runs with a change-flag cumsum,
   *   3. collapse to run grain (first/last day, length, boundary
   *      values),
-  *   4. pair each DOWN run with the run that follows it and keep
-  *      (DOWN, UP) pairs meeting the quantifiers.
+  *   4. window-LEAD the run grain k−1 steps and keep rows whose lead
+  *      dirs/lengths satisfy every declared step (one grp-keyed
+  *      exchange, no self-join),
+  *   5. if the declared skip mode requires it, greedy-select
+  *      non-overlapping candidates (orbit-of-first under jump).
   *
   * Scale shape: the corpus collapses to the daily grain at the FIRST
   * aggregate; both window passes and the run collapse ride one
-  * priority-keyed exchange over the model-sized daily frame; the
-  * run-pair join is runs-to-runs (tiny) on (grp, seg). All arithmetic
-  * is exact BIGINT cents — no float crosses an engine boundary.
+  * priority-keyed exchange over the model-sized daily frame; leads
+  * replace self-joins. All arithmetic is exact BIGINT cents — no
+  * float crosses an engine boundary.
   *
   * Reference tie-in: the reference's closest surface is row-ordered
   * scanning during extraction (mysql2psql MysqlParser.py
@@ -54,6 +82,52 @@ object MatchRecognize {
     * 4-run shape still occurs in the fixture series. */
   val wMinRun = 2
 
+  /** One step of a declared row pattern: a maximal run with direction
+    * `dir` (+1 strictly rising / −1 strictly falling — a flat day
+    * matches neither, as the strict PREV() predicates demand) and
+    * greedy quantifier {minRun,}. */
+  final case class RunStep(dir: Int, minRun: Int)
+
+  /** AFTER MATCH SKIP declaration. SkipToFirst(j) resumes at the
+    * first row of step j's consumed segment (overlap-permitting);
+    * SkipPastLastRow resumes after the match's last row
+    * (non-overlapping, greedy). */
+  sealed trait SkipMode
+  case object SkipPastLastRow extends SkipMode
+  final case class SkipToFirst(step: Int) extends SkipMode
+
+  /** Step accessors the MEASURES are declared against: boundary
+    * values of step i's maximal run. Accessing records the (field,
+    * step) pairs used, so the compiler builds exactly the lead
+    * columns a declaration needs — no speculative leads for Catalyst
+    * to prune. */
+  final class StepCols {
+    private[MatchRecognize] val used =
+      scala.collection.mutable.Set[(String, Int)]()
+    private def c(base: String, i: Int): Column = {
+      used += (base -> i)
+      if (i == 0) col(base) else col(s"${base}_$i")
+    }
+    /** First day of step i's run. */
+    def d0(i: Int): Column = c("d0", i)
+    /** Last day of step i's run. */
+    def d1(i: Int): Column = c("d1", i)
+    /** Step i's run length. */
+    def n(i: Int): Column = c("n", i)
+    /** Series value at step i's last row. */
+    def endV(i: Int): Column = c("end_v", i)
+    /** Series value just BEFORE step i's first row (PREV of the run
+      * start — the peak a falling step falls from). */
+    def startPrevV(i: Int): Column = c("start_prev_v", i)
+  }
+
+  /** A declared pattern: steps, skip mode, and measures (name →
+    * column over the step accessors). The first measure must be the
+    * match-start day — it pins the (grp, start) total output order
+    * both engines share. */
+  final case class PatternSpec(steps: Seq[RunStep], skip: SkipMode,
+    measures: Seq[(String, StepCols => Column)])
+
   private def dailyFrame(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("grp"),
@@ -66,6 +140,9 @@ object MatchRecognize {
 
   def qMatchW(s: SparkSession, dir: String): DataFrame =
     wRuns(dailyFrame(s, dir), wMinRun, wMinRun)
+
+  def qMatchHs(s: SparkSession, dir: String): DataFrame =
+    hsRuns(dailyFrame(s, dir))
 
   /** Steps 1–3 of the compilation: classify, segment, collapse to the
     * run grain — shared by every pattern over the same series. Segs
@@ -91,82 +168,183 @@ object MatchRecognize {
         max_by(col("v"), col("day")).as("end_v"))
   }
 
-  /** The V-pattern compilation over ANY (grp, day, v) series frame —
-    * factored from the query key so the randomized spec can drive it
-    * with arbitrary synthetic series (flat runs, single points,
-    * alternating saw-tooths) against the row-automaton replay. */
-  private[graft] def matchRuns(daily: DataFrame): DataFrame = {
-    val runs = runGrain(daily)
-    val a = runs.as("a")
-    val b = runs.as("b")
-    a.join(b, col("a.grp") === col("b.grp") &&
-        col("b.seg") === col("a.seg") + 1)
-      .filter(col("a.dir") === -1 && col("b.dir") === 1 &&
-        col("a.n") >= minRun && col("b.n") >= minRun)
-      .select(col("a.grp").as("grp"),
-        col("a.d0").as("start_day"), col("a.d1").as("trough_day"),
-        col("b.d1").as("end_day"),
-        col("a.n").as("down_len"), col("b.n").as("up_len"),
-        (col("a.start_prev_v") - col("a.end_v")).as("depth_cents"),
-        (col("b.end_v") - col("a.end_v")).as("recovery_cents"))
+  /** Can two aligned candidates of this step sequence start within k
+    * runs of each other? True iff some offset j ∈ [1, k) keeps every
+    * overlapping position's direction consistent — for alternating
+    * declarations that is any even j, so k=2 patterns can never
+    * conflict (SKIP PAST LAST ROW vacuous) while k≥3 ones can. The
+    * compiler consults THIS, not the key author, to decide whether
+    * the greedy selection pass is needed. */
+  private[graft] def conflictsPossible(steps: Seq[RunStep]): Boolean =
+    (1 until steps.size).exists(j =>
+      (0 until steps.size - j).forall(i => steps(j + i).dir == steps(i).dir))
+
+  /** Steps 4–5: compile a declared pattern over ANY (grp, day, v)
+    * series frame — factored from the query keys so the randomized
+    * spec can drive arbitrary synthetic series (flat runs, single
+    * points, alternating saw-tooths) against the row-automaton
+    * replay. */
+  private[graft] def compilePattern(daily: DataFrame,
+      spec: PatternSpec): DataFrame = {
+    val steps = spec.steps
+    val k = steps.size
+    require(k >= 2, "a pattern needs at least two steps")
+    require(steps.forall(s => s.dir == 1 || s.dir == -1),
+      "steps are strict runs: dir must be +1 or -1")
+    require(steps.sliding(2).forall(p => p.head.dir != p.last.dir),
+      "adjacent steps must alternate direction — equal-dir neighbors " +
+        "would be one maximal run and the greedy quantifier would " +
+        "starve the second step")
+    require(spec.measures.headOption.exists(_._1 == "start_day"),
+      "the first measure must be start_day (pins the output order)")
+    spec.skip match {
+      case SkipToFirst(j) =>
+        require(j > 0 && j < k && steps(j).dir == steps.head.dir,
+          "SKIP TO FIRST must name a later step that can start a match")
+      case SkipPastLastRow => ()
+    }
+    // build the measures ONCE against a recording StepCols: the
+    // accessor log tells the compiler exactly which lead columns this
+    // declaration needs (conditions always need dir_i and n_i)
+    val sc = new StepCols
+    val measureCols = spec.measures.map { case (nm, f) => f(sc).as(nm) }
+    val cond = steps.zipWithIndex.map { case (st, i) =>
+      sc.n(i) // record: conditions read n_i
+      (if (i == 0) col("dir") else col(s"dir_$i")) === st.dir &&
+        (if (i == 0) col("n") else col(s"n_$i")) >= st.minRun
+    }.reduce(_ && _)
+    val needed = (sc.used.toSeq ++ (1 until k).map("dir" -> _))
+      .filter(_._2 > 0).distinct.sortBy(t => (t._2, t._1))
+    val w = Window.partitionBy("grp").orderBy("seg")
+    val withLeads = needed.foldLeft(runGrain(daily)) {
+      case (df, (base, i)) =>
+        df.withColumn(s"${base}_$i", lead(col(base), i).over(w))
+    }
+    val cand = withLeads.filter(cond)
+    val kept = spec.skip match {
+      case SkipPastLastRow if conflictsPossible(steps) =>
+        greedySelect(cand, k)
+      // k=2 alternating: candidates are ≥ k runs apart by declaration,
+      // so PAST LAST ROW skips nothing; SkipToFirst: overlap is the
+      // declared semantics and aligned emission IS the automaton
+      // (spec-checked against the independent row NFA)
+      case _ => cand
+    }
+    kept.select(col("grp") +: measureCols: _*)
       // (grp, start_day) is a match key (maximal runs cannot share a
       // start), so this is a TOTAL order — pinned because the driver's
-      // correctness hash is row-order-sensitive and the runs-to-runs
-      // join is the one place the two engines' output orders diverge.
+      // correctness hash is row-order-sensitive
       .orderBy("grp", "start_day")
   }
 
-  /** The W-pattern (double-V) compilation:
-    * `PATTERN (D1 U1 D2 U2)` with D: v < PREV(v) {m,}, U: v > PREV(v)
-    * {n,}, and — the semantics the V key cannot show — `AFTER MATCH
-    * SKIP TO FIRST D2`: consecutive W's OVERLAP, sharing their middle
-    * V. Under maximal-run classification that skip rule equals
-    * "emit every aligned run quadruple (down,up,down,up) meeting the
-    * quantifiers": matches can only start at run starts (a mid-run
-    * start has the same following runs and a shorter D1, so it
-    * matches only where the aligned start already matched and the
-    * greedy scan emits the aligned one first), and the resume point
-    * (first row of D2) IS the next aligned quadruple's start, so the
-    * greedy chain skips nothing. The spec replays the automaton
-    * with exactly that skip rule and asserts equality.
-    *
-    * Compilation: window-lead over the run grain (one exchange on
-    * grp, model-sized frame) instead of a 4-way self-join. */
-  private[graft] def wRuns(daily: DataFrame, m: Int, n: Int): DataFrame = {
-    val w = Window.partitionBy("grp").orderBy("seg")
-    runGrain(daily)
-      .withColumn("dir1", lead(col("dir"), 1).over(w))
-      .withColumn("n1", lead(col("n"), 1).over(w))
-      .withColumn("mid_d1", lead(col("d1"), 1).over(w))
-      .withColumn("mid_v", lead(col("end_v"), 1).over(w))
-      .withColumn("dir2", lead(col("dir"), 2).over(w))
-      .withColumn("n2", lead(col("n"), 2).over(w))
-      .withColumn("t2_d1", lead(col("d1"), 2).over(w))
-      .withColumn("t2_v", lead(col("end_v"), 2).over(w))
-      .withColumn("dir3", lead(col("dir"), 3).over(w))
-      .withColumn("n3", lead(col("n"), 3).over(w))
-      .withColumn("e_d1", lead(col("d1"), 3).over(w))
-      .withColumn("e_v", lead(col("end_v"), 3).over(w))
-      .filter(col("dir") === -1 && col("dir1") === 1 &&
-        col("dir2") === -1 && col("dir3") === 1 &&
-        col("n") >= m && col("n1") >= n &&
-        col("n2") >= m && col("n3") >= n)
-      .select(col("grp"), col("d0").as("start_day"),
-        col("d1").as("trough1_day"), col("mid_d1").as("mid_day"),
-        col("t2_d1").as("trough2_day"), col("e_d1").as("end_day"),
-        col("n").as("down1_len"), col("n1").as("up1_len"),
-        col("n2").as("down2_len"), col("n3").as("up2_len"),
-        (col("start_prev_v") - col("end_v")).as("depth1_cents"),
-        (col("mid_v") - col("t2_v")).as("depth2_cents"),
-        (col("e_v") - col("t2_v")).as("recovery_cents"))
-      // (grp, start_day) is a match key: aligned quadruples share a
-      // start only if they share the whole first run — total order
-      .orderBy("grp", "start_day")
+  /** AFTER MATCH SKIP PAST LAST ROW where candidates can overlap: the
+    * greedy scan keeps a candidate iff it starts ≥ k runs past the
+    * last KEPT one. Sequential by definition, so it is computed as
+    * the orbit of each group's first candidate under
+    * jump(c) = min candidate seg ≥ c.seg + k (one RANGE window over
+    * the candidate frame), materialized by pointer DOUBLING:
+    * round r holds every kept candidate within 2^r chain steps of the
+    * first and a 2^r-step composed pointer — O(log matches) rounds of
+    * model-frame joins, localCheckpointed like DedupOps'
+    * pointer-jumping so Catalyst never sees a growing lineage. */
+  private def greedySelect(cand: DataFrame, k: Int): DataFrame = {
+    val jumpW = Window.partitionBy("grp").orderBy(col("seg"))
+      .rangeBetween(k, Window.unboundedFollowing)
+    val withJump = cand.select(col("grp"), col("seg"))
+      .withColumn("jump", min(col("seg")).over(jumpW))
+      .localCheckpoint()
+    var reach = withJump.groupBy("grp").agg(min(col("seg")).as("seg"))
+      .localCheckpoint()
+    var ptr = withJump.filter(col("jump").isNotNull).localCheckpoint()
+    var grew = true
+    var size = reach.count()
+    while (grew && ptr.head(1).nonEmpty) {
+      val step = reach.join(ptr, Seq("grp", "seg"))
+        .select(col("grp"), col("jump").as("seg"))
+      reach = reach.unionByName(step).distinct().localCheckpoint()
+      val doubled = ptr.as("p1").join(
+          ptr.select(col("grp").as("g2"), col("seg").as("s2"),
+            col("jump").as("j2")).as("p2"),
+          col("p1.grp") === col("g2") && col("p1.jump") === col("s2"))
+        .select(col("p1.grp").as("grp"), col("p1.seg").as("seg"),
+          col("j2").as("jump"))
+      ptr = doubled.localCheckpoint()
+      val n = reach.count()
+      grew = n > size
+      size = n
+    }
+    cand.join(reach, Seq("grp", "seg"), "left_semi")
   }
+
+  /** The pattern TABLE — every MATCH_RECOGNIZE key as a declaration.
+    * Measures are data too: FIRST/LAST/len/delta projections over the
+    * step accessors, compiled with the pattern. */
+  private[graft] val vPattern = PatternSpec(
+    steps = Seq(RunStep(-1, minRun), RunStep(1, minRun)),
+    skip = SkipPastLastRow,
+    measures = Seq(
+      "start_day" -> (s => s.d0(0)),
+      "trough_day" -> (s => s.d1(0)),
+      "end_day" -> (s => s.d1(1)),
+      "down_len" -> (s => s.n(0)),
+      "up_len" -> (s => s.n(1)),
+      "depth_cents" -> (s => s.startPrevV(0) - s.endV(0)),
+      "recovery_cents" -> (s => s.endV(1) - s.endV(0))))
+
+  private[graft] def wPattern(m: Int, n: Int) = PatternSpec(
+    steps = Seq(RunStep(-1, m), RunStep(1, n), RunStep(-1, m),
+      RunStep(1, n)),
+    skip = SkipToFirst(2),
+    measures = Seq(
+      "start_day" -> (s => s.d0(0)),
+      "trough1_day" -> (s => s.d1(0)),
+      "mid_day" -> (s => s.d1(1)),
+      "trough2_day" -> (s => s.d1(2)),
+      "end_day" -> (s => s.d1(3)),
+      "down1_len" -> (s => s.n(0)),
+      "up1_len" -> (s => s.n(1)),
+      "down2_len" -> (s => s.n(2)),
+      "up2_len" -> (s => s.n(3)),
+      "depth1_cents" -> (s => s.startPrevV(0) - s.endV(0)),
+      "depth2_cents" -> (s => s.endV(1) - s.endV(2)),
+      "recovery_cents" -> (s => s.endV(3) - s.endV(2))))
+
+  /** Head-and-shoulders-ish asymmetric double-dip: a hard fall, any
+    * rebound, any second dip, then a sustained recovery — with the
+    * NON-vacuous SKIP PAST LAST ROW (candidates two runs apart must
+    * be greedily thinned). */
+  private[graft] val hsPattern = PatternSpec(
+    steps = Seq(RunStep(-1, 2), RunStep(1, 1), RunStep(-1, 1),
+      RunStep(1, 2)),
+    skip = SkipPastLastRow,
+    measures = Seq(
+      "start_day" -> (s => s.d0(0)),
+      "trough1_day" -> (s => s.d1(0)),
+      "mid_day" -> (s => s.d1(1)),
+      "trough2_day" -> (s => s.d1(2)),
+      "end_day" -> (s => s.d1(3)),
+      "down1_len" -> (s => s.n(0)),
+      "up1_len" -> (s => s.n(1)),
+      "down2_len" -> (s => s.n(2)),
+      "up2_len" -> (s => s.n(3)),
+      "depth1_cents" -> (s => s.startPrevV(0) - s.endV(0)),
+      "depth2_cents" -> (s => s.endV(1) - s.endV(2)),
+      "recovery_cents" -> (s => s.endV(3) - s.endV(2))))
+
+  /** The V/W/HS compilations over ANY (grp, day, v) series frame —
+    * thin table lookups kept as named functions for the specs. */
+  private[graft] def matchRuns(daily: DataFrame): DataFrame =
+    compilePattern(daily, vPattern)
+
+  private[graft] def wRuns(daily: DataFrame, m: Int, n: Int): DataFrame =
+    compilePattern(daily, wPattern(m, n))
+
+  private[graft] def hsRuns(daily: DataFrame): DataFrame =
+    compilePattern(daily, hsPattern)
 
   /** The shared CTE chain down to the run grain — ONE copy of the
-    * classification text so the V and W oracles can never diverge on
-    * what a run is (the §4 mirrored-tree discipline). */
+    * classification text so no two oracles can diverge on what a run
+    * is (the §4 mirrored-tree discipline). */
   private val runsCte: String =
     """WITH daily AS (
       |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
@@ -229,11 +407,58 @@ object MatchRecognize {
        |  AND n2 >= $wMinRun AND n3 >= $wMinRun
        |ORDER BY grp, start_day""".stripMargin
 
+  /** HS oracle: same lead chain at the asymmetric quantifiers, then
+    * the GREEDY SKIP PAST LAST ROW selection as a recursive CTE —
+    * DuckDB walks the identical jump pointers (min candidate ≥ seg+4
+    * via the same RANGE window frame) from each group's first
+    * candidate; the engine's pointer-doubling orbit must keep exactly
+    * the rows this walk visits. The run-grain/lead/jump chain nests
+    * inside the `cand` CTE as a derived table: DuckDB's WITH
+    * RECURSIVE flattens named-window scopes across the top-level CTE
+    * list (runsCte's two `WINDOW w` clauses would collide), and a
+    * nested WITH keeps its own scope. */
+  val qMatchHsSql: String =
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT * FROM (
+       |$runsCte,
+       |sel AS (
+       |  SELECT grp, seg, dir, d0, d1, n, start_prev_v, end_v,
+       |    LEAD(dir, 1) OVER w AS dir1, LEAD(n, 1) OVER w AS n1,
+       |    LEAD(d1, 1) OVER w AS mid_d1, LEAD(end_v, 1) OVER w AS mid_v,
+       |    LEAD(dir, 2) OVER w AS dir2, LEAD(n, 2) OVER w AS n2,
+       |    LEAD(d1, 2) OVER w AS t2_d1, LEAD(end_v, 2) OVER w AS t2_v,
+       |    LEAD(dir, 3) OVER w AS dir3, LEAD(n, 3) OVER w AS n3,
+       |    LEAD(d1, 3) OVER w AS e_d1, LEAD(end_v, 3) OVER w AS e_v
+       |  FROM runs WINDOW w AS (PARTITION BY grp ORDER BY seg))
+       |SELECT *,
+       |    MIN(seg) OVER (PARTITION BY grp ORDER BY seg
+       |      RANGE BETWEEN 4 FOLLOWING AND UNBOUNDED FOLLOWING) AS jump
+       |  FROM sel
+       |  WHERE dir = -1 AND dir1 = 1 AND dir2 = -1 AND dir3 = 1
+       |    AND n >= 2 AND n1 >= 1 AND n2 >= 1 AND n3 >= 2)),
+       |kept AS (
+       |  SELECT grp, seg FROM (
+       |    SELECT grp, MIN(seg) AS seg FROM cand GROUP BY grp)
+       |  UNION ALL
+       |  SELECT c.grp, c.jump AS seg
+       |  FROM kept k JOIN cand c ON c.grp = k.grp AND c.seg = k.seg
+       |  WHERE c.jump IS NOT NULL)
+       |SELECT c.grp, d0 AS start_day, d1 AS trough1_day, mid_d1 AS mid_day,
+       |  t2_d1 AS trough2_day, e_d1 AS end_day,
+       |  n AS down1_len, n1 AS up1_len, n2 AS down2_len, n3 AS up2_len,
+       |  start_prev_v - end_v AS depth1_cents,
+       |  mid_v - t2_v AS depth2_cents,
+       |  e_v - t2_v AS recovery_cents
+       |FROM cand c JOIN kept USING (grp, seg)
+       |ORDER BY c.grp, start_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_match_recognize" -> (qMatchRecognize _),
-    "q_match_w" -> (qMatchW _))
+    "q_match_w" -> (qMatchW _),
+    "q_match_hs" -> (qMatchHs _))
 
   val oracles: Map[String, String] = Map(
     "q_match_recognize" -> qMatchRecognizeSql,
-    "q_match_w" -> qMatchWSql)
+    "q_match_w" -> qMatchWSql,
+    "q_match_hs" -> qMatchHsSql)
 }

@@ -10,68 +10,87 @@ import graft.operators.MatchRecognize
 class MatchRecognizeSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** Row-automaton replay of PATTERN (DOWN{3,} UP{3,}) over one
-    * ordered series: walk the rows once, tracking maximal runs, and
-    * emit every (down-run, up-run) adjacency meeting the quantifiers
-    * — the semantics the set-based compilation must equal. */
-  private def nfaMatches(series: Seq[(Date, Long)])
-      : Seq[(Date, Date, Date, Long, Long, Long, Long)] =
-    runsOf(series).sliding(2).collect {
-      case Seq(a, b) if a.dir == -1 && b.dir == 1 &&
-          a.n >= MatchRecognize.minRun && b.n >= MatchRecognize.minRun =>
-        (a.d0, a.d1, b.d1, a.n.toLong, b.n.toLong,
-          a.startPrevV - a.endV, b.endV - a.endV)
-    }.toSeq
-
-  /** Maximal-run decomposition of one ordered series — the shared
-    * front half of both replays. */
+  /** One consumed step segment of a match: its direction, first/last
+    * day, row count, the value just before its first row, and the
+    * value at its last row. */
   private case class Run(dir: Int, d0: Date, d1: Date, n: Int,
     startPrevV: Long, endV: Long)
-  private def runsOf(series: Seq[(Date, Long)]): Seq[Run] = {
-    val runs = scala.collection.mutable.ArrayBuffer[Run]()
-    series.sliding(2).filter(_.size == 2).foreach { case Seq((_, pv), (d, v)) =>
-      val dir = java.lang.Long.compare(v, pv)
-      if (runs.nonEmpty && runs.last.dir == dir) {
-        val l = runs.last
-        runs(runs.size - 1) = l.copy(d1 = d, n = l.n + 1, endV = v)
-      } else runs += Run(dir, d, d, 1, pv, v)
+
+  /** GENUINE row-level greedy automaton — MATCH_RECOGNIZE semantics
+    * implemented directly on rows, NOT on the maximal-run
+    * decomposition the SQL compiles to (r12 ADVICE: a replay built on
+    * the same decomposition embeds, rather than tests, the claim that
+    * run-aligned emission equals the automaton). Scan row positions
+    * left to right; at each position attempt the declared pattern
+    * greedily (each step consumes the MAXIMAL run of its direction —
+    * adjacent steps alternate direction, so greedy needs no
+    * backtracking); on success emit the consumed segments and resume
+    * at the declared skip point (past the last row, or the first row
+    * of step j for SKIP TO FIRST); on failure advance one row. Every
+    * equality the compiler's scaladoc argues — aligned starts
+    * dominate mid-run starts, the W skip emits every aligned
+    * quadruple, the HS greedy orbit — is FALSIFIABLE here. */
+  private def rowNfa(series: Seq[(Date, Long)], steps: Seq[(Int, Int)],
+      skipToStep: Option[Int]): Seq[IndexedSeq[Run]] = {
+    val rows = series.sliding(2).filter(_.size == 2).map {
+      case Seq((_, pv), (d, v)) => (d, v, pv, java.lang.Long.compare(v, pv))
+    }.toIndexedSeq
+    val out = scala.collection.mutable.Buffer[IndexedSeq[Run]]()
+    var i = 0
+    while (i < rows.length) {
+      var pos = i
+      var ok = true
+      val segs = scala.collection.mutable.ArrayBuffer[(Int, Run)]()
+      for ((dir, minRun) <- steps if ok) {
+        val start = pos
+        while (pos < rows.length && rows(pos)._4 == dir) pos += 1
+        if (pos - start < minRun) ok = false
+        else segs += start -> Run(dir, rows(start)._1, rows(pos - 1)._1,
+          pos - start, rows(start)._3, rows(pos - 1)._2)
+      }
+      if (ok) {
+        out += segs.map(_._2).toIndexedSeq
+        i = skipToStep match {
+          case Some(j) => segs(j)._1 // FIRST row of step j's segment
+          case None => pos // past the match's last row
+        }
+      } else i += 1
     }
-    runs.toSeq
+    out.toSeq
   }
 
-  /** Row-automaton replay of PATTERN (D1 U1 D2 U2) with quantifiers
-    * {m,}/{n,} and AFTER MATCH SKIP TO FIRST D2 — the greedy scan
-    * with that skip rule emits exactly every aligned run quadruple
-    * (see wRuns scaladoc for why mid-run starts can never add or
-    * shadow a match), so the replay is sliding(4) over maximal runs.
-    * Overlap is REQUIRED behavior here: consecutive W's share their
-    * middle V. */
-  private def wNfaMatches(series: Seq[(Date, Long)], m: Int, n: Int)
-      : Seq[(Date, Date, Date, Date, Date, Long, Long, Long, Long, Long, Long, Long)] =
-    runsOf(series).sliding(4).collect {
-      case Seq(a, b, c, d) if a.dir == -1 && b.dir == 1 &&
-          c.dir == -1 && d.dir == 1 &&
-          a.n >= m && b.n >= n && c.n >= m && d.n >= n =>
-        (a.d0, a.d1, b.d1, c.d1, d.d1,
-          a.n.toLong, b.n.toLong, c.n.toLong, d.n.toLong,
-          a.startPrevV - a.endV, b.endV - c.endV, d.endV - c.endV)
-    }.toSeq
+  private val vSteps = Seq(-1 -> MatchRecognize.minRun,
+    1 -> MatchRecognize.minRun)
+  private def wSteps(m: Int, n: Int) = Seq(-1 -> m, 1 -> n, -1 -> m, 1 -> n)
+  private val hsSteps = Seq(-1 -> 2, 1 -> 1, -1 -> 1, 1 -> 2)
+
+  /** Measure tuples matching the declared patterns' outputs. */
+  private def vTuple(r: IndexedSeq[Run]) =
+    (r(0).d0, r(0).d1, r(1).d1, r(0).n.toLong, r(1).n.toLong,
+      r(0).startPrevV - r(0).endV, r(1).endV - r(0).endV)
+  private def quadTuple(r: IndexedSeq[Run]) =
+    (r(0).d0, r(0).d1, r(1).d1, r(2).d1, r(3).d1,
+      r(0).n.toLong, r(1).n.toLong, r(2).n.toLong, r(3).n.toLong,
+      r(0).startPrevV - r(0).endV, r(1).endV - r(2).endV,
+      r(3).endV - r(2).endV)
+
+  private def dailySeries(): Map[String, Seq[(Date, Long)]] =
+    Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("grp"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(t => (t._2, t._3)).toSeq).toMap
 
   test("q_match_recognize equals the row-automaton replay per series") {
     val got = MatchRecognize.qMatchRecognize(spark, sf).collect()
       .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // rebuild every daily series driver-side, exact cents
-    val daily = Tables.load(spark, sf, "orders")
-      .groupBy(col("o_orderpriority").as("grp"),
-        col("o_orderdate").cast("date").as("day"))
-      .agg(sum(expr(
-        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("v"))
-      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
-    val expected = daily.groupBy(_._1).map { case (grp, rows) =>
-      grp -> nfaMatches(rows.sortBy(_._2.getTime).map(t => (t._2, t._3)).toSeq)
-        .toSet
+    val expected = dailySeries().map { case (grp, pts) =>
+      grp -> rowNfa(pts, vSteps, None).map(vTuple).toSet
     }
     assert(got.values.map(_.size).sum > 0, "fixture must produce matches")
     expected.foreach { case (grp, exp) =>
@@ -102,15 +121,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
         r.getDate(4), r.getDate(5), r.getLong(6), r.getLong(7), r.getLong(8),
         r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val daily = Tables.load(spark, sf, "orders")
-      .groupBy(col("o_orderpriority").as("grp"),
-        col("o_orderdate").cast("date").as("day"))
-      .agg(sum(expr(
-        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("v"))
-      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
-    val expected = daily.groupBy(_._1).map { case (grp, rows) =>
-      grp -> wNfaMatches(
-        rows.sortBy(_._2.getTime).map(t => (t._2, t._3)).toSeq, m, m).toSet
+    val expected = dailySeries().map { case (grp, pts) =>
+      grp -> rowNfa(pts, wSteps(m, m), Some(2)).map(quadTuple).toSet
     }
     assert(got.values.map(_.size).sum > 0, "fixture must produce W matches")
     expected.foreach { case (grp, exp) =>
@@ -125,11 +137,6 @@ class MatchRecognizeSpec extends AnyFunSuite {
         assert(!d0.after(t1) && t1.before(mid) && mid.before(t2) &&
           t2.before(d1))
     }
-    // the skip rule's signature: where quadruples chain, matches
-    // OVERLAP (consecutive matches share their middle V) — assert at
-    // least structural consistency: any two matches in a series
-    // either are disjoint or overlap exactly at a shared run boundary
-    // (start of one == a day within the other), never identical
     got.foreach { case (_, ms) =>
       val starts = ms.toSeq.map(_._1.getTime)
       assert(starts.distinct.size == starts.size,
@@ -137,7 +144,38 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
-  test("randomized series: the compilation equals the NFA replay on " +
+  test("q_match_hs equals the greedy SKIP PAST LAST ROW automaton per series") {
+    val got = MatchRecognize.qMatchHs(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
+        r.getDate(4), r.getDate(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = dailySeries().map { case (grp, pts) =>
+      grp -> rowNfa(pts, hsSteps, None).map(quadTuple).toSet
+    }
+    assert(got.values.map(_.size).sum > 0, "fixture must produce HS matches")
+    expected.foreach { case (grp, exp) =>
+      assert(got.getOrElse(grp, Set.empty) == exp, s"series $grp diverged")
+    }
+    // the skip rule's signature, dual to W's: matches NEVER overlap —
+    // each match's last day strictly precedes the next match's start
+    // (greedy thinning did real work: without it aligned candidates
+    // two runs apart would both emit)
+    got.foreach { case (_, ms) =>
+      ms.toSeq.sortBy(_._1.getTime).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.getTime <= b._1.getTime,
+          "SKIP PAST LAST ROW must forbid overlapping matches")
+        case _ =>
+      }
+    }
+    // quantifier asymmetry: the short middle steps really admit
+    // 1-length runs somewhere on the fixture (else the key degenerates
+    // to the W shape and tests nothing new)
+    assert(got.values.flatten.exists(t => t._7 == 1 || t._8 == 1),
+      "fixture should exercise the {1,} quantifiers")
+  }
+
+  test("randomized series: all three compilations equal the row NFA on " +
     "adversarial shapes (flats, saw-tooths, singletons, long runs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -162,27 +200,39 @@ class MatchRecognizeSpec extends AnyFunSuite {
       val df = series.flatMap { case (g, pts) =>
         pts.map(p => (g, p._1, p._2))
       }.toDF("grp", "day", "v")
-      val got = graft.operators.MatchRecognize.matchRuns(df).collect()
+      val got = MatchRecognize.matchRuns(df).collect()
         .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
           r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       series.foreach { case (g, pts) =>
-        val exp = nfaMatches(pts).toSet
+        val exp = rowNfa(pts, vSteps, None).map(vTuple).toSet
         assert(got.getOrElse(g, Set.empty) == exp,
-          s"trial $trial series $g diverged from the NFA replay")
+          s"trial $trial series $g diverged from the V row NFA")
       }
-      // same adversarial series through the W compilation, at tight
-      // quantifiers ({2,}) so quadruples actually occur in 40 steps
-      val gotW = graft.operators.MatchRecognize.wRuns(df, 2, 2).collect()
-        .map(r => (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
+      def quadOf(r: org.apache.spark.sql.Row) =
+        (r.getString(0), (r.getDate(1), r.getDate(2), r.getDate(3),
           r.getDate(4), r.getDate(5), r.getLong(6), r.getLong(7),
           r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
-          r.getLong(12))))
+          r.getLong(12)))
+      // same adversarial series through the W compilation, at tight
+      // quantifiers ({2,}) so quadruples actually occur in 40 steps —
+      // the SKIP TO FIRST D2 equivalence claim is now checked against
+      // the independent row-level automaton
+      val gotW = MatchRecognize.wRuns(df, 2, 2).collect().map(quadOf)
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       series.foreach { case (g, pts) =>
-        val exp = wNfaMatches(pts, 2, 2).toSet
+        val exp = rowNfa(pts, wSteps(2, 2), Some(2)).map(quadTuple).toSet
         assert(gotW.getOrElse(g, Set.empty) == exp,
-          s"trial $trial series $g diverged from the W replay")
+          s"trial $trial series $g diverged from the W row NFA")
+      }
+      // and through the HS compilation: the pointer-doubling greedy
+      // orbit must equal the sequential row-level greedy scan
+      val gotHs = MatchRecognize.hsRuns(df).collect().map(quadOf)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      series.foreach { case (g, pts) =>
+        val exp = rowNfa(pts, hsSteps, None).map(quadTuple).toSet
+        assert(gotHs.getOrElse(g, Set.empty) == exp,
+          s"trial $trial series $g diverged from the HS row NFA")
       }
     }
   }
