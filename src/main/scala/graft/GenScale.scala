@@ -32,8 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  private val shift = 10000000L
-
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
@@ -51,6 +49,34 @@ object GenScale {
     // raw reads: events must keep its int64 ts exactly as stored
     def raw(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
+
+    // The copy shift must clear the SOURCE corpus's whole key range,
+    // not a constant: a fixed 10^7 made GenScale non-composable —
+    // re-scaling an already-scaled corpus (sf1 → sf10) overlapped the
+    // copies' id ranges and silently planted ~4×10^5 duplicate doc
+    // ids (caught as a DIVIDE_BY_ZERO in the jaccard verifier: |∩|
+    // exceeded the set sizes). Derived as the next power of ten past
+    // every keyed table's max id, so ids stay readable and joins stay
+    // consistent across copies. NOTE on double-scaling text: composed
+    // alphabet rotations can land two copy combinations on the same
+    // total offset (pigeonhole past 36 combos), planting bounded
+    // verbatim cross-copy dup cliques — fine for volume/shape stress
+    // probes, NOT for dedup precision/recall claims; use a single
+    // GenScale hop from a driver fixture for those.
+    val shift: Long = {
+      val maxId = Seq(
+        raw("orders").agg(max(col("o_orderkey"))).head.getLong(0),
+        raw("events").agg(max(col("event_id"))).head.getLong(0),
+        raw("documents").agg(max(col("doc_id"))).head.getLong(0),
+        raw("embeddings").agg(max(col("vec_id"))).head.getLong(0),
+        // dedup keys plant +1e6/+2e6 shadow copies of docs/vectors:
+        // the shift must clear those synthetic ranges too
+        2000000L).max
+      var s = 10000000L
+      while (s <= maxId) s *= 10
+      s
+    }
+    println(s"[gen] shift=$shift")
 
     def out(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

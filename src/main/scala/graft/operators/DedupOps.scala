@@ -65,6 +65,8 @@ object DedupOps {
     * array is let-bound (ExprUtils.bind) so the split+filter runs once
     * per row — inlined references would re-tokenize inside every
     * element_at, turning this O(tokens) expression into O(tokens²). */
+  private[graft] def shinglesProbe(text: Column): Column = shingles(text)
+
   private[operators] def shingles(text: Column): Column =
     graft.functions.ExprUtils.bind(
       filter(split(text, " "), x => x =!= "")) { t =>
@@ -613,16 +615,13 @@ object DedupOps {
   // dedup_clusters [O]: connected components over the near-dup pair
   // graph — the ACTIONABLE output of dedup (pairs say "these two are
   // close"; training-set pruning needs "keep exactly one doc per
-  // transitive cluster"). Min-label propagation: every vertex starts
-  // as its own label and repeatedly takes the min over its neighbors
-  // until fixpoint — one bucket-local join + one min-aggregate per
-  // round, O(graph diameter) rounds. Near-dup graphs are
-  // short-diameter by construction (clusters are cliques-ish of
-  // mutually-similar docs), so the loop converges in a handful of
-  // rounds; each round localCheckpoints the (id, label) frame — KBs
-  // per vertex — to cut lineage, the standard Pregel-lite shape. The
-  // DuckDB oracle rebuilds components independently via a recursive
-  // CTE over the same lossless pair set.
+  // transitive cluster"). Large-star/small-star edge contraction
+  // (see clusterLabels): rounds are O(log diameter) and each round's
+  // frames are edge-sized, with the full corpus joining in exactly
+  // once at the final labeling; each round localCheckpoints the edge
+  // frame to cut lineage, the standard Pregel-lite shape. The DuckDB
+  // oracle rebuilds components independently via a recursive CTE over
+  // the same lossless pair set.
   // ---------------------------------------------------------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = dupDocs(s, dir)
@@ -659,69 +658,77 @@ object DedupOps {
     s.read.parquet(root)
   }
 
-  /** Min-label propagation with POINTER JUMPING over an undirected
-    * (a, b) pair graph — the reusable core of dedup_clusters (the
-    * spec drives it with synthetic chain graphs to pin transitivity).
+  /** Connected components by LARGE-STAR/SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") over an undirected (a, b) pair graph — the reusable
+    * core of dedup_clusters (the spec drives it with synthetic chain
+    * graphs to pin transitivity).
     *
-    * Each round does (1) a neighbor-min step and (2) a pointer-jump
-    * step (label ← label(label)): jumping halves chain lengths, so
-    * rounds are O(log diameter) instead of O(diameter). That is the
-    * difference that matters in practice — the sf1 corpus grows a
-    * near-dup component whose diameter pushed plain propagation to
-    * the round cap (minutes of tiny-job latency); with jumping the
-    * same graph converges in a handful of rounds. Convergence is
-    * asserted, never assumed: an unconverged labeling is wrong, not
-    * slow. The change count folds into the round's single
-    * materialization (old label rides along), so each round costs
-    * exactly one eager checkpoint + one cheap count on it. */
+    * Each alternation rewires the edge list toward stars centered at
+    * component minima: LARGE-STAR connects every strictly-larger
+    * neighbor of u to min({u} ∪ N(u)); SMALL-STAR re-canonicalizes
+    * and connects every smaller neighbor (and u itself) to that min.
+    * Rounds are O(log diameter) like the r9–r12 pointer-jumped label
+    * propagation this replaces, but each round's frames are
+    * O(edge-incident nodes), NOT O(all docs): propagation carried a
+    * (doc_id, label) row for EVERY document through every join round,
+    * while near-dup edges touch only the documents that have a
+    * near-dup — the measured r13 comparison (identical labels at
+    * every scale) was 2.9→2.2 s at sf0.1, 4.0→2.1 s at sf1 and
+    * 9.4→6.9 s warm at a collision-densified sf10, with BOTH
+    * algorithms at two materialization rounds, so the win is frame
+    * size, not round count. At 100 TB that asymmetry is the whole
+    * story: components ride the dup graph, the clean 95% of the
+    * corpus joins in exactly once at the final labeling.
+    *
+    * Convergence is asserted, never assumed (an unconverged edge set
+    * is wrong, not slow): a round's change test is ONE odd-multiplicity
+    * aggregate over next ∪ prev (both are distinct sets, so a (a,b)
+    * with odd count is in exactly one of them). */
   private[graft] def clusterLabels(docs: DataFrame, pairFrame: DataFrame): DataFrame = {
-    val pairs = pairFrame.select("a", "b").localCheckpoint()
-    // undirected: propagate labels both ways; static across rounds,
-    // so materialize the doubled edge list once
-    val edges = pairs.unionAll(
-      pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    // One FUSED propagation step: the pointer edge (v, label(v)) rides
-    // in the SAME lookup join as the graph edges, so neighbor-min and
-    // pointer-jump (label ← label(label)) cost one join round instead
-    // of two — labels are doc ids, so looking up label(b) for the
-    // pointer edge IS the jump. Monotone non-increasing by least().
-    def step(l: DataFrame): DataFrame = {
-      val lookups = edges.unionAll(
-        l.select(col("doc_id").as("a"), col("label").as("b")))
-      val mins = lookups
-        .join(l.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_min"))
-      l.join(mins, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-    }
-    var changed = 1L
+    var edges = pairFrame.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      // two fused steps share ONE eager materialization + convergence
-      // count — the per-round driver round-trip is the dominant cost
-      // of the whole operator (the label frame itself is thin), so
-      // halving materializations halves the latency bill; jumping
-      // still bounds inner steps by O(log diameter)
-      val seeded = labels.withColumn("old", col("label"))
-      val next = step(step(seeded)).localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("doc_id", "label")
-      rounds += 2
+    var done = edges.head(1).isEmpty
+    while (!done && rounds < 50) {
+      // LARGE-STAR
+      val dbl = edges.unionAll(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = dbl.groupBy("a")
+        .agg(min(least(col("a"), col("b"))).as("m"))
+      val ls = dbl.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // SMALL-STAR on the canonicalized (big, small) orientation
+      val canon = ls.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins2 = canon.groupBy("a").agg(min(col("b")).as("m"))
+      val next = canon.join(mins2, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins2.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      done = next.unionAll(edges).groupBy("a", "b")
+        .agg(count(lit(1)).as("c")).filter(col("c") % 2 === 1)
+        .head(1).isEmpty
+      edges = next
+      rounds += 1
     }
-    require(changed == 0,
-      s"label propagation did not converge in $rounds rounds")
+    require(done, s"star contraction did not converge in $rounds rounds")
     lastClusterRounds = rounds
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    // stars: every edge is (member, component-min); nodes with no
+    // near-dup edge label themselves — the one O(docs) join
+    val roots = edges
+      .select(greatest(col("a"), col("b")).as("doc_id"),
+        least(col("a"), col("b")).as("label"))
+      .groupBy("doc_id").agg(min(col("label")).as("label"))
+    docs.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"))
   }
 
-  /** Test hook: rounds the last clusterLabels call took (the
-    * O(log diameter) claim is asserted, not assumed). */
+  /** Test hook: LS+SS alternations the last clusterLabels call took
+    * (the O(log diameter) claim is asserted, not assumed). */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
   /** The shared near-dup-component CTE chain (expects a CTE named
@@ -958,7 +965,7 @@ object DedupOps {
     * collapsed. Families smaller than the cap pass through whole;
     * output is the kept corpus with family ids.
     *
-    * Scale shape: reuses the pointer-jumped family assignment, then
+    * Scale shape: reuses the star-contracted family assignment, then
     * the per-family top-3 runs on TopKPerKey's bounded heaps
     * (partial heap per partition → ≤ k·partitions rows per family →
     * final heap) — NOT a window rank over the corpus-sized joined

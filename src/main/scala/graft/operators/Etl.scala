@@ -1687,7 +1687,7 @@ object Etl {
     *
     * Scale shape: fuzzy pairs come from the banded blocked join
     * (Σblock², never n²); components reuse dedup_clusters'
-    * pointer-jumping labeler (O(log diameter) rounds, thin label
+    * star-contraction labeler (O(log diameter) rounds, edge-sized
     * frames); the survivor aggregates are two map-side-combined
     * passes over the membership join — min_by/max/min are selections
     * of stored values, and the brand vote picks max-count-then-

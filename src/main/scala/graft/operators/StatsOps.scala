@@ -1526,7 +1526,7 @@ object StatsOps {
     *
     * Pipeline: exact integer eps²-filter → per-point neighbor count →
     * core points → connected components over core-core edges via the
-    * pointer-jumping min-label machinery (DedupOps.clusterLabels —
+    * star-contraction machinery (DedupOps.clusterLabels —
     * O(log diameter) rounds) → border points adopt the smallest
     * neighboring core's cluster; everything else is noise. Output is
     * the full per-point classification.

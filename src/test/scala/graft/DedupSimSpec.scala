@@ -40,10 +40,10 @@ class DedupSimSpec extends AnyFunSuite {
   test("dedup_clusters: planted pairs share a canonical id; chains are transitive") {
     val rows = DedupOps.dedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // pointer jumping keeps rounds logarithmic — converging anywhere
-    // near the 50-round cap means propagation degraded to O(diameter)
+    // star contraction keeps rounds logarithmic — converging anywhere
+    // near the 50-round cap means the rewiring degraded to O(diameter)
     assert(DedupOps.lastClusterRounds > 0 && DedupOps.lastClusterRounds <= 10,
-      s"label propagation took ${DedupOps.lastClusterRounds} rounds")
+      s"star contraction took ${DedupOps.lastClusterRounds} rounds")
     // every doc labeled, labels are component minima (<= the doc id)
     assert(rows.size == 550)
     rows.foreach { case (d, c) => assert(c <= d) }

@@ -78,8 +78,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // dbscan: the 9-cell neighbor join (cell-keyed) feeds a
     // localCheckpoint; counts, core filter, border adoption and the
     // final classification joins ride (pid)-keyed exchanges over the
-    // checkpointed pair frame — density-local volumes, never n²
-    "q_dbscan_grid" -> 6,
+    // checkpointed pair frame — density-local volumes, never n²;
+    // +2 in r13: clusterLabels' final vertex⋈roots labeling join is
+    // lazy under star contraction (the star edges are the checkpoint,
+    // the roots agg + join land in the consumer) — both exchanges
+    // ride core-point-sized frames
+    "q_dbscan_grid" -> 8,
     // kmv_jaccard: the (grp,key) distinct and the exact-error
     // intersection self-join are the two corpus-keyed exchanges;
     // the other 14 ride O(groups·K) sketch frames and O(pairs) rows
@@ -129,7 +133,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_url" -> 2,
     // scene_cuts: the mm_* id-spread repartition only
     "mm_scene_cuts" -> 1,
-    "dedup_clusters" -> 1,
+    // clusters: star contraction rounds run eagerly over
+    // localCheckpoint'd EDGE-sized frames; the audited plan is the
+    // final labeling — roots agg over the star edges (1), the one
+    // O(docs) vertex join (1), ordered output (1)
+    "dedup_clusters" -> 3,
     // mmr_rerank: the greedy rounds run eagerly over localCheckpoint'd
     // O(queries·m) frames (the dedup_clusters pattern); the audited
     // plan is the checkpointed selection + ordered output
