@@ -108,11 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchanges), and the final range sort (1)
     "q_match_w" -> 3,
     // match_hs: the W lead plan (3) + the greedy SKIP PAST LAST ROW
-    // selection — the candidate⋉orbit left-semi join adds the
-    // orbit-side exchange and the candidate re-key (2); the
-    // pointer-doubling rounds themselves run eagerly over
-    // localCheckpoint'd candidate-sized frames (the dedup_clusters
-    // discipline) and are not part of the audited plan
+    // selection — the per-group candidate fold's collect_list agg and
+    // the kept⋉candidate left-semi re-key (2); ALL candidate-sized
+    // frames, and the whole selection is one plan (no eager rounds)
     "q_match_hs" -> 5,
     // mv_auto: the advise/publish/register jobs run inside the call
     // (etl_wap's rule); the returned year dashboard re-plans onto the
