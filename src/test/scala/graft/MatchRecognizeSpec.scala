@@ -175,6 +175,79 @@ class MatchRecognizeSpec extends AnyFunSuite {
       "fixture should exercise the {1,} quantifiers")
   }
 
+  test("a NEVER-SHIPPED pattern declared inline compiles correctly (new pattern = pure data)") {
+    // the compiler's core claim: adding a pattern is a declaration,
+    // not code. Declare a blow-off-top (UP{3,} DOWN{2,} with SKIP
+    // PAST LAST ROW — starts RISING, unlike every shipped key, so
+    // this also exercises the dir=+1-first compile path) plus a
+    // 3-step greedy pattern (UP{1,} DOWN{1,} UP{1,}, odd k with
+    // conflicts possible at offset 2), and check both against the
+    // independent row NFA on randomized adversarial series
+    import spark.implicits._
+    import MatchRecognize.{PatternSpec, RunStep, SkipPastLastRow}
+    val top = PatternSpec(
+      steps = Seq(RunStep(1, 3), RunStep(-1, 2)),
+      skip = SkipPastLastRow,
+      measures = Seq(
+        "start_day" -> (s => s.d0(0)),
+        "peak_day" -> (s => s.d1(0)),
+        "end_day" -> (s => s.d1(1)),
+        "runup_cents" -> (s => s.endV(0) - s.startPrevV(0)),
+        "crack_cents" -> (s => s.endV(0) - s.endV(1))))
+    val zig = PatternSpec(
+      steps = Seq(RunStep(1, 1), RunStep(-1, 1), RunStep(1, 1)),
+      skip = SkipPastLastRow,
+      measures = Seq(
+        "start_day" -> (s => s.d0(0)),
+        "end_day" -> (s => s.d1(2)),
+        "len" -> (s => s.n(0) + s.n(1) + s.n(2))))
+    assert(!MatchRecognize.conflictsPossible(top.steps))
+    assert(MatchRecognize.conflictsPossible(zig.steps))
+    val rnd = new scala.util.Random(7)
+    val base = Date.valueOf("2021-01-01")
+    def day(i: Int): Date = new Date(base.getTime + i * 86400000L)
+    (1 to 4).foreach { trial =>
+      val series = (0 until 3).map { g =>
+        val n = 5 + rnd.nextInt(40)
+        var v = 1000L
+        s"g$g" -> (0 until n).map { i =>
+          v += (rnd.nextInt(4) match {
+            case 0 => 0
+            case 1 => rnd.nextInt(5).toLong + 1
+            case 2 => -(rnd.nextInt(5).toLong + 1)
+            case _ => if (i % 9 < 5) 2L else -2L
+          })
+          (day(i), v)
+        }
+      }
+      val df = series.flatMap { case (g, pts) =>
+        pts.map(p => (g, p._1, p._2))
+      }.toDF("grp", "day", "v")
+      val gotTop = MatchRecognize.compilePattern(df, top).collect()
+        .map(r => (r.getString(0), (r.getDate(1), r.getDate(2),
+          r.getDate(3), r.getLong(4), r.getLong(5))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      series.foreach { case (g, pts) =>
+        val exp = rowNfa(pts, Seq(1 -> 3, -1 -> 2), None).map(r =>
+          (r(0).d0, r(0).d1, r(1).d1,
+            r(0).endV - r(0).startPrevV, r(0).endV - r(1).endV)).toSet
+        assert(gotTop.getOrElse(g, Set.empty) == exp,
+          s"trial $trial series $g: blow-off-top diverged from the NFA")
+      }
+      val gotZig = MatchRecognize.compilePattern(df, zig).collect()
+        .map(r => (r.getString(0), (r.getDate(1), r.getDate(2),
+          r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      series.foreach { case (g, pts) =>
+        val exp = rowNfa(pts, Seq(1 -> 1, -1 -> 1, 1 -> 1), None).map(r =>
+          (r(0).d0, r(2).d1,
+            (r(0).n + r(1).n + r(2).n).toLong)).toSet
+        assert(gotZig.getOrElse(g, Set.empty) == exp,
+          s"trial $trial series $g: greedy zigzag diverged from the NFA")
+      }
+    }
+  }
+
   test("randomized series: all three compilations equal the row NFA on " +
     "adversarial shapes (flats, saw-tooths, singletons, long runs)") {
     import spark.implicits._
