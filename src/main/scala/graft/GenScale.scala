@@ -68,12 +68,14 @@ object GenScale {
         raw("orders").agg(max(col("o_orderkey"))).head.getLong(0),
         raw("events").agg(max(col("event_id"))).head.getLong(0),
         raw("documents").agg(max(col("doc_id"))).head.getLong(0),
-        raw("embeddings").agg(max(col("vec_id"))).head.getLong(0),
-        // dedup keys plant +1e6/+2e6 shadow copies of docs/vectors:
-        // the shift must clear those synthetic ranges too
-        2000000L).max
+        raw("embeddings").agg(max(col("vec_id"))).head.getLong(0)).max
+      // dedup keys plant +1e6/+2e6 shadow copies of docs/vectors at
+      // RUNTIME, so the shift must clear the shadow-EXTENDED range
+      // maxId + 2e6, not max(maxId, 2e6): a corpus whose max id falls
+      // within 2e6 below a power of ten would otherwise let copy 0's
+      // shadow clones collide with copy 1's real id range
       var s = 10000000L
-      while (s <= maxId) s *= 10
+      while (s <= maxId + 2000000L) s *= 10
       s
     }
     println(s"[gen] shift=$shift")

@@ -55,9 +55,17 @@ object Tables {
     * collision/stale-artifact hazard the mv_auto defTag already moved
     * off hashCode for (ScaleJoins.scala). 64 digest bits put an
     * accidental cross-corpus collision past any realistic dir count. */
-  def sfTag(dir: String): String =
+  def sfTag(dir: String): String = digest64(dir)
+
+  /** Truncated-SHA-256 tag shared by every artifact identity in the
+    * engine (corpus dirs here, content/freshness signatures in
+    * ScaleJoins.corpusTag): 64 digest bits, never 32-bit
+    * String.hashCode — a hashCode collision on a freshness token
+    * would read as a false "fresh" and silently serve a stale
+    * artifact to both engines, invisible to the parity gate. */
+  def digest64(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Redistribute a LOW-SPLIT source before per-row CPU-heavy work
     * (JSON parsing, media decode): parquet cannot split inside a row

@@ -73,7 +73,10 @@ object ScaleJoins {
   /** Corpus identity for the one-time layout: path PLUS the source
     * files' byte sizes and mtimes — a regenerated fixture at the same
     * path must rebuild the bucketed tables, not silently reuse a
-    * stale layout persisted in the warehouse by an earlier session. */
+    * stale layout persisted in the warehouse by an earlier session.
+    * Digested with the shared 64-bit SHA-256 tag (Tables.digest64),
+    * not String.hashCode: a 32-bit collision on this freshness token
+    * would read as a false "fresh" after a fixture regeneration. */
   private[graft] def corpusTag(dir: String, tables: Seq[String]): String = {
     def stat(f: java.io.File): String =
       if (f.isDirectory) {
@@ -82,7 +85,7 @@ object ScaleJoins {
       } else s"${f.length}:${f.lastModified}"
     val sig = tables.map(t => s"$t=${stat(new java.io.File(s"$dir/$t.parquet"))}")
       .mkString("|")
-    java.lang.Long.toHexString((dir + "|" + sig).hashCode.toLong & 0xffffffffL)
+    Tables.digest64(dir + "|" + sig)
   }
 
   /** One-time parquet artifact publish under a cross-process lock,

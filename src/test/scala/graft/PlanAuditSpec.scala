@@ -112,6 +112,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // the kept⋉candidate left-semi re-key (2); ALL candidate-sized
     // frames, and the whole selection is one plan (no eager rounds)
     "q_match_hs" -> 5,
+    // match_define / match_quant: measured TIGHT at 3 — the V-shape
+    // lead plan exactly (daily collapse, one grp-keyed exchange shared
+    // by classify/segment/run-collapse/lead windows, final range
+    // sort): the DEFINE mid-run rescue and the {m,n} suffix/prefix
+    // consumption are pure projection-level array rewrites over the
+    // rich run grain, costing ZERO extra exchanges
+    "q_match_define" -> 3,
+    "q_match_quant" -> 3,
+    // match_alt: the shared run-grain/lead subplan costs the V's 3
+    // once (Spark reuses the identical branch exchanges), plus the
+    // declaration-order preference window keyed by (grp, anchor seg)
+    // over the UNION of branch candidates (1) and the final range
+    // sort re-key (1)
+    "q_match_alt" -> 5,
     // mv_auto: the advise/publish/register jobs run inside the call
     // (etl_wap's rule); the returned year dashboard re-plans onto the
     // auto summary — one rollup aggregate over the k-row MV scan + the
