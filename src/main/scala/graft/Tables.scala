@@ -27,6 +27,17 @@ object Tables {
     // UTC session timezone above, reading it as TIMESTAMP_LTZ is
     // semantics-preserving and keeps unix_micros()/window() usable.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // AQE partition coalescing sizes reduce stages by BYTES alone
+    // (parallelismFirst still floors at minPartitionSize), which
+    // serializes CPU-dense stages whose bytes are small: the
+    // levenshtein verify of q_fuzzy_join ran as ONE task (jobstats:
+    // 3 jobs / 3 tasks) because its post-shuffle input is <1 MB while
+    // its compute is ~10⁹ DP cells. 64 KB keeps such stages parallel
+    // on the fixture; a 100 TB deployment overrides via this same
+    // conf (bytes dominate there and the 1 MB default is fine) —
+    // see OPTIMIZATION_r14.md. Overridable through the env knob.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Register every table as a temp view so the full engine surface

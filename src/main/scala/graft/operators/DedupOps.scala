@@ -140,10 +140,13 @@ object DedupOps {
     // trade — at web scale a df cap / PPJoin positional prefix
     // bounds the skew tail (DEPLOY.md), at corpus df ≈ 10 counting
     // wins outright.
+    // hashes stay UNSORTED: size(), explode() and the count aggregate
+    // are all order-invariant, so the former array_sort here was pure
+    // O(k log k) per-row CPU on the hottest dedup path (r14 measure-
+    // first sweep) — removed with bit-identical output
     val exploded = input
       .select(col("doc_id"),
-        array_sort(transform(shingles(col("text")), sh => xxhash64(sh)))
-          .as("sh"))
+        transform(shingles(col("text")), sh => xxhash64(sh)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
@@ -696,9 +699,15 @@ object DedupOps {
         edges.select(col("b").as("a"), col("a").as("b")))
       val mins = dbl.groupBy("a")
         .agg(min(least(col("a"), col("b"))).as("m"))
+      // NO intermediate distinct between the stars (r14): the
+      // small-star's groupBy and the round's final distinct collapse
+      // duplicate (b, m) rows anyway, and the pre-distinct frame is
+      // by construction ≤ |dbl| — edge-sized — so the extra (a, b)
+      // exchange bought nothing. Identical edge set per round
+      // (set-semantics at the round boundary), one less exchange.
       val ls = dbl.join(mins, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       // SMALL-STAR on the canonicalized (big, small) orientation
       val canon = ls.select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))

@@ -1855,11 +1855,21 @@ object Etl {
     val manifest = batches.zipWithIndex.map { case (df, b) =>
       df.write.parquet(s"$run/stage_$b") // WRITE (staged, unpublished)
       val staged = s.read.parquet(s"$run/stage_$b")
-      val nRows = staged.count()
-      val nNull = staged.filter(col("c_custkey").isNull).count()
-      val nDup = staged.filter(col("c_custkey").isNotNull)
-        .groupBy("c_custkey").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).count()
+      // ONE audit job instead of three (r14): group the staged files
+      // by key once — row count, null-key count and duplicate-key
+      // count all fall out of the grouped counts, so the audit reads
+      // the staged snapshot exactly once instead of three times.
+      // Values are identical to the former three separate counts.
+      val audit = staged.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(when(col("c_custkey").isNull, col("c")).otherwise(lit(0L)))
+            .as("n_null"),
+          count(when(col("c_custkey").isNotNull && col("c") > 1, lit(1)))
+            .as("n_dup"))
+        .head()
+      val nRows = audit.getLong(0)
+      val nNull = audit.getLong(1)
+      val nDup = audit.getLong(2)
       val ok = nNull == 0 && nDup == 0 // AUDIT on the staged files
       if (ok) // PUBLISH only after the audit passes
         staged.write.mode("append").parquet(s"$run/published")

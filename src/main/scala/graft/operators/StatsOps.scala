@@ -142,6 +142,15 @@ object StatsOps {
     val b = p.toDF("b_key", "b_name", "p_brand", "size_band")
     a.join(b.hint("shuffle_hash"), Seq("p_brand", "size_band"))
       .filter(col("a_key") < col("b_key"))
+      // LOSSLESS pre-filter before the O(|a|·|b|) verify:
+      // levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose lengths
+      // differ by more than the threshold can never pass — the
+      // length check is O(1) and short-circuits the DP for most of
+      // the block's pair volume (the PPJoin length-filter discipline;
+      // r14 measurement: the verify dominated this key). Output is
+      // bit-identical — the bound is exact, never approximate.
+      .filter(abs(length(col("a_name")) - length(col("b_name")))
+        <= fuzzyMaxDist)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= fuzzyMaxDist)
       .select("p_brand", "size_band", "a_key", "b_key", "dist")

@@ -967,12 +967,46 @@ object StreamOps {
     idx
   }
 
+  /** `requireWave` is the SNAPSHOT keys' fail-fast guard on their
+    * hidden coupling: their as-of bounds assume wave v landed as
+    * batchId v−1, which the file source only guarantees through
+    * mtime order (see writeCdcLog). A tie or clock anomaly
+    * reordering the waves must abort the run with a diagnosis, not
+    * let every snapshot silently diverge from the progressive
+    * oracle. min==max also catches a batch that coalesced two
+    * waves. The check rides the probe aggregate below — no extra
+    * job (r14: the former standalone requireWaveOrder action cost
+    * one full batch scan per micro-batch). */
   private[graft] def applyDimBatch(spark: SparkSession, store: String,
       batchId: Long, batch: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
-      compactEvery: Int = dimCompactEvery): Unit = {
-    val affected = batch.select(dimBucketOf.as("bkt")).distinct()
-      .collect().map(r => s"bkt=${r.getInt(0)}").toSet
+      compactEvery: Int = dimCompactEvery,
+      requireWave: Boolean = false): Unit = {
+    val hasTs = batch.columns.contains("change_ts")
+    // ONE probe job per micro-batch (r14): the affected bucket set,
+    // the batch's max change_ts (event-time manifest input) and the
+    // wave-order min/max version all ride one grouped aggregate over
+    // the in-hand batch — previously two or three separate actions
+    // each re-scanning the same single-file batch.
+    val nullLong = lit(null).cast(LongType)
+    val nullInt = lit(null).cast(IntegerType)
+    val probe = batch.groupBy(dimBucketOf.as("bkt")).agg(
+      (if (hasTs) max(unix_micros(col("change_ts"))) else max(nullLong))
+        .as("mx"),
+      (if (requireWave) min(col("version")) else min(nullInt)).as("vmin"),
+      (if (requireWave) max(col("version")) else max(nullInt)).as("vmax"))
+      .collect()
+    if (requireWave) {
+      val vs = probe.filterNot(_.isNullAt(2))
+      val vmin = vs.map(_.getInt(2)).reduceOption(math.min)
+      val vmax = vs.map(_.getInt(3)).reduceOption(math.max)
+      require(vmin.contains(batchId.toInt + 1) &&
+        vmax.contains(batchId.toInt + 1),
+        s"CDC wave order broke: batchId=$batchId carries versions " +
+          s"[${vmin.orNull}, ${vmax.orNull}] (expected ${batchId + 1}) — " +
+          "mtime ordering of the published wave files was violated")
+    }
+    val affected = probe.map(r => s"bkt=${r.getInt(0)}").toSet
     val scan = scanDimStore(store, batchId)
     val latest = scala.collection.mutable.LinkedHashMap[String, String]()
     scan.foreach { case (_, bkts) =>
@@ -1001,12 +1035,14 @@ object StreamOps {
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$store/g${batchId + 1}")
     // event-time manifest beside the commit (see writeGenEventTime):
-    // cumulative max over prior manifests ∪ this batch — one tiny agg
-    // on the already-in-hand batch, only when the feed carries event
-    // time at all; an empty replayed batch inherits the running max
-    if (batch.columns.contains("change_ts")) {
-      val r = batch.agg(max(unix_micros(col("change_ts")))).head
-      val batchMax = if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    // cumulative max over prior manifests ∪ this batch — read off the
+    // probe aggregate above (no extra job), only when the feed
+    // carries event time at all; an empty replayed batch inherits the
+    // running max
+    if (hasTs) {
+      val batchMax = probe.foldLeft(Long.MinValue) { (m, r) =>
+        if (r.isNullAt(1)) m else math.max(m, r.getLong(1))
+      }
       val prevMax = scan.map(_._1).flatMap(readGenEventTime(store, _))
         .foldLeft(Long.MinValue)(math.max)
       val m = math.max(batchMax, prevMax)
@@ -1232,9 +1268,8 @@ object StreamOps {
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        requireWaveOrder(batch, batchId)
         applyDimBatch(spark, store, batchId, batch, cdcMerge,
-          compactEvery = 2)
+          compactEvery = 2, requireWave = true)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -1259,23 +1294,6 @@ object StreamOps {
     val rows = asOf.collect()
     scala.reflect.io.Directory(new java.io.File(run)).deleteRecursively()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), asOf.schema)
-  }
-
-  /** Fail-fast guard for the SNAPSHOT keys' hidden coupling: their
-    * as-of bounds assume wave v landed as batchId v−1, which the file
-    * source only guarantees through mtime order (see writeCdcLog). A
-    * tie or clock anomaly reordering the waves must abort the run
-    * with a diagnosis, not let every snapshot silently diverge from
-    * the progressive oracle. One limit-2 probe on the in-hand
-    * single-file batch — cheap, and min==max also catches a batch
-    * that coalesced two waves. */
-  private def requireWaveOrder(batch: DataFrame, batchId: Long): Unit = {
-    val r = batch.agg(min(col("version")), max(col("version"))).head
-    require(!r.isNullAt(0) && r.getInt(0) == batchId + 1 &&
-      r.getInt(1) == batchId + 1,
-      s"CDC wave order broke: batchId=$batchId carries versions " +
-        s"[${r.get(0)}, ${r.get(1)}] (expected ${batchId + 1}) — " +
-        "mtime ordering of the published wave files was violated")
   }
 
   /** AS OF TIMESTAMP over the generation store — the API users
@@ -1309,9 +1327,8 @@ object StreamOps {
       .parquet(s"${cdcLogDir(sfDir)}/b*")
     runAvailableNow(changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        requireWaveOrder(batch, batchId)
         applyDimBatch(spark, store, batchId, batch, cdcMerge,
-          compactEvery = 2)
+          compactEvery = 2, requireWave = true)
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
