@@ -1596,8 +1596,15 @@ object AnalyticsOps {
     * pattern). */
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
     val base = qBasketPairs(s, dir)
+    // basket count rides the plan as a 1-row broadcast scalar attach
+    // (the engine's standard discipline, see qPriceIndex/qTfidf) —
+    // previously a BLOCKING driver-side distinct().count() job over
+    // lineitem ran before the plan was even built (r14, guide §5:
+    // no driver loops in query paths); same bigint div arithmetic,
+    // bit-identical output
     val nB = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey")).distinct().count()
+      .select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val d1 = base.select(col("a").as("antecedent"),
       col("b").as("consequent"), col("n_ab"),
       col("n_a").as("n_ant"), col("n_b").as("n_con"))
@@ -1605,12 +1612,13 @@ object AnalyticsOps {
       col("a").as("consequent"), col("n_ab"),
       col("n_b").as("n_ant"), col("n_a").as("n_con"))
     d1.unionAll(d2)
+      .crossJoin(broadcast(nB))
       .select(col("antecedent"), col("consequent"), col("n_ab"),
-        expr(s"cast((n_ab * 1000000) div $nB as bigint)")
+        expr("cast((n_ab * 1000000) div n_baskets as bigint)")
           .as("support_ppm"),
         expr("cast((n_ab * 1000000) div n_ant as bigint)")
           .as("confidence_ppm"),
-        expr(s"cast((n_ab * $nB * 1000) div (n_ant * n_con) as bigint)")
+        expr("cast((n_ab * n_baskets * 1000) div (n_ant * n_con) as bigint)")
           .as("lift_milli"))
       .orderBy("antecedent", "consequent")
   }

@@ -135,8 +135,17 @@ object MultimodalOps {
   /** Real partition-batched decode: ImageIO format sniffing + frame
     * count + first-frame raster read, pixel checksum = sum of R+G+B
     * over the raster. Payloads no reader claims fall to the opaque
-    * branch (-1 dims, 0 frames) instead of failing the batch. */
-  private def decode(rows: Iterator[MediaRow]): Iterator[Decoded] = {
+    * branch (-1 dims, 0 frames) instead of failing the batch.
+    *
+    * `checksums = false` is the pruned path for consumers that never
+    * emit a pixel sum (mm_patches tiles its own subregions,
+    * mm_channel_stats folds its own channel sums, mm_binary_meta and
+    * mm_aspect_buckets emit no sums at all): mapPartitions is opaque
+    * to Catalyst, so column pruning must be done BY HAND here (guide
+    * §5) — the raster still decodes for real (dims/frames stay
+    * measured, not derived), only the unread checksum scans drop. */
+  private def decode(rows: Iterator[MediaRow],
+      checksums: Boolean = true): Iterator[Decoded] = {
     // per-partition init lives here (ImageIO scans its reader
     // registry once per JVM; codec contexts/model weights in general)
     rows.map { r =>
@@ -160,13 +169,21 @@ object MultimodalOps {
           // uniform frame sampling reads each sampled frame's RASTER
           // (not just its index) while the reader session is open —
           // the cross-frame checksum proves every sampled frame
-          // decoded, and is still a formula product for the oracle
+          // decoded, and is still a formula product for the oracle.
+          // Sampled index 0 IS the frame already in hand: reuse its
+          // raster sum instead of re-reading frame 0 through the
+          // codec (r14 — one decode + one raster scan saved per
+          // image, identical sums by determinism of sumRGB)
           val nSample = math.min(nFrames, 4)
           val sampled = 0 until nSample map { i => i * nFrames / nSample }
-          val sampledSum = sampled.map(i => sumRGB(rd.read(i))).sum
+          val px0 = if (checksums) sumRGB(img) else -1L
+          val sampledSum =
+            if (checksums)
+              sampled.map(i => if (i == 0) px0 else sumRGB(rd.read(i))).sum
+            else -1L
           rd.dispose()
           Decoded(r.doc_id, r.n_bytes, r.magic_hex, r.payload_crc,
-            img.getWidth, img.getHeight, nFrames, fmt, sumRGB(img),
+            img.getWidth, img.getHeight, nFrames, fmt, px0,
             sampled, sampledSum, Some(img))
         }
       } finally iis.close()
@@ -242,6 +259,21 @@ object MultimodalOps {
     // partition count controls decode batch shape; at scale set this
     // from payload-bytes-per-task, not row count
     mediaRows(s, dir).mapPartitions(it => resizeAndSample(decode(it)))
+  }
+
+  /** Decoded raster DIMS only — the hand-pruned pipeline for
+    * mm_aspect_buckets, which consumes nothing but (doc_id, width,
+    * height): the raster still decodes for real (dims stay measured
+    * from the frame, the mm discipline), but the checksum scans, the
+    * 224-box resize and its output-raster sum — none of which reach
+    * this key's output — are dropped (r14, guide §5: mapPartitions
+    * is opaque to Catalyst, so pruning is manual). */
+  private def decodedDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaRows(s, dir)
+      .mapPartitions(it => decode(it, checksums = false)
+        .map(d => (d.doc_id, d.width, d.height)))
+      .toDF("doc_id", "width", "height")
   }
 
   /** Audio geometry: 16-bit PCM payloads framed the standard
@@ -399,7 +431,31 @@ object MultimodalOps {
         hex(substring(col("payload"), 1, 4)).as("magic_hex"),
         col("payload_crc"))
       .as[MediaRow]
-      .mapPartitions(it => resizeAndSample(decode(it)))
+      // hand-pruned pipeline (r14, guide §5): this key emits byte
+      // facts, measured dims/frames and the declared resize GEOMETRY
+      // — never a pixel sum — so the checksum scans and the physical
+      // 224-box raster render are dead work here. The decode is still
+      // real (dims/frames measured off the decoded frame); out dims
+      // use the same floor(x+0.5) arithmetic resizeAndSample applies
+      // to the real render, so every emitted value is unchanged. The
+      // materialized-resize PROOF (out_px_sum) is mm_decode's
+      // contract, not this key's.
+      .mapPartitions(it => decode(it, checksums = false).map {
+        case d if d.img.isEmpty =>
+          ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
+            d.width, d.height, d.n_frames, d.fmt, d.px_sum,
+            sampled_px_sum = -1L, out_width = -1, out_height = -1,
+            out_px_sum = -1L, sampled_frames = "", decoder = "opaque")
+        case d =>
+          val scale = 224.0 / math.max(d.width, d.height)
+          val ow = math.max(1, math.floor(d.width * scale + 0.5).toInt)
+          val oh = math.max(1, math.floor(d.height * scale + 0.5).toInt)
+          ProcessedRow(d.doc_id, d.n_bytes, d.magic_hex, d.payload_crc,
+            d.width, d.height, d.n_frames, d.fmt, d.px_sum,
+            sampled_px_sum = -1L, out_width = ow, out_height = oh,
+            out_px_sum = -1L, sampled_frames = d.sampled.mkString(","),
+            decoder = s"imageio:${d.fmt}+resize224+sample4")
+      })
       .toDF()
       .select("doc_id", "n_bytes", "magic_hex", "payload_crc",
         "width", "height", "n_frames", "out_width", "out_height",
@@ -584,7 +640,10 @@ object MultimodalOps {
         }
         PatchRow(d.doc_id, w, h, npx, npy, npx * npy, sum)
     }
-    mediaRows(s, dir).mapPartitions(it => tile(decode(it))).toDF()
+    // checksums=false: the tiler reads every patch subregion itself —
+    // decode's whole-raster and sampled-frame sums are never emitted
+    mediaRows(s, dir)
+      .mapPartitions(it => tile(decode(it, checksums = false))).toDF()
   }
 
   val mmPatchesSql: String =
@@ -650,19 +709,31 @@ object MultimodalOps {
     * shape with a binary payload). */
   def mmDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"))
+    // codec work at FAMILY grain, not document grain (r14, guide §2.3
+    // partial aggregation): payloads are byte-identical across each
+    // 7-id run by construction, yet this key ran one ImageIO encode
+    // per DOCUMENT. Folding docs to families first is map-side
+    // combinable and cuts encodes 7×; at 100 TB the encode count
+    // follows distinct blobs, not corpus rows. Grouping by the
+    // per-family sha256 afterwards is EXACTLY the old semantics: two
+    // families colliding in sha256 merge with min/sum here precisely
+    // as their doc rows merged under groupBy(h) before.
+    val fams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(s"doc_id div $mmDupFamily").as("fam"))
+      .groupBy("fam")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .as[Long]
-      .map { id =>
-        val fam = id / mmDupFamily
-        (id, payloadFor(fam) ++
+      .as[(Long, Long, Long)]
+      .map { case (fam, repDoc, nDocs) =>
+        (repDoc, nDocs, payloadFor(fam) ++
           java.nio.ByteBuffer.allocate(8).putLong(fam).array())
       }
-      .toDF("doc_id", "payload")
-      .select(col("doc_id"), sha2(col("payload"), 256).as("h"))
+      .toDF("rep_doc", "n_docs", "payload")
+    fams
+      .select(col("rep_doc"), col("n_docs"),
+        sha2(col("payload"), 256).as("h"))
       .groupBy("h")
-      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+      .agg(min(col("rep_doc")).as("rep_doc"), sum(col("n_docs")).as("n_docs"))
       .select(col("rep_doc"), col("n_docs"))
       .orderBy("rep_doc")
   }
@@ -773,9 +844,8 @@ object MultimodalOps {
       lit(aspectBounds.length): org.apache.spark.sql.Column) {
       case ((bound, i), rest) => when(col("r") < bound, i).otherwise(rest)
     }
-    val dims = processed(s, dir).toDF()
+    val dims = decodedDims(s, dir)
       .filter(col("width") > 0)
-      .select(col("doc_id"), col("width"), col("height"))
       .withColumn("r", expr("(width * 1000) div height"))
       .withColumn("bidx", bidx)
     val (numbered, bucketTotals) = graft.plans.GlobalRank
@@ -851,8 +921,10 @@ object MultimodalOps {
     * output is a stack projection of that single row. */
   def mmChannelStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // checksums=false: this pass folds its own per-channel sums from
+    // the raster — decode's R+G+B checksums are never emitted
     val perImage = mediaRows(s, dir)
-      .mapPartitions(it => decode(it).flatMap { d =>
+      .mapPartitions(it => decode(it, checksums = false).flatMap { d =>
         d.img.map { img =>
           val w = img.getWidth
           val h = img.getHeight

@@ -330,9 +330,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // ordered output
     "q_revenue_bridge" -> 6,
     // assoc_rules: q_basket_pairs' pinned pair machinery × the
-    // two-direction union + ordered output (basket total is a
-    // driver-side scalar)
-    "q_assoc_rules" -> 15,
+    // two-direction union + ordered output; r14 moved the basket
+    // total INTO the plan as a 1-row broadcast scalar attach (its
+    // distinct + count now appear as two audited exchanges instead
+    // of a separate blocking driver job — net one fewer pass)
+    "q_assoc_rules" -> 17,
     // order_intervals: the customer-grain lag exchange, the pinned
     // segment join, the segment-grain sort-based percentile agg
     // (distinct forces two rounds) + ordered output
@@ -378,9 +380,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // (two exchanges), (nation, day) agg, ONE nation-window exchange
     // shared by both rolling stats + the rollup + ordered output
     "q_anomaly_bands" -> 5,
-    // mm_dedup: the generate-spread repartition + blob-grain hash
-    // agg + ordered output
-    "mm_dedup" -> 3,
+    // mm_dedup: r14 folds docs to FAMILY grain before the codec
+    // encode (one map-side-combinable agg more, 7× fewer encodes) +
+    // the generate-spread repartition + blob-grain hash agg +
+    // ordered output
+    "mm_dedup" -> 4,
     // degree_dist: distinct-edge + per-supplier degree (shared
     // grouping) + histogram rollup + ordered output
     "q_degree_dist" -> 4,
@@ -954,6 +958,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // promo_lift broadcasts its 1-row zero-discount baseline into
       // the ≤11-band frame — 1-row by construction
       "q_promo_lift",
+      // assoc_rules crosses the 1-row basket total into the rule
+      // frame (r14: was a blocking driver-side count) — 1-row
+      // broadcast by construction, the text_tfidf shape
+      "q_assoc_rules",
       // survival broadcasts its 1-row observation edge into the
       // customer-grain frame — 1-row by construction
       "q_survival",
