@@ -2628,11 +2628,17 @@ object AnalyticsOps {
     * CROSS-MULTIPLIED integers (2·cumw ≥ W, 10·cumw ≥ 9·W), no
     * division anywhere.
     *
-    * Scale shape: one flag-partitioned sort window produces the
-    * cumulative weights (ties broken by orderkey/linenumber — any
-    * tie order yields the same crossing value since equal values
-    * share a crossing); the crossing pick is a conditional min in
-    * the SAME grouping pass; output is flag grain. */
+    * Scale shape (r14): the cumulative weights come from the
+    * factored [[graft.plans.GlobalRank.withExclusiveSums]] scan over
+    * the TOTAL order (flag, price, ok, ln) — the flag-partitioned
+    * window it replaces funneled the whole fact table through THREE
+    * reducers (one per return flag), the handful-of-reducers trap
+    * every other rank consumer here already avoids. Per-flag bases
+    * and totals ride a 3-row broadcast; ties break by
+    * orderkey/linenumber exactly as before (any tie order yields the
+    * same crossing value since equal values share a crossing); the
+    * crossing pick is a conditional min in the SAME grouping pass;
+    * output is flag grain. */
   def qWeightedPercentile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
@@ -2640,12 +2646,20 @@ object AnalyticsOps {
           .as("price"),
         expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("w"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-    val win = Window.partitionBy("flag")
-      .orderBy(col("price"), col("ok"), col("ln"))
+    // flag-major global exclusive prefix sum of w — parallel range
+    // sort, never a per-flag reducer; the scan's checkpoint also
+    // feeds the 3-row per-flag totals so lineitem reads ONCE
+    val (scanned, _) = graft.plans.GlobalRank.withExclusiveSums(
+      s, li, Seq(col("flag"), col("price"), col("ok"), col("ln")),
+      Seq(col("w")), Seq("exw"))
+    val fw = Window.orderBy("flag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("flag")
-    li.withColumn("cumw", sum(col("w")).over(win))
-      .withColumn("tot", sum(col("w")).over(wAll))
+    val ft = scanned.groupBy("flag").agg(sum(col("w")).as("tot"))
+      .withColumn("base", sum(col("tot")).over(fw) - col("tot"))
+    scanned.join(broadcast(ft), "flag")
+      // per-flag inclusive cumw = global exclusive sum + own weight
+      // − the flag's base (total weight of flag-earlier rows)
+      .withColumn("cumw", col("exw") + col("w") - col("base"))
       .groupBy("flag")
       .agg(count(lit(1)).as("n_lines"),
         max(col("tot")).as("total_units"),

@@ -1082,11 +1082,18 @@ object Relational {
   def qHierarchy(s: SparkSession, dir: String): DataFrame = {
     def parentOf(c: Column): Column =
       when(c > 0, (c * 48271L % 8191L) % c).otherwise(lit(0L))
+    // LAZY checkpoints (r14): the convergence count that follows each
+    // round is the action that materializes the round's blocks, so
+    // the eager checkpoint's own separate job disappears — one job
+    // per round instead of two. Safe because the count runs BEFORE
+    // the next round's join reads the blocks (no intra-job recompute
+    // race — contrast qBfsReach, where the checkpointed edge frame is
+    // consumed by several stages of one job and stays eager).
     var t = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"),
         parentOf(col("o_orderkey")).as("ptr"),
         when(col("o_orderkey") > 0, 1L).otherwise(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var open = t.filter(col("ptr") =!= 0).count()
     var rounds = 0
     while (open > 0) {
@@ -1097,7 +1104,7 @@ object Relational {
       t = t.join(t2.hint("shuffle_hash"), col("ptr") === col("j_k"))
         .select(col("k"), col("j_ptr").as("ptr"),
           (col("dist") + col("j_dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       open = t.filter(col("ptr") =!= 0).count()
     }
     t.select(col("k").as("o_orderkey"), col("dist").as("depth"))
@@ -1728,13 +1735,15 @@ object Relational {
       .select(col("p_partkey").as("k"),
         expr("cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint)")
           .as("cents"))
+    // LAZY checkpoints fused with the convergence count, exactly as
+    // in qHierarchy (r14): one job per composition round, not two.
     var t = parts
       .select(col("k"),
         when(parentOf(col("k")) === 0, col("k")).as("root"),
         parentOf(col("k")).as("ptr"),
         when(parentOf(col("k")) === 0, lit(1L))
           .otherwise(qtyOf(col("k"))).cast("decimal(38,0)").as("q"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var open = t.filter(col("root").isNull).count()
     var rounds = 0
     while (open > 0) {
@@ -1747,7 +1756,7 @@ object Relational {
         .select(col("k"), col("j_root").as("root"),
           col("j_ptr").as("ptr"), (col("q") * col("j_q")).as("q"))
         .unionByName(t.filter(col("root").isNotNull))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       open = t.filter(col("root").isNull).count()
     }
     t.join(parts.hint("shuffle_hash"), Seq("k"))

@@ -372,10 +372,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // twab: the ledger scan's (part, day) agg + its ONE part-window
     // exchange (lead shares it; rollup reuses it) + ordered output
     "q_twab" -> 4,
-    // weighted_percentile: ONE flag-window sort exchange (cumulative
-    // + total weights share it; the crossing agg reuses it) +
-    // ordered output
-    "q_weighted_percentile" -> 3,
+    // weighted_percentile (r14): the flag-window sort funneled the
+    // whole fact table through THREE reducers (one per return flag);
+    // now the factored GlobalRank range scan — range exchange + pid
+    // window + the 3-row per-flag broadcast + flag rollup + ordered
+    // output. Two more audited exchanges buy sort parallelism that
+    // grows with the cluster instead of with the flag domain.
+    "q_weighted_percentile" -> 5,
     // anomaly_bands: changepoint's frame — pinned fact-customer join
     // (two exchanges), (nation, day) agg, ONE nation-window exchange
     // shared by both rolling stats + the rollup + ordered output
