@@ -719,7 +719,11 @@ object AnalyticsOps {
         count(lit(1)).as("freq"),
         expr("cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)")
           .as("cents"))
-      .localCheckpoint() // one materialization feeds 3 ranks + the join
+      // LAZY checkpoint fused with the count() below (r14): the count
+      // computes every partition, so the checkpoint materializes
+      // inside that job — one materialization still feeds 3 ranks +
+      // the join, one fewer job.
+      .localCheckpoint(eager = false)
     val n = m.count()
     def dim(keys: Seq[Column], out: String): DataFrame =
       GlobalRank.withRank(s, m, keys, "rnk")

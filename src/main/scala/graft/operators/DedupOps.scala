@@ -712,10 +712,18 @@ object DedupOps {
       val canon = ls.select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       val mins2 = canon.groupBy("a").agg(min(col("b")).as("m"))
+      // LAZY checkpoint fused with the convergence test (r14): the
+      // odd-multiplicity aggregate's map side computes EVERY partition
+      // of next, so the checkpoint materializes inside that job — one
+      // job per round instead of two (the qHierarchy discipline). The
+      // initial edges checkpoint stays eager: its follow-up action is
+      // head(1), which computes partitions incrementally and would
+      // leave the checkpoint to a fill-in job.
       val next = canon.join(mins2, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .unionAll(mins2.select(col("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false)
       done = next.unionAll(edges).groupBy("a", "b")
         .agg(count(lit(1)).as("c")).filter(col("c") % 2 === 1)
         .head(1).isEmpty

@@ -1590,9 +1590,16 @@ object Etl {
         .filter(col("v").isNotNull).distinct()
       val parentKeys = Tables.load(s, dir, pt)
         .select(col(pc).cast(LongType).as("v")).distinct()
-      val orphans = childVals.join(parentKeys, Seq("v"), "left_anti")
-      childVals.agg(count(lit(1)).as("n_distinct"))
-        .join(orphans.agg(count(lit(1)).as("n_orphan")))
+      // ONE probe pass (r14): the anti-join + two separate counts +
+      // 1-row cross join read the distinct child set twice and built
+      // four exchanges per candidate; a single left join against the
+      // (distinct) parent set yields both counts from one aggregate —
+      // n_distinct = all child values, n_orphan = those with no
+      // parent hit. 1:≤1 by construction (both sides distinct), so
+      // the counts are identical to the anti-join form.
+      childVals.join(parentKeys.withColumn("hit", lit(1)), Seq("v"), "left")
+        .agg(count(lit(1)).as("n_distinct"),
+          count(when(col("hit").isNull, 1)).as("n_orphan"))
         .select(lit(ct).as("child_table"), lit(cc).as("child_col"),
           lit(pt).as("parent_table"), lit(pc).as("parent_col"),
           col("n_distinct"), col("n_orphan"),

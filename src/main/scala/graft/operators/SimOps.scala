@@ -1454,8 +1454,16 @@ object SimOps {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("rel"))
+    // LAZY checkpoints throughout (r14): every frame past the corpus
+    // scan is O(queries·m) model-sized, and the loop interleaves no
+    // driver action — eager checkpoints ran one job per round (7 jobs
+    // of pure scheduling). Lazy keeps the plan-truncation (each
+    // checkpoint still swaps the logical plan for an RDD reference,
+    // so planning stays flat across rounds) while the single final
+    // action computes each marked RDD once and caches its blocks.
     val candV = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
-      Seq(col("rel").desc, col("vec_id")), mmrShortlist).localCheckpoint()
+      Seq(col("rel").desc, col("vec_id")), mmrShortlist)
+      .localCheckpoint(eager = false)
     val cand = candV.select("q_id", "vec_id", "rel")
     val pairs = candV
       .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"),
@@ -1465,14 +1473,14 @@ object SimOps {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("q_id"), col("a_id"), col("b_id"),
         (dotD(col("av"), col("bv")) / (col("anrm") * col("bnrm"))).as("pc"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("rel").desc, col("vec_id"))
     var selected = cand
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("q_id"), lit(1).as("rnd"), col("vec_id"), col("rel"),
         lit(null).cast("double").as("red"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (t <- 2 to mmrK) {
       val selKeys = selected.select(col("q_id"), col("vec_id"))
       val remaining = cand.join(selKeys, Seq("q_id", "vec_id"), "left_anti")
@@ -1490,7 +1498,7 @@ object SimOps {
         .withColumn("rn", row_number().over(wt)).filter(col("rn") === 1)
         .select(col("q_id"), lit(t).as("rnd"), col("vec_id"), col("rel"),
           col("red"))
-      selected = selected.unionByName(selT).localCheckpoint()
+      selected = selected.unionByName(selT).localCheckpoint(eager = false)
     }
     selected.orderBy("q_id", "rnd")
   }

@@ -585,11 +585,18 @@ object StatsOps {
     * scale the edge frame is partition-pinned once and reused);
     * rounds are bounded by the hop horizon, not the graph. */
   def qBfsReach(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir).localCheckpoint()
+    // LAZY checkpoints throughout (r14): the hop horizon is a
+    // CONSTANT (3), no convergence count interleaves the rounds, so
+    // eager checkpoints bought nothing but one scheduling job per
+    // frame (7 jobs total). Lazy keeps the per-round plan truncation
+    // (planning stays O(1) per round) and the single final action
+    // computes each marked RDD once, caching its blocks for the
+    // round+1 consumers inside the same job.
+    val e = coPurchaseEdges(s, dir).localCheckpoint(eager = false)
     val src = Tables.load(s, dir, "part")
       .filter(col("p_partkey") % bfsSourceModulus === 0)
       .select(col("p_partkey").as("p")).withColumn("hop", lit(0))
-    var visited = src.localCheckpoint()
+    var visited = src.localCheckpoint(eager = false)
     var frontier = visited.select("p")
     (1 to bfsMaxHops).foreach { h =>
       val next = frontier
@@ -598,8 +605,8 @@ object StatsOps {
         .join(visited.select("p").hint("shuffle_hash"), Seq("p"),
           "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .localCheckpoint(eager = false)
+      visited = visited.union(next).localCheckpoint(eager = false)
       frontier = next.select("p")
     }
     visited.select(col("p").as("p_partkey"),
@@ -653,18 +660,20 @@ object StatsOps {
       .select(col("x.p").as("a"), col("y.p").as("b"),
         (col("x.q") + col("y.q")).as("qq"))
       .groupBy("a", "b").agg(min("qq").as("w"))
-      .localCheckpoint()
+      // LAZY checkpoints: fixed-horizon loop with no interleaved
+      // driver action — same rationale as qBfsReach above.
+      .localCheckpoint(eager = false)
     val src = Tables.load(s, dir, "part")
       .filter(col("p_partkey") % bfsSourceModulus === 0)
       .select(col("p_partkey").as("p")).withColumn("cost", lit(0L))
-    var dist = src.localCheckpoint()
+    var dist = src.localCheckpoint(eager = false)
     (1 to bfsMaxHops).foreach { _ =>
       val relax = dist
         .join(e.hint("shuffle_hash"), col("p") === col("a"))
         .select(col("b").as("p"), (col("cost") + col("w")).as("cost"))
       dist = dist.union(relax)
         .groupBy("p").agg(min("cost").as("cost"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     dist.select(col("p").as("p_partkey"), col("cost")).orderBy("p_partkey")
   }
@@ -1565,11 +1574,16 @@ object StatsOps {
       .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
         (col("ay") - col("by")) * (col("ay") - col("by")) <= dbscanEps2)
       .select(col("a"), col("b"))
-      .localCheckpoint() // feeds counts, core edges AND border adoption
+      // LAZY (r14): feeds counts, core edges AND border adoption, but
+      // the FIRST consumer to run is clusterLabels' eager initial edge
+      // checkpoint, whose job shuffles every partition of nbr/cores —
+      // both materialize fully inside it; the eager versions were two
+      // extra scheduling jobs.
+      .localCheckpoint(eager = false)
     val cnt = nbr.groupBy(col("a").as("pid"))
       .agg(count(lit(1)).as("n_neighbors"))
     val cores = cnt.filter(col("n_neighbors") >= dbscanMinPts)
-      .select("pid").localCheckpoint()
+      .select("pid").localCheckpoint(eager = false)
     val coreEdges = nbr
       .join(cores.toDF("a"), "a").join(cores.toDF("b"), "b")
       .filter(col("a") < col("b"))

@@ -2053,8 +2053,12 @@ object StreamOps {
   private[graft] def mvRetractApply(orders: DataFrame, prevPart: DataFrame,
       prevKeys: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
     val cents = graft.operators.ScaleJoins.centsExpr
-    // localCheckpoint: the negated wave partials feed BOTH the dedupe
-    // union and the affected-group list (the q_mv_retract pin)
+    // LAZY localCheckpoint (r14): the negated wave partials feed BOTH
+    // the dedupe union and the affected-group list (the q_mv_retract
+    // pin), but both consumers live inside the ONE part-store write
+    // job — the eager materialization was a whole extra job per
+    // micro-batch for a (yr, mo, wave)-grain frame. Lazy computes it
+    // once (first consumer caches the blocks) inside that job.
     val bp = batch
       .groupBy(year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"), col("wave"))
@@ -2062,7 +2066,7 @@ object StreamOps {
         (-count(lit(1))).as("n_orders"))
       .withColumn("min_cents", lit(null).cast("long"))
       .withColumn("max_cents", lit(null).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merged = prevPart.unionByName(bp)
       .groupBy("yr", "mo", "wave")
       .agg(max(struct(col("rev_cents"), col("n_orders"),
@@ -2072,9 +2076,12 @@ object StreamOps {
         col("m.n_orders").as("n_orders"),
         col("m.min_cents").as("min_cents"),
         col("m.max_cents").as("max_cents"))
-    // the delete log so far — distinct makes redelivery a no-op
+    // the delete log so far — distinct makes redelivery a no-op.
+    // LAZY: the part-store write's anti-join shuffles every partition
+    // of this frame (full materialization), then the key-store write
+    // re-reads the cached blocks — one job saved per micro-batch.
     val newKeys = prevKeys.unionByName(batch.select("o_orderkey"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     val affected = bp.select("yr", "mo")
     val survExt = orders
       .join(broadcast(affected),
