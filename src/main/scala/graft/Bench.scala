@@ -49,7 +49,15 @@ object Bench {
       "12 back-to-back runs 1.7-2.9 s with the AQE-final plan " +
       "bit-identical across samples and gc<60 ms/run; the 11-exchange " +
       "two-arm pipeline converges slowly under JIT, so 1-warm+3 samples " +
-      "lands anywhere in the tail - not a plan or data regression)"))
+      "lands anywhere in the tail - not a plan or data regression)"),
+    "q_rolling_corr" -> ("intrinsic JIT-convergence spread (r14 " +
+      "diagnosis: solo 12 back-to-back runs 1.15-1.88 s converging to " +
+      "~1.3 with warm-up 4.8 s and the attr-normalized physical plan " +
+      "bit-identical across independent compilations, 6 exchanges; " +
+      "the historical full-board 2.7-4.4 s band is the same slow " +
+      "convergence sampled at 1-warm+3 inside a long JVM - the plan " +
+      "is frozen and the sort/window shape already shares its one " +
+      "nation exchange, so the spread is compile-state, not data)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -531,36 +531,45 @@ object AnalyticsOps {
     * by (ts, event_id) desc). The invariant that makes books balance:
     * Σ all credit = 10000 · purchases, EXACTLY.
     *
-    * Scale shape: the touch join shuffles on user_id with the time
-    * range as join filter (pair volume bounded per user, the funnel
-    * contract); rank and touch-count ride ONE purchase-grain window
-    * partition (cardinality grows with data); the credit aggregate is
-    * map-side combined. */
+    * Scale shape (r14): ONE left touch join — the old shape computed
+    * the inner join TWICE (once for the windowed credit, once inside
+    * the NOT-EXISTS probe for direct credit) and union'd the arms;
+    * an untouched purchase now survives the LEFT join as its single
+    * null-touch row and classifies as 'direct' inside the same
+    * window pass (n = count of matched touches, 0 → direct), so the
+    * direct arm's second corpus-pair join, the p_id distinct and the
+    * anti-join all disappear. The join shuffles on user_id with the
+    * time range in the join condition (pair volume bounded per user,
+    * the funnel contract); rank and touch-count ride ONE
+    * purchase-grain window partition (cardinality grows with data);
+    * the credit aggregate is map-side combined. */
   def qAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"),
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
         col("us").as("p_us"))
     val t = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("event_id").as("t_id"),
+      .select(col("user_id").as("t_uid"), col("event_id").as("t_id"),
         col("event_type"), col("us"))
-    val j = p.join(t.hint("shuffle_hash"), Seq("user_id"))
-      .filter(col("us") < col("p_us") &&
-        col("us") >= col("p_us") - attrWindowUs)
+    val j = p.join(t.hint("shuffle_hash"),
+      col("p_uid") === col("t_uid") &&
+        col("us") < col("p_us") &&
+        col("us") >= col("p_us") - attrWindowUs, "left")
     val byP = Window.partitionBy(col("p_id"))
-    val ranked = j
+    j
+      // count() skips nulls: an untouched purchase's single null-touch
+      // row yields n = 0 — exactly the old anti-join's 'direct' set
+      .withColumn("n", count(col("t_id")).over(byP))
       .withColumn("rnk", row_number().over(
-        byP.orderBy(col("us").desc, col("t_id").desc)))
-      .withColumn("n", count(lit(1)).over(byP))
-      .select(col("event_type"),
-        expr("cast(10000 div n + (case when rnk <= 10000 % n then 1 else 0 end) as bigint)")
+        byP.orderBy(col("us").desc_nulls_last, col("t_id").desc_nulls_last)))
+      .select(
+        when(col("n") === 0, lit("direct")).otherwise(col("event_type"))
+          .as("event_type"),
+        when(col("n") === 0, lit(10000L)).otherwise(
+          expr("cast(10000 div n + (case when rnk <= 10000 % n then 1 else 0 end) as bigint)"))
           .as("bp"))
-    val direct = p.join(j.select("p_id").distinct().hint("shuffle_hash"),
-        Seq("p_id"), "left_anti")
-      .select(lit("direct").as("event_type"), lit(10000L).as("bp"))
-    ranked.union(direct)
       .groupBy(col("event_type"))
       .agg(sum(col("bp")).as("total_bp"), count(lit(1)).as("n_touches"))
   }

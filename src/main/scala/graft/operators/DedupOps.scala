@@ -218,7 +218,11 @@ object DedupOps {
     val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
     Etl.withPathLock(Paths.get(idxDir + ".lock")) {
       if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
-        val sigs = minhashSignatures(dupDocs(s, dir)).localCheckpoint()
+        // LAZY: the two segment writes are sequential full-
+        // materializing actions — the first computes and caches every
+        // partition, the second reads the cache (r14)
+        val sigs = minhashSignatures(dupDocs(s, dir))
+          .localCheckpoint(eager = false)
         sigs.select("doc_id", "sh").write.mode("overwrite")
           .parquet(s"$idxDir/sets")
         bandBuckets(sigs).write.mode("overwrite")
@@ -441,7 +445,10 @@ object DedupOps {
     val tagPath = Paths.get(idxDir, "_GRAFT_TAG")
     Etl.withPathLock(Paths.get(idxDir + ".lock")) {
       if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
-        val sigs = simhashSigs(dupDocs(s, dir)).localCheckpoint()
+        // no checkpoint (r14): sigs has exactly ONE consumer (the
+        // bucket-segment write) — the pin bought a whole extra job
+        // for lineage nobody re-read
+        val sigs = simhashSigs(dupDocs(s, dir))
         // sig rides each band row (8 bytes × 4 bands): the candidate
         // self-join then verifies hamming IN PLACE — no per-side sig
         // re-join, the same one-join shape the in-flight path uses
@@ -814,8 +821,11 @@ object DedupOps {
     val batch = Tables.load(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    val batchSigs = minhashSignatures(batch).localCheckpoint()
-    val batchBanded = bandBuckets(batchSigs).localCheckpoint()
+    // LAZY (r14): every consumer of these two is a sequential action
+    // (segment writes, then the candidate join's job) — the first
+    // write materializes and caches, later consumers read the cache
+    val batchSigs = minhashSignatures(batch).localCheckpoint(eager = false)
+    val batchBanded = bandBuckets(batchSigs).localCheckpoint(eager = false)
     // ALL segment writes run under the lock: the batch segment is
     // overwrite-mode on every run, and a concurrent JVM (or the
     // oracle) reading those globs mid-overwrite would hit deleted
@@ -825,7 +835,7 @@ object DedupOps {
       if (!Files.exists(tagPath) || Files.readString(tagPath) != tag) {
         val corpusSigs =
           minhashSignatures(Tables.load(s, dir, "documents"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false) // sequential writes, as above
         corpusSigs.select("doc_id", "sh").write.mode("overwrite")
           .parquet(s"$idxDir/corpus_sets")
         bandBuckets(corpusSigs).write.mode("overwrite")

@@ -2370,7 +2370,10 @@ object Etl {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("props")).cast("long")).as("payload_bytes"))
-      .localCheckpoint() // one day frame feeds total, median and report
+      // LAZY (r14): the total aggregate right below computes every
+      // partition of the day frame, so the checkpoint materializes
+      // inside that job; median + report then read the cached blocks.
+      .localCheckpoint(eager = false)
     val total = days.agg(sum(col("n_rows"))).head().getLong(0)
     // exact lower median of partition sizes: selection, not arithmetic
     val sizes = days.select(col("n_rows")).collect().map(_.getLong(0))

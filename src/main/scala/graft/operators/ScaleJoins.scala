@@ -640,7 +640,10 @@ object ScaleJoins {
       .groupBy(year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"))
       .agg(sum(expr(centsExpr)).as("r_cents"), count(lit(1)).as("r_n"))
-      .localCheckpoint()
+      // LAZY (r14): month-grain frame; the broadcast of `affected`
+      // materializes it first inside the final job, the subtract join
+      // then reads the cached blocks — one fewer job.
+      .localCheckpoint(eager = false)
     val affected = rAgg.select("yr", "mo")
     // survivors' extrema, computed ONLY over affected groups (the
     // broadcast against the model-sized month list is the fixture

@@ -905,7 +905,9 @@ object SimOps {
     val c = corpus(s, dir)
     val counts = assignTo(c, cents)
       .groupBy("centroid").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // k rows; feeds the total AND the join
+      // LAZY (r14): k rows post-shuffle; the broadcast total
+      // materializes it, the join reads cache — one fewer job
+      .localCheckpoint(eager = false)
     // every corpus vector is assigned exactly once, so the corpus
     // total is the sum of the k bucket counts — never a second scan
     val total = counts.agg(sum(col("n")).as("total"))

@@ -50,7 +50,12 @@ object GlobalRank {
         d.withColumn(vCols(i), values(i).cast("long"))
       }
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan must see one layout
+      // LAZY pin (r14): the totals collect right below aggregates
+      // EVERY partition, so the checkpoint materializes inside that
+      // job — the layout is pinned by the cached blocks exactly as
+      // with eager, one fewer job per scan. offsets + scan still see
+      // one layout.
+      .localCheckpoint(eager = false)
     val totals = parts.groupBy("__pid").agg(
         sum(col(vCols.head)).as("t0"),
         vCols.tail.zipWithIndex.map { case (c, i) =>
@@ -103,7 +108,8 @@ object GlobalRank {
     val parts = df.repartitionByRange(nRange, segment +: keys: _*)
       .withColumn("__seg", segment.cast("int"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin pid: offsets + scan must see one layout
+      // LAZY pin — same rationale as withExclusiveSums above.
+      .localCheckpoint(eager = false)
     val perPart = parts.groupBy("__pid", "__seg").count().collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val nParts = (perPart.keySet.map(_._1) + 0).max + 1

@@ -619,9 +619,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // hopping_window: one agg-grain exchange — the 4× replication
     // happens before the map-side combine
     "q_hopping_window" -> 1,
-    // attribution: user-keyed touch join (2 sides) + purchase-grain
-    // window + the direct anti-join legs + final credit agg
-    "q_attribution" -> 8,
+    // attribution (r14): ONE left touch join (2 sides) + purchase-
+    // grain window + final credit agg — the direct arm's second
+    // touch join, p_id distinct and anti-join legs folded into the
+    // left join's null rows (8 → 4)
+    "q_attribution" -> 4,
     // transition_matrix: user-grain window + cell-grain count
     "q_transition_matrix" -> 2,
     // basket_pairs: checkpointed basket frame feeds the order-keyed
