@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness scrapes the LAST line of stdout as JSON.
+// sbt's "[success] Total time: ..." epilogue prints AFTER the
+// program's output, so every scrape in rounds 1-14 read the epilogue
+// instead of the JSON line (BENCH_r*.json: parsed null in all 14
+// rounds, including r1-r4 where the complete JSON line sat inside the
+// captured tail). Suppress the epilogue so the program's one-line
+// JSON is the final line of the stream.
+Global / showSuccess := false
+Global / showTiming := false
+// ... and route the forked JVM's stdout straight through instead of
+// re-logging each line with an "[info] " prefix — the scrape needs
+// the bare JSON as the line, not "[info] {...}".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -165,13 +165,21 @@ object Bench {
     val stealAfter = stealTicks
     val calib = math.min(calibBefore, calibAfter)
     val best = results.map { case (n, _, b, _) => n -> b }.toMap
-    val qs = results.map { case (n, _, b, _) => jstr(n) + ":" + b }
+    // ONE-LINE values at 4 decimals (r14 verdict item 1): 333 keys at
+    // full Double precision made the line ~10 KB and the scrape window
+    // truncated it mid-line two rounds running. 0.1 ms granularity
+    // loses nothing at the >10 ms scale of any real key; full
+    // precision (every sample) stays in the bench_full.json detail.
+    def r4(v: Double): String =
+      if (v == -1.0) "-1" else BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (n, _, b, _) => jstr(n) + ":" + r4(b) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total rather
     // than subtracting from it
     val total = best.values.filter(_ >= 0).sum
     val oneLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":${r4(calib)}}"""
     // The COMPLETE record goes to a file the driver can archive
     // verbatim: every key with EVERY sample (not just the min) plus
     // load-average stamps, so a contention spike is visible in the
