@@ -30,13 +30,36 @@ object JobStats {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
+    // SPARK_GRAFT_JOBSTATS_DETAIL=1: one line per job (call site +
+    // task count) so a key's job count can be ATTRIBUTED to sites, not
+    // just totalled — the streaming keys' job budget is invisible at
+    // the aggregate grain.
+    val detail = sys.env.get("SPARK_GRAFT_JOBSTATS_DETAIL").contains("1")
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageJob =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Integer]()
+    val jobTasks =
+      new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (detail) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("?")
+          jobSites.put(j.jobId, site)
+          j.stageIds.foreach(sid => stageJob.put(sid, j.jobId))
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
+        if (detail) Option(stageJob.get(t.stageId)).foreach { jid =>
+          jobTasks.computeIfAbsent(jid.intValue, _ => new AtomicLong(0L))
+            .incrementAndGet()
+        }
+      }
     })
     // warm the page cache like Bench does, then drop those events
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
@@ -50,12 +73,20 @@ object JobStats {
         .foreach(_.unpersist(blocking = false))
       Thread.sleep(200) // let straggling listener events drain
       jobs.set(0); stages.set(0); tasks.set(0L)
+      jobSites.clear(); stageJob.clear(); jobTasks.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200)
       println(f"[jobstats] $n jobs=${jobs.get} stages=${stages.get} " +
         f"tasks=${tasks.get} wall=$sec%.2f s")
+      if (detail) {
+        import scala.jdk.CollectionConverters._
+        jobSites.asScala.toSeq.sortBy(_._1).foreach { case (jid, site) =>
+          val nt = Option(jobTasks.get(jid)).map(_.get).getOrElse(0L)
+          println(f"[jobstats]   $n job=$jid tasks=$nt site=$site")
+        }
+      }
     }
     spark.stop()
     sys.exit(0)

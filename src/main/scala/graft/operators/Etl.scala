@@ -1867,10 +1867,14 @@ object Etl {
       // count all fall out of the grouped counts, so the audit reads
       // the staged snapshot exactly once instead of three times.
       // Values are identical to the former three separate counts.
+      // sums are coalesced to 0: an EMPTY staged batch aggregates
+      // sum() to NULL, and getLong on it would NPE where the old
+      // three count() calls returned 0 (ADVICE r14) — latent on this
+      // fixture (%3 slices are never empty) but wrong for any caller
       val audit = staged.groupBy("c_custkey").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c")).as("n_rows"),
-          sum(when(col("c_custkey").isNull, col("c")).otherwise(lit(0L)))
-            .as("n_null"),
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("c_custkey").isNull, col("c"))
+            .otherwise(lit(0L))), lit(0L)).as("n_null"),
           count(when(col("c_custkey").isNotNull && col("c") > 1, lit(1)))
             .as("n_dup"))
         .head()

@@ -1462,7 +1462,9 @@ object SimOps {
     // of pure scheduling). Lazy keeps the plan-truncation (each
     // checkpoint still swaps the logical plan for an RDD reference,
     // so planning stays flat across rounds) while the single final
-    // action computes each marked RDD once and caches its blocks.
+    // action materializes each marked RDD and caches its blocks
+    // (concurrent stages MAY recompute a partition before the cache
+    // fills — harmless: deterministic content, set-semantic reads).
     val candV = graft.plans.TopKPerKey.topK(scored, Seq("q_id"),
       Seq(col("rel").desc, col("vec_id")), mmrShortlist)
       .localCheckpoint(eager = false)

@@ -589,9 +589,11 @@ object StatsOps {
     // CONSTANT (3), no convergence count interleaves the rounds, so
     // eager checkpoints bought nothing but one scheduling job per
     // frame (7 jobs total). Lazy keeps the per-round plan truncation
-    // (planning stays O(1) per round) and the single final action
-    // computes each marked RDD once, caching its blocks for the
-    // round+1 consumers inside the same job.
+    // (planning stays O(1) per round); the single final action
+    // materializes each marked RDD (concurrent stages of that job MAY
+    // recompute a partition before its cache blocks land — harmless
+    // here: every consumer is set-semantic over deterministic
+    // content, and the JobStats task counts dropped, not rose).
     val e = coPurchaseEdges(s, dir).localCheckpoint(eager = false)
     val src = Tables.load(s, dir, "part")
       .filter(col("p_partkey") % bfsSourceModulus === 0)

@@ -337,17 +337,35 @@ object TextOps {
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val t = toks(col("text"))
-    val grams = docs.select(col("doc_id"),
+    // Every output statistic is DOC-grain over the doc's own bigrams,
+    // so nothing needs to leave the row (r15, guide §2.3/§2.4): the
+    // old explode → groupBy(doc,gram) → groupBy(doc) shape shuffled
+    // the whole exploded bigram corpus twice to compute per-row math.
+    // top_gram_n = the max multiplicity of any bigram = the longest
+    // equal-run in the SORTED bigram array, one codegen'd aggregate()
+    // fold per row; n_grams = size(grams). Zero exchanges — the key
+    // is now scan-bound at any corpus size. Values are identical
+    // (count multiset per doc is unchanged; sorting only groups equal
+    // strings adjacently, and any total order does that).
+    docs.select(col("doc_id"),
         graft.functions.ExprUtils.bind(t) { tt =>
           when(size(tt) >= 2,
             transform(sequence(lit(0), size(tt) - 2),
               i => concat_ws(" ", element_at(tt, i + 1), element_at(tt, i + 2))))
             .otherwise(array().cast("array<string>"))
         }.as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+      .filter(size(col("grams")) >= 1)
+      .select(col("doc_id"),
+        aggregate(array_sort(col("grams")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + lit(1L))
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")).as("top_gram_n"),
+        size(col("grams")).cast(LongType).as("n_grams"))
       .select(col("doc_id"), col("top_gram_n"), col("n_grams"),
         (col("top_gram_n").cast(DoubleType) / col("n_grams")).as("rep_ratio"))
   }
@@ -923,12 +941,22 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(tk) - $dupSpanW)," +
           s" i -> array_join(slice(tk, i + 1, $dupSpanW), ' '))")).as("sh"))
-    val freq = spans.select("sh", "doc_id").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("docs"))
-    val marked = spans.join(freq.hint("shuffle_hash"), Seq("sh"))
+    // ONE pass over the exploded shingles (r15, guide §2.3/§2.4): the
+    // old shape computed `spans` twice — once distinct→groupBy for the
+    // doc-frequency table, then AGAIN (scan+explode) as the join probe
+    // — and shuffled every raw span instance through the join. The
+    // (sh, doc) multiplicity k is the only payload the join carried,
+    // so aggregate to (sh, doc, k) first (map-side combined), read the
+    // doc frequency off a window over sh (bounded by max df — the same
+    // skew bound the join had), and collapse to doc grain. Identical
+    // values: n_spans = Σk, n_dup = Σ k·[docs ≥ 2].
+    val perDoc = spans.groupBy("sh", "doc_id").agg(count(lit(1)).as("k"))
+    val marked = perDoc
+      .withColumn("docs", count(lit(1)).over(
+        Window.partitionBy(col("sh"))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("k")).as("n_spans"),
+        sum(when(col("docs") >= 2, col("k")).otherwise(0L)).as("n_dup"))
     docs.select(col("doc_id"))
       .join(marked.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1270,8 +1298,16 @@ object TextOps {
         "transform(sequence(0, size(w) - 5)," +
           " i -> array_join(slice(w, i + 1, 5), ' '))")).as("sgl"))
       .distinct()
-    val frontier = sh.groupBy("sgl").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(frontier.hint("shuffle_hash"), "sgl")
+    // The first-occurrence frontier as a window MIN over the distinct
+    // (doc, shingle) pairs (r15, guide §2.3/§2.4): the old
+    // groupBy(sgl)+join recomputed the scan+explode+distinct a second
+    // time as the probe side and shuffled it through the join; the
+    // window reads the frontier off the SAME partitioning in one
+    // pass. Window partitions are df-bounded — exactly the join's
+    // skew bound. Identical values (every sh row matched exactly one
+    // frontier row).
+    sh.withColumn("first_doc", min(col("doc_id")).over(
+        Window.partitionBy(col("sgl"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -551,10 +551,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // before the pin) + the ordered report; total/median are
     // model-sized driver scalars
     "etl_partition_skew" -> 1,
-    // ngram_novelty: distinct pairs (2: partial+final), frontier agg,
-    // the pinned frontier join's two sides, doc-grain agg, ordered
-    // output — every side corpus-sized, broadcast banned
-    "text_ngram_novelty" -> 8,
+    // ngram_novelty (r15 TIGHT at 4): distinct pairs exchange, the
+    // shingle-keyed window that reads the first-occurrence frontier
+    // off the same pass (replacing the old frontier-agg + join-back +
+    // second scan), doc-grain agg, ordered output — every frame
+    // corpus-sized, broadcast banned
+    "text_ngram_novelty" -> 4,
     // url_canon: pure per-row string surgery; only the ordered output
     "text_url_canon" -> 1,
     // html_strip: pure per-row regexp chain; only the ordered output
@@ -610,10 +612,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // chi2: three margin aggregates off one source + the grid's
     // obs left-join; the margins cross by broadcast (dimension-sized)
     "q_chi2" -> 6,
-    // dup_spans: distinct (shingle,doc) + shingle-frequency agg +
-    // the shingle-grain join back + doc-grain agg + the docs left
+    // dup_spans (r15 TIGHT at 4): (sh,doc,k) multiplicity agg, the
+    // shingle-keyed doc-frequency window (replacing the old freq agg +
+    // join-back + second scan+explode), doc-grain agg, the docs left
     // join — every side corpus-sized, all pinned to shuffle
-    "text_dup_spans" -> 8,
+    "text_dup_spans" -> 4,
     // rolling_median: the single user-grain window exchange
     "q_rolling_median" -> 1,
     // hopping_window: one agg-grain exchange — the 4× replication
@@ -871,7 +874,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // source_overlap: the (source,token) distinct + the token-keyed
     // intersection self-join + the pair-count agg + ordered output
     "text_source_overlap" -> 6,
-    "text_repetition" -> 2, "text_tfidf" -> 7, "text_tokens" -> 0,
+    // repetition (r15 TIGHT at 0): every statistic is doc-grain over
+    // the row's own bigram array (sorted-run aggregate), so the key is
+    // a pure scan-side projection — zero exchanges at any scale
+    "text_repetition" -> 0, "text_tfidf" -> 7, "text_tokens" -> 0,
     "text_train_split" -> 0,
     // anonymize: pure projection, fuses with the scan
     "etl_anonymize" -> 0,
