@@ -81,6 +81,17 @@ object StreamOps {
     val s = streamSessions.computeIfAbsent(parent, { p =>
       val child = p.newSession()
       child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // AQE off for the streaming child (r15): Spark's own streaming
+      // planner already runs stateful plans without AQE; the exception
+      // is foreachBatch's INNER batch plans, where AQE materializes
+      // every exchange of every micro-batch as its own job to re-plan
+      // the remainder — ~5 jobs instead of 2 per micro-batch on the
+      // dim-store merge loop, pure scheduler latency on bounded
+      // KB-scale batches. Partitioning here is pinned by
+      // statePartitionsKey (state size and input rate set it at
+      // scale), so AQE's coalescing has nothing to decide that the
+      // conf doesn't already say.
+      child.conf.set("spark.sql.adaptive.enabled", "false")
       child
     })
     // newSession() copies conf at creation: forward the runtime knobs
