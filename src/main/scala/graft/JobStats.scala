@@ -1,8 +1,8 @@
 package graft
 
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
-  SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Deterministic per-key execution-shape profiler (r14 optimization
@@ -40,6 +40,10 @@ object JobStats {
       new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Integer]()
     val jobTasks =
       new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val jobMs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -48,9 +52,14 @@ object JobStats {
             .flatMap(p => Option(p.getProperty("callSite.short")))
             .getOrElse("?")
           jobSites.put(j.jobId, site)
+          jobStart.put(j.jobId, j.time)
           j.stageIds.foreach(sid => stageJob.put(sid, j.jobId))
         }
       }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (detail) Option(jobStart.get(j.jobId)).foreach { t0 =>
+          jobMs.put(j.jobId, j.time - t0)
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -74,6 +83,7 @@ object JobStats {
       Thread.sleep(200) // let straggling listener events drain
       jobs.set(0); stages.set(0); tasks.set(0L)
       jobSites.clear(); stageJob.clear(); jobTasks.clear()
+      jobStart.clear(); jobMs.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -84,7 +94,8 @@ object JobStats {
         import scala.jdk.CollectionConverters._
         jobSites.asScala.toSeq.sortBy(_._1).foreach { case (jid, site) =>
           val nt = Option(jobTasks.get(jid)).map(_.get).getOrElse(0L)
-          println(f"[jobstats]   $n job=$jid tasks=$nt site=$site")
+          val ms = Option(jobMs.get(jid)).map(_.longValue).getOrElse(-1L)
+          println(f"[jobstats]   $n job=$jid tasks=$nt ms=$ms site=$site")
         }
       }
     }

@@ -654,11 +654,15 @@ object AnalyticsOps {
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
     // materialize the distinct basket frame ONCE: three consumers
     // (both pair-join sides + the frequency count) would otherwise
-    // each re-scan and re-distinct the fact table
+    // each re-scan and re-distinct the fact table. LAZY (r15 A/B:
+    // eager 1.60 s vs lazy 1.47 s best-of-4 interleaved, tasks
+    // 228→196) — the pair join's first stage computes every
+    // partition, so the blocks land inside that job with no
+    // double-compute.
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pairs = li.as("x")
       .join(li.as("y").hint("shuffle_hash"), col("x.o") === col("y.o"))
       .filter(col("x.p") < col("y.p"))
@@ -1835,7 +1839,10 @@ object AnalyticsOps {
     val w = Window.partitionBy(col("m"))
       .orderBy(col("rev").desc, col("p"))
     val ranked = g.withColumn("rk", row_number().over(w).cast("long"))
-      .localCheckpoint() // one ranking feeds both the top-3 and lookup
+      // one ranking feeds both the top-3 and lookup arms; LAZY (r15
+      // A/B: eager 1.81 s vs lazy 1.52 s best-of-4 interleaved) — the
+      // join job materializes the window output once
+      .localCheckpoint(eager = false)
     val prev = ranked.select((col("m") + 1).as("m"), col("p"),
       col("rk").as("prev_rk")).hint("shuffle_hash")
     ranked.filter(col("rk") <= 3)

@@ -1672,7 +1672,10 @@ object TextOps {
     val st = Tables.load(s, dir, "documents")
       .select(col("source"), explode(toks(col("text"))).as("token"))
       .distinct()
-      .localCheckpoint() // one tokenize+distinct pass, reused 3×
+      // one tokenize+distinct pass, reused 3×. EAGER, measured (r15
+      // A/B: eager 0.47 s vs lazy 0.49 s best-of-4 interleaved; the
+      // self-join's two sides read it concurrently)
+      .localCheckpoint()
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     st.as("x")
       .join(st.as("y").hint("shuffle_hash"),
