@@ -675,13 +675,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     val median = agg.collect().map(_.getLong(1)).sorted.apply(3)
     val having = agg.filter(col("rev_cents") > median).orderBy("yr")
     val plan = having.queryExecution.executedPlan.toString
-    // any registered summary may serve: the catalog is JVM-global, so
-    // a concurrently-running suite (q_mv_auto registers the SAME
-    // month definition over the SAME corpus) can legitimately win the
-    // lookup — the claim under test is summary-served + zero base
-    // scans, not which equivalent MV answered
-    assert(plan.contains("/tmp/graft_mv_"),
-      "the aggregate under the HAVING must rollup-rewrite onto an MV")
+    // any registered summary OF A CORRECT GRAIN may serve: the
+    // catalog is JVM-global, so a concurrently-running suite
+    // (q_mv_auto registers the SAME month definition over the SAME
+    // corpus) can legitimately win the lookup. Pinned (r15, ADVICE):
+    // only the year/month/auto names qualify — a wrong-grain or
+    // stale summary path must fail here, not just in the value check
+    assert("/tmp/graft_mv_(orders_year|orders_month|auto)_".r
+        .findFirstIn(plan).isDefined,
+      "the aggregate under the HAVING must rollup-rewrite onto a " +
+        "year/month-grain MV")
+    assert(!plan.contains("/tmp/graft_mv_stale"),
+      "a stale summary must never serve")
     assert(!plan.contains("orders.parquet"),
       "zero base scans under the HAVING")
     val truth = Tables.load(spark, sf, "orders")
@@ -700,10 +705,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val cents = "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)"
     val df = ScaleJoins.qMvHaving(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    // accept any registered summary (JVM-global catalog — see the
-    // rollup-HAVING test above)
-    assert(plan.contains("/tmp/graft_mv_"),
-      "both the year grain and the global total must answer from an MV")
+    // accept any CORRECT-GRAIN registered summary (JVM-global
+    // catalog — see the rollup-HAVING test above); pinned to the
+    // year/month/auto names (r15, ADVICE)
+    assert("/tmp/graft_mv_(orders_year|orders_month|auto)_".r
+        .findFirstIn(plan).isDefined,
+      "both the year grain and the global total must answer from a " +
+        "year/month-grain MV")
+    assert(!plan.contains("/tmp/graft_mv_stale"),
+      "a stale summary must never serve")
     assert(!plan.contains("orders.parquet"),
       "zero base scans: the HAVING and its comparison side ride the summary")
     val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -272,4 +272,47 @@ class SeriesSpec extends AnyFunSuite {
     assert(rows.exists(_.isNullAt(4)),
       "the zero-variance guard should fire somewhere at this sf")
   }
+
+  test("q_rolling_corr's physical plan matches the frozen fingerprint behind its bench waiver") {
+    // The bench carries a variance waiver for this key (Bench
+    // varianceNotes: solo-run JIT-convergence spread diagnosed in r14
+    // with the plan bit-identical across compilations). A waiver can
+    // mask a REAL future plan regression, so the diagnosed plan is
+    // frozen here as the operator sequence of the executed plan
+    // (attr-id-free): any strategy flip, added exchange, or lost
+    // codegen span must fail this test and force re-diagnosing the
+    // waiver rather than hiding behind it.
+    import graft.operators.SeriesOps
+    val plan = SeriesOps.qRollingCorr(spark, sf)
+      .queryExecution.executedPlan
+    def names(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p match {
+        // AQE root holds its (pre-execution: initial) plan in a field,
+        // not in children — descend explicitly or the walk sees 1 node
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p.nodeName +: names(a.executedPlan)
+        case _ => p.nodeName +: p.children.flatMap(names)
+      }
+    val got = names(plan)
+      // WholeStageCodegen carries a running id; normalize it away
+      .map(n => if (n.startsWith("WholeStageCodegen")) "WholeStageCodegen" else n)
+    // The diagnosed shape: one range sort for output order, the
+    // 7-day-window Pearson pair (two Window passes over one nation
+    // exchange), the daily collapse, the orders⨝customer shuffled
+    // join with nation broadcast — 6 shuffle exchanges, no cartesian
+    val frozen = Seq(
+      "AdaptiveSparkPlan",
+      "Sort", "Exchange",
+      "Project", "Project", "Filter", "Window", "Project", "Window",
+      "Sort", "Exchange",
+      "HashAggregate", "Exchange", "HashAggregate",
+      "Project", "BroadcastHashJoin",
+      "Project", "ShuffledHashJoin",
+      "Exchange", "Filter", "Scan parquet ",
+      "Exchange", "Filter", "Scan parquet ",
+      "BroadcastExchange", "Filter", "Scan parquet ")
+    assert(got == frozen,
+      s"q_rolling_corr plan fingerprint changed — re-diagnose the bench " +
+        s"variance waiver before accepting this plan.\nGot:\n${got.mkString("\n")}")
+  }
 }
