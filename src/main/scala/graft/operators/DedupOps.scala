@@ -116,6 +116,58 @@ object DedupOps {
   /** All near-dup pairs (a < b, word-3gram Jaccard >= tau) of a
     * (doc_id, text) frame — the reusable core of dedup_ngram_jaccard,
     * also exercised by the randomized brute-force equivalence spec. */
+  /** df-cap knob for the pair generator (the DEPLOY.md skew guard):
+    * 0 (the fixture default — at corpus df ≈ 10-30 plain counting
+    * wins outright) disables it; > 0 routes shingles with document
+    * frequency above the cap OUT of the pairing join, bounding its
+    * volume to Σ_{df ≤ cap} df² + |boilerplate docs|² instead of
+    * Σ df² over the whole vocabulary, with EXACTLY the same output
+    * (see jaccardPairsCapped for the losslessness argument). At web
+    * scale this is the knob that keeps one viral boilerplate shingle
+    * from turning candidate generation into a df² explosion. */
+    val dfCapKey = "spark.graft.dedup.dfCap"
+
+  /** The (doc_id, n_sh, shingle-hash) postings frame the pair
+    * generator joins on. Hashes stay UNSORTED: size(), explode() and
+    * the count aggregate are all order-invariant, so the former
+    * array_sort here was pure O(k log k) per-row CPU on the hottest
+    * dedup path (r14) — removed with bit-identical output. */
+  private[graft] def shinglePostings(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"),
+        transform(shingles(col("text")), sh => xxhash64(sh)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      // NEVER broadcast an exploded corpus: Catalyst's size estimate
+      // survives the explode (it can't see the fan-out), so past
+      // fixture scale the optimizer happily builds a multi-million-row
+      // broadcast hash relation on the driver — measured at sf1 as
+      // 11 s-to-299 s sample swings on this self-join. The hint pins
+      // the scale-correct plan: shuffle on the shingle, per-partition
+      // hash build of rows/partitions entries, skew bounded by max df.
+      .hint("shuffle_hash")
+
+  /** Per-(a, b) shared-shingle count over a postings self-join, with
+    * the lossless length filter (J <= min/max, so max <= min/tau)
+    * pruning join output BEFORE the aggregate. Candidate volume is
+    * Σ df² over the postings' vocabulary. */
+  private[graft] def pairCounts(ex: DataFrame, tau: Double): DataFrame =
+    ex.as("x").join(ex.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          greatest(col("x.n_sh"), col("y.n_sh")).cast(DoubleType) <=
+            least(col("x.n_sh"), col("y.n_sh")) / tau)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.n_sh")).as("na"), max(col("y.n_sh")).as("nb"))
+
+  private def jaccardOf(counts: DataFrame, tau: Double): DataFrame =
+    counts.select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+
   def jaccardPairs(input: DataFrame, tau: Double): DataFrame = {
     // |∩| by COUNTING: explode each doc's distinct hashed shingles
     // and count shared shingles per (a, b) in the co-occurrence
@@ -134,42 +186,74 @@ object DedupOps {
     // payload motion and allocation. Counting does the same exact
     // math in the aggregate at ~8 s for the same corpus.
     //
-    // The lossless length filter (J <= min/max, so max <= min/tau)
-    // prunes join output BEFORE the aggregate. Scale bound: shuffle
-    // rows are Σ df² over the vocabulary; that is the documented
-    // trade — at web scale a df cap / PPJoin positional prefix
-    // bounds the skew tail (DEPLOY.md), at corpus df ≈ 10 counting
-    // wins outright.
-    // hashes stay UNSORTED: size(), explode() and the count aggregate
-    // are all order-invariant, so the former array_sort here was pure
-    // O(k log k) per-row CPU on the hottest dedup path (r14 measure-
-    // first sweep) — removed with bit-identical output
-    val exploded = input
+    // Scale bound: candidate rows are Σ df² over the vocabulary; the
+    // conf-keyed df cap below (fixture default OFF — engaging it
+    // here would only add the df pass that a df ≈ 10-30 corpus never
+    // repays) bounds that tail exactly, without changing one output
+    // row (spec-proven against this uncapped path on corpora
+    // engineered to exercise both arms).
+    val cap = input.sparkSession.conf.get(dfCapKey, "0").toLong
+    val exploded = shinglePostings(input)
+    if (cap <= 0L) jaccardOf(pairCounts(exploded, tau), tau)
+    else jaccardOf(jaccardPairsCapped(exploded, tau, cap), tau)
+  }
+
+  /** Exact df-capped pair counting (DEPLOY.md's "cap df" guard).
+    *
+    * Split the postings at df = cap: LOW rows drive candidate
+    * generation and shared-LOW counting exactly as the uncapped join;
+    * HOT shingles never join — each doc instead carries its (small,
+    * per-doc) hot-shingle array, and a candidate pair's hot overlap
+    * is re-attached exactly as |hot_a ∩ hot_b|. Docs whose hot count
+    * alone could certify J ≥ tau (h ≥ tau·n_sh — "boilerplate docs")
+    * additionally pair exhaustively among THEMSELVES through the
+    * plain counting join (arm 2), and arm 1 excludes both-boilerplate
+    * pairs so nothing double-counts.
+    *
+    * LOSSLESSNESS: for any pair with J ≥ tau, inter ≥ tau·max(na,nb)
+    * (J ≥ tau forces min ≥ tau·max and inter ≥ tau/(1+tau)·(na+nb) ≥
+    * tau·max). If either doc x is NOT boilerplate, h_x < tau·n_x ≤
+    * tau·max ≤ inter, so shared-hot ≤ h_x < inter — the pair shares
+    * at least one LOW shingle and arm 1 finds it with the exact
+    * count. If both are boilerplate, arm 2 counts it exactly. Pairs
+    * sharing only hot shingles with a non-boilerplate end provably
+    * cannot reach tau, so arm 1 never needing to see them is what
+    * makes the cap a pure candidate bound, not an approximation. */
+  private[graft] def jaccardPairsCapped(exploded: DataFrame, tau: Double,
+      cap: Long): DataFrame = {
+    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rows = exploded.join(docFreq.hint("shuffle_hash"), Seq("shingle"))
+    val low = rows.filter(col("df") <= cap)
+      .select("doc_id", "n_sh", "shingle").hint("shuffle_hash")
+    // doc-level hot profile: the hot-shingle ARRAY is per-doc-sized
+    // (a doc has few distinct boilerplate shingles even when each has
+    // a huge df), so it rides doc-grain frames and never the join
+    val docs = exploded.select("doc_id", "n_sh").distinct()
+      .join(rows.filter(col("df") > cap)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("hot"),
+            count(lit(1)).as("h")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
-        transform(shingles(col("text")), sh => xxhash64(sh)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      // NEVER broadcast an exploded corpus: Catalyst's size estimate
-      // survives the explode (it can't see the fan-out), so past
-      // fixture scale the optimizer happily builds a multi-million-row
-      // broadcast hash relation on the driver — measured at sf1 as
-      // 11 s-to-299 s sample swings on this self-join. The hint pins
-      // the scale-correct plan: shuffle on the shingle, per-partition
-      // hash build of rows/partitions entries, skew bounded by max df.
-      .hint("shuffle_hash")
-    exploded.as("x").join(exploded.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          greatest(col("x.n_sh"), col("y.n_sh")).cast(DoubleType) <=
-            least(col("x.n_sh"), col("y.n_sh")) / tau)
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("x.n_sh")).as("na"), max(col("y.n_sh")).as("nb"))
+        coalesce(col("hot"), expr("cast(array() as array<bigint>)"))
+          .as("hot"),
+        (coalesce(col("h"), lit(0L)).cast(DoubleType) >=
+          lit(tau) * col("n_sh")).as("boiler"))
+    val arm1 = pairCounts(low, tau)
+      .withColumnRenamed("inter", "inter_low")
+      .join(docs.select(col("doc_id").as("a"), col("hot").as("hot_a"),
+        col("boiler").as("fb_a")).hint("shuffle_hash"), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("hot").as("hot_b"),
+        col("boiler").as("fb_b")).hint("shuffle_hash"), Seq("b"))
+      .filter(!(col("fb_a") && col("fb_b")))
       .select(col("a"), col("b"),
-        (col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+        (col("inter_low") +
+          size(array_intersect(col("hot_a"), col("hot_b")))).as("inter"),
+        col("na"), col("nb"))
+    val fbPostings = exploded.join(
+      docs.filter(col("boiler")).select("doc_id").hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    arm1.unionByName(pairCounts(fbPostings, tau))
   }
 
   val dedupNgramJaccardSql: String =

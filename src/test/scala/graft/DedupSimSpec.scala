@@ -62,6 +62,68 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
   }
 
+  test("jaccardPairs df cap: identical output, bounded candidates on a skewed-df corpus") {
+    import spark.implicits._
+    // A corpus engineered for the Σdf² explosion the cap exists to
+    // bound: every doc opens with the same viral boilerplate sentence
+    // (df = N hot shingles), then a unique tail — the uncapped
+    // counting join pairs EVERY doc with every doc through the
+    // boilerplate; the planted near-dup pairs share their tails too.
+    val boiler = "subscribe to our newsletter for updates and offers every week"
+    val n = 120
+    // tails are 20 per-doc-unique tokens: hot shingles (the ~10 from
+    // the boilerplate prefix incl. the boundary trigrams) stay well
+    // under tau * n_sh, so no doc trips the boilerplate-doc arm here
+    val docs = (0 until n).map { i =>
+      val k = if (i >= 100) i - 100 else i
+      val tail = (0 until 20).map(j => s"t${k}x$j").mkString(" ")
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val planted = (100 until 120).map(i => (i.toLong - 100L, i.toLong)).toSet
+    val tau = 0.5
+    def run(): Seq[(Long, Long, Double)] =
+      DedupOps.jaccardPairs(docs, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val uncapped = run()
+    spark.conf.set(DedupOps.dfCapKey, "8")
+    val capped = try run() finally spark.conf.unset(DedupOps.dfCapKey)
+    // EXACTNESS: the cap must be invisible in the answer
+    assert(capped == uncapped,
+      s"df cap changed the pair set: ${capped.diff(uncapped)} vs ${uncapped.diff(capped)}")
+    assert(capped.map(t => (t._1, t._2)).toSet == planted,
+      "both paths must find exactly the planted near-dup pairs")
+    // BOUNDED CANDIDATES: pre-tau pair rows through the real code —
+    // the uncapped join pairs all docs through the boilerplate
+    // (~n²/2); the capped arm sees only tail-sharing candidates plus
+    // the (empty here: tails dominate n_sh) boilerplate-doc arm
+    val ex = DedupOps.shinglePostings(docs).localCheckpoint()
+    val candUncapped = DedupOps.pairCounts(ex, tau).count()
+    val candCapped = DedupOps.jaccardPairsCapped(ex, tau, 8L).count()
+    assert(candUncapped >= n.toLong * (n - 1) / 2,
+      s"the skewed corpus should explode uncapped candidates, got $candUncapped")
+    assert(candCapped < candUncapped / 50,
+      s"cap must bound candidates: $candCapped vs $candUncapped")
+
+    // BOILERPLATE-DOC ARM: docs that are ~all boilerplate (hot count
+    // certifies tau on its own) must still pair EXACTLY — they route
+    // through the exhaustive arm-2 join
+    val pure = (0 until 30).map { i =>
+      val extra = if (i % 10 == 0) "" else s" filler$i"
+      (i.toLong, s"$boiler$extra")
+    }.toDF("doc_id", "text")
+    val u2 = DedupOps.jaccardPairs(pure, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    spark.conf.set(DedupOps.dfCapKey, "8")
+    val c2 = try DedupOps.jaccardPairs(pure, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      finally spark.conf.unset(DedupOps.dfCapKey)
+    assert(u2.nonEmpty, "the pure-boilerplate corpus must produce pairs")
+    assert(c2 == u2, "boilerplate-doc fallback arm must reproduce the exact pair set")
+  }
+
   test("dedup_incremental: batch vs persisted index, no corpus re-hash") {
     val rows = DedupOps.dedupIncremental(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
